@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md §A).
+  *
+  * All queries receive `(spark, sfDir)` and read parquet from that directory, so the
+  * same definition runs at any scale factor. At cluster scale these reads are plain
+  * parquet scans — Catalyst handles column pruning + predicate pushdown into the scan.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects.
+    * Read it as a raw long (legacy flag) and floor-divide to µs — the same truncation
+    * DuckDB applies when it reads the ns column as TIMESTAMP, so both engines see
+    * identical µs values. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** One declared engine query: a Spark (DataFrame-first) definition plus, when the
+  * semantics are ANSI-SQL-expressible, an equivalent DuckDB oracle query. The driver
+  * hash-compares the two on sf0.01 (BASELINE.md t2 gate).
+  *
+  * Determinism conventions (SURVEY.md §2b): every query ends with ORDER BY on a unique
+  * key or all columns; float outputs are ROUND(x, 2); timestamps are emitted as
+  * formatted strings (never raw, to sidestep ns-vs-µs parquet differences); DuckDB
+  * integer SUMs are cast back to BIGINT (DuckDB widens to HUGEINT).
+  */
+final case class QDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  lazy val all: Seq[QDef] =
+    queries.RelationalQueries.defs ++
+      queries.ScalarQueries.defs ++
+      queries.TextQueries.defs ++
+      queries.VectorQueries.defs ++
+      queries.EventQueries.defs ++
+      queries.PipelineQueries.defs
+
+  lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
+}

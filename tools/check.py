@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's DuckDB-oracle compare.
+
+Usage:
+  python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out_dir>/<name>/ parquet (Spark result) and runs the matching oracle SQL
+from <out_dir>/oracle_sql.json in DuckDB with views over <sf_dir>/*.parquet, then
+compares: same columns (sorted by name), same row count, same values (floats to 1e-9
+after both engines already ROUND to 2; exact for everything else).
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"MISS  {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_tbl = pq.read_table(files[0])
+        except Exception as e:
+            print(f"FAIL  {name}: cannot read spark parquet: {e}")
+            n_fail += 1
+            continue
+        try:
+            duck = con.sql(oracle[name])
+            dcols = duck.columns
+            drows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        scols = spark_tbl.column_names
+        if sorted(scols) != sorted(c.lower() for c in dcols):
+            print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            n_fail += 1
+            continue
+        # driver sorts columns by name before hashing values
+        order = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+        duck_rows = [tuple(norm(r[i]) for i in order) for r in drows]
+        sdict = {c: spark_tbl.column(c).to_pylist() for c in scols}
+        scols_sorted = sorted(scols)
+        spark_rows = list(zip(*[[norm(v) for v in sdict[c]] for c in scols_sorted])) \
+            if spark_tbl.num_rows else []
+        if len(spark_rows) != len(duck_rows):
+            print(f"FAIL  {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(spark_rows, duck_rows)):
+            ok = len(a) == len(b)
+            if ok:
+                for x, y in zip(a, b):
+                    if isinstance(x, float) or isinstance(y, float):
+                        try:
+                            fx, fy = float(x), float(y)
+                        except (TypeError, ValueError):
+                            ok = False; break
+                        if math.isnan(fx) and math.isnan(fy):
+                            continue
+                        if abs(fx - fy) > 1e-9:
+                            ok = False; break
+                    elif x != y:
+                        ok = False; break
+            if not ok:
+                bad = (i, a, b)
+                break
+        if bad:
+            i, a, b = bad
+            print(f"FAIL  {name}: row {i} spark={a} duck={b} (cols {scols_sorted})")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(spark_rows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
