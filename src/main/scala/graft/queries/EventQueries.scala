@@ -1,3 +1,176 @@
 package graft.queries
-import graft.QDef
-object EventQueries { val defs: Seq[QDef] = Seq() }
+
+import graft.{QDef, Tables => T}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream shaped queries over the `events` table: analytic windows, tumbling
+  * windows, session windows, as-of and range joins. Each is the BATCH twin of a
+  * Structured Streaming query (graft.streaming package) — the batch result is what the
+  * DuckDB oracle checks, and streaming replay-equals-batch specs assert the same result.
+  *
+  * Timestamp convention: events.ts is µs-truncated on both engines (see Tables.events)
+  * and always EMITTED as a second-precision formatted string, never a raw timestamp.
+  */
+object EventQueries {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+  /** DuckDB-side CTE matching Tables.events' µs view of the ns column. */
+  private val evCte =
+    "WITH ev AS (SELECT event_id, ts, user_id, event_type, value, props FROM events)"
+
+  /** lag/lead/first + integer-second gaps per user. */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        first(col("event_type")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).as("gap_s"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q27Sql =
+    s"""$evCte
+       SELECT user_id, event_id,
+       LAG(event_id, 1) OVER w AS prev_id,
+       LEAD(event_id, 1) OVER w AS next_id,
+       FIRST_VALUE(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+       DATE_DIFF('second', LAG(ts, 1) OVER w, ts) AS gap_s
+       FROM ev
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY user_id, event_id"""
+
+  /** Tumbling 10-minute windows (batch twin of groupBy(window($"ts", "10 minutes"))).
+    * Spark's window() is epoch-aligned, so the oracle floors epoch seconds to 600. */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), fmt).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val q28Sql =
+    s"""$evCte
+       SELECT STRFTIME(make_timestamp(CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+       FROM ev
+       GROUP BY 1, 2
+       ORDER BY window_start, event_type"""
+
+  /** Session windows, 30-minute gap, per user (batch twin of session_window()).
+    * Oracle is the classic gaps-and-islands rewrite: a session breaks when the gap to
+    * the previous event is >= the timeout (session_window treats end as exclusive:
+    * events merge only while ts < last + gap). */
+  private def q29(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), fmt).as("session_start"),
+        date_format(col("session_window.end"), fmt).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val q29Sql =
+    s"""$evCte,
+       flags AS (
+         SELECT user_id, ts, value,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+         FROM ev),
+       sess AS (
+         SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM flags)
+       SELECT user_id,
+         STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         STRFTIME(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+       FROM sess
+       GROUP BY user_id, sid
+       ORDER BY user_id, session_start"""
+
+  /** As-of join: each purchase matched to the user's latest click at or before it.
+    * Uses the single-shuffle union+carry-forward operator (operators.AsOfJoin), not
+    * join-then-window — see the operator's scaladoc for the 100 TB rationale. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // the right time column is consumed by the operator, so carry a copy as payload
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_t"),
+        col("event_id").as("click_event_id"), col("ts").as("click_ts_val"))
+    AsOfJoin.backward(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "click_t", tieBreak = "click_event_id")
+      .select(
+        col("event_id"),
+        date_format(col("ts"), fmt).as("ts"),
+        col("click_event_id"),
+        date_format(col("click_ts_val"), fmt).as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q30Sql =
+    s"""$evCte,
+       p AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+       j AS (
+         SELECT p.event_id, p.ts, c.event_id AS click_event_id, c.ts AS click_ts,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+         FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+       SELECT event_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts, click_event_id,
+         CASE WHEN click_ts IS NULL THEN NULL
+              ELSE STRFTIME(click_ts, '%Y-%m-%d %H:%M:%S') END AS click_ts
+       FROM j WHERE rn = 1
+       ORDER BY event_id"""
+
+  /** Range (interval) join: events followed by another event of the same user within
+    * 5 minutes. Equi key (user_id) carries the shuffle; the time band is a join-side
+    * filter, so this stays a keyed join, not a cartesian. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val e1 = ev.select(col("user_id"), col("ts").as("t1"),
+      col("event_type").as("type1"), col("event_id").as("id1"))
+    val e2 = ev.select(col("user_id").as("uid2"), col("ts").as("t2"),
+      col("event_id").as("id2"))
+    e1.join(e2,
+        col("user_id") === col("uid2") &&
+          col("t2") > col("t1") &&
+          col("t2") <= col("t1") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("type1").as("event_type"))
+      .agg(
+        count(lit(1)).as("n_following"),
+        round(avg(unix_timestamp(col("t2")) - unix_timestamp(col("t1"))), 2).as("avg_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q31Sql =
+    s"""$evCte
+       SELECT e1.event_type AS event_type, COUNT(*) AS n_following,
+         ROUND(AVG(DATE_DIFF('second', e1.ts, e2.ts)), 2) AS avg_gap_s
+       FROM ev e1 JOIN ev e2
+         ON e1.user_id = e2.user_id
+        AND e2.ts > e1.ts
+        AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+       GROUP BY e1.event_type
+       ORDER BY event_type"""
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q27_event_lag_lead", q27, Some(q27Sql)),
+    QDef("q28_tumbling_window", q28, Some(q28Sql)),
+    QDef("q29_session_window", q29, Some(q29Sql)),
+    QDef("q30_asof_join", q30, Some(q30Sql)),
+    QDef("q31_range_join", q31, Some(q31Sql)),
+  )
+}

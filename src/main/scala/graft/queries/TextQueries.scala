@@ -1,3 +1,314 @@
 package graft.queries
-import graft.QDef
-object TextQueries { val defs: Seq[QDef] = Seq() }
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication operators over `documents` — the training-data
+  * pipeline surface (BASELINE.json north star): tokenization, term frequency, exact
+  * dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, language-ID heuristics,
+  * quality scoring, and document fingerprinting.
+  *
+  * Portability note: near-dup signatures need a hash both engines compute bit-for-bit
+  * identically, so the declared queries use a polynomial character hash
+  * `fold(31·acc + ascii(c)) mod 1e9+7` expressible in Spark SQL higher-order
+  * functions AND DuckDB lambdas. At 100 TB you would swap it for the codegen'd
+  * `xxhash64` built-in (same pipeline shape, one expression changed); the oracle keeps
+  * the portable form so results stay checkable.
+  */
+object TextQueries {
+
+  /** Spark-SQL polynomial char hash of a string expression (rolling-hash
+    * fingerprinting; used where the technique itself is the declared op). */
+  private def hashExpr(e: String): String =
+    s"aggregate(split($e, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+
+  /** DuckDB twin of [[hashExpr]]. */
+  private def duckHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** Fast portable token hash: first 56 bits of md5, mod 1e9+7. md5 is codegen'd in
+    * Spark (far faster than a per-char lambda fold) and DuckDB parses the same hex
+    * prefix via a 0x-cast — identical values on both engines. At 100 TB the one-line
+    * swap is xxhash64 (no oracle twin, so not used for declared queries). */
+  private def tokHash(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 14), 16, 10) AS BIGINT) % 1000000007"
+
+  private def duckTokHash(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 14)) AS BIGINT) % 1000000007"
+
+  /** (doc_id, tok) long-form distinct tokens + portable hash, Spark side. */
+  private def tokenHashes(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), " "))).as("tok"))
+      .withColumn("h", expr(tokHash("tok")))
+
+  /** DuckDB CTE producing the same (doc_id, h) rows. */
+  private val duckTokenCte =
+    s"""WITH toks AS (
+         SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+         FROM documents),
+       th AS (SELECT doc_id, ${duckTokHash("tok")} AS h FROM toks)"""
+
+  /** Token counts: tokenize + explode + group — the text twin of word-count.
+    * Top-50 with a total ordering (count desc, token) so the cut is deterministic. */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"),
+        col("doc_id"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  private val q32Sql =
+    """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+       FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents)
+       GROUP BY token
+       ORDER BY n DESC, token
+       LIMIT 50"""
+
+  /** Term frequency per document (docs 0..49). */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      // tf emitted in basis points (×10000, rounded to integer): ratios of small ints
+      // (e.g. 1/32) hit exact decimal ties where Spark's HALF_UP and DuckDB's
+      // multiply-then-round disagree; scaled-integer ties are exact binary halves that
+      // both engines round identically (away from zero).
+      .withColumn("tf_bp", round(col("cnt") * 10000.0 /
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .cast("long"))
+      .orderBy(col("doc_id"), col("token"))
+
+  private val q33Sql =
+    """WITH t AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+         FROM documents WHERE doc_id < 50),
+       c AS (SELECT doc_id, token, COUNT(*) AS cnt FROM t GROUP BY doc_id, token)
+       SELECT doc_id, token, cnt,
+         CAST(ROUND(cnt * 10000.0 / SUM(cnt) OVER (PARTITION BY doc_id)) AS BIGINT) AS tf_bp
+       FROM c
+       ORDER BY doc_id, token"""
+
+  /** Exact deduplication by content hash (md5): corpus-level counts. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"))
+      .orderBy(col("n_docs"))
+
+  private val q34Sql =
+    """SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+       FROM documents
+       ORDER BY n_docs"""
+
+  private val P = 1000000007L
+  /** j-th minhash permutation of token hash h (j in 0..15). */
+  private def perm(j: Int, h: String) = s"(($h * ${2 * j + 3} + ${j * 7919 + 1}) % $P)"
+
+  /** MinHash signatures (16 permutations, first 8 emitted) per document. One shuffle:
+    * explode distinct tokens -> hash -> 16 partial-aggregated MINs per doc. */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val mins = (0 until 8).map(j => min(expr(perm(j, "h"))).as(s"mh$j"))
+    tokenHashes(s, d)
+      .filter(col("doc_id") < 100)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q35Sql = {
+    val mins = (0 until 8).map(j => s"MIN(${perm(j, "h")}) AS mh$j").mkString(", ")
+    s"""$duckTokenCte
+       SELECT doc_id, $mins
+       FROM th WHERE doc_id < 100
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** LSH banding on the 16 minhashes (4 bands × 4 rows) -> candidate near-dup pairs.
+    * The band-signature equi-join is what makes near-dup O(n·bands) instead of O(n²)
+    * at corpus scale: only docs sharing a band signature ever meet in the join. */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    val mins = (0 until 16).map(j => min(expr(perm(j, "h"))).as(s"mh$j"))
+    val sigs = tokenHashes(s, d)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)): _*))
+        .as(Seq("band", "sig")))
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("d1"))
+    val b = bands.select(col("band").as("band2"), col("sig").as("sig2"), col("doc_id").as("d2"))
+    a.join(b, col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+      .agg(count(lit(1)).as("n_candidate_pairs"))
+      .orderBy(col("n_candidate_pairs"))
+  }
+
+  private val q36Sql = {
+    val mins = (0 until 16).map(j => s"MIN(${perm(j, "h")}) AS mh$j").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val sig = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""$duckTokenCte,
+       sigs AS (SELECT doc_id, $mins FROM th GROUP BY doc_id),
+       bands AS ($bandSelects)
+       SELECT COUNT(*) AS n_candidate_pairs FROM (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       ORDER BY n_candidate_pairs"""
+  }
+
+  /** 16-bit SimHash per document: sign-sum of token-hash bits. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    tokenHashes(s, d)
+      .filter(col("doc_id") < 200)
+      .withColumn("b", explode(expr("sequence(0, 15)")))
+      .withColumn("sign", expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("sign")).as("s"))
+      .withColumn("bitval", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val q37Sql =
+    s"""$duckTokenCte,
+       bits AS (
+         SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b)
+         WHERE doc_id < 200
+         GROUP BY doc_id, b)
+       SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Token-set and 3-gram-shingle Jaccard similarity on adjacent doc pairs. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+    val sh =
+      "array_distinct(transform(sequence(1, size(%s) - 2), i -> concat(element_at(%s, i), ' ', element_at(%s, i + 1), ' ', element_at(%s, i + 2))))"
+    val a = docs.filter(col("doc_id") < 99).select(
+      col("doc_id").as("d1"), array_distinct(col("toks")).as("ts1"),
+      expr(sh.format("toks", "toks", "toks", "toks")).as("sh1"))
+    val b = docs.select(
+      col("doc_id").as("d2"), array_distinct(col("toks")).as("ts2"),
+      expr(sh.format("toks", "toks", "toks", "toks")).as("sh2"))
+    a.join(b, col("d2") === col("d1") + 1)
+      .select(
+        col("d1"), col("d2"),
+        // basis points, not round(x,4): int-ratio decimal ties round differently
+        // across engines (see q33 comment)
+        round(size(array_intersect(col("ts1"), col("ts2"))) * 10000.0 /
+          size(array_union(col("ts1"), col("ts2")))).cast("long").as("jac_tokens_bp"),
+        round(size(array_intersect(col("sh1"), col("sh2"))) * 10000.0 /
+          size(array_union(col("sh1"), col("sh2")))).cast("long").as("jac_3gram_bp"))
+      .orderBy(col("d1"))
+  }
+
+  private val q38Sql =
+    """WITH docs AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       feat AS (
+         SELECT doc_id, list_distinct(toks) AS ts,
+           list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+         FROM docs)
+       SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(ROUND(len(list_intersect(a.ts, b.ts)) * 10000.0 / len(list_distinct(list_concat(a.ts, b.ts)))) AS BIGINT) AS jac_tokens_bp,
+         CAST(ROUND(len(list_intersect(a.sh, b.sh)) * 10000.0 / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jac_3gram_bp
+       FROM feat a JOIN feat b ON b.doc_id = a.doc_id + 1
+       WHERE a.doc_id < 99
+       ORDER BY d1"""
+
+  /** Language-ID heuristic + quality scoring: token stats, stopword ratio, punct
+    * ratio — the cheap per-document features a corpus filter computes at scale. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("n_stop", expr(
+        "size(filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')))"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        // ratio metrics in scaled integers (×100 / ×10000) — see q33 comment
+        round(length(regexp_replace(trim(col("text")), " ", "")) * 100.0 / size(col("toks")))
+          .cast("long").as("avg_token_len_x100"),
+        round(col("n_stop") * 10000.0 / size(col("toks"))).cast("long").as("stop_ratio_bp"),
+        round(length(regexp_replace(col("text"), "[a-z0-9 ]", "")) * 10000.0 / length(col("text")))
+          .cast("long").as("punct_ratio_bp"),
+        when(col("n_stop") >= 1, "en").otherwise("other").as("guess_lang"),
+        col("lang").as("labeled_lang"))
+      .orderBy(col("doc_id"))
+
+  private val q39Sql =
+    """WITH f AS (
+         SELECT doc_id, lang, text, string_split(trim(text), ' ') AS toks,
+           len(list_filter(string_split(trim(text), ' '),
+             t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS n_stop
+         FROM documents WHERE doc_id < 200)
+       SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(ROUND(length(replace(trim(text), ' ', '')) * 100.0 / len(toks)) AS BIGINT) AS avg_token_len_x100,
+         CAST(ROUND(n_stop * 10000.0 / len(toks)) AS BIGINT) AS stop_ratio_bp,
+         CAST(ROUND(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
+         CASE WHEN n_stop >= 1 THEN 'en' ELSE 'other' END AS guess_lang,
+         lang AS labeled_lang
+       FROM f
+       ORDER BY doc_id"""
+
+  /** Token counting two ways: whitespace split vs a BPE-ish regex segmentation. */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), " ")).as("ws_tokens"),
+        expr("regexp_count(text, '[a-z]+|[0-9]+')").as("re_tokens"),
+        (length(col("text")) === col("n_chars")).as("len_matches"))
+      .orderBy(col("doc_id"))
+
+  private val q40Sql =
+    """SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+       (length(text) = n_chars) AS len_matches
+       FROM documents
+       ORDER BY doc_id"""
+
+  /** Whole-document fingerprint: rolling polynomial hash over the normalized text. */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), expr(hashExpr("trim(text)")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q41Sql =
+    s"""SELECT doc_id, ${duckHash("trim(text)")} AS fp
+       FROM documents WHERE doc_id < 200
+       ORDER BY doc_id"""
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q32_token_counts", q32, Some(q32Sql)),
+    QDef("q33_tf_per_doc", q33, Some(q33Sql)),
+    QDef("q34_dedup_exact", q34, Some(q34Sql)),
+    QDef("q35_minhash_sig", q35, Some(q35Sql)),
+    QDef("q36_lsh_candidates", q36, Some(q36Sql)),
+    QDef("q37_simhash", q37, Some(q37Sql)),
+    QDef("q38_ngram_jaccard", q38, Some(q38Sql)),
+    QDef("q39_lang_quality", q39, Some(q39Sql)),
+    QDef("q40_token_regex_count", q40, Some(q40Sql)),
+    QDef("q41_fingerprint", q41, Some(q41Sql)),
+  )
+}

@@ -1,3 +1,151 @@
 package graft.queries
-import graft.QDef
-object VectorQueries { val defs: Seq[QDef] = Seq() }
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) — the
+  * training-data-pipeline ANN surface: brute-force cosine top-k as the exact
+  * baseline, a sign-LSH (random-hyperplane-style, here axis-sign) bucketed variant as
+  * the O(n) scale path, and threshold near-duplicate detection.
+  *
+  * Float determinism: both engines fold the dot product strictly left-to-right in
+  * DOUBLE (Spark `aggregate` / DuckDB `list_reduce`), so cosine values are
+  * bit-identical and rank order needs no fuzz. Similarities are emitted in basis
+  * points (×10000 rounded to integer) per the scaled-integer convention.
+  */
+object VectorQueries {
+
+  /** Sequential-fold dot product of two float-array columns, Spark SQL side. */
+  private def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB twin of [[dot]] — same fold order, same DOUBLE ops. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  private def cosExpr(a: String, b: String): String =
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  private def duckCos(a: String, b: String): String =
+    s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
+
+  /** Per-vector L2 norm (precomputed once per row, not once per pair — at n² pairs
+    * that is the difference between 1 and 2·k folds per pair). Same fold, same fp
+    * values as inlining it, so oracle parity is unaffected. */
+  private def normExpr(a: String): String = s"sqrt(${dot(a, a)})"
+  private def duckNorm(a: String): String = s"sqrt(${duckDot(a, a)})"
+
+  /** Brute-force cosine top-5 for 5 query vectors — the exact kNN baseline. A
+    * broadcast of the tiny query side against a full scan of candidates: one pass,
+    * no shuffle of the big side beyond the final per-query top-k. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val q = broadcast(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(cosExpr("qv", "cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        round(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  private val q42Sql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       scored AS (
+         SELECT query_id, neighbor_id, ${duckCos("qv", "cv")} AS cos
+         FROM q JOIN c ON query_id <> neighbor_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, cos,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC NULLS LAST, neighbor_id) AS INT) AS rn
+         FROM scored)
+       SELECT query_id, rn, neighbor_id, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_bp
+       FROM ranked WHERE rn <= 5
+       ORDER BY query_id, rn"""
+
+  /** Sign-LSH bucketed ANN: 6-bit sign signature of the leading dimensions buckets
+    * the space (64 cells); each query only scores candidates in its own bucket. This
+    * is the shape that survives 100 TB — the bucket equi-join replaces the O(n²)
+    * cross product; recall is traded for the 64× candidate cut. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val sig = (1 to 6).map(i =>
+      when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0, "1").otherwise("0"))
+    val emb = T.embeddings(s, d).withColumn("bucket", concat(sig: _*))
+    val q = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("bucket"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("bucket").as("cbucket"),
+      col("embedding").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc_nulls_last, col("cand_id"))
+    q.join(c, col("bucket") === col("cbucket") && col("vec_id") =!= col("cand_id"), "left")
+      .withColumn("cos", expr(cosExpr("qv", "cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bucket"), col("cand_id").as("nn_id"),
+        round(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q43Sql = {
+    val sig = (1 to 6).map(i =>
+      s"CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, embedding, $sig AS bucket FROM embeddings),
+       q AS (SELECT vec_id, bucket, embedding AS qv FROM e WHERE vec_id < 100),
+       c AS (SELECT vec_id AS cand_id, bucket AS cbucket, embedding AS cv FROM e),
+       scored AS (
+         SELECT q.vec_id, q.bucket, c.cand_id,
+           ${duckCos("qv", "cv")} AS cos
+         FROM q LEFT JOIN c ON q.bucket = c.cbucket AND q.vec_id <> c.cand_id),
+       ranked AS (
+         SELECT vec_id, bucket, cand_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC NULLS LAST, cand_id) AS rn
+         FROM scored)
+       SELECT vec_id, bucket, cand_id AS nn_id, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_bp
+       FROM ranked WHERE rn = 1
+       ORDER BY vec_id"""
+  }
+
+  /** Embedding-cosine near-duplicate detection: same-label pairs above a similarity
+    * threshold. Label partitions the pair space (the blocking key); at scale the
+    * blocking key would be an LSH bucket like q43's. */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val withNorm = T.embeddings(s, d).withColumn("nrm", expr(normExpr("embedding")))
+    val a = withNorm.select(col("vec_id").as("v1"),
+      col("label"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("v2"),
+      col("label").as("label2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+      .withColumn("cos", expr(s"${dot("e1", "e2")} / (n1 * n2)"))
+      .filter(col("cos") >= 0.2)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_neardup_pairs"),
+        max(round(col("cos") * 10000).cast("long")).as("max_cos_bp"))
+      .orderBy(col("label"))
+  }
+
+  private val q44Sql =
+    s"""WITH e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+       pairs AS (
+         SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
+           ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         FROM e a JOIN e b
+           ON a.label = b.label AND a.vec_id < b.vec_id)
+       SELECT label, COUNT(*) AS n_neardup_pairs,
+         CAST(MAX(CAST(ROUND(cos * 10000) AS BIGINT)) AS BIGINT) AS max_cos_bp
+       FROM pairs WHERE cos >= 0.2
+       GROUP BY label
+       ORDER BY label"""
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q42_knn_brute_force", q42, Some(q42Sql)),
+    QDef("q43_ann_sign_lsh", q43, Some(q43Sql)),
+    QDef("q44_cosine_neardup", q44, Some(q44Sql)),
+  )
+}
