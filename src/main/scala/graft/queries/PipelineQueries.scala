@@ -1,3 +1,71 @@
 package graft.queries
-import graft.QDef
-object PipelineQueries { val defs: Seq[QDef] = Seq() }
+
+import graft.{QDef, Tables => T}
+import graft.pipeline.{CellImageFixtures, Features, OutlierModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's data-science pipeline surface (SURVEY.md §2a) as declared queries:
+  * custom Welford aggregation (oracle-checked against SQL var_samp), and the
+  * cell-image feature/outlier pipeline over deterministic fixtures (rows-only checks:
+  * cell images do not exist in the oracle's testdata tables; correctness is pinned by
+  * ScalaTest micro-fixtures and an independent reimplementation parity spec).
+  */
+object PipelineQueries {
+
+  /** Custom Aggregator (Welford update + corrected Chan merge) against the var_samp
+    * oracle — proving the distributed merge tree equals exact SQL statistics. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val wf = udaf(new graft.functions.WelfordAgg())
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(wf(col("l_quantity")).as("w"))
+      .select(
+        col("l_returnflag"),
+        col("w.n").as("n"),
+        round(col("w.mean"), 2).as("mean_qty"),
+        round(col("w.variance"), 2).as("var_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q45Sql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(AVG(l_quantity), 2) AS mean_qty,
+       ROUND(VAR_SAMP(l_quantity), 2) AS var_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Cell-image scan + typed feature extraction (S6 + F1–F4): per-channel feature
+    * means over the shapes fixture. Deterministic but not SQL-expressible. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val images = CellImageFixtures.shapes(s, nFiles = 2, imagesPerFile = 50, channels = 9)
+    images.flatMap(Features.extract _)
+      .select(col("featureName"), posexplode(col("values")).as(Seq("channel", "value")))
+      .groupBy(col("featureName"), col("channel"))
+      .agg(round(avg(col("value")) * 100).cast("long").as("avg_value_x100"))
+      .orderBy(col("featureName"), col("channel"))
+  }
+
+  /** Outlier pipeline end-to-end (S6→S9→O1→O2→S8): train the Welford model on the
+    * fixture features, filter with the voting predicate, report before/after counts.
+    * The planted every-10th-image outlier population makes the counts predictable. */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val images = CellImageFixtures.shapes(s, nFiles = 2, imagesPerFile = 50, channels = 9).cache()
+    val features = images.flatMap(Features.extract _)
+    val model = OutlierModel.train(features)
+    val bc = s.sparkContext.broadcast(model)
+    val kept = images.filter(ci => bc.value.isNoOutlier(Features.extract(ci)))
+    val total = images.count()
+    val keptN = kept.count()
+    images.unpersist()
+    s.createDataset(Seq((total, keptN, total - keptN)))
+      .toDF("n_images", "n_kept", "n_filtered")
+  }
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q45_welford_aggregator", q45, Some(q45Sql)),
+    QDef("q46_cellimage_features", q46, None),
+    QDef("q47_outlier_pipeline", q47, None),
+  )
+}

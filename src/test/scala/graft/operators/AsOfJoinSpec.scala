@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** As-of join semantics: inclusive backward match, tie-breaking, unmatched lefts. */
+class AsOfJoinSpec extends SparkSpec {
+
+  test("backward as-of picks the latest right row at or before each left time") {
+    import spark.implicits._
+    val left = Seq(
+      ("u1", 10L, "L1"),
+      ("u1", 20L, "L2"),
+      ("u1", 5L, "L3"), // before any right row -> no match
+      ("u2", 50L, "L4") // key with no right rows at all
+    ).toDF("k", "t", "lname")
+    val right = Seq(
+      ("u1", 10L, 100L), // equal time: inclusive match for L1
+      ("u1", 15L, 200L),
+      ("u1", 15L, 201L) // tie at t=15: larger tieBreak wins
+    ).toDF("k", "rt", "rid")
+
+    val out = AsOfJoin.backward(left, right, key = "k",
+      leftTime = "t", rightTime = "rt", tieBreak = "rid")
+      .select("lname", "rid").as[(String, Option[Long])].collect().toMap
+
+    assert(out("L1") == Some(100L)) // rt == t matches (inclusive)
+    assert(out("L2") == Some(201L)) // latest <= 20 is t=15, tie -> rid 201
+    assert(out("L3") == None)
+    assert(out("L4") == None)
+    assert(out.size == 4)
+  }
+
+  test("result preserves all left rows and columns exactly once") {
+    import spark.implicits._
+    val left = (1 to 100).map(i => ("k" + i % 5, i.toLong, i)).toDF("k", "t", "payload")
+    val right = (1 to 20).map(i => ("k" + i % 5, i.toLong * 3, i.toLong)).toDF("k", "rt", "rid")
+    val out = AsOfJoin.backward(left, right, "k", "t", "rt", "rid")
+    assert(out.count() == 100)
+    assert(out.columns.toSet == Set("k", "t", "payload", "rid"))
+  }
+}
