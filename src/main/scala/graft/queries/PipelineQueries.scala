@@ -63,9 +63,47 @@ object PipelineQueries {
       .toDF("n_images", "n_kept", "n_filtered")
   }
 
+  /** The cellimage DSv2 source driven with the reference's full option set
+    * (path/filelimit/imagelimit/numpartitionsperfile/channels/masked), feeding the
+    * typed feature pipeline. Fixture jsonl files are materialized once per JVM. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = PipelineQueries.fixtureDir
+    val df = s.read.format("cellimage")
+      .option("path", dir)
+      .option("filelimit", "2")
+      .option("numpartitionsperfile", "5")
+      .option("channels", "1,2,3")
+      .option("masked", "true")
+      .load()
+    df.as[graft.pipeline.CellImage]
+      .flatMap(Features.extract _)
+      .select(col("featureName"), posexplode(col("values")).as(Seq("channel", "value")))
+      .groupBy(col("featureName"), col("channel"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")) * 100).cast("long").as("avg_value_x100"))
+      .orderBy(col("featureName"), col("channel"))
+  }
+
+  private lazy val fixtureDir: String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_cellimages_v1")
+    val done = new java.io.File(dir, "_SUCCESS")
+    if (!done.exists()) {
+      import graft.sources.CellImageJsonl
+      (0 until 3).foreach { f =>
+        val images = (0 until 30).map(i =>
+          CellImageFixtures.make(s"file_$f", f, i.toLong, channels = 5, w = 16, h = 16))
+        CellImageJsonl.write(dir, f"part_$f%02d.jsonl", images)
+      }
+      done.createNewFile()
+    }
+    dir.getAbsolutePath
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef("q45_welford_aggregator", q45, Some(q45Sql)),
     QDef("q46_cellimage_features", q46, None),
     QDef("q47_outlier_pipeline", q47, None),
+    QDef("q48_cellimage_source", q48, None),
   )
 }

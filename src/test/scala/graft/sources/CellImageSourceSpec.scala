@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipeline.CellImageFixtures
+
+/** The cellimage DSv2 source: every reference reader option (S1), partition
+  * planning, channel projection, and required-column pruning. */
+class CellImageSourceSpec extends SparkSpec {
+
+  private lazy val dir: java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("cellimages").toFile
+    val mk = (f: Int, n: Int) =>
+      (0 until n).map(i => CellImageFixtures.make(s"file_$f", f, i.toLong, channels = 3, w = 8, h = 8))
+    CellImageJsonl.write(d, "a.jsonl", mk(0, 20))
+    CellImageJsonl.write(d, "b.jsonl", mk(1, 20))
+    CellImageJsonl.write(d, "c.jsonl", mk(2, 5))
+    d
+  }
+
+  private def read(opts: (String, String)*) = {
+    val r = spark.read.format("cellimage").option("path", dir.getAbsolutePath)
+    opts.foldLeft(r) { case (rr, (k, v)) => rr.option(k, v) }.load()
+  }
+
+  test("reads all files and images with the declared schema") {
+    val df = read()
+    assert(df.count() == 45)
+    assert(df.columns.toSeq ==
+      Seq("fileId", "imageIdx", "width", "height", "nChannels", "data", "mask"))
+    val row = df.filter("fileId = 'file_0' AND imageIdx = 0").collect().head
+    assert(row.getAs[scala.collection.Seq[Double]]("data").length == 3 * 8 * 8)
+    assert(row.getAs[scala.collection.Seq[Boolean]]("mask").length == 3 * 8 * 8)
+  }
+
+  test("filelimit caps the number of files (sorted by name)") {
+    val df = read("filelimit" -> "2")
+    assert(df.count() == 40)
+    assert(df.select("fileId").distinct().count() == 2)
+  }
+
+  test("imagelimit caps images per file") {
+    assert(read("imagelimit" -> "3").count() == 9) // 3 per file x 3 files
+  }
+
+  test("numpartitionsperfile controls input partition planning") {
+    val df = read("numpartitionsperfile" -> "5", "filelimit" -> "2")
+    assert(df.rdd.getNumPartitions == 10)
+    assert(df.count() == 40)
+    // slicing must not drop or duplicate rows
+    assert(df.select("fileId", "imageIdx").distinct().count() == 40)
+  }
+
+  test("channels option projects channel slices (manual pushdown, 1-based)") {
+    val full = read().filter("fileId = 'file_0' AND imageIdx = 1").collect().head
+    val ch2 = read("channels" -> "2").filter("fileId = 'file_0' AND imageIdx = 1").collect().head
+    assert(ch2.getAs[Int]("nChannels") == 1)
+    val plane = 8 * 8
+    assert(ch2.getAs[scala.collection.Seq[Double]]("data") ==
+      full.getAs[scala.collection.Seq[Double]]("data").slice(plane, 2 * plane))
+    val ch13 = read("channels" -> "1,3").filter("fileId = 'file_0' AND imageIdx = 1").collect().head
+    assert(ch13.getAs[scala.collection.Seq[Double]]("data").length == 2 * plane)
+    assert(ch13.getAs[scala.collection.Seq[Double]]("data").slice(plane, 2 * plane) ==
+      full.getAs[scala.collection.Seq[Double]]("data").slice(2 * plane, 3 * plane))
+  }
+
+  test("masked=false drops the mask column from the schema") {
+    val df = read("masked" -> "false")
+    assert(!df.columns.contains("mask"))
+    assert(df.count() == 45)
+  }
+
+  test("required-column pruning reaches the scan (width-only query reads no pixels)") {
+    val df = read().select("width")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("width"))
+    assert(df.distinct().collect().map(_.getInt(0)).toSeq == Seq(8))
+  }
+
+  test("limit pushdown caps partition reads") {
+    val df = read().limit(4)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    // pushed limit shows in the scan description and the result is correct
+    assert(df.count() == 4)
+    assert(scans.forall(_.scan.description().contains("limit=Some(4)")))
+  }
+
+  test("feature pipeline runs end-to-end off the source (S1 -> S6 -> F1..F4)") {
+    import spark.implicits._
+    import graft.pipeline.{CellImage, Features}
+    val ds = read("filelimit" -> "1").as[CellImage]
+    val feats = ds.flatMap(Features.extract _)
+    assert(feats.count() == 20 * 4)
+    assert(feats.filter((f: graft.pipeline.CellFeatures) => f.values.length == 3).count() == 80)
+  }
+}
