@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** KMeans pixel-clustering segmentation (M8/S13/S14 — image_masking.ipynb cells
+  * 7-18, image_to_df at image_segmentation/image_masking.py:31-33): per-pixel feature
+  * vectors [10·intensity, x, y] (the ×10 intensity scaling is the reference's),
+  * k=2 / seed=1 / maxIter=10 / weighCol, foreground = cluster with the brighter
+  * centroid, then the same elliptical CLOSE as the Canny path.
+  */
+object KMeansMasking {
+
+  /** image_to_df: one row per pixel, features = [10·p, x, y], weight 1.0. */
+  def pixelDf(spark: SparkSession, image: Array[Double], w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    val rows = for (x <- 0 until w; y <- 0 until h)
+      yield (Vectors.dense(10.0 * image(x * h + y), x.toDouble, y.toDouble), 1.0)
+    rows.toDF("features", "weighCol")
+  }
+
+  /** Cluster one channel's pixels into fg/bg; returns the boolean mask (pre-CLOSE). */
+  def mask(spark: SparkSession, image: Array[Double], w: Int, h: Int): Array[Boolean] = {
+    val df = pixelDf(spark, image, w, h)
+    val km = new KMeans().setK(2).setSeed(1).setMaxIter(10).setWeightCol("weighCol")
+    val model = km.fit(df)
+    // foreground = cluster whose centroid intensity (feature 0) is larger
+    val fg = if (model.clusterCenters(0)(0) >= model.clusterCenters(1)(0)) 0 else 1
+    val pred = model.transform(df).select("prediction").collect().map(_.getInt(0))
+    val out = new Array[Boolean](w * h)
+    var i = 0
+    while (i < out.length) { out(i) = pred(i) == fg; i += 1 }
+    out
+  }
+
+  /** Full notebook flow for one channel: KMeans mask → elliptical CLOSE → score
+    * against the ground-truth mask. */
+  def maskAndScore(spark: SparkSession, ci: CellImage, channel: Int,
+                   kw: Int = 8, kh: Int = 8): (Array[Boolean], Double) = {
+    val plane = ci.width * ci.height
+    val img = java.util.Arrays.copyOfRange(ci.data, channel * plane, (channel + 1) * plane)
+    val raw = mask(spark, img, ci.width, ci.height)
+    val closed = ImageKernels.close(raw, ci.width, ci.height, kw, kh)
+    val gt = java.util.Arrays.copyOfRange(ci.mask, channel * plane, (channel + 1) * plane)
+    (closed, Scoring.balancedAccuracy(closed, gt))
+  }
+}

@@ -100,10 +100,44 @@ object PipelineQueries {
     dir.getAbsolutePath
   }
 
+  /** Canny grid search (M7) as ONE distributed job over the whole parameter grid —
+    * replacing the reference's 3-jobs-per-combo driver loop (image_masking.py:
+    * 116-137). Output: chosen per-channel parameters + mean reference-score. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val images = s.createDataset(
+      (0 until 8).map(i => CellImageFixtures.make("f0", 0, i.toLong, channels = 2, w = 24, h = 24)))
+    val (model, accs) = graft.pipeline.CannyMaskModel.train(images,
+      threshold1Range = Seq(10, 20), threshold2Range = Seq(10, 20), shapeRange = Seq((8, 8)))
+    val rows = model.parameters.zipWithIndex.map { case (p, c) =>
+      (c, p.threshold1, p.threshold2, p.kw, p.kh, math.round(accs(c) * 10000))
+    }
+    s.createDataset(rows)
+      .toDF("channel", "threshold1", "threshold2", "kernel_w", "kernel_h", "score_bp")
+      .orderBy(col("channel"))
+  }
+
+  /** KMeans pixel segmentation (M8): per-image k=2/seed=1 clustering + CLOSE,
+    * scored against the ground-truth mask. */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val images = (0 until 3).map(i =>
+      CellImageFixtures.make("f0", 0, i.toLong, channels = 1, w = 24, h = 24))
+    val rows = images.map { ci =>
+      val (mask, score) = graft.pipeline.KMeansMasking.maskAndScore(s, ci, channel = 0)
+      (ci.imageIdx, mask.count(identity).toLong, math.round(score * 10000))
+    }
+    s.createDataset(rows)
+      .toDF("image_idx", "mask_pixels", "score_bp")
+      .orderBy(col("image_idx"))
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef("q45_welford_aggregator", q45, Some(q45Sql)),
     QDef("q46_cellimage_features", q46, None),
     QDef("q47_outlier_pipeline", q47, None),
     QDef("q48_cellimage_source", q48, None),
+    QDef("q49_canny_grid_search", q49, None),
+    QDef("q50_kmeans_segmentation", q50, None),
   )
 }

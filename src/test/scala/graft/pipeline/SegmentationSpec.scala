@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Image kernels, scoring quirks, Canny grid search, and KMeans segmentation. */
+class SegmentationSpec extends SparkSpec {
+
+  private def blobImage(w: Int = 24, h: Int = 24, lo: Double = 20, hi: Double = 220)
+      : (Array[Double], Array[Boolean]) = {
+    val img = new Array[Double](w * h)
+    val gt = new Array[Boolean](w * h)
+    for (x <- 0 until w; y <- 0 until h) {
+      val inside = {
+        val dx = x - w / 2.0; val dy = y - h / 2.0
+        dx * dx / 36.0 + dy * dy / 25.0 <= 1.0
+      }
+      img(x * h + y) = if (inside) hi else lo
+      gt(x * h + y) = inside
+    }
+    (img, gt)
+  }
+
+  test("uint8 cast wraps modulo 256 like numpy astype (reference behavior)") {
+    assert(ImageKernels.toUint8(800.0) == 32) // 800 % 256
+    assert(ImageKernels.toUint8(255.9) == 255)
+    assert(ImageKernels.toUint8(256.0) == 0)
+  }
+
+  test("gaussian blur preserves constant images and total mass approximately") {
+    val img = Array.fill(16 * 16)(42.0)
+    val out = ImageKernels.gaussianBlur5(img, 16, 16)
+    assert(out.forall(v => math.abs(v - 42.0) < 1e-9))
+  }
+
+  test("canny finds the boundary of a step-edge blob") {
+    val (img, gt) = blobImage()
+    val edges = ImageKernels.canny(img, 24, 24, 40, 80)
+    assert(edges.count(identity) > 10, "some edges found")
+    // every edge pixel is within 2px of the true boundary
+    val boundary = for {
+      x <- 0 until 24; y <- 0 until 24
+      if gt(x * 24 + y) &&
+        Seq((1, 0), (-1, 0), (0, 1), (0, -1)).exists { case (dx, dy) =>
+          val nx = x + dx; val ny = y + dy
+          nx < 0 || nx >= 24 || ny < 0 || ny >= 24 || !gt(nx * 24 + ny)
+        }
+    } yield (x, y)
+    val edgePts = for (x <- 0 until 24; y <- 0 until 24 if edges(x * 24 + y)) yield (x, y)
+    edgePts.foreach { case (x, y) =>
+      val d = boundary.map { case (bx, by) => math.max(math.abs(bx - x), math.abs(by - y)) }.min
+      assert(d <= 2, s"edge at ($x,$y) is $d from the boundary")
+    }
+  }
+
+  test("close fills the canny edges of a textured blob into a solid mask") {
+    // a clean step blob yields only a boundary ring (CLOSE cannot fill an interior
+    // larger than the kernel); real cell images are textured inside, which is what
+    // makes the reference's canny+close produce filled masks — plant that texture
+    val (img0, gt) = blobImage()
+    val img = img0.zipWithIndex.map { case (v, i) =>
+      val x = i / 24; val y = i % 24
+      if (gt(i)) v + ((x / 2 + y / 2) % 2) * 120.0 else v
+    }
+    val mask = ImageKernels.cannyMask(img, 24, 24, 30, 60, 8, 8)
+    val score = Scoring.balancedAccuracy(mask, gt)
+    assert(score > 0.8, s"canny+close balanced accuracy $score")
+  }
+
+  test("dilate/erode are monotone and close is extensive on the interior") {
+    val (_, gt) = blobImage()
+    val se = ImageKernels.ellipseOffsets(5, 5)
+    val d = ImageKernels.dilate(gt, 24, 24, se)
+    val e = ImageKernels.erode(gt, 24, 24, se)
+    assert(gt.zip(d).forall { case (a, b) => !a || b }, "dilate grows")
+    assert(e.zip(gt).forall { case (a, b) => !a || b }, "erode shrinks")
+    val closed = ImageKernels.close(gt, 24, 24, 5, 5)
+    assert(gt.zip(closed).forall { case (a, b) => !a || b }, "close keeps the set")
+  }
+
+  test("median blur removes salt noise") {
+    val img = Array.fill(12 * 12)(50.0)
+    img(5 * 12 + 5) = 999.0
+    val out = ImageKernels.medianBlur(img, 12, 12, 3)
+    assert(out(5 * 12 + 5) == 50.0)
+  }
+
+  test("confusion counts keep the reference's swapped-label arithmetic") {
+    val gt = Array(true, true, false, false)
+    val pred = Array(true, false, true, false)
+    val (tp, gtOnly, tn, predOnly) = Scoring.confusion(pred, gt)
+    assert((tp, gtOnly, tn, predOnly) == (1L, 1L, 1L, 1L))
+    // reference score: (1/(1+1) + 1/(1+1))/2 = 0.5
+    assert(math.abs(Scoring.referenceScore(pred, gt) - 0.5) < 1e-12)
+    assert(math.abs(Scoring.accuracy(pred, gt) - 0.5) < 1e-12)
+    // empty-denominator defaults
+    assert(Scoring.referenceScore(Array(false), Array(false)) == 1.0)
+  }
+
+  test("canny model JSON round-trips in the reference's shape") {
+    val m = CannyMaskModel(IndexedSeq(CannyParams(10, 20, 8, 8), CannyParams(30, 40, 6, 6)))
+    val json = m.toJson
+    assert(json.contains(""""0": {"threshold1": 10"""))
+    assert(json.contains(""""opening_shape": [6, 6]"""))
+    val back = CannyMaskModel.fromJson(json)
+    assert(back.parameters == m.parameters)
+  }
+
+  test("single-job grid search selects sane parameters on planted fixtures") {
+    import spark.implicits._
+    val images = spark.createDataset(
+      (0 until 8).map(i => CellImageFixtures.make("f0", 0, i.toLong, channels = 2, w = 24, h = 24)))
+    val (model, accs) = CannyMaskModel.train(images,
+      threshold1Range = Seq(10, 40), threshold2Range = Seq(20, 80), shapeRange = Seq((8, 8)))
+    assert(model.parameters.length == 2)
+    assert(accs.forall(a => a > 0.5 && a <= 1.0), s"accuracies $accs")
+    // predict returns a real dataset (the reference's predict dropped its result)
+    assert(model.predict(images).count() == 8)
+  }
+
+  test("kmeans pixel clustering segments a bright blob (k=2, seed=1, weighted)") {
+    val (img, gt) = blobImage()
+    val ci = CellImage("f", 0, 24, 24, 1, img, gt)
+    val (mask, score) = KMeansMasking.maskAndScore(spark, ci, channel = 0)
+    assert(score > 0.7, s"kmeans balanced accuracy $score")
+    assert(mask.count(identity) > 0)
+  }
+}
