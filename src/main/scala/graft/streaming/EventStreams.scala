@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.functions.{MeanVar, Welford, WelfordBuf}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2b streaming rows, §7.7).
+  *
+  * Each transformation takes a DataFrame that may be BATCH or STREAMING and builds
+  * the identical logical plan — one definition, two execution modes. The
+  * replay-equals-batch specs (StreamingSpec) feed the same rows through a file-replay
+  * stream and the batch path and assert equal results; the batch path is in turn
+  * DuckDB-oracle-checked via q28/q29.
+  *
+  * Watermarks bound state: at 100 TB/day the windowed aggregations hold only
+  * in-flight windows, dedup holds only the watermark horizon of keys, and the
+  * per-user stats operator holds one Welford buffer per active user.
+  */
+object EventStreams {
+
+  /** Tumbling 10-minute counts per event type (the streaming twin of q28). */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 10-minute windows every 5 minutes. */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Session windows, 30-minute gap, per user (streaming twin of q29). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserStats(user_id: Long, n: Long, mean: Double, variance: Double)
+
+  /** Running per-user Welford statistics via flatMapGroupsWithState — the streaming
+    * twin of the outlier model's training statistics (SURVEY.md §7.7): state is one
+    * WelfordBuf per user, updated incrementally, emitted after every batch. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WelfordBuf, UserStats](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[WelfordBuf]) =>
+          var buf = state.getOption.getOrElse(Welford.zero)
+          rows.foreach(e => buf = Welford.update(buf, e.value))
+          state.update(buf)
+          val mv: MeanVar = Welford.finish(buf)
+          Iterator.single(UserStats(userId, mv.n, mv.mean, mv.variance))
+      }
+  }
+}
