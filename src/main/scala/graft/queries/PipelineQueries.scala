@@ -132,6 +132,44 @@ object PipelineQueries {
       .orderBy(col("image_idx"))
   }
 
+  /** Multimodal ingestion, relational face: documents as binary payloads + typed
+    * metadata. Byte lengths and content hashes are computed FROM the binary column
+    * in Spark and from the text in DuckDB — identical by UTF-8 identity. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.documentsAsBinary(T.documents(s, d))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q51Sql =
+    """SELECT doc_id,
+       CAST(LENGTH(text) AS INT) AS n_bytes,
+       md5(text) AS payload_md5,
+       lang,
+       CAST(LENGTH(text) AS INT) AS n_chars
+       FROM documents
+       ORDER BY doc_id"""
+
+  /** Multimodal feature extraction over binary media (stub codec, real partition-
+    * batched plumbing): per-kind corpus statistics. */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = graft.multimodal.Multimodal.syntheticMedia(s, 120)
+    graft.multimodal.Multimodal.extractFeatures(media)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("nBytes")).as("total_bytes"),
+        round(avg(col("meanByte")) * 100).cast("long").as("avg_byte_x100"),
+        round(avg(col("byteEntropyX1000"))).cast("long").as("avg_entropy_x1000"),
+        sum(col("nFrames")).as("total_frames"))
+      .orderBy(col("kind"))
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef("q45_welford_aggregator", q45, Some(q45Sql)),
     QDef("q46_cellimage_features", q46, None),
@@ -139,5 +177,7 @@ object PipelineQueries {
     QDef("q48_cellimage_source", q48, None),
     QDef("q49_canny_grid_search", q49, None),
     QDef("q50_kmeans_segmentation", q50, None),
+    QDef("q51_multimodal_binary", q51, Some(q51Sql)),
+    QDef("q52_multimodal_features", q52, None),
   )
 }
