@@ -27,29 +27,42 @@ object TextQueries {
   private def duckHash(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)"
 
-  /** Fast portable token hash: first 56 bits of md5, mod 1e9+7. md5 is codegen'd in
-    * Spark (far faster than a per-char lambda fold) and DuckDB parses the same hex
-    * prefix via a 0x-cast — identical values on both engines. At 100 TB the one-line
-    * swap is xxhash64 (no oracle twin, so not used for declared queries). */
-  private def tokHash(e: String): String =
-    s"CAST(conv(substring(md5($e), 1, 14), 16, 10) AS BIGINT) % 1000000007"
-
+  /** Fast portable token hash (DuckDB side): first 56 bits of md5, mod 1e9+7. md5 is
+    * codegen'd in Spark (far faster than a per-char lambda fold) and DuckDB parses
+    * the same hex prefix via a 0x-cast — identical values on both engines. At 100 TB
+    * the one-line swap is xxhash64 (no oracle twin, so not used for declared
+    * queries). The Spark twin is inlined in [[minhashSigs]]. */
   private def duckTokHash(e: String): String =
     s"CAST(('0x' || substring(md5($e), 1, 14)) AS BIGINT) % 1000000007"
 
-  /** (doc_id, tok) long-form distinct tokens + portable hash, Spark side. */
-  private def tokenHashes(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(split(trim(col("text")), " "))).as("tok"))
-      .withColumn("h", expr(tokHash("tok")))
-
-  /** DuckDB CTE producing the same (doc_id, h) rows. */
+  /** DuckDB CTE: long-form (doc_id, token hash) rows for the oracle side. */
   private val duckTokenCte =
     s"""WITH toks AS (
          SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
          FROM documents),
        th AS (SELECT doc_id, ${duckTokHash("tok")} AS h FROM toks)"""
+
+  /** (doc_id, hs: array of token hashes) — per-row, shuffle-free. */
+  private def tokenHashArrays(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("toks", array_distinct(split(trim(col("text")), " ")))
+      .withColumn("hs", expr(
+        "transform(toks, t -> CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 1000000007)"))
+
+  /** (doc_id, hs: array of 3-gram SHINGLE hashes) — the canonical minhash input.
+    * Token-set minhash degenerates on this corpus (a ~31-word vocabulary means every
+    * document contains most of the vocabulary, so token-set Jaccard is high and LSH
+    * buckets explode into millions of candidate pairs — measured 6.3M at sf0.1);
+    * shingles live in a ~|V|³ space where random documents rarely collide, which is
+    * exactly why MinHash is defined over w-shingles. */
+  private def shingleHashArrays(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("hs", expr(
+        """transform(
+          |  array_distinct(transform(sequence(1, size(toks) - 2),
+          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))),
+          |  t -> CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 1000000007)""".stripMargin))
 
   /** Token counts: tokenize + explode + group — the text twin of word-count.
     * Top-50 with a total ordering (count desc, token) so the cut is deterministic. */
@@ -115,41 +128,67 @@ object TextQueries {
   /** j-th minhash permutation of token hash h (j in 0..15). */
   private def perm(j: Int, h: String) = s"(($h * ${2 * j + 3} + ${j * 7919 + 1}) % $P)"
 
-  /** MinHash signatures (16 permutations, first 8 emitted) per document. One shuffle:
-    * explode distinct tokens -> hash -> 16 partial-aggregated MINs per doc. */
-  private def q35(s: SparkSession, d: String): DataFrame = {
-    val mins = (0 until 8).map(j => min(expr(perm(j, "h"))).as(s"mh$j"))
-    tokenHashes(s, d)
-      .filter(col("doc_id") < 100)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .orderBy(col("doc_id"))
-  }
+  /** All 16 minhashes computed PER ROW with higher-order functions — token hashing
+    * and the 16 permutation-mins never leave the row, so the whole signature stage is
+    * a shuffle-free narrow projection (the original explode → groupBy(doc_id) formul-
+    * ation shuffled every (doc, token) pair just to bring them back together). The
+    * runtime j in the lambda evaluates the same arithmetic as the per-j constants in
+    * [[perm]], so oracle values are unchanged. */
+  /** Per-row 16-permutation minhash signature array. IMPORTANT: downstream
+    * consumers must reference `mh` exactly ONCE (a generator or a single expression
+    * alias) — CollapseProject inlines interpreted higher-order lambdas once per
+    * reference, and 16 references re-hash every token 16 times (measured 16× blowup
+    * at sf0.1). q35 therefore emits long form via posexplode; q36 builds its band
+    * signatures inside one expression. */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    tokenHashArrays(s, d)
+      .withColumn("mh", expr(
+        s"transform(sequence(0, 15), j -> array_min(transform(hs, h -> (h * (2 * j + 3) + j * 7919 + 1) % $P)))"))
+      .select(col("doc_id"), col("mh"))
 
-  private val q35Sql = {
-    val mins = (0 until 8).map(j => s"MIN(${perm(j, "h")}) AS mh$j").mkString(", ")
+  /** MinHash signatures per document, long form (doc_id, permutation j, minhash). */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    minhashSigs(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(col("mh")).as(Seq("j", "mh")))
+      .orderBy(col("doc_id"), col("j"))
+
+  private val q35Sql =
     s"""$duckTokenCte
-       SELECT doc_id, $mins
-       FROM th WHERE doc_id < 100
-       GROUP BY doc_id ORDER BY doc_id"""
-  }
+       SELECT doc_id, CAST(j AS INT) AS j,
+         MIN((h * (2 * j + 3) + j * 7919 + 1) % $P) AS mh
+       FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+       WHERE doc_id < 100
+       GROUP BY doc_id, j ORDER BY doc_id, j"""
 
   /** LSH banding on the 16 minhashes (4 bands × 4 rows) -> candidate near-dup pairs.
     * The band-signature equi-join is what makes near-dup O(n·bands) instead of O(n²)
     * at corpus scale: only docs sharing a band signature ever meet in the join. */
   private def q36(s: SparkSession, d: String): DataFrame = {
-    val mins = (0 until 16).map(j => min(expr(perm(j, "h"))).as(s"mh$j"))
-    val sigs = tokenHashes(s, d)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        concat_ws("_", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)): _*))
+    // band signatures built inside ONE expression alias so the minhash lambda is
+    // evaluated once per row (see minhashSigs scaladoc), then exploded to
+    // (doc_id, band, sig) rows; shingle-hash input (see shingleHashArrays)
+    val bands = shingleHashArrays(s, d)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, 3), b ->
+           |  array_join(transform(sequence(0, 3), r ->
+           |    CAST(array_min(transform(hs, h ->
+           |      (h * (2 * (4 * b + r) + 3) + (4 * b + r) * 7919 + 1) % $P)) AS STRING)), '_'))"""
+          .stripMargin))
         .as(Seq("band", "sig")))
-    val a = bands.select(col("band"), col("sig"), col("doc_id").as("d1"))
-    val b = bands.select(col("band").as("band2"), col("sig").as("sig2"), col("doc_id").as("d2"))
-    a.join(b, col("band") === col("band2") && col("sig") === col("sig2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+    // pair generation INSIDE each band bucket (groupBy + per-bucket combinations)
+    // rather than a self-join of the signature table: signatures are computed once,
+    // only same-signature docs ever meet, and the shuffle carries one row per
+    // (band, sig) bucket — the shape that survives a billion-document corpus
+    bands
+      .groupBy(col("band"), col("sig"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
       .agg(count(lit(1)).as("n_candidate_pairs"))
       .orderBy(col("n_candidate_pairs"))
   }
@@ -160,7 +199,12 @@ object TextQueries {
       val sig = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""$duckTokenCte,
+    s"""WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+       shingles AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS tok
+         FROM docs),
+       th AS (SELECT doc_id, ${duckTokHash("tok")} AS h FROM shingles),
        sigs AS (SELECT doc_id, $mins FROM th GROUP BY doc_id),
        bands AS ($bandSelects)
        SELECT COUNT(*) AS n_candidate_pairs FROM (
@@ -169,17 +213,16 @@ object TextQueries {
        ORDER BY n_candidate_pairs"""
   }
 
-  /** 16-bit SimHash per document: sign-sum of token-hash bits. */
+  /** 16-bit SimHash per document: sign-sum of token-hash bits, computed entirely
+    * per-row with nested folds (no explode-over-bits shuffle). */
   private def q37(s: SparkSession, d: String): DataFrame =
-    tokenHashes(s, d)
+    tokenHashArrays(s, d)
       .filter(col("doc_id") < 200)
-      .withColumn("b", explode(expr("sequence(0, 15)")))
-      .withColumn("sign", expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("sign")).as("s"))
-      .withColumn("bitval", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).as("simhash"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) ->
+          |  acc + IF(aggregate(hs, 0, (s2, h) -> s2 + IF(((h >> b) & 1) = 1, 1, -1)) > 0,
+          |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
       .orderBy(col("doc_id"))
 
   private val q37Sql =

@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** Sequential-fold dot product of two float-array columns, Spark SQL side. */
-  private def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Dot product of two float-array columns via the codegen'd native expression
+    * (functions.DotProductFloat) — bit-identical to the interpreted
+    * `aggregate(zip_with(...))` fold and to the DuckDB oracle, but it runs as a
+    * primitive loop inside whole-stage codegen. Each query registers it first. */
+  private def dot(a: String, b: String): String = s"graft_dot_f($a, $b)"
+
+  private def reg(s: SparkSession): Unit = graft.functions.VectorExpressions.register(s)
 
   /** DuckDB twin of [[dot]] — same fold order, same DOUBLE ops. */
   private def duckDot(a: String, b: String): String =
@@ -41,6 +45,7 @@ object VectorQueries {
     * broadcast of the tiny query side against a full scan of candidates: one pass,
     * no shuffle of the big side beyond the final per-query top-k. */
   private def q42(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val emb = T.embeddings(s, d)
     val q = broadcast(emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
@@ -75,6 +80,7 @@ object VectorQueries {
     * is the shape that survives 100 TB — the bucket equi-join replaces the O(n²)
     * cross product; recall is traded for the 64× candidate cut. */
   private def q43(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val sig = (1 to 6).map(i =>
       when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0, "1").otherwise("0"))
     val emb = T.embeddings(s, d).withColumn("bucket", concat(sig: _*))
@@ -116,6 +122,7 @@ object VectorQueries {
     * threshold. Label partitions the pair space (the blocking key); at scale the
     * blocking key would be an LSH bucket like q43's. */
   private def q44(s: SparkSession, d: String): DataFrame = {
+    reg(s)
     val withNorm = T.embeddings(s, d).withColumn("nrm", expr(normExpr("embedding")))
     val a = withNorm.select(col("vec_id").as("v1"),
       col("label"), col("embedding").as("e1"), col("nrm").as("n1"))
