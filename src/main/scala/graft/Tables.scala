@@ -54,7 +54,8 @@ object Registry {
       queries.TextQueries.defs ++
       queries.VectorQueries.defs ++
       queries.EventQueries.defs ++
-      queries.PipelineQueries.defs
+      queries.PipelineQueries.defs ++
+      queries.SinkQueries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

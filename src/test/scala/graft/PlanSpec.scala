@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the optimizations the 100 TB story depends on must be
+  * visible in the physical plan, not assumed — filter/projection pushdown into the
+  * parquet scan, broadcast joins for small dimensions, whole-stage codegen on the
+  * hot paths, and partial aggregation below shuffles.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+  }
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val df = Registry.byName("q01_pricing_summary").fn(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"),
+      s"expected pushed shipdate filter in:\n$scan")
+    // only the 7 referenced columns are read, not all 11
+    assert(!scan.contains("l_partkey") && !scan.contains("l_suppkey"),
+      "unused columns must be pruned from ReadSchema")
+  }
+
+  test("q02: every predicate form pushes into the scan") {
+    val df = Registry.byName("q02_filter_predicates").fn(spark, sf)
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("PushedFilters:") && leaves.contains("o_totalprice"))
+  }
+
+  test("q03: nation and region join as broadcasts, not shuffles") {
+    val p = plan("q03_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("q01 and q12 run inside whole-stage codegen with partial aggregation") {
+    Seq("q01_pricing_summary", "q12_stats_family").foreach { q =>
+      val df = Registry.byName(q).fn(spark, sf)
+      df.collect() // finalize the adaptive plan so codegen stages materialize
+      val p = df.queryExecution.executedPlan.toString
+      // codegen stages render as "*(n)" in the compact plan string
+      assert(p.contains("*("), s"$q must codegen:\n${p.take(400)}")
+      assert(p.contains("partial_"), s"$q must partial-aggregate map-side")
+    }
+  }
+
+  test("q42: codegen'd dot product appears in the plan (no interpreted lambda)") {
+    val p = plan("q42_knn_brute_force")
+    assert(p.contains("dotproductfloat") || p.contains("DotProductFloat") ||
+      p.toLowerCase.contains("graft_dot_f"), s"expected native dot expression in plan")
+  }
+
+  test("q30: as-of join plans one shuffle on the key, no join blowup") {
+    val p = plan("q30_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "union+carry-forward as-of must not plan a join")
+    assert(p.contains("Window"), "carry-forward runs as a window")
+  }
+
+  test("every declared query produces a bounded, sorted plan (smoke)") {
+    // catches accidental cartesians on the full corpus: planning must succeed and
+    // contain no CartesianProduct except where declared (q08 cross join)
+    Registry.all.filterNot(q => Set("q08_cross_join").contains(q.name)).foreach { q =>
+      val df = q.fn(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n${p.take(500)}")
+    }
+  }
+}
