@@ -81,10 +81,91 @@ object SinkQueries {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("approx_parts"))
 
+  /** Null semantics: IS NULL, null-safe equality (<=>), coalesce, and an explicit
+    * NULLS FIRST sort (the base tables are null-free, so nulls are manufactured
+    * with NULLIF). */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val st = nullif(col("o_orderstatus"), lit("P"))
+    T.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        st.as("st"),
+        st.isNull.as("is_null"),
+        (st <=> lit("O")).as("nullsafe_eq_o"),
+        coalesce(st, lit("PENDING")).as("st_or_pending"))
+      .orderBy(col("st").asc_nulls_first, col("o_orderkey"))
+      .limit(200)
+  }
+
+  private val q57Sql =
+    """SELECT o_orderkey,
+       NULLIF(o_orderstatus, 'P') AS st,
+       (NULLIF(o_orderstatus, 'P') IS NULL) AS is_null,
+       (NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O') AS nullsafe_eq_o,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS st_or_pending
+       FROM orders
+       ORDER BY st ASC NULLS FIRST, o_orderkey
+       LIMIT 200"""
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): per-nation and per-segment
+    * subtotals in one pass. */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    T.customer(s, d)
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("c_mktsegment"))),
+        col("n_name"), col("c_mktsegment"))
+      .agg(
+        (grouping(col("n_name")) * 2 + grouping(col("c_mktsegment"))).as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("c_mktsegment"),
+        col("gid"), col("n"), col("sum_bal"))
+      .orderBy(col("gid"), col("n_name"), col("c_mktsegment"))
+
+  private val q58Sql =
+    """SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+       GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS gid,
+       COUNT(*) AS n,
+       ROUND(SUM(c_acctbal), 2) AS sum_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+       ORDER BY gid, n_name, c_mktsegment"""
+
+  /** Scalar UDF surface (SURVEY.md §2b UDF row): the reference's circularity formula
+    * (F3) registered as a Scala UDF, oracle-matched against the same arithmetic in
+    * SQL. Kept off the hot paths — built-ins and native expressions are preferred
+    * (q42's graft_dot_f); this declares the capability. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val circularity = udf((area: Double, perimeter: Double) =>
+      if (perimeter > 0) 4.0 * math.Pi * area / (perimeter * perimeter) else 0.0)
+    T.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(circularity(col("l_quantity"), col("l_linenumber") * 5) * 10000)
+          .cast("long").as("circ_bp"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q59Sql =
+    """SELECT l_orderkey, l_linenumber,
+       CAST(ROUND((CASE WHEN (l_linenumber * 5) > 0
+         THEN 4.0 * PI() * l_quantity / (CAST(l_linenumber * 5 AS DOUBLE) * CAST(l_linenumber * 5 AS DOUBLE))
+         ELSE 0.0 END) * 10000) AS BIGINT) AS circ_bp
+       FROM lineitem WHERE l_orderkey < 200
+       ORDER BY l_orderkey, l_linenumber"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q53_csv_roundtrip", q53, Some(aggSql)),
     QDef("q54_json_roundtrip", q54, Some(aggSql)),
     QDef("q55_parquet_sink", q55, Some(q55Sql)),
     QDef("q56_approx_distinct", q56, None),
+    QDef("q57_null_semantics", q57, Some(q57Sql)),
+    QDef("q58_grouping_sets", q58, Some(q58Sql)),
+    QDef("q59_scalar_udf", q59, Some(q59Sql)),
   )
 }
