@@ -354,7 +354,11 @@ object RelationalQueries {
         col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         round(sum(col("o_totalprice")).over(wCum), 2).as("running_total"),
-        round(avg(col("o_totalprice")).over(wSlide), 2).as("mov_avg3"),
+        // cents-scaled integer: sliding frames sum in different orders across
+        // engines (Spark recomputes the frame, DuckDB uses a segment tree), so the
+        // doubles differ in the last ulp and ROUND(x,2) flips on boundary values;
+        // a /3 average times 100 can never land exactly on .5, so this is tie-free
+        round(avg(col("o_totalprice")).over(wSlide) * 100).cast("long").as("mov_avg3_x100"),
         count(lit(1)).over(wRange).as("n_within_1000"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
@@ -364,8 +368,8 @@ object RelationalQueries {
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
        ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg3,
+       CAST(ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) AS BIGINT) AS mov_avg3_x100,
        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT)
          RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS n_within_1000
        FROM orders WHERE o_custkey < 50
