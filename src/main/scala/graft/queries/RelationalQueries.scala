@@ -192,6 +192,7 @@ object RelationalQueries {
       .groupBy(col("n_name"))
       .agg(
         countDistinct(col("c_custkey")).as("n_customers"),
+        round(sum_distinct(col("o_totalprice")), 2).as("sum_distinct_price"),
         count(lit(1)).as("n_orders"),
         round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))), 2)
           .as("finished_revenue"),
@@ -203,6 +204,7 @@ object RelationalQueries {
   private val q09Sql =
     """SELECT n_name,
        COUNT(DISTINCT c_custkey) AS n_customers,
+       ROUND(SUM(DISTINCT o_totalprice), 2) AS sum_distinct_price,
        COUNT(*) AS n_orders,
        ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS finished_revenue,
        ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS urgent_revenue,

@@ -117,6 +117,43 @@ class SegmentationSpec extends SparkSpec {
     assert(model.predict(images).count() == 8)
   }
 
+  test("grid search recovers the planted optimal thresholds (FIXTURES.md edges set)") {
+    import spark.implicits._
+    // textured blobs whose post-blur gradients sit near ~40-80: only combos with
+    // both thresholds at 40 fire edges; 250 produces empty masks. NB the reference's
+    // swapped-label metric scores an EMPTY mask ~(1 + bg/(bg+cell))/2 ≈ 0.86 — the
+    // planted optimum must beat that, which filled masks (~0.95) do.
+    def planted(idx: Long): CellImage = {
+      val w = 24; val h = 24
+      val img = new Array[Double](2 * w * h)
+      val gt = new Array[Boolean](2 * w * h)
+      // cells cover ~half the frame: the swapped-label metric scores an empty mask
+      // (1 + bg_fraction)/2, so SMALL cells make "predict nothing" the argmax — the
+      // reference's real cells are large, and so are these
+      // 4-px checker (±60) survives the gaussian: interior gradients ~90-150,
+      // boundary ~290. Thresholds 40 fire everywhere (close fills a solid mask,
+      // score ~0.83); 400 exceeds the max magnitude (empty mask, score = the
+      // empty baseline (1 + bg_fraction)/2 ≈ 0.76). (40, 40) must win.
+      for (c <- 0 until 2; x <- 0 until w; y <- 0 until h) {
+        val dx = x - w / 2.0 - (idx % 3); val dy = y - h / 2.0 + (idx % 2)
+        val inside = dx * dx / 100.0 + dy * dy / 81.0 <= 1.0
+        val i = c * w * h + x * h + y
+        gt(i) = inside
+        img(i) =
+          if (inside) 100.0 + ((x / 4 + y / 4) % 2) * 60.0
+          else 20.0
+      }
+      CellImage("planted", idx, w, h, 2, img, gt)
+    }
+    val images = spark.createDataset((0 until 10).map(i => planted(i.toLong)))
+    val (model, accs) = CannyMaskModel.train(images,
+      threshold1Range = Seq(40, 400), threshold2Range = Seq(40, 400),
+      shapeRange = Seq((8, 8)))
+    assert(model.parameters.forall(_ == CannyParams(40, 40, 8, 8)),
+      s"expected planted (40,40) to win, got ${model.parameters}")
+    assert(accs.forall(_ > 0.8), s"winner must beat the ~0.76 empty-mask score, got $accs")
+  }
+
   test("kmeans pixel clustering segments a bright blob (k=2, seed=1, weighted)") {
     val (img, gt) = blobImage()
     val ci = CellImage("f", 0, 24, 24, 1, img, gt)
