@@ -150,9 +150,71 @@ object VectorQueries {
        GROUP BY label
        ORDER BY label"""
 
+  /** IVF-style ANN: the first 8 vectors act as fixed coarse centroids; every vector
+    * is assigned to its nearest centroid (its "cell"), and queries probe only their
+    * own cell. The cell assignment is the blocking equi-key — same O(n) shape as the
+    * sign-LSH variant but data-adaptive. Deterministic: ties break to the lowest
+    * centroid id, and all distances are the codegen'd dot product. */
+  private def q45v(s: SparkSession, d: String): DataFrame = {
+    reg(s)
+    val emb = T.embeddings(s, d)
+    val cents = broadcast(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv")))
+    // assign: argmin over centroids of L2² = |v|² - 2·v·c + |c|²; |v|² is constant
+    // per vector, so argmin of (|c|² - 2·v·c) suffices
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score"), col("cent_id"))
+    val assigned = emb
+      .crossJoin(cents)
+      .withColumn("score", expr(s"${dot("cv", "cv")} - 2 * ${dot("embedding", "cv")}"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+    val q = assigned.filter(col("vec_id").between(100, 119))
+      .select(col("vec_id"), col("cell"), col("embedding").as("qv"))
+    val c = assigned.select(col("vec_id").as("cand_id"), col("cell").as("ccell"),
+      col("embedding").as("cv"))
+    val wNN = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc_nulls_last, col("cand_id"))
+    q.join(c, col("cell") === col("ccell") && col("vec_id") =!= col("cand_id"), "left")
+      .withColumn("cos", expr(cosExpr("qv", "cv")))
+      .withColumn("rn", row_number().over(wNN))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("cand_id").as("nn_id"),
+        round(col("cos") * 10000).cast("long").as("cos_bp"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q45vSql =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       scoredc AS (
+         SELECT e.vec_id, c.cent_id,
+           ${duckDot("c.cv", "c.cv")} - 2 * ${duckDot("e.embedding", "c.cv")} AS score
+         FROM embeddings e CROSS JOIN cents c),
+       assigned AS (
+         SELECT s.vec_id, s.cent_id AS cell, e.embedding
+         FROM (SELECT vec_id, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cent_id) AS rn
+               FROM scoredc) s
+         JOIN embeddings e ON e.vec_id = s.vec_id
+         WHERE s.rn = 1),
+       q AS (SELECT vec_id, cell, embedding AS qv FROM assigned WHERE vec_id BETWEEN 100 AND 119),
+       c AS (SELECT vec_id AS cand_id, cell AS ccell, embedding AS cv FROM assigned),
+       scored AS (
+         SELECT q.vec_id, q.cell, c.cand_id, ${duckCos("qv", "cv")} AS cos
+         FROM q LEFT JOIN c ON q.cell = c.ccell AND q.vec_id <> c.cand_id),
+       ranked AS (
+         SELECT vec_id, cell, cand_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC NULLS LAST, cand_id) AS rn
+         FROM scored)
+       SELECT vec_id, cell, cand_id AS nn_id, CAST(ROUND(cos * 10000) AS BIGINT) AS cos_bp
+       FROM ranked WHERE rn = 1
+       ORDER BY vec_id"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q42_knn_brute_force", q42, Some(q42Sql)),
     QDef("q43_ann_sign_lsh", q43, Some(q43Sql)),
     QDef("q44_cosine_neardup", q44, Some(q44Sql)),
+    QDef("q60_ann_ivf", q45v, Some(q45vSql)),
   )
 }

@@ -102,6 +102,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchEvents.count())
   }
 
+  test("watermark drops late data in streaming that batch would count") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, typ: String) =
+      Event(id, java.sql.Timestamp.valueOf(t), 1L, typ, 1.0)
+    val input = MemoryStream[Event]
+    val agg = EventStreams.tumblingCounts(
+      input.toDS().toDF(), watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late").outputMode("append").start()
+    // batch 1: events up to 12:00 -> after the batch, watermark = 12:00 - 1h = 11:00
+    input.addData(Seq(
+      ev(1, "2024-01-01 09:05:00", "a"),
+      ev(2, "2024-01-01 12:00:00", "a")))
+    q.processAllAvailable()
+    // batch 2: an event at 09:07 is 2h behind the watermark -> DROPPED;
+    // one at 11:30 is within the watermark -> kept
+    input.addData(Seq(
+      ev(3, "2024-01-01 09:07:00", "a"),
+      ev(4, "2024-01-01 11:30:00", "a")))
+    q.processAllAvailable()
+    // advance watermark far enough to flush every open window
+    input.addData(Seq(ev(5, "2024-01-02 00:00:00", "z")))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("late")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts("09:00") == 1, s"late event must be dropped, got $counts") // only id 1
+    assert(counts("11:30") == 1) // id 4 kept
+    // the batch plan over the same rows counts the late event
+    val batch = EventStreams.tumblingCounts(Seq(
+      ev(1, "2024-01-01 09:05:00", "a"), ev(2, "2024-01-01 12:00:00", "a"),
+      ev(3, "2024-01-01 09:07:00", "a"), ev(4, "2024-01-01 11:30:00", "a")).toDF())
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(batch("09:00") == 2, "batch keeps both 09:0x events")
+  }
+
   test("flatMapGroupsWithState running stats equal batch Welford per user") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
