@@ -55,7 +55,8 @@ object Registry {
       queries.VectorQueries.defs ++
       queries.EventQueries.defs ++
       queries.PipelineQueries.defs ++
-      queries.SinkQueries.defs
+      queries.SinkQueries.defs ++
+      queries.ExtraQueries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

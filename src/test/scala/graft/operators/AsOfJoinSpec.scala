@@ -30,6 +30,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("matches the join+window reference implementation on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(99)
+    val left = (0 until 500).map(i =>
+      ("k" + rng.nextInt(20), rng.nextInt(1000).toLong, i.toLong)).toDF("k", "t", "lid")
+    val right = (0 until 800).map(i =>
+      ("k" + rng.nextInt(25), rng.nextInt(1000).toLong, i.toLong)).toDF("k", "rt", "rid")
+
+    val fast = AsOfJoin.backward(left, right, "k", "t", "rt", "rid")
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+
+    // reference: equi-join + time filter + row_number (the quadratic formulation)
+    val w = Window.partitionBy(col("lid")).orderBy(col("rt").desc, col("rid").desc)
+    val slow = left.join(right.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("rt") <= col("t"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+
+    assert(fast.size == 500 && slow.size == 500)
+    assert(fast == slow)
+  }
+
   test("result preserves all left rows and columns exactly once") {
     import spark.implicits._
     val left = (1 to 100).map(i => ("k" + i % 5, i.toLong, i)).toDF("k", "t", "payload")
