@@ -31,6 +31,8 @@ object EventQueries {
         lead(col("event_id"), 1).over(w).as("next_id"),
         first(col("event_type")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_type"),
+        last(col("event_type")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("last_type"),
         (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).as("gap_s"))
       .orderBy(col("user_id"), col("event_id"))
   }
@@ -41,6 +43,7 @@ object EventQueries {
        LAG(event_id, 1) OVER w AS prev_id,
        LEAD(event_id, 1) OVER w AS next_id,
        FIRST_VALUE(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+       LAST_VALUE(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
        DATE_DIFF('second', LAG(ts, 1) OVER w, ts) AS gap_s
        FROM ev
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -87,9 +87,73 @@ object ExtraQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
        ORDER BY o_custkey, o_orderkey"""
 
+  /** Supplier-side star: supplier ⋈ nation ⋈ region balances (the one base table no
+    * other declared query touched). */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    T.supplier(s, d)
+      .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"),
+        round(max(col("s_acctbal")), 2).as("max_bal"))
+      .orderBy(col("r_name"))
+
+  private val q64Sql =
+    """SELECT r_name, COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_bal,
+       ROUND(MAX(s_acctbal), 2) AS max_bal
+       FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name"""
+
+  /** Right and full outer joins (left outer is q04): a deliberately partial match
+    * between big-spender custkeys and urgent-order custkeys, classified per row. */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    val rich = T.customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    val urgent = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val full = rich.join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        when(col("c_custkey").isNull, "urgent_only")
+          .when(col("o_custkey").isNull, "rich_only")
+          .otherwise("both").as("side"))
+      .groupBy(col("side")).agg(count(lit(1)).as("n"))
+      .select(lit("full").as("join_type"), col("side"), col("n"))
+    val right = rich.join(urgent, col("c_custkey") === col("o_custkey"), "right_outer")
+      .select(
+        when(col("c_custkey").isNull, "urgent_only").otherwise("both").as("side"))
+      .groupBy(col("side")).agg(count(lit(1)).as("n"))
+      .select(lit("right").as("join_type"), col("side"), col("n"))
+    full.unionAll(right).orderBy(col("join_type"), col("side"))
+  }
+
+  private val q65Sql =
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+       urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       SELECT 'full' AS join_type,
+         CASE WHEN c_custkey IS NULL THEN 'urgent_only'
+              WHEN o_custkey IS NULL THEN 'rich_only'
+              ELSE 'both' END AS side,
+         COUNT(*) AS n
+       FROM rich FULL OUTER JOIN urgent ON c_custkey = o_custkey
+       GROUP BY 2
+       UNION ALL
+       SELECT 'right' AS join_type,
+         CASE WHEN c_custkey IS NULL THEN 'urgent_only' ELSE 'both' END AS side,
+         COUNT(*) AS n
+       FROM rich RIGHT OUTER JOIN urgent ON c_custkey = o_custkey
+       GROUP BY 2
+       ORDER BY join_type, side"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q61_argminmax_median", q61, Some(q61Sql)),
     QDef("q62_pivot", q62, Some(q62Sql)),
     QDef("q63_window_distribution", q63, Some(q63Sql)),
+    QDef("q64_supplier_star", q64, Some(q64Sql)),
+    QDef("q65_outer_join_variants", q65, Some(q65Sql)),
   )
 }

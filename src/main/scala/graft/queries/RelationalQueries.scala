@@ -297,13 +297,15 @@ object RelationalQueries {
     T.orders(s, d)
       .filter(col("o_custkey") < 50)
       .groupBy(col("o_custkey"))
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(o_orderkey)), x -> cast(x AS string)), ',')")
-        .as("order_keys"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(o_orderkey)), x -> cast(x AS string)), ',')")
+          .as("order_keys"),
+        expr("array_join(array_sort(collect_set(o_orderstatus)), ',')").as("statuses"))
       .orderBy(col("o_custkey"))
 
   private val q13Sql =
-    """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+    """SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
        FROM orders WHERE o_custkey < 50
        GROUP BY o_custkey ORDER BY o_custkey"""
 

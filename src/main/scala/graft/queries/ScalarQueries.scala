@@ -27,6 +27,7 @@ object ScalarQueries {
         regexp_extract(col("c_name"), "[0-9]+", 0).as("digits"),
         element_at(split(col("c_name"), "#"), 2).as("num_part"),
         trim(lit("  x  ")).as("trimmed"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("short_name"),
         col("c_name").like("Customer#%").as("is_customer"))
       .orderBy(col("c_custkey"))
 
@@ -42,6 +43,7 @@ object ScalarQueries {
        REGEXP_EXTRACT(c_name, '[0-9]+') AS digits,
        STRING_SPLIT(c_name, '#')[2] AS num_part,
        TRIM('  x  ') AS trimmed,
+       REPLACE(c_name, 'Customer', 'Cust') AS short_name,
        (c_name LIKE 'Customer#%') AS is_customer
        FROM customer WHERE c_custkey < 100
        ORDER BY c_custkey"""
@@ -151,7 +153,11 @@ object ScalarQueries {
           .as("head8_sum"),
         size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
         round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
-        round(array_min(col("embedding")).cast("double"), 4).as("min_val"))
+        round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
+        // zip_with + reverse: self-reverse dot (palindromic correlation)
+        round(expr(
+          "aggregate(zip_with(embedding, reverse(embedding), (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 4)
+          .as("rev_dot"))
       .orderBy(col("vec_id"))
 
   private val q25Sql =
@@ -162,7 +168,11 @@ object ScalarQueries {
        ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE), LIST_TRANSFORM(embedding[1:8], x -> CAST(x AS DOUBLE))), (a, b) -> a + b), 4) AS head8_sum,
        CAST(LENGTH(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_pos,
        ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 4) AS max_val,
-       ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 4) AS min_val
+       ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 4) AS min_val,
+       ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+         LIST_TRANSFORM(generate_series(1, len(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE))),
+         (a, v) -> a + v), 4) AS rev_dot
        FROM embeddings WHERE vec_id < 100
        ORDER BY vec_id"""
 

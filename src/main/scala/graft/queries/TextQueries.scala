@@ -319,6 +319,7 @@ object TextQueries {
         col("doc_id"),
         size(split(trim(col("text")), " ")).as("ws_tokens"),
         expr("regexp_count(text, '[a-z]+|[0-9]+')").as("re_tokens"),
+        array_contains(split(trim(col("text")), " "), "the").as("has_the"),
         (length(col("text")) === col("n_chars")).as("len_matches"))
       .orderBy(col("doc_id"))
 
@@ -326,6 +327,7 @@ object TextQueries {
     """SELECT doc_id,
        CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS re_tokens,
+       list_contains(string_split(trim(text), ' '), 'the') AS has_the,
        (length(text) = n_chars) AS len_matches
        FROM documents
        ORDER BY doc_id"""
