@@ -65,6 +65,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "carry-forward runs as a window")
   }
 
+  test("q16: global sort+limit plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q16_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n${p.take(400)}")
+  }
+
+  test("q17: rank filter pushes into the window (WindowGroupLimit)") {
+    val p = plan("q17_topk_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn <= 3 must prune inside the window operator:\n${p.take(400)}")
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
