@@ -62,10 +62,18 @@ class WelfordArrayAgg extends Aggregator[Seq[Double], Seq[WelfordBuf], Seq[MeanV
   override def zero: Seq[WelfordBuf] = Seq.empty
   override def reduce(b: Seq[WelfordBuf], xs: Seq[Double]): Seq[WelfordBuf] = {
     val base = if (b.isEmpty) Seq.fill(xs.length)(Welford.zero) else b
+    require(base.length == xs.length,
+      s"ragged channel arrays: state has ${base.length} channels, row has ${xs.length}")
     base.lazyZip(xs).map(Welford.update)
   }
   override def merge(a: Seq[WelfordBuf], b: Seq[WelfordBuf]): Seq[WelfordBuf] =
-    if (a.isEmpty) b else if (b.isEmpty) a else a.lazyZip(b).map(Welford.merge)
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length,
+        s"ragged channel arrays: merging ${a.length} with ${b.length} channels")
+      a.lazyZip(b).map(Welford.merge)
+    }
   override def finish(b: Seq[WelfordBuf]): Seq[MeanVar] = b.map(Welford.finish)
   override def bufferEncoder: Encoder[Seq[WelfordBuf]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[WelfordBuf]]()

@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** Row-identity salt: hashing row CONTENT would send exact-duplicate rows of the
+    * hot key (the common case in log data) to one salt, defeating the spread.
+    * monotonically_increasing_id is (partition << 33 | row-in-partition), which is
+    * stable across task retries as long as the upstream partitioning is
+    * deterministic — the same condition any exactly-once sink already needs. */
+  private def rowSalt(n: Int) = pmod(hash(monotonically_increasing_id()), lit(n))
+
   /** Inner equi-join of `big` (skewed on `key`) with `small`, salted `n` ways.
     * `small` must not contain columns named `__salt`. */
   def inner(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(n)))
+    val saltedBig = big.withColumn("__salt", rowSalt(n))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedBig.join(saltedSmall,
@@ -32,8 +38,7 @@ object SaltedJoin {
     * caller's aggregates must be algebraic (sum/count/min/max style) — expressed here
     * for the common sum/count case used by the declared queries. */
   def groupSumCount(df: DataFrame, key: String, valueCol: String, n: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(n)))
+    val salted = df.withColumn("__salt", rowSalt(n))
     salted
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))

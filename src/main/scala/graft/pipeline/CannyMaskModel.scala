@@ -157,13 +157,17 @@ object CannyMaskModel {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
 
+    require(avg.nonEmpty, "grid search over an empty image dataset")
     val nChannels = avg.keys.map(_._2).max + 1
     val best = (0 until nChannels).map { c =>
-      var bestAcc = 0.0
-      var bestParams: CannyParams = null
-      grid.foreach { case (idx, p) =>
+      // seed with the first combo (the reference seeds best=0/None and would NPE if
+      // every combo scored 0 — a bug we do not replicate); strictly-greater updates
+      // preserve its first-combo-wins tie behavior
+      var bestParams = grid.head._2
+      var bestAcc = avg((grid.head._1, c))
+      grid.drop(1).foreach { case (idx, p) =>
         val a = avg((idx, c))
-        if (a > bestAcc) { bestAcc = a; bestParams = p } // strictly greater, like the reference
+        if (a > bestAcc) { bestAcc = a; bestParams = p }
       }
       (bestParams, bestAcc)
     }

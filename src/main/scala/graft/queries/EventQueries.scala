@@ -86,13 +86,13 @@ object EventQueries {
   private val q29Sql =
     s"""$evCte,
        flags AS (
-         SELECT user_id, ts, value,
+         SELECT user_id, ts, event_id, value,
            CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS is_new
          FROM ev),
        sess AS (
-         SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          FROM flags)
        SELECT user_id,

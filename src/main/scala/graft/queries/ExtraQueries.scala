@@ -42,8 +42,10 @@ object ExtraQueries {
       .groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority", prios)
       .agg(count(lit(1)))
+    // coalesce to 0: Spark leaves empty pivot cells NULL while the oracle's
+    // COUNT(CASE ...) yields 0 for them
     val renamed = prios.zipWithIndex.foldLeft(pivoted) { case (df, (p, i)) =>
-      df.withColumnRenamed(p, s"n_p${i + 1}")
+      df.withColumn(s"n_p${i + 1}", coalesce(col(s"`$p`"), lit(0L))).drop(p)
     }
     renamed.orderBy(col("o_orderstatus"))
   }

@@ -139,7 +139,7 @@ object PipelineQueries {
     graft.multimodal.Multimodal.documentsAsBinary(T.documents(s, d))
       .select(
         col("doc_id"),
-        length(col("payload")).as("n_bytes"),
+        octet_length(col("payload")).as("n_bytes"),
         md5(col("payload")).as("payload_md5"),
         col("meta.lang").as("lang"),
         col("meta.n_chars").as("n_chars"))
@@ -147,7 +147,7 @@ object PipelineQueries {
 
   private val q51Sql =
     """SELECT doc_id,
-       CAST(LENGTH(text) AS INT) AS n_bytes,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
        md5(text) AS payload_md5,
        lang,
        CAST(LENGTH(text) AS INT) AS n_chars

@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   */
 object SinkQueries {
 
-  private def tmp(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_sink_$name").getAbsolutePath
+  /** Sink directory keyed by the scale-factor dir so concurrent runs at different
+    * SFs (e.g. a spec at sf0.001 racing Verify at sf0.01) never share a path. */
+  private def tmp(name: String, sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_sink_${name}_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -40,7 +43,7 @@ object SinkQueries {
 
   /** CSV sink + scan with an explicit schema (no inference on the read). */
   private def q53(s: SparkSession, d: String): DataFrame = {
-    val dir = tmp("events_csv")
+    val dir = tmp("events_csv", d)
     T.events(s, d).select("event_id", "user_id", "event_type", "value")
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
     roundtripAgg(s.read.schema(eventsSchema).option("header", "true").csv(dir))
@@ -48,7 +51,7 @@ object SinkQueries {
 
   /** JSON-lines sink + scan with an explicit schema. */
   private def q54(s: SparkSession, d: String): DataFrame = {
-    val dir = tmp("events_json")
+    val dir = tmp("events_json", d)
     T.events(s, d).select("event_id", "user_id", "event_type", "value")
       .write.mode(SaveMode.Overwrite).json(dir)
     roundtripAgg(s.read.schema(eventsSchema).json(dir))
@@ -56,7 +59,7 @@ object SinkQueries {
 
   /** Parquet sink + scan (the write path Verify itself exercises, here declared). */
   private def q55(s: SparkSession, d: String): DataFrame = {
-    val dir = tmp("lineitem_parquet")
+    val dir = tmp("lineitem_parquet", d)
     T.lineitem(s, d).filter(col("l_quantity") >= 25)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       .write.mode(SaveMode.Overwrite).parquet(dir)

@@ -58,11 +58,14 @@ object TextQueries {
   private def shingleHashArrays(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .withColumn("toks", split(trim(col("text")), " "))
+      // guard: Spark's sequence(1, n) DESCENDS when n < 1 (sequence(1,0) = [1,0]),
+      // so a <3-token document would evaluate element_at(toks, 0) and throw;
+      // DuckDB's generate_series is empty there — short docs get an empty shingle set
       .withColumn("hs", expr(
-        """transform(
+        """CASE WHEN size(toks) < 3 THEN array() ELSE transform(
           |  array_distinct(transform(sequence(1, size(toks) - 2),
           |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))),
-          |  t -> CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 1000000007)""".stripMargin))
+          |  t -> CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 1000000007) END""".stripMargin))
 
   /** Token counts: tokenize + explode + group — the text twin of word-count.
     * Top-50 with a total ordering (count desc, token) so the cut is deterministic. */
@@ -241,13 +244,13 @@ object TextQueries {
     val docs = T.documents(s, d)
       .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
     val sh =
-      "array_distinct(transform(sequence(1, size(%s) - 2), i -> concat(element_at(%s, i), ' ', element_at(%s, i + 1), ' ', element_at(%s, i + 2))))"
+      "CASE WHEN size(%s) < 3 THEN array() ELSE array_distinct(transform(sequence(1, size(%s) - 2), i -> concat(element_at(%s, i), ' ', element_at(%s, i + 1), ' ', element_at(%s, i + 2)))) END"
     val a = docs.filter(col("doc_id") < 99).select(
       col("doc_id").as("d1"), array_distinct(col("toks")).as("ts1"),
-      expr(sh.format("toks", "toks", "toks", "toks")).as("sh1"))
+      expr(sh.format("toks", "toks", "toks", "toks", "toks")).as("sh1"))
     val b = docs.select(
       col("doc_id").as("d2"), array_distinct(col("toks")).as("ts2"),
-      expr(sh.format("toks", "toks", "toks", "toks")).as("sh2"))
+      expr(sh.format("toks", "toks", "toks", "toks", "toks")).as("sh2"))
     a.join(b, col("d2") === col("d1") + 1)
       .select(
         col("d1"), col("d2"),

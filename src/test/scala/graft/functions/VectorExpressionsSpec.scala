@@ -34,10 +34,10 @@ class VectorExpressionsSpec extends SparkSpec {
     // interpreted (eval) path: force by wrapping in a non-codegen context via filter on the value
     val v = df.select(expr("graft_dot_f(a, b)").as("d")).as[Double].head()
     assert(v == 32.0)
-    // mismatched lengths: folds over the common prefix
+    // mismatched lengths: NULL, matching the oracle's out-of-range NULL poisoning
     val w = Seq((Array(1.0f, 2.0f), Array(3.0f))).toDF("a", "b")
-      .select(expr("graft_dot_f(a, b)").as("d")).as[Double].head()
-    assert(w == 3.0)
+      .select(expr("graft_dot_f(a, b)").as("d")).as[Option[Double]].head()
+    assert(w.isEmpty)
     // type check rejects non-float arrays
     val err = intercept[Exception] {
       Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")

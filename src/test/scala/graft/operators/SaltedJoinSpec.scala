@@ -39,7 +39,7 @@ class SaltedJoinSpec extends SparkSpec {
 
   test("the hot key's rows spread across multiple salt buckets") {
     val salted = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col).toIndexedSeq: _*), lit(8)))
+      pmod(hash(monotonically_increasing_id()), lit(8)))
     val buckets = salted.filter(col("k") === 0)
       .groupBy("__salt").count().collect()
     assert(buckets.length == 8, s"hot key must hit all 8 salts, got ${buckets.length}")
