@@ -162,11 +162,35 @@ object SinkQueries {
        FROM lineitem WHERE l_orderkey < 200
        ORDER BY l_orderkey, l_linenumber"""
 
+  /** Hive-style partitioned parquet sink + partition-pruned scan: the write lays
+    * out l_returnflag=.../ directories, and the read-back filter prunes to ONE
+    * partition before any file is opened — the layout/pruning pair that makes
+    * selective scans at 100 TB read 1/N of the data. PlanSpec asserts the
+    * PartitionFilters actually appear in the scan. */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("lineitem_partitioned", d)
+    T.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+      .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("ship_year"))
+  }
+
+  private val q66Sql =
+    """SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+       FROM lineitem WHERE l_returnflag = 'R'
+       GROUP BY 1 ORDER BY ship_year"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q53_csv_roundtrip", q53, Some(aggSql)),
     QDef("q54_json_roundtrip", q54, Some(aggSql)),
     QDef("q55_parquet_sink", q55, Some(q55Sql)),
     QDef("q56_approx_distinct", q56, None),
+    QDef("q66_partitioned_pruning", q66, Some(q66Sql)),
     QDef("q57_null_semantics", q57, Some(q57Sql)),
     QDef("q58_grouping_sets", q58, Some(q58Sql)),
     QDef("q59_scalar_udf", q59, Some(q59Sql)),

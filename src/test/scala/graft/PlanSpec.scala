@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
       s"rn <= 3 must prune inside the window operator:\n${p.take(400)}")
   }
 
+  test("q66: returnflag filter becomes a partition filter, not a data filter") {
+    val df = Registry.byName("q66_partitioned_pruning").fn(spark, sf)
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(leaves.contains("PartitionFilters") && leaves.contains("l_returnflag"),
+      s"expected partition pruning in scan:\n${leaves.take(600)}")
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
