@@ -161,4 +161,17 @@ class SegmentationSpec extends SparkSpec {
     assert(score > 0.7, s"kmeans balanced accuracy $score")
     assert(mask.count(identity) > 0)
   }
+
+  test("clustering evaluator scores the pixel clustering (S15, silhouette)") {
+    // the reference imports ClusteringEvaluator but never invokes it
+    // (image_segmentation/image_masking.py:5) — we close the loop
+    val (img, _) = blobImage()
+    val df = KMeansMasking.pixelDf(spark, img, 24, 24)
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(2).setSeed(1).setMaxIter(10).setWeightCol("weighCol")
+    val pred = km.fit(df).transform(df)
+    val silhouette = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+      .setPredictionCol("prediction").evaluate(pred)
+    assert(silhouette > 0.5, s"fg/bg pixel clusters must be well separated: $silhouette")
+  }
 }
