@@ -37,9 +37,10 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
-  // mismatched lengths yield NULL — the same result the oracle's index-based
-  // list_transform produces (out-of-range elements are NULL and poison the fold),
-  // so ragged vectors diverge loudly instead of silently dotting a prefix
+  // mismatched lengths and NULL elements yield NULL — the exact semantics of the
+  // interpreted aggregate(zip_with(...)) fold and the oracle's index-based
+  // list_transform (out-of-range / null elements poison the fold), so ragged or
+  // nullable vectors diverge loudly instead of silently contributing 0.0
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -49,6 +50,7 @@ case class DotProductFloat(left: Expression, right: Expression)
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -67,8 +69,12 @@ case class DotProductFloat(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    }
          |  }
          |  ${ev.value} = $acc;
          |}
@@ -83,5 +89,11 @@ object VectorExpressions {
   /** Idempotently register graft_dot_f on the session (temp function). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot_f", exprs => DotProductFloat(exprs.head, exprs(1)), "built-in")
+      "graft_dot_f",
+      exprs => {
+        require(exprs.length == 2,
+          s"graft_dot_f expects exactly 2 arguments, got ${exprs.length}")
+        DotProductFloat(exprs.head, exprs(1))
+      },
+      "built-in")
 }

@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * handles sort-merge skew at runtime, but salting is the deterministic, plannable
   * form — and the only option when the skew sits under an aggregation).
   *
-  * The skewed (large) side gets a salt in [0, n) derived by hashing its whole row —
-  * deterministic, no RNG, so retried tasks produce identical salts (a `rand()` salt
-  * breaks exactly-once semantics under task retry). The small side is replicated n
-  * ways with an exploded salt column. The join key becomes (key, salt): a hot key's
-  * rows now spread across n reducers instead of one.
+  * The skewed (large) side gets a salt in [0, n) derived from each row's IDENTITY
+  * (hash of monotonically_increasing_id — see [[SaltedJoin.rowSalt]]): deterministic
+  * under task retry, no RNG, and exact-duplicate rows of the hot key still spread
+  * (content hashing would send all duplicates to one salt). The small side is
+  * replicated n ways with an exploded salt column. The join key becomes (key, salt):
+  * a hot key's rows now spread across n reducers instead of one.
   */
 object SaltedJoin {
 

@@ -15,7 +15,11 @@ object ExtraQueries {
     * interpolation fractions here are multiples of 0.1, so the true value has at
     * most 3 decimals and the scaled rounding can never land on a tie. */
   private def q61(s: SparkSession, d: String): DataFrame = {
-    val byKey = expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey")
+    // cents (< 2^26) shifted past 36 bits, order key in the low 36 bits: unique,
+    // overflow-free to orderkey < 2^36 (~6.9e10, far beyond any SF here), and the
+    // ordering is price-major — a 10^7 multiplier would let large orderkeys bleed
+    // into the price field
+    val byKey = expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 68719476736 + o_orderkey")
     T.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -28,8 +32,8 @@ object ExtraQueries {
 
   private val q61Sql =
     """SELECT o_orderstatus,
-       MAX_BY(o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
-       MIN_BY(o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+       MAX_BY(o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 68719476736 + o_orderkey) AS priciest_order,
+       MIN_BY(o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 68719476736 + o_orderkey) AS cheapest_order,
        CAST(ROUND(QUANTILE_CONT(o_totalprice, 0.5) * 1000) AS BIGINT) AS median_price_x1000,
        CAST(ROUND(QUANTILE_CONT(o_totalprice, 0.9) * 1000) AS BIGINT) AS p90_price_x1000
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""

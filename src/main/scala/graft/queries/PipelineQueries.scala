@@ -86,7 +86,10 @@ object PipelineQueries {
   }
 
   private lazy val fixtureDir: String = {
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_cellimages_v1")
+    // pid-keyed: a lazy val only guards within one JVM; two processes sharing a
+    // fixture dir could truncate files mid-read on the other side
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_cellimages_v1_p${ProcessHandle.current().pid()}")
     val done = new java.io.File(dir, "_SUCCESS")
     if (!done.exists()) {
       import graft.sources.CellImageJsonl

@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   */
 object SinkQueries {
 
-  /** Sink directory keyed by the scale-factor dir so concurrent runs at different
-    * SFs (e.g. a spec at sf0.001 racing Verify at sf0.01) never share a path. */
+  /** Sink directory keyed by scale-factor dir AND process id so no two JVMs (a spec
+    * run racing Verify, or two Verify invocations at the same SF) ever share a path;
+    * within one JVM the path is stable and SaveMode.Overwrite keeps reruns clean. */
   private def tmp(name: String, sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_sink_${name}_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+      s"graft_sink_${name}_${Integer.toHexString(sfDir.hashCode)}_p${ProcessHandle.current().pid()}")
+      .getAbsolutePath
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),

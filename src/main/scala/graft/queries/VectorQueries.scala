@@ -170,6 +170,9 @@ object VectorQueries {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"))
+      // consumed twice below (query side + candidate side): cache so the
+      // centroid-assignment subtree runs once instead of per consumer
+      .cache()
     val q = assigned.filter(col("vec_id").between(100, 119))
       .select(col("vec_id"), col("cell"), col("embedding").as("qv"))
     val c = assigned.select(col("vec_id").as("cand_id"), col("cell").as("ccell"),

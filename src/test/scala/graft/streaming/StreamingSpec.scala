@@ -56,7 +56,8 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    val finished = q.awaitTermination(300000)
+    assert(finished, s"stream '$name' did not finish within the timeout")
     spark.table(name)
   }
 

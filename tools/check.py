@@ -39,6 +39,12 @@ def main():
             print(f"MISS  {name}: no spark output")
             n_fail += 1
             continue
+        if len(files) > 1:
+            # Verify.scala coalesce(1)s every write; multiple parts would lose the
+            # global row order the compare depends on — fail loudly, never read a part
+            print(f"FAIL  {name}: {len(files)} part files (expected exactly 1)")
+            n_fail += 1
+            continue
         try:
             spark_tbl = pq.read_table(files[0])
         except Exception as e:
