@@ -155,7 +155,46 @@ object ExtraQueries {
        GROUP BY 2
        ORDER BY join_type, side"""
 
+  /** The SQL entry point (spark.sql over registered temp views) — same Catalyst
+    * plans as the DataFrame API, declared once to pin the surface. TPC-H Q3 shape:
+    * unshipped-revenue top-10. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    T.customer(s, d).createOrReplaceTempView("v_customer")
+    T.orders(s, d).createOrReplaceTempView("v_orders")
+    T.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l_orderkey,
+         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         DATE_FORMAT(o_orderdate, 'yyyy-MM-dd') AS order_date,
+         o_orderpriority
+         FROM v_customer
+         JOIN v_orders   ON c_custkey = o_custkey
+         JOIN v_lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""")
+  }
+
+  private val q67Sql =
+    """SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10"""
+
   val defs: Seq[QDef] = Seq(
+    QDef("q67_sql_api", q67, Some(q67Sql)),
     QDef("q61_argminmax_median", q61, Some(q61Sql)),
     QDef("q62_pivot", q62, Some(q62Sql)),
     QDef("q63_window_distribution", q63, Some(q63Sql)),
