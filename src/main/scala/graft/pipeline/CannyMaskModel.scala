@@ -138,15 +138,22 @@ object CannyMaskModel {
     } yield CannyParams(t1, t2, kw, kh)).zipWithIndex.map(_.swap).toIndexedSeq
 
     // one pass: every (image, combo, channel) score; combos ride the closure, so the
-    // only shuffle is the tiny (comboIdx, channel) partial-avg aggregation
+    // only shuffle is the tiny (comboIdx, channel) partial-avg aggregation. The
+    // threshold-independent Canny half (gaussian/sobel/NMS) is computed ONCE per
+    // (image, channel) and shared across all |grid| combos — only hysteresis + CLOSE
+    // vary with the parameters.
     val scores = images.flatMap { ci =>
       val plane = ci.width * ci.height
-      grid.iterator.flatMap { case (idx, p) =>
-        (0 until ci.nChannels).iterator.map { c =>
-          val channel = java.util.Arrays.copyOfRange(ci.data, c * plane, (c + 1) * plane)
-          val pred = ImageKernels.cannyMask(channel, ci.width, ci.height,
-            p.threshold1, p.threshold2, p.kw, p.kh)
-          val gt = java.util.Arrays.copyOfRange(ci.mask, c * plane, (c + 1) * plane)
+      (0 until ci.nChannels).iterator.flatMap { c =>
+        val channel = java.util.Arrays.copyOfRange(ci.data, c * plane, (c + 1) * plane)
+        val u8 = channel.map(v => ImageKernels.toUint8(v).toDouble)
+        val nms = ImageKernels.cannyNms(u8, ci.width, ci.height)
+        val gt = java.util.Arrays.copyOfRange(ci.mask, c * plane, (c + 1) * plane)
+        grid.iterator.map { case (idx, p) =>
+          val lo = math.min(p.threshold1, p.threshold2).toDouble
+          val hi = math.max(p.threshold1, p.threshold2).toDouble
+          val edges = ImageKernels.hysteresis(nms, ci.width, ci.height, lo, hi)
+          val pred = ImageKernels.close(edges, ci.width, ci.height, p.kw, p.kh)
           (idx, c, Scoring.referenceScore(pred, gt))
         }
       }

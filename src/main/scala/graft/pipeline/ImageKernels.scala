@@ -95,13 +95,11 @@ object ImageKernels {
     (gx, gy)
   }
 
-  /** Canny edge detection. threshold1/threshold2 follow OpenCV: low = min, high =
-    * max of the two; strong edges ≥ high seed hysteresis through weak ≥ low pixels
-    * (8-connected). Returns a boolean edge map. */
-  def canny(image: Array[Double], w: Int, h: Int,
-            threshold1: Double, threshold2: Double): Array[Boolean] = {
-    val lo = math.min(threshold1, threshold2)
-    val hi = math.max(threshold1, threshold2)
+  /** Threshold-INDEPENDENT half of Canny: gaussian → sobel → non-max-suppressed
+    * gradient magnitudes. Grid search re-runs Canny over the same image for every
+    * (t1, t2) combo; factoring this out lets the expensive half run once per image
+    * while only [[hysteresis]] varies with the thresholds. */
+  def cannyNms(image: Array[Double], w: Int, h: Int): Array[Double] = {
     val smoothed = gaussianBlur5(image, w, h)
     val (gx, gy) = sobel(smoothed, w, h)
     val mag = new Array[Double](w * h)
@@ -132,11 +130,15 @@ object ImageKernels {
       }
       x += 1
     }
+    nms
+  }
 
-    // hysteresis: BFS from strong pixels through weak pixels
+  /** Hysteresis thresholding: strong pixels (≥ hi) seed a BFS through weak pixels
+    * (≥ lo), 8-connected. */
+  def hysteresis(nms: Array[Double], w: Int, h: Int, lo: Double, hi: Double): Array[Boolean] = {
     val out = new Array[Boolean](w * h)
     val stack = new java.util.ArrayDeque[Int]()
-    i = 0
+    var i = 0
     while (i < w * h) {
       if (nms(i) >= hi && !out(i)) { out(i) = true; stack.push(i) }
       i += 1
@@ -160,6 +162,13 @@ object ImageKernels {
     }
     out
   }
+
+  /** Canny edge detection. threshold1/threshold2 follow OpenCV: low = min, high =
+    * max of the two. Returns a boolean edge map. */
+  def canny(image: Array[Double], w: Int, h: Int,
+            threshold1: Double, threshold2: Double): Array[Boolean] =
+    hysteresis(cannyNms(image, w, h), w, h,
+      math.min(threshold1, threshold2), math.max(threshold1, threshold2))
 
   @inline private def at(a: Array[Double], w: Int, h: Int, x: Int, y: Int): Double =
     if (x < 0 || x >= w || y < 0 || y >= h) 0.0 else a(x * h + y)

@@ -126,10 +126,16 @@ object PipelineQueries {
     import s.implicits._
     val images = (0 until 3).map(i =>
       CellImageFixtures.make("f0", 0, i.toLong, channels = 1, w = 24, h = 24))
-    val rows = images.map { ci =>
+    // the per-image fits are independent Spark jobs — submit them concurrently
+    // (Spark's scheduler interleaves jobs from different threads) instead of
+    // serializing three driver-blocking fits
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.DurationInt
+    val rows = Await.result(Future.traverse(images) { ci => Future {
       val (mask, score) = graft.pipeline.KMeansMasking.maskAndScore(s, ci, channel = 0)
       (ci.imageIdx, mask.count(identity).toLong, math.round(score * 10000))
-    }
+    }}, 300.seconds)
     s.createDataset(rows)
       .toDF("image_idx", "mask_pixels", "score_bp")
       .orderBy(col("image_idx"))
