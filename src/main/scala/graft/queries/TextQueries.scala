@@ -49,24 +49,6 @@ object TextQueries {
       .withColumn("hs", expr(
         "transform(toks, t -> CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 1000000007)"))
 
-  /** (doc_id, hs: array of 3-gram SHINGLE hashes) — the canonical minhash input.
-    * Token-set minhash degenerates on this corpus (a ~31-word vocabulary means every
-    * document contains most of the vocabulary, so token-set Jaccard is high and LSH
-    * buckets explode into millions of candidate pairs — measured 6.3M at sf0.1);
-    * shingles live in a ~|V|³ space where random documents rarely collide, which is
-    * exactly why MinHash is defined over w-shingles. */
-  private def shingleHashArrays(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
-      .withColumn("toks", split(trim(col("text")), " "))
-      // guard: Spark's sequence(1, n) DESCENDS when n < 1 (sequence(1,0) = [1,0]),
-      // so a <3-token document would evaluate element_at(toks, 0) and throw;
-      // DuckDB's generate_series is empty there — short docs get an empty shingle set
-      .withColumn("hs", expr(
-        """CASE WHEN size(toks) < 3 THEN array() ELSE transform(
-          |  array_distinct(transform(sequence(1, size(toks) - 2),
-          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))),
-          |  t -> CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT) % 1000000007) END""".stripMargin))
-
   /** Token counts: tokenize + explode + group — the text twin of word-count.
     * Top-50 with a total ordering (count desc, token) so the cut is deterministic. */
   private def q32(s: SparkSession, d: String): DataFrame =
@@ -168,12 +150,19 @@ object TextQueries {
     * The band-signature equi-join is what makes near-dup O(n·bands) instead of O(n²)
     * at corpus scale: only docs sharing a band signature ever meet in the join. */
   private def q36(s: SparkSession, d: String): DataFrame = {
-    // explode shingles to long form, hash with CODEGEN'd md5/conv, and fold the 16
-    // permutation-mins in a partial-aggregating HashAggregate — measured ~40% faster
-    // (and 3× faster cold) than evaluating the same minhash as interpreted
-    // higher-order lambdas per row, at the cost of shuffling one (doc, shingle-hash)
-    // row per shingle — the standard minhash trade; the HOF form survives in
-    // q35/minhashSigs where the signature itself is the output
+    // 3-gram SHINGLE input, not token sets: this corpus has a ~31-word vocabulary,
+    // so every document contains most of the vocabulary, token-set Jaccard is
+    // uniformly high, and LSH buckets explode (measured 6.3M candidate pairs at
+    // sf0.1); shingles live in a ~|V|³ space where random documents rarely collide —
+    // which is why MinHash is defined over w-shingles. The CASE guard matters:
+    // Spark's sequence(1, n) DESCENDS when n < 1, so a <3-token doc would evaluate
+    // element_at(toks, 0) and throw.
+    //
+    // Execution shape: explode shingles to long form, hash with CODEGEN'd md5/conv,
+    // fold the 16 permutation-mins in a partial-aggregating HashAggregate — ~40%
+    // faster warm (3× cold) than per-row interpreted higher-order lambdas, at the
+    // cost of the standard minhash shuffle (one row per shingle); the HOF form
+    // survives in q35/minhashSigs where the signature itself is the output
     val shingleHashes = T.documents(s, d)
       .withColumn("toks", split(trim(col("text")), " "))
       .select(col("doc_id"), posexplode(expr(
