@@ -1,0 +1,219 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Band (interval) join optimization — the one operator family where Catalyst's
+  * default plan genuinely fails at scale.
+  *
+  * A join whose condition is a pure range band
+  * {{{ left.p >= right.lo AND left.p <= right.hi }}}
+  * has no equi conjunct, so Spark plans BroadcastNestedLoopJoin (or
+  * CartesianProduct): O(|L|·|R|) comparisons. At 100 TB that plan never finishes.
+  * The standard fix (Flink's interval join, Databricks' range-join optimization)
+  * is time-bucketing:
+  *
+  *   - point side:     add `bucket = floorDiv(p, W)` — one bucket per row;
+  *   - interval side:  explode `sequence(floorDiv(lo, W), floorDiv(hi, W))` — one
+  *                     row per covered bucket (intervals spanning k buckets fan out
+  *                     k ways, k ≈ band/W + 1);
+  *   - join on bucket equality AND the original condition.
+  *
+  * Every qualifying pair (lo ≤ p ≤ hi) meets in exactly one bucket — the point's —
+  * because the point contributes a single bucket and the interval's exploded buckets
+  * are distinct, so no dedup is needed and the rewrite is exact. The equi key turns
+  * the plan into a shuffled hash / sort-merge join: O(|L| + k·|R|) with a single
+  * pair of exchanges, which scales linearly and partitions like any other keyed join.
+  *
+  * Correctness does not depend on the bucket width W (only performance does): the
+  * bucket function is monotone in the value, so lo ≤ p ≤ hi implies
+  * bucket(lo) ≤ bucket(p) ≤ bucket(hi) and the sequence always covers the point's
+  * bucket. Monotonicity is guaranteed by computing EVERY bucket through one code
+  * path per type family: exact long floor-division of unix micros for timestamps,
+  * round-to-nearest double division + floor for numerics (double division by a
+  * positive constant is monotone non-decreasing even with rounding).
+  *
+  * Fires only when the join would otherwise be nested-loop: inner/cross join with a
+  * deterministic condition containing NO cross-side equality (anything Spark can
+  * already hash-join is left alone). Guards: null points/bounds bucket to null /
+  * empty sequences and drop, matching the naive join's null-comparison semantics;
+  * an inverted band (lo > hi) yields an empty sequence, not a Sequence runtime
+  * error.
+  *
+  * Config (read at optimization time):
+  *   - `spark.graft.intervalJoin.enabled`      (default true)
+  *   - `spark.graft.intervalJoin.bucketWidth`  (default 3600 — seconds for
+  *     timestamp bands, plain value units for numeric bands). A width far smaller
+  *     than the band fans the interval side out; far larger degrades toward
+  *     per-bucket cartesian. Pick W ≈ the band size.
+  *
+  * The reference never needed this (its joins are all keyed — e.g. the outlier
+  * pipeline groups by feature name, /root/reference/outlier_detection.py:57), but
+  * SURVEY.md §2b declares range joins as part of the engine contract and this is
+  * the piece Spark lacks whole-plan support for.
+  */
+object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.intervalJoin.enabled"
+  val WidthKey   = "spark.graft.intervalJoin.bucketWidth"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    val width = conf.getConfString(WidthKey, "3600").toDouble
+    if (!(width > 0) || width.isInfinite) return plan
+    plan.transformUp {
+      case j @ Join(_, _, jt, Some(cond), _)
+          if (jt == Inner || jt == Cross) && cond.deterministic =>
+        rewrite(j, width).getOrElse(j)
+    }
+  }
+
+  /** true = expression references only the left child (constants anchor nothing). */
+  private def refSide(e: Expression, j: Join): Option[Boolean] =
+    if (e.references.isEmpty) None
+    else if (e.references.subsetOf(j.left.outputSet)) Some(true)
+    else if (e.references.subsetOf(j.right.outputSet)) Some(false)
+    else None
+
+  private def crossSideEquality(a: Expression, b: Expression, j: Join): Boolean =
+    (refSide(a, j), refSide(b, j)) match {
+      case (Some(sa), Some(sb)) => sa != sb
+      case _                    => false
+    }
+
+  private def bucketable(t: DataType): Boolean = t match {
+    case TimestampType     => true
+    case _: NumericType    => true
+    case _                 => false
+  }
+
+  private def sameFamily(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (TimestampType, TimestampType)    => true
+    case (_: NumericType, _: NumericType)  => true
+    case _                                 => false
+  }
+
+  /** point, pointOnLeft, bound (opposite side), bound-is-lower. */
+  private type BandBound = (Expression, Boolean, Expression, Boolean)
+
+  private def rewrite(j: Join, width: Double): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b)       => crossSideEquality(a, b, j)
+      case EqualNullSafe(a, b) => crossSideEquality(a, b, j)
+      case _                   => false
+    }
+    if (hasEqui) return None
+
+    val bounds: Seq[BandBound] = conjuncts.flatMap {
+      case cmp: BinaryComparison =>
+        val oriented: Seq[(Expression, Expression, Boolean)] = cmp match {
+          // (point, bound, isLower): p > b / p >= b bounds p below; flip for the
+          // other operand. Strictness is irrelevant for bucketing (the bucket
+          // range is a superset; the original condition still filters).
+          case GreaterThan(a, b)        => Seq((a, b, true), (b, a, false))
+          case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+          case LessThan(a, b)           => Seq((a, b, false), (b, a, true))
+          case LessThanOrEqual(a, b)    => Seq((a, b, false), (b, a, true))
+          case _                        => Nil
+        }
+        oriented.flatMap { case (p, bound, isLower) =>
+          (refSide(p, j), refSide(bound, j)) match {
+            case (Some(ps), Some(bs))
+                if ps != bs && bucketable(p.dataType) &&
+                  sameFamily(p.dataType, bound.dataType) =>
+              Some((p, ps, bound, isLower)): Option[BandBound]
+            case _ => None
+          }
+        }
+      case _ => Nil
+    }
+
+    // A band = one point expression bounded below AND above from the other side.
+    bounds.groupBy { case (p, ps, _, _) => (p.canonicalized, ps) }.collectFirst {
+      case (_, bs) if bs.exists(_._4) && bs.exists(!_._4) =>
+        val (point, pointOnLeft, _, _) = bs.head
+        val lo = bs.find(_._4).get._3
+        val hi = bs.find(!_._4).get._3
+        build(j, point, pointOnLeft, lo, hi, width)
+    }
+  }
+
+  /** Exact floor division of longs: (a - pmod(a, w)) / w — correct for negative
+    * values (pre-1970 timestamps), unlike truncating integer division. */
+  private def floorDivLong(a: Expression, w: Long): Expression = {
+    val wl = Literal(w)
+    new IntegralDivide(new Subtract(a, new Pmod(a, wl)), wl)
+  }
+
+  private def build(
+      j: Join,
+      point: Expression,
+      pointOnLeft: Boolean,
+      lo: Expression,
+      hi: Expression,
+      width: Double): LogicalPlan = {
+    val isTs = point.dataType == TimestampType
+    def bucket(e: Expression): Expression =
+      if (isTs) floorDivLong(UnixMicros(e), math.max(1L, (width * 1e6).toLong))
+      else Floor(new Divide(Cast(e, DoubleType), Literal(width)))
+
+    val startB = bucket(lo)
+    val stopB  = bucket(hi)
+    val arrTpe = ArrayType(LongType, containsNull = false)
+    val emptyArr = Literal.create(Array.empty[Long], arrTpe)
+    // Guard: inverted band (lo > hi) or null bound → empty sequence → row drops,
+    // exactly what the naive join's (null/false) comparison would do.
+    val buckets = If(
+      LessThanOrEqual(startB, stopB),
+      // Sequence is TimeZoneAwareExpression: resolution demands a zone even for
+      // long sequences, and optimizer-injected nodes skip ResolveTimeZone.
+      new Sequence(startB, stopB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+      emptyArr)
+
+    val bucketAttr = AttributeReference("__graft_ij_bucket", LongType, nullable = false)()
+    val intervalSide = if (pointOnLeft) j.right else j.left
+    val exploded = Generate(
+      Explode(buckets),
+      unrequiredChildIndex = Nil,
+      outer = false,
+      qualifier = None,
+      generatorOutput = Seq(bucketAttr),
+      child = intervalSide)
+
+    val pointSide = if (pointOnLeft) j.left else j.right
+    val pointBucket = Alias(bucket(point), "__graft_ij_bucket_p")()
+    val projected = Project(pointSide.output :+ pointBucket, pointSide)
+
+    val eq = EqualTo(pointBucket.toAttribute, bucketAttr)
+    val newCond = And(eq, j.condition.get)
+    val (nl, nr) = if (pointOnLeft) (projected, exploded) else (exploded, projected)
+    // Original output attributes pass through untouched; strip the bucket columns.
+    Project(j.output, Join(nl, nr, j.joinType, Some(newCond), j.hint))
+  }
+}
+
+/** Session-builder registration: `.config("spark.sql.extensions",
+  * "graft.plans.GraftSparkExtensions")` or `.withExtensions(new GraftSparkExtensions)`.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => IntervalJoinRewrite)
+}
+
+/** Runtime registration for an already-built session (the driver's Verify/Bench
+  * sessions are constructed without extensions). Idempotent; the rule itself is a
+  * no-op on anything but pure band joins. */
+object GraftExtensions {
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(IntervalJoinRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    }
+  }
+}

@@ -1,11 +1,11 @@
 package graft
 
-/** Custom Catalyst planner surface — deliberately EMPTY.
+/** Custom Catalyst planner surface.
   *
-  * SURVEY.md §4 concluded that nothing in the reference's semantics requires a
-  * planner extension: every declared operator rides Catalyst built-ins, and the two
-  * semantics Spark lacks whole-operator support for are expressed one rung lower on
-  * the extension ladder instead (build-spec preference order):
+  * SURVEY.md §4 concluded that almost nothing in the reference's semantics requires
+  * a planner extension: every declared operator rides Catalyst built-ins, and two of
+  * the three semantics Spark lacks whole-operator support for are expressed one rung
+  * lower on the extension ladder instead (build-spec preference order):
   *
   *  - as-of join → composed from union + window with a single shuffle
   *    ([[graft.operators.AsOfJoin]]) — a custom LogicalPlan/Strategy/Exec would plan
@@ -15,10 +15,14 @@ package graft
   *    ([[graft.functions.DotProductFloat]]) and typed Aggregators
   *    ([[graft.functions.WelfordAgg]]).
   *
-  * If a future operator genuinely needs whole-plan treatment (e.g. a range-join
-  * band optimization), the recipe is: LogicalPlan node + resolution Rule + Strategy
-  * + Exec, registered through SparkSessionExtensions — see the spark_guide pattern.
-  * Until then, an empty package is the honest design: don't hand-schedule what the
-  * optimizer already does.
+  * The third — pure band/interval joins, which Catalyst can only plan as O(n·m)
+  * nested-loop joins — IS whole-plan work, and lives here:
+  * [[graft.plans.IntervalJoinRewrite]], an optimizer `Rule[LogicalPlan]` that
+  * rewrites band joins into bucketed equi-joins, registered through
+  * `SparkSessionExtensions` ([[graft.plans.GraftSparkExtensions]]) or at runtime
+  * ([[graft.plans.GraftExtensions]]). It kicks in for any user query — DataFrame or
+  * `spark.sql` text — with no API opt-in, which is the point of doing it as a
+  * planner rule rather than a helper function: don't make the user hand-schedule
+  * what the optimizer can do.
   */
 package object plans

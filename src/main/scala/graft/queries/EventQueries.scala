@@ -169,11 +169,47 @@ object EventQueries {
        GROUP BY e1.event_type
        ORDER BY event_type"""
 
+  /** PURE band join — no equi key at all: every pair of events (any users) where the
+    * second falls in the 2-minute window after the first. Catalyst alone plans this
+    * as BroadcastNestedLoopJoin, O(n²) — ~10^10 comparisons at sf0.1 and unrunnable
+    * at 100 TB — so this query rides [[graft.plans.IntervalJoinRewrite]]: time is
+    * bucketed into 600 s buckets and the join becomes a shuffled equi join on the
+    * bucket, O(n) with one exchange pair. The rule is installed session-wide here
+    * (idempotent; it only ever touches band joins with both bounds and no equi
+    * conjunct, so the rest of the corpus plans unchanged). */
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    s.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
+    s.conf.set(graft.plans.IntervalJoinRewrite.WidthKey, "600")
+    val ev = T.events(s, d)
+    val e1 = ev.select(col("ts").as("t1"), col("event_type").as("type1"))
+    val e2 = ev.select(col("ts").as("t2"))
+    e1.join(e2,
+        col("t2") > col("t1") &&
+          col("t2") <= col("t1") + expr("INTERVAL 2 MINUTES"))
+      .groupBy(col("type1").as("event_type"))
+      .agg(
+        count(lit(1)).as("n_following"),
+        round(avg(unix_timestamp(col("t2")) - unix_timestamp(col("t1"))), 2).as("avg_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q68Sql =
+    s"""$evCte
+       SELECT e1.event_type AS event_type, COUNT(*) AS n_following,
+         ROUND(AVG(DATE_DIFF('second', e1.ts, e2.ts)), 2) AS avg_gap_s
+       FROM ev e1 JOIN ev e2
+         ON e2.ts > e1.ts
+        AND e2.ts <= e1.ts + INTERVAL 2 MINUTE
+       GROUP BY e1.event_type
+       ORDER BY event_type"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q27_event_lag_lead", q27, Some(q27Sql)),
     QDef("q28_tumbling_window", q28, Some(q28Sql)),
     QDef("q29_session_window", q29, Some(q29Sql)),
     QDef("q30_asof_join", q30, Some(q30Sql)),
     QDef("q31_range_join", q31, Some(q31Sql)),
+    QDef("q68_band_join_rule", q68, Some(q68Sql)),
   )
 }

@@ -187,6 +187,44 @@ object SinkQueries {
        FROM lineitem WHERE l_returnflag = 'R'
        GROUP BY 1 ORDER BY ship_year"""
 
+  /** Bucketed-table co-located join: both sides are written `bucketBy(8, key)` +
+    * `sortBy(key)` as external datasource tables, so the sort-merge join reads
+    * pre-hashed, pre-sorted buckets and plans ZERO hash exchanges — not for the
+    * join, and not for the same-key aggregation either (the join's output
+    * partitioning satisfies the groupBy). The only exchange left is the final
+    * ORDER BY's range partitioning. This is the layout that amortizes repeated
+    * fact-dim joins at 100 TB: pay the bucketing shuffle once at write time,
+    * then every subsequent join on the bucket key is shuffle-free. The `merge`
+    * hint pins sort-merge so the demo cannot degrade to broadcast at small SF
+    * (broadcast would also skip the exchange, but for the wrong reason).
+    * PlanSpec asserts the no-hash-exchange shape. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val sfx = s"${Integer.toHexString(d.hashCode)}_p${ProcessHandle.current().pid()}"
+    val ob = s"graft_orders_bkt_$sfx"
+    val cb = s"graft_customer_bkt_$sfx"
+    T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", tmp("orders_bkt", d))
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ob)
+    T.customer(s, d).select("c_custkey", "c_name")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", tmp("customer_bkt", d))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cb)
+    s.table(ob).hint("merge")
+      .join(s.table(cb), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q69Sql =
+    """SELECT c_custkey, c_name, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_spent
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_name ORDER BY c_custkey"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q53_csv_roundtrip", q53, Some(aggSql)),
     QDef("q54_json_roundtrip", q54, Some(aggSql)),
@@ -196,5 +234,6 @@ object SinkQueries {
     QDef("q57_null_semantics", q57, Some(q57Sql)),
     QDef("q58_grouping_sets", q58, Some(q58Sql)),
     QDef("q59_scalar_udf", q59, Some(q59Sql)),
+    QDef("q69_bucketed_join", q69, Some(q69Sql)),
   )
 }

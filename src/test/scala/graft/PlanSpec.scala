@@ -83,6 +83,16 @@ class PlanSpec extends SparkSpec {
       s"expected partition pruning in scan:\n${leaves.take(600)}")
   }
 
+  test("q69: bucketed join plans no hash exchange for join or aggregation") {
+    val df = Registry.byName("q69_bucketed_join").fn(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n${p.take(600)}")
+    assert(!p.contains("BroadcastExchange"), "merge hint must prevent broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed sides must join and aggregate without shuffling:\n${p.take(800)}")
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)

@@ -1,0 +1,155 @@
+package graft.plans
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+
+/** IntervalJoinRewrite: exactness vs the naive nested-loop plan (nulls, inverted
+  * bands, negatives, strict bounds), plan shape (band join must NOT be nested-loop
+  * once the rule is on), and the do-not-touch guard for joins Spark already
+  * hash-joins.
+  *
+  * Every measurement builds a FRESH DataFrame: QueryExecution caches the optimized
+  * plan, so re-collecting one DF after toggling the rule would silently reuse the
+  * old plan and compare naive against naive. */
+class IntervalJoinSpec extends SparkSpec {
+
+  private def withRule[A](body: => A): A = {
+    GraftExtensions.install(spark)
+    spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+    try body finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Fresh band join over numeric values each call; strict toggles > / < bounds. */
+  private def numericJoin(strict: Boolean = false): DataFrame = {
+    import spark.implicits._
+    // points: null, negatives, exact bucket-boundary values
+    val pts = Seq(
+      (1L, Some(0.0)), (2L, Some(5.0)), (3L, Some(-7.25)), (4L, Some(99.9)),
+      (5L, None), (6L, Some(10.0)), (7L, Some(-100.0)), (8L, Some(42.0)))
+      .toDF("pid", "v")
+    // intervals: null bounds, an inverted band, a wide band, a point band
+    val ivs = Seq(
+      (10L, Some(-10.0), Some(0.0)),
+      (11L, Some(4.5), Some(10.0)),
+      (12L, Some(50.0), Some(40.0)),       // inverted -> empty
+      (13L, None, Some(100.0)),            // null lo -> empty
+      (14L, Some(0.0), None),              // null hi -> empty
+      (15L, Some(-1000.0), Some(1000.0)),  // covers everything non-null
+      (16L, Some(42.0), Some(42.0)))       // point band
+      .toDF("iid", "lo", "hi")
+    if (strict) pts.join(ivs, pts("v") > ivs("lo") && pts("v") < ivs("hi"))
+    else pts.join(ivs, pts("v") >= ivs("lo") && pts("v") <= ivs("hi"))
+  }
+
+  private def tsJoin(): DataFrame = {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val pts = Seq(
+      (1L, ts("2024-01-01 00:00:30")),
+      (2L, ts("2024-01-01 01:59:59")),
+      (3L, ts("1969-12-31 23:59:00")),  // negative unix micros
+      (4L, ts("2024-06-01 12:00:00")))
+      .toDF("pid", "t")
+    val ivs = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+      (11L, ts("1969-12-31 00:00:00"), ts("1970-01-01 00:00:00")),
+      (12L, ts("2030-01-01 00:00:00"), ts("2020-01-01 00:00:00")))  // inverted
+      .toDF("iid", "lo", "hi")
+    pts.join(ivs, pts("t") >= ivs("lo") && pts("t") <= ivs("hi"))
+  }
+
+  private def assertRewritten(df: DataFrame): Unit = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"band join still nested-loop:\n$plan")
+    assert(plan.contains("__graft_ij_bucket"), s"rewrite did not fire:\n$plan")
+  }
+
+  test("numeric band join matches the naive plan exactly, and is rewritten") {
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "10")
+    val naive = sortedRows(numericJoin())
+    val bucketed = withRule {
+      val df = numericJoin()
+      assertRewritten(df)
+      sortedRows(numericJoin())
+    }
+    assert(bucketed == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("strict bounds are preserved") {
+    val naive = sortedRows(numericJoin(strict = true))
+    val bucketed = withRule {
+      assertRewritten(numericJoin(strict = true))
+      sortedRows(numericJoin(strict = true))
+    }
+    assert(bucketed == naive)
+    // boundary rows (v == lo or v == hi) must be excluded
+    assert(!naive.exists(r => r.contains("[8,42.0,16,")))
+    // but the non-strict variant does include the point band match
+    assert(sortedRows(numericJoin()).exists(_.contains("[8,42.0,16,")))
+  }
+
+  test("without the rule a band join IS nested-loop (the test means something)") {
+    val df = numericJoin()
+    df.collect()
+    val off = df.queryExecution.executedPlan.toString
+    assert(off.contains("BroadcastNestedLoopJoin") || off.contains("CartesianProduct"))
+    assert(!off.contains("__graft_ij_bucket"))
+  }
+
+  test("timestamp band join matches naive, including pre-1970 points") {
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+    val naive = sortedRows(tsJoin())
+    val bucketed = withRule {
+      assertRewritten(tsJoin())
+      sortedRows(tsJoin())
+    }
+    assert(bucketed == naive)
+    assert(naive.exists(_.startsWith("[3,")), "pre-1970 match must survive bucketing")
+  }
+
+  test("joins with an equi conjunct are left alone") {
+    import spark.implicits._
+    def mkJoin(): DataFrame = {
+      val a = Seq((1L, 5.0), (2L, 9.0)).toDF("k", "v")
+      val b = Seq((1L, 0.0, 10.0), (2L, 6.0, 10.0)).toDF("k2", "lo", "hi")
+      a.join(b, a("k") === b("k2") && a("v") >= b("lo") && a("v") <= b("hi"))
+    }
+    withRule {
+      val df = mkJoin()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_ij_bucket"), s"rule must not touch equi joins:\n$plan")
+      assert(sortedRows(mkJoin()) == Seq("[1,5.0,1,0.0,10.0]", "[2,9.0,2,6.0,10.0]"))
+    }
+  }
+
+  test("q68 (declared band-join query) is rewritten, not nested-loop") {
+    val df = graft.Registry.byName("q68_band_join_rule").fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q68 must ride the rewrite:\n${plan.take(600)}")
+    assert(plan.contains("__graft_ij_bucket"))
+    spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+  }
+
+  test("bucket width does not affect results, only plans") {
+    val naive = sortedRows(numericJoin())
+    for (w <- Seq("0.5", "1", "100", "100000")) {
+      spark.conf.set(IntervalJoinRewrite.WidthKey, w)
+      val got = withRule {
+        assertRewritten(numericJoin())
+        sortedRows(numericJoin())
+      }
+      assert(got == naive, s"width=$w diverged")
+    }
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+  }
+}
