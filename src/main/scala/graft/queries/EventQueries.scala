@@ -204,6 +204,49 @@ object EventQueries {
        GROUP BY e1.event_type
        ORDER BY event_type"""
 
+  /** Stratified sampling (`sampleBy`): per-stratum Bernoulli sampling with explicit
+    * fractions — the class-balancing / downsampling primitive of a training-data
+    * pipeline (e.g. downweight `view` events, keep every `purchase`). Per-row
+    * seeded-hash decisions, so it is a narrow shuffle-free projection that scales
+    * embarrassingly. Sampling is seeded-deterministic WITHIN Spark but not
+    * reproducible in another engine, so this is declared rows-only (SURVEY.md §2b
+    * convention 5); StratifiedSampleSpec property-checks the fractions and the
+    * seed-determinism instead. */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    T.events(s, d)
+      .stat.sampleBy("event_type",
+        Map("purchase" -> 1.0, "click" -> 0.25, "error" -> 0.5, "view" -> 0.05),
+        seed = 42L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** Dedup-keep-newest: one row per user — the latest event by (ts, event_id).
+    * The "keep the newest version of each document" dedup a training corpus needs,
+    * expressed as a rank-1 window filter; Catalyst turns rn=1 into WindowGroupLimit,
+    * so each shuffle partition keeps only its per-key leader instead of sorting
+    * whole groups (the same shape PlanSpec pins for q17's top-k). */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    T.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_id").as("latest_event_id"),
+        date_format(col("ts"), fmt).as("latest_ts"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q72Sql =
+    s"""$evCte
+       SELECT user_id, event_id AS latest_event_id,
+         STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts, event_type
+       FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM ev) t
+       WHERE rn = 1
+       ORDER BY user_id"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q27_event_lag_lead", q27, Some(q27Sql)),
     QDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -211,5 +254,7 @@ object EventQueries {
     QDef("q30_asof_join", q30, Some(q30Sql)),
     QDef("q31_range_join", q31, Some(q31Sql)),
     QDef("q68_band_join_rule", q68, Some(q68Sql)),
+    QDef("q71_stratified_sample", q71, None),
+    QDef("q72_dedup_keep_newest", q72, Some(q72Sql)),
   )
 }

@@ -345,6 +345,49 @@ object TextQueries {
        FROM documents WHERE doc_id < 200
        ORDER BY doc_id"""
 
+  /** TF-IDF: q33's per-doc term frequency weighted by inverse document frequency
+    * over the WHOLE corpus. Fully distributed — the corpus size N arrives as a
+    * broadcast 1-row cross join (never a driver-side count), document frequency is
+    * one distinct + groupBy on the token, and the tf×idf join keys on the token.
+    * At 100 TB the only change is hashing the token join key (xxhash64) to cut
+    * shuffle width; the shape — two aggregations and one keyed join — is already
+    * the scalable one. ln-based scores can't land on exact ROUND(x,2) ties (unlike
+    * q33's small-integer ratios), so a 2-dp double is deterministic cross-engine. */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+    val tf = toks.filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("doc_len", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val dfreq = toks.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nTotal = broadcast(docs.agg(count(lit(1)).as("n_total")))
+    tf.join(dfreq, "token").crossJoin(nTotal)
+      .select(
+        col("doc_id"), col("token"), col("cnt"), col("df"),
+        round((col("cnt") / col("doc_len")) * log(col("n_total") / col("df")), 2)
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  private val q70Sql =
+    """WITH t AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token FROM documents),
+       tf AS (
+         SELECT doc_id, token, COUNT(*) AS cnt,
+           SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len
+         FROM t WHERE doc_id < 50 GROUP BY doc_id, token),
+       dfreq AS (
+         SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM t)
+         GROUP BY token),
+       n AS (SELECT COUNT(*) AS n_total FROM documents)
+       SELECT doc_id, token, cnt, df,
+         ROUND((CAST(cnt AS DOUBLE) / doc_len) * LN(CAST(n_total AS DOUBLE) / df), 2) AS tfidf
+       FROM tf JOIN dfreq USING (token) CROSS JOIN n
+       ORDER BY doc_id, token"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q32_token_counts", q32, Some(q32Sql)),
     QDef("q33_tf_per_doc", q33, Some(q33Sql)),
@@ -356,5 +399,6 @@ object TextQueries {
     QDef("q39_lang_quality", q39, Some(q39Sql)),
     QDef("q40_token_regex_count", q40, Some(q40Sql)),
     QDef("q41_fingerprint", q41, Some(q41Sql)),
+    QDef("q70_tfidf", q70, Some(q70Sql)),
   )
 }
