@@ -214,10 +214,39 @@ object VectorQueries {
        FROM ranked WHERE rn = 1
        ORDER BY vec_id"""
 
+  /** Per-label centroids in LONG form: posexplode to (label, pos, v), hash-aggregate
+    * on (label, pos), never re-assembling arrays. This is the shape that scales — a
+    * centroid UDAF holding a 64-float buffer per group works too, but the long form
+    * rides plain codegen'd sum/count with map-side partials, handles any dimension
+    * without a fixed-width buffer, and its shuffle is (label × dim) rows regardless
+    * of input size. Cross-engine determinism: each element is floored to an integer
+    * basis-point value FIRST (floor(v·10⁴) — exact and order-independent to sum, no
+    * float-accumulation-order divergence), then the integer mean is rounded. */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(floor(col("col").cast("double") * 10000)) / count(lit(1)))
+          .cast("long").as("centroid_bp"))
+      .orderBy(col("label"), col("pos"))
+
+  private val q73Sql =
+    """WITH e AS (
+         SELECT label,
+           UNNEST(generate_series(1, len(embedding))) AS i,
+           UNNEST(embedding) AS v
+         FROM embeddings)
+       SELECT label, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+         CAST(ROUND(SUM(FLOOR(CAST(v AS DOUBLE) * 10000)) / COUNT(*)) AS BIGINT) AS centroid_bp
+       FROM e GROUP BY label, i ORDER BY label, pos"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q42_knn_brute_force", q42, Some(q42Sql)),
     QDef("q43_ann_sign_lsh", q43, Some(q43Sql)),
     QDef("q44_cosine_neardup", q44, Some(q44Sql)),
     QDef("q60_ann_ivf", q45v, Some(q45vSql)),
+    QDef("q73_label_centroids", q73, Some(q73Sql)),
   )
 }

@@ -52,6 +52,30 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Stream-stream interval join (a streaming self-join): each purchase matched to
+    * the same user's clicks in the 30 minutes before it. Both sides carry a
+    * watermark AND the join condition bounds event time in both directions, which
+    * is exactly what lets Structured Streaming expire join state: a click older
+    * than watermark + 30 min can never match a future purchase and is dropped from
+    * the state store. Without the band, stream-stream inner join state grows
+    * without bound — the streaming twin of the batch band-join scaling argument
+    * (graft.plans.IntervalJoinRewrite). */
+  def purchaseClickJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserStats(user_id: Long, n: Long, mean: Double, variance: Double)

@@ -103,6 +103,13 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchEvents.count())
   }
 
+  test("stream-stream interval join (self-join): replay equals batch") {
+    val streamed = replay("ssjoin", "append")(EventStreams.purchaseClickJoin(_))
+    val batch = EventStreams.purchaseClickJoin(batchEvents)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0, "fixture must produce at least one purchase-click pair")
+  }
+
   test("watermark drops late data in streaming that batch would count") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
