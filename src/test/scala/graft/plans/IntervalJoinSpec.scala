@@ -140,6 +140,31 @@ class IntervalJoinSpec extends SparkSpec {
     spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
   }
 
+  test("randomized equivalence: rewritten results equal naive on generated data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic spec
+    for (round <- 0 until 3) {
+      // magnitudes chosen to straddle bucket boundaries at every width below;
+      // ~10% nulls on each field; bands from inverted (negative span) to wide
+      def v(): Option[Double] =
+        if (rnd.nextInt(10) == 0) None else Some((rnd.nextDouble() - 0.5) * 2000)
+      val pts = (1 to 60).map(i => (i.toLong, v())).toDF("pid", "v")
+      val ivs = (1 to 40).map { i =>
+        val lo = v()
+        val hi = lo.map(_ + (rnd.nextDouble() - 0.2) * 300)
+        (i.toLong + 1000, lo, hi)
+      }.toDF("iid", "lo", "hi")
+      def joined() = pts.join(ivs, pts("v") >= ivs("lo") && pts("v") <= ivs("hi"))
+      val naive = sortedRows(joined())
+      for (w <- Seq("7", "250", "10000")) {
+        spark.conf.set(IntervalJoinRewrite.WidthKey, w)
+        val got = withRule { assertRewritten(joined()); sortedRows(joined()) }
+        assert(got == naive, s"round=$round width=$w diverged")
+      }
+    }
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+  }
+
   test("bucket width does not affect results, only plans") {
     val naive = sortedRows(numericJoin())
     for (w <- Seq("0.5", "1", "100", "100000")) {
