@@ -43,14 +43,20 @@ import org.apache.spark.sql.types._
   * already hash-join is left alone). Guards: null points/bounds bucket to null /
   * empty sequences and drop, matching the naive join's null-comparison semantics;
   * an inverted band (lo > hi) yields an empty sequence, not a Sequence runtime
-  * error.
+  * error. Interval rows bucketing cannot represent faithfully — NaN or infinite
+  * bounds, bands wider than maxFanout buckets — are split into a guarded
+  * nested-loop fallback branch and unioned back (see [[build]]), so the rewrite
+  * stays exact on the full IEEE domain and can never explode a sequence.
   *
-  * Config (read at optimization time):
+  * Config (read at optimization time; malformed values fall back to defaults
+  * rather than poisoning the optimizer for every query):
   *   - `spark.graft.intervalJoin.enabled`      (default true)
   *   - `spark.graft.intervalJoin.bucketWidth`  (default 3600 — seconds for
   *     timestamp bands, plain value units for numeric bands). A width far smaller
   *     than the band fans the interval side out; far larger degrades toward
   *     per-bucket cartesian. Pick W ≈ the band size.
+  *   - `spark.graft.intervalJoin.maxFanout`    (default 4096) — bands spanning at
+  *     least this many buckets take the nested-loop fallback instead of exploding.
   *
   * The reference never needed this (its joins are all keyed — e.g. the outlier
   * pipeline groups by feature name, /root/reference/outlier_detection.py:57), but
@@ -59,17 +65,31 @@ import org.apache.spark.sql.types._
   */
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  val EnabledKey = "spark.graft.intervalJoin.enabled"
-  val WidthKey   = "spark.graft.intervalJoin.bucketWidth"
+  val EnabledKey   = "spark.graft.intervalJoin.enabled"
+  val WidthKey     = "spark.graft.intervalJoin.bucketWidth"
+  val MaxFanoutKey = "spark.graft.intervalJoin.maxFanout"
+
+  /** Marks the split plan's nested-loop fallback join: it is a pure band join by
+    * construction, so without the tag the fixed-point batch would re-rewrite it
+    * every iteration and never converge. */
+  private val fallbackTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.intervalJoin.fallback")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
-    val width = conf.getConfString(WidthKey, "3600").toDouble
-    if (!(width > 0) || width.isInfinite) return plan
+    // Defensive conf parsing: a malformed value must not make the optimizer throw
+    // for every query in the session — fall back to defaults instead.
+    val enabled = scala.util.Try(
+      conf.getConfString(EnabledKey, "true").toBoolean).getOrElse(true)
+    if (!enabled) return plan
+    val width = scala.util.Try(conf.getConfString(WidthKey, "3600").toDouble)
+      .toOption.filter(w => w > 0 && !w.isInfinite && !w.isNaN).getOrElse(3600.0)
+    val maxFanout = scala.util.Try(conf.getConfString(MaxFanoutKey, "4096").toDouble)
+      .toOption.filter(k => k > 0).getOrElse(4096.0)
     plan.transformUp {
       case j @ Join(_, _, jt, Some(cond), _)
-          if (jt == Inner || jt == Cross) && cond.deterministic =>
-        rewrite(j, width).getOrElse(j)
+          if (jt == Inner || jt == Cross) && cond.deterministic &&
+            j.getTagValue(fallbackTag).isEmpty =>
+        rewrite(j, width, maxFanout).getOrElse(j)
     }
   }
 
@@ -101,7 +121,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** point, pointOnLeft, bound (opposite side), bound-is-lower. */
   private type BandBound = (Expression, Boolean, Expression, Boolean)
 
-  private def rewrite(j: Join, width: Double): Option[LogicalPlan] = {
+  private def rewrite(j: Join, width: Double, maxFanout: Double): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
     val hasEqui = conjuncts.exists {
       case EqualTo(a, b)       => crossSideEquality(a, b, j)
@@ -140,7 +160,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val (point, pointOnLeft, _, _) = bs.head
         val lo = bs.find(_._4).get._3
         val hi = bs.find(!_._4).get._3
-        build(j, point, pointOnLeft, lo, hi, width)
+        build(j, point, pointOnLeft, lo, hi, width, maxFanout)
     }
   }
 
@@ -151,13 +171,82 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     new IntegralDivide(new Subtract(a, new Pmod(a, wl)), wl)
   }
 
+  /** Build the split plan:
+    *
+    * {{{
+    * Union
+    * ├─ Project(j.output)                       -- bucketed branch (the common case)
+    * │   └─ Join(bucket_p = bucket ∧ cond)
+    * │       ├─ Project(point side + bucket_p)
+    * │       └─ Generate(explode(buckets), Filter(NOT fallback?, interval side))
+    * └─ Join(cond)                              -- nested-loop fallback (rare rows)
+    *     ├─ point side
+    *     └─ Filter(fallback?, interval side)
+    * }}}
+    *
+    * `fallback?` routes an interval row to the nested-loop branch when bucketing
+    * cannot represent it faithfully or affordably:
+    *  - a NaN bound — Spark orders NaN above every value in comparisons, but
+    *    `Floor` collapses NaN to bucket 0, breaking the monotonicity the exactness
+    *    argument needs;
+    *  - an infinite bound, or any band spanning ≥ maxFanout buckets — the explode
+    *    would be unbounded (`sequence()` throws past 2³¹) or pathological. The
+    *    span test runs in DOUBLE so ±∞ stays ±∞ instead of overflowing long
+    *    arithmetic.
+    * Null bounds stay on the bucketed branch (the span predicate is null →
+    * coalesce(false)): they explode to zero buckets, matching the naive join's
+    * null-comparison drop. NaN POINTS need no routing — their bucket is wrong but
+    * the original condition re-filters every candidate pair, and a NaN point can
+    * only ever satisfy a NaN upper bound, which routes its interval row to the
+    * fallback. Both branches reuse the ORIGINAL child subtrees (same attribute
+    * ids), so the Union's first-branch output is exactly `j.output` and parent
+    * operators stay resolved.
+    */
+  /** True when the band is FIXED-WIDTH — `hi = lo + C` (or `lo = hi - C`) with a
+    * foldable offset whose span fits in maxFanout buckets. Such bands need no
+    * nested-loop fallback at all: the explode is bounded by construction, and the
+    * IEEE specials degenerate consistently because both bounds derive from one
+    * base value (lo NaN ⇒ hi NaN ⇒ both bucket to 0 and the re-checked original
+    * condition decides; ±∞ + C stays ±∞ ⇒ a one-bucket sequence at the clamped
+    * extreme). Mixed-specials bands (hi NaN while lo finite) cannot arise from a
+    * fixed offset, and those are exactly the ones that break monotonicity. */
+  private def staticallyBounded(
+      lo: Expression, hi: Expression, width: Double, maxFanout: Double,
+      isTs: Boolean): Boolean = {
+    // base-plus-constant shapes: Add/Subtract (numerics), TimestampAddInterval /
+    // DateAddInterval / DatetimeSub (ts ± ANSI or calendar interval)
+    val offsetClasses = Set(
+      "Add", "Subtract", "TimestampAddInterval", "TimeAddInterval",
+      "DateAddInterval", "DatetimeSub")
+    def evalOffset(e: Expression): Option[Double] = e.eval(null) match {
+      case micros: java.lang.Long => Some(math.abs(micros.doubleValue()))
+      case n: java.lang.Number    => Some(math.abs(n.doubleValue()))
+      case ci: org.apache.spark.unsafe.types.CalendarInterval if ci.months == 0 =>
+        Some(math.abs(ci.days * 86400e6 + ci.microseconds))
+      case _ => None
+    }
+    def offsetMagnitude(base: Expression, derived: Expression): Option[Double] =
+      derived match {
+        case d if d.semanticEquals(base) => Some(0.0)  // point band
+        case b: BinaryExpression
+            if offsetClasses.contains(b.getClass.getSimpleName) &&
+              b.left.semanticEquals(base) && b.right.foldable =>
+          evalOffset(b.right)
+        case _ => None
+      }
+    val off = offsetMagnitude(lo, hi).orElse(offsetMagnitude(hi, lo))
+    val widthUnits = if (isTs) width * 1e6 else width
+    off.exists(c => c.isFinite && c / widthUnits + 2 <= maxFanout)
+  }
+
   private def build(
       j: Join,
       point: Expression,
       pointOnLeft: Boolean,
       lo: Expression,
       hi: Expression,
-      width: Double): LogicalPlan = {
+      width: Double,
+      maxFanout: Double): LogicalPlan = {
     val isTs = point.dataType == TimestampType
     def bucket(e: Expression): Expression =
       if (isTs) floorDivLong(UnixMicros(e), math.max(1L, (width * 1e6).toLong))
@@ -165,6 +254,22 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     val startB = bucket(lo)
     val stopB  = bucket(hi)
+    val needFallback = !staticallyBounded(lo, hi, width, maxFanout, isTs)
+
+    def isNaN(e: Expression): Expression = e.dataType match {
+      case FloatType | DoubleType => IsNaN(e)
+      case _                      => Literal(false)
+    }
+    val spanTooBig = GreaterThanOrEqual(
+      new Subtract(Cast(stopB, DoubleType), Cast(startB, DoubleType)),
+      Literal(maxFanout))
+    val toFallback =
+      Coalesce(Seq(Or(Or(spanTooBig, isNaN(lo)), isNaN(hi)), Literal(false)))
+
+    val intervalSide = if (pointOnLeft) j.right else j.left
+    val pointSide    = if (pointOnLeft) j.left else j.right
+
+    // bucketed branch --------------------------------------------------------
     val arrTpe = ArrayType(LongType, containsNull = false)
     val emptyArr = Literal.create(Array.empty[Long], arrTpe)
     // Guard: inverted band (lo > hi) or null bound → empty sequence → row drops,
@@ -175,26 +280,32 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // long sequences, and optimizer-injected nodes skip ResolveTimeZone.
       new Sequence(startB, stopB, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
       emptyArr)
-
     val bucketAttr = AttributeReference("__graft_ij_bucket", LongType, nullable = false)()
-    val intervalSide = if (pointOnLeft) j.right else j.left
     val exploded = Generate(
       Explode(buckets),
       unrequiredChildIndex = Nil,
       outer = false,
       qualifier = None,
       generatorOutput = Seq(bucketAttr),
-      child = intervalSide)
-
-    val pointSide = if (pointOnLeft) j.left else j.right
+      child = if (needFallback) Filter(Not(toFallback), intervalSide) else intervalSide)
     val pointBucket = Alias(bucket(point), "__graft_ij_bucket_p")()
     val projected = Project(pointSide.output :+ pointBucket, pointSide)
-
     val eq = EqualTo(pointBucket.toAttribute, bucketAttr)
     val newCond = And(eq, j.condition.get)
     val (nl, nr) = if (pointOnLeft) (projected, exploded) else (exploded, projected)
     // Original output attributes pass through untouched; strip the bucket columns.
-    Project(j.output, Join(nl, nr, j.joinType, Some(newCond), j.hint))
+    val bucketed = Project(j.output, Join(nl, nr, j.joinType, Some(newCond), j.hint))
+
+    if (!needFallback) return bucketed
+
+    // nested-loop fallback for the rare unbucketable interval rows -----------
+    val fallbackInterval = Filter(toFallback, intervalSide)
+    val (fl, fr) = if (pointOnLeft) (pointSide, fallbackInterval)
+                   else (fallbackInterval, pointSide)
+    val fallback = Join(fl, fr, j.joinType, j.condition, j.hint)
+    fallback.setTagValue(fallbackTag, ())
+
+    Union(Seq(bucketed, fallback))
   }
 }
 

@@ -13,13 +13,16 @@ import org.apache.spark.sql.types._
   */
 object SinkQueries {
 
-  /** Sink directory keyed by scale-factor dir AND process id so no two JVMs (a spec
-    * run racing Verify, or two Verify invocations at the same SF) ever share a path;
-    * within one JVM the path is stable and SaveMode.Overwrite keeps reruns clean. */
+  /** Uniqueness suffix: scale-factor dir AND process id, so no two JVMs (a spec run
+    * racing Verify, or two Verify invocations at the same SF) ever share a path or
+    * table name; within one JVM it is stable so SaveMode.Overwrite keeps reruns
+    * clean. Shared by the sink dirs and q69's bucketed table names. */
+  private def runSuffix(sfDir: String): String =
+    s"${Integer.toHexString(sfDir.hashCode)}_p${ProcessHandle.current().pid()}"
+
   private def tmp(name: String, sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_sink_${name}_${Integer.toHexString(sfDir.hashCode)}_p${ProcessHandle.current().pid()}")
-      .getAbsolutePath
+      s"graft_sink_${name}_${runSuffix(sfDir)}").getAbsolutePath
 
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -199,9 +202,8 @@ object SinkQueries {
     * (broadcast would also skip the exchange, but for the wrong reason).
     * PlanSpec asserts the no-hash-exchange shape. */
   private def q69(s: SparkSession, d: String): DataFrame = {
-    val sfx = s"${Integer.toHexString(d.hashCode)}_p${ProcessHandle.current().pid()}"
-    val ob = s"graft_orders_bkt_$sfx"
-    val cb = s"graft_customer_bkt_$sfx"
+    val ob = s"graft_orders_bkt_${runSuffix(d)}"
+    val cb = s"graft_customer_bkt_${runSuffix(d)}"
     T.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", tmp("orders_bkt", d))

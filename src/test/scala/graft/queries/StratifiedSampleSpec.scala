@@ -21,15 +21,18 @@ class StratifiedSampleSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
     assert(!sampled.contains("signup"), "stratum with no declared fraction must vanish")
-    assert(sampled("purchase") == totals("purchase"), "fraction 1.0 keeps every row")
+    assert(sampled.getOrElse("purchase", 0L) == totals.getOrElse("purchase", -1L),
+      "fraction 1.0 keeps every row")
     for ((typ, frac) <- fractions if frac < 1.0) {
-      val n = totals(typ).toDouble
+      // getOrElse(0): a stratum sampling to zero rows is statistically legal for
+      // tiny strata and must read as count 0, not a NoSuchElementException
+      val n = totals.getOrElse(typ, 0L).toDouble
       val expected = frac * n
       // 5 sigma of Binomial(n, frac): far tighter than any plausible regression,
       // far looser than seed-to-seed wobble
       val tol = 5.0 * math.sqrt(n * frac * (1 - frac))
-      assert(math.abs(sampled(typ) - expected) <= tol,
-        s"$typ: got ${sampled(typ)}, expected $expected +- $tol")
+      assert(math.abs(sampled.getOrElse(typ, 0L) - expected) <= tol,
+        s"$typ: got ${sampled.getOrElse(typ, 0L)}, expected $expected +- $tol")
     }
   }
 
