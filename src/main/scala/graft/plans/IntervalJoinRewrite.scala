@@ -106,17 +106,27 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _                    => false
     }
 
-  private def bucketable(t: DataType): Boolean = t match {
-    case TimestampType     => true
-    case _: NumericType    => true
-    case _                 => false
+  /** Type family of a band: decides the bucket arithmetic and the width unit —
+    * seconds for timestamps, days for dates, plain value units for numerics. */
+  private sealed trait Family
+  private case object TsFamily extends Family
+  private case object DateFamily extends Family
+  private case object NumFamily extends Family
+
+  private def familyOf(t: DataType): Option[Family] = t match {
+    case TimestampType  => Some(TsFamily)
+    case DateType       => Some(DateFamily)
+    case _: NumericType => Some(NumFamily)
+    case _              => None
   }
 
-  private def sameFamily(a: DataType, b: DataType): Boolean = (a, b) match {
-    case (TimestampType, TimestampType)    => true
-    case (_: NumericType, _: NumericType)  => true
-    case _                                 => false
-  }
+  private def bucketable(t: DataType): Boolean = familyOf(t).isDefined
+
+  private def sameFamily(a: DataType, b: DataType): Boolean =
+    (familyOf(a), familyOf(b)) match {
+      case (Some(fa), Some(fb)) => fa == fb
+      case _                    => false
+    }
 
   /** point, pointOnLeft, bound (opposite side), bound-is-lower. */
   private type BandBound = (Expression, Boolean, Expression, Boolean)
@@ -212,32 +222,51 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * fixed offset, and those are exactly the ones that break monotonicity. */
   private def staticallyBounded(
       lo: Expression, hi: Expression, width: Double, maxFanout: Double,
-      isTs: Boolean): Boolean = {
-    // base-plus-constant shapes: Add/Subtract (numerics), TimestampAddInterval /
-    // DateAddInterval / DatetimeSub (ts ± ANSI or calendar interval)
-    val offsetClasses = Set(
-      "Add", "Subtract", "TimestampAddInterval", "TimeAddInterval",
-      "DateAddInterval", "DatetimeSub")
-    def evalOffset(e: Expression): Option[Double] = e.eval(null) match {
+      family: Family): Boolean = {
+    // base-plus-constant shapes, with the offset converted to the family's width
+    // unit: Add/Subtract carry plain numeric units, DateAdd/DateSub whole days,
+    // the interval-add classes micros (or a day-carrying CalendarInterval)
+    def evalMicrosOrUnits(e: Expression): Option[Double] = e.eval(null) match {
       case micros: java.lang.Long => Some(math.abs(micros.doubleValue()))
       case n: java.lang.Number    => Some(math.abs(n.doubleValue()))
       case ci: org.apache.spark.unsafe.types.CalendarInterval if ci.months == 0 =>
         Some(math.abs(ci.days * 86400e6 + ci.microseconds))
       case _ => None
     }
+    def evalNum(e: Expression): Option[Double] = e.eval(null) match {
+      case n: java.lang.Number => Some(math.abs(n.doubleValue()))
+      case _                   => None
+    }
+    def offsetUnits(b: BinaryExpression): Option[Double] =
+      (b.getClass.getSimpleName, family) match {
+        case ("Add" | "Subtract", NumFamily)   => evalNum(b.right)
+        case ("DateAdd" | "DateSub", DateFamily) => evalNum(b.right) // days
+        case ("TimestampAddInterval" | "TimeAddInterval" | "DatetimeSub", TsFamily) =>
+          evalMicrosOrUnits(b.right)
+        case ("DateAddInterval" | "DatetimeSub", DateFamily) =>
+          evalMicrosOrUnits(b.right).map(_ / 86400e6) // micros -> days
+        case _ => None
+      }
     def offsetMagnitude(base: Expression, derived: Expression): Option[Double] =
       derived match {
         case d if d.semanticEquals(base) => Some(0.0)  // point band
-        case b: BinaryExpression
-            if offsetClasses.contains(b.getClass.getSimpleName) &&
-              b.left.semanticEquals(base) && b.right.foldable =>
-          evalOffset(b.right)
+        case b: BinaryExpression if b.left.semanticEquals(base) && b.right.foldable =>
+          offsetUnits(b)
         case _ => None
       }
     val off = offsetMagnitude(lo, hi).orElse(offsetMagnitude(hi, lo))
-    val widthUnits = if (isTs) width * 1e6 else width
+    val widthUnits = family match {
+      case TsFamily   => width * 1e6
+      case DateFamily => widthDays(width).toDouble
+      case NumFamily  => width
+    }
     off.exists(c => c.isFinite && c / widthUnits + 2 <= maxFanout)
   }
+
+  /** Width in whole days for date bands: the conf is in seconds, floor-rounded up
+    * to at least one day so a sub-day width still buckets sanely. */
+  private def widthDays(width: Double): Long =
+    math.max(1L, math.round(width / 86400.0))
 
   private def build(
       j: Join,
@@ -247,14 +276,19 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       hi: Expression,
       width: Double,
       maxFanout: Double): LogicalPlan = {
-    val isTs = point.dataType == TimestampType
-    def bucket(e: Expression): Expression =
-      if (isTs) floorDivLong(UnixMicros(e), math.max(1L, (width * 1e6).toLong))
-      else Floor(new Divide(Cast(e, DoubleType), Literal(width)))
+    val family = familyOf(point.dataType).get
+    def bucket(e: Expression): Expression = family match {
+      case TsFamily =>
+        floorDivLong(UnixMicros(e), math.max(1L, (width * 1e6).toLong))
+      case DateFamily =>
+        floorDivLong(Cast(UnixDate(e), LongType), widthDays(width))
+      case NumFamily =>
+        Floor(new Divide(Cast(e, DoubleType), Literal(width)))
+    }
 
     val startB = bucket(lo)
     val stopB  = bucket(hi)
-    val needFallback = !staticallyBounded(lo, hi, width, maxFanout, isTs)
+    val needFallback = !staticallyBounded(lo, hi, width, maxFanout, family)
 
     def isNaN(e: Expression): Expression = e.dataType match {
       case FloatType | DoubleType => IsNaN(e)

@@ -204,6 +204,40 @@ object EventQueries {
        GROUP BY e1.event_type
        ORDER BY event_type"""
 
+  /** Forward as-of join (q30's mirror): each purchase matched to the user's NEXT
+    * click at or after it — same single-shuffle union+carry operator, mirrored
+    * frame. Ties at equal click time resolve to the smallest click id. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_t"),
+        col("event_id").as("click_event_id"), col("ts").as("click_ts_val"))
+    AsOfJoin.forward(purchases, clicks, key = "user_id",
+        leftTime = "ts", rightTime = "click_t", tieBreak = "click_event_id")
+      .select(
+        col("event_id"),
+        date_format(col("ts"), fmt).as("ts"),
+        col("click_event_id"),
+        date_format(col("click_ts_val"), fmt).as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q74Sql =
+    s"""$evCte,
+       p AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click'),
+       j AS (
+         SELECT p.event_id, p.ts, c.event_id AS click_event_id, c.ts AS click_ts,
+           ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts ASC, c.event_id ASC) AS rn
+         FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts >= p.ts)
+       SELECT event_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts, click_event_id,
+         CASE WHEN click_ts IS NULL THEN NULL
+              ELSE STRFTIME(click_ts, '%Y-%m-%d %H:%M:%S') END AS click_ts
+       FROM j WHERE rn = 1
+       ORDER BY event_id"""
+
   /** Stratified sampling (`sampleBy`): per-stratum Bernoulli sampling with explicit
     * fractions — the class-balancing / downsampling primitive of a training-data
     * pipeline (e.g. downweight `view` events, keep every `purchase`). Per-row
@@ -256,5 +290,6 @@ object EventQueries {
     QDef("q68_band_join_rule", q68, Some(q68Sql)),
     QDef("q71_stratified_sample", q71, None),
     QDef("q72_dedup_keep_newest", q72, Some(q72Sql)),
+    QDef("q74_asof_forward", q74, Some(q74Sql)),
   )
 }

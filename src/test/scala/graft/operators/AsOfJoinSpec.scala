@@ -5,6 +5,31 @@ import graft.SparkSpec
 /** As-of join semantics: inclusive backward match, tie-breaking, unmatched lefts. */
 class AsOfJoinSpec extends SparkSpec {
 
+  test("forward as-of picks the earliest right row at or after each left time") {
+    import spark.implicits._
+    val left = Seq(
+      ("u1", 10L, "L1"),  // equal-time right row at 10 -> inclusive match
+      ("u1", 16L, "L2"),  // next right is 20
+      ("u1", 30L, "L3"),  // after every right row -> no match
+      ("u2", 1L, "L4")    // key with no right rows
+    ).toDF("k", "t", "lname")
+    val right = Seq(
+      ("u1", 10L, 100L),
+      ("u1", 20L, 200L),
+      ("u1", 20L, 201L)   // tie at t=20: SMALLEST tieBreak wins going forward
+    ).toDF("k", "rt", "rid")
+
+    val out = AsOfJoin.forward(left, right, key = "k",
+      leftTime = "t", rightTime = "rt", tieBreak = "rid")
+      .select("lname", "rid").as[(String, Option[Long])].collect().toMap
+
+    assert(out("L1") == Some(100L))
+    assert(out("L2") == Some(200L))
+    assert(out("L3") == None)
+    assert(out("L4") == None)
+    assert(out.size == 4)
+  }
+
   test("backward as-of picks the latest right row at or before each left time") {
     import spark.implicits._
     val left = Seq(

@@ -179,6 +179,45 @@ class IntervalJoinSpec extends SparkSpec {
     spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
   }
 
+  test("date band join matches naive (width rounds up to whole days)") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def mkJoin(): DataFrame = {
+      val pts = Seq(
+        (1L, d("2024-01-15")), (2L, d("2024-03-01")),
+        (3L, d("1969-06-30")),  // negative unix days
+        (4L, d("2024-12-31")))
+        .toDF("pid", "dt")
+      val ivs = Seq(
+        (10L, d("2024-01-01"), d("2024-01-31")),
+        (11L, d("1969-01-01"), d("1969-12-31")),
+        (12L, d("2024-06-01"), d("2024-05-01")))  // inverted
+        .toDF("iid", "lo", "hi")
+      pts.join(ivs, pts("dt") >= ivs("lo") && pts("dt") <= ivs("hi"))
+    }
+    spark.conf.set(IntervalJoinRewrite.WidthKey, (86400 * 7).toString) // weekly buckets
+    val naive = withoutRule(sortedRows(mkJoin()))
+    val bucketed = withRule { assertRewritten(mkJoin()); sortedRows(mkJoin()) }
+    assert(bucketed == naive)
+    assert(naive.exists(_.startsWith("[3,")), "pre-1970 date match must survive")
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+  }
+
+  test("SQL-text band joins (BETWEEN) are rewritten too — no API opt-in") {
+    import spark.implicits._
+    Seq((1L, 5.0), (2L, 42.0), (3L, 99.0)).toDF("pid", "v")
+      .createOrReplaceTempView("ij_pts")
+    Seq((10L, 0.0, 10.0), (11L, 40.0, 50.0)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("ij_ivs")
+    def q() = spark.sql(
+      "SELECT pid, iid FROM ij_pts JOIN ij_ivs ON v BETWEEN lo AND hi")
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "10")
+    val naive = withoutRule(sortedRows(q()))
+    val bucketed = withRule { assertRewritten(q()); sortedRows(q()) }
+    assert(bucketed == naive && naive == Seq("[1,10]", "[2,11]"))
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+  }
+
   test("IEEE specials and giant bands: fallback branch keeps results exact") {
     import spark.implicits._
     val inf = Double.PositiveInfinity
