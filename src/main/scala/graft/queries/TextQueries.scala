@@ -388,6 +388,51 @@ object TextQueries {
        FROM tf JOIN dfreq USING (token) CROSS JOIN n
        ORDER BY doc_id, token"""
 
+  /** Changeset merge (CDC-style upsert/delete apply) — the corpus-refresh op of a
+    * training-data pipeline: base documents full-outer joined with a changeset of
+    * updates (op=U), deletes (op=D), and inserts (op=I); the survivor takes the
+    * change's content when present. One shuffle on the key — and at 100 TB the
+    * base side would be bucketBy(doc_id) tables (q69's layout), making every
+    * periodic merge shuffle-free on the big side. The changeset here is derived
+    * deterministically from the base table so the oracle can reproduce it. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val docs = T.documents(s, d)
+    val base = docs.select(col("doc_id"), col("text"))
+    val updatesDeletes = docs
+      .filter(col("doc_id") % 13 === 0 || col("doc_id") % 7 === 0)
+      .select(
+        when(col("doc_id") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("doc_id"),
+        concat(lit("v2 "), col("text")).as("new_text"))
+    val inserts = docs.filter(col("doc_id") < 20)
+      .select(lit("I").as("op"), (col("doc_id") + 10000).as("doc_id"),
+        col("text").as("new_text"))
+    val changes = updatesDeletes.unionByName(inserts)
+    base.join(changes, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        col("doc_id"),
+        coalesce(col("op"), lit("keep")).as("op_applied"),
+        md5(coalesce(col("new_text"), col("text"))).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q75Sql =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+       changes AS (
+         SELECT CASE WHEN doc_id % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                doc_id, 'v2 ' || text AS new_text
+         FROM documents WHERE doc_id % 13 = 0 OR doc_id % 7 = 0
+         UNION ALL
+         SELECT 'I' AS op, doc_id + 10000 AS doc_id, text AS new_text
+         FROM documents WHERE doc_id < 20)
+       SELECT doc_id,
+         COALESCE(op, 'keep') AS op_applied,
+         md5(COALESCE(new_text, text)) AS content_md5
+       FROM base FULL OUTER JOIN changes USING (doc_id)
+       WHERE COALESCE(op, '') <> 'D'
+       ORDER BY doc_id"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q32_token_counts", q32, Some(q32Sql)),
     QDef("q33_tf_per_doc", q33, Some(q33Sql)),
@@ -400,5 +445,6 @@ object TextQueries {
     QDef("q40_token_regex_count", q40, Some(q40Sql)),
     QDef("q41_fingerprint", q41, Some(q41Sql)),
     QDef("q70_tfidf", q70, Some(q70Sql)),
+    QDef("q75_changeset_merge", q75, Some(q75Sql)),
   )
 }
