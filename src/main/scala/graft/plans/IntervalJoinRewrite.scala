@@ -181,6 +181,64 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     new IntegralDivide(new Subtract(a, new Pmod(a, wl)), wl)
   }
 
+  private def staticallyBounded(
+      lo: Expression, hi: Expression, width: Double, maxFanout: Double,
+      family: Family): Boolean = {
+    // base-plus-constant shapes, with the offset converted to the family's width
+    // unit: Add/Subtract carry plain numeric units, DateAdd/DateSub whole days,
+    // the interval-add classes micros (or a day-carrying CalendarInterval)
+    def evalMicrosOrUnits(e: Expression): Option[Double] = e.eval(null) match {
+      case micros: java.lang.Long => Some(math.abs(micros.doubleValue()))
+      case n: java.lang.Number    => Some(math.abs(n.doubleValue()))
+      case ci: org.apache.spark.unsafe.types.CalendarInterval if ci.months == 0 =>
+        Some(math.abs(ci.days * 86400e6 + ci.microseconds))
+      case _ => None
+    }
+    def evalNum(e: Expression): Option[Double] = e.eval(null) match {
+      case n: java.lang.Number => Some(math.abs(n.doubleValue()))
+      case _                   => None
+    }
+    def offsetUnits(b: BinaryExpression): Option[Double] =
+      (b.getClass.getSimpleName, family) match {
+        case ("Add" | "Subtract", NumFamily)   => evalNum(b.right)
+        case ("DateAdd" | "DateSub", DateFamily) => evalNum(b.right) // days
+        case ("TimestampAddInterval" | "TimeAddInterval" | "DatetimeSub", TsFamily) =>
+          evalMicrosOrUnits(b.right)
+        case ("DateAddInterval" | "DatetimeSub", DateFamily) =>
+          evalMicrosOrUnits(b.right).map(_ / 86400e6) // micros -> days
+        case _ => None
+      }
+    def offsetMagnitude(base: Expression, derived: Expression): Option[Double] =
+      derived match {
+        case d if d.semanticEquals(base) => Some(0.0)  // point band
+        case b: BinaryExpression if b.left.semanticEquals(base) && b.right.foldable =>
+          offsetUnits(b)
+        case _ => None
+      }
+    // Fractional bound types keep the fallback even for fixed offsets: a finite
+    // base near Double.MaxValue can overflow to +Inf when the offset is added,
+    // giving a finite start bucket and a Long.MaxValue stop bucket with no span
+    // guard. Integral/timestamp arithmetic either cannot overflow silently or
+    // throws identically in both plans (ANSI), so the proof holds there.
+    val fractional = Seq(lo.dataType, hi.dataType).exists {
+      case FloatType | DoubleType => true
+      case _                      => false
+    }
+    if (fractional) return false
+    val off = offsetMagnitude(lo, hi).orElse(offsetMagnitude(hi, lo))
+    val widthUnits = family match {
+      case TsFamily   => width * 1e6
+      case DateFamily => widthDays(width).toDouble
+      case NumFamily  => width
+    }
+    off.exists(c => c.isFinite && c / widthUnits + 2 <= maxFanout)
+  }
+
+  /** Width in whole days for date bands: the conf is in seconds, floor-rounded up
+    * to at least one day so a sub-day width still buckets sanely. */
+  private def widthDays(width: Double): Long =
+    math.max(1L, math.round(width / 86400.0))
+
   /** Build the split plan:
     *
     * {{{
@@ -220,54 +278,6 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * condition decides; ±∞ + C stays ±∞ ⇒ a one-bucket sequence at the clamped
     * extreme). Mixed-specials bands (hi NaN while lo finite) cannot arise from a
     * fixed offset, and those are exactly the ones that break monotonicity. */
-  private def staticallyBounded(
-      lo: Expression, hi: Expression, width: Double, maxFanout: Double,
-      family: Family): Boolean = {
-    // base-plus-constant shapes, with the offset converted to the family's width
-    // unit: Add/Subtract carry plain numeric units, DateAdd/DateSub whole days,
-    // the interval-add classes micros (or a day-carrying CalendarInterval)
-    def evalMicrosOrUnits(e: Expression): Option[Double] = e.eval(null) match {
-      case micros: java.lang.Long => Some(math.abs(micros.doubleValue()))
-      case n: java.lang.Number    => Some(math.abs(n.doubleValue()))
-      case ci: org.apache.spark.unsafe.types.CalendarInterval if ci.months == 0 =>
-        Some(math.abs(ci.days * 86400e6 + ci.microseconds))
-      case _ => None
-    }
-    def evalNum(e: Expression): Option[Double] = e.eval(null) match {
-      case n: java.lang.Number => Some(math.abs(n.doubleValue()))
-      case _                   => None
-    }
-    def offsetUnits(b: BinaryExpression): Option[Double] =
-      (b.getClass.getSimpleName, family) match {
-        case ("Add" | "Subtract", NumFamily)   => evalNum(b.right)
-        case ("DateAdd" | "DateSub", DateFamily) => evalNum(b.right) // days
-        case ("TimestampAddInterval" | "TimeAddInterval" | "DatetimeSub", TsFamily) =>
-          evalMicrosOrUnits(b.right)
-        case ("DateAddInterval" | "DatetimeSub", DateFamily) =>
-          evalMicrosOrUnits(b.right).map(_ / 86400e6) // micros -> days
-        case _ => None
-      }
-    def offsetMagnitude(base: Expression, derived: Expression): Option[Double] =
-      derived match {
-        case d if d.semanticEquals(base) => Some(0.0)  // point band
-        case b: BinaryExpression if b.left.semanticEquals(base) && b.right.foldable =>
-          offsetUnits(b)
-        case _ => None
-      }
-    val off = offsetMagnitude(lo, hi).orElse(offsetMagnitude(hi, lo))
-    val widthUnits = family match {
-      case TsFamily   => width * 1e6
-      case DateFamily => widthDays(width).toDouble
-      case NumFamily  => width
-    }
-    off.exists(c => c.isFinite && c / widthUnits + 2 <= maxFanout)
-  }
-
-  /** Width in whole days for date bands: the conf is in seconds, floor-rounded up
-    * to at least one day so a sub-day width still buckets sanely. */
-  private def widthDays(width: Double): Long =
-    math.max(1L, math.round(width / 86400.0))
-
   private def build(
       j: Join,
       point: Expression,

@@ -414,7 +414,9 @@ object TextQueries {
         col("doc_id"),
         coalesce(col("op"), lit("keep")).as("op_applied"),
         md5(coalesce(col("new_text"), col("text"))).as("content_md5"))
-      .orderBy(col("doc_id"))
+      // doc_id alone is not total once inserts (x+10000) can collide with real
+      // ids at big SFs — order on all columns per determinism convention (1)
+      .orderBy(col("doc_id"), col("op_applied"), col("content_md5"))
   }
 
   private val q75Sql =
@@ -431,7 +433,7 @@ object TextQueries {
          md5(COALESCE(new_text, text)) AS content_md5
        FROM base FULL OUTER JOIN changes USING (doc_id)
        WHERE COALESCE(op, '') <> 'D'
-       ORDER BY doc_id"""
+       ORDER BY doc_id, op_applied, content_md5"""
 
   val defs: Seq[QDef] = Seq(
     QDef("q32_token_counts", q32, Some(q32Sql)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** As-of join semantics: inclusive backward match, tie-breaking, unmatched lefts. */
 class AsOfJoinSpec extends SparkSpec {
@@ -28,6 +29,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("L3") == None)
     assert(out("L4") == None)
     assert(out.size == 4)
+  }
+
+  test("null keys and null times never match, in either direction") {
+    import spark.implicits._
+    val left = Seq(
+      (Some("u1"), Some(10L), "L1"),   // normal: matches
+      (None, Some(10L), "L2"),         // null key -> no match
+      (Some("u1"), None, "L3"),        // null time -> no match
+      (None, None, "L4")               // both null -> no match
+    ).toDF("k", "t", "lname")
+    val right = Seq(
+      (Some("u1"), Some(5L), Some(100L)),
+      (None, Some(1L), Some(666L)),    // null-key right: must never be carried
+      (Some("u1"), None, Some(777L))   // null-time right: must never be carried
+    ).toDF("k", "rt", "rid")
+
+    for (dir <- Seq("backward", "forward")) {
+      val joined =
+        if (dir == "backward")
+          AsOfJoin.backward(left, right, "k", "t", "rt", "rid")
+        else AsOfJoin.forward(left, right.withColumn("rt", col("rt") + 10), "k", "t", "rt", "rid")
+      val out = joined.select("lname", "rid").as[(String, Option[Long])].collect().toMap
+      assert(out.size == 4, s"$dir must preserve all left rows")
+      assert(out("L1") == Some(100L), s"$dir: normal row must match")
+      Seq("L2", "L3", "L4").foreach { l =>
+        assert(out(l) == None, s"$dir: $l must not match (got ${out(l)})")
+      }
+    }
   }
 
   test("backward as-of picks the latest right row at or before each left time") {
