@@ -107,6 +107,19 @@ class AsOfJoinSpec extends SparkSpec {
 
     assert(fast.size == 500 && slow.size == 500)
     assert(fast == slow)
+
+    // forward direction against its own quadratic reference (earliest rt >= t,
+    // ties -> smallest rid)
+    val fastF = AsOfJoin.forward(left, right, "k", "t", "rt", "rid")
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+    val wF = Window.partitionBy(col("lid")).orderBy(col("rt").asc, col("rid").asc)
+    val slowF = left.join(right.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("rt") >= col("t"), "left")
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") === 1)
+      .select(col("lid"), col("rid")).as[(Long, Option[Long])].collect().toMap
+    assert(fastF.size == 500 && slowF.size == 500)
+    assert(fastF == slowF)
   }
 
   test("result preserves all left rows and columns exactly once") {
