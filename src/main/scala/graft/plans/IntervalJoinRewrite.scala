@@ -51,10 +51,12 @@ import org.apache.spark.sql.types._
   * Config (read at optimization time; malformed values fall back to defaults
   * rather than poisoning the optimizer for every query):
   *   - `spark.graft.intervalJoin.enabled`      (default true)
-  *   - `spark.graft.intervalJoin.bucketWidth`  (default 3600 — seconds for
-  *     timestamp bands, plain value units for numeric bands). A width far smaller
-  *     than the band fans the interval side out; far larger degrades toward
-  *     per-bucket cartesian. Pick W ≈ the band size.
+  *   - `spark.graft.intervalJoin.bucketWidth`  (seconds for timestamp/date
+  *     bands, plain value units for numeric bands). UNSET by default: a
+  *     fixed-width band (`hi = lo + C`) auto-derives W = C — at most 2 buckets
+  *     per interval row — and other shapes fall back to 3600. A width far
+  *     smaller than the band fans the interval side out; far larger degrades
+  *     toward per-bucket cartesian. Width affects speed only, never results.
   *   - `spark.graft.intervalJoin.maxFanout`    (default 4096) — bands spanning at
   *     least this many buckets take the nested-loop fallback instead of exploding.
   *
@@ -81,15 +83,17 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val enabled = scala.util.Try(
       conf.getConfString(EnabledKey, "true").toBoolean).getOrElse(true)
     if (!enabled) return plan
-    val width = scala.util.Try(conf.getConfString(WidthKey, "3600").toDouble)
-      .toOption.filter(w => w > 0 && !w.isInfinite && !w.isNaN).getOrElse(3600.0)
+    // None = unset or invalid -> auto-derive from the band when fixed-width,
+    // else the 3600 default
+    val widthOpt = scala.util.Try(conf.getConfString(WidthKey, "").toDouble)
+      .toOption.filter(w => w > 0 && !w.isInfinite && !w.isNaN)
     val maxFanout = scala.util.Try(conf.getConfString(MaxFanoutKey, "4096").toDouble)
       .toOption.filter(k => k > 0).getOrElse(4096.0)
     plan.transformUp {
       case j @ Join(_, _, jt, Some(cond), _)
           if (jt == Inner || jt == Cross) && cond.deterministic &&
             j.getTagValue(fallbackTag).isEmpty =>
-        rewrite(j, width, maxFanout).getOrElse(j)
+        rewrite(j, widthOpt, maxFanout).getOrElse(j)
     }
   }
 
@@ -131,7 +135,8 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** point, pointOnLeft, bound (opposite side), bound-is-lower. */
   private type BandBound = (Expression, Boolean, Expression, Boolean)
 
-  private def rewrite(j: Join, width: Double, maxFanout: Double): Option[LogicalPlan] = {
+  private def rewrite(
+      j: Join, widthOpt: Option[Double], maxFanout: Double): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
     val hasEqui = conjuncts.exists {
       case EqualTo(a, b)       => crossSideEquality(a, b, j)
@@ -170,9 +175,24 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         val (point, pointOnLeft, _, _) = bs.head
         val lo = bs.find(_._4).get._3
         val hi = bs.find(!_._4).get._3
-        build(j, point, pointOnLeft, lo, hi, width, maxFanout)
+        val family = familyOf(point.dataType).get
+        val offUnits = fixedOffsetUnits(lo, hi, family)
+        // No conf width? A fixed-width band is its own best width: W = C gives a
+        // fan-out of at most 2 buckets per interval row. Width never affects
+        // results (monotonicity argument above), so auto-deriving is safe.
+        val width = widthOpt.getOrElse(defaultWidth(offUnits, family))
+        build(j, point, pointOnLeft, lo, hi, width, maxFanout, family, offUnits)
     }
   }
+
+  /** Conf-equivalent width (seconds for ts/date, value units for numerics) derived
+    * from a fixed band offset; 3600 when the band shape is not statically known. */
+  private def defaultWidth(offUnits: Option[Double], family: Family): Double =
+    family match {
+      case TsFamily   => offUnits.map(u => math.max(1.0, u / 1e6)).getOrElse(3600.0)
+      case DateFamily => offUnits.map(d => math.max(86400.0, d * 86400.0)).getOrElse(3600.0)
+      case NumFamily  => offUnits.filter(_ > 0).getOrElse(3600.0)
+    }
 
   /** Exact floor division of longs: (a - pmod(a, w)) / w — correct for negative
     * values (pre-1970 timestamps), unlike truncating integer division. */
@@ -181,12 +201,14 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     new IntegralDivide(new Subtract(a, new Pmod(a, wl)), wl)
   }
 
-  private def staticallyBounded(
-      lo: Expression, hi: Expression, width: Double, maxFanout: Double,
-      family: Family): Boolean = {
-    // base-plus-constant shapes, with the offset converted to the family's width
-    // unit: Add/Subtract carry plain numeric units, DateAdd/DateSub whole days,
-    // the interval-add classes micros (or a day-carrying CalendarInterval)
+  /** Magnitude of a FIXED band offset — `hi = lo + C` (or `lo = hi - C`) with a
+    * foldable C — in the family's width unit: micros for timestamps, days for
+    * dates, plain value units for numerics. None when the band shape is not
+    * base-plus-constant. Shapes: Add/Subtract carry numeric units, DateAdd/DateSub
+    * whole days, the interval-add classes micros (or a day-carrying
+    * CalendarInterval). */
+  private def fixedOffsetUnits(
+      lo: Expression, hi: Expression, family: Family): Option[Double] = {
     def evalMicrosOrUnits(e: Expression): Option[Double] = e.eval(null) match {
       case micros: java.lang.Long => Some(math.abs(micros.doubleValue()))
       case n: java.lang.Number    => Some(math.abs(n.doubleValue()))
@@ -200,7 +222,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     def offsetUnits(b: BinaryExpression): Option[Double] =
       (b.getClass.getSimpleName, family) match {
-        case ("Add" | "Subtract", NumFamily)   => evalNum(b.right)
+        case ("Add" | "Subtract", NumFamily)     => evalNum(b.right)
         case ("DateAdd" | "DateSub", DateFamily) => evalNum(b.right) // days
         case ("TimestampAddInterval" | "TimeAddInterval" | "DatetimeSub", TsFamily) =>
           evalMicrosOrUnits(b.right)
@@ -215,23 +237,35 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           offsetUnits(b)
         case _ => None
       }
-    // Fractional bound types keep the fallback even for fixed offsets: a finite
-    // base near Double.MaxValue can overflow to +Inf when the offset is added,
-    // giving a finite start bucket and a Long.MaxValue stop bucket with no span
-    // guard. Integral/timestamp arithmetic either cannot overflow silently or
-    // throws identically in both plans (ANSI), so the proof holds there.
+    offsetMagnitude(lo, hi).orElse(offsetMagnitude(hi, lo))
+  }
+
+  /** True when the band is fixed-width AND fits in maxFanout buckets. Such bands
+    * need no nested-loop fallback: the explode is bounded by construction, and
+    * IEEE specials degenerate consistently because both bounds derive from one
+    * base value (lo NaN ⇒ hi NaN ⇒ both bucket to 0 and the re-checked original
+    * condition decides; ±∞ + C stays ±∞ ⇒ a one-bucket sequence at the clamped
+    * extreme). Mixed-specials bands (hi NaN while lo finite) cannot arise from a
+    * fixed offset, and those are exactly the ones that break monotonicity.
+    * Fractional bound types keep the fallback even so: a finite base near
+    * Double.MaxValue can overflow to +Inf when the offset is added, giving a
+    * finite start bucket and a Long.MaxValue stop bucket with no span guard.
+    * Integral/timestamp arithmetic either cannot overflow silently or throws
+    * identically in both plans (ANSI), so the proof holds there. */
+  private def staticallyBounded(
+      offUnits: Option[Double], lo: Expression, hi: Expression,
+      width: Double, maxFanout: Double, family: Family): Boolean = {
     val fractional = Seq(lo.dataType, hi.dataType).exists {
       case FloatType | DoubleType => true
       case _                      => false
     }
     if (fractional) return false
-    val off = offsetMagnitude(lo, hi).orElse(offsetMagnitude(hi, lo))
     val widthUnits = family match {
       case TsFamily   => width * 1e6
       case DateFamily => widthDays(width).toDouble
       case NumFamily  => width
     }
-    off.exists(c => c.isFinite && c / widthUnits + 2 <= maxFanout)
+    offUnits.exists(c => c.isFinite && c / widthUnits + 2 <= maxFanout)
   }
 
   /** Width in whole days for date bands: the conf is in seconds, floor-rounded up
@@ -270,14 +304,6 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * ids), so the Union's first-branch output is exactly `j.output` and parent
     * operators stay resolved.
     */
-  /** True when the band is FIXED-WIDTH — `hi = lo + C` (or `lo = hi - C`) with a
-    * foldable offset whose span fits in maxFanout buckets. Such bands need no
-    * nested-loop fallback at all: the explode is bounded by construction, and the
-    * IEEE specials degenerate consistently because both bounds derive from one
-    * base value (lo NaN ⇒ hi NaN ⇒ both bucket to 0 and the re-checked original
-    * condition decides; ±∞ + C stays ±∞ ⇒ a one-bucket sequence at the clamped
-    * extreme). Mixed-specials bands (hi NaN while lo finite) cannot arise from a
-    * fixed offset, and those are exactly the ones that break monotonicity. */
   private def build(
       j: Join,
       point: Expression,
@@ -285,8 +311,9 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       lo: Expression,
       hi: Expression,
       width: Double,
-      maxFanout: Double): LogicalPlan = {
-    val family = familyOf(point.dataType).get
+      maxFanout: Double,
+      family: Family,
+      offUnits: Option[Double]): LogicalPlan = {
     def bucket(e: Expression): Expression = family match {
       case TsFamily =>
         floorDivLong(UnixMicros(e), math.max(1L, (width * 1e6).toLong))
@@ -298,7 +325,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     val startB = bucket(lo)
     val stopB  = bucket(hi)
-    val needFallback = !staticallyBounded(lo, hi, width, maxFanout, family)
+    val needFallback = !staticallyBounded(offUnits, lo, hi, width, maxFanout, family)
 
     def isNaN(e: Expression): Expression = e.dataType match {
       case FloatType | DoubleType => IsNaN(e)

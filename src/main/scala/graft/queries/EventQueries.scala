@@ -172,15 +172,15 @@ object EventQueries {
   /** PURE band join — no equi key at all: every pair of events (any users) where the
     * second falls in the 2-minute window after the first. Catalyst alone plans this
     * as BroadcastNestedLoopJoin, O(n²) — ~10^10 comparisons at sf0.1 and unrunnable
-    * at 100 TB — so this query rides [[graft.plans.IntervalJoinRewrite]]: time is
-    * bucketed into 600 s buckets and the join becomes a shuffled equi join on the
-    * bucket, O(n) with one exchange pair. The rule is installed session-wide here
-    * (idempotent; it only ever touches band joins with both bounds and no equi
-    * conjunct, so the rest of the corpus plans unchanged). */
+    * at 100 TB — so this query rides [[graft.plans.IntervalJoinRewrite]]: the rule
+    * detects the fixed 2-minute band, auto-derives a 120 s bucket width (no conf
+    * needed), and the join becomes a shuffled equi join on the bucket, O(n) with
+    * one exchange pair. The rule is installed session-wide here (idempotent; it
+    * only ever touches band joins with both bounds and no equi conjunct, so the
+    * rest of the corpus plans unchanged). */
   private def q68(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     s.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
-    s.conf.set(graft.plans.IntervalJoinRewrite.WidthKey, "600")
     val ev = T.events(s, d)
     val e1 = ev.select(col("ts").as("t1"), col("event_type").as("type1"))
     val e2 = ev.select(col("ts").as("t2"))

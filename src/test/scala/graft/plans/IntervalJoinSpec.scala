@@ -145,12 +145,17 @@ class IntervalJoinSpec extends SparkSpec {
   }
 
   test("q68 (declared band-join query) is rewritten, not nested-loop") {
+    spark.conf.unset(IntervalJoinRewrite.WidthKey) // exercise auto-derivation
     val df = graft.Registry.byName("q68_band_join_rule").fn(spark, "/root/testdata/sf0.001")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"q68's final plan must ride the rewrite (empty fallback pruned by AQE):\n${plan.take(600)}")
     assert(plan.contains("__graft_ij_bucket"))
+    // the fixed 2-minute band auto-derives W = 120 s = 120,000,000 micros with no
+    // conf set — visible as the floor-division divisor in the bucket expressions
+    assert(plan.contains("120000000"),
+      s"expected auto-derived 120 s bucket width in:\n${plan.take(900)}")
     spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
   }
 
