@@ -475,6 +475,31 @@ object RelationalQueries {
        FROM (SELECT DISTINCT user_id, event_type FROM events)
        ORDER BY n_distinct_pairs"""
 
+  /** Skew-salted join declared as a contract row: the fact side's hot keys are
+    * spread across 8 salts (operators.SaltedJoin — deterministic row-identity
+    * salt, small side replicated 8×), so one hot supplier cannot pin a single
+    * reducer at 100 TB. Salting is plan-internal: the aggregated result is
+    * EXACTLY the plain join's, which is what the DuckDB oracle checks. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val sup = T.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.SaltedJoin.inner(li, sup, "l_suppkey", n = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val q76Sql =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       GROUP BY s_nationkey
+       ORDER BY s_nationkey"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q01_pricing_summary", q01, Some(q01Sql)),
     QDef("q02_filter_predicates", q02, Some(q02Sql)),
@@ -496,5 +521,6 @@ object RelationalQueries {
     QDef("q18_union_ops", q18, Some(q18Sql)),
     QDef("q19_intersect_except", q19, Some(q19Sql)),
     QDef("q20_dedup_subset", q20, Some(q20Sql)),
+    QDef("q76_salted_skew_join", q76, Some(q76Sql)),
   )
 }
