@@ -181,6 +181,10 @@ object EventQueries {
   private def q68(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.install(s)
     s.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
+    // a leftover session-level width tuned for some numeric band (e.g. 0.01)
+    // would span this 120 s band over >maxFanout buckets and silently route the
+    // whole join to the nested-loop fallback — pin the auto-derived width
+    s.conf.unset(graft.plans.IntervalJoinRewrite.WidthKey)
     val ev = T.events(s, d)
     val e1 = ev.select(col("ts").as("t1"), col("event_type").as("type1"))
     val e2 = ev.select(col("ts").as("t2"))
