@@ -103,6 +103,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchEvents.count())
   }
 
+  test("foreachBatch sink: streamed parquet output equals the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("fb_sink").toFile.getAbsolutePath
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir)
+    val q = EventStreams.tumblingCounts(stream).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000), "foreachBatch stream did not finish")
+    val streamed = spark.read.parquet(dir).filter(col("event_type") =!= "sentinel")
+    val batch = EventStreams.tumblingCounts(batchEvents)
+      .filter(col("event_type") =!= "sentinel")
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("stream-stream interval join (self-join): replay equals batch") {
     val streamed = replay("ssjoin", "append")(EventStreams.purchaseClickJoin(_))
     val batch = EventStreams.purchaseClickJoin(batchEvents)
