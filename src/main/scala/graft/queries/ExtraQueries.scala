@@ -193,6 +193,63 @@ object ExtraQueries {
        ORDER BY revenue DESC, l_orderkey
        LIMIT 10"""
 
+  /** Unpivot (melt): wide per-row measures to long (measure, value) rows — the
+    * inverse of q62's pivot and the standard reshape before per-measure
+    * aggregation or feature export. Narrow, shuffle-free projection (internally a
+    * Generate/Expand — each row fans out to one row per measure, no exchange).
+    * DuckDB twin uses UNION ALL, which is the same reshape spelled portably. */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(round(col("l_quantity"), 2).as("l_quantity"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"),
+          round(col("l_discount"), 2).as("l_discount")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  private val q77Sql =
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+         SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           ROUND(l_quantity, 2) AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           ROUND(l_extendedprice, 2) FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount',
+           ROUND(l_discount, 2) FROM lineitem)
+       WHERE l_orderkey < 100
+       ORDER BY l_orderkey, l_linenumber, measure"""
+
+  /** Histogram profiling: fixed-width value bucketing + per-bucket counts — the
+    * data-distribution profile a pipeline computes before choosing filters or
+    * partitioning. Bucket index is portable floor arithmetic (both engines floor
+    * the same double division; clamping bounds the index domain), one hash
+    * aggregation, no window. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val lo = 900.0; val w = 10000.0; val nb = 11
+    val bucket = least(greatest(
+      floor((col("o_totalprice") - lit(lo)) / lit(w)), lit(0)), lit(nb - 1))
+    T.orders(s, d)
+      .select(bucket.cast("long").as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo_price"),
+        round(max(col("o_totalprice")), 2).as("hi_price"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q78Sql =
+    """SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 900.0) / 10000.0), 0), 10) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo_price,
+       ROUND(MAX(o_totalprice), 2) AS hi_price
+       FROM orders
+       GROUP BY 1
+       ORDER BY bucket"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q67_sql_api", q67, Some(q67Sql)),
     QDef("q61_argminmax_median", q61, Some(q61Sql)),
@@ -200,5 +257,7 @@ object ExtraQueries {
     QDef("q63_window_distribution", q63, Some(q63Sql)),
     QDef("q64_supplier_star", q64, Some(q64Sql)),
     QDef("q65_outer_join_variants", q65, Some(q65Sql)),
+    QDef("q77_unpivot", q77, Some(q77Sql)),
+    QDef("q78_histogram", q78, Some(q78Sql)),
   )
 }
