@@ -38,9 +38,13 @@ import org.apache.spark.sql.types._
   * round-to-nearest double division + floor for numerics (double division by a
   * positive constant is monotone non-decreasing even with rounding).
   *
-  * Fires only when the join would otherwise be nested-loop: inner/cross join with a
-  * deterministic condition containing NO cross-side equality (anything Spark can
-  * already hash-join is left alone). Guards: null points/bounds bucket to null /
+  * Fires only when the join would otherwise be nested-loop: a deterministic
+  * condition containing NO cross-side equality (anything Spark can already
+  * hash-join is left alone). Inner and cross joins rewrite unconditionally;
+  * left-semi, left-anti, and left-outer band joins ("events not inside any
+  * maintenance window") rewrite when the point is on the preserved side and the
+  * band is statically bounded — see [[build]] for why those two restrictions are
+  * load-bearing. Guards: null points/bounds bucket to null /
   * empty sequences and drop, matching the naive join's null-comparison semantics;
   * an inverted band (lo > hi) yields an empty sequence, not a Sequence runtime
   * error. Interval rows bucketing cannot represent faithfully — NaN or infinite
@@ -91,11 +95,22 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       .toOption.filter(k => k > 0).getOrElse(4096.0)
     plan.transformUp {
       case j @ Join(_, _, jt, Some(cond), _)
-          if (jt == Inner || jt == Cross) && cond.deterministic &&
+          if supportedJoinType(jt) && cond.deterministic &&
             j.getTagValue(fallbackTag).isEmpty =>
         rewrite(j, widthOpt, maxFanout).getOrElse(j)
     }
   }
+
+  /** Inner/cross rewrite unconditionally (with fallback when needed); semi, anti,
+    * and left-outer rewrite only in the restricted shape [[build]] documents. */
+  private def supportedJoinType(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
+    jt match {
+      case Inner | Cross => true
+      case org.apache.spark.sql.catalyst.plans.LeftSemi  => true
+      case org.apache.spark.sql.catalyst.plans.LeftAnti  => true
+      case org.apache.spark.sql.catalyst.plans.LeftOuter => true
+      case _             => false
+    }
 
   /** true = expression references only the left child (constants anchor nothing). */
   private def refSide(e: Expression, j: Join): Option[Boolean] =
@@ -182,7 +197,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // results (monotonicity argument above), so auto-deriving is safe.
         val width = widthOpt.getOrElse(defaultWidth(offUnits, family))
         build(j, point, pointOnLeft, lo, hi, width, maxFanout, family, offUnits)
-    }
+    }.flatten
   }
 
   /** Conf-equivalent width (seconds for ts/date, value units for numerics) derived
@@ -304,6 +319,14 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * ids), so the Union's first-branch output is exactly `j.output` and parent
     * operators stay resolved.
     */
+  /** Returns None for join-type/shape combinations the rewrite cannot express
+    * exactly:
+    *  - semi/anti/left-outer need the POINT on the left (preserved) side — with
+    *    the point on the right, the Generate would duplicate preserved rows and
+    *    existence tests would apply per exploded copy, not per original row;
+    *  - semi/anti/left-outer also need a statically bounded band (no fallback
+    *    branch): a row matching in BOTH branches would double-emit from a
+    *    semi-union, and an anti must prove non-existence across branches. */
   private def build(
       j: Join,
       point: Expression,
@@ -313,7 +336,9 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       width: Double,
       maxFanout: Double,
       family: Family,
-      offUnits: Option[Double]): LogicalPlan = {
+      offUnits: Option[Double]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi}
+    val isInnerLike = j.joinType == Inner || j.joinType == Cross
     def bucket(e: Expression): Expression = family match {
       case TsFamily =>
         floorDivLong(UnixMicros(e), math.max(1L, (width * 1e6).toLong))
@@ -326,6 +351,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val startB = bucket(lo)
     val stopB  = bucket(hi)
     val needFallback = !staticallyBounded(offUnits, lo, hi, width, maxFanout, family)
+    if (!isInnerLike && (!pointOnLeft || needFallback)) return None
 
     def isNaN(e: Expression): Expression = e.dataType match {
       case FloatType | DoubleType => IsNaN(e)
@@ -363,20 +389,40 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val projected = Project(pointSide.output :+ pointBucket, pointSide)
     val eq = EqualTo(pointBucket.toAttribute, bucketAttr)
     val newCond = And(eq, j.condition.get)
-    val (nl, nr) = if (pointOnLeft) (projected, exploded) else (exploded, projected)
-    // Original output attributes pass through untouched; strip the bucket columns.
-    val bucketed = Project(j.output, Join(nl, nr, j.joinType, Some(newCond), j.hint))
 
-    if (!needFallback) return bucketed
+    j.joinType match {
+      case Inner | Cross =>
+        val (nl, nr) = if (pointOnLeft) (projected, exploded) else (exploded, projected)
+        // Original output attrs pass through untouched; strip the bucket columns.
+        val bucketed = Project(j.output, Join(nl, nr, j.joinType, Some(newCond), j.hint))
+        if (!needFallback) return Some(bucketed)
+        // nested-loop fallback for the rare unbucketable interval rows
+        val fallbackInterval = Filter(toFallback, intervalSide)
+        val (fl, fr) = if (pointOnLeft) (pointSide, fallbackInterval)
+                       else (fallbackInterval, pointSide)
+        val fallback = Join(fl, fr, j.joinType, j.condition, j.hint)
+        fallback.setTagValue(fallbackTag, ())
+        Some(Union(Seq(bucketed, fallback)))
 
-    // nested-loop fallback for the rare unbucketable interval rows -----------
-    val fallbackInterval = Filter(toFallback, intervalSide)
-    val (fl, fr) = if (pointOnLeft) (pointSide, fallbackInterval)
-                   else (fallbackInterval, pointSide)
-    val fallback = Join(fl, fr, j.joinType, j.condition, j.hint)
-    fallback.setTagValue(fallbackTag, ())
+      // existence tests: the exploded interval side carries distinct buckets per
+      // row and the left side is unchanged, so bucketed semi/anti equals band
+      // semi/anti row-for-row (multiplicity of the left preserved)
+      case LeftSemi | LeftAnti =>
+        Some(Project(j.output,
+          Join(projected, exploded, j.joinType, Some(newCond), j.hint)))
 
-    Union(Seq(bucketed, fallback))
+      // left outer = bucketed inner matches ∪ anti-unmatched lefts null-extended
+      case LeftOuter =>
+        val inner = Project(j.output,
+          Join(projected, exploded, Inner, Some(newCond), j.hint))
+        val rightNulls = j.right.output.map(a =>
+          Alias(Literal.create(null, a.dataType), a.name)())
+        val unmatched = Project(j.left.output ++ rightNulls,
+          Join(projected, exploded, LeftAnti, Some(newCond), j.hint))
+        Some(Union(Seq(inner, unmatched)))
+
+      case _ => None
+    }
   }
 }
 

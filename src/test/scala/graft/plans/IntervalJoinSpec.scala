@@ -223,6 +223,51 @@ class IntervalJoinSpec extends SparkSpec {
     spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
   }
 
+  test("semi, anti, and left-outer band joins rewrite exactly (fixed integral band)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def pts() = ((1 to 80).map(i =>
+      (i.toLong, if (i % 11 == 0) None else Some(rnd.nextInt(2000).toLong))) :+
+      (99L, None)).toDF("pid", "v")
+    def ivs() = ((1 to 30).map(i =>
+      (i.toLong + 500, if (i % 7 == 0) None else Some(rnd.nextInt(2000).toLong))) :+
+      (599L, None)).toDF("iid", "lo")
+    // fixed-width integral band: hi = lo + 50 (statically bounded, no fallback)
+    def joined(tpe: String) = {
+      val (p, iv) = (pts(), ivs())
+      p.join(iv, p("v") >= iv("lo") && p("v") <= iv("lo") + 50, tpe)
+    }
+    for (tpe <- Seq("left_semi", "left_anti", "left_outer")) {
+      // fresh deterministic data per plan build: re-seed so both runs see the same rows
+      rnd.setSeed(7)
+      val naive = withoutRule(sortedRows(joined(tpe)))
+      rnd.setSeed(7)
+      val rewritten = withRule {
+        val df = joined(tpe)
+        assertRewritten(df)
+        rnd.setSeed(7)
+        sortedRows(joined(tpe))
+      }
+      assert(rewritten == naive, s"$tpe diverged")
+      assert(naive.nonEmpty, s"$tpe fixture must produce rows")
+    }
+  }
+
+  test("semi band join with the point on the preserved side's OPPOSITE is left alone") {
+    import spark.implicits._
+    val p = Seq((1L, 5L), (2L, 100L)).toDF("pid", "v")
+    val iv = Seq((10L, 0L)).toDF("iid", "lo")
+    // left side is the INTERVAL side: rewriting would duplicate preserved rows
+    val df = iv.join(p, p("v") >= iv("lo") && p("v") <= iv("lo") + 50, "left_semi")
+    withRule {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_ij_bucket"),
+        s"point-on-right semi must stay naive:\n$plan")
+    }
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
   test("IEEE specials and giant bands: fallback branch keeps results exact") {
     import spark.implicits._
     val inf = Double.PositiveInfinity
