@@ -185,8 +185,12 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     // A band = one point expression bounded below AND above from the other side.
-    bounds.groupBy { case (p, ps, _, _) => (p.canonicalized, ps) }.collectFirst {
-      case (_, bs) if bs.exists(_._4) && bs.exists(!_._4) =>
+    // build() can decline a group (semi/anti/outer shape limits), so try every
+    // band group rather than committing to the hash-order-first one.
+    bounds.groupBy { case (p, ps, _, _) => (p.canonicalized, ps) }
+      .valuesIterator
+      .filter(bs => bs.exists(_._4) && bs.exists(!_._4))
+      .map { bs =>
         val (point, pointOnLeft, _, _) = bs.head
         val lo = bs.find(_._4).get._3
         val hi = bs.find(!_._4).get._3
@@ -197,7 +201,8 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         // results (monotonicity argument above), so auto-deriving is safe.
         val width = widthOpt.getOrElse(defaultWidth(offUnits, family))
         build(j, point, pointOnLeft, lo, hi, width, maxFanout, family, offUnits)
-    }.flatten
+      }
+      .collectFirst { case Some(plan) => plan }
   }
 
   /** Conf-equivalent width (seconds for ts/date, value units for numerics) derived
@@ -318,15 +323,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * fallback. Both branches reuse the ORIGINAL child subtrees (same attribute
     * ids), so the Union's first-branch output is exactly `j.output` and parent
     * operators stay resolved.
+    *
+    * Returns None for join-type/shape combinations the rewrite cannot express
+    * exactly: semi/anti/left-outer need the POINT on the left (preserved) side
+    * — with the point on the right, the Generate would duplicate preserved rows
+    * and existence tests would apply per exploded copy, not per original row —
+    * and a statically bounded band (no fallback branch): a row matching in BOTH
+    * branches would double-emit, and an anti must prove non-existence across
+    * branches.
     */
-  /** Returns None for join-type/shape combinations the rewrite cannot express
-    * exactly:
-    *  - semi/anti/left-outer need the POINT on the left (preserved) side — with
-    *    the point on the right, the Generate would duplicate preserved rows and
-    *    existence tests would apply per exploded copy, not per original row;
-    *  - semi/anti/left-outer also need a statically bounded band (no fallback
-    *    branch): a row matching in BOTH branches would double-emit from a
-    *    semi-union, and an anti must prove non-existence across branches. */
   private def build(
       j: Join,
       point: Expression,
@@ -404,22 +409,16 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         fallback.setTagValue(fallbackTag, ())
         Some(Union(Seq(bucketed, fallback)))
 
-      // existence tests: the exploded interval side carries distinct buckets per
-      // row and the left side is unchanged, so bucketed semi/anti equals band
-      // semi/anti row-for-row (multiplicity of the left preserved)
-      case LeftSemi | LeftAnti =>
+      // Existence tests and left-outer share one shape: the exploded interval
+      // side carries DISTINCT buckets per original row, and the preserved left
+      // side is unchanged, so the bucketed join equals the band join
+      // row-for-row — semi/anti existence per left row, outer matched pairs +
+      // exactly one null-extension for unmatched lefts. A single join also
+      // evaluates each child once (a Union of inner + anti would re-evaluate
+      // children, double the cost, and break on nondeterministic columns).
+      case LeftSemi | LeftAnti | LeftOuter =>
         Some(Project(j.output,
           Join(projected, exploded, j.joinType, Some(newCond), j.hint)))
-
-      // left outer = bucketed inner matches ∪ anti-unmatched lefts null-extended
-      case LeftOuter =>
-        val inner = Project(j.output,
-          Join(projected, exploded, Inner, Some(newCond), j.hint))
-        val rightNulls = j.right.output.map(a =>
-          Alias(Literal.create(null, a.dataType), a.name)())
-        val unmatched = Project(j.left.output ++ rightNulls,
-          Join(projected, exploded, LeftAnti, Some(newCond), j.hint))
-        Some(Union(Seq(inner, unmatched)))
 
       case _ => None
     }

@@ -232,7 +232,10 @@ class IntervalJoinSpec extends SparkSpec {
     def ivs() = ((1 to 30).map(i =>
       (i.toLong + 500, if (i % 7 == 0) None else Some(rnd.nextInt(2000).toLong))) :+
       (599L, None)).toDF("iid", "lo")
-    // fixed-width integral band: hi = lo + 50 (statically bounded, no fallback)
+    // fixed-width integral band: hi = lo + 50 (statically bounded, no fallback).
+    // Width 7 makes every band straddle 8+ bucket boundaries — a width larger
+    // than the data range would put everything in bucket 0 and pass vacuously.
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "7")
     def joined(tpe: String) = {
       val (p, iv) = (pts(), ivs())
       p.join(iv, p("v") >= iv("lo") && p("v") <= iv("lo") + 50, tpe)
@@ -251,6 +254,7 @@ class IntervalJoinSpec extends SparkSpec {
       assert(rewritten == naive, s"$tpe diverged")
       assert(naive.nonEmpty, s"$tpe fixture must produce rows")
     }
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
   }
 
   test("semi band join with the point on the preserved side's OPPOSITE is left alone") {

@@ -46,13 +46,15 @@ class StreamingSpec extends SparkSpec {
   private def batchEvents: DataFrame =
     graft.Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "event_type", "value")
 
-  /** Run a streaming transformation over the file replay to completion. */
-  private def replay(name: String, mode: String)(f: DataFrame => DataFrame): DataFrame = {
-    val schema = batchEvents.schema
-    val stream = spark.readStream.schema(schema)
+  /** The file-replay source — one recipe, shared by every streaming test. */
+  private def replaySource(): DataFrame =
+    spark.readStream.schema(batchEvents.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(replayDir)
-    val q = f(stream).writeStream
+
+  /** Run a streaming transformation over the file replay to completion. */
+  private def replay(name: String, mode: String)(f: DataFrame => DataFrame): DataFrame = {
+    val q = f(replaySource()).writeStream
       .format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -105,10 +107,7 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch sink: streamed parquet output equals the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("fb_sink").toFile.getAbsolutePath
-    val stream = spark.readStream.schema(batchEvents.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(replayDir)
-    val q = EventStreams.tumblingCounts(stream).writeStream
+    val q = EventStreams.tumblingCounts(replaySource()).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(dir)
