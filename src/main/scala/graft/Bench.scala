@@ -1,34 +1,53 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line {"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":...}.
+  *
+  * Methodology (fixed in round 3 after the round-2 verdict showed hash-order
+  * execution made per-query times incomparable across rounds):
+  *   - queries run in SORTED NAME ORDER — stable as queries are added;
+  *   - each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and reports the
+  *     MEDIAN, so one GC pause / compilation stall can't masquerade as a plan
+  *     regression;
+  *   - one warm-up query first absorbs JIT/classloader/codegen startup (~3 s
+  *     measured) that would otherwise land on the alphabetically-first query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: absorb JIT/classloader/codegen costs so the first timed query isn't
-    // charged for JVM startup (measured ~3s of warmup landing on whichever query
-    // happened to run first)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          System.err.println(s"[bench] FAILED: ${e.getMessage}")
           false
         }
       // failures report negative elapsed so they can never flatter the total
       val elapsed = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) elapsed else -elapsed)
+      if (ok) elapsed else -elapsed
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = Seq.fill(runs)(timeOnce(fn))
+      // any failed run poisons the query: report the (negative) failure time
+      val median = times.find(_ < 0).getOrElse(times.sorted.apply(runs / 2))
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.map(math.abs).sum
+    val total = results.map { case (_, v) => math.abs(v) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -91,8 +91,10 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // else the 3600 default
     val widthOpt = scala.util.Try(conf.getConfString(WidthKey, "").toDouble)
       .toOption.filter(w => w > 0 && !w.isInfinite && !w.isNaN)
+    // Clamp well under Int.MaxValue: a huge conf value would disarm the span
+    // guard and let sequence() attempt >2^31 elements at runtime.
     val maxFanout = scala.util.Try(conf.getConfString(MaxFanoutKey, "4096").toDouble)
-      .toOption.filter(k => k > 0).getOrElse(4096.0)
+      .toOption.filter(k => k > 0).map(k => math.min(k, 1e8)).getOrElse(4096.0)
     plan.transformUp {
       case j @ Join(_, _, jt, Some(cond), _)
           if supportedJoinType(jt) && cond.deterministic &&
@@ -102,13 +104,15 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Inner/cross rewrite unconditionally (with fallback when needed); semi, anti,
-    * and left-outer rewrite only in the restricted shape [[build]] documents. */
+    * left-outer, and right-outer rewrite only in the restricted shapes [[build]]
+    * documents. */
   private def supportedJoinType(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
     jt match {
       case Inner | Cross => true
-      case org.apache.spark.sql.catalyst.plans.LeftSemi  => true
-      case org.apache.spark.sql.catalyst.plans.LeftAnti  => true
-      case org.apache.spark.sql.catalyst.plans.LeftOuter => true
+      case org.apache.spark.sql.catalyst.plans.LeftSemi   => true
+      case org.apache.spark.sql.catalyst.plans.LeftAnti   => true
+      case org.apache.spark.sql.catalyst.plans.LeftOuter  => true
+      case org.apache.spark.sql.catalyst.plans.RightOuter => true
       case _             => false
     }
 
@@ -186,9 +190,14 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     // A band = one point expression bounded below AND above from the other side.
     // build() can decline a group (semi/anti/outer shape limits), so try every
-    // band group rather than committing to the hash-order-first one.
+    // band group rather than committing to the first one. Groups are sorted by a
+    // stable key: HashMap iteration order would make the chosen bucket key (and
+    // the plan's performance) JVM/run-dependent when two groups qualify.
     bounds.groupBy { case (p, ps, _, _) => (p.canonicalized, ps) }
-      .valuesIterator
+      .toSeq
+      .sortBy { case ((p, ps), _) => (p.toString, ps) }
+      .iterator
+      .map(_._2)
       .filter(bs => bs.exists(_._4) && bs.exists(!_._4))
       .map { bs =>
         val (point, pointOnLeft, _, _) = bs.head
@@ -229,14 +238,18 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * CalendarInterval). */
   private def fixedOffsetUnits(
       lo: Expression, hi: Expression, family: Family): Option[Double] = {
-    def evalMicrosOrUnits(e: Expression): Option[Double] = e.eval(null) match {
+    // Try-wrapped: a foldable offset that THROWS on evaluation (e.g. ANSI
+    // arithmetic overflow in the constant) must degrade to None (non-static
+    // band, fallback branch kept) rather than crash optimization of the query.
+    def safeEval(e: Expression): Option[Any] = scala.util.Try(e.eval(null)).toOption
+    def evalMicrosOrUnits(e: Expression): Option[Double] = safeEval(e).flatMap {
       case micros: java.lang.Long => Some(math.abs(micros.doubleValue()))
       case n: java.lang.Number    => Some(math.abs(n.doubleValue()))
       case ci: org.apache.spark.unsafe.types.CalendarInterval if ci.months == 0 =>
         Some(math.abs(ci.days * 86400e6 + ci.microseconds))
       case _ => None
     }
-    def evalNum(e: Expression): Option[Double] = e.eval(null) match {
+    def evalNum(e: Expression): Option[Double] = safeEval(e).flatMap {
       case n: java.lang.Number => Some(math.abs(n.doubleValue()))
       case _                   => None
     }
@@ -325,12 +338,27 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * operators stay resolved.
     *
     * Returns None for join-type/shape combinations the rewrite cannot express
-    * exactly: semi/anti/left-outer need the POINT on the left (preserved) side
-    * — with the point on the right, the Generate would duplicate preserved rows
-    * and existence tests would apply per exploded copy, not per original row —
-    * and a statically bounded band (no fallback branch): a row matching in BOTH
-    * branches would double-emit, and an anti must prove non-existence across
-    * branches.
+    * exactly. All non-inner shapes require a statically bounded band (no
+    * fallback branch): a row matching in BOTH branches would double-emit, and
+    * an anti must prove non-existence across branches. Per type:
+    *  - left-outer: point on the LEFT (preserved) side — single mirror join;
+    *  - right-outer: point on the RIGHT (preserved) side — single mirror join
+    *    (the exploded interval side is the null-producing side, so unmatched
+    *    point rows null-extend exactly once);
+    *  - semi/anti with point on the LEFT: single join (interval side exploded
+    *    is the non-preserved side);
+    *  - semi/anti with point on the RIGHT: the preserved side IS the interval
+    *    side, so exploding it duplicates preserved rows. Handled by tagging
+    *    each interval row with a `monotonically_increasing_id` BEFORE the
+    *    explode and collapsing copies after the join with a group-by on that
+    *    id. Sound despite the id's nondeterminism because the tagged subtree
+    *    appears exactly ONCE in the plan: every copy of a row inherits the id
+    *    assigned in the single evaluation, and duplicate original rows get
+    *    distinct ids (preserving semi/anti multiplicity). Anti additionally
+    *    uses an OUTER generate (zero-bucket rows must be kept — a null/inverted
+    *    band matches nothing, and anti keeps non-matching rows) plus a
+    *    left-outer join against a literal-true match marker: a row passes iff
+    *    max(marker) over its copies is null.
     */
   private def build(
       j: Join,
@@ -342,7 +370,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       maxFanout: Double,
       family: Family,
       offUnits: Option[Double]): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
     val isInnerLike = j.joinType == Inner || j.joinType == Cross
     def bucket(e: Expression): Expression = family match {
       case TsFamily =>
@@ -356,7 +384,14 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val startB = bucket(lo)
     val stopB  = bucket(hi)
     val needFallback = !staticallyBounded(offUnits, lo, hi, width, maxFanout, family)
-    if (!isInnerLike && (!pointOnLeft || needFallback)) return None
+    val shapeOk = j.joinType match {
+      case Inner | Cross         => true
+      case LeftOuter             => pointOnLeft && !needFallback
+      case RightOuter            => !pointOnLeft && !needFallback
+      case LeftSemi | LeftAnti   => !needFallback // either point side; see below
+      case _                     => false
+    }
+    if (!shapeOk) return None
 
     def isNaN(e: Expression): Expression = e.dataType match {
       case FloatType | DoubleType => IsNaN(e)
@@ -409,16 +444,68 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         fallback.setTagValue(fallbackTag, ())
         Some(Union(Seq(bucketed, fallback)))
 
-      // Existence tests and left-outer share one shape: the exploded interval
-      // side carries DISTINCT buckets per original row, and the preserved left
-      // side is unchanged, so the bucketed join equals the band join
-      // row-for-row — semi/anti existence per left row, outer matched pairs +
-      // exactly one null-extension for unmatched lefts. A single join also
-      // evaluates each child once (a Union of inner + anti would re-evaluate
-      // children, double the cost, and break on nondeterministic columns).
-      case LeftSemi | LeftAnti | LeftOuter =>
+      // Existence tests and left-outer share one shape when the point is on the
+      // preserved left side: the exploded interval side carries DISTINCT buckets
+      // per original row, and the preserved left side is unchanged, so the
+      // bucketed join equals the band join row-for-row — semi/anti existence per
+      // left row, outer matched pairs + exactly one null-extension for unmatched
+      // lefts. A single join also evaluates each child once (a Union of
+      // inner + anti would re-evaluate children, double the cost, and break on
+      // nondeterministic columns).
+      case LeftSemi | LeftAnti | LeftOuter if pointOnLeft =>
         Some(Project(j.output,
           Join(projected, exploded, j.joinType, Some(newCond), j.hint)))
+
+      // Mirror of the LeftOuter case: preserved point side on the right stays
+      // unexploded; the left interval side explodes and is the null-producing
+      // side, so unmatched rights null-extend exactly once.
+      case RightOuter =>
+        Some(Project(j.output,
+          Join(exploded, projected, RightOuter, Some(newCond), j.hint)))
+
+      // Semi/anti with the point on the RIGHT: the preserved (left) side is the
+      // interval side. Tag each interval row with a monotonic id, explode, join,
+      // then collapse copies by grouping on the id (see scaladoc for why the
+      // single-use id is sound). Linear shape: one explode, one keyed join, one
+      // hash agg on a unique key — no nested loop, no driver round-trip.
+      case LeftSemi | LeftAnti =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{First, Max}
+        val idAlias = Alias(MonotonicallyIncreasingID(), "__graft_ij_id")()
+        val idProject = Project(intervalSide.output :+ idAlias, intervalSide)
+        // Collapse copies back to one row per original id; copies are identical
+        // in every original column, so First is exact. Aliases reuse the
+        // original exprIds so parent operators stay resolved.
+        def collapse(child: LogicalPlan, extraAgg: Seq[NamedExpression]): Aggregate = {
+          val aggExprs = intervalSide.output.map { a =>
+            Alias(new First(a).toAggregateExpression(), a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+          } ++ extraAgg
+          Aggregate(Seq(idAlias.toAttribute), aggExprs, child)
+        }
+        j.joinType match {
+          case LeftSemi =>
+            val explodedId = Generate(Explode(buckets), Nil, outer = false, None,
+              Seq(bucketAttr), idProject)
+            val joined = Join(explodedId, projected, LeftSemi, Some(newCond), j.hint)
+            Some(Project(j.output, collapse(joined, Nil)))
+          case _ => // LeftAnti
+            // Outer generate: a zero-bucket row (null/inverted band) matches
+            // nothing and anti must KEEP it. Its bucket is null, so it joins
+            // nothing below.
+            val bucketAttrN =
+              AttributeReference("__graft_ij_bucket", LongType, nullable = true)()
+            val explodedId = Generate(Explode(buckets), Nil, outer = true, None,
+              Seq(bucketAttrN), idProject)
+            val marker = Alias(Literal(true), "__graft_ij_m")()
+            val projectedM =
+              Project(pointSide.output :+ pointBucket :+ marker, pointSide)
+            val condN = And(EqualTo(pointBucket.toAttribute, bucketAttrN), j.condition.get)
+            val joined = Join(explodedId, projectedM, LeftOuter, Some(condN), j.hint)
+            val anyMatch =
+              Alias(new Max(marker.toAttribute).toAggregateExpression(), "__graft_ij_any")()
+            val agg = collapse(joined, Seq(anyMatch))
+            Some(Project(j.output, Filter(IsNull(anyMatch.toAttribute), agg)))
+        }
 
       case _ => None
     }

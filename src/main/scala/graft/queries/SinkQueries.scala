@@ -212,13 +212,19 @@ object SinkQueries {
       .write.mode(SaveMode.Overwrite).format("parquet")
       .option("path", tmp("customer_bkt", d))
       .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cb)
-    s.table(ob).hint("merge")
+    val out = s.table(ob).hint("merge")
       .join(s.table(cb), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(
         count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_spent"))
       .orderBy(col("c_custkey"))
+    // Dataset analysis is eager, so the bucketed relations (incl. bucket specs)
+    // are already resolved into `out`; dropping the catalog entries now keeps
+    // repeated runs from accumulating stale tables without affecting execution.
+    s.sql(s"DROP TABLE IF EXISTS $ob")
+    s.sql(s"DROP TABLE IF EXISTS $cb")
+    out
   }
 
   private val q69Sql =

@@ -257,19 +257,86 @@ class IntervalJoinSpec extends SparkSpec {
     spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
   }
 
-  test("semi band join with the point on the preserved side's OPPOSITE is left alone") {
+  test("point-on-right semi/anti rewrite exactly via id-collapse (incl. duplicates)") {
     import spark.implicits._
-    val p = Seq((1L, 5L), (2L, 100L)).toDF("pid", "v")
-    val iv = Seq((10L, 0L)).toDF("iid", "lo")
-    // left side is the INTERVAL side: rewriting would duplicate preserved rows
-    val df = iv.join(p, p("v") >= iv("lo") && p("v") <= iv("lo") + 50, "left_semi")
-    withRule {
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("__graft_ij_bucket"),
-        s"point-on-right semi must stay naive:\n$plan")
+    // Interval side is the PRESERVED left side. Fixture stresses the collapse:
+    //  - iid 10 spans many buckets and contains points in SEVERAL buckets — its
+    //    exploded copies match more than once and must collapse to ONE output row;
+    //  - iid 10 appears TWICE (duplicate row) — semi/anti must preserve multiplicity;
+    //  - iid 12 has a null lo (matches nothing: semi drops it, anti keeps it);
+    //  - iid 13 matches nothing (anti keeps it).
+    def p() = Seq((1L, 5L), (2L, 100L), (3L, 40L), (4L, 75L)).toDF("pid", "v")
+    def iv() = Seq(
+      (10L, Some(0L)), (10L, Some(0L)), (11L, Some(90L)),
+      (12L, None: Option[Long]), (13L, Some(5000L))).toDF("iid", "lo")
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "7")
+    def joined(tpe: String) = {
+      val (ivd, pd) = (iv(), p())
+      ivd.join(pd, pd("v") >= ivd("lo") && pd("v") <= ivd("lo") + 110, tpe)
     }
-    assert(df.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    for (tpe <- Seq("left_semi", "left_anti")) {
+      val naive = withoutRule(sortedRows(joined(tpe)))
+      val rewritten = withRule {
+        assertRewritten(joined(tpe))
+        sortedRows(joined(tpe))
+      }
+      assert(rewritten == naive, s"$tpe diverged: $rewritten vs $naive")
+    }
+    // pin the exact semantics, duplicates included
+    assert(withoutRule(sortedRows(joined("left_semi"))) ==
+      Seq("[10,0]", "[10,0]", "[11,90]"))
+    assert(withoutRule(sortedRows(joined("left_anti"))) ==
+      Seq("[12,null]", "[13,5000]"))
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+  }
+
+  test("right-outer band join rewrites exactly (point on preserved right)") {
+    import spark.implicits._
+    def p() = Seq(
+      (1L, Some(5L)), (2L, Some(100L)), (3L, Some(9999L)), // 3 matches nothing
+      (4L, None: Option[Long])).toDF("pid", "v")            // null point -> null-extended
+    def iv() = Seq((10L, Some(0L)), (11L, Some(90L)), (12L, None: Option[Long]))
+      .toDF("iid", "lo")
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "7")
+    def joined() = {
+      val (ivd, pd) = (iv(), p())
+      ivd.join(pd, pd("v") >= ivd("lo") && pd("v") <= ivd("lo") + 50, "right_outer")
+    }
+    val naive = withoutRule(sortedRows(joined()))
+    val rewritten = withRule {
+      assertRewritten(joined())
+      sortedRows(joined())
+    }
+    assert(rewritten == naive, s"right_outer diverged: $rewritten vs $naive")
+    // unmatched preserved rows null-extend exactly once
+    assert(naive.count(_.startsWith("[null,null,3,")) == 1)
+    assert(naive.count(_.startsWith("[null,null,4,")) == 1)
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+  }
+
+  test("randomized point-on-right semi/anti and right-outer equal naive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (round <- 0 until 2) {
+      val ptRows = (1 to 70).map(i =>
+        (i.toLong, if (i % 9 == 0) None else Some(rnd.nextInt(1500).toLong)))
+      val ivRows = (1 to 40).map(i =>
+        (i.toLong + 500, if (i % 7 == 0) None else Some(rnd.nextInt(1500).toLong)))
+      def pts() = ptRows.toDF("pid", "v")
+      def ivs() = ivRows.toDF("iid", "lo")
+      spark.conf.set(IntervalJoinRewrite.WidthKey, "11")
+      for (tpe <- Seq("left_semi", "left_anti", "right_outer")) {
+        def joined() = {
+          val (ivd, pd) = (ivs(), pts())
+          ivd.join(pd, pd("v") >= ivd("lo") && pd("v") <= ivd("lo") + 100, tpe)
+        }
+        val naive = withoutRule(sortedRows(joined()))
+        val rewritten = withRule { assertRewritten(joined()); sortedRows(joined()) }
+        assert(rewritten == naive, s"round=$round $tpe diverged")
+        assert(naive.nonEmpty)
+      }
+    }
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
   }
 
   test("IEEE specials and giant bands: fallback branch keeps results exact") {
