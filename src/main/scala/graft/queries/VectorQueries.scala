@@ -118,17 +118,28 @@ object VectorQueries {
        ORDER BY vec_id"""
   }
 
-  /** Embedding-cosine near-duplicate detection: same-label pairs above a similarity
-    * threshold. Label partitions the pair space (the blocking key); at scale the
-    * blocking key would be an LSH bucket like q43's. */
+  /** Embedding-cosine near-duplicate detection, blocked on (label × sign-LSH
+    * bucket) — q43's 6-bit signature reused as the second blocking key. Label
+    * alone is a scale-killer: one hot label makes the within-label pair space
+    * O(n²/|labels|) and pins a single reducer. The bucket splits every label into
+    * 64 cells, so the join is a plain two-column equi-join whose pair space is
+    * O(Σ cell²) — linear-ish for any spread-out embedding distribution — and the
+    * candidate cut is re-checked against the true cosine threshold. The contract
+    * is the standard ANN near-dup semantic (candidates = same blocking cell),
+    * declared identically in the DuckDB oracle, so the hash-match is exact. */
   private def q44(s: SparkSession, d: String): DataFrame = {
     reg(s)
-    val withNorm = T.embeddings(s, d).withColumn("nrm", expr(normExpr("embedding")))
-    val a = withNorm.select(col("vec_id").as("v1"),
-      col("label"), col("embedding").as("e1"), col("nrm").as("n1"))
-    val b = withNorm.select(col("vec_id").as("v2"),
-      col("label").as("label2"), col("embedding").as("e2"), col("nrm").as("n2"))
-    a.join(b, col("label") === col("label2") && col("v1") < col("v2"))
+    val sig = (1 to 6).map(i =>
+      when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0, "1").otherwise("0"))
+    val withNorm = T.embeddings(s, d)
+      .withColumn("nrm", expr(normExpr("embedding")))
+      .withColumn("bucket", concat(sig: _*))
+    val a = withNorm.select(col("vec_id").as("v1"), col("label"),
+      col("bucket"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("v2"), col("label").as("label2"),
+      col("bucket").as("bucket2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("label") === col("label2") && col("bucket") === col("bucket2") &&
+        col("v1") < col("v2"))
       .withColumn("cos", expr(s"${dot("e1", "e2")} / (n1 * n2)"))
       .filter(col("cos") >= 0.2)
       .groupBy(col("label"))
@@ -137,18 +148,22 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
-  private val q44Sql =
-    s"""WITH e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+  private val q44Sql = {
+    val sig = (1 to 6).map(i =>
+      s"CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS nrm,
+           $sig AS bucket FROM embeddings),
        pairs AS (
          SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
            ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          FROM e a JOIN e b
-           ON a.label = b.label AND a.vec_id < b.vec_id)
+           ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
        SELECT label, COUNT(*) AS n_neardup_pairs,
          CAST(MAX(CAST(ROUND(cos * 10000) AS BIGINT)) AS BIGINT) AS max_cos_bp
        FROM pairs WHERE cos >= 0.2
        GROUP BY label
        ORDER BY label"""
+  }
 
   /** IVF-style ANN: the first 8 vectors act as fixed coarse centroids; every vector
     * is assigned to its nearest centroid (its "cell"), and queries probe only their

@@ -93,6 +93,71 @@ class PlanSpec extends SparkSpec {
       s"bucketed sides must join and aggregate without shuffling:\n${p.take(800)}")
   }
 
+  // ---- AQE-era plan pins for the heaviest queries --------------------------
+  // Exchange counts and join strategies under AQE, asserted so a future plan
+  // regression fails a test instead of surfacing as an unexplained bench delta.
+  // Counts are for THIS corpus at sf0.001 with AQE on; "+- Exchange" matching
+  // deliberately excludes ReusedExchange mentions.
+
+  private def finalPlan(name: String): String = {
+    val df = Registry.byName(name).fn(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def hashExchanges(p: String): Int =
+    "\\+\\- Exchange hashpartitioning".r.findAllIn(p).size
+
+  test("q03 pin: 4 broadcast joins, no sort-merge, 3 hash exchanges (agg only)") {
+    val p = finalPlan("q03_star_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4, s"q03 join strategy changed:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // distinct-count rewrite = 2 agg exchanges + expand; +1 for the final agg
+    assert(hashExchanges(p) <= 3, s"q03 gained a shuffle:\n$p")
+  }
+
+  test("q36 pin: pure aggregation pipeline — no join operator, 3 hash exchanges") {
+    val p = finalPlan("q36_lsh_candidates")
+    assert(!p.contains("Join"), s"LSH pair-gen must stay join-free (bucket agg):\n$p")
+    assert(hashExchanges(p) == 3, s"q36 shuffle count changed:\n$p")
+    assert(p.contains("partial_min"), "minhash must partial-aggregate map-side")
+  }
+
+  test("q44 pin: near-dup join key includes the sign-LSH bucket, not just label") {
+    val p = finalPlan("q44_cosine_neardup")
+    val joinLine = p.linesIterator.find(_.contains("HashJoin")).getOrElse(
+      fail(s"no hash join in q44 plan:\n$p"))
+    assert(joinLine.contains("bucket"),
+      s"q44 must block on (label, bucket) — label-only is all-pairs within a label:\n$joinLine")
+    assert(joinLine.contains("label"), s"label must stay in the blocking key:\n$joinLine")
+  }
+
+  test("q60 pin: cell equi-join + rank-1 via WindowGroupLimit + cached assignment") {
+    val p = finalPlan("q60_ann_ivf")
+    val joinLine = p.linesIterator.find(_.contains("HashJoin")).getOrElse(
+      fail(s"no hash join in q60 plan:\n$p"))
+    assert(joinLine.contains("cell"), s"kNN probe must join on the IVF cell:\n$joinLine")
+    assert(p.contains("WindowGroupLimit"), "rank-1 must prune inside the window")
+    assert(p.contains("InMemoryTableScan"), "centroid assignment must be cached (consumed twice)")
+  }
+
+  test("q65 pin: full-outer sort-merge + orders-agg exchange reuse") {
+    val p = finalPlan("q65_outer_join_variants")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"full outer must stay sort-merge:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the urgent-orders aggregate must reuse one exchange across both joins:\n$p")
+    assert(hashExchanges(p) <= 4, s"q65 gained a shuffle:\n$p")
+  }
+
+  test("q68 pin: band rewrite joins on the bucket with 2 agg exchanges, no extra shuffle") {
+    val p = finalPlan("q68_band_join_rule")
+    val joinLine = p.linesIterator.find(_.contains("HashJoin")).getOrElse(
+      fail(s"no hash join in q68 plan:\n$p"))
+    assert(joinLine.contains("__graft_ij_bucket"), s"band join must ride the bucket key:\n$joinLine")
+    assert(hashExchanges(p) <= 2, s"q68 gained a shuffle beyond the aggregation pair:\n$p")
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
