@@ -20,29 +20,45 @@ object KMeansMasking {
     rows.toDF("features", "weighCol")
   }
 
-  /** Cluster one channel's pixels into fg/bg; returns the boolean mask (pre-CLOSE). */
-  def mask(spark: SparkSession, image: Array[Double], w: Int, h: Int): Array[Boolean] = {
+  /** Cluster one channel's pixels into fg/bg; returns the boolean mask (pre-CLOSE)
+    * and the squared-Euclidean silhouette of the 2-clustering (S15: the reference
+    * imports ClusteringEvaluator at image_segmentation/image_masking.py:5 but never
+    * invokes it; evaluated here to close that row). */
+  def maskWithSilhouette(spark: SparkSession, image: Array[Double],
+                         w: Int, h: Int): (Array[Boolean], Double) = {
     val df = pixelDf(spark, image, w, h)
     val km = new KMeans().setK(2).setSeed(1).setMaxIter(10).setWeightCol("weighCol")
     val model = km.fit(df)
     // foreground = cluster whose centroid intensity (feature 0) is larger
     val fg = if (model.clusterCenters(0)(0) >= model.clusterCenters(1)(0)) 0 else 1
-    val pred = model.transform(df).select("prediction").collect().map(_.getInt(0))
+    val predDf = model.transform(df)
+    val sil = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
+      .setMetricName("silhouette").evaluate(predDf)
+    val pred = predDf.select("prediction").collect().map(_.getInt(0))
     val out = new Array[Boolean](w * h)
     var i = 0
     while (i < out.length) { out(i) = pred(i) == fg; i += 1 }
-    out
+    (out, sil)
   }
 
+  def mask(spark: SparkSession, image: Array[Double], w: Int, h: Int): Array[Boolean] =
+    maskWithSilhouette(spark, image, w, h)._1
+
   /** Full notebook flow for one channel: KMeans mask → elliptical CLOSE → score
-    * against the ground-truth mask. */
-  def maskAndScore(spark: SparkSession, ci: CellImage, channel: Int,
-                   kw: Int = 8, kh: Int = 8): (Array[Boolean], Double) = {
+    * against the ground-truth mask; also reports the clustering silhouette (S15). */
+  def maskScoreSilhouette(spark: SparkSession, ci: CellImage, channel: Int,
+                          kw: Int = 8, kh: Int = 8): (Array[Boolean], Double, Double) = {
     val plane = ci.width * ci.height
     val img = java.util.Arrays.copyOfRange(ci.data, channel * plane, (channel + 1) * plane)
-    val raw = mask(spark, img, ci.width, ci.height)
+    val (raw, sil) = maskWithSilhouette(spark, img, ci.width, ci.height)
     val closed = ImageKernels.close(raw, ci.width, ci.height, kw, kh)
     val gt = java.util.Arrays.copyOfRange(ci.mask, channel * plane, (channel + 1) * plane)
-    (closed, Scoring.balancedAccuracy(closed, gt))
+    (closed, Scoring.balancedAccuracy(closed, gt), sil)
+  }
+
+  def maskAndScore(spark: SparkSession, ci: CellImage, channel: Int,
+                   kw: Int = 8, kh: Int = 8): (Array[Boolean], Double) = {
+    val (m, score, _) = maskScoreSilhouette(spark, ci, channel, kw, kh)
+    (m, score)
   }
 }

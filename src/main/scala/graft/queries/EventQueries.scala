@@ -285,6 +285,34 @@ object EventQueries {
        WHERE rn = 1
        ORDER BY user_id"""
 
+  /** Batch twin of the stream-stream interval join
+    * (graft.streaming.EventStreams.purchaseClickJoin): each purchase matched to the
+    * same user's clicks in the 30 minutes before it. Declared through the SAME
+    * transformation the streaming path runs (watermark nodes are eliminated on
+    * batch children), so the DuckDB hash-match here plus StreamingSpec's
+    * replay-equals-batch test together pin the streaming operator's semantics.
+    * Plan shape: the equi conjunct (user_id) makes this a plain keyed join — one
+    * exchange pair, band predicate evaluated post-match per key. */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.purchaseClickJoin(T.events(s, d))
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("p_ts"), fmt).as("p_ts"),
+        col("click_id"),
+        date_format(col("c_ts"), fmt).as("c_ts"))
+      .orderBy(col("purchase_id"), col("click_id"))
+
+  private val q79Sql =
+    s"""$evCte,
+       p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM ev WHERE event_type = 'purchase'),
+       c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts FROM ev WHERE event_type = 'click')
+       SELECT purchase_id, user_id,
+         STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+         click_id,
+         STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+       FROM p JOIN c ON user_id = c_user
+         AND c_ts >= p_ts - INTERVAL 30 MINUTE AND c_ts <= p_ts
+       ORDER BY purchase_id, click_id"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q27_event_lag_lead", q27, Some(q27Sql)),
     QDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -295,5 +323,6 @@ object EventQueries {
     QDef("q71_stratified_sample", q71, None),
     QDef("q72_dedup_keep_newest", q72, Some(q72Sql)),
     QDef("q74_asof_forward", q74, Some(q74Sql)),
+    QDef("q79_stream_interval_join", q79, Some(q79Sql)),
   )
 }

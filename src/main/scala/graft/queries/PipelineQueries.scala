@@ -34,6 +34,39 @@ object PipelineQueries {
        ROUND(VAR_SAMP(l_quantity), 2) AS var_qty
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Element-wise Welford over ARRAYS (WelfordArrayAgg): one [n, mean, m2] state per
+    * position — the exact shape of the reference's per-channel combiners
+    * (outlier_detection.py:64-65, one combiner per channel) applied to the
+    * embeddings table. Oracle is the long-form var_samp twin (unnest + group by
+    * position), proving the element-wise Chan merge tree equals exact SQL
+    * statistics per position. Scale shape: the aggregation state is |labels| × dim
+    * buffers regardless of row count, and the whole reduction is one partial-agg
+    * shuffle of those buffers. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val wfa = udaf(new graft.functions.WelfordArrayAgg())
+    T.embeddings(s, d)
+      .select(col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("vs"))
+      .groupBy(col("label"))
+      .agg(wfa(col("vs")).as("stats"))
+      .select(col("label"), posexplode(col("stats")).as(Seq("pos", "mv")))
+      .select(col("label"), col("pos"),
+        col("mv.n").as("n"),
+        round(col("mv.mean") * 10000).cast("long").as("mean_x10k"),
+        round(col("mv.variance") * 10000).cast("long").as("var_x10k"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  private val q80Sql =
+    """WITH e AS (
+         SELECT label,
+           UNNEST(generate_series(1, len(embedding))) AS i,
+           UNNEST(embedding) AS v
+         FROM embeddings)
+       SELECT label, CAST(i - 1 AS INT) AS pos, COUNT(*) AS n,
+         CAST(ROUND(AVG(CAST(v AS DOUBLE)) * 10000) AS BIGINT) AS mean_x10k,
+         CAST(ROUND(VAR_SAMP(CAST(v AS DOUBLE)) * 10000) AS BIGINT) AS var_x10k
+       FROM e GROUP BY label, i ORDER BY label, pos"""
+
   /** Cell-image scan + typed feature extraction (S6 + F1–F4): per-channel feature
     * means over the shapes fixture. Deterministic but not SQL-expressible. */
   private def q46(s: SparkSession, d: String): DataFrame = {
@@ -51,14 +84,17 @@ object PipelineQueries {
     * The planted every-10th-image outlier population makes the counts predictable. */
   private def q47(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val images = CellImageFixtures.shapes(s, nFiles = 2, imagesPerFile = 50, channels = 9).cache()
-    val features = images.flatMap(Features.extract _)
-    val model = OutlierModel.train(features)
+    val images = CellImageFixtures.shapes(s, nFiles = 2, imagesPerFile = 50, channels = 9)
+    // Cache the EXTRACTED per-image feature rows, not the raw images: extraction
+    // is the expensive map and is consumed twice (model training + the filter
+    // predicate), so it must run once per image. Caching only the images would
+    // re-extract inside the filter — the wrong shape to copy at real scale.
+    val featuresPerImage = images.map(Features.extract _).cache()
+    val model = OutlierModel.train(featuresPerImage.flatMap(identity(_)))
     val bc = s.sparkContext.broadcast(model)
-    val kept = images.filter(ci => bc.value.isNoOutlier(Features.extract(ci)))
-    val total = images.count()
-    val keptN = kept.count()
-    images.unpersist()
+    val total = featuresPerImage.count()
+    val keptN = featuresPerImage.filter(fs => bc.value.isNoOutlier(fs)).count()
+    featuresPerImage.unpersist()
     s.createDataset(Seq((total, keptN, total - keptN)))
       .toDF("n_images", "n_kept", "n_filtered")
   }
@@ -133,11 +169,13 @@ object PipelineQueries {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.DurationInt
     val rows = Await.result(Future.traverse(images) { ci => Future {
-      val (mask, score) = graft.pipeline.KMeansMasking.maskAndScore(s, ci, channel = 0)
-      (ci.imageIdx, mask.count(identity).toLong, math.round(score * 10000))
+      val (mask, score, sil) =
+        graft.pipeline.KMeansMasking.maskScoreSilhouette(s, ci, channel = 0)
+      (ci.imageIdx, mask.count(identity).toLong, math.round(score * 10000),
+        math.round(sil * 10000))
     }}, 300.seconds)
     s.createDataset(rows)
-      .toDF("image_idx", "mask_pixels", "score_bp")
+      .toDF("image_idx", "mask_pixels", "score_bp", "silhouette_bp")
       .orderBy(col("image_idx"))
   }
 
@@ -188,5 +226,6 @@ object PipelineQueries {
     QDef("q50_kmeans_segmentation", q50, None),
     QDef("q51_multimodal_binary", q51, Some(q51Sql)),
     QDef("q52_multimodal_features", q52, None),
+    QDef("q80_welford_array", q80, Some(q80Sql)),
   )
 }

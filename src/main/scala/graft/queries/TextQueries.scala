@@ -159,10 +159,13 @@ object TextQueries {
     // element_at(toks, 0) and throw.
     //
     // Execution shape: explode shingles to long form, hash with CODEGEN'd md5/conv,
-    // fold the 16 permutation-mins in a partial-aggregating HashAggregate — ~40%
-    // faster warm (3× cold) than per-row interpreted higher-order lambdas, at the
+    // fold the 16 permutation-mins in a partial-aggregating HashAggregate, at the
     // cost of the standard minhash shuffle (one row per shingle); the HOF form
-    // survives in q35/minhashSigs where the signature itself is the output
+    // survives in q35/minhashSigs where the signature itself is the output.
+    // Head-to-head (Q36Probe, sf0.1, local[16], median of 5 warm runs each,
+    // identical 1009-pair result): explode 1.19 s vs per-row-HOF 2.07 s — the
+    // codegen'd long form is ~42% faster warm; round 2's apparent 7.4 s was
+    // single-run hash-order bench noise, not a plan regression.
     val shingleHashes = T.documents(s, d)
       .withColumn("toks", split(trim(col("text")), " "))
       .select(col("doc_id"), posexplode(expr(

@@ -165,13 +165,11 @@ class SegmentationSpec extends SparkSpec {
   test("clustering evaluator scores the pixel clustering (S15, silhouette)") {
     // the reference imports ClusteringEvaluator but never invokes it
     // (image_segmentation/image_masking.py:5) — we close the loop
-    val (img, _) = blobImage()
-    val df = KMeansMasking.pixelDf(spark, img, 24, 24)
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(2).setSeed(1).setMaxIter(10).setWeightCol("weighCol")
-    val pred = km.fit(df).transform(df)
-    val silhouette = new org.apache.spark.ml.evaluation.ClusteringEvaluator()
-      .setPredictionCol("prediction").evaluate(pred)
-    assert(silhouette > 0.5, s"fg/bg pixel clusters must be well separated: $silhouette")
+    // now wired into the production path (q50 emits silhouette_bp per image)
+    val (img, gt) = blobImage()
+    val ci = CellImage("f", 0, 24, 24, 1, img, gt)
+    val (_, _, silhouette) = KMeansMasking.maskScoreSilhouette(spark, ci, channel = 0)
+    assert(silhouette > 0.5 && silhouette <= 1.0,
+      s"fg/bg pixel clusters must be well separated: $silhouette")
   }
 }

@@ -123,10 +123,16 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream interval join (self-join): replay equals batch") {
+    // the batch side of this transform is the declared, DuckDB-hash-matched
+    // q79_stream_interval_join — so this replay test plus q79's oracle pin the
+    // streaming operator's semantics end to end
     val streamed = replay("ssjoin", "append")(EventStreams.purchaseClickJoin(_))
     val batch = EventStreams.purchaseClickJoin(batchEvents)
     assert(canon(streamed) == canon(batch))
     assert(streamed.count() > 0, "fixture must produce at least one purchase-click pair")
+    val q79 = graft.Registry.byName("q79_stream_interval_join").fn(spark, "/root/testdata/sf0.001")
+    assert(q79.columns.toSeq == Seq("purchase_id", "user_id", "p_ts", "click_id", "c_ts"),
+      "declared q79 must expose the same join output (formatted)")
   }
 
   test("watermark drops late data in streaming that batch would count") {
