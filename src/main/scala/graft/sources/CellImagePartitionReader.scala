@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
 class CellImagePartitionReader(
     part: CellImageInputPartition,
     requiredSchema: StructType,
-    channels: Option[Array[Int]]) extends PartitionReader[InternalRow] {
+    channels: Option[Array[Int]],
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   private val needData = requiredSchema.fieldNames.contains("data")
   private val needMask = requiredSchema.fieldNames.contains("mask")
@@ -28,12 +30,22 @@ class CellImagePartitionReader(
     .takeWhile(_._2 < part.endLine)
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!lines.hasNext) false
-    else {
-      current = parse(lines.next()._1)
-      true
+  /** Pushed-filter row skip on the cheap header fields only — a non-matching
+    * line's pixel arrays are never decoded. */
+  private def lineMatches(line: String): Boolean =
+    filters.isEmpty || CellImageSource.rowMatches(
+      CellImageJsonl.fileIdOf(line), CellImageJsonl.imageIdxOf(line), filters)
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next()._1
+      if (lineMatches(line)) {
+        current = parse(line)
+        return true
+      }
     }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = src.close()
@@ -122,6 +134,27 @@ class CellImagePartitionReader(
 /** Writer for the jsonl fixture layout (test + fixture tooling, not a sink). */
 object CellImageJsonl {
   import graft.pipeline.CellImage
+
+  /** fileId of one jsonl line (planning-time whole-file filter skip: a file
+    * carries exactly one fileId, so the first line answers for the file). */
+  def fileIdOf(line: String): String = {
+    val k = "\"fileId\":\""
+    val i = line.indexOf(k)
+    require(i >= 0, s"missing fileId in $line")
+    val start = i + k.length
+    line.substring(start, line.indexOf('"', start))
+  }
+
+  /** imageIdx of one jsonl line (row-level filter skip before pixel decoding). */
+  def imageIdxOf(line: String): Long = {
+    val k = "\"imageIdx\":"
+    val i = line.indexOf(k)
+    require(i >= 0, s"missing imageIdx in $line")
+    var j = i + k.length
+    var v = 0L
+    while (j < line.length && line.charAt(j).isDigit) { v = v * 10 + (line.charAt(j) - '0'); j += 1 }
+    v
+  }
 
   def write(dir: java.io.File, fileName: String, images: Seq[CellImage]): Unit = {
     dir.mkdirs()

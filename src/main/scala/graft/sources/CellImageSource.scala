@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -27,9 +27,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `channels`             comma-separated 1-based channel projection ("1,2,3")
   *  - `masked`               include the mask column (default true)
   *
-  * Pushdowns: required-column pruning (SupportsPushDownRequiredColumns — a
-  * width-only query never materializes pixel arrays) and LIMIT pushdown
-  * (SupportsPushDownLimit caps images per partition). The `channels` option is the
+  * Pushdowns (the DSv2 triad): required-column pruning
+  * (SupportsPushDownRequiredColumns — a width-only query never materializes pixel
+  * arrays), LIMIT pushdown (SupportsPushDownLimit caps images per partition), and
+  * FILTER pushdown (SupportsPushDownFilters) on the two physical-layout columns:
+  * `imageIdx` range/equality filters shrink the planned line ranges (partitions
+  * that cannot contain a qualifying image are never created), and `fileId`
+  * equality/IN filters skip whole files (a file holds exactly one fileId, read
+  * from its first line during the same pass that counts images). Pushed filters
+  * are also applied row-level in the reader BEFORE pixel decoding, and are
+  * reported back as residual so Spark re-checks them — pushdown here is pure
+  * work-skipping, never a correctness dependency. The `channels` option is the
   * manual projection pushdown the reference exposes; kept for API parity.
   */
 class CellImageSource extends TableProvider with DataSourceRegister {
@@ -59,6 +67,65 @@ object CellImageSource {
   /** 1-based channel selection from the `channels` option; None = all. */
   def channelsOf(options: CaseInsensitiveStringMap): Option[Array[Int]] =
     Option(options.get("channels")).map(_.split(",").map(_.trim.toInt))
+
+  /** Filters this source can exploit: fileId equality/IN (whole-file skip) and
+    * imageIdx comparisons (line-range pruning). */
+  def isPushable(f: Filter): Boolean = f match {
+    case EqualTo("fileId", _) | In("fileId", _)        => true
+    case EqualTo("imageIdx", _) | In("imageIdx", _)    => true
+    case GreaterThan("imageIdx", _)                    => true
+    case GreaterThanOrEqual("imageIdx", _)             => true
+    case LessThan("imageIdx", _)                       => true
+    case LessThanOrEqual("imageIdx", _)                => true
+    case _                                             => false
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _         => None
+  }
+
+  /** Conservative [lo, hi] imageIdx bounds implied by the pushed filters
+    * (inclusive); Long.MinValue/MaxValue when unbounded. */
+  def idxBounds(filters: Array[Filter]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    filters.foreach {
+      case EqualTo("imageIdx", v) => asLong(v).foreach { x => lo = math.max(lo, x); hi = math.min(hi, x) }
+      case In("imageIdx", vs) =>
+        val xs = vs.flatMap(asLong)
+        if (xs.nonEmpty) { lo = math.max(lo, xs.min); hi = math.min(hi, xs.max) }
+      case GreaterThan("imageIdx", v)        => asLong(v).foreach(x => lo = math.max(lo, x + 1))
+      case GreaterThanOrEqual("imageIdx", v) => asLong(v).foreach(x => lo = math.max(lo, x))
+      case LessThan("imageIdx", v)           => asLong(v).foreach(x => hi = math.min(hi, x - 1))
+      case LessThanOrEqual("imageIdx", v)    => asLong(v).foreach(x => hi = math.min(hi, x))
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  /** Whether a file whose images carry `fileId` can contain qualifying rows. */
+  def fileMatches(fileId: String, filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo("fileId", v) => fileId == String.valueOf(v)
+      case In("fileId", vs)     => vs.exists(v => fileId == String.valueOf(v))
+      case _                    => true
+    }
+
+  /** Row-level check on the two pushed columns (used by the reader before pixel
+    * decoding). Only the filters [[isPushable]] accepts reach this. */
+  def rowMatches(fileId: String, imageIdx: Long, filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo("fileId", v)              => fileId == String.valueOf(v)
+      case In("fileId", vs)                  => vs.exists(v => fileId == String.valueOf(v))
+      case EqualTo("imageIdx", v)            => asLong(v).contains(imageIdx)
+      case In("imageIdx", vs)                => vs.flatMap(asLong).contains(imageIdx)
+      case GreaterThan("imageIdx", v)        => asLong(v).exists(imageIdx > _)
+      case GreaterThanOrEqual("imageIdx", v) => asLong(v).exists(imageIdx >= _)
+      case LessThan("imageIdx", v)           => asLong(v).exists(imageIdx < _)
+      case LessThanOrEqual("imageIdx", v)    => asLong(v).exists(imageIdx <= _)
+      case _                                 => true
+    }
 }
 
 class CellImageTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -75,10 +142,12 @@ class CellImageTable(options: CaseInsensitiveStringMap) extends Table with Suppo
 }
 
 class CellImageScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownFilters {
 
   private var requiredSchema: StructType = CellImageSource.schemaFor(options.getBoolean("masked", true))
   private var limit: Option[Int] = None
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(required: StructType): Unit = {
     // Catalyst hands us the columns the query actually touches; everything else is
@@ -91,16 +160,28 @@ class CellImageScanBuilder(options: CaseInsensitiveStringMap)
     false // partial: the limit caps each partition; Spark still applies the global cut
   }
 
-  override def build(): Scan = new CellImageScan(options, requiredSchema, limit)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(CellImageSource.isPushable)
+    // return everything as residual: the pushed filters only SKIP work
+    // (files, line ranges, pixel decoding); Spark keeps the exact post-filter
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new CellImageScan(options, requiredSchema, limit, pushed)
 }
 
 class CellImageScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
-                    pushedLimit: Option[Int]) extends Scan with Batch {
+                    pushedLimit: Option[Int],
+                    filters: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String = {
     val ch = CellImageSource.channelsOf(options).map(_.mkString(",")).getOrElse("all")
-    s"cellimage path=${options.get("path")} channels=$ch limit=$pushedLimit required=${requiredSchema.fieldNames.mkString(",")}"
+    s"cellimage path=${options.get("path")} channels=$ch limit=$pushedLimit " +
+      s"required=${requiredSchema.fieldNames.mkString(",")} " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -109,39 +190,63 @@ class CellImageScan(options: CaseInsensitiveStringMap, requiredSchema: StructTyp
     val imageLimit0 = options.getInt("imagelimit", Int.MaxValue)
     val imageLimit = pushedLimit.fold(imageLimit0)(l => math.min(imageLimit0, l))
     val partsPerFile = math.max(1, options.getInt("numpartitionsperfile", 1))
+    // imageIdx is by format contract the 0-based image position within its file
+    // (a plane index in SCIFIO terms), so idx bounds translate directly to line
+    // ranges and partitions outside them are never planned
+    val (idxLo, idxHi) = CellImageSource.idxBounds(filters)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".jsonl"))
       .sortBy(_.getName)
       .take(fileLimit)
     files.flatMap { f =>
-      // image count = line count, capped by imagelimit; cheap for the fixture layout
-      // (a SCIFIO reader would read it from file metadata instead)
+      // image count = line count, capped by imagelimit; the same pass reads the
+      // first line's fileId (one fileId per file) for whole-file filter skips.
+      // Cheap for the fixture layout; a SCIFIO reader would use file metadata.
       val src = scala.io.Source.fromFile(f)
-      val total = try src.getLines().size finally src.close()
+      val (total, headFileId) = try {
+        val it = src.getLines()
+        if (!it.hasNext) (0, None)
+        else {
+          val head = it.next()
+          (1 + it.size, Some(CellImageJsonl.fileIdOf(head)))
+        }
+      } finally src.close()
+      val keep = headFileId.forall(CellImageSource.fileMatches(_, filters))
       val n = math.min(total, imageLimit)
-      if (n == 0) Array.empty[InputPartition]
+      // intersect [0, n) with the pushed imageIdx bounds
+      val from = math.max(0L, idxLo).toInt
+      val until = math.min(n.toLong, if (idxHi == Long.MaxValue) n.toLong else idxHi + 1).toInt
+      if (!keep || until <= from) Array.empty[InputPartition]
       else {
+        // keep the file's ORIGINAL chunk grid (ceil(n / partsPerFile) lines per
+        // chunk) and skip chunks disjoint from the pushed idx range — so a
+        // selective filter plans fewer partitions instead of re-slicing the
+        // surviving span into the same number of smaller ones
         val per = math.max(1, math.ceil(n.toDouble / partsPerFile).toInt)
-        (0 until n by per).map(start =>
-          CellImageInputPartition(f.getAbsolutePath, start, math.min(start + per, n))
-            : InputPartition).toArray
+        (0 until n by per).flatMap { start =>
+          val lo = math.max(start, from)
+          val hi = math.min(start + per, until)
+          if (lo < hi) Some(CellImageInputPartition(f.getAbsolutePath, lo, hi): InputPartition)
+          else None
+        }.toArray
       }
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CellImageReaderFactory(requiredSchema, CellImageSource.channelsOf(options))
+    new CellImageReaderFactory(requiredSchema, CellImageSource.channelsOf(options), filters)
 }
 
 /** One slice of one file: images [startLine, endLine). */
 case class CellImageInputPartition(path: String, startLine: Int, endLine: Int)
   extends InputPartition
 
-class CellImageReaderFactory(requiredSchema: StructType, channels: Option[Array[Int]])
+class CellImageReaderFactory(requiredSchema: StructType, channels: Option[Array[Int]],
+                             filters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[CellImageInputPartition]
-    new CellImagePartitionReader(p, requiredSchema, channels)
+    new CellImagePartitionReader(p, requiredSchema, channels, filters)
   }
 }

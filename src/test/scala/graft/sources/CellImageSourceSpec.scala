@@ -89,6 +89,55 @@ class CellImageSourceSpec extends SparkSpec {
     assert(scans.forall(_.scan.description().contains("limit=Some(4)")))
   }
 
+  test("imageIdx filter pushdown prunes input partitions (line-range skip)") {
+    // 4 partitions/file over 20 images = 5 images per partition; imageIdx < 5
+    // must plan exactly ONE partition per file instead of 4
+    val unfiltered = read("numpartitionsperfile" -> "4", "filelimit" -> "2")
+    assert(unfiltered.rdd.getNumPartitions == 8)
+    val df = read("numpartitionsperfile" -> "4", "filelimit" -> "2")
+      .filter("imageIdx < 5")
+    assert(df.rdd.getNumPartitions == 2, "partitions outside the idx range must not be planned")
+    assert(df.count() == 10)
+    // range with both bounds: images 6..10 -> 2 partitions per file (spans 5..10)
+    val mid = read("numpartitionsperfile" -> "4", "filelimit" -> "1")
+      .filter("imageIdx >= 6 AND imageIdx <= 10")
+    assert(mid.rdd.getNumPartitions <= 2)
+    assert(mid.count() == 5)
+  }
+
+  test("fileId filter pushdown skips whole files at planning") {
+    val df = read("numpartitionsperfile" -> "3").filter("fileId = 'file_2'")
+    // only c.jsonl (5 images) is planned: 3 partitions, not 9
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 5)
+    val in2 = read().filter("fileId IN ('file_0', 'file_2')")
+    assert(in2.rdd.getNumPartitions == 2)
+    assert(in2.count() == 25)
+  }
+
+  test("pushed filters are reported on the scan and results stay exact") {
+    val df = read().filter("fileId = 'file_1' AND imageIdx >= 18 AND width = 8")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val desc = scans.head.scan.description()
+    assert(desc.contains("PushedFilters:") && desc.contains("fileId") && desc.contains("imageIdx"),
+      s"pushed filters must be visible in the scan:\n$desc")
+    // width=8 is NOT pushable and must still filter correctly post-scan
+    assert(!desc.matches("(?s).*PushedFilters: \\[[^\\]]*width.*"))
+    assert(df.collect().map(_.getAs[Long]("imageIdx")).sorted.toSeq == Seq(18L, 19L))
+  }
+
+  test("filter pushdown composes with limit and channel projection") {
+    val df = read("channels" -> "2", "numpartitionsperfile" -> "4")
+      .filter("imageIdx = 7").limit(2)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("fileId")).sorted.toSeq ==
+      Seq("file_0", "file_1", "file_2"). take(rows.length))
+    assert(rows.forall(_.getAs[Long]("imageIdx") == 7L))
+    assert(rows.forall(_.getAs[Int]("nChannels") == 1))
+  }
+
   test("feature pipeline runs end-to-end off the source (S1 -> S6 -> F1..F4)") {
     import spark.implicits._
     import graft.pipeline.{CellImage, Features}
