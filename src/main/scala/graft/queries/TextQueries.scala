@@ -146,10 +146,12 @@ object TextQueries {
        WHERE doc_id < 100
        GROUP BY doc_id, j ORDER BY doc_id, j"""
 
-  /** LSH banding on the 16 minhashes (4 bands × 4 rows) -> candidate near-dup pairs.
-    * The band-signature equi-join is what makes near-dup O(n·bands) instead of O(n²)
-    * at corpus scale: only docs sharing a band signature ever meet in the join. */
-  private def q36(s: SparkSession, d: String): DataFrame = {
+  /** LSH banding on the 16 minhashes (4 bands × 4 rows) -> DISTINCT candidate
+    * near-dup pairs (d1 < d2). The band-signature equi-join is what makes near-dup
+    * O(n·bands) instead of O(n²) at corpus scale: only docs sharing a band
+    * signature ever meet in the join. Shared by q36 (pair count) and q81
+    * (connected-component clusters). */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
     // 3-gram SHINGLE input, not token sets: this corpus has a ~31-word vocabulary,
     // so every document contains most of the vocabulary, token-set Jaccard is
     // uniformly high, and LSH buckets explode (measured 6.3M candidate pairs at
@@ -193,29 +195,92 @@ object TextQueries {
         .as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-      .agg(count(lit(1)).as("n_candidate_pairs"))
-      .orderBy(col("n_candidate_pairs"))
   }
 
-  private val q36Sql = {
+  private def q36(s: SparkSession, d: String): DataFrame =
+    lshPairs(s, d)
+      .agg(count(lit(1)).as("n_candidate_pairs"))
+      .orderBy(col("n_candidate_pairs"))
+
+  /** Shared DuckDB CTE chain: documents → shingles → minhash sigs → bands →
+    * distinct candidate pairs (the oracle twin of [[lshPairs]]). */
+  private val lshPairCtes: String = {
     val mins = (0 until 16).map(j => s"MIN(${perm(j, "h")}) AS mh$j").mkString(", ")
     val bandSelects = (0 until 4).map { b =>
       val sig = (0 until 4).map(r => s"CAST(mh${b * 4 + r} AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $sig AS sig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    s"""docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
        shingles AS (
          SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS tok
          FROM docs),
        th AS (SELECT doc_id, ${duckTokHash("tok")} AS h FROM shingles),
        sigs AS (SELECT doc_id, $mins FROM th GROUP BY doc_id),
-       bands AS ($bandSelects)
-       SELECT COUNT(*) AS n_candidate_pairs FROM (
+       bands AS ($bandSelects),
+       pairs AS (
          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-       ORDER BY n_candidate_pairs"""
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
   }
+
+  private val q36Sql =
+    s"""WITH $lshPairCtes
+       SELECT COUNT(*) AS n_candidate_pairs FROM pairs
+       ORDER BY n_candidate_pairs"""
+
+  /** Near-dup CLUSTERS from the LSH candidate pairs: connected components by
+    * iterative min-label propagation — label(v) := min(label(v), min of neighbor
+    * labels) until a full pass changes nothing. This is the step real dedup
+    * pipelines run after candidate generation (pick one representative per
+    * duplicate cluster); at 100 TB each iteration is one keyed join + hash agg
+    * (the standard Spark connected-components shape, O(diameter) rounds — the
+    * candidate graph's components are near-cliques, so 2-3 rounds in practice).
+    * Convergence is checked via sum(label), which strictly decreases until the
+    * fixpoint; the driver-side loop carries only that one scalar per round.
+    * Oracle: DuckDB WITH RECURSIVE transitive closure over the same pairs. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshPairs(s, d).cache()
+    val edges = pairs
+      .union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var prevSum = Long.MinValue
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val neighborLabels = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = labels.union(neighborLabels)
+        .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
+      val sum2 = next.agg(sum(col("label"))).first().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = sum2 == prevSum
+      prevSum = sum2
+      iter += 1
+    }
+    val out = labels
+      .groupBy(col("label").as("rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_sort(collect_list(col("node"))).as("members"))
+      .orderBy(col("rep"))
+    edges.unpersist()
+    pairs.unpersist()
+    out
+  }
+
+  private val q81Sql =
+    s"""WITH RECURSIVE $lshPairCtes,
+       edges AS (SELECT d1 AS s, d2 AS t FROM pairs
+                 UNION ALL SELECT d2 AS s, d1 AS t FROM pairs),
+       reach(node, r) AS (
+         SELECT s, t FROM edges
+         UNION
+         SELECT reach.node, e.t FROM reach JOIN edges e ON reach.r = e.s),
+       rep AS (SELECT node, LEAST(node, MIN(r)) AS rep FROM reach GROUP BY node)
+       SELECT rep, COUNT(*) AS n_docs, list_sort(list(node)) AS members
+       FROM rep GROUP BY rep ORDER BY rep"""
 
   /** 16-bit SimHash per document: sign-sum of token-hash bits, computed entirely
     * per-row with nested folds (no explode-over-bits shuffle). */
@@ -444,6 +509,7 @@ object TextQueries {
     QDef("q34_dedup_exact", q34, Some(q34Sql)),
     QDef("q35_minhash_sig", q35, Some(q35Sql)),
     QDef("q36_lsh_candidates", q36, Some(q36Sql)),
+    QDef("q81_neardup_clusters", q81, Some(q81Sql)),
     QDef("q37_simhash", q37, Some(q37Sql)),
     QDef("q38_ngram_jaccard", q38, Some(q38Sql)),
     QDef("q39_lang_quality", q39, Some(q39Sql)),
