@@ -26,12 +26,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] FAILED: ${e.getMessage}")
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
       // failures report negative elapsed so they can never flatter the total
@@ -40,7 +41,7 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = Seq.fill(runs)(timeOnce(fn))
+      val times = Seq.fill(runs)(timeOnce(name, fn))
       // any failed run poisons the query: report the (negative) failure time
       val median = times.find(_ < 0).getOrElse(times.sorted.apply(runs / 2))
       name -> median

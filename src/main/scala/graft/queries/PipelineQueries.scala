@@ -52,7 +52,10 @@ object PipelineQueries {
       .select(col("label"), col("pos"),
         col("mv.n").as("n"),
         round(col("mv.mean") * 10000).cast("long").as("mean_x10k"),
-        round(col("mv.variance") * 10000).cast("long").as("var_x10k"))
+        // SQL var_samp of a single row is NULL; Welford.finish reports 0.0 for
+        // n<=1 — emit NULL to match the oracle on any future 1-row group
+        when(col("mv.n") >= 2,
+          round(col("mv.variance") * 10000).cast("long")).as("var_x10k"))
       .orderBy(col("label"), col("pos"))
   }
 

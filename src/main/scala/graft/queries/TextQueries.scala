@@ -253,14 +253,22 @@ object TextQueries {
         .select(edges("src").as("node"), col("label"))
       val next = labels.union(neighborLabels)
         .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
-      val sum2 = next.agg(sum(col("label"))).first().getLong(0)
+      // sum over an EMPTY frame is null — coalesce so a pair-free corpus
+      // converges immediately instead of NPE-ing on the unbox
+      val sum2 = next.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
       labels.unpersist()
       labels = next
       converged = sum2 == prevSum
       prevSum = sum2
       iter += 1
     }
-    val out = labels
+    // truncate lineage + release the loop's cache: localCheckpoint materializes
+    // the final labels (cheap — they are still cached), and its blocks are
+    // reclaimed by the ContextCleaner once the result is consumed, unlike a
+    // CacheManager entry which would leak one cached frame per invocation
+    val finalLabels = labels.localCheckpoint(true)
+    labels.unpersist()
+    val out = finalLabels
       .groupBy(col("label").as("rep"))
       .agg(count(lit(1)).as("n_docs"),
         array_sort(collect_list(col("node"))).as("members"))

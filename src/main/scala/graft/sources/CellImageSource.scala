@@ -199,19 +199,20 @@ class CellImageScan(options: CaseInsensitiveStringMap, requiredSchema: StructTyp
       .sortBy(_.getName)
       .take(fileLimit)
     files.flatMap { f =>
-      // image count = line count, capped by imagelimit; the same pass reads the
-      // first line's fileId (one fileId per file) for whole-file filter skips.
-      // Cheap for the fixture layout; a SCIFIO reader would use file metadata.
+      // Read the head line first (one fileId per file): a pushed fileId filter
+      // skips the whole file WITHOUT counting its lines — the skip saves the
+      // file's I/O, not just its partitions. Only surviving files pay the line
+      // count (capped by imagelimit; a SCIFIO reader would use file metadata).
       val src = scala.io.Source.fromFile(f)
-      val (total, headFileId) = try {
+      val (keep, total) = try {
         val it = src.getLines()
-        if (!it.hasNext) (0, None)
+        if (!it.hasNext) (false, 0)
         else {
           val head = it.next()
-          (1 + it.size, Some(CellImageJsonl.fileIdOf(head)))
+          if (!CellImageSource.fileMatches(CellImageJsonl.fileIdOf(head), filters)) (false, 0)
+          else (true, 1 + it.size)
         }
       } finally src.close()
-      val keep = headFileId.forall(CellImageSource.fileMatches(_, filters))
       val n = math.min(total, imageLimit)
       // intersect [0, n) with the pushed imageIdx bounds
       val from = math.max(0L, idxLo).toInt

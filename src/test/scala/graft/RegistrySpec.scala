@@ -22,7 +22,8 @@ class RegistrySpec extends SparkSpec {
     // every FROM/JOIN target must be a known table or a CTE defined in the query
     val fromPat = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (name, sql) =>
-      val ctes = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s+AS\\s*\\(".r
+      // both CTE forms: `name AS (` and the recursive `name(col, ...) AS (`
+      val ctes = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       fromPat.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         assert(tables.contains(t) || ctes.contains(t),
