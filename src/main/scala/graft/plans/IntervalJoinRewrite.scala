@@ -113,6 +113,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case org.apache.spark.sql.catalyst.plans.LeftAnti   => true
       case org.apache.spark.sql.catalyst.plans.LeftOuter  => true
       case org.apache.spark.sql.catalyst.plans.RightOuter => true
+      case org.apache.spark.sql.catalyst.plans.FullOuter  => true
       case _             => false
     }
 
@@ -359,6 +360,10 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     *    band matches nothing, and anti keeps non-matching rows) plus a
     *    left-outer join against a literal-true match marker: a row passes iff
     *    max(marker) over its copies is null.
+    *  - full-outer (either point side): one full-outer bucket join over the
+    *    id-tagged outer-exploded interval side; a window over the interval id
+    *    keeps matched pairs and unmatched point rows as-is and recovers exactly
+    *    one null-extension per fully-unmatched interval row (see the case body).
     */
   private def build(
       j: Join,
@@ -370,7 +375,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       maxFanout: Double,
       family: Family,
       offUnits: Option[Double]): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter, LeftSemi, RightOuter}
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftAnti, LeftOuter, LeftSemi, RightOuter}
     val isInnerLike = j.joinType == Inner || j.joinType == Cross
     def bucket(e: Expression): Expression = family match {
       case TsFamily =>
@@ -389,6 +394,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case LeftOuter             => pointOnLeft && !needFallback
       case RightOuter            => !pointOnLeft && !needFallback
       case LeftSemi | LeftAnti   => !needFallback // either point side; see below
+      case FullOuter             => !needFallback // either point side; see below
       case _                     => false
     }
     if (!shapeOk) return None
@@ -506,6 +512,58 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             val agg = collapse(joined, Seq(anyMatch))
             Some(Project(j.output, Filter(IsNull(anyMatch.toAttribute), agg)))
         }
+
+      // Full outer: both sides preserved. One full-outer join on the bucket key
+      // over the id-tagged, OUTER-exploded interval side, then a window over the
+      // interval id recovers exactly one null-extension per fully-unmatched
+      // interval row:
+      //   - matched (copy, point) pairs carry the point side's literal-true
+      //     marker and pass through (each qualifying pair meets in exactly one
+      //     bucket, so no dedup);
+      //   - unmatched POINT rows surface as full-outer rows with a null interval
+      //     id and a non-null marker — preserved as-is (the point side is never
+      //     exploded, so multiplicity is exact);
+      //   - an interval row's unmatched copies carry a null marker; the window
+      //     keeps copy #1 iff count(marker) over the id is zero.
+      // The point side gets its own monotonic id so the window partition key
+      // (isnull(id), coalesce(id, pid)) is unique per unmatched point row —
+      // null-id rows never pile into one partition. Both ids are single-use
+      // (sound per the semi/anti scaladoc). Cost: one extra window shuffle over
+      // the join output — linear, keyed, skew-bounded by the fanout.
+      case FullOuter =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+        val idAlias = Alias(MonotonicallyIncreasingID(), "__graft_ij_id")()
+        val idProject = Project(intervalSide.output :+ idAlias, intervalSide)
+        val bucketAttrN =
+          AttributeReference("__graft_ij_bucket", LongType, nullable = true)()
+        val exploded2 = Generate(Explode(buckets), Nil, outer = true, None,
+          Seq(bucketAttrN), idProject)
+        val marker = Alias(Literal(true), "__graft_ij_m")()
+        val pidAlias = Alias(MonotonicallyIncreasingID(), "__graft_ij_pid")()
+        val projectedM =
+          Project(pointSide.output :+ pointBucket :+ marker :+ pidAlias, pointSide)
+        val condN = And(EqualTo(pointBucket.toAttribute, bucketAttrN), j.condition.get)
+        val joined = Join(exploded2, projectedM, FullOuter, Some(condN), j.hint)
+
+        val partKeys: Seq[Expression] = Seq(
+          IsNull(idAlias.toAttribute),
+          Coalesce(Seq(idAlias.toAttribute, pidAlias.toAttribute)))
+        val orderSpec = Seq(SortOrder(bucketAttrN, Ascending, NullsFirst, Seq.empty))
+        val rnAlias = Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(partKeys, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+          "__graft_ij_rn")()
+        val cntAlias = Alias(WindowExpression(
+          Count(marker.toAttribute).toAggregateExpression(),
+          WindowSpecDefinition(partKeys, orderSpec,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
+          "__graft_ij_cnt")()
+        val win = Window(Seq(rnAlias, cntAlias), partKeys, orderSpec, joined)
+        val keep = Or(
+          IsNotNull(marker.toAttribute),
+          And(EqualTo(cntAlias.toAttribute, Literal(0L)),
+            EqualTo(rnAlias.toAttribute, Literal(1))))
+        Some(Project(j.output, Filter(keep, win)))
 
       case _ => None
     }

@@ -314,6 +314,39 @@ class IntervalJoinSpec extends SparkSpec {
     spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
   }
 
+  test("full-outer band join rewrites exactly (both orientations, incl. duplicates)") {
+    import spark.implicits._
+    // stresses both recoveries: pts 3/4 match nothing (unmatched point rows kept
+    // once), iid 12/13 match nothing (one null-extension per interval row, not
+    // per exploded copy), iid 10 duplicated (multiplicity preserved), iid 10
+    // matches points in multiple buckets (matched pairs not deduped)
+    def p() = Seq(
+      (1L, Some(5L)), (2L, Some(100L)), (3L, Some(9999L)),
+      (4L, None: Option[Long])).toDF("pid", "v")
+    def iv() = Seq(
+      (10L, Some(0L)), (10L, Some(0L)), (11L, Some(90L)),
+      (12L, None: Option[Long]), (13L, Some(5000L))).toDF("iid", "lo")
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "7")
+    for (pointLeft <- Seq(true, false)) {
+      def joined() = {
+        val (ivd, pd) = (iv(), p())
+        val cond = pd("v") >= ivd("lo") && pd("v") <= ivd("lo") + 110
+        if (pointLeft) pd.join(ivd, cond, "full_outer")
+        else ivd.join(pd, cond, "full_outer")
+      }
+      val naive = withoutRule(sortedRows(joined()))
+      val rewritten = withRule {
+        assertRewritten(joined())
+        sortedRows(joined())
+      }
+      assert(rewritten == naive, s"full_outer pointLeft=$pointLeft diverged:\n$rewritten\nvs\n$naive")
+      // exactly one null-extension per unmatched row on each side
+      assert(naive.count(_.contains("9999")) == 1)
+      assert(naive.count(_.startsWith(if (pointLeft) "[null,null,13," else "[13,5000,null,")) == 1)
+    }
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+  }
+
   test("randomized point-on-right semi/anti and right-outer equal naive") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
@@ -325,7 +358,7 @@ class IntervalJoinSpec extends SparkSpec {
       def pts() = ptRows.toDF("pid", "v")
       def ivs() = ivRows.toDF("iid", "lo")
       spark.conf.set(IntervalJoinRewrite.WidthKey, "11")
-      for (tpe <- Seq("left_semi", "left_anti", "right_outer")) {
+      for (tpe <- Seq("left_semi", "left_anti", "right_outer", "full_outer")) {
         def joined() = {
           val (ivd, pd) = (ivs(), pts())
           ivd.join(pd, pd("v") >= ivd("lo") && pd("v") <= ivd("lo") + 100, tpe)
