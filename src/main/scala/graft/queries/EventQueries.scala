@@ -285,6 +285,74 @@ object EventQueries {
        WHERE rn = 1
        ORDER BY user_id"""
 
+  /** ANTI band join through the rewrite's point-on-right id-collapse path
+    * (plans.IntervalJoinRewrite): purchases with NO click anywhere in the 2
+    * minutes after them — the preserved side IS the interval side, the shape a
+    * naive planner can only nested-loop. Pure band (no user key on purpose: the
+    * question is global quiet time). Emitted as per-day counts. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    s.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
+    s.conf.unset(graft.plans.IntervalJoinRewrite.WidthKey)
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click").select(col("ts").as("c_ts"))
+    purchases.join(clicks,
+        col("c_ts") >= col("p_ts") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 2 MINUTES"), "left_anti")
+      .groupBy(to_date(col("p_ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n_quiet_purchases"))
+      .orderBy(col("day"))
+  }
+
+  private val q82Sql =
+    s"""$evCte,
+       p AS (SELECT event_id AS purchase_id, ts AS p_ts FROM ev WHERE event_type = 'purchase'),
+       c AS (SELECT ts AS c_ts FROM ev WHERE event_type = 'click')
+       SELECT STRFTIME(p_ts, '%Y-%m-%d') AS day, COUNT(*) AS n_quiet_purchases
+       FROM p
+       WHERE NOT EXISTS (
+         SELECT 1 FROM c
+         WHERE c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 2 MINUTE)
+       GROUP BY 1 ORDER BY day"""
+
+  /** FULL-OUTER band join through the rewrite's both-side-recovery path: purchase
+    * windows × clicks, counted by match category (pair / quiet purchase /
+    * unattributed click). Both sides preserved, no equi key — the matrix's
+    * hardest shape, here behind the oracle gate. */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.install(s)
+    s.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
+    s.conf.unset(graft.plans.IntervalJoinRewrite.WidthKey)
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"))
+    purchases.join(clicks,
+        col("c_ts") >= col("p_ts") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 2 MINUTES"), "full_outer")
+      .select(when(col("purchase_id").isNotNull && col("click_id").isNotNull, "pair")
+        .when(col("purchase_id").isNotNull, "quiet_purchase")
+        .otherwise("unattributed_click").as("category"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("category"))
+  }
+
+  private val q83Sql =
+    s"""$evCte,
+       p AS (SELECT event_id AS purchase_id, ts AS p_ts FROM ev WHERE event_type = 'purchase'),
+       c AS (SELECT event_id AS click_id, ts AS c_ts FROM ev WHERE event_type = 'click')
+       SELECT CASE WHEN purchase_id IS NOT NULL AND click_id IS NOT NULL THEN 'pair'
+                   WHEN purchase_id IS NOT NULL THEN 'quiet_purchase'
+                   ELSE 'unattributed_click' END AS category,
+              COUNT(*) AS n
+       FROM p FULL OUTER JOIN c
+         ON c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 2 MINUTE
+       GROUP BY 1 ORDER BY category"""
+
   /** Batch twin of the stream-stream interval join
     * (graft.streaming.EventStreams.purchaseClickJoin): each purchase matched to the
     * same user's clicks in the 30 minutes before it. Declared through the SAME
@@ -324,5 +392,7 @@ object EventQueries {
     QDef("q72_dedup_keep_newest", q72, Some(q72Sql)),
     QDef("q74_asof_forward", q74, Some(q74Sql)),
     QDef("q79_stream_interval_join", q79, Some(q79Sql)),
+    QDef("q82_anti_band_join", q82, Some(q82Sql)),
+    QDef("q83_full_outer_band_join", q83, Some(q83Sql)),
   )
 }

@@ -158,6 +158,15 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges(p) <= 2, s"q68 gained a shuffle beyond the aggregation pair:\n$p")
   }
 
+  test("q82/q83 pin: anti and full-outer band joins ride the rewrite, not nested-loop") {
+    for (q <- Seq("q82_anti_band_join", "q83_full_outer_band_join")) {
+      val p = finalPlan(q)
+      assert(p.contains("__graft_ij_bucket"), s"$q must ride the band rewrite:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q still nested-loop:\n$p")
+    }
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
