@@ -511,6 +511,93 @@ object TextQueries {
        WHERE COALESCE(op, '') <> 'D'
        ORDER BY doc_id, op_applied, content_md5"""
 
+  /** Deterministic train/val/test split by PORTABLE content-independent hash of the
+    * key (md5 of the id string, mod 10): the reproducible-split pattern — the same
+    * document lands in the same split on any engine, any run, any cluster size,
+    * unlike rand()-based splits. Per-split counts + volume. */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 14), 16, 10) AS BIGINT) % 10"))
+      .withColumn("split",
+        when(col("h") === 0, "val").when(col("h") === 1, "test").otherwise("train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("split"))
+
+  private val q84Sql =
+    """SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+       FROM (
+         SELECT text,
+           CASE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT) % 10)
+             WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split
+         FROM documents)
+       GROUP BY split ORDER BY split"""
+
+  /** Bigram repetition ratio — the Gopher/C4-style quality signal: share of all
+    * 2-grams taken by the single most frequent one (high = boilerplate/spam).
+    * Long-form shape: explode bigrams, per-(doc, bigram) counts, one hash agg to
+    * (doc) — all partial-aggregating, no per-doc state beyond the group row. */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .withColumn("toks", split(trim(col("text")), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as(Seq("pos", "bg")))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_n"),
+        round(max(col("c")) * 10000.0 / sum(col("c"))).cast("long").as("repetition_bp"))
+      .orderBy(col("doc_id"))
+
+  private val q85Sql =
+    """WITH bg AS (
+         SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+               FROM documents WHERE doc_id < 200)
+         WHERE len(toks) >= 2),
+       cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg)
+       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+         CAST(ROUND(MAX(c) * 10000.0 / SUM(c)) AS BIGINT) AS repetition_bp
+       FROM cnt GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Outer generator variant: posexplode_outer keeps rows whose generated array is
+    * EMPTY (null pos/element) — the generator family's null-preserving half, which
+    * plain explode silently drops. Fixture: rare long tokens, empty for most docs. */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .withColumn("rare", expr(
+        "filter(array_distinct(split(trim(text), ' ')), t -> length(t) >= 9)"))
+      .select(col("doc_id"), posexplode_outer(expr("array_sort(rare)"))
+        .as(Seq("pos", "tok")))
+      .orderBy(col("doc_id"), col("pos"))
+
+  private val q86Sql =
+    """WITH r AS (
+         SELECT doc_id,
+           list_sort(list_filter(list_distinct(string_split(trim(text), ' ')),
+             t -> length(t) >= 9)) AS rare
+         FROM documents WHERE doc_id < 50),
+       x AS (
+         SELECT doc_id, rare,
+           unnest(generate_series(1, greatest(len(rare), 1))) AS i
+         FROM r)
+       SELECT doc_id,
+         CASE WHEN len(rare) = 0 THEN NULL ELSE CAST(i - 1 AS INT) END AS pos,
+         CASE WHEN len(rare) = 0 THEN NULL ELSE rare[i] END AS tok
+       FROM x
+       ORDER BY doc_id, pos"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q32_token_counts", q32, Some(q32Sql)),
     QDef("q33_tf_per_doc", q33, Some(q33Sql)),
@@ -518,6 +605,9 @@ object TextQueries {
     QDef("q35_minhash_sig", q35, Some(q35Sql)),
     QDef("q36_lsh_candidates", q36, Some(q36Sql)),
     QDef("q81_neardup_clusters", q81, Some(q81Sql)),
+    QDef("q84_hash_split", q84, Some(q84Sql)),
+    QDef("q85_repetition_ratio", q85, Some(q85Sql)),
+    QDef("q86_posexplode_outer", q86, Some(q86Sql)),
     QDef("q37_simhash", q37, Some(q37Sql)),
     QDef("q38_ngram_jaccard", q38, Some(q38Sql)),
     QDef("q39_lang_quality", q39, Some(q39Sql)),
