@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Two cluster-scale optimizer capabilities the engine relies on but no single
+  * declared query can pin:
+  *
+  *  - CBO statistics: `ANALYZE TABLE ... COMPUTE STATISTICS` feeds rowCount /
+  *    sizeInBytes into the optimizer — the input join reorder and broadcast
+  *    decisions read at 100 TB (a dimension that *looks* big by file size but is
+  *    known-small by stats still broadcasts).
+  *  - AQE runtime Bloom-filter injection: a selective filter on one join side
+  *    plants a `bloom_filter_agg`/`might_contain` pair that prunes the probe side
+  *    BEFORE the shuffle — the built-in generalization of manual semi-join
+  *    pre-filtering.
+  */
+class StatsRuntimeFilterSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ANALYZE TABLE feeds rowCount and column stats into the optimizer") {
+    val t = s"graft_stats_probe_p${ProcessHandle.current().pid()}"
+    graft.Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").saveAsTable(t)
+    val cboSaved = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true") // rowCount propagates only under CBO
+    try {
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = spark.table(t).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(1500)),
+        s"analyzed rowCount must be exact: ${stats.rowCount}")
+      assert(stats.sizeInBytes > 0)
+      val colStats = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(colStats.get("o_orderkey").exists(_.distinctCount.isDefined),
+        s"column stats must carry NDV: $colStats")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      cboSaved.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+    }
+  }
+
+  test("runtime Bloom filter injects might_contain on the probe side of a selective join") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // testdata is tiny; drop the size gates so the injection logic itself is
+      // what's under test, not the 10 GB production threshold
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled" -> "false",
+      // the rule (correctly) declines when the creation side would broadcast —
+      // force the shuffle-join world the filter exists for
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables.lineitem(spark, sf)
+      val ord = graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+      // merge hint: a broadcast join would make the bloom filter pointless (and
+      // the optimizer correctly skips injection there)
+      val joined = li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"expected a runtime bloom filter in the optimized plan:\n$plan")
+      assert(joined.collect().nonEmpty, "query must still return correct rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
