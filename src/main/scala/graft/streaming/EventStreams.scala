@@ -61,6 +61,12 @@ object EventStreams {
     * without bound — the streaming twin of the batch band-join scaling argument
     * (graft.plans.IntervalJoinRewrite). */
   def purchaseClickJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    // NOTE each side's watermark advances with the max event time OF THAT TYPE —
+    // placing withWatermark above the filter changes nothing, because Catalyst
+    // pushes deterministic filters back below EventTimeWatermark (measured: the
+    // click-side node still only sees clicks). Outer variants therefore only
+    // flush held-back state once BOTH types progress past it (StreamingSpec's
+    // heartbeat fixture).
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
@@ -72,6 +78,29 @@ object EventStreams {
         col("user_id") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
           col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
+  /** LEFT OUTER stream-stream interval join: every purchase with its same-user
+    * clicks ≤ 30 min back when they exist, null-extended otherwise. The outer
+    * side is only emitted once the WATERMARK proves no matching click can still
+    * arrive — Structured Streaming's state-correct rendering of "unattributed
+    * purchase" — and state eviction is the same band-bounded story as the inner
+    * variant. */
+  def purchaseClickLeftJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    // per-type watermark progression — see the note in purchaseClickJoin
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"), "left_outer")
       .select(col("purchase_id"), col("user_id"), col("p_ts"),
         col("click_id"), col("c_ts"))
   }

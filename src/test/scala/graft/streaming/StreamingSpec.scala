@@ -35,11 +35,48 @@ class StreamingSpec extends SparkSpec {
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, new java.io.File(flat, f"c$i%03d.parquet").toPath)
     }
-    val sentinel = Seq((-1L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-    sentinel.coalesce(1).write.parquet(s"$dir/sent")
-    val sfile = new java.io.File(s"$dir/sent").listFiles().find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(sfile.toPath, new java.io.File(flat, "zzz_sentinel.parquet").toPath)
+    // TWO sentinel batches: watermark updates at the END of the batch that sees
+    // the new max event time, and stateful eviction (outer-join null emission,
+    // final window flush) runs in the batch AFTER that — so the first sentinel
+    // advances the watermark past every real event and the second gives the
+    // engine a batch in which to apply it
+    Seq(("zzz1_sentinel.parquet", -1L, "2030-01-01 00:00:00"),
+        ("zzz2_sentinel.parquet", -2L, "2030-01-02 00:00:00")).foreach {
+      case (fname, id, t) =>
+        val sentinel = Seq((id, java.sql.Timestamp.valueOf(t), -1L, "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+        val sdir = s"$dir/sent_$id"
+        sentinel.coalesce(1).write.parquet(sdir)
+        val sfile = new java.io.File(sdir).listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(sfile.toPath, new java.io.File(flat, fname).toPath)
+    }
+    flat.getAbsolutePath
+  }
+
+  /** Variant replay dir for the outer stream-stream join: the "sentinel"-typed
+    * watermark pushers never reach that join's watermark nodes (Catalyst pushes
+    * the event_type filters below EventTimeWatermark, so each side's watermark
+    * only advances with its own type). Heartbeat purchase+click rows at user -1
+    * do pass the filters; two heartbeat batches = advance watermark, then apply
+    * it. Streamed output is filtered to user_id >= 0 for batch parity. */
+  private lazy val heartbeatReplayDir: String = {
+    import spark.implicits._
+    val flat = new java.io.File(
+      java.nio.file.Files.createTempDirectory("events_replay_hb").toFile, "flat")
+    flat.mkdirs()
+    new java.io.File(replayDir).listFiles().filter(_.getName.startsWith("c")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(flat, f.getName).toPath)
+    }
+    Seq(("zzz1_hb.parquet", "2030-01-01 00:00:00", -10L),
+        ("zzz2_hb.parquet", "2030-01-02 00:00:00", -20L)).foreach { case (fname, t, id) =>
+      val ts = java.sql.Timestamp.valueOf(t)
+      val hb = Seq((id, ts, -1L, "purchase", 0.0), (id - 1, ts, -1L, "click", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val hdir = s"${flat.getParent}/hb_$id"
+      hb.coalesce(1).write.parquet(hdir)
+      val hfile = new java.io.File(hdir).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(hfile.toPath, new java.io.File(flat, fname).toPath)
+    }
     flat.getAbsolutePath
   }
 
@@ -47,14 +84,15 @@ class StreamingSpec extends SparkSpec {
     graft.Tables.events(spark, sfDir).select("event_id", "ts", "user_id", "event_type", "value")
 
   /** The file-replay source — one recipe, shared by every streaming test. */
-  private def replaySource(): DataFrame =
+  private def replaySource(dir: String = replayDir): DataFrame =
     spark.readStream.schema(batchEvents.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(replayDir)
+      .parquet(dir)
 
   /** Run a streaming transformation over the file replay to completion. */
-  private def replay(name: String, mode: String)(f: DataFrame => DataFrame): DataFrame = {
-    val q = f(replaySource()).writeStream
+  private def replay(name: String, mode: String, dir: String = replayDir)(
+      f: DataFrame => DataFrame): DataFrame = {
+    val q = f(replaySource(dir)).writeStream
       .format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -133,6 +171,20 @@ class StreamingSpec extends SparkSpec {
     val q79 = graft.Registry.byName("q79_stream_interval_join").fn(spark, "/root/testdata/sf0.001")
     assert(q79.columns.toSeq == Seq("purchase_id", "user_id", "p_ts", "click_id", "c_ts"),
       "declared q79 must expose the same join output (formatted)")
+  }
+
+  test("LEFT OUTER stream-stream interval join: replay equals batch, nulls flushed") {
+    // heartbeat purchase+click rows push the final watermark past every real
+    // purchase (plain sentinels can't — see heartbeatReplayDir), so every
+    // withheld null-extension is proven unmatched and emitted before the
+    // AvailableNow stream finishes
+    val streamed = replay("ssleftjoin", "append", heartbeatReplayDir)(
+      EventStreams.purchaseClickLeftJoin(_)).filter(col("user_id") >= 0)
+    val batch = EventStreams.purchaseClickLeftJoin(batchEvents)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.filter(col("click_id").isNull).count() > 0,
+      "fixture must produce unattributed purchases (the outer half)")
+    assert(streamed.filter(col("click_id").isNotNull).count() > 0)
   }
 
   test("watermark drops late data in streaming that batch would count") {
