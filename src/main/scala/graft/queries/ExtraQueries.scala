@@ -250,8 +250,50 @@ object ExtraQueries {
        GROUP BY 1
        ORDER BY bucket"""
 
+  /** Typed COGROUP — the KeyValueGroupedDataset operator the rest of the corpus
+    * doesn't touch: both sides' rows for one key materialize in a single function
+    * call (per-key custom merge logic that a join + agg can't express in general).
+    * Physical shape: both sides shuffle once on the key, then a single CoGroup
+    * operator — same exchange count as the equivalent outer join. Values are
+    * floored to integer cents BEFORE summing (iterator order inside a cogroup
+    * bucket is not deterministic, and integer sums are order-independent — the
+    * same convention as q73). The oracle is the relational rendering: two
+    * per-key aggregates full-outer-joined. */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = T.orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_totalprice").as("v")).as[(Long, Double)]
+    val events = T.events(s, d)
+      .filter(col("user_id") < 1000)
+      .select(col("user_id").as("k"), col("value").as("v")).as[(Long, Double)]
+    orders.groupByKey(_._1).cogroup(events.groupByKey(_._1)) { (k, os, es) =>
+      var nO = 0L; var sO = 0L
+      os.foreach { o => nO += 1; sO += math.floor(o._2 * 100).toLong }
+      var nE = 0L; var sE = 0L
+      es.foreach { e => nE += 1; sE += math.floor(e._2 * 100).toLong }
+      Iterator.single((k, nO, sO, nE, sE))
+    }.toDF("k", "n_orders", "orders_cents", "n_events", "events_cents")
+      .orderBy(col("k"))
+  }
+
+  private val q87Sql =
+    """WITH o AS (
+         SELECT o_custkey AS k, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS orders_cents
+         FROM orders GROUP BY 1),
+       e AS (
+         SELECT user_id AS k, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS events_cents
+         FROM events WHERE user_id < 1000 GROUP BY 1)
+       SELECT COALESCE(o.k, e.k) AS k,
+         COALESCE(n_orders, 0) AS n_orders, COALESCE(orders_cents, 0) AS orders_cents,
+         COALESCE(n_events, 0) AS n_events, COALESCE(events_cents, 0) AS events_cents
+       FROM o FULL OUTER JOIN e ON o.k = e.k
+       ORDER BY k"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q67_sql_api", q67, Some(q67Sql)),
+    QDef("q87_cogroup", q87, Some(q87Sql)),
     QDef("q61_argminmax_median", q61, Some(q61Sql)),
     QDef("q62_pivot", q62, Some(q62Sql)),
     QDef("q63_window_distribution", q63, Some(q63Sql)),
