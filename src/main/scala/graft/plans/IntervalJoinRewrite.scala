@@ -588,4 +588,15 @@ object GraftExtensions {
         spark.experimental.extraOptimizations :+ IntervalJoinRewrite
     }
   }
+
+  /** Query-side setup shared by the declared band-join queries (q68/q82/q83):
+    * install the rule, force it on, and UNSET any leftover session bucket width —
+    * a width tuned for some numeric band (e.g. 0.01) would span a time band over
+    * more than maxFanout buckets and silently route the whole join to the
+    * nested-loop fallback; unsetting pins the auto-derived width. */
+  def enableForQuery(spark: SparkSession): Unit = {
+    install(spark)
+    spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+    spark.conf.unset(IntervalJoinRewrite.WidthKey)
+  }
 }

@@ -179,12 +179,7 @@ object EventQueries {
     * only ever touches band joins with both bounds and no equi conjunct, so the
     * rest of the corpus plans unchanged). */
   private def q68(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftExtensions.install(s)
-    s.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
-    // a leftover session-level width tuned for some numeric band (e.g. 0.01)
-    // would span this 120 s band over >maxFanout buckets and silently route the
-    // whole join to the nested-loop fallback — pin the auto-derived width
-    s.conf.unset(graft.plans.IntervalJoinRewrite.WidthKey)
+    graft.plans.GraftExtensions.enableForQuery(s)
     val ev = T.events(s, d)
     val e1 = ev.select(col("ts").as("t1"), col("event_type").as("type1"))
     val e2 = ev.select(col("ts").as("t2"))
@@ -291,9 +286,7 @@ object EventQueries {
     * naive planner can only nested-loop. Pure band (no user key on purpose: the
     * question is global quiet time). Emitted as per-day counts. */
   private def q82(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftExtensions.install(s)
-    s.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
-    s.conf.unset(graft.plans.IntervalJoinRewrite.WidthKey)
+    graft.plans.GraftExtensions.enableForQuery(s)
     val ev = T.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
@@ -322,9 +315,7 @@ object EventQueries {
     * unattributed click). Both sides preserved, no equi key — the matrix's
     * hardest shape, here behind the oracle gate. */
   private def q83(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftExtensions.install(s)
-    s.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
-    s.conf.unset(graft.plans.IntervalJoinRewrite.WidthKey)
+    graft.plans.GraftExtensions.enableForQuery(s)
     val ev = T.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))

@@ -75,15 +75,23 @@ object VectorQueries {
        FROM ranked WHERE rn <= 5
        ORDER BY query_id, rn"""
 
-  /** Sign-LSH bucketed ANN: 6-bit sign signature of the leading dimensions buckets
-    * the space (64 cells); each query only scores candidates in its own bucket. This
-    * is the shape that survives 100 TB — the bucket equi-join replaces the O(n²)
-    * cross product; recall is traded for the 64× candidate cut. */
+  /** 6-bit sign signature of the leading dimensions — the shared blocking key:
+    * 64 cells, each row in exactly one. Used by q43 (ANN probe) and q44 (near-dup
+    * pair blocking); [[signBucketSql]] is its DuckDB twin. */
+  private def signBucket: org.apache.spark.sql.Column =
+    concat((1 to 6).map(i =>
+      when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0, "1").otherwise("0")): _*)
+
+  private val signBucketSql: String = (1 to 6).map(i =>
+    s"CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** Sign-LSH bucketed ANN: the 6-bit sign signature buckets the space (64 cells);
+    * each query only scores candidates in its own bucket. This is the shape that
+    * survives 100 TB — the bucket equi-join replaces the O(n²) cross product;
+    * recall is traded for the 64× candidate cut. */
   private def q43(s: SparkSession, d: String): DataFrame = {
     reg(s)
-    val sig = (1 to 6).map(i =>
-      when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0, "1").otherwise("0"))
-    val emb = T.embeddings(s, d).withColumn("bucket", concat(sig: _*))
+    val emb = T.embeddings(s, d).withColumn("bucket", signBucket)
     val q = emb.filter(col("vec_id") < 100)
       .select(col("vec_id"), col("bucket"), col("embedding").as("qv"))
     val c = emb.select(col("vec_id").as("cand_id"), col("bucket").as("cbucket"),
@@ -100,9 +108,7 @@ object VectorQueries {
   }
 
   private val q43Sql = {
-    val sig = (1 to 6).map(i =>
-      s"CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-    s"""WITH e AS (SELECT vec_id, embedding, $sig AS bucket FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding, $signBucketSql AS bucket FROM embeddings),
        q AS (SELECT vec_id, bucket, embedding AS qv FROM e WHERE vec_id < 100),
        c AS (SELECT vec_id AS cand_id, bucket AS cbucket, embedding AS cv FROM e),
        scored AS (
@@ -129,11 +135,9 @@ object VectorQueries {
     * declared identically in the DuckDB oracle, so the hash-match is exact. */
   private def q44(s: SparkSession, d: String): DataFrame = {
     reg(s)
-    val sig = (1 to 6).map(i =>
-      when(expr(s"CAST(element_at(embedding, $i) AS DOUBLE)") >= 0, "1").otherwise("0"))
     val withNorm = T.embeddings(s, d)
       .withColumn("nrm", expr(normExpr("embedding")))
-      .withColumn("bucket", concat(sig: _*))
+      .withColumn("bucket", signBucket)
     val a = withNorm.select(col("vec_id").as("v1"), col("label"),
       col("bucket"), col("embedding").as("e1"), col("nrm").as("n1"))
     val b = withNorm.select(col("vec_id").as("v2"), col("label").as("label2"),
@@ -149,10 +153,8 @@ object VectorQueries {
   }
 
   private val q44Sql = {
-    val sig = (1 to 6).map(i =>
-      s"CASE WHEN CAST(embedding[$i] AS DOUBLE) >= 0 THEN '1' ELSE '0' END").mkString(" || ")
     s"""WITH e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS nrm,
-           $sig AS bucket FROM embeddings),
+           $signBucketSql AS bucket FROM embeddings),
        pairs AS (
          SELECT a.label, a.vec_id AS v1, b.vec_id AS v2,
            ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos

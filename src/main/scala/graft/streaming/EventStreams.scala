@@ -60,13 +60,18 @@ object EventStreams {
     * the state store. Without the band, stream-stream inner join state grows
     * without bound — the streaming twin of the batch band-join scaling argument
     * (graft.plans.IntervalJoinRewrite). */
-  def purchaseClickJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    // NOTE each side's watermark advances with the max event time OF THAT TYPE —
-    // placing withWatermark above the filter changes nothing, because Catalyst
-    // pushes deterministic filters back below EventTimeWatermark (measured: the
-    // click-side node still only sees clicks). Outer variants therefore only
-    // flush held-back state once BOTH types progress past it (StreamingSpec's
-    // heartbeat fixture).
+  def purchaseClickJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    purchaseClickJoinImpl(events, watermark, "inner")
+
+  /** Shared body of the inner and left-outer purchase⋈click interval joins.
+    * NOTE each side's watermark advances with the max event time OF THAT TYPE —
+    * placing withWatermark above the filter changes nothing, because Catalyst
+    * pushes deterministic filters back below EventTimeWatermark (measured: the
+    * click-side node still only sees clicks). Outer variants therefore only
+    * flush held-back state once BOTH types progress past it (StreamingSpec's
+    * heartbeat fixture). */
+  private def purchaseClickJoinImpl(
+      events: DataFrame, watermark: String, joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
@@ -77,7 +82,7 @@ object EventStreams {
     purchases.join(clicks,
         col("user_id") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-          col("c_ts") <= col("p_ts"))
+          col("c_ts") <= col("p_ts"), joinType)
       .select(col("purchase_id"), col("user_id"), col("p_ts"),
         col("click_id"), col("c_ts"))
   }
@@ -88,22 +93,8 @@ object EventStreams {
     * arrive — Structured Streaming's state-correct rendering of "unattributed
     * purchase" — and state eviction is the same band-bounded story as the inner
     * variant. */
-  def purchaseClickLeftJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    // per-type watermark progression — see the note in purchaseClickJoin
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", watermark)
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", watermark)
-    purchases.join(clicks,
-        col("user_id") === col("c_user") &&
-          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
-          col("c_ts") <= col("p_ts"), "left_outer")
-      .select(col("purchase_id"), col("user_id"), col("p_ts"),
-        col("click_id"), col("c_ts"))
-  }
+  def purchaseClickLeftJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    purchaseClickJoinImpl(events, watermark, "left_outer")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
