@@ -572,12 +572,14 @@ object TextQueries {
 
   /** Outer generator variant: posexplode_outer keeps rows whose generated array is
     * EMPTY (null pos/element) — the generator family's null-preserving half, which
-    * plain explode silently drops. Fixture: rare long tokens, empty for most docs. */
+    * plain explode silently drops. Fixture: 7+-char tokens — the corpus's longest
+    * run to 8 chars, so docs split into a real mix of empty (null row) and
+    * non-empty (value rows), exercising BOTH halves of the outer generate. */
   private def q86(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
       .filter(col("doc_id") < 50)
       .withColumn("rare", expr(
-        "filter(array_distinct(split(trim(text), ' ')), t -> length(t) >= 9)"))
+        "filter(array_distinct(split(trim(text), ' ')), t -> length(t) >= 7)"))
       .select(col("doc_id"), posexplode_outer(expr("array_sort(rare)"))
         .as(Seq("pos", "tok")))
       .orderBy(col("doc_id"), col("pos"))
@@ -586,7 +588,7 @@ object TextQueries {
     """WITH r AS (
          SELECT doc_id,
            list_sort(list_filter(list_distinct(string_split(trim(text), ' ')),
-             t -> length(t) >= 9)) AS rare
+             t -> length(t) >= 7)) AS rare
          FROM documents WHERE doc_id < 50),
        x AS (
          SELECT doc_id, rare,

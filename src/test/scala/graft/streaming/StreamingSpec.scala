@@ -28,27 +28,34 @@ class StreamingSpec extends SparkSpec {
         .toDF("event_id", "ts", "user_id", "event_type", "value")
       ds.coalesce(1).write.parquet(s"$dir/chunk_$i")
     }
-    // move chunk files into one flat dir with ordered names
+    // move chunk files into one flat dir with ordered names; stamp strictly
+    // increasing mtimes — FileStreamSource replays in modification-time order,
+    // and two chunks written in the same millisecond would tie
     val flat = new java.io.File(dir, "flat"); flat.mkdirs()
+    val t0 = System.currentTimeMillis()
     chunks.indices.foreach { i =>
       val part = new java.io.File(s"$dir/chunk_$i").listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, new java.io.File(flat, f"c$i%03d.parquet").toPath)
+      val dst = new java.io.File(flat, f"c$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + i * 1000L)
     }
     // TWO sentinel batches: watermark updates at the END of the batch that sees
     // the new max event time, and stateful eviction (outer-join null emission,
     // final window flush) runs in the batch AFTER that — so the first sentinel
     // advances the watermark past every real event and the second gives the
     // engine a batch in which to apply it
-    Seq(("zzz1_sentinel.parquet", -1L, "2030-01-01 00:00:00"),
-        ("zzz2_sentinel.parquet", -2L, "2030-01-02 00:00:00")).foreach {
-      case (fname, id, t) =>
+    Seq(("zzz1_sentinel.parquet", -1L, "2030-01-01 00:00:00", 100),
+        ("zzz2_sentinel.parquet", -2L, "2030-01-02 00:00:00", 101)).foreach {
+      case (fname, id, t, seq) =>
         val sentinel = Seq((id, java.sql.Timestamp.valueOf(t), -1L, "sentinel", 0.0))
           .toDF("event_id", "ts", "user_id", "event_type", "value")
         val sdir = s"$dir/sent_$id"
         sentinel.coalesce(1).write.parquet(sdir)
         val sfile = new java.io.File(sdir).listFiles().find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(sfile.toPath, new java.io.File(flat, fname).toPath)
+        val dst = new java.io.File(flat, fname)
+        java.nio.file.Files.move(sfile.toPath, dst.toPath)
+        dst.setLastModified(t0 + seq * 1000L) // strictly after every chunk
     }
     flat.getAbsolutePath
   }
@@ -64,18 +71,29 @@ class StreamingSpec extends SparkSpec {
     val flat = new java.io.File(
       java.nio.file.Files.createTempDirectory("events_replay_hb").toFile, "flat")
     flat.mkdirs()
-    new java.io.File(replayDir).listFiles().filter(_.getName.startsWith("c")).foreach { f =>
-      java.nio.file.Files.copy(f.toPath, new java.io.File(flat, f.getName).toPath)
-    }
-    Seq(("zzz1_hb.parquet", "2030-01-01 00:00:00", -10L),
-        ("zzz2_hb.parquet", "2030-01-02 00:00:00", -20L)).foreach { case (fname, t, id) =>
-      val ts = java.sql.Timestamp.valueOf(t)
-      val hb = Seq((id, ts, -1L, "purchase", 0.0), (id - 1, ts, -1L, "click", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
-      val hdir = s"${flat.getParent}/hb_$id"
-      hb.coalesce(1).write.parquet(hdir)
-      val hfile = new java.io.File(hdir).listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(hfile.toPath, new java.io.File(flat, fname).toPath)
+    // FileStreamSource replays in MODIFICATION-TIME order (name order is not
+    // consulted) — copy in sorted-name order and stamp strictly increasing
+    // mtimes, or an unlucky copy order replays a later chunk first, advances
+    // the watermark, and drops the earlier chunk's events as late
+    val base = System.currentTimeMillis()
+    new java.io.File(replayDir).listFiles().filter(_.getName.startsWith("c"))
+      .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
+        val dst = new java.io.File(flat, f.getName)
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+        dst.setLastModified(base + i * 1000L)
+      }
+    Seq(("zzz1_hb.parquet", "2030-01-01 00:00:00", -10L, 100),
+        ("zzz2_hb.parquet", "2030-01-02 00:00:00", -20L, 101)).foreach {
+      case (fname, t, id, seq) =>
+        val ts = java.sql.Timestamp.valueOf(t)
+        val hb = Seq((id, ts, -1L, "purchase", 0.0), (id - 1, ts, -1L, "click", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+        val hdir = s"${flat.getParent}/hb_$id"
+        hb.coalesce(1).write.parquet(hdir)
+        val hfile = new java.io.File(hdir).listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(flat, fname)
+        java.nio.file.Files.move(hfile.toPath, dst.toPath)
+        dst.setLastModified(base + seq * 1000L) // strictly after every chunk
     }
     flat.getAbsolutePath
   }
