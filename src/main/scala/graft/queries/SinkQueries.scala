@@ -233,6 +233,50 @@ object SinkQueries {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_custkey, c_name ORDER BY c_custkey"""
 
+  /** Combined PARTITION + BUCKET layout — the full lakehouse table design in one
+    * write: `partitionBy(status)` gives partition PRUNING for status predicates,
+    * `bucketBy(8, custkey) + sortBy` gives shuffle-free merge joins on the
+    * customer key; one layout serves both access paths. At 100 TB this is the
+    * pay-once layout: the write shuffles once, then every status-sliced customer
+    * join runs with a pruned scan and zero join exchanges. PlanSpec pins both
+    * properties. Results are layout-independent — the oracle reads the raw table. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val ob = s"graft_orders_pb_${runSuffix(d)}"
+    val cb = s"graft_customer_pb_${runSuffix(d)}"
+    T.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", tmp("orders_pb", d))
+      .partitionBy("o_orderstatus")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ob)
+    T.customer(s, d).select("c_custkey", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", tmp("customer_pb", d))
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cb)
+    val out = s.table(ob)
+      .filter(col("o_orderstatus") === "F")
+      .hint("merge")
+      .join(s.table(cb), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("c_mktsegment"))
+    // UNLIKE q69, these tables cannot be dropped after construction: a
+    // PARTITIONED table's scan keeps a CatalogFileIndex that lists partitions
+    // from the catalog lazily AT OPTIMIZATION TIME (PruneFileSourcePartitions →
+    // listPartitionsByFilter), so dropping now would fail the later execution.
+    // Names are stable within the JVM and SaveMode.Overwrite keeps reruns clean;
+    // the in-memory catalog dies with the session.
+    out
+  }
+
+  private val q88Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE o_orderstatus = 'F'
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q53_csv_roundtrip", q53, Some(aggSql)),
     QDef("q54_json_roundtrip", q54, Some(aggSql)),
@@ -243,5 +287,6 @@ object SinkQueries {
     QDef("q58_grouping_sets", q58, Some(q58Sql)),
     QDef("q59_scalar_udf", q59, Some(q59Sql)),
     QDef("q69_bucketed_join", q69, Some(q69Sql)),
+    QDef("q88_partitioned_bucketed", q88, Some(q88Sql)),
   )
 }

@@ -167,6 +167,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q88 pin: combined layout prunes partitions AND joins without a hash exchange") {
+    val df = Registry.byName("q88_partitioned_bucketed").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // partition pruning: the scan location lists ONLY the o_orderstatus=F dir
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus=F"),
+      s"status filter must prune partitions:\n${p.take(800)}")
+    assert(p.contains("Bucketed: true"), "both scans must read bucketed layout")
+    // the JOIN is shuffle-free; the single hash exchange is the c_mktsegment
+    // aggregation — a different key than the bucket key, so it must shuffle
+    assert(p.contains("SortMergeJoin"), s"merge hint must pin SMJ:\n${p.take(600)}")
+    assert(hashExchanges(p) == 1,
+      s"only the mktsegment agg may shuffle (join must ride the buckets):\n$p")
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
