@@ -268,6 +268,36 @@ object RelationalQueries {
   /** Variance / stddev family — the SQL twin of the reference's Welford/Chan
     * combineByKey statistics (/root/reference/outlier_detection.py:57-101); the custom
     * Aggregator in functions/ is cross-checked against exactly this. */
+  /** Bivariate statistics family — corr / covar / linear-regression aggregates,
+    * the single-pass co-moment operators (one partial-aggregating pass, no
+    * self-join): price as a function of quantity per return flag. Outputs scaled
+    * to integers per the cross-engine rounding convention. */
+  private def q89(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")) * 10000).cast("long")
+          .as("corr_bp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_s"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)") * 100).cast("long")
+          .as("slope_x100"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)") * 100).cast("long")
+          .as("intercept_x100"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)") * 10000).cast("long")
+          .as("r2_bp"))
+      .orderBy(col("l_returnflag"))
+
+  private val q89Sql =
+    """SELECT l_returnflag,
+       CAST(ROUND(CORR(l_quantity, l_extendedprice) * 10000) AS BIGINT) AS corr_bp,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_s,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS covar_p,
+       CAST(ROUND(REGR_SLOPE(l_extendedprice, l_quantity) * 100) AS BIGINT) AS slope_x100,
+       CAST(ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity) * 100) AS BIGINT) AS intercept_x100,
+       CAST(ROUND(REGR_R2(l_extendedprice, l_quantity) * 10000) AS BIGINT) AS r2_bp
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   private def q12(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -513,6 +543,7 @@ object RelationalQueries {
     QDef("q10_rollup", q10, Some(q10Sql)),
     QDef("q11_cube", q11, Some(q11Sql)),
     QDef("q12_stats_family", q12, Some(q12Sql)),
+    QDef("q89_bivariate_stats", q89, Some(q89Sql)),
     QDef("q13_collect_list", q13, Some(q13Sql)),
     QDef("q14_window_ranking", q14, Some(q14Sql)),
     QDef("q15_window_frames", q15, Some(q15Sql)),
