@@ -250,6 +250,41 @@ object ExtraQueries {
        GROUP BY 1
        ORDER BY bucket"""
 
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE): a 12-row month spine generated by
+    * bounded recursion, left-joined to orders for a monthly 1995 revenue profile —
+    * empty months survive with zero counts, proving the spine drives the result.
+    * Spark currently supports only UNION ALL recursion (no UNION-distinct), so
+    * cyclic-closure recursion stays on the DataFrame side (q81's propagation
+    * loop); this pins the bounded-recursion surface both engines share. */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("v_orders_rec")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+           SELECT TIMESTAMP '1995-01-01 00:00:00'
+           UNION ALL
+           SELECT m + INTERVAL 1 MONTH FROM months
+           WHERE m < TIMESTAMP '1995-12-01 00:00:00')
+         SELECT DATE_FORMAT(m, 'yyyy-MM') AS month,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total
+         FROM months LEFT JOIN v_orders_rec ON DATE_TRUNC('MONTH', o_orderdate) = m
+         GROUP BY m
+         ORDER BY month""")
+  }
+
+  private val q90Sql =
+    """WITH RECURSIVE months(m) AS (
+         SELECT TIMESTAMP '1995-01-01 00:00:00'
+         UNION ALL
+         SELECT m + INTERVAL 1 MONTH FROM months
+         WHERE m < TIMESTAMP '1995-12-01 00:00:00')
+       SELECT STRFTIME(m, '%Y-%m') AS month,
+         COUNT(o_orderkey) AS n_orders,
+         ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total
+       FROM months LEFT JOIN orders ON DATE_TRUNC('month', o_orderdate) = m
+       GROUP BY m
+       ORDER BY month"""
+
   /** Typed COGROUP — the KeyValueGroupedDataset operator the rest of the corpus
     * doesn't touch: both sides' rows for one key materialize in a single function
     * call (per-key custom merge logic that a join + agg can't express in general).
@@ -294,6 +329,7 @@ object ExtraQueries {
   val defs: Seq[QDef] = Seq(
     QDef("q67_sql_api", q67, Some(q67Sql)),
     QDef("q87_cogroup", q87, Some(q87Sql)),
+    QDef("q90_recursive_cte", q90, Some(q90Sql)),
     QDef("q61_argminmax_median", q61, Some(q61Sql)),
     QDef("q62_pivot", q62, Some(q62Sql)),
     QDef("q63_window_distribution", q63, Some(q63Sql)),
