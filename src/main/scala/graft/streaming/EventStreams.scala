@@ -100,6 +100,42 @@ object EventStreams {
                          event_type: String, value: Double)
   final case class UserStats(user_id: Long, n: Long, mean: Double, variance: Double)
 
+  /** Running per-user Welford statistics via Spark 4's transformWithState — the
+    * successor API to mapGroupsWithState: typed per-key state handles (ValueState
+    * here; List/Map state, timers, and TTL exist on the same handle), declared in
+    * init and used per input batch. Same semantics as [[runningUserStats]], so
+    * the replay spec asserts both against one batch oracle. Requires the RocksDB
+    * state store provider (the default HDFS-backed store does not implement the
+    * new API's column-family layout). */
+  class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStats] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[WelfordBuf] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[WelfordBuf]("welford",
+        org.apache.spark.sql.Encoders.product[WelfordBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStats] = {
+      var buf = if (state.exists()) state.get() else Welford.zero
+      rows.foreach(e => buf = Welford.update(buf, e.value))
+      state.update(buf)
+      val mv: MeanVar = Welford.finish(buf)
+      Iterator.single(UserStats(key, mv.n, mv.mean, mv.variance))
+    }
+  }
+
+  def runningUserStatsTws(events: Dataset[Event]): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Running per-user Welford statistics via flatMapGroupsWithState — the streaming
     * twin of the outlier model's training statistics (SURVEY.md §7.7): state is one
     * WelfordBuf per user, updated incrementally, emitted after every batch. */

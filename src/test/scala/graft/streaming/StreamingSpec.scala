@@ -244,12 +244,30 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("flatMapGroupsWithState running stats equal batch Welford per user") {
+    runningStatsCase("userstats")(EventStreams.runningUserStats)
+  }
+
+  test("transformWithState running stats equal batch Welford per user (Spark 4 API)") {
+    // the new API's typed state handles need the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runningStatsCase("userstats_tws")(EventStreams.runningUserStatsTws)
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** Shared body: feed events in three micro-batches through a per-user running
+    * stats operator and compare each user's final state to exact two-pass batch
+    * statistics. */
+  private def runningStatsCase(sink: String)(
+      op: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[EventStreams.UserStats]): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = batchEvents.as[Event].collect().toSeq.sortBy(_.ts.getTime)
     val input = MemoryStream[Event]
-    val q = EventStreams.runningUserStats(input.toDS())
-      .writeStream.format("memory").queryName("userstats").outputMode("update").start()
+    val q = op(input.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
     // feed in three micro-batches to force incremental state updates + merges
     events.grouped(math.max(1, events.length / 3)).foreach { chunk =>
       input.addData(chunk)
@@ -257,7 +275,7 @@ class StreamingSpec extends SparkSpec {
     }
     q.stop()
     // last update per user is the final state
-    val finalStats = spark.table("userstats")
+    val finalStats = spark.table(sink)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
           .orderBy(col("n").desc)))
