@@ -62,6 +62,16 @@ object SinkQueries {
     roundtripAgg(s.read.schema(eventsSchema).json(dir))
   }
 
+  /** ORC sink + scan — the second columnar format (own encoders, stripes, and
+    * predicate pushdown path, orc-core shipped with Spark); filter pushdown into
+    * the ORC scan is asserted alongside the declared result. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("events_orc", d)
+    T.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .write.mode(SaveMode.Overwrite).orc(dir)
+    roundtripAgg(s.read.schema(eventsSchema).orc(dir))
+  }
+
   /** Parquet sink + scan (the write path Verify itself exercises, here declared). */
   private def q55(s: SparkSession, d: String): DataFrame = {
     val dir = tmp("lineitem_parquet", d)
@@ -288,5 +298,6 @@ object SinkQueries {
     QDef("q59_scalar_udf", q59, Some(q59Sql)),
     QDef("q69_bucketed_join", q69, Some(q69Sql)),
     QDef("q88_partitioned_bucketed", q88, Some(q88Sql)),
+    QDef("q91_orc_roundtrip", q91, Some(aggSql)),
   )
 }
