@@ -250,17 +250,19 @@ object ExtraQueries {
        GROUP BY 1
        ORDER BY bucket"""
 
-  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE): a 12-row month spine generated by
-    * bounded recursion, left-joined to orders for a monthly 1995 revenue profile —
-    * empty months survive with zero counts, proving the spine drives the result.
-    * Spark currently supports only UNION ALL recursion (no UNION-distinct), so
-    * cyclic-closure recursion stays on the DataFrame side (q81's propagation
-    * loop); this pins the bounded-recursion surface both engines share. */
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE): a 15-row month spine generated by
+    * bounded recursion, left-joined to orders for a monthly revenue profile. The
+    * spine STARTS THREE MONTHS BEFORE the data (orders begin 1995-01), so the
+    * 1994-10..12 rows are genuinely order-free — the zero-filled left-join path
+    * is exercised, not just claimed. Spark currently supports only UNION ALL
+    * recursion (no UNION-distinct), so cyclic-closure recursion stays on the
+    * DataFrame side (q81's propagation loop); this pins the bounded-recursion
+    * surface both engines share. */
   private def q90(s: SparkSession, d: String): DataFrame = {
     T.orders(s, d).createOrReplaceTempView("v_orders_rec")
     s.sql(
       """WITH RECURSIVE months(m) AS (
-           SELECT TIMESTAMP '1995-01-01 00:00:00'
+           SELECT TIMESTAMP '1994-10-01 00:00:00'
            UNION ALL
            SELECT m + INTERVAL 1 MONTH FROM months
            WHERE m < TIMESTAMP '1995-12-01 00:00:00')
@@ -274,7 +276,7 @@ object ExtraQueries {
 
   private val q90Sql =
     """WITH RECURSIVE months(m) AS (
-         SELECT TIMESTAMP '1995-01-01 00:00:00'
+         SELECT TIMESTAMP '1994-10-01 00:00:00'
          UNION ALL
          SELECT m + INTERVAL 1 MONTH FROM months
          WHERE m < TIMESTAMP '1995-12-01 00:00:00')

@@ -268,36 +268,6 @@ object RelationalQueries {
   /** Variance / stddev family — the SQL twin of the reference's Welford/Chan
     * combineByKey statistics (/root/reference/outlier_detection.py:57-101); the custom
     * Aggregator in functions/ is cross-checked against exactly this. */
-  /** Bivariate statistics family — corr / covar / linear-regression aggregates,
-    * the single-pass co-moment operators (one partial-aggregating pass, no
-    * self-join): price as a function of quantity per return flag. Outputs scaled
-    * to integers per the cross-engine rounding convention. */
-  private def q89(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")) * 10000).cast("long")
-          .as("corr_bp"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_s"),
-        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"),
-        round(expr("regr_slope(l_extendedprice, l_quantity)") * 100).cast("long")
-          .as("slope_x100"),
-        round(expr("regr_intercept(l_extendedprice, l_quantity)") * 100).cast("long")
-          .as("intercept_x100"),
-        round(expr("regr_r2(l_extendedprice, l_quantity)") * 10000).cast("long")
-          .as("r2_bp"))
-      .orderBy(col("l_returnflag"))
-
-  private val q89Sql =
-    """SELECT l_returnflag,
-       CAST(ROUND(CORR(l_quantity, l_extendedprice) * 10000) AS BIGINT) AS corr_bp,
-       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_s,
-       ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS covar_p,
-       CAST(ROUND(REGR_SLOPE(l_extendedprice, l_quantity) * 100) AS BIGINT) AS slope_x100,
-       CAST(ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity) * 100) AS BIGINT) AS intercept_x100,
-       CAST(ROUND(REGR_R2(l_extendedprice, l_quantity) * 10000) AS BIGINT) AS r2_bp
-       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
-
   private def q12(s: SparkSession, d: String): DataFrame =
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -320,6 +290,41 @@ object RelationalQueries {
        ROUND(AVG(l_quantity), 2) AS avg_qty,
        ROUND(MIN(l_quantity), 2) AS min_qty,
        ROUND(MAX(l_quantity), 2) AS max_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Bivariate statistics family — corr / covar / linear-regression aggregates,
+    * the single-pass co-moment operators (one partial-aggregating pass, no
+    * self-join): price as a function of quantity per return flag. ALL outputs
+    * scaled to integers — co-moment merge order differs between engines, and
+    * decimal ROUND(x, 2) on a double is the documented cross-engine tie flake;
+    * scaled-integer rounding is the convention precisely because binary-half
+    * ties round identically in both engines. */
+  private def q89(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")) * 10000).cast("long")
+          .as("corr_bp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")) * 100).cast("long")
+          .as("covar_s_x100"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")) * 100).cast("long")
+          .as("covar_p_x100"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)") * 100).cast("long")
+          .as("slope_x100"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)") * 100).cast("long")
+          .as("intercept_x100"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)") * 10000).cast("long")
+          .as("r2_bp"))
+      .orderBy(col("l_returnflag"))
+
+  private val q89Sql =
+    """SELECT l_returnflag,
+       CAST(ROUND(CORR(l_quantity, l_extendedprice) * 10000) AS BIGINT) AS corr_bp,
+       CAST(ROUND(COVAR_SAMP(l_quantity, l_extendedprice) * 100) AS BIGINT) AS covar_s_x100,
+       CAST(ROUND(COVAR_POP(l_quantity, l_extendedprice) * 100) AS BIGINT) AS covar_p_x100,
+       CAST(ROUND(REGR_SLOPE(l_extendedprice, l_quantity) * 100) AS BIGINT) AS slope_x100,
+       CAST(ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity) * 100) AS BIGINT) AS intercept_x100,
+       CAST(ROUND(REGR_R2(l_extendedprice, l_quantity) * 10000) AS BIGINT) AS r2_bp
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** collect_list, array_sort'ed for determinism, emitted as a CSV string. */

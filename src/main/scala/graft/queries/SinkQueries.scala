@@ -62,9 +62,9 @@ object SinkQueries {
     roundtripAgg(s.read.schema(eventsSchema).json(dir))
   }
 
-  /** ORC sink + scan — the second columnar format (own encoders, stripes, and
-    * predicate pushdown path, orc-core shipped with Spark); filter pushdown into
-    * the ORC scan is asserted alongside the declared result. */
+  /** ORC sink + scan — the second columnar format (own encoder, stripe, and
+    * pushdown machinery; orc-core ships with Spark), aggregated against the same
+    * oracle as the CSV/JSON round-trips. */
   private def q91(s: SparkSession, d: String): DataFrame = {
     val dir = tmp("events_orc", d)
     T.events(s, d).select("event_id", "user_id", "event_type", "value")

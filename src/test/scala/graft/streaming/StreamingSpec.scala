@@ -12,6 +12,21 @@ class StreamingSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Place one parquet part file at `dst` with mtime `base + seq` seconds — THE
+    * replay-order invariant: FileStreamSource replays strictly in
+    * modification-time order (names are not consulted), so every fixture file
+    * must carry a strictly increasing stamp or replay order (and therefore
+    * watermark progression) is at the mercy of filesystem timestamps. */
+  private def placeWithMtime(src: java.io.File, dst: java.io.File,
+                             base: Long, seq: Int, move: Boolean): Unit = {
+    if (move) java.nio.file.Files.move(src.toPath, dst.toPath)
+    else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    dst.setLastModified(base + seq * 1000L)
+  }
+
+  private def onlyPart(dir: String): java.io.File =
+    new java.io.File(dir).listFiles().find(_.getName.endsWith(".parquet")).get
+
   /** events.parquet re-chunked into ordered files for file-source replay
     * (FIXTURES.md §B.4), plus a far-future sentinel chunk that pushes the watermark
     * past every real event so append-mode results flush completely. */
@@ -28,17 +43,13 @@ class StreamingSpec extends SparkSpec {
         .toDF("event_id", "ts", "user_id", "event_type", "value")
       ds.coalesce(1).write.parquet(s"$dir/chunk_$i")
     }
-    // move chunk files into one flat dir with ordered names; stamp strictly
-    // increasing mtimes — FileStreamSource replays in modification-time order,
-    // and two chunks written in the same millisecond would tie
+    // move chunk files into one flat dir with ordered names + ordered mtimes
+    // (see placeWithMtime)
     val flat = new java.io.File(dir, "flat"); flat.mkdirs()
     val t0 = System.currentTimeMillis()
     chunks.indices.foreach { i =>
-      val part = new java.io.File(s"$dir/chunk_$i").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(flat, f"c$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + i * 1000L)
+      placeWithMtime(onlyPart(s"$dir/chunk_$i"),
+        new java.io.File(flat, f"c$i%03d.parquet"), t0, i, move = true)
     }
     // TWO sentinel batches: watermark updates at the END of the batch that sees
     // the new max event time, and stateful eviction (outer-join null emission,
@@ -52,10 +63,8 @@ class StreamingSpec extends SparkSpec {
           .toDF("event_id", "ts", "user_id", "event_type", "value")
         val sdir = s"$dir/sent_$id"
         sentinel.coalesce(1).write.parquet(sdir)
-        val sfile = new java.io.File(sdir).listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(flat, fname)
-        java.nio.file.Files.move(sfile.toPath, dst.toPath)
-        dst.setLastModified(t0 + seq * 1000L) // strictly after every chunk
+        // seq 100/101: strictly after every chunk
+        placeWithMtime(onlyPart(sdir), new java.io.File(flat, fname), t0, seq, move = true)
     }
     flat.getAbsolutePath
   }
@@ -71,16 +80,10 @@ class StreamingSpec extends SparkSpec {
     val flat = new java.io.File(
       java.nio.file.Files.createTempDirectory("events_replay_hb").toFile, "flat")
     flat.mkdirs()
-    // FileStreamSource replays in MODIFICATION-TIME order (name order is not
-    // consulted) — copy in sorted-name order and stamp strictly increasing
-    // mtimes, or an unlucky copy order replays a later chunk first, advances
-    // the watermark, and drops the earlier chunk's events as late
     val base = System.currentTimeMillis()
     new java.io.File(replayDir).listFiles().filter(_.getName.startsWith("c"))
       .sortBy(_.getName).zipWithIndex.foreach { case (f, i) =>
-        val dst = new java.io.File(flat, f.getName)
-        java.nio.file.Files.copy(f.toPath, dst.toPath)
-        dst.setLastModified(base + i * 1000L)
+        placeWithMtime(f, new java.io.File(flat, f.getName), base, i, move = false)
       }
     Seq(("zzz1_hb.parquet", "2030-01-01 00:00:00", -10L, 100),
         ("zzz2_hb.parquet", "2030-01-02 00:00:00", -20L, 101)).foreach {
@@ -90,10 +93,8 @@ class StreamingSpec extends SparkSpec {
           .toDF("event_id", "ts", "user_id", "event_type", "value")
         val hdir = s"${flat.getParent}/hb_$id"
         hb.coalesce(1).write.parquet(hdir)
-        val hfile = new java.io.File(hdir).listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(flat, fname)
-        java.nio.file.Files.move(hfile.toPath, dst.toPath)
-        dst.setLastModified(base + seq * 1000L) // strictly after every chunk
+        // seq 100/101: strictly after every chunk
+        placeWithMtime(onlyPart(hdir), new java.io.File(flat, fname), base, seq, move = true)
     }
     flat.getAbsolutePath
   }
