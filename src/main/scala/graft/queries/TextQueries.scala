@@ -600,6 +600,50 @@ object TextQueries {
        FROM x
        ORDER BY doc_id, pos"""
 
+  /** Sequence PACKING — the pretraining batch-construction op: stream documents
+    * in a deterministic order, accumulate token counts, and cut a new pack every
+    * time the running total crosses a fixed token budget (512 here). Expressed as
+    * an exclusive running sum (window frame up to -1 row) + floor-div — fixed
+    * boundaries, the distributable variant of greedy packing (true greedy is
+    * sequential by definition). SHARDED on purpose: the window partitions by
+    * doc_id mod 8, so at 100 TB each shard packs independently — a global
+    * single-partition window would serialize the corpus through one task.
+    * Integer token counts make the running sums exact on both engines. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    T.documents(s, d)
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      .withColumn("tok_n", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("cum_excl", coalesce(sum(col("tok_n")).over(w), lit(0L)))
+      .withColumn("pack", floor(col("cum_excl") / 512).cast("long"))
+      .groupBy(col("shard"), col("pack"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_n")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("pack"))
+  }
+
+  private val q92Sql =
+    """WITH t AS (
+         SELECT doc_id, doc_id % 8 AS shard,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok_n
+         FROM documents),
+       c AS (
+         SELECT doc_id, shard, tok_n,
+           COALESCE(SUM(tok_n) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+         FROM t)
+       SELECT shard, CAST(FLOOR(cum_excl / 512) AS BIGINT) AS pack,
+         COUNT(*) AS n_docs,
+         CAST(SUM(tok_n) AS BIGINT) AS pack_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM c GROUP BY shard, pack
+       ORDER BY shard, pack"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q32_token_counts", q32, Some(q32Sql)),
     QDef("q33_tf_per_doc", q33, Some(q33Sql)),
@@ -610,6 +654,7 @@ object TextQueries {
     QDef("q84_hash_split", q84, Some(q84Sql)),
     QDef("q85_repetition_ratio", q85, Some(q85Sql)),
     QDef("q86_posexplode_outer", q86, Some(q86Sql)),
+    QDef("q92_sequence_packing", q92, Some(q92Sql)),
     QDef("q37_simhash", q37, Some(q37Sql)),
     QDef("q38_ngram_jaccard", q38, Some(q38Sql)),
     QDef("q39_lang_quality", q39, Some(q39Sql)),
