@@ -644,6 +644,43 @@ object TextQueries {
        FROM c GROUP BY shard, pack
        ORDER BY shard, pack"""
 
+  /** Benchmark DECONTAMINATION — the pre-training hygiene op: flag training
+    * documents sharing any 3-gram shingle with a held-out eval set (docs 0–4
+    * stand in for the benchmark). The eval side is tiny by construction, so its
+    * distinct shingles broadcast and the check is one broadcast semi-ish join +
+    * per-doc count over the training corpus — linear in corpus size, the shape
+    * that scans 100 TB once. Counting DISTINCT overlapping shingles per doc keeps
+    * the metric insensitive to repeated shingles on either side. */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    def shingles(df: DataFrame): DataFrame = df
+      .withColumn("toks", split(trim(col("text")), " "))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) < 3 THEN array() ELSE array_distinct(transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))) END"))
+        .as("sh"))
+    val docs = T.documents(s, d)
+    val evalShingles = broadcast(
+      shingles(docs.filter(col("doc_id") < 5)).select(col("sh")).distinct())
+    shingles(docs.filter(col("doc_id") >= 5))
+      .join(evalShingles, "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_contaminated_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q93Sql =
+    """WITH sh AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS sh
+         FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+         WHERE len(toks) >= 3),
+       ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 5)
+       SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_contaminated_shingles
+       FROM sh s JOIN ev ON s.sh = ev.sh
+       WHERE s.doc_id >= 5
+       GROUP BY s.doc_id
+       ORDER BY s.doc_id"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q32_token_counts", q32, Some(q32Sql)),
     QDef("q33_tf_per_doc", q33, Some(q33Sql)),
@@ -655,6 +692,7 @@ object TextQueries {
     QDef("q85_repetition_ratio", q85, Some(q85Sql)),
     QDef("q86_posexplode_outer", q86, Some(q86Sql)),
     QDef("q92_sequence_packing", q92, Some(q92Sql)),
+    QDef("q93_decontamination", q93, Some(q93Sql)),
     QDef("q37_simhash", q37, Some(q37Sql)),
     QDef("q38_ngram_jaccard", q38, Some(q38Sql)),
     QDef("q39_lang_quality", q39, Some(q39Sql)),
