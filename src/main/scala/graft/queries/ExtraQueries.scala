@@ -287,6 +287,41 @@ object ExtraQueries {
        GROUP BY m
        ORDER BY month"""
 
+  /** Correlated-subquery family — scalar subquery, EXISTS, and IN in one query:
+    * the Catalyst decorrelation surface (RewriteCorrelatedScalarSubquery /
+    * RewritePredicateSubquery turn each into joins — scalar → left outer
+    * aggregate join, EXISTS → semi, IN → semi on the key). Declared in SQL since
+    * that is where users write these shapes; the DataFrame corpus covers the
+    * post-rewrite join forms (q04/q05/q09). */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    T.customer(s, d).createOrReplaceTempView("v_customer_sub")
+    T.orders(s, d).createOrReplaceTempView("v_orders_sub")
+    s.sql(
+      """SELECT c_custkey,
+           (SELECT ROUND(MAX(o_totalprice), 2) FROM v_orders_sub o
+            WHERE o.o_custkey = c.c_custkey) AS max_price,
+           (SELECT COUNT(*) FROM v_orders_sub o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT') AS n_urgent
+         FROM v_customer_sub c
+         WHERE EXISTS (SELECT 1 FROM v_orders_sub o WHERE o.o_custkey = c.c_custkey)
+           AND c_custkey IN (SELECT o_custkey FROM v_orders_sub
+                             WHERE o_totalprice > 50000)
+         ORDER BY c_custkey""")
+  }
+
+  private val q94Sql =
+    """SELECT c_custkey,
+       (SELECT ROUND(MAX(o_totalprice), 2) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_price,
+       CAST((SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
+       ORDER BY c_custkey"""
+
   /** Typed COGROUP — the KeyValueGroupedDataset operator the rest of the corpus
     * doesn't touch: both sides' rows for one key materialize in a single function
     * call (per-key custom merge logic that a join + agg can't express in general).
@@ -332,6 +367,7 @@ object ExtraQueries {
     QDef("q67_sql_api", q67, Some(q67Sql)),
     QDef("q87_cogroup", q87, Some(q87Sql)),
     QDef("q90_recursive_cte", q90, Some(q90Sql)),
+    QDef("q94_correlated_subqueries", q94, Some(q94Sql)),
     QDef("q61_argminmax_median", q61, Some(q61Sql)),
     QDef("q62_pivot", q62, Some(q62Sql)),
     QDef("q63_window_distribution", q63, Some(q63Sql)),
