@@ -327,6 +327,27 @@ object RelationalQueries {
        CAST(ROUND(REGR_R2(l_extendedprice, l_quantity) * 10000) AS BIGINT) AS r2_bp
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** NULL-SAFE equi join (<=>): null keys MATCH each other instead of dropping —
+    * the join-key form of q57's scalar null-safe equality. Catalyst still plans a
+    * hash join (the key is wrapped so null hashes consistently); the corpus's
+    * plain equi joins silently drop null keys, and this is the declared opt-out.
+    * Fixture: NULLIF turns status 'P' into a null key on both sides. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val o = T.orders(s, d).withColumn("k", expr("NULLIF(o_orderstatus, 'P')"))
+    val dim = o.select(col("k").as("dk")).distinct()
+    o.join(dim, col("k") <=> col("dk"))
+      .groupBy(coalesce(col("dk"), lit("P_NULL")).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("key"))
+  }
+
+  private val q95Sql =
+    """WITH o AS (SELECT NULLIF(o_orderstatus, 'P') AS k FROM orders),
+       d AS (SELECT DISTINCT k AS dk FROM o)
+       SELECT COALESCE(dk, 'P_NULL') AS key, COUNT(*) AS n
+       FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.dk
+       GROUP BY 1 ORDER BY key"""
+
   /** collect_list, array_sort'ed for determinism, emitted as a CSV string. */
   private def q13(s: SparkSession, d: String): DataFrame =
     T.orders(s, d)
@@ -549,6 +570,7 @@ object RelationalQueries {
     QDef("q11_cube", q11, Some(q11Sql)),
     QDef("q12_stats_family", q12, Some(q12Sql)),
     QDef("q89_bivariate_stats", q89, Some(q89Sql)),
+    QDef("q95_nullsafe_join", q95, Some(q95Sql)),
     QDef("q13_collect_list", q13, Some(q13Sql)),
     QDef("q14_window_ranking", q14, Some(q14Sql)),
     QDef("q15_window_frames", q15, Some(q15Sql)),
