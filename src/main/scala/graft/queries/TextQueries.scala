@@ -271,7 +271,11 @@ object TextQueries {
     val out = finalLabels
       .groupBy(col("label").as("rep"))
       .agg(count(lit(1)).as("n_docs"),
-        array_sort(collect_list(col("node"))).as("members"))
+        // joined string, not array: the driver's oracle compare sorts rows in
+        // pandas, which cannot hash numpy arrays (r03 q81 failure). Sort
+        // numerically first, then render — matches DuckDB list_sort semantics.
+        expr("array_join(transform(array_sort(collect_list(node)), x -> cast(x AS string)), ',')")
+          .as("members"))
       .orderBy(col("rep"))
     edges.unpersist()
     pairs.unpersist()
@@ -287,7 +291,8 @@ object TextQueries {
          UNION
          SELECT reach.node, e.t FROM reach JOIN edges e ON reach.r = e.s),
        rep AS (SELECT node, LEAST(node, MIN(r)) AS rep FROM reach GROUP BY node)
-       SELECT rep, COUNT(*) AS n_docs, list_sort(list(node)) AS members
+       SELECT rep, COUNT(*) AS n_docs,
+         array_to_string(list_sort(list(node)), ',') AS members
        FROM rep GROUP BY rep ORDER BY rep"""
 
   /** 16-bit SimHash per document: sign-sum of token-hash bits, computed entirely
