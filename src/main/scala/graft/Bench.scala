@@ -24,6 +24,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Uniform planning environment: the band-join rule is session-sticky once a
+    // band-join query enables it, which would make later queries' plan shapes
+    // depend on execution order. Installing it up-front plans EVERY query under
+    // the same rule set (the rule no-ops on non-band joins).
+    graft.plans.GraftExtensions.install(spark)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
     def timeOnce(name: String,

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Install the band-join rule up-front: it is session-sticky once any band
+    // query enables it, so installing here keeps every query's plan shape
+    // independent of execution order (the rule no-ops on non-band joins).
+    graft.plans.GraftExtensions.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

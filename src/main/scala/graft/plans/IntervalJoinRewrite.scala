@@ -74,6 +74,11 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledKey   = "spark.graft.intervalJoin.enabled"
   val WidthKey     = "spark.graft.intervalJoin.bucketWidth"
   val MaxFanoutKey = "spark.graft.intervalJoin.maxFanout"
+  /** Escape hatch for the retry-stability guard below: set true to let the
+    * id-tagged semi/anti/full-outer rewrites fire even when the tagged side's
+    * per-partition row order is not provably reproducible under task retry
+    * (acceptable when shuffle-fetch failures and speculation are rare/disabled). */
+  val UnstableTagsKey = "spark.graft.intervalJoin.allowUnstableTags"
 
   /** Marks the split plan's nested-loop fallback join: it is a pure band join by
     * construction, so without the tag the fixed-point batch would re-rewrite it
@@ -274,6 +279,56 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     offsetMagnitude(lo, hi).orElse(offsetMagnitude(hi, lo))
   }
 
+  /** RETRY-STABILITY of monotonically_increasing_id tags (the semi/anti/full-outer
+    * point-on-right paths collapse exploded copies by grouping on such an id).
+    *
+    * The hazard: the id is partitionIndex<<33 + rowPositionInPartition. If the
+    * id-assigning map stage is PARTIALLY re-run after a shuffle-fetch failure
+    * while some reduce partitions already fetched the old output, re-assigned ids
+    * can differ and copies of one interval row split across two ids — duplicate
+    * semi rows, spurious anti rows, extra full-outer null-extensions. Spark's
+    * INDETERMINATE-stage rollback does NOT protect this: ProjectExec calls
+    * mapPartitionsWithIndexInternal with the default isOrderSensitive=false
+    * (verified against the spark-sql 4.1.2 bytecode — it passes $default$2/3),
+    * so a nondeterministic projection above a shuffle is not tracked as
+    * indeterminate (the long-standing SPARK-38388 class of issues).
+    *
+    * The ids are stable, however, whenever the tagged subtree reproduces each
+    * partition's rows IN ORDER on retry: task N re-reads the same file splits /
+    * local rows and re-derives the same positions. That holds for scan-rooted
+    * subtrees of order-preserving, deterministic operators — the overwhelmingly
+    * common band-join shape. This predicate is that conservative whitelist; the
+    * id-tagged rewrites fire only when it holds (or the user sets
+    * [[UnstableTagsKey]]), and otherwise decline so the join stays on Spark's
+    * naive-but-exact nested-loop plan. */
+  private def retryStableOrder(p: LogicalPlan): Boolean = p match {
+    case Project(exprs, child)  => exprs.forall(_.deterministic) && retryStableOrder(child)
+    case Filter(cond, child)    => cond.deterministic && retryStableOrder(child)
+    case g: Generate            => g.generator.deterministic && retryStableOrder(g.child)
+    case u: Union               => u.children.forall(retryStableOrder)
+    // per-partition seeded sampling: same partition + same input order on retry
+    case s: Sample              => retryStableOrder(s.child)
+    case e: Expand =>
+      e.projections.forall(_.forall(_.deterministic)) && retryStableOrder(e.child)
+    case _: LocalRelation       => true
+    case _: Range               => true // slice contents are a pure function of the range
+    case l: LeafNode =>
+      // File-based and v2 relations: splits are planned once on the driver, so a
+      // retried task re-reads the same files in the same order. Anything else
+      // (LogicalRDD over an arbitrary upstream RDD, streaming relations) is
+      // conservatively unstable.
+      l.getClass.getSimpleName match {
+        case "LogicalRelation" | "DataSourceV2Relation" |
+             "DataSourceV2ScanRelation" | "HiveTableRelation" | "OneRowRelation" => true
+        case _ => false
+      }
+    case _ => false // joins/aggregates/windows/sorts/limits/repartitions shuffle
+  }
+
+  private def idTagsSafe(side: LogicalPlan): Boolean =
+    scala.util.Try(conf.getConfString(UnstableTagsKey, "false").toBoolean)
+      .getOrElse(false) || retryStableOrder(side)
+
   /** True when the band is fixed-width AND fits in maxFanout buckets. Such bands
     * need no nested-loop fallback: the explode is bounded by construction, and
     * IEEE specials degenerate consistently because both bounds derive from one
@@ -352,10 +407,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     *    side, so exploding it duplicates preserved rows. Handled by tagging
     *    each interval row with a `monotonically_increasing_id` BEFORE the
     *    explode and collapsing copies after the join with a group-by on that
-    *    id. Sound despite the id's nondeterminism because the tagged subtree
-    *    appears exactly ONCE in the plan: every copy of a row inherits the id
-    *    assigned in the single evaluation, and duplicate original rows get
-    *    distinct ids (preserving semi/anti multiplicity). Anti additionally
+    *    id. Sound despite the id's nondeterminism because (a) the tagged
+    *    subtree appears exactly ONCE in the plan — every copy of a row inherits
+    *    the id assigned in the single evaluation, and duplicate original rows
+    *    get distinct ids (preserving semi/anti multiplicity) — and (b) the
+    *    rewrite fires only when [[retryStableOrder]] proves the ids are also
+    *    reproducible under partial stage retry (or the user opts in via
+    *    [[UnstableTagsKey]]). Anti additionally
     *    uses an OUTER generate (zero-bucket rows must be kept — a null/inverted
     *    band matches nothing, and anti keeps non-matching rows) plus a
     *    left-outer join against a literal-true match marker: a row passes iff
@@ -393,8 +451,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case Inner | Cross         => true
       case LeftOuter             => pointOnLeft && !needFallback
       case RightOuter            => !pointOnLeft && !needFallback
-      case LeftSemi | LeftAnti   => !needFallback // either point side; see below
-      case FullOuter             => !needFallback // either point side; see below
+      // Point-on-right semi/anti and full-outer tag rows with monotonic ids;
+      // require the tagged side(s) to reproduce row order under task retry
+      // (see retryStableOrder) or an explicit user override.
+      case LeftSemi | LeftAnti   =>
+        !needFallback && (pointOnLeft || idTagsSafe(j.left))
+      case FullOuter             => // both sides are id-tagged (id + pid)
+        !needFallback && idTagsSafe(j.left) && idTagsSafe(j.right)
       case _                     => false
     }
     if (!shapeOk) return None
@@ -593,7 +656,15 @@ object GraftExtensions {
     * install the rule, force it on, and UNSET any leftover session bucket width —
     * a width tuned for some numeric band (e.g. 0.01) would span a time band over
     * more than maxFanout buckets and silently route the whole join to the
-    * nested-loop fallback; unsetting pins the auto-derived width. */
+    * nested-loop fallback; unsetting pins the auto-derived width.
+    *
+    * SESSION-STICKY BY DESIGN: the rule plans lazily (conf is read when the
+    * action runs, not when the DataFrame is built), so a restore-after-build
+    * would disable the rewrite before it ever fires. Instead the rule stays
+    * installed and enabled for the rest of the session — it no-ops on anything
+    * but pure band joins, so results are unaffected; to keep plan SHAPES
+    * order-independent too, Verify and Bench install it up-front so every query
+    * in a run is planned under the same rule set regardless of position. */
   def enableForQuery(spark: SparkSession): Unit = {
     install(spark)
     spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")

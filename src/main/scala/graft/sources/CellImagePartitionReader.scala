@@ -153,6 +153,10 @@ object CellImageJsonl {
     var j = i + k.length
     var v = 0L
     while (j < line.length && line.charAt(j).isDigit) { v = v * 10 + (line.charAt(j) - '0'); j += 1 }
+    // No digits right after the key (whitespace, negative, malformed) must throw,
+    // not parse as 0: with pushed imageIdx filters a silent 0 would make
+    // rowMatches drop valid rows instead of failing loudly.
+    require(j > i + k.length, s"malformed imageIdx in $line")
     v
   }
 

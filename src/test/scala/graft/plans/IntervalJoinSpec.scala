@@ -14,6 +14,14 @@ import org.apache.spark.sql.DataFrame
   * old plan and compare naive against naive. */
 class IntervalJoinSpec extends SparkSpec {
 
+  /** Tests narrow the bucket width (7/10/11…) for their fixtures; restore the
+    * suite baseline after EVERY test — including failing ones, where the in-test
+    * trailing restore never runs and the narrow width would cascade into
+    * unrelated later tests. */
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    try super.withFixture(test)
+    finally spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+
   private def withRule[A](body: => A): A = {
     GraftExtensions.install(spark)
     spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
@@ -345,6 +353,47 @@ class IntervalJoinSpec extends SparkSpec {
       assert(naive.count(_.startsWith(if (pointLeft) "[null,null,13," else "[13,5000,null,")) == 1)
     }
     spark.conf.set(IntervalJoinRewrite.WidthKey, "3600")
+  }
+
+  test("id-tagged rewrites decline when the tagged side is not retry-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    // Interval side rooted at an AGGREGATE: a shuffle below the id projection
+    // means monotonic ids could differ across partial stage retries (fetch
+    // failure / speculation), so the id-collapse rewrites must DECLINE — the
+    // join stays nested-loop and exact — unless the user opts in via
+    // allowUnstableTags. Duplicate pre-agg rows make the aggregate non-trivial.
+    def p() = Seq((1L, 5L), (2L, 100L)).toDF("pid", "v")
+    def iv() = Seq((10L, 0L), (10L, 7L), (11L, 90L), (13L, 5000L))
+      .toDF("iid0", "lo0")
+      .groupBy(col("iid0")).agg(min(col("lo0")).as("lo"))
+      .select(col("iid0").as("iid"), col("lo"))
+    def joined(tpe: String) = {
+      val (ivd, pd) = (iv(), p())
+      ivd.join(pd, pd("v") >= ivd("lo") && pd("v") <= ivd("lo") + 110, tpe)
+    }
+    spark.conf.set(IntervalJoinRewrite.WidthKey, "7")
+    for (tpe <- Seq("left_semi", "left_anti", "full_outer")) {
+      val naive = withoutRule(sortedRows(joined(tpe)))
+      assert(naive.nonEmpty, s"$tpe fixture must produce rows")
+      val declined = withRule {
+        val df = joined(tpe)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("__graft_ij_id"),
+          s"$tpe must decline id-tagging over an aggregate-rooted side:\n$plan")
+        sortedRows(joined(tpe))
+      }
+      assert(declined == naive, s"$tpe declined-path diverged")
+      val forced = withRule {
+        spark.conf.set(IntervalJoinRewrite.UnstableTagsKey, "true")
+        try {
+          assertRewritten(joined(tpe))
+          sortedRows(joined(tpe))
+        } finally spark.conf.unset(IntervalJoinRewrite.UnstableTagsKey)
+      }
+      assert(forced == naive, s"$tpe forced rewrite diverged")
+    }
   }
 
   test("randomized point-on-right semi/anti and right-outer equal naive") {

@@ -132,6 +132,9 @@ class CellImageSourceSpec extends SparkSpec {
     val df = read("channels" -> "2", "numpartitionsperfile" -> "4")
       .filter("imageIdx = 7").limit(2)
     val rows = df.collect()
+    // a bad limit/bounds intersection would return zero rows, which take(0)/forall
+    // below would vacuously accept — pin the expected count first
+    assert(rows.length == 2, s"expected limit(2) to return 2 rows, got ${rows.length}")
     assert(rows.map(_.getAs[String]("fileId")).sorted.toSeq ==
       Seq("file_0", "file_1", "file_2"). take(rows.length))
     assert(rows.forall(_.getAs[Long]("imageIdx") == 7L))
