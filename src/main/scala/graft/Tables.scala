@@ -56,7 +56,8 @@ object Registry {
       queries.EventQueries.defs ++
       queries.PipelineQueries.defs ++
       queries.SinkQueries.defs ++
-      queries.ExtraQueries.defs
+      queries.ExtraQueries.defs ++
+      queries.Round4Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

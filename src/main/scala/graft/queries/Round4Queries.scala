@@ -1,0 +1,354 @@
+package graft.queries
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 surface: batch sessionization, deterministic weighted sampling,
+  * vocabulary coverage, URL profiling, PII redaction, range-partitioned write
+  * layout, typed mapGroups, and the stack/inline generator family.
+  *
+  * All queries follow the SURVEY.md §2b determinism conventions (ORDER BY unique
+  * keys, floats as ×100/×10000 scaled integers, portable md5-derived hashes).
+  */
+object Round4Queries {
+
+  /** DuckDB-side CTE matching Tables.events' µs view of the ns ts column. */
+  private val evCte =
+    "WITH ev AS (SELECT event_id, ts, user_id, event_type, value FROM events)"
+
+  private def tmp(name: String, sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_r4_${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+
+  // --------------------------------------------------------------------------
+  // q96: batch sessionization (gaps-and-islands) — the batch twin of q29's
+  // session_window, built from primitives the way warehouse pipelines spell it:
+  // lag() flags a >30 min gap, a running sum of flags numbers the sessions,
+  // then one hash agg per (user, session). Scale shape: both windows share ONE
+  // partitioning (user_id) and ONE ordering (ts, event_id), so Spark plans a
+  // single exchange + single sort for the whole chain; the final agg is keyed
+  // on a superset of the window key and needs no further shuffle.
+  // --------------------------------------------------------------------------
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("new_s",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("span_s"),
+        expr("CAST(ROUND(SUM(value) * 100) AS BIGINT)").as("value_x100"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q96Sql =
+    s"""$evCte,
+       flagged AS (
+         SELECT user_id, event_id, ts, value,
+           CASE WHEN LAG(ts, 1) OVER w IS NULL
+                  OR DATE_DIFF('second', LAG(ts, 1) OVER w, ts) > 1800
+                THEN 1 ELSE 0 END AS new_s
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM flagged)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         DATE_DIFF('second', MIN(ts), MAX(ts)) AS span_s,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_x100
+       FROM sess GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
+
+  // --------------------------------------------------------------------------
+  // q97: quality/language-weighted DETERMINISTIC sampling — the data-mixing op
+  // (downsample the dominant language, keep most of the rest). Instead of
+  // rand() (irreproducible across runs/cluster sizes) the keep decision hashes
+  // the CONTENT: u = first 56 bits of md5(text), keep iff u < per-language
+  // threshold. Reproducible on any engine, any partitioning — the reason real
+  // pipelines sample by hash, and exactly oracle-checkable (thresholds are
+  // exact integers, not float rates). Linear scan + hash agg, no shuffle
+  // beyond the final tiny agg.
+  // --------------------------------------------------------------------------
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    // thresholds out of 2^56: en 25%, fr 60%, de 70%, es 80%, zh 90%
+    val thr = "CASE lang WHEN 'en' THEN 18014398509481984 " +
+      "WHEN 'fr' THEN 43234556422756762 WHEN 'de' THEN 50440315826549555 " +
+      "WHEN 'es' THEN 57646075230342349 ELSE 64851834634135142 END"
+    T.documents(s, d)
+      .withColumn("u56",
+        expr("CAST(conv(substring(md5(text), 1, 14), 16, 10) AS BIGINT)"))
+      .withColumn("keep", expr(s"u56 < $thr"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q97Sql =
+    """WITH u AS (
+         SELECT lang, n_chars,
+           CAST(('0x' || substring(md5(text), 1, 14)) AS BIGINT) <
+             CASE lang WHEN 'en' THEN 18014398509481984
+               WHEN 'fr' THEN 43234556422756762
+               WHEN 'de' THEN 50440315826549555
+               WHEN 'es' THEN 57646075230342349
+               ELSE 64851834634135142 END AS keep
+         FROM documents)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       FROM u GROUP BY lang ORDER BY lang"""
+
+  // --------------------------------------------------------------------------
+  // q98: vocabulary coverage curve (Zipf profile) — for tokenizer/vocab design:
+  // rank tokens by corpus frequency and compute each rank's CUMULATIVE share of
+  // all token occurrences, in basis points via exact integer arithmetic
+  // (cum*10000 DIV total — no float summation anywhere). The explode+count agg
+  // is the linear corpus pass; the ranking window runs over the VOCABULARY
+  // (orders of magnitude smaller than the corpus), where a single-partition
+  // window is the correct shape even at 100 TB corpus scale.
+  // --------------------------------------------------------------------------
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val counts = T.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.orderBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("rank"), col("token"), col("cnt"),
+        expr("CAST(cum * 10000 DIV total AS BIGINT)").as("cum_share_bp"))
+      .orderBy(col("rank"))
+  }
+
+  private val q98Sql =
+    """WITH counts AS (
+         SELECT t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM documents, UNNEST(string_split(trim(text), ' ')) AS t(token)
+         WHERE length(t.token) > 0
+         GROUP BY t.token),
+       ranked AS (
+         SELECT token, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+           SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER () AS total
+         FROM counts)
+       SELECT rank, token, cnt, CAST(cum * 10000 // total AS BIGINT) AS cum_share_bp
+       FROM ranked ORDER BY rank"""
+
+  // --------------------------------------------------------------------------
+  // q99: URL parsing + per-domain profiling — the provenance-analysis op every
+  // web-corpus pipeline runs (docs per domain, source diversity, crawl-page
+  // stats). URLs are derived deterministically from the documents table so the
+  // parse surface (HOST / PATH / QUERY key) is exercised against a DuckDB twin
+  // that re-derives the same fields with regexes. Spark side uses the native
+  // parse_url expression (codegen'd, no UDF). Narrow projection + one hash agg.
+  // --------------------------------------------------------------------------
+  private def q99(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("url", concat(
+        lit("https://"), col("lang"), lit(".example.org/"), col("source"),
+        lit("/"), col("doc_id").cast("string"),
+        lit("?ref="), col("source"), lit("&page="), (col("doc_id") % 7).cast("string")))
+      .select(
+        expr("parse_url(url, 'HOST')").as("host"),
+        element_at(split(expr("parse_url(url, 'PATH')"), "/"), 2).as("src_seg"),
+        expr("CAST(parse_url(url, 'QUERY', 'page') AS BIGINT)").as("page"))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("src_seg")).as("n_sources"),
+        sum(col("page")).as("pages_sum"))
+      .orderBy(col("host"))
+
+  private val q99Sql =
+    """WITH u AS (
+         SELECT 'https://' || lang || '.example.org/' || source || '/' || doc_id
+                || '?ref=' || source || '&page=' || (doc_id % 7) AS url
+         FROM documents),
+       parsed AS (
+         SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+/([^/]+)/', 1) AS src_seg,
+           CAST(regexp_extract(url, 'page=([0-9]+)', 1) AS BIGINT) AS page
+         FROM u)
+       SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT src_seg) AS BIGINT) AS n_sources,
+         CAST(SUM(page) AS BIGINT) AS pages_sum
+       FROM parsed GROUP BY host ORDER BY host"""
+
+  // --------------------------------------------------------------------------
+  // q100: PII redaction — scrub email addresses and report per-language scrub
+  // stats (docs touched, characters removed), the compliance pass before
+  // training-data release. Emails are planted on even doc_ids only, so BOTH
+  // paths (redacted and untouched) are exercised rather than vacuously
+  // matching everything. The pattern avoids lookarounds/backrefs so Java
+  // regex (Spark) and RE2 (DuckDB) agree. Pure per-row projection + hash agg.
+  // --------------------------------------------------------------------------
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    T.documents(s, d)
+      .withColumn("base", concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail-"), col("lang"), lit(".org asap")))
+          .otherwise(lit(""))))
+      .withColumn("red", regexp_replace(col("base"), emailRe, "<EMAIL>"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("red") =!= col("base"), 1L).otherwise(0L)).as("n_redacted"),
+        sum(length(col("base")) - length(col("red"))).cast("long").as("chars_removed"))
+      .orderBy(col("lang"))
+  }
+
+  private val q100Sql =
+    """WITH base AS (
+         SELECT lang, text ||
+           CASE WHEN doc_id % 2 = 0
+             THEN ' contact user' || doc_id || '@mail-' || lang || '.org asap'
+             ELSE '' END AS base
+         FROM documents),
+       red AS (
+         SELECT lang, base,
+           regexp_replace(base, '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g') AS red
+         FROM base)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN red <> base THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+         CAST(SUM(length(base) - length(red)) AS BIGINT) AS chars_removed
+       FROM red GROUP BY lang ORDER BY lang"""
+
+  // --------------------------------------------------------------------------
+  // q101: range-partitioned, sorted write layout — the ordered-layout
+  // counterpart of q69/q88's hash bucketing: repartitionByRange clusters rows
+  // by sort key into non-overlapping key ranges per file, sortWithinPartitions
+  // orders them inside each file, so parquet min/max zone maps prune
+  // time-range scans to a file subset (THE layout for time-series at 100 TB —
+  // a date-range query touches only the files whose range intersects).
+  // Correctness gate: read back, range-filter, aggregate — must equal the same
+  // aggregate over the original table.
+  // --------------------------------------------------------------------------
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("orders_range", d)
+    T.orders(s, d)
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_orderdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT)").as("total_x100"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q101Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS total_x100
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  // --------------------------------------------------------------------------
+  // q102: typed groupByKey + mapGroups — the one-sided typed-API counterpart of
+  // q87's cogroup: arbitrary per-key Scala logic over all of a key's rows in
+  // one call (here: sort a user's events by time and derive a profile whose
+  // first/last fields a plain agg would need min_by/max_by for). The group
+  // iterator is materialized per key only — state is bounded by the largest
+  // single key, the same contract as any mapGroups at scale. Sum is computed
+  // in deterministic sorted order and emitted ×100-scaled.
+  // --------------------------------------------------------------------------
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._2)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._1))
+        val sum = evs.iterator.map(_._5).sum
+        (uid, evs.length.toLong, evs.head._4, evs.last._4, math.round(sum * 100))
+      }
+      .toDF("user_id", "n", "first_type", "last_type", "value_x100")
+      .orderBy(col("user_id"))
+  }
+
+  private val q102Sql =
+    s"""$evCte,
+       o AS (
+         SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER w AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+         MIN(CASE WHEN rn = n THEN event_type END) AS last_type,
+         CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_x100
+       FROM o GROUP BY user_id ORDER BY user_id"""
+
+  // --------------------------------------------------------------------------
+  // q103: stack + inline generators — the remaining members of the generator
+  // family (explode q25, posexplode q73, posexplode_outer q86): stack() turns
+  // N (label, value) pairs into N rows without building an intermediate array;
+  // inline() explodes an array of structs into columns directly. Both are
+  // Generate-planned (no shuffle, no UDF). The union'd long form is checked
+  // against the portable UNION ALL spelling.
+  // --------------------------------------------------------------------------
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val base = T.orders(s, d).filter(col("o_orderkey") < 200)
+    val stacked = base.selectExpr("o_orderkey",
+      """stack(2,
+           'total_x100', CAST(ROUND(o_totalprice * 100) AS BIGINT),
+           'custkey',    CAST(o_custkey AS BIGINT)) AS (metric, v)""")
+    val inlined = base.selectExpr("o_orderkey",
+      """inline(array(named_struct(
+           'metric', 'prio_len',
+           'v', CAST(length(o_orderpriority) AS BIGINT))))""")
+    stacked.union(inlined).orderBy(col("o_orderkey"), col("metric"))
+  }
+
+  private val q103Sql =
+    """SELECT o_orderkey, metric, v FROM (
+         SELECT o_orderkey, 'total_x100' AS metric,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders
+         UNION ALL
+         SELECT o_orderkey, 'custkey', CAST(o_custkey AS BIGINT) FROM orders
+         UNION ALL
+         SELECT o_orderkey, 'prio_len', CAST(length(o_orderpriority) AS BIGINT)
+         FROM orders)
+       WHERE o_orderkey < 200
+       ORDER BY o_orderkey, metric"""
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q96_sessionization", q96, Some(q96Sql)),
+    QDef("q97_weighted_sample", q97, Some(q97Sql)),
+    QDef("q98_vocab_coverage", q98, Some(q98Sql)),
+    QDef("q99_url_profile", q99, Some(q99Sql)),
+    QDef("q100_pii_redaction", q100, Some(q100Sql)),
+    QDef("q101_range_layout", q101, Some(q101Sql)),
+    QDef("q102_typed_mapgroups", q102, Some(q102Sql)),
+    QDef("q103_stack_inline", q103, Some(q103Sql)))
+}

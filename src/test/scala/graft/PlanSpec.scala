@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpec {
       s"only the mktsegment agg may shuffle (join must ride the buckets):\n$p")
   }
 
+  test("q96 pin: sessionization windows and session agg share ONE hash exchange") {
+    // lag-window, running-sum window, and (user_id, session_id) agg all cluster
+    // by user_id: EnsureRequirements must satisfy the agg with the windows'
+    // HashPartitioning(user_id) instead of reshuffling on the wider key.
+    val p = finalPlan("q96_sessionization")
+    assert(p.contains("Window"), s"sessionization must plan windows:\n${p.take(400)}")
+    assert(hashExchanges(p) == 1,
+      s"windows + agg must ride one user_id exchange:\n$p")
+  }
+
+  test("q101 pin: range-layout write plans a RangePartitioning exchange") {
+    val df = Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"repartitionByRange must plan a range exchange:\n${p.take(600)}")
+    assert(p.contains("Sort"), "files must be written sorted within partitions")
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
