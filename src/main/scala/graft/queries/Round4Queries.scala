@@ -342,6 +342,49 @@ object Round4Queries {
        WHERE o_orderkey < 200
        ORDER BY o_orderkey, metric"""
 
+  // --------------------------------------------------------------------------
+  // q104: embedding int8 quantization — the storage/serving compression op
+  // (float32 → int8 with a per-vector scale, 4× smaller). Entirely per-row
+  // higher-order functions (no shuffle, no UDF): maxabs via an order-
+  // independent max fold, each element CAST to DOUBLE before the *127/maxabs
+  // arithmetic so Spark and DuckDB run the identical IEEE ops, then ROUND
+  // before the integer cast (Spark truncates double→int, DuckDB rounds — the
+  // ROUND-first idiom sidesteps that divergence). Integer sums of the
+  // quantized values are order-independent, hence exactly comparable.
+  // --------------------------------------------------------------------------
+  private def q104(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .filter(col("vec_id") < 300)
+      .withColumn("maxabs", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qs", expr(
+        """CASE WHEN maxabs = 0.0 THEN transform(embedding, x -> CAST(0 AS BIGINT))
+           ELSE transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)) END"""))
+      .select(
+        col("vec_id"),
+        expr("CAST(ROUND(maxabs * 1000000) AS BIGINT)").as("scale_x1e6"),
+        expr("aggregate(qs, CAST(0 AS BIGINT), (a, b) -> a + b)").as("q_sum"),
+        expr("aggregate(qs, CAST(0 AS BIGINT), (a, b) -> a + b * b)").as("q_sumsq"))
+      .orderBy(col("vec_id"))
+
+  private val q104Sql =
+    """WITH m AS (
+         SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         FROM embeddings WHERE vec_id < 300),
+       q AS (
+         SELECT vec_id, maxabs,
+           CASE WHEN maxabs = 0.0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)) END AS qs
+         FROM m)
+       SELECT vec_id,
+         CAST(ROUND(maxabs * 1000000) AS BIGINT) AS scale_x1e6,
+         CAST(list_aggregate(qs, 'sum') AS BIGINT) AS q_sum,
+         CAST(list_aggregate(list_transform(qs, x -> x * x), 'sum') AS BIGINT) AS q_sumsq
+       FROM q ORDER BY vec_id"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q96_sessionization", q96, Some(q96Sql)),
     QDef("q97_weighted_sample", q97, Some(q97Sql)),
@@ -350,5 +393,6 @@ object Round4Queries {
     QDef("q100_pii_redaction", q100, Some(q100Sql)),
     QDef("q101_range_layout", q101, Some(q101Sql)),
     QDef("q102_typed_mapgroups", q102, Some(q102Sql)),
-    QDef("q103_stack_inline", q103, Some(q103Sql)))
+    QDef("q103_stack_inline", q103, Some(q103Sql)),
+    QDef("q104_embedding_quantize", q104, Some(q104Sql)))
 }
