@@ -372,6 +372,31 @@ object EventQueries {
          AND c_ts >= p_ts - INTERVAL 30 MINUTE AND c_ts <= p_ts
        ORDER BY purchase_id, click_id"""
 
+  /** Batch twin of the LEFT-OUTER stream-stream interval join
+    * (EventStreams.purchaseClickLeftJoin): q79's attribution plus one
+    * null-extended row per quiet purchase. Same declared-through-the-streaming-
+    * transformation contract as q79; null click ordering is spelled explicitly
+    * on both sides (Spark asc = nulls first, DuckDB default = nulls last). */
+  private def q105(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.purchaseClickLeftJoin(T.events(s, d))
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("p_ts"), fmt).as("p_ts"),
+        col("click_id"),
+        date_format(col("c_ts"), fmt).as("c_ts"))
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+
+  private val q105Sql =
+    s"""$evCte,
+       p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM ev WHERE event_type = 'purchase'),
+       c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts FROM ev WHERE event_type = 'click')
+       SELECT purchase_id, user_id,
+         STRFTIME(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+         click_id,
+         STRFTIME(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+       FROM p LEFT JOIN c ON user_id = c_user
+         AND c_ts >= p_ts - INTERVAL 30 MINUTE AND c_ts <= p_ts
+       ORDER BY purchase_id, click_id NULLS FIRST"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q27_event_lag_lead", q27, Some(q27Sql)),
     QDef("q28_tumbling_window", q28, Some(q28Sql)),
@@ -385,5 +410,6 @@ object EventQueries {
     QDef("q79_stream_interval_join", q79, Some(q79Sql)),
     QDef("q82_anti_band_join", q82, Some(q82Sql)),
     QDef("q83_full_outer_band_join", q83, Some(q83Sql)),
+    QDef("q105_stream_leftouter_twin", q105, Some(q105Sql)),
   )
 }
