@@ -41,6 +41,61 @@ class StatsRuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("CBO join reorder restructures a chain join to start from the small end") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // Chain lineitem(6000) - orders(1500) - customer(150) - nation(25), WRITTEN
+    // starting from the big end. With ANALYZE'd rowCounts and joinReorder on,
+    // the cost-based reorder must instead join the small end (customer ⋈
+    // nation, 150 rows) as its own subtree — the decision that keeps
+    // intermediate cardinality low at 100 TB. Without CBO the written order
+    // stands and no (customer, nation)-only join subtree exists.
+    val pid = ProcessHandle.current().pid()
+    val t = Map(
+      "li" -> s"graft_ro_li_$pid", "ord" -> s"graft_ro_ord_$pid",
+      "cust" -> s"graft_ro_cust_$pid", "nat" -> s"graft_ro_nat_$pid")
+    graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").saveAsTable(t("li"))
+    graft.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").saveAsTable(t("ord"))
+    graft.Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+      .write.mode("overwrite").saveAsTable(t("cust"))
+    graft.Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .write.mode("overwrite").saveAsTable(t("nat"))
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def chain() = spark.table(t("li"))
+      .join(spark.table(t("ord")), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table(t("cust")), col("o_custkey") === col("c_custkey"))
+      .join(spark.table(t("nat")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(sum(col("l_quantity")).as("qty"))
+    def hasCustNatSubtree(): Boolean =
+      chain().queryExecution.optimizedPlan.collect { case j: Join => j }.exists { j =>
+        val s = j.toString
+        s.contains(t("cust")) && s.contains(t("nat")) &&
+          !s.contains(t("li")) && !s.contains(t("ord"))
+      }
+    try {
+      t.values.foreach(n => spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS"))
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      assert(!hasCustNatSubtree(),
+        "without CBO the written big-end-first order must stand")
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      assert(hasCustNatSubtree(),
+        "with CBO stats the reorder must join customer ⋈ nation as its own subtree")
+      // reorder must not change results
+      val rows = chain().orderBy(col("n_name")).collect()
+      assert(rows.length == 25)
+    } finally {
+      t.values.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("runtime Bloom filter injects might_contain on the probe side of a selective join") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
