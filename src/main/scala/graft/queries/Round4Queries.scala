@@ -18,9 +18,13 @@ object Round4Queries {
   private val evCte =
     "WITH ev AS (SELECT event_id, ts, user_id, event_type, value FROM events)"
 
+  /** Scratch path unique per (query, SF, JVM): the pid suffix keeps a spec run
+    * racing Verify — or two Verify invocations at the same SF — from sharing a
+    * path (one JVM's Overwrite would delete files under the other's scan). */
   private def tmp(name: String, sfDir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_r4_${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}").getAbsolutePath
+      s"graft_r4_${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_p${ProcessHandle.current().pid()}").getAbsolutePath
 
   // --------------------------------------------------------------------------
   // q96: batch sessionization (gaps-and-islands) — the batch twin of q29's
@@ -371,7 +375,8 @@ object Round4Queries {
   private val q104Sql =
     """WITH m AS (
          SELECT vec_id, embedding,
-           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+           COALESCE(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                    0.0) AS maxabs
          FROM embeddings WHERE vec_id < 300),
        q AS (
          SELECT vec_id, maxabs,
