@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, and decode / feature-extract /
   * resize / frame-sample stages over them.
   *
-  * The Spark-side plumbing — schema, partition-wise batch processing, operator
-  * signatures — is real and tested. The codec step itself is a clearly marked STUB
-  * (this container has no image/audio libraries): [[Codecs.decodeImageStub]] produces
-  * a deterministic fake plane from the payload bytes. Swapping in a real decoder
-  * (javax.imageio / ffmpeg bindings) touches only the [[Codecs]] object; every
-  * operator shape stays identical. Processing is `mapPartitions`-based so a real
-  * decoder would amortize per-batch setup (codec contexts, buffers) across the
+  * The IMAGE path is fully real: [[Codecs.encodePng]] / [[Codecs.decodeImage]]
+  * run actual PNG (or any ImageIO-readable) encode/decode through `javax.imageio`,
+  * which ships with the JDK — executors need no extra libraries. AUDIO/VIDEO demux
+  * remains a clearly marked STUB seam ([[Codecs.frameSampleStub]],
+  * [[Codecs.decodeImageStub]] for non-ImageIO codecs): this container has no
+  * ffmpeg-class bindings, and swapping one in touches only the [[Codecs]] object —
+  * every operator shape stays identical. Processing is `mapPartitions`-based so
+  * decoders amortize per-batch setup (codec contexts, buffers) across the
   * partition — the same reason Python pipelines use mapInPandas there.
   */
 object Multimodal {
@@ -24,19 +25,29 @@ object Multimodal {
   final case class MediaFeatures(mediaId: Long, kind: String, nBytes: Long,
                                  meanByte: Double, byteEntropyX1000: Long, nFrames: Int)
 
-  /** Deterministic synthetic corpus: payload bytes are a pure function of mediaId. */
+  /** Deterministic synthetic corpus: payload bytes are a pure function of mediaId.
+    * Images are REAL PNGs (encoded on the executor via ImageIO; Java's PNG writer
+    * emits no timestamps, so the bytes are reproducible); audio/video payloads
+    * stay synthetic blobs behind the demux stub seam. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).repartition(spark.sparkContext.defaultParallelism).map { id =>
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val size = 256 + (id * 37 % 512).toInt
-      val payload = Array.tabulate(size)(i => (((id * 131 + i * 31 + 7) % 251) & 0xFF).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta(16, 16, 1, 0, 0L, "stub-img")
-        case "audio" => MediaMeta(0, 0, 1, 8000, size.toLong, "stub-pcm")
-        case _       => MediaMeta(8, 8, 1, 0, size.toLong, "stub-vid")
+      kind match {
+        case "image" =>
+          val (w, h) = (16, 16)
+          val plane = Array.tabulate(w * h)(i => ((id * 131 + i * 31 + 7) % 251).toDouble)
+          MediaFile(id, kind, Codecs.encodePng(plane, w, h),
+            MediaMeta(w, h, 1, 0, 0L, "png"))
+        case _ =>
+          val size = 256 + (id * 37 % 512).toInt
+          val payload =
+            Array.tabulate(size)(i => (((id * 131 + i * 31 + 7) % 251) & 0xFF).toByte)
+          val meta =
+            if (kind == "audio") MediaMeta(0, 0, 1, 8000, size.toLong, "stub-pcm")
+            else MediaMeta(8, 8, 1, 0, size.toLong, "stub-vid")
+          MediaFile(id, kind, payload, meta)
       }
-      MediaFile(id, kind, payload, meta)
     }
   }
 
@@ -74,15 +85,21 @@ object Multimodal {
     }
   }
 
-  /** Decode + resize pipeline for images (stub codec, real operator shape). */
+  /** Decode + resize pipeline for images: REAL ImageIO decode for any codec it
+    * has a reader for (png/jpeg/gif/bmp — dimensions come from the decoded
+    * image, not trusted metadata); the stub seam handles everything else. */
   def decodeAndResize(media: Dataset[MediaFile], outW: Int, outH: Int)
       : Dataset[(Long, Array[Double])] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter((m: MediaFile) => m.kind == "image").mapPartitions { it =>
       it.map { m =>
-        val plane = Codecs.decodeImageStub(m.payload, m.meta)
-        m.mediaId -> Codecs.resizeNearest(plane, m.meta.width, m.meta.height, outW, outH)
+        val (plane, w, h) = m.meta.codec match {
+          case "png" | "jpeg" | "gif" | "bmp" => Codecs.decodeImage(m.payload)
+          case _ =>
+            (Codecs.decodeImageStub(m.payload, m.meta), m.meta.width, m.meta.height)
+        }
+        m.mediaId -> Codecs.resizeNearest(plane, w, h, outW, outH)
       }
     }
   }
@@ -98,12 +115,70 @@ object Multimodal {
         length(col("text")).as("n_chars")).as("meta"))
 }
 
-/** STUB codec seam — the only place a real decoder would plug in. */
+/** Codec layer: REAL image encode/decode via the JDK's javax.imageio (no external
+  * libraries needed on executors), plus the remaining STUB seams for formats the
+  * JDK cannot demux (audio containers, video). */
 object Codecs {
 
-  /** STUB: deterministic fake decode — maps payload bytes onto a width×height plane
-    * (repeating if short). A real implementation would parse an actual image codec;
-    * everything downstream consumes the same Array[Double] plane either way. */
+  /** REAL image decode: any format ImageIO has a reader for (PNG/JPEG/GIF/BMP in
+    * a stock JDK). Returns the grayscale plane (column-major, matching
+    * [[resizeNearest]]) plus the DECODED dimensions — metadata is not trusted.
+    * Single-band rasters are read directly (getRGB on TYPE_BYTE_GRAY would run a
+    * gray→sRGB color-space conversion and distort values); color inputs reduce
+    * to BT.601 luma. */
+  def decodeImage(payload: Array[Byte]): (Array[Double], Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](w * h)
+    val raster = img.getRaster
+    val singleBand = raster.getNumBands == 1
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        out(x * h + y) =
+          if (singleBand) raster.getSample(x, y, 0).toDouble
+          else {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            math.round(0.299 * r + 0.587 * g + 0.114 * b).toDouble
+          }
+        y += 1
+      }
+      x += 1
+    }
+    (out, w, h)
+  }
+
+  /** REAL PNG encode (fixture generation + image sink materialization).
+    * Deterministic: Java's PNG writer emits no timestamp chunks, so identical
+    * planes produce identical bytes across JVMs and runs. */
+  def encodePng(plane: Array[Double], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        raster.setSample(x, y, 0,
+          math.max(0L, math.min(255L, math.round(plane(x * h + y)))).toInt)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB: deterministic fake decode for codecs ImageIO cannot read — maps payload
+    * bytes onto a width×height plane (repeating if short). Everything downstream
+    * consumes the same Array[Double] plane as the real path. */
   def decodeImageStub(payload: Array[Byte], meta: Multimodal.MediaMeta): Array[Double] = {
     val out = new Array[Double](meta.width * meta.height)
     var i = 0
