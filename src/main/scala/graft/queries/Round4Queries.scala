@@ -390,6 +390,36 @@ object Round4Queries {
          CAST(list_aggregate(list_transform(qs, x -> x * x), 'sum') AS BIGINT) AS q_sumsq
        FROM q ORDER BY vec_id"""
 
+  // --------------------------------------------------------------------------
+  // q106: LATERAL correlated subquery join — the per-row-subquery surface
+  // (top-N related rows per outer row, spelled the way users write it). Catalyst
+  // decorrelates the LATERAL LIMIT into a ranked window join — same physical
+  // shape as q17's top-k per group, but reached from SQL. Customers with no
+  // qualifying orders drop (inner lateral), exercised by the o_totalprice
+  // floor.
+  // --------------------------------------------------------------------------
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    T.customer(s, d).createOrReplaceTempView("v_cust_lat")
+    T.orders(s, d).createOrReplaceTempView("v_ord_lat")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey,
+           CAST(ROUND(t.o_totalprice * 100) AS BIGINT) AS price_x100
+         FROM v_cust_lat c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM v_ord_lat o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c.c_custkey, t.o_orderkey""")
+  }
+
+  private val q106Sql =
+    """SELECT c.c_custkey, t.o_orderkey,
+       CAST(ROUND(t.o_totalprice * 100) AS BIGINT) AS price_x100
+       FROM customer c,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       ORDER BY c.c_custkey, t.o_orderkey"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q96_sessionization", q96, Some(q96Sql)),
     QDef("q97_weighted_sample", q97, Some(q97Sql)),
@@ -399,5 +429,6 @@ object Round4Queries {
     QDef("q101_range_layout", q101, Some(q101Sql)),
     QDef("q102_typed_mapgroups", q102, Some(q102Sql)),
     QDef("q103_stack_inline", q103, Some(q103Sql)),
-    QDef("q104_embedding_quantize", q104, Some(q104Sql)))
+    QDef("q104_embedding_quantize", q104, Some(q104Sql)),
+    QDef("q106_lateral_join", q106, Some(q106Sql)))
 }
