@@ -420,6 +420,73 @@ object Round4Queries {
                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
        ORDER BY c.c_custkey, t.o_orderkey"""
 
+  // --------------------------------------------------------------------------
+  // q107: paragraph-level dedup + reassembly — the sub-document dedup real
+  // corpus pipelines run between exact-dup (q34) and near-dup (q36/q81): chunk
+  // each document, drop every chunk seen earlier ANYWHERE in the corpus (first
+  // occurrence by (doc_id, position) wins), and reassemble what remains.
+  // Chunks here are 4-token windows (the synthetic corpus has no paragraph
+  // breaks; the small vocabulary makes cross-document chunk collisions real, so
+  // both the kept and the deduped paths are exercised, not vacuous). Shapes:
+  // one explode pass, chunk assembly as a keyed agg, global first-occurrence as
+  // a window over the chunk text (partitions by content — the dedup shuffle),
+  // reassembly as a second keyed agg, md5 over the rebuilt text for a compact
+  // oracle-comparable fingerprint.
+  // --------------------------------------------------------------------------
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val chunks = toks
+      .withColumn("grp", expr("CAST(pos DIV 4 AS BIGINT)"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
+        .as("chunk"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("grp"))
+    val kept = chunks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(grp, chunk))), x -> x.chunk), ' '))")
+          .as("kept_md5"))
+    totals.join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), lit("")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q107Sql =
+    """WITH raw AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+       toks AS (
+         SELECT * FROM (
+           SELECT doc_id,
+             unnest(generate_series(1, len(ts))) - 1 AS pos,
+             unnest(ts) AS tok
+           FROM raw)
+         WHERE length(tok) > 0),
+       chunks AS (
+         SELECT doc_id, pos // 4 AS grp, string_agg(tok, ' ' ORDER BY pos) AS chunk
+         FROM toks GROUP BY doc_id, pos // 4),
+       kept AS (
+         SELECT doc_id, grp, chunk,
+           ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, grp) AS rn
+         FROM chunks),
+       tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+       re AS (
+         SELECT doc_id, COUNT(*) AS n_kept,
+           md5(string_agg(chunk, ' ' ORDER BY grp)) AS kept_md5
+         FROM kept WHERE rn = 1 GROUP BY doc_id)
+       SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+         CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+         COALESCE(r.kept_md5, '') AS kept_md5
+       FROM tot t LEFT JOIN re r ON t.doc_id = r.doc_id
+       ORDER BY t.doc_id"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q96_sessionization", q96, Some(q96Sql)),
     QDef("q97_weighted_sample", q97, Some(q97Sql)),
@@ -430,5 +497,6 @@ object Round4Queries {
     QDef("q102_typed_mapgroups", q102, Some(q102Sql)),
     QDef("q103_stack_inline", q103, Some(q103Sql)),
     QDef("q104_embedding_quantize", q104, Some(q104Sql)),
-    QDef("q106_lateral_join", q106, Some(q106Sql)))
+    QDef("q106_lateral_join", q106, Some(q106Sql)),
+    QDef("q107_paragraph_dedup", q107, Some(q107Sql)))
 }

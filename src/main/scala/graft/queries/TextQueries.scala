@@ -240,6 +240,15 @@ object TextQueries {
     * Oracle: DuckDB WITH RECURSIVE transitive closure over the same pairs. */
   private def q81(s: SparkSession, d: String): DataFrame = {
     val pairs = lshPairs(s, d).cache()
+    // Plain cache, deliberately NOT pre-partitioned by the join key: the LSH
+    // candidate edge list is orders of magnitude smaller than the corpus, and
+    // AQE broadcasts it in every iteration's join — an up-front
+    // repartition(dst) measured 25% SLOWER here (4.9 s vs 3.9 s at sf0.1)
+    // because it adds an exchange nothing downstream uses. If the edge list
+    // ever outgrew broadcast range (pathological near-dup density), caching it
+    // hash-partitioned on dst would amortize one exchange per propagation
+    // round — the standard big-graph layout — at the cost of that first
+    // shuffle.
     val edges = pairs
       .union(pairs.select(col("d2"), col("d1")))
       .toDF("src", "dst").cache()
