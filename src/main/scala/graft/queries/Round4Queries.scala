@@ -487,6 +487,50 @@ object Round4Queries {
        FROM tot t LEFT JOIN re r ON t.doc_id = r.doc_id
        ORDER BY t.doc_id"""
 
+  // --------------------------------------------------------------------------
+  // q108: dynamic partition overwrite — the idempotent backfill op: rewrite ONE
+  // partition of a date-partitioned table without touching its siblings
+  // (partitionOverwriteMode=dynamic replaces exactly the partitions the write
+  // produces; static mode would truncate the whole table). The gate proves the
+  // non-overwritten partitions survive byte-identically and the overwritten one
+  // carries the corrected rows: per-type counts + value checksum after a
+  // backfill that re-derives the 'click' partition with a +1000000 value shift.
+  // --------------------------------------------------------------------------
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("events_dynpart", d)
+    val ev = T.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("CAST(ROUND(value * 100) AS BIGINT)").as("value_x100"))
+    ev.write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(dir)
+    val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // backfill ONLY the click partition with corrected values
+      ev.filter(col("event_type") === "click")
+        .withColumn("value_x100", col("value_x100") + 1000000L)
+        .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(dir)
+    } finally saved.fold(s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value_x100")).as("sum_x100"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q108Sql =
+    s"""$evCte
+       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                  + CASE WHEN event_type = 'click' THEN 1000000 ELSE 0 END)
+              AS BIGINT) AS sum_x100,
+         MIN(event_id) AS min_id,
+         MAX(event_id) AS max_id
+       FROM ev GROUP BY event_type ORDER BY event_type"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q96_sessionization", q96, Some(q96Sql)),
     QDef("q97_weighted_sample", q97, Some(q97Sql)),
@@ -498,5 +542,6 @@ object Round4Queries {
     QDef("q103_stack_inline", q103, Some(q103Sql)),
     QDef("q104_embedding_quantize", q104, Some(q104Sql)),
     QDef("q106_lateral_join", q106, Some(q106Sql)),
-    QDef("q107_paragraph_dedup", q107, Some(q107Sql)))
+    QDef("q107_paragraph_dedup", q107, Some(q107Sql)),
+    QDef("q108_dynamic_overwrite", q108, Some(q108Sql)))
 }
