@@ -429,9 +429,11 @@ object Round4Queries {
   // breaks; the small vocabulary makes cross-document chunk collisions real, so
   // both the kept and the deduped paths are exercised, not vacuous). Shapes:
   // one explode pass, chunk assembly as a keyed agg, global first-occurrence as
-  // a window over the chunk text (partitions by content — the dedup shuffle),
-  // reassembly as a second keyed agg, md5 over the rebuilt text for a compact
-  // oracle-comparable fingerprint.
+  // min(struct(doc_id, grp)) GROUPED BY chunk content — an aggregate, not a
+  // window, deliberately: partial aggregation collapses a hot boilerplate chunk
+  // map-side, where a row_number window over the same key would sort the whole
+  // hot partition on one reducer. Reassembly is a second keyed agg; md5 over
+  // the rebuilt text gives a compact oracle-comparable fingerprint.
   // --------------------------------------------------------------------------
   private def q107(s: SparkSession, d: String): DataFrame = {
     val toks = T.documents(s, d)
@@ -444,8 +446,9 @@ object Round4Queries {
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')")
         .as("chunk"))
-    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("grp"))
-    val kept = chunks.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val kept = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("grp"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.grp").as("grp"), col("chunk"))
     val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(
