@@ -534,6 +534,70 @@ object Round4Queries {
          MAX(event_id) AS max_id
        FROM ev GROUP BY event_type ORDER BY event_type"""
 
+  // --------------------------------------------------------------------------
+  // q109: n-gram index via the NATIVE GENERATOR graft_ngrams — the custom-UDTF
+  // rung of the function ladder (scalar Expression q42, optimizer rule q68,
+  // generator here): (pos, ngram) rows stream straight out of the Generate
+  // operator with no per-row intermediate array allocation, then one hash agg
+  // builds the frequent-trigram index (occurrences, document frequency, first
+  // occurrence site). The DuckDB twin derives identical n-grams relationally.
+  // --------------------------------------------------------------------------
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GeneratorFunctions.register(s)
+    T.documents(s, d).filter(col("doc_id") < 200)
+      .createOrReplaceTempView("v_docs_ng")
+    s.sql(
+      """SELECT ngram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS df,
+           MIN(doc_id * 100000 + pos) AS first_site
+         FROM v_docs_ng LATERAL VIEW graft_ngrams(trim(text), 3) t AS pos, ngram
+         GROUP BY ngram
+         HAVING COUNT(*) >= 3
+         ORDER BY ngram""")
+  }
+
+  private val q109Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ts
+         FROM documents WHERE doc_id < 200),
+       ng AS (
+         SELECT doc_id, unnest(generate_series(0, len(ts) - 3)) AS pos,
+           unnest(list_transform(generate_series(1, len(ts) - 2),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS ngram
+         FROM toks WHERE len(ts) >= 3)
+       SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         MIN(doc_id * 100000 + pos) AS first_site
+       FROM ng GROUP BY ngram HAVING COUNT(*) >= 3
+       ORDER BY ngram"""
+
+  // --------------------------------------------------------------------------
+  // q110: inverted index build — token → sorted posting list + document
+  // frequency, the retrieval-side structure a corpus pipeline materializes for
+  // search/dedup lookups. One explode + one hash agg; posting lists are
+  // emitted as joined strings (sorted, so deterministic and oracle-comparable;
+  // arrays would break the driver's pandas row sort).
+  // --------------------------------------------------------------------------
+  private def q110(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        expr("array_join(transform(array_sort(collect_set(doc_id)), x -> cast(x AS string)), ',')")
+          .as("postings"))
+      .orderBy(col("token"))
+
+  private val q110Sql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+         FROM documents WHERE doc_id < 100)
+       SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS postings
+       FROM toks WHERE length(token) > 0
+       GROUP BY token ORDER BY token"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q96_sessionization", q96, Some(q96Sql)),
     QDef("q97_weighted_sample", q97, Some(q97Sql)),
@@ -546,5 +610,7 @@ object Round4Queries {
     QDef("q104_embedding_quantize", q104, Some(q104Sql)),
     QDef("q106_lateral_join", q106, Some(q106Sql)),
     QDef("q107_paragraph_dedup", q107, Some(q107Sql)),
-    QDef("q108_dynamic_overwrite", q108, Some(q108Sql)))
+    QDef("q108_dynamic_overwrite", q108, Some(q108Sql)),
+    QDef("q109_ngram_generator", q109, Some(q109Sql)),
+    QDef("q110_inverted_index", q110, Some(q110Sql)))
 }
