@@ -557,7 +557,8 @@ object Round4Queries {
 
   private val q109Sql =
     """WITH toks AS (
-         SELECT doc_id, string_split(trim(text), ' ') AS ts
+         SELECT doc_id,
+           list_filter(string_split(trim(text), ' '), x -> len(x) > 0) AS ts
          FROM documents WHERE doc_id < 200),
        ng AS (
          SELECT doc_id, unnest(generate_series(0, len(ts) - 3)) AS pos,
