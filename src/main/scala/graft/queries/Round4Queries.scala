@@ -599,6 +599,38 @@ object Round4Queries {
        FROM toks WHERE length(token) > 0
        GROUP BY token ORDER BY token"""
 
+  // --------------------------------------------------------------------------
+  // q111: parquet schema evolution (mergeSchema) — the data-lake reality that
+  // columns arrive over time: batch A was written BEFORE the `value` column
+  // existed, batch B after; a mergeSchema read unions the footers into one
+  // schema and null-fills the missing column for old files. The aggregate
+  // proves both that old rows surface (n_missing) and that the new column's
+  // values survive (sum over batch-B rows only) — derivable from the canonical
+  // table, so the oracle needs no access to the scratch files.
+  // --------------------------------------------------------------------------
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("events_merge", d)
+    val ev = T.events(s, d).select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0).select(col("event_id"), col("event_type"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/a")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/b")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/a", s"$dir/b")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_missing"),
+        expr("CAST(ROUND(SUM(value) * 100) AS BIGINT)").as("sum_x100"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q111Sql =
+    s"""$evCte
+       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         CAST(ROUND(SUM(CASE WHEN event_id % 2 = 1 THEN value END) * 100) AS BIGINT) AS sum_x100
+       FROM ev GROUP BY event_type ORDER BY event_type"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q96_sessionization", q96, Some(q96Sql)),
     QDef("q97_weighted_sample", q97, Some(q97Sql)),
@@ -613,5 +645,6 @@ object Round4Queries {
     QDef("q107_paragraph_dedup", q107, Some(q107Sql)),
     QDef("q108_dynamic_overwrite", q108, Some(q108Sql)),
     QDef("q109_ngram_generator", q109, Some(q109Sql)),
-    QDef("q110_inverted_index", q110, Some(q110Sql)))
+    QDef("q110_inverted_index", q110, Some(q110Sql)),
+    QDef("q111_schema_merge", q111, Some(q111Sql)))
 }
