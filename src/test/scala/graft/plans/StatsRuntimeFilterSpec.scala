@@ -96,6 +96,43 @@ class StatsRuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits skewed partitions inside a sort-merge join (skew=true)") {
+    import org.apache.spark.sql.{functions => F}
+    // One hot key (~90% of the left side) against a uniform right side: with
+    // the skew thresholds scaled down to fixture size, AQE must mark the SMJ
+    // skew-handled — partitions of the hot key are split across tasks instead
+    // of pinning one reducer, which is the built-in alternative to q76's
+    // manual salting at 100 TB.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k rows across 8 explicit slices: enough hot-partition bytes to clear
+      // the (scaled-down) skew threshold, and multiple mappers so the skewed
+      // reduce partition is splittable by mapper ranges
+      val left = spark.range(0, 200000, 1, 8)
+        .select((F.when(F.col("id") % 10 < 9, 7L).otherwise(F.col("id") % 1000))
+          .as("k"), F.col("id").as("payload"))
+      val right = spark.range(0, 1000).select(F.col("id").as("k"), (F.col("id") * 2).as("v"))
+      val joined = left.hint("merge").join(right, "k")
+        .groupBy().agg(F.count(F.lit(1)).as("n"), F.sum("v").as("sv"))
+      val Array(row) = joined.collect()
+      assert(row.getLong(0) == 200000L, "every left row joins exactly once")
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed sort-merge join:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("runtime Bloom filter injects might_contain on the probe side of a selective join") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
