@@ -202,6 +202,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Sort"), "files must be written sorted within partitions")
   }
 
+  test("join strategy hints steer the planner: shuffle_hash and shuffle_replicate_nl") {
+    // the two hints not already exercised by the corpus (broadcast: q03,
+    // merge: q69/q88): shuffle_hash forces a ShuffledHashJoin where SMJ would
+    // win by default; shuffle_replicate_nl forces a replicated nested-loop
+    // cartesian — the explicit escape hatches when the planner's choice is
+    // wrong for a known workload.
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val sh = c.hint("shuffle_hash").join(o, col("c_custkey") === col("o_custkey"))
+    assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "shuffle_hash hint must force a shuffled hash join")
+    val nl = Tables.region(spark, sf).hint("shuffle_replicate_nl")
+      .crossJoin(Tables.nation(spark, sf))
+    assert(nl.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "shuffle_replicate_nl must plan the replicated nested-loop form")
+    assert(nl.count() == 5 * 25)
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
