@@ -631,6 +631,56 @@ object Round4Queries {
          CAST(ROUND(SUM(CASE WHEN event_id % 2 = 1 THEN value END) * 100) AS BIGINT) AS sum_x100
        FROM ev GROUP BY event_type ORDER BY event_type"""
 
+  // --------------------------------------------------------------------------
+  // q112: pipeline funnel report — the composed shape a real corpus build runs
+  // nightly: quality gate (length floor) → deterministic content-hash sample
+  // (q97's thresholds) → per-doc token budget with truncation, reported as a
+  // per-language funnel (docs in, surviving each stage, final token volume,
+  // truncation count). Deliberately ONE scan + ONE hash agg: every stage is a
+  // row-local predicate, so the whole funnel needs no joins and no second
+  // pass — the way to keep a 100 TB nightly report at scan cost.
+  // --------------------------------------------------------------------------
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val thr = "CASE lang WHEN 'en' THEN 18014398509481984 " +
+      "WHEN 'fr' THEN 43234556422756762 WHEN 'de' THEN 50440315826549555 " +
+      "WHEN 'es' THEN 57646075230342349 ELSE 64851834634135142 END"
+    T.documents(s, d)
+      .withColumn("q_ok", col("n_chars") >= 150)
+      .withColumn("s_ok", col("q_ok") &&
+        expr(s"CAST(conv(substring(md5(text), 1, 14), 16, 10) AS BIGINT) < $thr"))
+      .withColumn("n_tok", size(split(trim(col("text")), " ")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("s_ok"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("s_ok"), least(col("n_tok"), lit(48))).otherwise(0L))
+          .as("budget_toks"),
+        sum(when(col("s_ok") && col("n_tok") > 48, 1L).otherwise(0L))
+          .as("n_truncated"))
+      .orderBy(col("lang"))
+  }
+
+  private val q112Sql =
+    """WITH staged AS (
+         SELECT lang,
+           n_chars >= 150 AS q_ok,
+           n_chars >= 150 AND
+             CAST(('0x' || substring(md5(text), 1, 14)) AS BIGINT) <
+               CASE lang WHEN 'en' THEN 18014398509481984
+                 WHEN 'fr' THEN 43234556422756762
+                 WHEN 'de' THEN 50440315826549555
+                 WHEN 'es' THEN 57646075230342349
+                 ELSE 64851834634135142 END AS s_ok,
+           len(string_split(trim(text), ' ')) AS n_tok
+         FROM documents)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_in,
+         CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(SUM(CASE WHEN s_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         CAST(SUM(CASE WHEN s_ok THEN LEAST(n_tok, 48) ELSE 0 END) AS BIGINT) AS budget_toks,
+         CAST(SUM(CASE WHEN s_ok AND n_tok > 48 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+       FROM staged GROUP BY lang ORDER BY lang"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q96_sessionization", q96, Some(q96Sql)),
     QDef("q97_weighted_sample", q97, Some(q97Sql)),
@@ -646,5 +696,6 @@ object Round4Queries {
     QDef("q108_dynamic_overwrite", q108, Some(q108Sql)),
     QDef("q109_ngram_generator", q109, Some(q109Sql)),
     QDef("q110_inverted_index", q110, Some(q110Sql)),
-    QDef("q111_schema_merge", q111, Some(q111Sql)))
+    QDef("q111_schema_merge", q111, Some(q111Sql)),
+    QDef("q112_pipeline_funnel", q112, Some(q112Sql)))
 }
