@@ -681,6 +681,102 @@ object Round4Queries {
          CAST(SUM(CASE WHEN s_ok AND n_tok > 48 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
        FROM staged GROUP BY lang ORDER BY lang"""
 
+  // --------------------------------------------------------------------------
+  // q113: sequential event funnel (view → click-after-view → purchase-after-
+  // that-click, strictly ordered per user) — the product-analytics pattern
+  // that naive per-type mins get WRONG (a click before the first view must not
+  // count). Stage qualification is computed with windows over the
+  // strictly-preceding frame: a row qualifies iff the previous stage's
+  // earliest qualifying timestamp exists before it. Both windows share one
+  // (user_id, ts) partitioning+ordering — a single exchange+sort for the
+  // whole funnel, then one hash agg. Sharded output for a stronger hash gate.
+  // --------------------------------------------------------------------------
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("seen_view",
+        min(when(col("event_type") === "view", col("ts"))).over(wPrev))
+      .withColumn("qual_click_ts",
+        when(col("event_type") === "click" && col("seen_view").isNotNull, col("ts")))
+      .withColumn("seen_qual_click", min(col("qual_click_ts")).over(wPrev))
+      .withColumn("qual_purchase",
+        when(col("event_type") === "purchase" && col("seen_qual_click").isNotNull, 1L))
+      .groupBy((col("user_id") % 8).as("shard"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "view", col("user_id")))
+          .as("n_viewed"),
+        countDistinct(when(col("qual_click_ts").isNotNull, col("user_id")))
+          .as("n_clicked_after_view"),
+        countDistinct(when(col("qual_purchase").isNotNull, col("user_id")))
+          .as("n_purchased_after_click"))
+      .orderBy(col("shard"))
+  }
+
+  private val q113Sql =
+    s"""$evCte,
+       s1 AS (
+         SELECT user_id, ts, event_id, event_type,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) OVER wprev AS seen_view
+         FROM ev
+         WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       s2 AS (
+         SELECT *,
+           CASE WHEN event_type = 'click' AND seen_view IS NOT NULL THEN ts END
+             AS qual_click_ts
+         FROM s1),
+       s3 AS (
+         SELECT *,
+           MIN(qual_click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_qual_click
+         FROM s2)
+       SELECT user_id % 8 AS shard,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT)
+           AS n_viewed,
+         CAST(COUNT(DISTINCT CASE WHEN qual_click_ts IS NOT NULL THEN user_id END) AS BIGINT)
+           AS n_clicked_after_view,
+         CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                AND seen_qual_click IS NOT NULL THEN user_id END) AS BIGINT)
+           AS n_purchased_after_click
+       FROM s3 GROUP BY user_id % 8 ORDER BY shard"""
+
+  // --------------------------------------------------------------------------
+  // q114: cohort retention — users cohorted by first-activity day, retention
+  // counted as distinct active users at day offsets 0..7. Two keyed aggs and
+  // one user-keyed join: the cohort table is per-user (small relative to the
+  // event log) and the join key is the same user_id the activity agg already
+  // clustered on. Day truncation (not rounding) on both engines.
+  // --------------------------------------------------------------------------
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val ev = T.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("off", datediff(col("day"), col("cohort_day")))
+      .filter(col("off") <= 7)
+      .groupBy(col("cohort_day"), col("off"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("off"), col("n_users"))
+      .orderBy(col("cohort_day"), col("off"))
+  }
+
+  private val q114Sql =
+    s"""$evCte,
+       act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+       coh AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+       SELECT STRFTIME(cohort_day, '%Y-%m-%d') AS cohort_day,
+         DATE_DIFF('day', cohort_day, day) AS off,
+         CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+       FROM act JOIN coh USING (user_id)
+       WHERE DATE_DIFF('day', cohort_day, day) <= 7
+       GROUP BY coh.cohort_day, DATE_DIFF('day', cohort_day, day)
+       ORDER BY cohort_day, off"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q96_sessionization", q96, Some(q96Sql)),
     QDef("q97_weighted_sample", q97, Some(q97Sql)),
@@ -697,5 +793,7 @@ object Round4Queries {
     QDef("q109_ngram_generator", q109, Some(q109Sql)),
     QDef("q110_inverted_index", q110, Some(q110Sql)),
     QDef("q111_schema_merge", q111, Some(q111Sql)),
-    QDef("q112_pipeline_funnel", q112, Some(q112Sql)))
+    QDef("q112_pipeline_funnel", q112, Some(q112Sql)),
+    QDef("q113_event_funnel", q113, Some(q113Sql)),
+    QDef("q114_cohort_retention", q114, Some(q114Sql)))
 }
