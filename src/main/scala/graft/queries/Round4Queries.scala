@@ -26,6 +26,15 @@ object Round4Queries {
       s"graft_r4_${name}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}" +
         s"_p${ProcessHandle.current().pid()}").getAbsolutePath
 
+  /** Per-language keep thresholds out of 2^56 (en 25%, fr 60%, de 70%, es 80%,
+    * zh 90%) — ONE definition shared by q97 and q112 on both the Spark and the
+    * oracle side, so a rate retune cannot silently diverge the coupled queries.
+    * Valid in both engines' SQL dialects. */
+  private val langThresholdCase =
+    """CASE lang WHEN 'en' THEN 18014398509481984
+       WHEN 'fr' THEN 43234556422756762 WHEN 'de' THEN 50440315826549555
+       WHEN 'es' THEN 57646075230342349 ELSE 64851834634135142 END"""
+
   // --------------------------------------------------------------------------
   // q96: batch sessionization (gaps-and-islands) — the batch twin of q29's
   // session_window, built from primitives the way warehouse pipelines spell it:
@@ -86,10 +95,7 @@ object Round4Queries {
   // beyond the final tiny agg.
   // --------------------------------------------------------------------------
   private def q97(s: SparkSession, d: String): DataFrame = {
-    // thresholds out of 2^56: en 25%, fr 60%, de 70%, es 80%, zh 90%
-    val thr = "CASE lang WHEN 'en' THEN 18014398509481984 " +
-      "WHEN 'fr' THEN 43234556422756762 WHEN 'de' THEN 50440315826549555 " +
-      "WHEN 'es' THEN 57646075230342349 ELSE 64851834634135142 END"
+    val thr = langThresholdCase
     T.documents(s, d)
       .withColumn("u56",
         expr("CAST(conv(substring(md5(text), 1, 14), 16, 10) AS BIGINT)"))
@@ -103,14 +109,10 @@ object Round4Queries {
   }
 
   private val q97Sql =
-    """WITH u AS (
+    s"""WITH u AS (
          SELECT lang, n_chars,
            CAST(('0x' || substring(md5(text), 1, 14)) AS BIGINT) <
-             CASE lang WHEN 'en' THEN 18014398509481984
-               WHEN 'fr' THEN 43234556422756762
-               WHEN 'de' THEN 50440315826549555
-               WHEN 'es' THEN 57646075230342349
-               ELSE 64851834634135142 END AS keep
+             $langThresholdCase AS keep
          FROM documents)
        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
          CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -641,9 +643,7 @@ object Round4Queries {
   // pass — the way to keep a 100 TB nightly report at scan cost.
   // --------------------------------------------------------------------------
   private def q112(s: SparkSession, d: String): DataFrame = {
-    val thr = "CASE lang WHEN 'en' THEN 18014398509481984 " +
-      "WHEN 'fr' THEN 43234556422756762 WHEN 'de' THEN 50440315826549555 " +
-      "WHEN 'es' THEN 57646075230342349 ELSE 64851834634135142 END"
+    val thr = langThresholdCase
     T.documents(s, d)
       .withColumn("q_ok", col("n_chars") >= 150)
       .withColumn("s_ok", col("q_ok") &&
@@ -662,16 +662,12 @@ object Round4Queries {
   }
 
   private val q112Sql =
-    """WITH staged AS (
+    s"""WITH staged AS (
          SELECT lang,
            n_chars >= 150 AS q_ok,
            n_chars >= 150 AND
              CAST(('0x' || substring(md5(text), 1, 14)) AS BIGINT) <
-               CASE lang WHEN 'en' THEN 18014398509481984
-                 WHEN 'fr' THEN 43234556422756762
-                 WHEN 'de' THEN 50440315826549555
-                 WHEN 'es' THEN 57646075230342349
-                 ELSE 64851834634135142 END AS s_ok,
+               $langThresholdCase AS s_ok,
            len(string_split(trim(text), ' ')) AS n_tok
          FROM documents)
        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_in,
