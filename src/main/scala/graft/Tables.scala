@@ -57,7 +57,8 @@ object Registry {
       queries.PipelineQueries.defs ++
       queries.SinkQueries.defs ++
       queries.ExtraQueries.defs ++
-      queries.Round4Queries.defs
+      queries.Round4Queries.defs ++
+      queries.CorpusQueries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }
