@@ -58,7 +58,8 @@ object Registry {
       queries.SinkQueries.defs ++
       queries.ExtraQueries.defs ++
       queries.Round4Queries.defs ++
-      queries.CorpusQueries.defs
+      queries.CorpusQueries.defs ++
+      queries.Round5Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }
