@@ -102,7 +102,105 @@ object Round5Queries {
          MAX(o_orderkey) AS max_key
        FROM unioned GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------------------
+  // q122: bigram language-model scoring — the KenLM-class quality signal of a
+  // training-data pipeline (low transition probability ⇒ incoherent text),
+  // expressed with integer-only arithmetic so both engines agree bit-for-bit:
+  // each bigram instance scores c2(w1,w2) * 1_000_000 DIV c1(w1) — its corpus
+  // transition probability in ppm — and a doc's score is the mean over its
+  // transitions (integer DIV again). No ln/exp: monotone transforms don't
+  // change doc ranking, and libm outputs aren't portable across engines.
+  // Shape at 100 TB: the two count tables are vocab-sized aggregates (≪ corpus,
+  // map-side partial agg), the score join is a plain equi-join on (bg) / (w1)
+  // that AQE broadcasts when vocab is small and shuffle-partitions when it
+  // isn't; one corpus scan feeds everything, no driver-side state.
+  // --------------------------------------------------------------------------
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(trim(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val big = toks.select(col("doc_id"), col("lang"),
+        explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"),
+        concat_ws(" ", col("bg.w1"), col("bg.w2")).as("bg"))
+    val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1").as("pw")).agg(count(lit(1)).as("c1"))
+    big.join(c2, "bg")
+      .join(c1, col("w1") === col("pw"))
+      .withColumn("ppm", expr("c2 * 1000000L DIV c1"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_big"), sum(col("ppm")).as("ppm_sum"))
+      .withColumn("avg_ppm", expr("ppm_sum DIV n_big"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q122Sql =
+    """WITH docs AS (
+         SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents
+         WHERE len(string_split(trim(text), ' ')) >= 2),
+       big AS (
+         SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i])) AS w1,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         FROM docs),
+       c2 AS (SELECT bg, COUNT(*) AS c2 FROM big GROUP BY bg),
+       c1 AS (SELECT w1 AS pw, COUNT(*) AS c1 FROM big GROUP BY w1)
+       SELECT b.doc_id, b.lang, COUNT(*) AS n_big,
+         CAST(SUM(c2.c2 * 1000000 // c1.c1) AS BIGINT) AS ppm_sum,
+         CAST(SUM(c2.c2 * 1000000 // c1.c1) // COUNT(*) AS BIGINT) AS avg_ppm
+       FROM big b JOIN c2 ON b.bg = c2.bg JOIN c1 ON b.w1 = c1.pw
+       GROUP BY b.doc_id, b.lang
+       ORDER BY b.doc_id"""
+
+  // --------------------------------------------------------------------------
+  // q123: Bloom-filter pre-filtered join — the sideways-information-passing
+  // pattern that makes 100 TB fact⋈dim joins cheap: one pass over the small
+  // side builds a mergeable Bloom filter (here `stat.bloomFilter`, a
+  // distributed treeAggregate), the filter is broadcast, and the fact side is
+  // pre-filtered BEFORE the shuffle, so only rows that can possibly match are
+  // shuffled (~25% here, priority-selective). False positives are removed by
+  // the exact join that follows, so the result is deterministic and identical
+  // to the plain join — which is exactly what the oracle declares. This is the
+  // manual twin of Spark's own runtime row-level bloom filter
+  // (spark.sql.optimizer.runtime.bloomFilter.*), declared here because the
+  // built-in only kicks in past size thresholds sf0.01 never reaches.
+  // The membership probe is a closure UDF by necessity (the sketch object's
+  // API); it sits BEFORE the shuffle where it strictly removes work.
+  // --------------------------------------------------------------------------
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val urgent = T.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // Sized from the expected key count (at scale: from table stats or
+    // countApprox); 100k/1% ⇒ ~117 KiB, broadcast once per executor.
+    val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bc = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    T.lineitem(s, d)
+      .filter(mightContain(col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q123Sql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q120_xml_roundtrip", q120, Some(q120Sql)),
-    QDef("q121_union_by_name", q121, Some(q121Sql)))
+    QDef("q121_union_by_name", q121, Some(q121Sql)),
+    QDef("q122_bigram_lm_score", q122, Some(q122Sql)),
+    QDef("q123_bloom_prejoin", q123, Some(q123Sql)))
 }
