@@ -198,9 +198,65 @@ object Round5Queries {
        WHERE o_orderpriority = '1-URGENT'
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --------------------------------------------------------------------------
+  // q124: heavy hitters via Misra-Gries sketch + exact recheck. Finding items
+  // with frequency > n/k exactly requires a full groupBy over every distinct
+  // item — at 100 TB that shuffle is the cost. The MG sketch (functions/
+  // MisraGries.scala) bounds partial-aggregate state to k counters, merges
+  // map-side, and GUARANTEES its candidate set contains every item with true
+  // count > n/k. The recheck then broadcasts the tiny candidate list, semi-
+  // joins the stream (pre-shuffle row cut, like q123's bloom), and counts
+  // exactly only the candidates — so the declared result is the TRUE heavy-
+  // hitter set, deterministic under any partitioning, and the oracle is the
+  // plain "count > n/k" SQL. Stream = document bigrams (916 distinct at
+  // sf0.01), k = 700, so the sketch genuinely evicts and the threshold splits
+  // the distribution non-vacuously.
+  // --------------------------------------------------------------------------
+  private val HHk = 700
+
+  /** One bigram-per-row stream over documents: (bg = "w1 w2"). */
+  private def bigramStream(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(split(trim(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bg"))
+
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    val big = bigramStream(s, d)
+    val mg = udaf(new graft.functions.MisraGries(HHk))
+    val cands = big.agg(mg(col("bg")).as("cands"))
+      .select(explode(col("cands")).as("bg"))
+    val total = big.agg(count(lit(1)).as("n_total"))
+    big.join(broadcast(cands), "bg")
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * HHk > col("n_total"))
+      .select(col("bg"), col("cnt"),
+        expr("cnt * 10000L DIV n_total").as("share_bp"))
+      .orderBy(col("cnt").desc, col("bg"))
+  }
+
+  private val q124Sql =
+    s"""WITH docs AS (
+         SELECT string_split(trim(text), ' ') AS toks FROM documents
+         WHERE len(string_split(trim(text), ' ')) >= 2),
+       big AS (
+         SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         FROM docs),
+       c AS (SELECT bg, COUNT(*) AS cnt FROM big GROUP BY bg),
+       t AS (SELECT COUNT(*) AS n_total FROM big)
+       SELECT bg, cnt, CAST(cnt * 10000 // n_total AS BIGINT) AS share_bp
+       FROM c, t WHERE cnt * $HHk > n_total
+       ORDER BY cnt DESC, bg"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q120_xml_roundtrip", q120, Some(q120Sql)),
     QDef("q121_union_by_name", q121, Some(q121Sql)),
     QDef("q122_bigram_lm_score", q122, Some(q122Sql)),
-    QDef("q123_bloom_prejoin", q123, Some(q123Sql)))
+    QDef("q123_bloom_prejoin", q123, Some(q123Sql)),
+    QDef("q124_heavy_hitters", q124, Some(q124Sql)))
 }
