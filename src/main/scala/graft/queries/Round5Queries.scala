@@ -253,10 +253,77 @@ object Round5Queries {
        FROM c, t WHERE cnt * $HHk > n_total
        ORDER BY cnt DESC, bg"""
 
+  // --------------------------------------------------------------------------
+  // q125: PageRank, 5 fixed iterations, integer arithmetic — the iterative
+  // graph operator (q81's connected components is the other). Graph: parts
+  // co-purchased in the same order (distinct symmetrized pairs from a keyed
+  // lineitem self-join — per-order fan-out is bounded by order size, never
+  // all-pairs). Ranks live in millionths (rank0 = 1_000_000) and every
+  // division is integer DIV: contribution = rank DIV degree, damping
+  // 0.85 = 150000 + (85 * Σcontrib) DIV 100 — bit-identical in any engine, so
+  // a float-free oracle hash-match over an iterative fixpoint becomes
+  // possible (the DuckDB twin unrolls the same 5 steps as chained CTEs).
+  // Scale shape: edges+degrees are computed once and cached; every iteration
+  // is ONE equi-join (edges ⋈ ranks on src) + ONE hash agg on dst, both
+  // hash-partitioned on the node key, so a 1000-executor run re-uses the same
+  // partitioning round after round; no driver-side state, no collect. Every
+  // node of this graph has degree ≥ 1 by construction, so there is no
+  // dangling-mass term.
+  // --------------------------------------------------------------------------
+  private val PrIters = 5
+
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
+    val pairs = a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
+      .select(col("p1"), col("p2")).distinct()
+    val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val links = edges.join(deg, "src").persist()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to PrIters) {
+      ranks = links.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("pr DIV deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"), expr("150000L + (85 * s) DIV 100").as("pr"))
+    }
+    ranks.orderBy(col("pr").desc, col("node")).limit(50)
+      .select(col("node").as("p_partkey"), col("pr"))
+  }
+
+  private val q125Sql = {
+    val base =
+      """WITH pairs AS (
+           SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+                   UNION ALL SELECT p2, p1 FROM pairs),
+         deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)"""
+    val iters = (1 to PrIters).map { i =>
+      s""",
+         r$i AS (
+           SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM(r.pr // d.deg)) // 100 AS BIGINT) AS pr
+           FROM edges e
+           JOIN r${i - 1} r ON e.src = r.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY e.dst)"""
+    }.mkString
+    s"""$base$iters
+       SELECT node AS p_partkey, pr FROM r$PrIters
+       ORDER BY pr DESC, node LIMIT 50"""
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef("q120_xml_roundtrip", q120, Some(q120Sql)),
     QDef("q121_union_by_name", q121, Some(q121Sql)),
     QDef("q122_bigram_lm_score", q122, Some(q122Sql)),
     QDef("q123_bloom_prejoin", q123, Some(q123Sql)),
-    QDef("q124_heavy_hitters", q124, Some(q124Sql)))
+    QDef("q124_heavy_hitters", q124, Some(q124Sql)),
+    QDef("q125_pagerank", q125, Some(q125Sql)))
 }
