@@ -319,11 +319,88 @@ object Round5Queries {
        ORDER BY pr DESC, node LIMIT 50"""
   }
 
+  // --------------------------------------------------------------------------
+  // q126: `binaryFile` source — the multimodal INGESTION face. Media lands on
+  // object stores as loose files, not parquet; Spark's binaryFile source scans
+  // a directory tree into (path, modificationTime, length, content) rows with
+  // partition planning, glob filtering, and a path/length filter pushdown of
+  // its own, and from there the q52 decode pipeline applies unchanged. Here:
+  // deterministic grayscale PNGs are materialized to a scratch dir, re-read
+  // via binaryFile, decoded (REAL PNG decode, javax.imageio), and reduced to
+  // per-image stats. Declared rows-only (the oracle engine cannot read PNGs);
+  // Round5Spec pins the exact expected values from an independent in-memory
+  // render of the same planes.
+  // --------------------------------------------------------------------------
+  /** Deterministic test plane k: value (x*31 + y*7 + k*13) mod 256 at (x,y). */
+  private[queries] def plane(k: Int, w: Int, h: Int): Array[Double] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 31 + y * 7 + k * 13) % 256).toDouble
+    }
+
+  private[queries] val PngCount = 10
+
+  private[queries] def writePngs(dir: String): Unit = {
+    val base = new java.io.File(dir)
+    base.mkdirs()
+    (0 until PngCount).foreach { k =>
+      val (w, h) = (20 + k, 12 + k)
+      val bytes = graft.multimodal.Codecs.encodePng(plane(k, w, h), w, h)
+      java.nio.file.Files.write(
+        new java.io.File(base, f"img_$k%02d.png").toPath, bytes)
+    }
+  }
+
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = tmp("binpng", d)
+    writePngs(dir)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+        col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .map { case (name, len, payload) =>
+        val (px, w, h) = graft.multimodal.Codecs.decodeImage(payload)
+        (name, len, w, h, px.sum.toLong)
+      }
+      .toDF("name", "byte_len", "width", "height", "pix_sum")
+      .orderBy(col("name"))
+  }
+
+  // --------------------------------------------------------------------------
+  // q127: HLL sketches (Apache DataSketches, built into Spark 4) — the
+  // MERGEABLE distinct-count structure. q56's approx_count_distinct gives one
+  // number and is done; hll_sketch_agg materializes the sketch itself as a
+  // binary column, so per-shard/per-day sketches can be stored and UNIONED
+  // later without rescanning history — the only workable shape for rolling
+  // distinct-users over 100 TB. Here: one sketch per event_type, estimates
+  // per group, plus an ALL row whose estimate comes from hll_union_agg over
+  // the five group sketches (never from the raw data). Declared rows-only
+  // (sketch estimates aren't ANSI-SQL-reproducible); Round5Spec pins both
+  // estimates against exact distinct counts (150 users ≪ 2^lgK, so the HLL
+  // sparse mode is exact here) and pins union-vs-direct consistency.
+  // --------------------------------------------------------------------------
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val sk = T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .persist()
+    val perType = sk.select(col("event_type"),
+      hll_sketch_estimate(col("sk")).as("est_users"))
+    val all = sk.agg(hll_union_agg(col("sk"), lit(false)).as("u"))
+      .select(lit("ALL").as("event_type"),
+        hll_sketch_estimate(col("u")).as("est_users"))
+    perType.unionByName(all).orderBy(col("event_type"))
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef("q120_xml_roundtrip", q120, Some(q120Sql)),
     QDef("q121_union_by_name", q121, Some(q121Sql)),
     QDef("q122_bigram_lm_score", q122, Some(q122Sql)),
     QDef("q123_bloom_prejoin", q123, Some(q123Sql)),
     QDef("q124_heavy_hitters", q124, Some(q124Sql)),
-    QDef("q125_pagerank", q125, Some(q125Sql)))
+    QDef("q125_pagerank", q125, Some(q125Sql)),
+    QDef("q126_binaryfile_scan", q126, None),
+    QDef("q127_hll_sketch_union", q127, None))
 }
