@@ -394,6 +394,105 @@ object Round5Queries {
     perType.unionByName(all).orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------------------
+  // q128: XML scalar functions (to_xml / from_xml, Spark 4) — q120 covers the
+  // file format; this covers the per-row functions that handle XML EMBEDDED in
+  // a column (the message-queue payload case). Round trip: struct → to_xml →
+  // from_xml(explicit schema) → fields, then aggregate the extracted values.
+  // The oracle computes the same aggregates straight from the base columns —
+  // if serialization or parsing mangled a value, type, or null, the hash breaks.
+  // Scale shape: pure row-local projection chain, no shuffle beyond the agg.
+  // --------------------------------------------------------------------------
+  private def q128(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("""to_xml(struct(o_orderkey AS k, o_orderstatus AS st,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents))""").as("xml"))
+      .select(col("o_orderkey"),
+        expr("from_xml(xml, 'k BIGINT, st STRING, cents BIGINT')").as("p"))
+      .groupBy(col("p.st").as("st"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("p.cents")).as("sum_cents"),
+        max(col("p.k")).as("max_key"))
+      .orderBy(col("st"))
+
+  private val q128Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MAX(o_orderkey) AS max_key
+       FROM orders GROUP BY o_orderstatus ORDER BY st"""
+
+  // --------------------------------------------------------------------------
+  // q129: TRY-family error-safe evaluation (ANSI-mode companion): try_divide
+  // nulls on ÷0 instead of raising, try_cast nulls on malformed input,
+  // try_element_at nulls out-of-bounds — the semantics that keep a 100 TB job
+  // from dying at hour 9 on one dirty row. The oracle spells out the same
+  // semantics in portable SQL (NULLIF guards, TRY_CAST, DuckDB's null-on-OOB
+  // list indexing), so the hash-match proves the null contracts line up.
+  // --------------------------------------------------------------------------
+  private def q129(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        // floor(exact-integer ÷ small-int as IEEE double) is engine-portable;
+        // ROUND(quotient, 2) is not (representation-edge half cases).
+        expr("""CAST(FLOOR(try_divide(CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                 o_custkey % 7)) AS BIGINT)""").as("div7_cents"),
+        expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").as("prio_num"),
+        expr("try_element_at(split(o_orderpriority, '-'), 5)").as("oob"),
+        expr("try_cast(o_orderstatus AS INT)").as("bad_cast"))
+      .orderBy(col("o_orderkey"))
+      .limit(300)
+
+  private val q129Sql =
+    """SELECT o_orderkey,
+       CAST(FLOOR(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         / NULLIF(o_custkey % 7, 0)) AS BIGINT) AS div7_cents,
+       TRY_CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
+       string_split(o_orderpriority, '-')[5] AS oob,
+       TRY_CAST(o_orderstatus AS INT) AS bad_cast
+       FROM orders ORDER BY o_orderkey LIMIT 300"""
+
+  // --------------------------------------------------------------------------
+  // q130: map higher-order functions — transform_keys / transform_values /
+  // map_filter / map_zip_with / exists / forall, the row-local map algebra
+  // q26's from_json surface stops short of. Maps are CONSTRUCTED from base
+  // columns, every HOF output is reduced to a scalar, and the oracle
+  // re-derives each scalar from the same base columns with plain arithmetic —
+  // so the lambdas' semantics (not map internals) are what hash-matches.
+  // All row-local: zero shuffle before the final sort.
+  // --------------------------------------------------------------------------
+  private def q130(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .filter(col("o_orderkey") < 600)
+      .select(col("o_orderkey"),
+        expr("map('price', CAST(ROUND(o_totalprice) AS BIGINT), 'cust', o_custkey % 50, 'key', o_orderkey % 100)")
+          .as("m1"),
+        expr("map('price', 10L, 'cust', 2L, 'key', 1L)").as("w"))
+      .select(
+        col("o_orderkey"),
+        expr("aggregate(map_values(transform_values(m1, (k, v) -> v * 2)), 0L, (a, x) -> a + x)")
+          .as("sum_doubled"),
+        expr("size(map_filter(m1, (k, v) -> v > 25))").as("n_gt25"),
+        expr("aggregate(map_values(map_zip_with(m1, w, (k, v1, v2) -> v1 * v2)), 0L, (a, x) -> a + x)")
+          .as("weighted"),
+        expr("forall(map_values(m1), v -> v >= 0)").as("all_nonneg"),
+        expr("exists(map_keys(transform_keys(m1, (k, v) -> upper(k))), k -> k = 'PRICE')")
+          .as("has_price"))
+      .orderBy(col("o_orderkey"))
+
+  private val q130Sql =
+    """SELECT o_orderkey,
+       2 * (CAST(ROUND(o_totalprice) AS BIGINT) + o_custkey % 50 + o_orderkey % 100) AS sum_doubled,
+       CAST((CASE WHEN CAST(ROUND(o_totalprice) AS BIGINT) > 25 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_custkey % 50 > 25 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_orderkey % 100 > 25 THEN 1 ELSE 0 END) AS INT) AS n_gt25,
+       10 * CAST(ROUND(o_totalprice) AS BIGINT) + 2 * (o_custkey % 50) + 1 * (o_orderkey % 100) AS weighted,
+       TRUE AS all_nonneg,
+       TRUE AS has_price
+       FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q120_xml_roundtrip", q120, Some(q120Sql)),
     QDef("q121_union_by_name", q121, Some(q121Sql)),
@@ -402,5 +501,8 @@ object Round5Queries {
     QDef("q124_heavy_hitters", q124, Some(q124Sql)),
     QDef("q125_pagerank", q125, Some(q125Sql)),
     QDef("q126_binaryfile_scan", q126, None),
-    QDef("q127_hll_sketch_union", q127, None))
+    QDef("q127_hll_sketch_union", q127, None),
+    QDef("q128_xml_functions", q128, Some(q128Sql)),
+    QDef("q129_try_functions", q129, Some(q129Sql)),
+    QDef("q130_map_hof", q130, Some(q130Sql)))
 }
