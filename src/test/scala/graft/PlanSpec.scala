@@ -220,6 +220,60 @@ class PlanSpec extends SparkSpec {
     assert(nl.count() == 5 * 25)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // The scale pattern behind every partitioned star join: the fact table is
+    // partitioned on the join key, the dim filter is only known at runtime, and
+    // DPP injects a dynamicpruning subquery into the fact scan's
+    // PartitionFilters so unmatched partitions are never read.
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_dpp_p${ProcessHandle.current().pid()}").getAbsolutePath
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be file-backed: a LocalRelation dim gets its filter constant-
+    // folded away, leaving no selective predicate for DPP to latch onto
+    Seq(("R", true), ("A", false), ("N", false)).toDF("flag", "keep")
+      .write.mode("overwrite").parquet(s"$dir-dim")
+    val dim = spark.read.parquet(s"$dir-dim")
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .filter(col("keep"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val leaves = joined.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n${leaves.take(800)}")
+  }
+
+  test("runtime bloom filter: selective dim join injects might_contain on the fact side") {
+    // Spark's own runtime row-level filter (the built-in twin of q123's manual
+    // bloom): with the size thresholds lowered to test scale, the optimizer
+    // plans bloom_filter_agg on the creation side and might_contain above the
+    // fact scan, cutting shuffled rows before the join.
+    val c = spark.conf
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = overrides.map { case (k, _) => k -> c.getOption(k) }
+    overrides.foreach { case (k, v) => c.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        // shuffle-join path: runtime filters skip broadcast-join app sides
+        .hint("shuffle_hash")
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n${p.take(1000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
