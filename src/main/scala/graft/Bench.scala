@@ -54,7 +54,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also write the JSON line to a file: the driver's BENCH_rN.json capture
+    // keeps only the stdout TAIL, which truncated per-query numbers for half the
+    // suite in rounds 4-5. SPARK_GRAFT_BENCH_OUT overrides the default path.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

@@ -113,7 +113,10 @@ object Round5Queries {
   // Shape at 100 TB: the two count tables are vocab-sized aggregates (≪ corpus,
   // map-side partial agg), the score join is a plain equi-join on (bg) / (w1)
   // that AQE broadcasts when vocab is small and shuffle-partitions when it
-  // isn't; one corpus scan feeds everything, no driver-side state.
+  // isn't; no driver-side state. TWO corpus explode-scans total — the true
+  // minimum for count-then-score: c2 is keyed (w1, bg) (bg determines w1, so
+  // the grouping cardinality is unchanged) and c1 = Σ_bg c2 is derived from
+  // the VOCAB-SIZED c2, never from a third pass over the corpus.
   // --------------------------------------------------------------------------
   private def q122(s: SparkSession, d: String): DataFrame = {
     val toks = T.documents(s, d)
@@ -125,8 +128,13 @@ object Round5Queries {
           .as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"),
         concat_ws(" ", col("bg.w1"), col("bg.w2")).as("bg"))
-    val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy(col("w1").as("pw")).agg(count(lit(1)).as("c1"))
+    // corpus scan #1: bigram counts, carrying w1 through the grouping key
+    val c2full = big.groupBy(col("w1").as("pw"), col("bg").as("cbg"))
+      .agg(count(lit(1)).as("c2"))
+    // vocab-sized rollup — zero corpus work
+    val c1 = c2full.groupBy(col("pw")).agg(sum(col("c2")).as("c1"))
+    val c2 = c2full.select(col("cbg").as("bg"), col("c2"))
+    // corpus scan #2: the score join
     big.join(c2, "bg")
       .join(c1, col("w1") === col("pw"))
       .withColumn("ppm", expr("c2 * 1000000L DIV c1"))
@@ -175,9 +183,11 @@ object Round5Queries {
     val urgent = T.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    // Sized from the expected key count (at scale: from table stats or
-    // countApprox); 100k/1% ⇒ ~117 KiB, broadcast once per executor.
-    val bf = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    // Sized from the ACTUAL key count (one cheap action on the small filtered
+    // side — at cluster scale, table statistics or countApprox serve the same
+    // purpose) so the 1% false-positive rate holds at any scale factor instead
+    // of silently degrading past a hardcoded capacity.
+    val bf = urgent.stat.bloomFilter("o_orderkey", math.max(urgent.count(), 1L), 0.01)
     val bc = s.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bc.value.mightContain(k))
     T.lineitem(s, d)
@@ -210,7 +220,9 @@ object Round5Queries {
   // hitter set, deterministic under any partitioning, and the oracle is the
   // plain "count > n/k" SQL. Stream = document bigrams (916 distinct at
   // sf0.01), k = 700, so the sketch genuinely evicts and the threshold splits
-  // the distribution non-vacuously.
+  // the distribution non-vacuously. TWO corpus scans — the true minimum for
+  // sketch-then-recheck: pass 1 computes the MG sketch AND n_total in the SAME
+  // aggregate; pass 2 is the exact recheck against the broadcast candidates.
   // --------------------------------------------------------------------------
   private val HHk = 700
 
@@ -226,13 +238,13 @@ object Round5Queries {
   private def q124(s: SparkSession, d: String): DataFrame = {
     val big = bigramStream(s, d)
     val mg = udaf(new graft.functions.MisraGries(HHk))
-    val cands = big.agg(mg(col("bg")).as("cands"))
-      .select(explode(col("cands")).as("bg"))
-    val total = big.agg(count(lit(1)).as("n_total"))
+    // pass 1: sketch and total count from ONE aggregate over the stream
+    val cands = big.agg(mg(col("bg")).as("cands"), count(lit(1)).as("n_total"))
+      .select(explode(col("cands")).as("bg"), col("n_total"))
+    // pass 2: exact recheck — candidates (≤ k rows) broadcast, n_total rides along
     big.join(broadcast(cands), "bg")
       .groupBy(col("bg"))
-      .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .agg(count(lit(1)).as("cnt"), max(col("n_total")).as("n_total"))
       .filter(col("cnt") * HHk > col("n_total"))
       .select(col("bg"), col("cnt"),
         expr("cnt * 10000L DIV n_total").as("share_bp"))
@@ -280,7 +292,9 @@ object Round5Queries {
       .select(col("p1"), col("p2")).distinct()
     val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
       .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // deg feeds BOTH the links table and the rank init — persist it, and
+    // persist links because every iteration re-joins it
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     val links = edges.join(deg, "src").persist()
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to PrIters) {
@@ -290,8 +304,15 @@ object Round5Queries {
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"), expr("150000L + (85 * s) DIV 100").as("pr"))
     }
-    ranks.orderBy(col("pr").desc, col("node")).limit(50)
+    // q81's convention: materialize the (50-row) result eagerly, then release
+    // the loop caches — otherwise every invocation leaks a CacheManager entry
+    // (the bench's median-of-3 re-invokes each query, so leaks accumulate)
+    val out = ranks.orderBy(col("pr").desc, col("node")).limit(50)
       .select(col("node").as("p_partkey"), col("pr"))
+      .localCheckpoint(true)
+    links.unpersist()
+    deg.unpersist()
+    out
   }
 
   private val q125Sql = {
@@ -391,7 +412,11 @@ object Round5Queries {
     val all = sk.agg(hll_union_agg(col("sk"), lit(false)).as("u"))
       .select(lit("ALL").as("event_type"),
         hll_sketch_estimate(col("u")).as("est_users"))
-    perType.unionByName(all).orderBy(col("event_type"))
+    // materialize the 6-row result, then release the sketch cache (q81's
+    // convention — see q125) so repeated invocations don't leak cached frames
+    val out = perType.unionByName(all).orderBy(col("event_type")).localCheckpoint(true)
+    sk.unpersist()
+    out
   }
 
   // --------------------------------------------------------------------------

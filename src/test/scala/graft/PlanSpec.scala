@@ -226,24 +226,43 @@ class PlanSpec extends SparkSpec {
     // DPP injects a dynamicpruning subquery into the fact scan's
     // PartitionFilters so unmatched partitions are never read.
     import spark.implicits._
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_dpp_p${ProcessHandle.current().pid()}").getAbsolutePath
-    Tables.lineitem(spark, sf)
-      .select("l_orderkey", "l_quantity", "l_returnflag")
-      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
-    val fact = spark.read.parquet(dir)
-    // the dim must be file-backed: a LocalRelation dim gets its filter constant-
-    // folded away, leaving no selective predicate for DPP to latch onto
-    Seq(("R", true), ("A", false), ("N", false)).toDF("flag", "keep")
-      .write.mode("overwrite").parquet(s"$dir-dim")
-    val dim = spark.read.parquet(s"$dir-dim")
-    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
-      .filter(col("keep"))
-      .agg(sum(col("l_quantity")).as("q"))
-    val leaves = joined.queryExecution.executedPlan.collectLeaves()
-      .map(_.toString).mkString("\n")
-    assert(leaves.toLowerCase.contains("dynamicpruning"),
-      s"expected a dynamicpruning partition filter on the fact scan:\n${leaves.take(800)}")
+    val c = spark.conf
+    // At test scale (tiny fact, no CBO stats) PartitionPruning.pruningHasBenefit
+    // declines under the stats-based estimate; useStats=false switches it to the
+    // fallback-filter-ratio path, which is how a real partitioned 100 TB fact
+    // table (where the benefit is obvious) gets pruned too.
+    val overrides = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false")
+    val saved = overrides.map { case (k, _) => k -> c.getOption(k) }
+    overrides.foreach { case (k, v) => c.set(k, v) }
+    try {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_dpp_p${ProcessHandle.current().pid()}").getAbsolutePath
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      // the dim must be file-backed: a LocalRelation dim gets its filter constant-
+      // folded away, leaving no selective predicate for DPP to latch onto.
+      // The filter must also survive optimization as a form isLikelySelective
+      // accepts: a bare boolean attribute (or `keep = true`, which
+      // BooleanSimplification reduces to one) is NOT considered selective, so
+      // the filter column is a string compared by equality — and it must not be
+      // the join key, or constraint inference would turn it into a STATIC
+      // partition filter and there'd be nothing dynamic left to prune.
+      Seq(("R", "yes"), ("A", "no"), ("N", "no")).toDF("flag", "keep")
+        .write.mode("overwrite").parquet(s"$dir-dim")
+      val dim = spark.read.parquet(s"$dir-dim")
+      val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+        .filter(col("keep") === "yes")
+        .agg(sum(col("l_quantity")).as("q"))
+      val leaves = joined.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+      assert(leaves.toLowerCase.contains("dynamicpruning"),
+        s"expected a dynamicpruning partition filter on the fact scan:\n${leaves.take(800)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
   }
 
   test("runtime bloom filter: selective dim join injects might_contain on the fact side") {
@@ -254,7 +273,12 @@ class PlanSpec extends SparkSpec {
     val c = spark.conf
     val overrides = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // InjectRuntimeFilter bails on any join it COULD plan as broadcast — the
+      // filtered orders side is far under the default 10 MB threshold at test
+      // scale, so broadcast must be disabled for the injection path to engage
+      // (at 100 TB both sides exceed the threshold and this happens naturally).
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = overrides.map { case (k, _) => k -> c.getOption(k) }
     overrides.foreach { case (k, v) => c.set(k, v) }
     try {

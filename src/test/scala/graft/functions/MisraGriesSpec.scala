@@ -51,7 +51,8 @@ class MisraGriesSpec extends SparkSpec {
     val right = mg.merge(summarize(a), mg.merge(summarize(b), summarize(c)))
     val n = xs.size
     val mustHave = exactCounts(xs).collect { case (i, cnt) if cnt * k > n => i }.toSet
-    for (buf <- Seq(left, right)) {
+    import scala.jdk.CollectionConverters._
+    for (buf <- Seq(left, right).map(_.asScala.map { case (i, c) => i -> c.longValue }.toMap)) {
       assert(buf.size <= k)
       assert(mustHave.subsetOf(buf.keySet))
       // counters never over-estimate, and under-estimate by at most n/k
