@@ -128,6 +128,13 @@ object Round5Queries {
           .as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"),
         concat_ws(" ", col("bg.w1"), col("bg.w2")).as("bg"))
+      // no-op semantically (split elements are never null; the score join on w1
+      // drops nulls anyway) but load-bearing for the plan: the c1 rollup's join
+      // infers isnotnull(w1) and pushes it into ITS copy of the c2full subtree —
+      // stating the filter once here keeps both consumers' subtrees canonically
+      // identical, so AQE reuses ONE shuffle stage instead of rescanning the
+      // corpus for each branch (PlanSpec pins the 2-scan shape)
+      .where(col("w1").isNotNull)
     // corpus scan #1: bigram counts, carrying w1 through the grouping key
     val c2full = big.groupBy(col("w1").as("pw"), col("bg").as("cbg"))
       .agg(count(lit(1)).as("c2"))
@@ -284,7 +291,13 @@ object Round5Queries {
   // --------------------------------------------------------------------------
   private val PrIters = 5
 
-  private def q125(s: SparkSession, d: String): DataFrame = {
+  /** The ranked frame after PrIters iterations plus the two loop caches,
+    * pre-materialization — split out so PlanSpec can pin the per-iteration
+    * lineage shape (exactly PrIters joins + PrIters aggregates: the persisted
+    * links/deg frames hide their subtrees behind InMemoryRelation, so a persist
+    * regression would multiply the visible join count). Callers must
+    * materialize the result and then unpersist the returned caches. */
+  private[graft] def pagerankRanks(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
     val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
@@ -304,14 +317,18 @@ object Round5Queries {
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"), expr("150000L + (85 * s) DIV 100").as("pr"))
     }
+    val top = ranks.orderBy(col("pr").desc, col("node")).limit(50)
+      .select(col("node").as("p_partkey"), col("pr"))
+    (top, Seq(links, deg))
+  }
+
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val (top, caches) = pagerankRanks(s, d)
     // q81's convention: materialize the (50-row) result eagerly, then release
     // the loop caches — otherwise every invocation leaks a CacheManager entry
     // (the bench's median-of-3 re-invokes each query, so leaks accumulate)
-    val out = ranks.orderBy(col("pr").desc, col("node")).limit(50)
-      .select(col("node").as("p_partkey"), col("pr"))
-      .localCheckpoint(true)
-    links.unpersist()
-    deg.unpersist()
+    val out = top.localCheckpoint(true)
+    caches.foreach(_.unpersist())
     out
   }
 

@@ -136,6 +136,60 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** MG summary carried between micro-batches: the ≤ k counters plus the rows
+    * seen so far for the key (needed for the n/k threshold downstream). */
+  final case class MgSummary(items: Map[String, Long], n: Long)
+  final case class TypeHeavyHitters(event_type: String, n_seen: Long,
+                                    candidates: Seq[String])
+
+  /** Streaming Misra-Gries: per-event-type candidate heavy users via
+    * transformWithState — the streaming face of q124's sketch-then-recheck
+    * family. State per key is the MG buffer itself (≤ k counters + a row
+    * count), advanced by the SAME reduce step as the batch Aggregator
+    * (functions.MisraGries), so the mergeable-summaries guarantee carries over
+    * batch boundaries: after ANY prefix of micro-batches, the emitted candidate
+    * list contains every item whose true frequency in the rows seen so far
+    * exceeds n/k. The exact recheck stays a batch job over the candidates
+    * (q124's second pass) — the sketch's job in the streaming plane is to keep
+    * a small, current candidate set without unbounded state: counting users
+    * exactly would hold one counter per distinct user forever. */
+  class HeavyHitterProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, TypeHeavyHitters] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[MgSummary] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[MgSummary]("mg",
+        org.apache.spark.sql.Encoders.product[MgSummary],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeHeavyHitters] = {
+      val mg = new graft.functions.MisraGries(k)
+      val buf = mg.zero
+      var n = 0L
+      if (state.exists()) {
+        val st = state.get()
+        st.items.foreach { case (i, c) => buf.put(i, c) }
+        n = st.n
+      }
+      rows.foreach { e => mg.reduce(buf, e.user_id.toString); n += 1 }
+      import scala.jdk.CollectionConverters._
+      state.update(
+        MgSummary(buf.asScala.map { case (i, c) => i -> c.longValue }.toMap, n))
+      Iterator.single(TypeHeavyHitters(key, n, mg.finish(buf)))
+    }
+  }
+
+  def runningHeavyHitters(events: Dataset[Event], k: Int): Dataset[TypeHeavyHitters] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new HeavyHitterProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Running per-user Welford statistics via flatMapGroupsWithState — the streaming
     * twin of the outlier model's training statistics (SURVEY.md §7.7): state is one
     * WelfordBuf per user, updated incrementally, emitted after every batch. */

@@ -298,6 +298,66 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q122/q124: sketch-then-score shapes run exactly two corpus scans") {
+    // the round-5 verdict's "weak" items: both queries claimed a minimal-pass
+    // shape while scanning the exploded corpus three times. Pin the fix: after
+    // execution (so AQE exchange reuse is applied), the final physical plan
+    // must contain exactly two FileScans of the documents table — q122's c1 is
+    // derived from the vocab-sized c2 (its shared exchange is reused, not
+    // rescanned) and q124's n_total rides in the sketch aggregate.
+    Seq("q122_bigram_lm_score", "q124_heavy_hitters").foreach { q =>
+      val df = Registry.byName(q).fn(spark, sf)
+      df.collect() // finalize the adaptive plan so exchange reuse materializes
+      val full = df.queryExecution.executedPlan.toString
+      // the adaptive plan prints BOTH the final and the initial plan — count
+      // scans only in the final section (reused exchanges print as one-line
+      // ReusedExchange/TableCacheQueryStage references, not repeated subtrees)
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i  => full.substring(0, i)
+      }
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans == 2, s"$q must read the corpus exactly twice, saw $scans:\n${p.take(1200)}")
+    }
+  }
+
+  test("q124: the exact recheck joins against BROADCAST candidates") {
+    val df = Registry.byName("q124_heavy_hitters").fn(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the ≤ k candidate rows must broadcast — a shuffle join here re-shuffles the corpus")
+  }
+
+  test("q123: bloom probe filters the fact side below the join, above the scan") {
+    // the pre-shuffle row cut is the entire point of the pattern: the UDF
+    // membership probe must sit BETWEEN the join and the lineitem scan, so
+    // non-candidate rows never reach the exchange.
+    val df = Registry.byName("q123_bloom_prejoin").fn(spark, sf)
+    val lines = df.queryExecution.optimizedPlan.toString.linesIterator.toSeq
+    val joinIdx = lines.indexWhere(_.contains("Join"))
+    val udfIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    val scanIdx = lines.indexWhere(l => l.contains("Relation") && l.contains("l_orderkey"))
+    assert(joinIdx >= 0 && udfIdx > joinIdx,
+      s"probe must sit under the join (join@$joinIdx udf@$udfIdx):\n${lines.mkString("\n").take(900)}")
+    assert(scanIdx > udfIdx,
+      s"probe must sit above the lineitem scan (udf@$udfIdx scan@$scanIdx)")
+  }
+
+  test("q125: per-iteration lineage is one join + one agg over the cached graph") {
+    // a persist regression would splice the full edge-building subtree (self-
+    // join + distinct + degree agg) into EVERY iteration — visible here as the
+    // join/aggregate counts jumping from PrIters to ~4× that.
+    val (top, caches) = graft.queries.Round5Queries.pagerankRanks(spark, sf)
+    try {
+      val p = top.queryExecution.optimizedPlan
+      val joins = p.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      val aggs = p.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(joins.size == 5, s"expected 5 per-iteration joins, saw ${joins.size}")
+      assert(aggs.size == 5, s"expected 5 per-iteration aggregates, saw ${aggs.size}")
+      assert(p.collectLeaves().exists(_.nodeName.contains("InMemoryRelation")),
+        "links/deg must resolve to cached frames, not recomputed subtrees")
+    } finally caches.foreach(_.unpersist())
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)

@@ -295,6 +295,62 @@ class StreamingSpec extends SparkSpec {
     runningStatsCase("userstats")(EventStreams.runningUserStats)
   }
 
+  test("transformWithState Misra-Gries: streamed candidates keep the n/k superset guarantee") {
+    // q124's sketch family in the streaming plane: per-event-type MG state
+    // advanced across micro-batches must still contain every user whose true
+    // frequency (over everything replayed so far) exceeds n/k, with state
+    // bounded by k. Planted Zipf-ish skew so the guarantee is non-vacuous:
+    // heavy users genuinely dominate, the tail genuinely evicts.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val k = 16
+      val rnd = new scala.util.Random(23)
+      var id = 0L
+      val events: Seq[Event] = Seq("view", "click", "purchase").flatMap { t =>
+        val heavy = (0 until 4).flatMap(i => Seq.fill(240 - 40 * i)(i.toLong))
+        val tail = (0 until 120).flatMap(i => Seq.fill(rnd.nextInt(3) + 1)(100L + i))
+        rnd.shuffle(heavy ++ tail).map { u =>
+          id += 1
+          Event(id, new java.sql.Timestamp(1700000000000L + id * 1000L), u, t, 1.0)
+        }
+      }
+      val input = MemoryStream[Event]
+      val q = EventStreams.runningHeavyHitters(input.toDS(), k)
+        .writeStream.format("memory").queryName("hh_tws").outputMode("update").start()
+      events.grouped(math.max(1, events.length / 4)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // last update per event type is the final sketch state
+      val fin = spark.table("hh_tws")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+            .orderBy(col("n_seen").desc)))
+        .filter(col("rn") === 1)
+        .select("event_type", "n_seen", "candidates")
+        .as[(String, Long, Seq[String])].collect()
+      assert(fin.map(_._1).toSet == Set("view", "click", "purchase"))
+      fin.foreach { case (t, nSeen, cands) =>
+        val exact = events.filter(_.event_type == t).groupBy(_.user_id.toString)
+          .view.mapValues(_.size.toLong).toMap
+        val n = exact.valuesIterator.sum
+        assert(nSeen == n, s"$t: n_seen must count every replayed row")
+        val mustHave = exact.collect { case (u, c) if c * k > n => u }.toSet
+        assert(mustHave.nonEmpty, s"$t: fixture must plant real heavy hitters")
+        assert(mustHave.subsetOf(cands.toSet),
+          s"$t: missing heavy hitters ${mustHave -- cands.toSet}")
+        assert(cands.size <= k, s"$t: state exceeded k counters")
+        assert(exact.size > k, s"$t: fixture must force eviction (distinct > k)")
+      }
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("transformWithState running stats equal batch Welford per user (Spark 4 API)") {
     // the new API's typed state handles need the RocksDB state store provider
     val key = "spark.sql.streaming.stateStore.providerClass"
