@@ -59,7 +59,8 @@ object Registry {
       queries.ExtraQueries.defs ++
       queries.Round4Queries.defs ++
       queries.CorpusQueries.defs ++
-      queries.Round5Queries.defs
+      queries.Round5Queries.defs ++
+      queries.Round6Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }
