@@ -60,7 +60,8 @@ object Registry {
       queries.Round4Queries.defs ++
       queries.CorpusQueries.defs ++
       queries.Round5Queries.defs ++
-      queries.Round6Queries.defs
+      queries.Round6Queries.defs ++
+      queries.Round7Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

@@ -52,6 +52,29 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Streaming dedup via `dropDuplicatesWithinWatermark` (Spark 3.5+): unlike
+    * `dropDuplicates("event_id")` — whose state lives forever unless the event-
+    * time column is part of the key and exactly equal across duplicates — this
+    * keys state on the id ALONE and expires it once the watermark passes the
+    * first arrival plus the delay. That is the right contract for
+    * at-least-once sources whose retries carry DRIFTED timestamps (a retry
+    * storm re-sends the same event_id seconds apart): state stays bounded by
+    * the watermark horizon and drifted duplicates still collapse. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the streaming fact side joined to a STATIC
+    * dimension. Stateless — no watermark, no state store: every micro-batch
+    * joins against the (broadcast) static side as-of its own execution, which
+    * is why it needs none of the expiry machinery the stream-stream joins do.
+    * At 100 TB/day this is THE dimension-enrichment shape: the dim broadcasts
+    * once per micro-batch, the fact stream never shuffles. */
+  def enrichStreamStatic(events: DataFrame, userTiers: DataFrame): DataFrame =
+    events
+      .join(broadcast(userTiers), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("tier"), col("event_type"),
+        round(col("value"), 2).as("value"))
+
   /** Stream-stream interval join (a streaming self-join): each purchase matched to
     * the same user's clicks in the 30 minutes before it. Both sides carry a
     * watermark AND the join condition bounds event time in both directions, which

@@ -226,6 +226,41 @@ class StreamingSpec extends SparkSpec {
     assert(dups == 0, "no window may be emitted twice across the restart")
   }
 
+  test("dropDuplicatesWithinWatermark: retry duplicates with drifted timestamps collapse") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String, typ: String) =
+      Event(id, java.sql.Timestamp.valueOf(t), 1L, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_ww").outputMode("append").start()
+    // first arrivals + a retry 3 minutes later with a DRIFTED timestamp —
+    // plain dropDuplicates on (event_id, ts) would pass the retry through
+    input.addData(Seq(
+      ev(1, "2024-01-01 09:00:00", "a"), ev(1, "2024-01-01 09:03:00", "a"),
+      ev(2, "2024-01-01 09:10:00", "b")))
+    q.processAllAvailable()
+    // another retry of id 1 in a later micro-batch, still inside the horizon
+    input.addData(Seq(
+      ev(1, "2024-01-01 09:20:00", "a"),
+      ev(3, "2024-01-02 00:00:00", "z")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_ww").select(col("event_id")).as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
+  test("stream-static broadcast enrichment join: replay equals batch") {
+    // static dim derived from the batch user universe; sentinel replay rows
+    // carry user_ids outside it, so the inner join drops them symmetrically
+    val tiers = batchEvents.select(col("user_id")).distinct()
+      .withColumn("tier", concat(lit("T"), col("user_id") % 4))
+    val streamed = replay("enrich", "append")(EventStreams.enrichStreamStatic(_, tiers))
+    val batch = EventStreams.enrichStreamStatic(batchEvents, tiers)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.count() > 0)
+  }
+
   test("stream-stream interval join (self-join): replay equals batch") {
     // the batch side of this transform is the declared, DuckDB-hash-matched
     // q79_stream_interval_join — so this replay test plus q79's oracle pin the
