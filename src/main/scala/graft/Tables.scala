@@ -61,7 +61,8 @@ object Registry {
       queries.CorpusQueries.defs ++
       queries.Round5Queries.defs ++
       queries.Round6Queries.defs ++
-      queries.Round7Queries.defs
+      queries.Round7Queries.defs ++
+      queries.LakeQueries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

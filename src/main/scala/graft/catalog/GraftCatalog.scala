@@ -1,0 +1,339 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetTable, ParquetWrite}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft` — a parquet-backed DataSource-v2 catalog with snapshot (MVCC) tables,
+  * copy-on-write row-level operations (MERGE / UPDATE / DELETE), and
+  * `VERSION AS OF` time travel.
+  *
+  * This is the piece that completes the CDC story the compositional changeset
+  * merge (q75) starts: q75 *computes* a merged state as a query result; a real
+  * lakehouse pipeline needs the engine to OWN the table so `MERGE INTO` can be
+  * issued against it repeatedly. The design is the public copy-on-write recipe
+  * (Iceberg/Delta-class, re-derived on Spark's connector API — no code from
+  * either):
+  *
+  *   - A table is a directory holding immutable parquet SEGMENT directories
+  *     plus a tiny `_graft_meta` file: the schema and, per snapshot id, the
+  *     list of segments visible in that snapshot. Nothing is ever rewritten in
+  *     place — a commit writes a new segment and atomically swaps the meta
+  *     file (temp file + ATOMIC_MOVE), so readers pin a snapshot's segment
+  *     list at plan time and are never torn by a concurrent commit.
+  *   - APPEND (INSERT INTO) commits `current ++ newSegment`; TRUNCATE /
+  *     row-level REPLACE commits `[newSegment]`. Old segments stay on disk —
+  *     that is what makes `VERSION AS OF n` (TableCatalog.loadTable(ident,
+  *     version)) a zero-cost metadata lookup rather than a restore job.
+  *   - MERGE/UPDATE/DELETE go through `SupportsRowLevelOperations` in
+  *     GROUP-BASED (copy-on-write) mode: Spark's own RewriteMergeIntoTable /
+  *     RewriteUpdateTable / RewriteDeleteFromTable plan the scan + the
+  *     surviving-row computation; the operation's write builder lands the
+  *     result as a full replacement snapshot. The "group" here is the whole
+  *     table — the honest first rung of the copy-on-write ladder; the scale
+  *     seam is to report partition directories as groups (via
+  *     `requiredMetadataAttributes` + runtime group filtering) so a MERGE
+  *     touching one day rewrites one day. The commit/snapshot machinery below
+  *     is already shaped for that (a replace commit is just "these segments
+  *     out, this segment in").
+  *   - Scans and writes DELEGATE to Spark's native v2 parquet machinery
+  *     (`ParquetTable` scans with pushdown/pruning/vectorization,
+  *     `ParquetWrite` with the Hadoop commit protocol) — the catalog adds
+  *     snapshot bookkeeping, not a bespoke reader.
+  *
+  * Wired into a session via
+  * `spark.sql.catalog.graft = graft.catalog.GraftCatalog` +
+  * `spark.sql.catalog.graft.root = <dir>`; exercised by q152–q154 and
+  * GraftCatalogSpec.
+  */
+final class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Paths.get(Option(options.get("root"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_catalog"))
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): Path =
+    (ident.namespace() :+ ident.name()).foldLeft(root) { (p, part) =>
+      // path-traversal guard: identifiers become directory names verbatim
+      require(part.nonEmpty && part.forall(c => c.isLetterOrDigit || c == '_'),
+        s"graft catalog identifiers must be [A-Za-z0-9_]+, got '$part'")
+      p.resolve(part)
+    }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(root)(_ resolve _)
+    if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(nsDir).iterator().asScala
+      .filter(p => Files.exists(p.resolve(GraftMeta.FileName)))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
+    new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
+  }
+
+  /** `VERSION AS OF <n>` time travel — a metadata lookup, not a restore. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
+    new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(version.toLong))
+  }
+
+  // the StructType variant is the root of TableCatalog's default-method chain
+  // (TableInfo → Column[] → here), so one override covers every call site
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables are unpartitioned (partition-as-group is the documented scale seam)")
+    val dir = tableDir(ident)
+    if (Files.exists(dir.resolve(GraftMeta.FileName))) throw new TableAlreadyExistsException(ident)
+    Files.createDirectories(dir)
+    GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil)))
+    new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(GraftMeta.FileName))) false
+    else {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(dir)
+      true
+    }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = tableDir(from)
+    if (!Files.exists(src.resolve(GraftMeta.FileName))) throw new NoSuchTableException(from)
+    val dst = tableDir(to)
+    if (Files.exists(dst)) throw new TableAlreadyExistsException(to)
+    Files.createDirectories(dst.getParent)
+    Files.move(src, dst)
+  }
+}
+
+/** Table metadata: schema + snapshot id → visible segment dirs. Persisted as a
+  * line-oriented text file (schema is one JSON line via StructType.json — no
+  * extra parser dependency), swapped atomically on every commit. */
+private[catalog] final case class GraftMeta(
+    schema: StructType, current: Long, snapshots: Map[Long, Seq[String]])
+
+private[catalog] object GraftMeta {
+  val FileName = "_graft_meta"
+
+  def read(tableDir: Path): GraftMeta = {
+    val lines = Files.readAllLines(tableDir.resolve(FileName), StandardCharsets.UTF_8).asScala
+    var schema: StructType = null
+    var current = 0L
+    val snaps = Map.newBuilder[Long, Seq[String]]
+    lines.foreach {
+      case l if l.startsWith("schema=") =>
+        schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
+      case l if l.startsWith("current=") => current = l.stripPrefix("current=").toLong
+      case l if l.startsWith("s") && l.contains("=") =>
+        val Array(id, dirs) = l.split("=", 2)
+        snaps += id.drop(1).toLong -> (if (dirs.isEmpty) Nil else dirs.split(",").toSeq)
+      case _ => ()
+    }
+    GraftMeta(schema, current, snaps.result())
+  }
+
+  def write(tableDir: Path, meta: GraftMeta): Unit = {
+    val body = new StringBuilder
+    body ++= s"schema=${meta.schema.json}\n"
+    body ++= s"current=${meta.current}\n"
+    meta.snapshots.toSeq.sortBy(_._1).foreach { case (id, dirs) =>
+      body ++= s"s$id=${dirs.mkString(",")}\n"
+    }
+    val tmp = tableDir.resolve(s"$FileName.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tableDir.resolve(FileName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Append-or-replace commit under the table's lock: re-reads meta so
+    * concurrent committers serialize, writes the new snapshot, swaps. */
+  def commit(tableDir: Path, newSegment: String, replace: Boolean): Unit =
+    tableDir.toString.intern().synchronized {
+      val meta = read(tableDir)
+      val next = meta.current + 1
+      val dirs =
+        if (replace) Seq(newSegment)
+        else meta.snapshots.getOrElse(meta.current, Nil) :+ newSegment
+      write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs)))
+    }
+}
+
+private[catalog] final class GraftTable(
+    catalog: String, ident: Identifier, tableDir: Path, pinnedSnapshot: Option[Long])
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  private val meta = GraftMeta.read(tableDir)
+
+  private[catalog] def dir: Path = tableDir
+
+  override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
+  override def schema(): StructType = meta.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** Segment dirs visible to this read: a pinned snapshot (`VERSION AS OF` /
+    * a `snapshot` read option) or the current one, resolved NOW — the scan
+    * built from this list is immune to later commits (snapshot isolation). */
+  private def visibleDirs(options: CaseInsensitiveStringMap): Seq[String] = {
+    val snap = Option(options.get("snapshot")).map(_.toLong)
+      .orElse(pinnedSnapshot).getOrElse(meta.current)
+    require(meta.snapshots.contains(snap),
+      s"${name()}: no snapshot $snap (have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})")
+    meta.snapshots(snap).map(seg => tableDir.resolve(seg).toString)
+  }
+
+  /** Reads delegate to Spark's v2 parquet table over the visible segments:
+    * filter pushdown, column pruning, and vectorized decode come with it. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(name(), SparkSession.active, options, visibleDirs(options),
+      Some(meta.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(tableDir, info, replaceOnCommit = false)
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info)
+}
+
+/** Group-based (copy-on-write) row-level operation: Spark rewrites
+  * MERGE/UPDATE/DELETE into scan + surviving-rows plan; the write lands a full
+  * replacement snapshot.
+  *
+  * The scan is deliberately pushdown-BLIND: in the group-based contract,
+  * filters pushed into a row-level scan are GROUP-pruning hints (the rewrite
+  * re-applies the row predicate itself, e.g. `Filter NOT cond` for DELETE), so
+  * a scan that honors them as row filters silently drops every untouched row
+  * from the replacement snapshot. Since this operation replaces the whole
+  * table (single group), the correct pruning is "none": the builder exposes
+  * only column pruning, and the built scan hides ParquetScan's runtime file
+  * filtering for the same reason. */
+private[catalog] final class GraftRowLevelOperation(
+    table: GraftTable, info: RowLevelOperationInfo) extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = info.command()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = table.newScanBuilder(options)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      override def pruneColumns(requiredSchema: StructType): Unit = inner match {
+        case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+        case _ => ()
+      }
+      override def build(): Scan = new GroupScan(inner.build())
+    }
+  }
+  override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(table.dir, writeInfo, replaceOnCommit = true, fromRowLevelOp = true)
+}
+
+/** Pass-through Scan that does NOT re-export SupportsRuntimeV2Filtering:
+  * runtime file pruning would shrink the scan below the replacement set. */
+private[catalog] final class GroupScan(inner: Scan) extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = s"graft-group-scan(${inner.description()})"
+  override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
+  override def supportedCustomMetrics() = inner.supportedCustomMetrics()
+}
+
+private[catalog] final class GraftWriteBuilder(
+    tableDir: Path, info: LogicalWriteInfo, replaceOnCommit: Boolean,
+    fromRowLevelOp: Boolean = false)
+  extends WriteBuilder with SupportsOverwriteV2 {
+
+  private var replace = replaceOnCommit
+
+  override def truncate(): WriteBuilder = { replace = true; this }
+
+  /** INSERT OVERWRITE arrives as overwrite-by-filter; only the full-table form
+    * (always-true predicate) maps onto snapshot replacement. */
+  override def overwrite(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): WriteBuilder = {
+    require(predicates.forall(_.name() == "ALWAYS_TRUE"),
+      "graft catalog: only full-table INSERT OVERWRITE is supported")
+    replace = true
+    this
+  }
+
+  override def build(): Write = new Write {
+    // each write lands in a fresh immutable segment dir; the Hadoop commit
+    // protocol (task temp files + job commit) is Spark's own, via ParquetWrite
+    private val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
+    private val inner: Write =
+      ParquetWrite(Seq(tableDir.resolve(segment).toString), "parquet", _ => true, info)
+
+    override def description(): String = s"graft-write($segment, replace=$replace)"
+
+    override def toBatch: BatchWrite = new BatchWrite {
+      private val delegate = inner.toBatch
+      override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
+        val f = delegate.createBatchWriterFactory(pInfo)
+        // Group-based replace-data rows arrive as [__row_operation, data...]:
+        // with no metadata attrs declared, ReplaceDataExec runs the plain
+        // writing task, which does NOT apply the row projection (Spark's own
+        // DataAndMetadataWritingSparkTask likewise pins the op column at
+        // ordinal 0) — so the op column is stripped here, at the writer.
+        if (fromRowLevelOp) new OpStrippingWriterFactory(f, info.schema()) else f
+      }
+      override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        delegate.commit(messages) // files are now live in the segment dir
+        GraftMeta.commit(tableDir, segment, replace) // atomic snapshot swap
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        delegate.abort(messages) // segment never becomes visible: meta untouched
+    }
+  }
+}
+
+/** Strips the leading `__row_operation` column off replace-data rows before
+  * they reach the parquet writer (ordinals 1..n → data schema 0..n-1). */
+private[catalog] final class OpStrippingWriterFactory(
+    inner: DataWriterFactory, dataSchema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val d = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      private val proj =
+        new ProjectingInternalRow(dataSchema, (1 to dataSchema.length).toIndexedSeq)
+      override def write(row: InternalRow): Unit = { proj.project(row); d.write(proj) }
+      override def commit(): WriterCommitMessage = d.commit()
+      override def abort(): Unit = d.abort()
+      override def close(): Unit = d.close()
+      override def currentMetricsValues() = d.currentMetricsValues()
+    }
+  }
+}

@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.QDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lakehouse surface over the graft snapshot catalog
+  * (graft/catalog/GraftCatalog.scala): SQL `MERGE INTO` with the full clause
+  * surface, row-level `UPDATE`/`DELETE`, and `VERSION AS OF` time travel over
+  * copy-on-write snapshots.
+  *
+  * This closes the loop that q75 (compositional CDC changeset merge) opens:
+  * q75 computes a merged state as a plain query; these queries have the engine
+  * OWN the table, so the merge is a catalog operation against a persisted,
+  * snapshot-versioned target — the shape a 100 TB ingestion pipeline actually
+  * runs (upsert batch in, old snapshots retained for audit/rollback).
+  *
+  * Oracle strategy: row-level DML is deterministic relational algebra, so each
+  * query's DuckDB twin reconstructs the post-DML state with joins/filters over
+  * the same `orders` projection and aggregates identically (FLOOR(x*100) cents
+  * convention, BIGINT casts, trailing total-order sort).
+  */
+object LakeQueries {
+
+  /** One catalog root per JVM (pid-scoped, like the SinkQueries scratch dirs);
+    * table names additionally carry the scale-factor hash so concurrent SFs
+    * never collide inside one catalog. */
+  private def ensureCatalog(s: SparkSession): Unit =
+    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_lake_p${ProcessHandle.current().pid()}").getAbsolutePath
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.root", root)
+    }
+
+  private def sfTag(sfDir: String): String = Integer.toHexString(sfDir.hashCode)
+
+  /** Stable integer-cents projection of `orders`, registered as a temp view so
+    * the DDL below can reference it by name. */
+  private def ordersView(s: SparkSession, d: String): String = {
+    val v = s"lake_orders_${sfTag(d)}"
+    graft.Tables.orders(s, d).createOrReplaceTempView(v)
+    v
+  }
+
+  // --------------------------------------------------------------------------
+  // q152: MERGE INTO with the full clause surface — matched-and DELETE, matched
+  // UPDATE, not-matched INSERT, and not-matched-BY-SOURCE DELETE — against a
+  // graft catalog table. Spark rewrites this into ONE scan + surviving-rows
+  // plan + ONE replacement-snapshot write (group-based copy-on-write); there
+  // is no per-row RPC, no driver loop — the merge is a distributed join, which
+  // is the only shape that survives a 100 TB target. The oracle reconstructs
+  // the post-merge state with the textbook three-way split (kept / updated /
+  // inserted) and aggregates it.
+  // --------------------------------------------------------------------------
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m152_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 3 != 0""")
+    s.sql(s"""MERGE INTO graft.lake.$t t
+      USING (SELECT o_orderkey AS k, o_custkey AS cust, 'U' AS st,
+                    CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 2 AS price_c
+             FROM $src WHERE o_orderkey % 2 = 0) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.k % 10 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET st = s.st, price_c = s.price_c, cust = s.cust
+      WHEN NOT MATCHED THEN INSERT (k, cust, st, price_c) VALUES (s.k, s.cust, s.st, s.price_c)
+      WHEN NOT MATCHED BY SOURCE AND t.k % 97 = 0 THEN DELETE""")
+    s.sql(s"""SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     COUNT(DISTINCT cust) AS n_cust,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q152Sql =
+    """WITH tgt AS (
+         SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders WHERE o_orderkey % 3 != 0),
+       src AS (
+         SELECT o_orderkey AS k, o_custkey AS cust, 'U' AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 2 AS price_c
+         FROM orders WHERE o_orderkey % 2 = 0),
+       merged AS (
+         SELECT t.k, t.cust, t.st, t.price_c FROM tgt t LEFT JOIN src s ON t.k = s.k
+         WHERE s.k IS NULL AND NOT (t.k % 97 = 0)
+         UNION ALL
+         SELECT s.k, s.cust, s.st, s.price_c FROM tgt t JOIN src s ON t.k = s.k
+         WHERE NOT (s.k % 10 = 0)
+         UNION ALL
+         SELECT s.k, s.cust, s.st, s.price_c FROM src s LEFT JOIN tgt t ON s.k = t.k
+         WHERE t.k IS NULL)
+       SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              COUNT(DISTINCT cust) AS n_cust, MIN(k) AS min_k, MAX(k) AS max_k
+       FROM merged GROUP BY st ORDER BY st"""
+
+  // --------------------------------------------------------------------------
+  // q153: row-level UPDATE and DELETE statements against the catalog table —
+  // each rewritten by Spark into scan → surviving/updated-rows plan → one
+  // replacement snapshot (two commits total, both full-scan + full-write: the
+  // copy-on-write cost model, amortized at scale by partition-level groups).
+  // --------------------------------------------------------------------------
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m153_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src""")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE st = 'F' AND k % 7 = 0")
+    s.sql(s"UPDATE graft.lake.$t SET price_c = price_c + 555 WHERE st = 'O'")
+    s.sql(s"""SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q153Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+       surv AS (
+         SELECT k, st,
+                price_c + CASE WHEN st = 'O' THEN 555 ELSE 0 END AS price_c
+         FROM base WHERE NOT (st = 'F' AND k % 7 = 0))
+       SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM surv GROUP BY st ORDER BY st"""
+
+  // --------------------------------------------------------------------------
+  // q154: snapshot history + VERSION AS OF time travel. CTAS lands snapshot 1,
+  // INSERT INTO appends snapshot 2 (the old segment is SHARED, not copied),
+  // DELETE lands snapshot 3; the query then reads all three versions. Reading
+  // an old snapshot is a metadata lookup — segment lists are immutable — which
+  // is what makes audit/rollback/reproducible-training-set reads free at
+  // 100 TB (the Iceberg/Delta snapshot recipe, re-derived on the public
+  // connector API).
+  // --------------------------------------------------------------------------
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m154_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 2 = 1""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE k % 5 = 0")
+    s.sql(s"""SELECT 1 AS snap, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+              FROM graft.lake.$t VERSION AS OF 1
+              UNION ALL
+              SELECT 2 AS snap, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+              FROM graft.lake.$t VERSION AS OF 2
+              UNION ALL
+              SELECT 3 AS snap, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+              FROM graft.lake.$t
+              ORDER BY snap""")
+  }
+
+  private val q154Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders)
+       SELECT 1 AS snap, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       FROM base WHERE k % 2 = 1
+       UNION ALL
+       SELECT 2 AS snap, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       FROM base
+       UNION ALL
+       SELECT 3 AS snap, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       FROM base WHERE NOT (k % 5 = 0)
+       ORDER BY snap"""
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q152_lake_merge", q152, Some(q152Sql)),
+    QDef("q153_lake_update_delete", q153, Some(q153Sql)),
+    QDef("q154_lake_time_travel", q154, Some(q154Sql)))
+}

@@ -1,0 +1,95 @@
+package graft.catalog
+
+import graft.SparkSpec
+
+/** End-to-end pins for the graft snapshot catalog: DDL, append, full-table
+  * overwrite, copy-on-write MERGE/UPDATE/DELETE, and VERSION AS OF time
+  * travel. Fixtures are tiny and fully enumerated so every expectation is a
+  * hand-checkable ground truth. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cat_spec")
+    spark.conf.set("spark.sql.catalog.gtest", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("create + insert + read back") {
+    root // force catalog registration
+    sql("DROP TABLE IF EXISTS gtest.ns.t1")
+    sql("CREATE TABLE gtest.ns.t1 (k BIGINT, v STRING) USING parquet")
+    sql("INSERT INTO gtest.ns.t1 VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO gtest.ns.t1 VALUES (3, 'c')")
+    val rows = sql("SELECT k, v FROM gtest.ns.t1 ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("CTAS + INSERT OVERWRITE replaces the snapshot") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t2")
+    sql("CREATE TABLE gtest.ns.t2 AS SELECT * FROM VALUES (1L, 10L), (2L, 20L) AS v(k, x)")
+    sql("INSERT OVERWRITE gtest.ns.t2 SELECT * FROM VALUES (7L, 70L) AS v(k, x)")
+    val rows = sql("SELECT k, x FROM gtest.ns.t2 ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((7L, 70L)))
+  }
+
+  test("MERGE INTO: delete + update + insert in one statement") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t3")
+    sql("""CREATE TABLE gtest.ns.t3 AS
+           SELECT * FROM VALUES (1L, 'keep', 100L), (2L, 'upd', 200L),
+                                (3L, 'del', 300L) AS v(k, tag, amt)""")
+    sql("""MERGE INTO gtest.ns.t3 t
+           USING (SELECT * FROM VALUES (2L, 'upd2', 999L), (3L, 'x', 0L),
+                                       (4L, 'new', 400L) AS s(k, tag, amt)) s
+           ON t.k = s.k
+           WHEN MATCHED AND t.tag = 'del' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET tag = s.tag, amt = s.amt
+           WHEN NOT MATCHED THEN INSERT (k, tag, amt) VALUES (s.k, s.tag, s.amt)""")
+    val rows = sql("SELECT k, tag, amt FROM gtest.ns.t3 ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "keep", 100L), (2L, "upd2", 999L), (4L, "new", 400L)))
+  }
+
+  test("UPDATE and DELETE rewrite as copy-on-write snapshots") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t4")
+    sql("""CREATE TABLE gtest.ns.t4 AS
+           SELECT * FROM VALUES (1L, 5L), (2L, 6L), (3L, 7L) AS v(k, x)""")
+    sql("DELETE FROM gtest.ns.t4 WHERE k = 2")
+    sql("UPDATE gtest.ns.t4 SET x = x * 10 WHERE k = 3")
+    val rows = sql("SELECT k, x FROM gtest.ns.t4 ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 5L), (3L, 70L)))
+  }
+
+  test("VERSION AS OF pins an old snapshot; snapshot read option agrees") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t5")
+    sql("CREATE TABLE gtest.ns.t5 AS SELECT * FROM VALUES (1L) AS v(k)") // snap 1
+    sql("INSERT INTO gtest.ns.t5 VALUES (2L)") // snap 2
+    sql("DELETE FROM gtest.ns.t5 WHERE k = 1") // snap 3 (replace)
+    assert(sql("SELECT count(*) FROM gtest.ns.t5").head.getLong(0) === 1L)
+    assert(sql("SELECT count(*) FROM gtest.ns.t5 VERSION AS OF 2").head.getLong(0) === 2L)
+    assert(sql("SELECT count(*) FROM gtest.ns.t5 VERSION AS OF 1").head.getLong(0) === 1L)
+    assert(sql("SELECT k FROM gtest.ns.t5 VERSION AS OF 1").head.getLong(0) === 1L)
+    val viaOption = spark.read.option("snapshot", "2")
+      .table("gtest.ns.t5").count()
+    assert(viaOption === 2L)
+  }
+
+  test("scan delegation keeps parquet filter pushdown on catalog tables") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t6")
+    sql("CREATE TABLE gtest.ns.t6 AS SELECT id AS k, id % 10 AS m FROM range(1000)")
+    val df = sql("SELECT k FROM gtest.ns.t6 WHERE k > 990")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,990)]"),
+      s"expected pushed filters in:\n$scan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (991L to 999L))
+  }
+}
