@@ -62,7 +62,8 @@ object Registry {
       queries.Round5Queries.defs ++
       queries.Round6Queries.defs ++
       queries.Round7Queries.defs ++
-      queries.LakeQueries.defs
+      queries.LakeQueries.defs ++
+      queries.Round8Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }
