@@ -20,7 +20,9 @@ class RegistrySpec extends SparkSpec {
     val tables = Set("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
     // every FROM/JOIN target must be a known table or a CTE defined in the query
-    val fromPat = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
+    // \b guard: without it, a column like `n_from` followed by the FROM keyword
+    // matches as FROM\s+FROM and reports a phantom relation named 'from'
+    val fromPat = "(?i)\\b(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (name, sql) =>
       // both CTE forms: `name AS (` and the recursive `name(col, ...) AS (`
       val ctes = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
