@@ -45,7 +45,12 @@ object Bench {
       if (ok) elapsed else -elapsed
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration aid: SPARK_GRAFT_BENCH_FILTER=regex restricts the run to
+    // matching query names (the driver never sets it, so round benches are full).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
+    val results = selected.map { case (name, fn) =>
       val times = Seq.fill(runs)(timeOnce(name, fn))
       // any failed run poisons the query: report the (negative) failure time
       val median = times.find(_ < 0).getOrElse(times.sorted.apply(runs / 2))

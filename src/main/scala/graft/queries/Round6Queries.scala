@@ -75,32 +75,42 @@ object Round6Queries {
   // --------------------------------------------------------------------------
   private def q132(s: SparkSession, d: String): DataFrame = {
     val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val a = li.toDF("ok", "p1")
-    val b = li.toDF("ok2", "p2")
-    val pairs = a.join(b, col("ok") === col("ok2") && col("p1") < col("p2"))
-      .select(col("p1"), col("p2")).distinct().persist()
+    // pair-gen: ONE shuffle (groupBy order) + in-basket pair expansion — baskets
+    // are bounded (TPC-H ≤7 items), so the local quadratic is constant-sized;
+    // the self-join form shuffles lineitem twice for the same pairs
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("e"))
+      .select(col("e.p1"), col("e.p2")).distinct().persist()
     val deg = pairs.select(col("p1").as("n"))
       .union(pairs.select(col("p2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).persist()
     // total order for orientation: (deg, node) packed into one long — ties on
-    // degree break by node id, so the orientation is deterministic
+    // degree break by node id, so the orientation is deterministic. deg is
+    // node-count-sized, so AQE plans these as broadcast joins.
     val ord1 = deg.select(col("n").as("p1"), (col("deg") * lit(10000000L) + col("n")).as("o1"))
     val ord2 = deg.select(col("n").as("p2"), (col("deg") * lit(10000000L) + col("n")).as("o2"))
     val oriented = pairs.join(ord1, "p1").join(ord2, "p2")
       .select(when(col("o1") < col("o2"),
-          struct(col("p1").as("src"), col("p2").as("dst"), col("o2").as("dord")))
-        .otherwise(struct(col("p2").as("src"), col("p1").as("dst"), col("o1").as("dord")))
+          struct(col("p1").as("src"), col("p2").as("dst")))
+        .otherwise(struct(col("p2").as("src"), col("p1").as("dst")))
         .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dord").as("dord"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    // wedges from each source's (√m-bounded) out-neighborhood, ordered so the
-    // closing edge — if present — is oriented exactly b→c
-    val e1 = oriented.select(col("src").as("a"), col("dst").as("bb"), col("dord").as("ob"))
-    val e2 = oriented.select(col("src").as("a2"), col("dst").as("cc"), col("dord").as("oc"))
-    val closing = oriented.select(col("src").as("b2"), col("dst").as("c2"))
-    val tri = e1.join(e2, col("a") === col("a2") && col("ob") < col("oc"))
-      .join(closing, col("bb") === col("b2") && col("cc") === col("c2"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // adjacency-intersection form: each triangle {a<b<c} (total order) is counted
+    // exactly once, at its oriented edge a→b, as c ∈ N⁺(a) ∩ N⁺(b). Out-degrees
+    // are O(√m)-bounded by the orientation, so the neighbor arrays stay small and
+    // the count is edge-count-sized rows × an array intersect — the Σ-out-deg²
+    // wedge stream (41M rows at sf0.1, 10× the edges) never materializes.
+    val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), col("src") === col("u"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), col("dst") === col("v"), "left")
+      .agg(sum(when(col("nv").isNull, lit(0))
+        .otherwise(size(array_intersect(col("nu"), col("nv"))))).as("n_triangles"))
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
     val edgeStats = pairs.agg(count(lit(1)).as("n_edges"))
