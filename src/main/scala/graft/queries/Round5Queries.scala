@@ -282,10 +282,12 @@ object Round5Queries {
   // 0.85 = 150000 + (85 * Σcontrib) DIV 100 — bit-identical in any engine, so
   // a float-free oracle hash-match over an iterative fixpoint becomes
   // possible (the DuckDB twin unrolls the same 5 steps as chained CTEs).
-  // Scale shape: edges+degrees are computed once and cached; every iteration
-  // is ONE equi-join (edges ⋈ ranks on src) + ONE hash agg on dst, both
-  // hash-partitioned on the node key, so a 1000-executor run re-uses the same
-  // partitioning round after round; no driver-side state, no collect. Every
+  // Scale shape: the adjacency-list graph (node-count-sized, degree folded
+  // in) is built once and cached; every iteration is ONE node⋈node equi-join
+  // (ranks ⋈ adjacency on the node key) + ONE hash agg on dst over the
+  // exploded contribution stream — edge-count-sized rows exist only between
+  // the explode and its map-side-combined agg, never as a join input; no
+  // driver-side state, no collect. Every
   // node of this graph has degree ≥ 1 by construction, so there is no
   // dangling-mass term.
   // --------------------------------------------------------------------------
@@ -299,27 +301,36 @@ object Round5Queries {
     * materialize the result and then unpersist the returned caches. */
   private[graft] def pagerankRanks(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
-    val b = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("p2"))
-    val pairs = a.join(b, col("l_orderkey") === col("ok2") && col("p1") < col("p2"))
-      .select(col("p1"), col("p2")).distinct()
+    // pair-gen: one shuffle + in-basket expansion (q132's shape) — the keyed
+    // self-join shuffles lineitem twice for the same distinct pairs
+    val pairs = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("e"))
+      .select(col("e.p1"), col("e.p2")).distinct()
     val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
       .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
-    // deg feeds BOTH the links table and the rank init — persist it, and
-    // persist links because every iteration re-joins it
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
-    val links = edges.join(deg, "src").persist()
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    // adjacency-list graph: NODE-count-sized rows (degree folded in), cached
+    // once — so the per-iteration join is node⋈node (AQE broadcasts the rank
+    // side) and the edge-count-sized contribution stream exists only between
+    // the explode and its map-side-combined agg, never as a join input. The
+    // flat (src,dst,deg) links form shuffled the full edge table through every
+    // iteration's join.
+    val adj = edges.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg")).persist()
+    var ranks = adj.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to PrIters) {
-      ranks = links.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("pr DIV deg").as("contrib"))
+      ranks = adj.join(ranks, col("src") === col("node"))
+        .select(explode(col("nbrs")).as("dst"), expr("pr DIV deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("dst").as("node"), expr("150000L + (85 * s) DIV 100").as("pr"))
     }
     val top = ranks.orderBy(col("pr").desc, col("node")).limit(50)
       .select(col("node").as("p_partkey"), col("pr"))
-    (top, Seq(links, deg))
+    (top, Seq(adj))
   }
 
   private def q125(s: SparkSession, d: String): DataFrame = {
