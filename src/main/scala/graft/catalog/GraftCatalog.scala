@@ -60,7 +60,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.sql.catalog.graft.root = <dir>`; exercised by q152–q154 and
   * GraftCatalogSpec.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -72,6 +72,8 @@ final class GraftCatalog extends TableCatalog {
   }
 
   override def name(): String = catalogName
+
+  private[catalog] def tableDirFor(ident: Identifier): Path = tableDir(ident)
 
   private def tableDir(ident: Identifier): Path =
     (ident.namespace() :+ ident.name()).foldLeft(root) { (p, part) =>
@@ -116,8 +118,72 @@ final class GraftCatalog extends TableCatalog {
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER TABLE not supported")
+  /** Schema evolution, metadata-only — no segment is rewritten:
+    *   - ADD COLUMN appends a nullable field; existing segments lack the
+    *     column in their parquet footers and the scan (which always passes the
+    *     TABLE schema) null-fills it, so old rows read as NULL — the
+    *     Delta/Iceberg add-column contract.
+    *   - DROP COLUMN removes the field; old files keep the physical column,
+    *     which column pruning simply never requests again.
+    * Renames/type changes need column-id mapping (name-based resolution would
+    * silently null a renamed column) and are rejected, honestly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
+    dir.toString.intern().synchronized {
+      val meta = GraftMeta.read(dir)
+      val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
+        ch match {
+          case add: TableChange.AddColumn =>
+            require(add.fieldNames().length == 1,
+              "graft catalog: nested ADD COLUMN not supported")
+            val field = add.fieldNames()(0)
+            require(add.isNullable,
+              s"graft catalog: added column '$field' must be nullable (existing rows null-fill)")
+            require(add.position() == null,
+              "graft catalog: ADD COLUMN appends at the end (FIRST/AFTER not supported)")
+            require(add.defaultValue() == null,
+              "graft catalog: ADD COLUMN DEFAULT not supported")
+            require(!sch.fieldNames.contains(field),
+              s"graft catalog: column '$field' already exists")
+            sch.add(field, add.dataType(), nullable = true)
+          case del: TableChange.DeleteColumn =>
+            require(del.fieldNames().length == 1,
+              "graft catalog: nested DROP COLUMN not supported")
+            val field = del.fieldNames()(0)
+            if (!sch.fieldNames.contains(field)) {
+              require(del.ifExists(), s"graft catalog: no column '$field' to drop")
+              sch
+            } else {
+              require(sch.length > 1, "graft catalog: cannot drop the last column")
+              StructType(sch.filterNot(_.name == field))
+            }
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: unsupported ALTER TABLE change $other")
+        }
+      }
+      GraftMeta.write(dir, meta.copy(schema = newSchema))
+    }
+    loadTable(ident)
+  }
+
+  /** Maintenance procedures (`CALL graft.system.compact(...)` etc.) — see
+    * GraftProcedures.scala. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft catalog: procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "compact"          => new CompactProcedure(this)
+      case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
+      case other =>
+        throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "compact"),
+      Identifier.of(Array("system"), "expire_snapshots"))
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -1,0 +1,161 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** Maintenance procedures for the graft snapshot catalog, exposed through
+  * Spark 4's `ProcedureCatalog` / `CALL` surface (SPARK-44167):
+  *
+  *   CALL graft.system.compact('lake.t', target_file_bytes)
+  *   CALL graft.system.expire_snapshots('lake.t', keep_last)
+  *
+  * These are the two jobs every snapshot table needs on a schedule at 100 TB:
+  * appends accumulate small segments (the classic small-files problem — scan
+  * task count and open-file overhead grow with segment count, not data size),
+  * and retained snapshots accumulate dead segments on disk. `compact` rewrites
+  * the CURRENT snapshot into ceil(bytes / target) size-targeted files as a new
+  * snapshot — a metadata-preserving rewrite (every older version stays
+  * readable, which is also what makes it safe to run concurrently with
+  * readers). `expire_snapshots` is the destructive half: it drops all but the
+  * last N snapshots from metadata and deletes segment directories no retained
+  * snapshot references.
+  *
+  * Both return a one-row summary as a `LocalScan` (driver-sized by
+  * construction: counts, not data).
+  */
+private[catalog] abstract class GraftProcedure(catalog: GraftCatalog)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def bind(inputType: StructType): BoundProcedure = this
+  // maintenance mutates table state — never allow the optimizer to collapse
+  // or reorder repeated calls
+  override def isDeterministic: Boolean = false
+
+  /** Output schema of the one-row summary. */
+  protected def outputSchema: StructType
+
+  /** 'ns.table' (dots) relative to this catalog. */
+  protected def resolveTableDir(tableArg: String): Path = {
+    val parts = tableArg.split('.')
+    val dir = catalog.tableDirFor(Identifier.of(parts.init, parts.last))
+    require(Files.exists(dir.resolve(GraftMeta.FileName)),
+      s"graft ${name()}: no such table '$tableArg'")
+    dir
+  }
+
+  protected def result(values: Any*): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(values.toArray))
+      override def readSchema(): StructType = outputSchema
+      override def description(): String = s"graft-${name()}-summary"
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  protected def parquetFiles(seg: Path): Seq[Path] =
+    Files.list(seg).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+}
+
+/** `CALL <cat>.system.compact(table, target_file_bytes)` — rewrite the current
+  * snapshot's segments into one segment of ceil(totalBytes / target) files.
+  * The rewrite is a plain distributed read→coalesce→write (no shuffle: file
+  * bin-packing, not re-sorting), and the commit is a REPLACE snapshot, so time
+  * travel to every pre-compaction version keeps working. */
+private[catalog] final class CompactProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "rewrite the current snapshot into size-targeted files as a new snapshot"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target_file_bytes", LongType)
+      .defaultValue(String.valueOf(128L * 1024 * 1024)).build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("segments_before", IntegerType, nullable = false),
+    StructField("files_before", IntegerType, nullable = false),
+    StructField("files_after", IntegerType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val target = input.getLong(1)
+    require(target > 0, "graft compact: target_file_bytes must be positive")
+    val spark = SparkSession.active
+    val meta = GraftMeta.read(dir)
+    val segs = meta.snapshots(meta.current).map(dir.resolve)
+    val files = segs.flatMap(parquetFiles)
+    val bytes = files.map(Files.size).sum
+    val nOut = math.max(1L, (bytes + target - 1) / target).toInt
+    val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
+    // coalesce, never repartition: compaction must not pay a shuffle — it
+    // narrows N input files into nOut writers
+    spark.read.schema(meta.schema).parquet(segs.map(_.toString): _*)
+      .coalesce(nOut)
+      .write.parquet(dir.resolve(segment).toString)
+    GraftMeta.commit(dir, segment, replace = true)
+    result(segs.size, files.size, parquetFiles(dir.resolve(segment)).size, bytes)
+  }
+}
+
+/** `CALL <cat>.system.expire_snapshots(table, keep_last)` — drop all but the
+  * newest `keep_last` snapshots from metadata, then delete every segment
+  * directory that no retained snapshot references. The destructive half of
+  * the maintenance pair: after it runs, `VERSION AS OF` an expired id fails
+  * by design. */
+private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "drop all but the newest keep_last snapshots and delete unreferenced segments"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("snapshots_removed", IntegerType, nullable = false),
+    StructField("snapshots_kept", IntegerType, nullable = false),
+    StructField("segments_deleted", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val keepLast = input.getInt(1)
+    require(keepLast >= 1, "graft expire_snapshots: keep_last must be >= 1")
+    // same per-table lock as commits: expiry races a concurrent append on the
+    // meta file otherwise
+    val (removed, kept, deleted) = dir.toString.intern().synchronized {
+      val meta = GraftMeta.read(dir)
+      val ids = meta.snapshots.keys.toSeq.sorted
+      val keptIds = ids.takeRight(keepLast).toSet + meta.current
+      val removedIds = ids.filterNot(keptIds)
+      val referenced = keptIds.flatMap(id => meta.snapshots(id)).toSet
+      val dead = removedIds.flatMap(meta.snapshots).distinct.filterNot(referenced)
+      GraftMeta.write(dir, meta.copy(snapshots = meta.snapshots.view.filterKeys(keptIds).toMap))
+      dead.foreach { seg =>
+        val p = dir.resolve(seg)
+        if (Files.isDirectory(p)) {
+          Files.list(p).iterator().asScala.foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(p)
+        }
+      }
+      (removedIds.size, keptIds.size, dead.size)
+    }
+    result(removed, kept, deleted)
+  }
+}

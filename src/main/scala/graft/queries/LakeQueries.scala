@@ -179,8 +179,90 @@ object LakeQueries {
        FROM base WHERE NOT (k % 5 = 0)
        ORDER BY snap"""
 
+  // --------------------------------------------------------------------------
+  // q161: table maintenance via catalog procedures — Spark 4's CALL surface
+  // (SPARK-44167) against the graft ProcedureCatalog. Three appends land three
+  // small segments (the small-files problem in miniature: scan task count
+  // grows with SEGMENT count, not data size); `CALL graft.system.compact`
+  // rewrites the current snapshot into size-targeted files (read→coalesce→
+  // write, no shuffle) as a NEW snapshot; `CALL graft.system.expire_snapshots`
+  // then drops pre-compaction history and deletes the dead segments from disk.
+  // The final aggregate hash-matching the plain-orders oracle is the whole
+  // point: maintenance must be perfectly content-preserving while the physical
+  // layout and history change underneath. GraftCatalogSpec pins the physical
+  // side (file counts, deleted dirs, expired-version failure).
+  // --------------------------------------------------------------------------
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m161_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 3 = 0""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 3 = 1""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 3 = 2""")
+    s.sql(s"CALL graft.system.compact('lake.$t', ${128L * 1024 * 1024})")
+    s.sql(s"CALL graft.system.expire_snapshots('lake.$t', 1)")
+    s.sql(s"""SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q161Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+              MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       FROM orders GROUP BY st ORDER BY st"""
+
+  // --------------------------------------------------------------------------
+  // q162: schema evolution — ALTER TABLE ADD COLUMNS is a METADATA-ONLY commit
+  // (no segment rewritten; at 100 TB that is the difference between a schema
+  // change being free and being a full-table job). Rows written before the
+  // ALTER read the new column as NULL because the scan always projects the
+  // TABLE schema and the old parquet footers simply lack the column — the
+  // Delta/Iceberg add-column contract. The aggregate groups by
+  // COALESCE(chan, 'legacy'), so the hash proves exactly which rows null-fill.
+  // --------------------------------------------------------------------------
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m162_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 2 = 1""")
+    s.sql(s"ALTER TABLE graft.lake.$t ADD COLUMNS (chan STRING)")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+             CASE WHEN o_orderkey % 4 = 0 THEN 'web' ELSE 'app' END
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    s.sql(s"""SELECT COALESCE(chan, 'legacy') AS chan, COUNT(*) AS n,
+                     CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t GROUP BY COALESCE(chan, 'legacy') ORDER BY chan""")
+  }
+
+  private val q162Sql =
+    """WITH evolved AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+                CASE WHEN o_orderkey % 2 = 1 THEN NULL
+                     WHEN o_orderkey % 4 = 0 THEN 'web' ELSE 'app' END AS chan
+         FROM orders)
+       SELECT COALESCE(chan, 'legacy') AS chan, COUNT(*) AS n,
+              CAST(SUM(price_c) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM evolved GROUP BY COALESCE(chan, 'legacy') ORDER BY chan"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
-    QDef("q154_lake_time_travel", q154, Some(q154Sql)))
+    QDef("q154_lake_time_travel", q154, Some(q154Sql)),
+    QDef("q161_lake_compaction", q161, Some(q161Sql)),
+    QDef("q162_lake_schema_evolution", q162, Some(q162Sql)))
 }

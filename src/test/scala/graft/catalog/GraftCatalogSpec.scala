@@ -1,5 +1,7 @@
 package graft.catalog
 
+import scala.collection.JavaConverters._
+
 import graft.SparkSpec
 
 /** End-to-end pins for the graft snapshot catalog: DDL, append, full-table
@@ -91,5 +93,66 @@ class GraftCatalogSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,990)]"),
       s"expected pushed filters in:\n$scan")
     assert(df.collect().map(_.getLong(0)).sorted.toSeq === (991L to 999L))
+  }
+
+  private def segmentDirs(table: String): Seq[java.nio.file.Path] = {
+    val dir = root.resolve("ns").resolve(table)
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p)).toSeq
+  }
+
+  test("CALL system.compact rewrites small segments into one, preserving history") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t7")
+    sql("CREATE TABLE gtest.ns.t7 AS SELECT id AS k FROM range(0, 100)")   // snap 1
+    sql("INSERT INTO gtest.ns.t7 SELECT id FROM range(100, 200)")          // snap 2
+    sql("INSERT INTO gtest.ns.t7 SELECT id FROM range(200, 300)")          // snap 3
+    val before = segmentDirs("t7").size
+    assert(before === 3, s"expected 3 segments before compaction, saw $before")
+    val summary = sql("CALL gtest.system.compact('ns.t7', 134217728)").collect()
+    assert(summary.length === 1)
+    assert(summary(0).getInt(0) === 3, "segments_before")
+    assert(summary(0).getInt(2) === 1, "files_after: everything fits one target file")
+    // data identical, snapshot advanced, history intact
+    assert(sql("SELECT COUNT(*), SUM(k) FROM gtest.ns.t7").head ===
+      sql("SELECT 300L, SUM(id) FROM range(300)").head)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t7 VERSION AS OF 2").head.getLong(0) === 200L)
+    // old segments remain on disk until expiry (time travel needs them)
+    assert(segmentDirs("t7").size === 4)
+  }
+
+  test("CALL system.expire_snapshots deletes unreferenced segments and old versions") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t8")
+    sql("CREATE TABLE gtest.ns.t8 AS SELECT id AS k FROM range(0, 10)")    // snap 1
+    sql("INSERT INTO gtest.ns.t8 SELECT id FROM range(10, 20)")            // snap 2
+    sql("CALL gtest.system.compact('ns.t8', 134217728)")                   // snap 3
+    val summary = sql("CALL gtest.system.expire_snapshots('ns.t8', 1)").collect()
+    assert(summary.length === 1)
+    assert(summary(0).getInt(0) >= 3, "snapshots_removed (0,1,2 at least)")
+    assert(summary(0).getInt(2) === 2, "segments_deleted: the two pre-compaction segments")
+    assert(segmentDirs("t8").size === 1, "only the compacted segment survives")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t8").head.getLong(0) === 20L)
+    val err = intercept[Exception] { sql("SELECT * FROM gtest.ns.t8 VERSION AS OF 2").collect() }
+    assert(err.getMessage.contains("no snapshot"), s"expired version must fail: ${err.getMessage}")
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMN: metadata-only evolution, old rows null-fill") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t9")
+    sql("CREATE TABLE gtest.ns.t9 AS SELECT * FROM VALUES (1L, 'a'), (2L, 'b') AS v(k, tag)")
+    sql("ALTER TABLE gtest.ns.t9 ADD COLUMNS (score BIGINT)")
+    // old segment has no 'score' column in its footer: reads as NULL
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t9 WHERE score IS NULL").head.getLong(0) === 2L)
+    sql("INSERT INTO gtest.ns.t9 VALUES (3L, 'c', 30L)")
+    val rows = sql("SELECT k, tag, score FROM gtest.ns.t9 ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq ===
+      Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)))
+    sql("ALTER TABLE gtest.ns.t9 DROP COLUMN tag")
+    val after = sql("SELECT * FROM gtest.ns.t9 ORDER BY k").collect()
+    assert(after.head.schema.fieldNames.toSeq === Seq("k", "score"))
+    // renames need column-id mapping; the catalog must refuse, not corrupt
+    val err = intercept[Exception] { sql("ALTER TABLE gtest.ns.t9 RENAME COLUMN score TO s2") }
+    assert(err.getMessage.contains("unsupported ALTER TABLE change"))
   }
 }
