@@ -357,14 +357,39 @@ private[catalog] final class GraftWriteBuilder(
 
   override def build(): Write = new Write {
     // each write lands in a fresh immutable segment dir; the Hadoop commit
-    // protocol (task temp files + job commit) is Spark's own, via ParquetWrite
-    private val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
+    // protocol (task temp files + job commit) is Spark's own, via ParquetWrite.
+    // A writer may NAME the segment (`graft.segment` option) to make the commit
+    // idempotent: re-running a write with the same name is a no-op — the
+    // exactly-once contract streaming foreachBatch ingestion needs (name the
+    // segment after the batch id; a replayed epoch discards its rows instead
+    // of appending twice).
+    private val named = Option(info.options.get("graft.segment"))
+    named.foreach(n => require(n.matches("[A-Za-z0-9_.\\-]+"),
+      s"graft.segment must be [A-Za-z0-9_.-]+, got '$n'"))
+    private val segment =
+      named.map("seg-" + _).getOrElse(s"seg-${UUID.randomUUID().toString.take(12)}")
+    private val alreadyCommitted = named.isDefined &&
+      GraftMeta.read(tableDir).snapshots.valuesIterator.exists(_.contains(segment))
+    // a crashed earlier attempt can leave files in the named dir without a
+    // meta commit (job committed, meta swap never ran); a retry must start
+    // from an empty segment or the table would read doubled rows
+    if (named.isDefined && !alreadyCommitted) {
+      val stale = tableDir.resolve(segment)
+      if (Files.isDirectory(stale)) {
+        def rm(p: Path): Unit = {
+          if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+          Files.deleteIfExists(p)
+        }
+        rm(stale)
+      }
+    }
     private val inner: Write =
       ParquetWrite(Seq(tableDir.resolve(segment).toString), "parquet", _ => true, info)
 
     override def description(): String = s"graft-write($segment, replace=$replace)"
 
-    override def toBatch: BatchWrite = new BatchWrite {
+    override def toBatch: BatchWrite =
+      if (alreadyCommitted) new NoopBatchWrite(segment) else new BatchWrite {
       private val delegate = inner.toBatch
       override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
         val f = delegate.createBatchWriterFactory(pInfo)
@@ -384,6 +409,25 @@ private[catalog] final class GraftWriteBuilder(
         delegate.abort(messages) // segment never becomes visible: meta untouched
     }
   }
+}
+
+/** The replayed-epoch path of idempotent named-segment writes: rows are
+  * discarded at the writer (no IO — the segment's files are already live) and
+  * commit touches neither disk nor metadata. */
+private[catalog] final class NoopBatchWrite(segment: String) extends BatchWrite {
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
+    new DataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+        new DataWriter[InternalRow] {
+          override def write(row: InternalRow): Unit = ()
+          override def commit(): WriterCommitMessage = new WriterCommitMessage {}
+          override def abort(): Unit = ()
+          override def close(): Unit = ()
+        }
+    }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def toString: String = s"graft-noop-write($segment: already committed)"
 }
 
 /** Strips the leading `__row_operation` column off replace-data rows before

@@ -52,6 +52,21 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Exactly-once streaming ingestion into a graft catalog table — the
+    * lakehouse landing pattern: `stream.writeStream.foreachBatch(
+    * appendBatchToGraft(table))`. foreachBatch alone is at-least-once (a
+    * failure between the batch write and the checkpoint commit replays the
+    * batch); naming the segment after the batch id makes the graft commit
+    * IDEMPOTENT — a replayed epoch finds its segment already in a snapshot
+    * and discards its rows (GraftCatalog NoopBatchWrite), so the table sees
+    * each micro-batch exactly once. This is the same recipe Delta's
+    * `txnAppId`/`txnVersion` implements, re-derived on the graft meta layer.
+    *
+    * Each micro-batch is one snapshot commit: appends stay atomic, readers
+    * are never torn, and `VERSION AS OF` gives per-batch replay points. */
+  def appendBatchToGraft(table: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.writeTo(table).option("graft.segment", s"batch-$batchId").append()
+
   /** Streaming dedup via `dropDuplicatesWithinWatermark` (Spark 3.5+): unlike
     * `dropDuplicates("event_id")` — whose state lives forever unless the event-
     * time column is part of the key and exactly equal across duplicates — this

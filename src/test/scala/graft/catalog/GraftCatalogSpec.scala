@@ -155,4 +155,72 @@ class GraftCatalogSpec extends SparkSpec {
     val err = intercept[Exception] { sql("ALTER TABLE gtest.ns.t9 RENAME COLUMN score TO s2") }
     assert(err.getMessage.contains("unsupported ALTER TABLE change"))
   }
+
+  test("named segments make appends idempotent (exactly-once replay contract)") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t10")
+    sql("CREATE TABLE gtest.ns.t10 (k BIGINT) USING parquet")
+    val batch = spark.range(10).toDF("k")
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10")(batch, 0L)
+    // replay of the same epoch: rows discarded, no new snapshot
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10")(batch, 0L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t10").head.getLong(0) === 10L)
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10")(batch, 1L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t10").head.getLong(0) === 20L)
+    assert(segmentDirs("t10").size === 2, "one segment per distinct batch id")
+  }
+
+  test("foreachBatch streaming ingestion lands each micro-batch as one snapshot") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t11")
+    sql("CREATE TABLE gtest.ns.t11 (v BIGINT) USING parquet")
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    def runAvailable(): Unit = {
+      val q = source.toDF().toDF("v").writeStream
+        .foreachBatch(graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t11") _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    source.addData(1L, 2L, 3L)
+    runAvailable()
+    // restart from the same checkpoint: batch ids continue, earlier segments stand
+    source.addData(4L, 5L)
+    runAvailable()
+    assert(sql("SELECT CAST(SUM(v) AS BIGINT) FROM gtest.ns.t11").head.getLong(0) === 15L)
+  }
+
+  test("concurrent appends serialize on the table lock: no lost commits") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t12")
+    sql("CREATE TABLE gtest.ns.t12 (k BIGINT) USING parquet")
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 3).foreach { i =>
+        spark.range(t * 100 + i * 10, t * 100 + i * 10 + 5).toDF("k")
+          .writeTo("gtest.ns.t12").append()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t12").head.getLong(0) === 60L,
+      "4 threads x 3 appends x 5 rows")
+    assert(segmentDirs("t12").size === 12, "every commit kept its own segment")
+  }
+
+  test("a failed write job leaves the table unchanged (commit atomicity)") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t13")
+    sql("CREATE TABLE gtest.ns.t13 AS SELECT id AS k FROM range(5)")
+    val boom = org.apache.spark.sql.functions.udf((k: Long) =>
+      if (k > 2) throw new RuntimeException("boom") else k)
+    intercept[Exception] {
+      spark.range(10).toDF("k")
+        .select(boom(org.apache.spark.sql.functions.col("k")).as("k"))
+        .writeTo("gtest.ns.t13").append()
+    }
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t13").head.getLong(0) === 5L,
+      "aborted job must not become visible")
+  }
 }
