@@ -114,7 +114,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(GraftMeta.FileName))) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
-    GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil)))
+    // persist only the graft-owned write-layout properties; Spark adds
+    // bookkeeping entries (owner, created-at) that don't belong in the contract
+    val kept = properties.asScala.filter { case (k, _) => k.startsWith("write.") }.toMap
+    kept.keys.foreach(k => require(
+      k == GraftTable.ClusterByProp || k == GraftTable.OrderByProp,
+      s"graft catalog: unknown write property '$k' (have ${GraftTable.ClusterByProp}, ${GraftTable.OrderByProp})"))
+    kept.values.flatMap(_.split(',')).foreach(c => require(schema.fieldNames.contains(c.trim),
+      s"graft catalog: write property references unknown column '${c.trim}'"))
+    GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil), props = kept))
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
   }
 
@@ -212,7 +220,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   * line-oriented text file (schema is one JSON line via StructType.json — no
   * extra parser dependency), swapped atomically on every commit. */
 private[catalog] final case class GraftMeta(
-    schema: StructType, current: Long, snapshots: Map[Long, Seq[String]])
+    schema: StructType, current: Long, snapshots: Map[Long, Seq[String]],
+    props: Map[String, String] = Map.empty)
 
 private[catalog] object GraftMeta {
   val FileName = "_graft_meta"
@@ -222,22 +231,30 @@ private[catalog] object GraftMeta {
     var schema: StructType = null
     var current = 0L
     val snaps = Map.newBuilder[Long, Seq[String]]
+    val props = Map.newBuilder[String, String]
     lines.foreach {
       case l if l.startsWith("schema=") =>
         schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
       case l if l.startsWith("current=") => current = l.stripPrefix("current=").toLong
+      case l if l.startsWith("p.") && l.contains("=") =>
+        val Array(k, v) = l.drop(2).split("=", 2)
+        props += k -> v
       case l if l.startsWith("s") && l.contains("=") =>
         val Array(id, dirs) = l.split("=", 2)
         snaps += id.drop(1).toLong -> (if (dirs.isEmpty) Nil else dirs.split(",").toSeq)
       case _ => ()
     }
-    GraftMeta(schema, current, snaps.result())
+    GraftMeta(schema, current, snaps.result(), props.result())
   }
 
   def write(tableDir: Path, meta: GraftMeta): Unit = {
     val body = new StringBuilder
     body ++= s"schema=${meta.schema.json}\n"
     body ++= s"current=${meta.current}\n"
+    meta.props.toSeq.sorted.foreach { case (k, v) =>
+      require(!k.contains("\n") && !v.contains("\n"), "property must be single-line")
+      body ++= s"p.$k=$v\n"
+    }
     meta.snapshots.toSeq.sortBy(_._1).foreach { case (id, dirs) =>
       body ++= s"s$id=${dirs.mkString(",")}\n"
     }
@@ -260,6 +277,17 @@ private[catalog] object GraftMeta {
     }
 }
 
+private[catalog] object GraftTable {
+  /** `TBLPROPERTIES('write.cluster-by'='c1,c2')` — every write shuffles rows so
+    * equal keys land in one task (zone-map/bucketing-friendly segments). */
+  val ClusterByProp = "write.cluster-by"
+  /** `TBLPROPERTIES('write.order-by'='c1,c2')` — every write sorts rows within
+    * each task before they hit parquet (row-group min/max stats become
+    * selective — the Z-order/q134 payoff, owned by the table instead of the
+    * query author). */
+  val OrderByProp = "write.order-by"
+}
+
 private[catalog] final class GraftTable(
     catalog: String, ident: Identifier, tableDir: Path, pinnedSnapshot: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
@@ -270,6 +298,7 @@ private[catalog] final class GraftTable(
 
   override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
   override def schema(): StructType = meta.schema
+  override def properties(): java.util.Map[String, String] = meta.props.asJava
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
@@ -355,7 +384,25 @@ private[catalog] final class GraftWriteBuilder(
     this
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    // table-owned write layout: the TABLE declares its clustering/sort once and
+    // every writer — INSERT, streaming foreachBatch, MERGE replacement — gets
+    // the same physical layout; Spark's DistributionAndOrderingUtils plans the
+    // shuffle/sort, so an unclustered table costs nothing extra
+    private val props = GraftMeta.read(tableDir).props
+    override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+      props.get(GraftTable.ClusterByProp) match {
+        case Some(cols) => org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          cols.split(',').map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c.trim))
+            .toArray[org.apache.spark.sql.connector.expressions.Expression])
+        case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      }
+    override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      props.get(GraftTable.OrderByProp).toSeq.flatMap(_.split(',')).map { c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c.trim),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      }.toArray
     // each write lands in a fresh immutable segment dir; the Hadoop commit
     // protocol (task temp files + job commit) is Spark's own, via ParquetWrite.
     // A writer may NAME the segment (`graft.segment` option) to make the commit

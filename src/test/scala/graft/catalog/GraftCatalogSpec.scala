@@ -209,6 +209,61 @@ class GraftCatalogSpec extends SparkSpec {
     assert(segmentDirs("t12").size === 12, "every commit kept its own segment")
   }
 
+  test("write.order-by: every writer sorts rows before parquet (per-file sortedness)") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t14")
+    sql("""CREATE TABLE gtest.ns.t14 (k BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('write.order-by'='k')""")
+    // deliberately unsorted, multi-partition input
+    spark.range(1000).selectExpr("(id * 997) % 1000 AS k", "id AS v")
+      .repartition(4).writeTo("gtest.ns.t14").append()
+    val files = segmentDirs("t14").flatMap(seg =>
+      java.nio.file.Files.list(seg).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"file $f not sorted by k")
+    }
+  }
+
+  test("write.cluster-by: equal keys land in one output file") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t15")
+    sql("""CREATE TABLE gtest.ns.t15 (k BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('write.cluster-by'='k')""")
+    spark.range(2000).selectExpr("id % 8 AS k", "id AS v")
+      .repartition(5).writeTo("gtest.ns.t15").append()
+    val files = segmentDirs("t15").flatMap(seg =>
+      java.nio.file.Files.list(seg).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")))
+    val keyToFiles = files.flatMap { f =>
+      spark.read.parquet(f.toString).select("k").distinct().collect()
+        .map(r => r.getLong(0) -> f.toString)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    keyToFiles.foreach { case (k, n) =>
+      assert(n === 1, s"key $k spread across $n files — clustering not applied")
+    }
+    // rejected at CREATE time: property naming a column the schema lacks
+    val err = intercept[Exception] {
+      sql("""CREATE TABLE gtest.ns.t15bad (k BIGINT) USING parquet
+             TBLPROPERTIES ('write.cluster-by'='nope')""")
+    }
+    assert(err.getMessage.contains("unknown column"))
+  }
+
+  test("small catalog tables broadcast in joins (scan reports statistics)") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t16")
+    sql("CREATE TABLE gtest.ns.t16 AS SELECT id AS k, id * 2 AS w FROM range(50)")
+    val big = spark.range(100000).selectExpr("id % 50 AS k", "id AS x")
+    val joined = big.join(spark.table("gtest.ns.t16"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 50-row catalog table to broadcast:\n${plan.take(800)}")
+    assert(joined.count() === 100000L)
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
