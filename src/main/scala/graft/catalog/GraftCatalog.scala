@@ -184,6 +184,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     ident.name() match {
       case "compact"          => new CompactProcedure(this)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
+      case "delete_where"     => new DeleteWhereProcedure(this)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
     }
@@ -191,6 +192,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "compact"),
+      Identifier.of(Array("system"), "delete_where"),
       Identifier.of(Array("system"), "expire_snapshots"))
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -273,6 +275,20 @@ private[catalog] object GraftMeta {
       val dirs =
         if (replace) Seq(newSegment)
         else meta.snapshots.getOrElse(meta.current, Nil) :+ newSegment
+      write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs)))
+    }
+
+  /** Segment-level copy-on-write commit: the new snapshot keeps every current
+    * segment EXCEPT `removed` and appends `newSegment` — the file-pruned
+    * MERGE/DELETE shape (only touched groups swap; untouched segments are
+    * carried by reference, never read or rewritten). Serializes with
+    * concurrent appends under the same lock: a segment committed between the
+    * rewrite's snapshot pin and this commit survives untouched. */
+  def commitReplaceSegments(tableDir: Path, newSegment: String, removed: Set[String]): Unit =
+    tableDir.toString.intern().synchronized {
+      val meta = read(tableDir)
+      val next = meta.current + 1
+      val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) :+ newSegment
       write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs)))
     }
 }

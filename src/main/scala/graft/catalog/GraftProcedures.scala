@@ -112,6 +112,72 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
   }
 }
 
+/** `CALL <cat>.system.delete_where(table, predicate)` — segment-level
+  * copy-on-write DELETE, the scale path SQL `DELETE FROM` (whole-table
+  * group rewrite) documents as its seam:
+  *
+  *   1. DISCOVER: one filtered scan finds the segments holding matching rows
+  *      (`_metadata.file_path` + parquet predicate pushdown — untouched
+  *      segments' row groups are skipped by footer min/max, which is what the
+  *      table's `write.cluster-by`/`write.order-by` layout exists to enable);
+  *   2. REWRITE: only touched segments are read back; survivors (rows where
+  *      the predicate is not TRUE — SQL DELETE keeps FALSE and NULL) land in
+  *      one new segment;
+  *   3. COMMIT: new snapshot = current − touched + rewritten, under the table
+  *      lock, so concurrent appends survive and every old version stays
+  *      readable.
+  *
+  * A DELETE hitting 1 of 1000 segments reads and writes 1/1000th of the
+  * table; `DELETE FROM` syntax remains available with full-rewrite semantics.
+  * This is Iceberg's file-pruned copy-on-write recipe expressed at segment
+  * granularity over the graft meta layer. */
+private[catalog] final class DeleteWhereProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "delete_where"
+  override def description(): String =
+    "segment-level copy-on-write delete: rewrite only segments holding matching rows"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("predicate", StringType).build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("segments_total", IntegerType, nullable = false),
+    StructField("segments_rewritten", IntegerType, nullable = false),
+    StructField("rows_deleted", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val predicate = input.getUTF8String(1).toString
+    val spark = SparkSession.active
+    val meta = GraftMeta.read(dir)
+    val segs = meta.snapshots(meta.current)
+    if (segs.isEmpty) return result(0, 0, 0L)
+    val matches = coalesce(expr(predicate), lit(false)) // DELETE removes TRUE rows only
+    def read(dirs: Seq[String]) =
+      spark.read.schema(meta.schema).parquet(dirs.map(dir.resolve(_).toString): _*)
+    // 1. discovery: which segments hold at least one matching row
+    val touched = read(segs).where(matches)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(r => java.nio.file.Paths.get(java.net.URI.create(r.getString(0)).getPath)
+        .getParent.getFileName.toString)
+      .toSet
+    if (touched.isEmpty) return result(segs.size, 0, 0L)
+    // 2. rewrite only the touched segments
+    val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
+    val touchedDf = read(segs.filter(touched))
+    val nBefore = touchedDf.count()
+    touchedDf.where(not(matches)).write.parquet(dir.resolve(segment).toString)
+    val nAfter = spark.read.schema(meta.schema)
+      .parquet(dir.resolve(segment).toString).count()
+    // 3. swap exactly the touched segments
+    GraftMeta.commitReplaceSegments(dir, segment, touched)
+    result(segs.size, touched.size, nBefore - nAfter)
+  }
+}
+
 /** `CALL <cat>.system.expire_snapshots(table, keep_last)` — drop all but the
   * newest `keep_last` snapshots from metadata, then delete every segment
   * directory that no retained snapshot references. The destructive half of

@@ -259,10 +259,50 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM evolved GROUP BY COALESCE(chan, 'legacy') ORDER BY chan"""
 
+  // --------------------------------------------------------------------------
+  // q163: segment-level copy-on-write delete — `CALL graft.system.delete_where`
+  // discovers the segments holding matching rows (one pushdown-pruned scan over
+  // `_metadata.file_path`), rewrites ONLY those, and commits current − touched
+  // + rewritten. Here the matches live entirely in the third append's segment,
+  // so two of three segments carry over by reference — at 1000 segments a
+  // delete like this reads and writes 1/1000th of what SQL DELETE's whole-table
+  // group rewrite (q153) pays. GraftCatalogSpec pins the physical claim
+  // (untouched files byte-stable via mtimes); the oracle hash pins the rows.
+  // --------------------------------------------------------------------------
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m163_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 4 IN (0, 1)""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 4 = 2""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 4 = 3""")
+    s.sql(s"CALL graft.system.delete_where('lake.$t', 'k % 4 = 3 AND k % 100 < 50')")
+    s.sql(s"""SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q163Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+              MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       FROM orders
+       WHERE NOT (o_orderkey % 4 = 3 AND o_orderkey % 100 < 50)
+       GROUP BY st ORDER BY st"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
     QDef("q154_lake_time_travel", q154, Some(q154Sql)),
     QDef("q161_lake_compaction", q161, Some(q161Sql)),
-    QDef("q162_lake_schema_evolution", q162, Some(q162Sql)))
+    QDef("q162_lake_schema_evolution", q162, Some(q162Sql)),
+    QDef("q163_lake_selective_delete", q163, Some(q163Sql)))
 }

@@ -264,6 +264,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(joined.count() === 100000L)
   }
 
+  test("CALL system.delete_where rewrites only segments holding matching rows") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t17")
+    sql("CREATE TABLE gtest.ns.t17 (k BIGINT) USING parquet")
+    spark.range(0, 100).toDF("k").writeTo("gtest.ns.t17").append()
+    spark.range(100, 200).toDF("k").writeTo("gtest.ns.t17").append()
+    spark.range(200, 300).toDF("k").writeTo("gtest.ns.t17").append()
+    val untouchedBefore = segmentDirs("t17").map(d =>
+      d.getFileName.toString -> java.nio.file.Files.list(d).iterator().asScala
+        .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap).toMap
+    val summary = sql("CALL gtest.system.delete_where('ns.t17', 'k >= 250 AND k % 2 = 0')").collect()
+    assert(summary(0).getInt(0) === 3, "segments_total")
+    assert(summary(0).getInt(1) === 1, "only the [200,300) segment holds matches")
+    assert(summary(0).getLong(2) === 25L, "250..298 evens")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t17").head.getLong(0) === 275L)
+    assert(sql("SELECT CAST(SUM(k) AS BIGINT) FROM gtest.ns.t17").head.getLong(0) ===
+      (0L until 300L).filterNot(k => k >= 250 && k % 2 == 0).sum)
+    // the two untouched segments carried over by reference: same files, same mtimes
+    val metaDirs = sql("SELECT COUNT(*) FROM gtest.ns.t17 VERSION AS OF 3").head.getLong(0)
+    assert(metaDirs === 300L, "pre-delete snapshot intact")
+    val after = segmentDirs("t17").map(d => d.getFileName.toString -> d).toMap
+    val carried = untouchedBefore.filter { case (name, _) => after.contains(name) }
+    assert(carried.size >= 2, "untouched segments still on disk")
+    carried.foreach { case (name, files) =>
+      files.foreach { case (f, mtime) =>
+        val now = java.nio.file.Files.getLastModifiedTime(after(name).resolve(f))
+        assert(now === mtime, s"untouched segment $name file $f was rewritten")
+      }
+    }
+    // matching nothing is a metadata no-op: no new snapshot
+    val before = sql("CALL gtest.system.delete_where('ns.t17', 'k < 0')").collect()
+    assert(before(0).getInt(1) === 0)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t17").head.getLong(0) === 275L)
+    // SQL NULL semantics: predicate NULL keeps the row (DELETE removes TRUE only)
+    sql("ALTER TABLE gtest.ns.t17 ADD COLUMNS (tag STRING)")
+    sql("CALL gtest.system.delete_where('ns.t17', 'tag = \\'x\\'')")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t17").head.getLong(0) === 275L,
+      "NULL-tag rows must survive a tag = 'x' delete")
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
