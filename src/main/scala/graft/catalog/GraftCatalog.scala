@@ -223,7 +223,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   * extra parser dependency), swapped atomically on every commit. */
 private[catalog] final case class GraftMeta(
     schema: StructType, current: Long, snapshots: Map[Long, Seq[String]],
-    props: Map[String, String] = Map.empty)
+    props: Map[String, String] = Map.empty,
+    zstats: Map[String, String] = Map.empty)
 
 private[catalog] object GraftMeta {
   val FileName = "_graft_meta"
@@ -234,6 +235,7 @@ private[catalog] object GraftMeta {
     var current = 0L
     val snaps = Map.newBuilder[Long, Seq[String]]
     val props = Map.newBuilder[String, String]
+    val zstats = Map.newBuilder[String, String]
     lines.foreach {
       case l if l.startsWith("schema=") =>
         schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
@@ -241,12 +243,15 @@ private[catalog] object GraftMeta {
       case l if l.startsWith("p.") && l.contains("=") =>
         val Array(k, v) = l.drop(2).split("=", 2)
         props += k -> v
+      case l if l.startsWith("z.") && l.contains("=") =>
+        val Array(seg, payload) = l.drop(2).split("=", 2)
+        zstats += seg -> payload
       case l if l.startsWith("s") && l.contains("=") =>
         val Array(id, dirs) = l.split("=", 2)
         snaps += id.drop(1).toLong -> (if (dirs.isEmpty) Nil else dirs.split(",").toSeq)
       case _ => ()
     }
-    GraftMeta(schema, current, snaps.result(), props.result())
+    GraftMeta(schema, current, snaps.result(), props.result(), zstats.result())
   }
 
   def write(tableDir: Path, meta: GraftMeta): Unit = {
@@ -256,6 +261,9 @@ private[catalog] object GraftMeta {
     meta.props.toSeq.sorted.foreach { case (k, v) =>
       require(!k.contains("\n") && !v.contains("\n"), "property must be single-line")
       body ++= s"p.$k=$v\n"
+    }
+    meta.zstats.toSeq.sorted.foreach { case (seg, payload) =>
+      body ++= s"z.$seg=$payload\n"
     }
     meta.snapshots.toSeq.sortBy(_._1).foreach { case (id, dirs) =>
       body ++= s"s$id=${dirs.mkString(",")}\n"
@@ -268,14 +276,16 @@ private[catalog] object GraftMeta {
 
   /** Append-or-replace commit under the table's lock: re-reads meta so
     * concurrent committers serialize, writes the new snapshot, swaps. */
-  def commit(tableDir: Path, newSegment: String, replace: Boolean): Unit =
+  def commit(tableDir: Path, newSegment: String, replace: Boolean,
+             stats: Option[String] = None): Unit =
     tableDir.toString.intern().synchronized {
       val meta = read(tableDir)
       val next = meta.current + 1
       val dirs =
         if (replace) Seq(newSegment)
         else meta.snapshots.getOrElse(meta.current, Nil) :+ newSegment
-      write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs)))
+      write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
+        zstats = meta.zstats ++ stats.map(newSegment -> _)))
     }
 
   /** Segment-level copy-on-write commit: the new snapshot keeps every current
@@ -284,12 +294,14 @@ private[catalog] object GraftMeta {
     * carried by reference, never read or rewritten). Serializes with
     * concurrent appends under the same lock: a segment committed between the
     * rewrite's snapshot pin and this commit survives untouched. */
-  def commitReplaceSegments(tableDir: Path, newSegment: String, removed: Set[String]): Unit =
+  def commitReplaceSegments(tableDir: Path, newSegment: String, removed: Set[String],
+                            stats: Option[String] = None): Unit =
     tableDir.toString.intern().synchronized {
       val meta = read(tableDir)
       val next = meta.current + 1
       val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) :+ newSegment
-      write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs)))
+      write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
+        zstats = meta.zstats ++ stats.map(newSegment -> _)))
     }
 }
 
@@ -322,19 +334,30 @@ private[catalog] final class GraftTable(
   /** Segment dirs visible to this read: a pinned snapshot (`VERSION AS OF` /
     * a `snapshot` read option) or the current one, resolved NOW — the scan
     * built from this list is immune to later commits (snapshot isolation). */
-  private def visibleDirs(options: CaseInsensitiveStringMap): Seq[String] = {
+  private def visibleSegments(options: CaseInsensitiveStringMap): Seq[String] = {
     val snap = Option(options.get("snapshot")).map(_.toLong)
       .orElse(pinnedSnapshot).getOrElse(meta.current)
     require(meta.snapshots.contains(snap),
       s"${name()}: no snapshot $snap (have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})")
-    meta.snapshots(snap).map(seg => tableDir.resolve(seg).toString)
+    meta.snapshots(snap)
   }
 
-  /** Reads delegate to Spark's v2 parquet table over the visible segments:
-    * filter pushdown, column pruning, and vectorized decode come with it. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetTable(name(), SparkSession.active, options, visibleDirs(options),
-      Some(meta.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+  private def visibleDirs(options: CaseInsensitiveStringMap): Seq[String] =
+    visibleSegments(options).map(seg => tableDir.resolve(seg).toString)
+
+  /** Reads delegate to Spark's v2 parquet table over the visible segments —
+    * filter pushdown, column pruning, and vectorized decode come with it —
+    * wrapped in the zone-map layer: pushed predicates drop whole segments
+    * whose committed min/max/null stats cannot satisfy them, at PLAN time,
+    * before any file is opened (SegmentStats.scala). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def mkInner(dirs: Seq[String]): ScanBuilder =
+      ParquetTable(name(), SparkSession.active, options, dirs,
+        Some(meta.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val segs = visibleSegments(options)
+    new GraftPruningScanBuilder(mkInner,
+      segs.map(s => s -> tableDir.resolve(s).toString), meta.zstats)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableDir, info, replaceOnCommit = false)
@@ -370,6 +393,62 @@ private[catalog] final class GraftRowLevelOperation(
   }
   override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table.dir, writeInfo, replaceOnCommit = true, fromRowLevelOp = true)
+}
+
+/** Zone-map segment pruning around the delegated parquet ScanBuilder.
+  *
+  * `pushFilters` consults each visible segment's committed min/max/null stats
+  * (SegmentStats) and REBUILDS the inner builder over only the segments a
+  * predicate could match — plan-time data skipping with zero file IO, the
+  * catalog analogue of parquet's row-group skipping one level up. Pruning is
+  * conservative (segments without stats, non-literal shapes, non-ASCII string
+  * bounds all keep), and the filters are still forwarded to the parquet
+  * builder, so a wrongly-kept segment costs IO, never rows.
+  *
+  * Row-level operation scans never see this pruning: GraftRowLevelOperation's
+  * builder deliberately exposes no filter pushdown, so group scans always
+  * cover the full replacement set. */
+private[catalog] final class GraftPruningScanBuilder(
+    mkInner: Seq[String] => ScanBuilder,
+    segments: Seq[(String, String)], // (segment name, absolute dir)
+    zstats: Map[String, String])
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var inner = mkInner(segments.map(_._2))
+  private var prunedSchema: StructType = null
+
+  private def cat = inner.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedSchema = requiredSchema
+    inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(requiredSchema)
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val surviving = segments.filter { case (name, _) =>
+      zstats.get(name) match {
+        case Some(enc) =>
+          val st = scala.util.Try(SegmentStats.decode(enc)).toOption
+          st.forall(s => filters.forall(f => SegmentStats.mayMatch(s, f)))
+        case None => true
+      }
+    }
+    if (surviving.size < segments.size) {
+      inner = mkInner(surviving.map(_._2))
+      if (prunedSchema != null)
+        inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(prunedSchema)
+    }
+    cat.pushFilters(filters)
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    cat.pushedFilters
+
+  override def build(): Scan = inner.build()
 }
 
 /** Pass-through Scan that does NOT re-export SupportsRuntimeV2Filtering:
@@ -466,7 +545,12 @@ private[catalog] final class GraftWriteBuilder(
       override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         delegate.commit(messages) // files are now live in the segment dir
-        GraftMeta.commit(tableDir, segment, replace) // atomic snapshot swap
+        // zone maps: one agg pass over the new segment; a stats failure must
+        // never fail the write — segments without stats simply never prune
+        val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
+          SparkSession.active, tableDir.resolve(segment).toString,
+          GraftMeta.read(tableDir).schema))).toOption
+        GraftMeta.commit(tableDir, segment, replace, stats) // atomic snapshot swap
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         delegate.abort(messages) // segment never becomes visible: meta untouched

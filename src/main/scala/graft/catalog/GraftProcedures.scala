@@ -107,7 +107,9 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
     spark.read.schema(meta.schema).parquet(segs.map(_.toString): _*)
       .coalesce(nOut)
       .write.parquet(dir.resolve(segment).toString)
-    GraftMeta.commit(dir, segment, replace = true)
+    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
+      spark, dir.resolve(segment).toString, meta.schema))).toOption
+    GraftMeta.commit(dir, segment, replace = true, stats)
     result(segs.size, files.size, parquetFiles(dir.resolve(segment)).size, bytes)
   }
 }
@@ -172,8 +174,10 @@ private[catalog] final class DeleteWhereProcedure(catalog: GraftCatalog)
     touchedDf.where(not(matches)).write.parquet(dir.resolve(segment).toString)
     val nAfter = spark.read.schema(meta.schema)
       .parquet(dir.resolve(segment).toString).count()
+    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
+      spark, dir.resolve(segment).toString, meta.schema))).toOption
     // 3. swap exactly the touched segments
-    GraftMeta.commitReplaceSegments(dir, segment, touched)
+    GraftMeta.commitReplaceSegments(dir, segment, touched, stats)
     result(segs.size, touched.size, nBefore - nAfter)
   }
 }
@@ -212,7 +216,9 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
       val removedIds = ids.filterNot(keptIds)
       val referenced = keptIds.flatMap(id => meta.snapshots(id)).toSet
       val dead = removedIds.flatMap(meta.snapshots).distinct.filterNot(referenced)
-      GraftMeta.write(dir, meta.copy(snapshots = meta.snapshots.view.filterKeys(keptIds).toMap))
+      GraftMeta.write(dir, meta.copy(
+        snapshots = meta.snapshots.view.filterKeys(keptIds).toMap,
+        zstats = meta.zstats -- dead))
       dead.foreach { seg =>
         val p = dir.resolve(seg)
         if (Files.isDirectory(p)) {

@@ -305,6 +305,59 @@ class GraftCatalogSpec extends SparkSpec {
       "NULL-tag rows must survive a tag = 'x' delete")
   }
 
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+          case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+            f.files.map(_.filePath.toString)
+          case _ => Nil
+        }
+    }.flatten
+
+  test("zone maps prune whole segments at plan time from committed min/max stats") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t18")
+    sql("CREATE TABLE gtest.ns.t18 (k BIGINT, tag STRING) USING parquet")
+    spark.range(0, 100).selectExpr("id AS k", "'alpha' AS tag")
+      .writeTo("gtest.ns.t18").append()
+    spark.range(100, 200).selectExpr("id AS k", "'beta' AS tag")
+      .writeTo("gtest.ns.t18").append()
+    spark.range(200, 300).selectExpr("id AS k", "'gamma' AS tag")
+      .writeTo("gtest.ns.t18").append()
+
+    // integral range: only the [200,300) segment can hold k >= 250
+    val hi = sql("SELECT k FROM gtest.ns.t18 WHERE k >= 250")
+    val hiFiles = plannedFiles(hi)
+    assert(hiFiles.nonEmpty)
+    val hiSegs = hiFiles.map(f => java.nio.file.Paths.get(f).getParent.getFileName.toString).distinct
+    assert(hiSegs.size === 1, s"expected one surviving segment, saw $hiSegs")
+    assert(hi.count() === 50L)
+
+    // point lookup lands in the first segment only
+    val pt = sql("SELECT k FROM gtest.ns.t18 WHERE k = 50")
+    assert(plannedFiles(pt).map(f =>
+      java.nio.file.Paths.get(f).getParent.getFileName.toString).distinct.size === 1)
+    assert(pt.count() === 1L)
+
+    // string bounds prune too (ASCII-comparable)
+    val st = sql("SELECT k FROM gtest.ns.t18 WHERE tag = 'gamma'")
+    assert(plannedFiles(st).map(f =>
+      java.nio.file.Paths.get(f).getParent.getFileName.toString).distinct.size === 1)
+    assert(st.count() === 100L)
+
+    // no nulls anywhere: IS NULL plans zero files yet stays correct
+    val nn = sql("SELECT k FROM gtest.ns.t18 WHERE k IS NULL")
+    assert(plannedFiles(nn).isEmpty, "null-free segments must all prune")
+    assert(nn.count() === 0L)
+
+    // a predicate every segment can satisfy prunes nothing
+    val all = sql("SELECT k FROM gtest.ns.t18 WHERE k >= 0")
+    assert(plannedFiles(all).map(f =>
+      java.nio.file.Paths.get(f).getParent.getFileName.toString).distinct.size === 3)
+    assert(all.count() === 300L)
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
