@@ -294,14 +294,14 @@ private[catalog] object GraftMeta {
     * carried by reference, never read or rewritten). Serializes with
     * concurrent appends under the same lock: a segment committed between the
     * rewrite's snapshot pin and this commit survives untouched. */
-  def commitReplaceSegments(tableDir: Path, newSegment: String, removed: Set[String],
+  def commitReplaceSegments(tableDir: Path, newSegment: Option[String], removed: Set[String],
                             stats: Option[String] = None): Unit =
     tableDir.toString.intern().synchronized {
       val meta = read(tableDir)
       val next = meta.current + 1
-      val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) :+ newSegment
+      val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) ++ newSegment
       write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
-        zstats = meta.zstats ++ stats.map(newSegment -> _)))
+        zstats = meta.zstats ++ (for (s <- newSegment; z <- stats) yield s -> z)))
     }
 }
 
@@ -318,7 +318,8 @@ private[catalog] object GraftTable {
 
 private[catalog] final class GraftTable(
     catalog: String, ident: Identifier, tableDir: Path, pinnedSnapshot: Option[Long])
-  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+  with SupportsDeleteV2 {
 
   private val meta = GraftMeta.read(tableDir)
 
@@ -364,6 +365,38 @@ private[catalog] final class GraftTable(
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new GraftRowLevelOperation(this, info)
+
+  /** SQL `DELETE FROM` routed through `SupportsDeleteV2`: when every pushed
+    * predicate round-trips through the public V2ExpressionSQLBuilder, the
+    * delete runs the SEGMENT-LEVEL copy-on-write core (GraftDml) — discovery
+    * scan, rewrite of only the touched segments, partial snapshot swap —
+    * instead of the whole-table group rewrite. Spark falls back to the
+    * row-level rewrite automatically when canDeleteWhere is false, so the
+    * full-COW path stays available for untranslatable conditions. */
+  private def predicatesToSql(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): String =
+    if (predicates.isEmpty) "TRUE"
+    else predicates.map { p =>
+      "(" + new org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder().build(p) + ")"
+    }.mkString(" AND ")
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinnedSnapshot.isEmpty && scala.util.Try {
+      val sql = predicatesToSql(predicates)
+      val parsed = SparkSession.active.sessionState.sqlParser.parseExpression(sql)
+      // the parsed predicate must reference only this table's columns — an
+      // unresolvable name would fail the discovery job after we claimed the
+      // delete, which Spark does not retry on the row-level path
+      val fields = meta.schema.fieldNames.map(_.toLowerCase).toSet
+      parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+      }.forall(a => a.nameParts.length == 1 && fields.contains(a.nameParts.head.toLowerCase))
+    }.getOrElse(false)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    GraftDml.deleteWhere(tableDir, predicatesToSql(predicates))
 }
 
 /** Group-based (copy-on-write) row-level operation: Spark rewrites

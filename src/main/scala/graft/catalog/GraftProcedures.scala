@@ -150,23 +150,43 @@ private[catalog] final class DeleteWhereProcedure(catalog: GraftCatalog)
     StructField("rows_deleted", LongType, nullable = false)))
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val dir = resolveTableDir(input.getUTF8String(0).toString)
-    val predicate = input.getUTF8String(1).toString
+    val (total, rewritten, deleted) =
+      GraftDml.deleteWhere(dir, input.getUTF8String(1).toString)
+    result(total, rewritten, deleted)
+  }
+}
+
+/** The segment-level copy-on-write delete core, shared by the `delete_where`
+  * procedure and SQL `DELETE FROM` routed through `SupportsDeleteV2`.
+  * Returns (segments_total, segments_rewritten, rows_deleted). */
+private[catalog] object GraftDml {
+  def deleteWhere(dir: java.nio.file.Path, predicate: String): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
     val segs = meta.snapshots(meta.current)
-    if (segs.isEmpty) return result(0, 0, 0L)
+    if (segs.isEmpty) return (0, 0, 0L)
     val matches = coalesce(expr(predicate), lit(false)) // DELETE removes TRUE rows only
     def read(dirs: Seq[String]) =
       spark.read.schema(meta.schema).parquet(dirs.map(dir.resolve(_).toString): _*)
+    // unconditional delete (DELETE without WHERE / TRUNCATE routed here):
+    // pure metadata — commit an empty snapshot, read and write nothing
+    if (predicate.trim.equalsIgnoreCase("TRUE") || predicate.trim == "(TRUE)") {
+      val nBefore = segs.map(s => meta.zstats.get(s)
+        .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption))
+        .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
+        .getOrElse(read(segs).count())
+      GraftMeta.commitReplaceSegments(dir, None, segs.toSet)
+      return (segs.size, 0, nBefore)
+    }
     // 1. discovery: which segments hold at least one matching row
     val touched = read(segs).where(matches)
       .select(col("_metadata.file_path")).distinct().collect()
       .map(r => java.nio.file.Paths.get(java.net.URI.create(r.getString(0)).getPath)
         .getParent.getFileName.toString)
       .toSet
-    if (touched.isEmpty) return result(segs.size, 0, 0L)
+    if (touched.isEmpty) return (segs.size, 0, 0L)
     // 2. rewrite only the touched segments
     val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
     val touchedDf = read(segs.filter(touched))
@@ -177,8 +197,8 @@ private[catalog] final class DeleteWhereProcedure(catalog: GraftCatalog)
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
       spark, dir.resolve(segment).toString, meta.schema))).toOption
     // 3. swap exactly the touched segments
-    GraftMeta.commitReplaceSegments(dir, segment, touched, stats)
-    result(segs.size, touched.size, nBefore - nAfter)
+    GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats)
+    (segs.size, touched.size, nBefore - nAfter)
   }
 }
 

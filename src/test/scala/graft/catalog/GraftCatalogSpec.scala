@@ -358,6 +358,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(all.count() === 300L)
   }
 
+  test("SQL DELETE FROM routes through the segment-level path when translatable") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t19")
+    sql("CREATE TABLE gtest.ns.t19 (k BIGINT) USING parquet")
+    spark.range(0, 100).toDF("k").writeTo("gtest.ns.t19").append()
+    spark.range(100, 200).toDF("k").writeTo("gtest.ns.t19").append()
+    val untouched = segmentDirs("t19").map(d =>
+      d -> java.nio.file.Files.list(d).iterator().asScala
+        .map(f => f -> java.nio.file.Files.getLastModifiedTime(f)).toMap).toMap
+    sql("DELETE FROM gtest.ns.t19 WHERE k >= 150")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t19").head.getLong(0) === 150L)
+    // the [0,100) segment was never rewritten: same files, same mtimes — the
+    // whole-table group rewrite would have replaced it
+    val lowSeg = untouched.keys.find { d =>
+      spark.read.parquet(d.toString).agg(org.apache.spark.sql.functions.max("k"))
+        .head.getLong(0) < 100
+    }.get
+    untouched(lowSeg).foreach { case (f, mtime) =>
+      assert(java.nio.file.Files.getLastModifiedTime(f) === mtime,
+        s"untouched segment file $f was rewritten by DELETE")
+    }
+    // unconditional DELETE: metadata-only empty snapshot, history intact
+    sql("DELETE FROM gtest.ns.t19")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t19").head.getLong(0) === 0L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t19 VERSION AS OF 3").head.getLong(0) === 150L)
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
