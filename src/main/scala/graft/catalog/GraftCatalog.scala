@@ -94,7 +94,16 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
+    if (!Files.exists(dir.resolve(GraftMeta.FileName))) {
+      // `SELECT * FROM graft.ns.t.snapshots` resolves here with the metadata
+      // table's name appended to the data table's identifier (Iceberg's
+      // convention): serve it from the parent if THAT is a table
+      val parent = dir.getParent
+      if (GraftMetadataTable.Kinds.contains(ident.name()) && parent != null &&
+          Files.exists(parent.resolve(GraftMeta.FileName)))
+        return new GraftMetadataTable(catalogName, ident, parent, ident.name())
+      throw new NoSuchTableException(ident)
+    }
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
   }
 

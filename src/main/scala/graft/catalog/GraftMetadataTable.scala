@@ -1,0 +1,90 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Read-only metadata tables over a graft table's snapshot bookkeeping —
+  * `SELECT * FROM graft.ns.t.snapshots` / `...t.segments` (Iceberg's
+  * introspection convention). The rows are DRIVER-sized by construction
+  * (snapshot and segment counts, never data), so they plan as a `LocalScan`:
+  * no job, no files opened. Row counts come from the committed zone-map stats
+  * when every segment in scope has them, else null — introspection never
+  * triggers a data scan. */
+private[catalog] object GraftMetadataTable {
+  val Kinds: Set[String] = Set("snapshots", "segments")
+
+  val SnapshotsSchema: StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false),
+    StructField("n_segments", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
+
+  val SegmentsSchema: StructType = StructType(Seq(
+    StructField("segment", StringType, nullable = false),
+    StructField("in_current", BooleanType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
+}
+
+private[catalog] final class GraftMetadataTable(
+    catalog: String, ident: Identifier, tableDir: Path, kind: String)
+  extends Table with SupportsRead {
+
+  import GraftMetadataTable._
+
+  override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
+  override def schema(): StructType =
+    if (kind == "snapshots") SnapshotsSchema else SegmentsSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def segRows(meta: GraftMeta, seg: String): Option[Long] =
+    meta.zstats.get(seg).flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption)
+
+  private def rows(): Array[InternalRow] = {
+    val meta = GraftMeta.read(tableDir)
+    if (kind == "snapshots") {
+      meta.snapshots.toSeq.sortBy(_._1).map { case (id, segs) =>
+        val n = segs.map(segRows(meta, _))
+          .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
+        new GenericInternalRow(Array[Any](
+          id, id == meta.current, segs.size, n.orNull)): InternalRow
+      }.toArray
+    } else {
+      val live = meta.snapshots.values.flatten.toSeq.distinct.sorted
+      val current = meta.snapshots.getOrElse(meta.current, Nil).toSet
+      live.map { seg =>
+        val dir = tableDir.resolve(seg)
+        val files =
+          if (Files.isDirectory(dir))
+            Files.list(dir).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          else Nil
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(seg), current.contains(seg), files.size,
+          files.map(Files.size).sum, segRows(meta, seg).orNull)): InternalRow
+      }.toArray
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // resolved NOW, not at execution: metadata reads are point-in-time like
+    // every other graft scan
+    val pinned = rows()
+    () => new LocalScan {
+      override def rows(): Array[InternalRow] = pinned
+      override def readSchema(): StructType = schema()
+      override def description(): String = s"graft-metadata(${name()})"
+    }
+  }
+}

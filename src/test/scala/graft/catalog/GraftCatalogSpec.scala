@@ -385,6 +385,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) FROM gtest.ns.t19 VERSION AS OF 3").head.getLong(0) === 150L)
   }
 
+  test("metadata tables: .snapshots and .segments introspect without a data scan") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t20")
+    sql("CREATE TABLE gtest.ns.t20 AS SELECT id AS k FROM range(10)")   // snap 1
+    sql("INSERT INTO gtest.ns.t20 SELECT id FROM range(10, 30)")        // snap 2
+    sql("DELETE FROM gtest.ns.t20 WHERE k >= 25")                       // snap 3
+    val snaps = sql("SELECT * FROM gtest.ns.t20.snapshots ORDER BY snapshot_id").collect()
+    assert(snaps.map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2))).toSeq ===
+      Seq((0L, false, 0), (1L, false, 1), (2L, false, 2), (3L, true, 2)))
+    // n_rows from zone-map stats, no data scan: 10, 30, then 25 after the delete
+    assert(snaps.map(r => if (r.isNullAt(3)) -1L else r.getLong(3)).toSeq ===
+      Seq(0L, 10L, 30L, 25L))
+    val segs = sql("SELECT * FROM gtest.ns.t20.segments ORDER BY segment").collect()
+    assert(segs.length === 3, "two appended + one rewritten segment on disk")
+    assert(segs.count(_.getBoolean(1)) === 2, "current snapshot holds two segments")
+    assert(segs.forall(r => r.getInt(2) >= 1 && r.getLong(3) > 0L))
+    // the metadata scan plans locally — no file source in the plan
+    val plan = sql("SELECT * FROM gtest.ns.t20.snapshots").queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
