@@ -298,11 +298,60 @@ object LakeQueries {
        WHERE NOT (o_orderkey % 4 = 3 AND o_orderkey % 100 < 50)
        GROUP BY st ORDER BY st"""
 
+  // --------------------------------------------------------------------------
+  // q164: end-to-end data skipping — ingestion appends land ORDERED batches
+  // (the streaming-epoch shape: each append covers a key range), every commit
+  // records the segment's min/max in the table meta, and the range query's
+  // scan DROPS the non-overlapping segments at plan time with zero file IO
+  // (GraftPruningScanBuilder; GraftCatalogSpec pins the planned-file counts).
+  // At 100 TB this is the difference between a dashboard query planning 3
+  // segments or 3000. The oracle reproduces the same rows from raw `orders`,
+  // so the hash proves skipping never drops a row it shouldn't.
+  // --------------------------------------------------------------------------
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m164_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+              USING parquet TBLPROPERTIES ('write.order-by'='k')""")
+    // four KEY-RANGE appends — four segments with disjoint [min,max] zones,
+    // the shape time-ordered ingestion produces naturally
+    (0 until 4).foreach { q =>
+      s.sql(s"""INSERT INTO graft.lake.$t
+        SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM $src
+        WHERE o_orderkey * 4 >= (SELECT MAX(o_orderkey) FROM $src) * $q
+          AND o_orderkey * 4 <  (SELECT MAX(o_orderkey) FROM $src) * ${q + 1}
+           OR ($q = 3 AND o_orderkey = (SELECT MAX(o_orderkey) FROM $src))""")
+    }
+    // both predicates land inside the FIRST segment's zone: the scan plans one
+    // segment of four, with zero file IO on the rest
+    s.sql(s"""SELECT 'point' AS kind, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+              FROM graft.lake.$t WHERE k = 32
+              UNION ALL
+              SELECT 'range' AS kind, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+              FROM graft.lake.$t WHERE k BETWEEN 100 AND 999
+              ORDER BY kind""")
+  }
+
+  private val q164Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders)
+       SELECT 'point' AS kind, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       FROM base WHERE k = 32
+       UNION ALL
+       SELECT 'range' AS kind, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       FROM base WHERE k BETWEEN 100 AND 999
+       ORDER BY kind"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
     QDef("q154_lake_time_travel", q154, Some(q154Sql)),
     QDef("q161_lake_compaction", q161, Some(q161Sql)),
     QDef("q162_lake_schema_evolution", q162, Some(q162Sql)),
-    QDef("q163_lake_selective_delete", q163, Some(q163Sql)))
+    QDef("q163_lake_selective_delete", q163, Some(q163Sql)),
+    QDef("q164_lake_data_skipping", q164, Some(q164Sql)))
 }
