@@ -280,11 +280,75 @@ object Round8Queries {
               CAST(SUM(ord) AS BIGINT) AS sum_ord
        FROM e GROUP BY flag ORDER BY flag"""
 
+  // --------------------------------------------------------------------------
+  // q165: DYNAMIC-gap session windows — `session_window(ts, gapExpr)` where
+  // the inactivity gap is a per-event expression (a purchase holds the session
+  // open 30 minutes, anything else 10): the adaptive-timeout sessionization
+  // real engagement analytics runs, vs q29's fixed gap. Semantics are interval
+  // union: each event spans [ts, ts+gap) and overlapping spans merge, so a
+  // session's end is the MAX of its events' ends, not last-ts + constant. The
+  // DuckDB twin replays exactly that contract with a running MAX(t + gap) over
+  // the preceding rows (break when t >= every previous end) — engine-portable
+  // proof that Spark's native operator implements the textbook union rule.
+  // Shape at scale: per-user windows, one shuffle on user_id, no global sort.
+  // --------------------------------------------------------------------------
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    // the dynamic-gap contract wants CalendarIntervalType; ANSI INTERVAL
+    // literals are DayTimeIntervalType, so build the gap with make_interval
+    val gap = expr(
+      "CASE WHEN event_type = 'purchase' THEN make_interval(0, 0, 0, 0, 0, 30, 0) " +
+        "ELSE make_interval(0, 0, 0, 0, 0, 10, 0) END")
+    val sess = T.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("cents"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("st"),
+        expr("unix_micros(session_window.end)").as("en"),
+        col("n"), col("cents"))
+    sess.agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_events"),
+        sum(col("en") - col("st")).as("total_span_us"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("n_sessions"))
+  }
+
+  private val q165Sql =
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) AS t,
+                CASE WHEN event_type = 'purchase'
+                     THEN 1800000000 ELSE 600000000 END AS gap,
+                CAST(ROUND(value * 100) AS BIGINT) AS cents
+         FROM events),
+       o AS (SELECT user_id, t, gap, cents,
+               MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             FROM e),
+       f AS (SELECT user_id, t, gap, cents,
+               CASE WHEN prev_end IS NULL OR t >= prev_end THEN 1 ELSE 0 END AS brk
+             FROM o),
+       sgrp AS (SELECT user_id, t, gap, cents,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f),
+       sess AS (SELECT user_id, sid, MIN(t) AS st, MAX(t + gap) AS en,
+                       COUNT(*) AS n, SUM(cents) AS cents
+                FROM sgrp GROUP BY user_id, sid)
+       SELECT COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users,
+              CAST(SUM(n) AS BIGINT) AS n_events, CAST(MAX(n) AS BIGINT) AS max_events,
+              CAST(SUM(en - st) AS BIGINT) AS total_span_us,
+              CAST(SUM(cents) AS BIGINT) AS total_cents
+       FROM sess ORDER BY n_sessions"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q155_order_statistics", q155, Some(q155Sql)),
     QDef("q156_markov_transitions", q156, Some(q156Sql)),
     QDef("q157_activity_streaks", q157, Some(q157Sql)),
     QDef("q158_time_weighted_avg", q158, Some(q158Sql)),
     QDef("q159_spatial_grid_join", q159, Some(q159Sql)),
-    QDef("q160_distributed_enumerate", q160, Some(q160Sql)))
+    QDef("q160_distributed_enumerate", q160, Some(q160Sql)),
+    QDef("q165_dynamic_session", q165, Some(q165Sql)))
 }
