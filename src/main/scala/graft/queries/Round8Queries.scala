@@ -343,6 +343,37 @@ object Round8Queries {
               CAST(SUM(cents) AS BIGINT) AS total_cents
        FROM sess ORDER BY n_sessions"""
 
+  // --------------------------------------------------------------------------
+  // q166: NOT IN — the null-aware anti join, a DIFFERENT operator from q06's
+  // NOT EXISTS anti join: SQL three-valued logic makes `x NOT IN (subquery)`
+  // UNKNOWN (⇒ filtered) for EVERY x the moment the subquery yields one NULL,
+  // so the join must track the build side's null bit, not just key misses.
+  // Spark plans this as a broadcast null-aware anti join (streamed side never
+  // shuffles; the build side must broadcast because every task needs the
+  // global "has null" fact — the documented reason NAAJ has no shuffle form).
+  // NULLIF keeps the subquery column nullable-TYPED (forcing the null-aware
+  // plan) while the data stays null-free, so the result is non-degenerate.
+  // --------------------------------------------------------------------------
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("v_orders_naaj")
+    T.customer(s, d).createOrReplaceTempView("v_customer_naaj")
+    s.sql(
+      """SELECT o_orderstatus AS st, COUNT(*) AS n,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM v_orders_naaj
+         WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, -1) FROM v_customer_naaj
+                                 WHERE c_acctbal < 0)
+         GROUP BY o_orderstatus ORDER BY st""")
+  }
+
+  private val q166Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM orders
+       WHERE o_custkey NOT IN (SELECT NULLIF(c_custkey, -1) FROM customer
+                               WHERE c_acctbal < 0)
+       GROUP BY o_orderstatus ORDER BY st"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q155_order_statistics", q155, Some(q155Sql)),
     QDef("q156_markov_transitions", q156, Some(q156Sql)),
@@ -350,5 +381,6 @@ object Round8Queries {
     QDef("q158_time_weighted_avg", q158, Some(q158Sql)),
     QDef("q159_spatial_grid_join", q159, Some(q159Sql)),
     QDef("q160_distributed_enumerate", q160, Some(q160Sql)),
-    QDef("q165_dynamic_session", q165, Some(q165Sql)))
+    QDef("q165_dynamic_session", q165, Some(q165Sql)),
+    QDef("q166_not_in_null_aware", q166, Some(q166Sql)))
 }

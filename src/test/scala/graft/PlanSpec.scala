@@ -358,6 +358,17 @@ class PlanSpec extends SparkSpec {
     } finally caches.foreach(_.unpersist())
   }
 
+  test("q166: NOT IN plans a null-aware broadcast anti join") {
+    // the third argument printed after BuildRight is isNullAwareAntiJoin: a
+    // plain LeftAnti would silently change NOT IN's three-valued semantics
+    // the moment the subquery column holds a NULL
+    val df = Registry.byName("q166_not_in_null_aware").fn(spark, sf)
+    df.collect() // AQE: the final plan materializes the broadcast decision
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti, BuildRight, true"),
+      s"expected a null-aware broadcast anti join:\n${plan.take(1200)}")
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
