@@ -64,7 +64,8 @@ object Bench {
     // Also write the JSON line to a file: the driver's BENCH_rN.json capture
     // keeps only the stdout TAIL, which truncated per-query numbers for half the
     // suite in rounds 4-5. SPARK_GRAFT_BENCH_OUT overrides the default path.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props("user.dir"), "BENCH_LAST.json").getPath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }

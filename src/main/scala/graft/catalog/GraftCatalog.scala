@@ -86,7 +86,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = namespace.foldLeft(root)(_ resolve _)
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(nsDir).iterator().asScala
+    GraftMeta.listDir(nsDir)
       .filter(p => Files.exists(p.resolve(GraftMeta.FileName)))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -149,6 +149,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
     dir.toString.intern().synchronized {
       val meta = GraftMeta.read(dir)
+      var dropped = meta.props.get(GraftTable.DroppedColumnsProp)
+        .map(_.split(',').toSet).getOrElse(Set.empty[String])
       val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
         ch match {
           case add: TableChange.AddColumn =>
@@ -163,6 +165,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               "graft catalog: ADD COLUMN DEFAULT not supported")
             require(!sch.fieldNames.contains(field),
               s"graft catalog: column '$field' already exists")
+            // re-adding a dropped name would be an unguarded TYPE change: old
+            // segments still hold the previous physical column under this
+            // name, and name-based parquet resolution would read it (crashing
+            // on a type mismatch instead of null-filling). Needs column-id
+            // mapping; refused like renames.
+            require(!dropped.contains(field),
+              s"graft catalog: column '$field' was previously dropped and cannot be re-added")
             sch.add(field, add.dataType(), nullable = true)
           case del: TableChange.DeleteColumn =>
             require(del.fieldNames().length == 1,
@@ -173,6 +182,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               sch
             } else {
               require(sch.length > 1, "graft catalog: cannot drop the last column")
+              // dropping a write-layout column would brick every future write
+              // (requiredDistribution/Ordering would reference a ghost column)
+              val layoutCols = Seq(GraftTable.ClusterByProp, GraftTable.OrderByProp)
+                .flatMap(meta.props.get).flatMap(_.split(',')).map(_.trim).toSet
+              require(!layoutCols.contains(field),
+                s"graft catalog: column '$field' is referenced by a write-layout property and cannot be dropped")
+              dropped += field
               StructType(sch.filterNot(_.name == field))
             }
           case other =>
@@ -180,7 +196,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               s"graft catalog: unsupported ALTER TABLE change $other")
         }
       }
-      GraftMeta.write(dir, meta.copy(schema = newSchema))
+      val newProps =
+        if (dropped.isEmpty) meta.props
+        else meta.props + (GraftTable.DroppedColumnsProp -> dropped.toSeq.sorted.mkString(","))
+      GraftMeta.write(dir, meta.copy(schema = newSchema, props = newProps))
     }
     loadTable(ident)
   }
@@ -208,11 +227,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) false
     else {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-        Files.deleteIfExists(p)
-      }
-      rm(dir)
+      GraftMeta.deleteRecursively(dir)
       true
     }
   }
@@ -237,6 +252,20 @@ private[catalog] final case class GraftMeta(
 
 private[catalog] object GraftMeta {
   val FileName = "_graft_meta"
+
+  /** `Files.list` with the stream CLOSED — the bare `.iterator()` idiom pins
+    * one directory fd until GC, and catalog code lists directories on every
+    * introspection/maintenance call. */
+  def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq
+    finally s.close()
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 
   def read(tableDir: Path): GraftMeta = {
     val lines = Files.readAllLines(tableDir.resolve(FileName), StandardCharsets.UTF_8).asScala
@@ -286,13 +315,22 @@ private[catalog] object GraftMeta {
   /** Append-or-replace commit under the table's lock: re-reads meta so
     * concurrent committers serialize, writes the new snapshot, swaps. */
   def commit(tableDir: Path, newSegment: String, replace: Boolean,
-             stats: Option[String] = None): Unit =
+             stats: Option[String] = None, expectedCurrent: Option[Long] = None): Unit =
     tableDir.toString.intern().synchronized {
       val meta = read(tableDir)
+      // optimistic concurrency for read-modify-write commits: a REPLACE built
+      // from snapshot N must not clobber a snapshot someone else committed
+      // meanwhile — losing their appended rows would be silent data loss
+      expectedCurrent.foreach(base => require(meta.current == base,
+        s"graft: concurrent commit detected (rewrite based on snapshot $base, " +
+          s"current is ${meta.current}); retry the operation"))
+      val baseDirs = meta.snapshots.getOrElse(meta.current, Nil)
+      // a named segment already in the current snapshot must not be listed
+      // twice (two racing writers of the same batch id both reach here; the
+      // second append would double every row of the segment)
+      if (!replace && baseDirs.contains(newSegment)) return
       val next = meta.current + 1
-      val dirs =
-        if (replace) Seq(newSegment)
-        else meta.snapshots.getOrElse(meta.current, Nil) :+ newSegment
+      val dirs = if (replace) Seq(newSegment) else baseDirs :+ newSegment
       write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
         zstats = meta.zstats ++ stats.map(newSegment -> _)))
     }
@@ -304,9 +342,17 @@ private[catalog] object GraftMeta {
     * concurrent appends under the same lock: a segment committed between the
     * rewrite's snapshot pin and this commit survives untouched. */
   def commitReplaceSegments(tableDir: Path, newSegment: Option[String], removed: Set[String],
-                            stats: Option[String] = None): Unit =
+                            stats: Option[String] = None,
+                            expectedCurrent: Option[Long] = None): Unit =
     tableDir.toString.intern().synchronized {
       val meta = read(tableDir)
+      // same lost-update guard as commit(): swapping `removed` out of a base
+      // that itself changed would resurrect deleted rows (a concurrent replace
+      // folded them into a segment this commit does not remove) or duplicate
+      // survivors
+      expectedCurrent.foreach(base => require(meta.current == base,
+        s"graft: concurrent commit detected (rewrite based on snapshot $base, " +
+          s"current is ${meta.current}); retry the operation"))
       val next = meta.current + 1
       val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) ++ newSegment
       write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
@@ -323,6 +369,10 @@ private[catalog] object GraftTable {
     * selective — the Z-order/q134 payoff, owned by the table instead of the
     * query author). */
   val OrderByProp = "write.order-by"
+
+  /** Internal (alterTable-maintained): names ever dropped from this table —
+    * re-adding one would be an unguarded type change over old segments. */
+  val DroppedColumnsProp = "graft.dropped-columns"
 }
 
 private[catalog] final class GraftTable(
@@ -333,6 +383,7 @@ private[catalog] final class GraftTable(
   private val meta = GraftMeta.read(tableDir)
 
   private[catalog] def dir: Path = tableDir
+  private[catalog] def currentSnapshot: Long = meta.current
 
   override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
   override def schema(): StructType = meta.schema
@@ -434,7 +485,10 @@ private[catalog] final class GraftRowLevelOperation(
     }
   }
   override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table.dir, writeInfo, replaceOnCommit = true, fromRowLevelOp = true)
+    // the rewrite read the table at its load-time snapshot: the replacement
+    // commit must fail (not silently win) if anything committed in between
+    new GraftWriteBuilder(table.dir, writeInfo, replaceOnCommit = true,
+      fromRowLevelOp = true, expectedCurrent = Some(table.currentSnapshot))
 }
 
 /** Zone-map segment pruning around the delegated parquet ScanBuilder.
@@ -505,7 +559,7 @@ private[catalog] final class GroupScan(inner: Scan) extends Scan {
 
 private[catalog] final class GraftWriteBuilder(
     tableDir: Path, info: LogicalWriteInfo, replaceOnCommit: Boolean,
-    fromRowLevelOp: Boolean = false)
+    fromRowLevelOp: Boolean = false, expectedCurrent: Option[Long] = None)
   extends WriteBuilder with SupportsOverwriteV2 {
 
   private var replace = replaceOnCommit
@@ -526,7 +580,10 @@ private[catalog] final class GraftWriteBuilder(
     // every writer — INSERT, streaming foreachBatch, MERGE replacement — gets
     // the same physical layout; Spark's DistributionAndOrderingUtils plans the
     // shuffle/sort, so an unclustered table costs nothing extra
-    private val props = GraftMeta.read(tableDir).props
+    // one meta read serves props, the idempotency check, and the commit-time
+    // schema (the streaming hot path re-entered this three times)
+    private val metaAtBuild = GraftMeta.read(tableDir)
+    private val props = metaAtBuild.props
     override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
       props.get(GraftTable.ClusterByProp) match {
         case Some(cols) => org.apache.spark.sql.connector.distributions.Distributions.clustered(
@@ -553,20 +610,16 @@ private[catalog] final class GraftWriteBuilder(
     private val segment =
       named.map("seg-" + _).getOrElse(s"seg-${UUID.randomUUID().toString.take(12)}")
     private val alreadyCommitted = named.isDefined &&
-      GraftMeta.read(tableDir).snapshots.valuesIterator.exists(_.contains(segment))
+      metaAtBuild.snapshots.valuesIterator.exists(_.contains(segment))
     // a crashed earlier attempt can leave files in the named dir without a
     // meta commit (job committed, meta swap never ran); a retry must start
-    // from an empty segment or the table would read doubled rows
-    if (named.isDefined && !alreadyCommitted) {
-      val stale = tableDir.resolve(segment)
-      if (Files.isDirectory(stale)) {
-        def rm(p: Path): Unit = {
-          if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
-          Files.deleteIfExists(p)
-        }
-        rm(stale)
-      }
-    }
+    // from an empty segment or the table would read doubled rows. (A ZOMBIE
+    // first attempt still writing concurrently is out of scope — streaming
+    // guarantees one active writer per query; the commit itself additionally
+    // refuses to list a named segment twice, so the failure degrades to a
+    // torn segment, never doubled rows.)
+    if (named.isDefined && !alreadyCommitted)
+      GraftMeta.deleteRecursively(tableDir.resolve(segment))
     private val inner: Write =
       ParquetWrite(Seq(tableDir.resolve(segment).toString), "parquet", _ => true, info)
 
@@ -591,8 +644,9 @@ private[catalog] final class GraftWriteBuilder(
         // never fail the write — segments without stats simply never prune
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
           SparkSession.active, tableDir.resolve(segment).toString,
-          GraftMeta.read(tableDir).schema))).toOption
-        GraftMeta.commit(tableDir, segment, replace, stats) // atomic snapshot swap
+          metaAtBuild.schema))).toOption
+        GraftMeta.commit(tableDir, segment, replace, stats,
+          if (fromRowLevelOp) expectedCurrent else None) // atomic snapshot swap
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         delegate.abort(messages) // segment never becomes visible: meta untouched

@@ -67,8 +67,7 @@ private[catalog] final class GraftMetadataTable(
         val dir = tableDir.resolve(seg)
         val files =
           if (Files.isDirectory(dir))
-            Files.list(dir).iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            GraftMeta.listDir(dir).filter(_.getFileName.toString.endsWith(".parquet"))
           else Nil
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(seg), current.contains(seg), files.size,

@@ -64,8 +64,7 @@ private[catalog] abstract class GraftProcedure(catalog: GraftCatalog)
   }
 
   protected def parquetFiles(seg: Path): Seq[Path] =
-    Files.list(seg).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    GraftMeta.listDir(seg).filter(_.getFileName.toString.endsWith(".parquet"))
 }
 
 /** `CALL <cat>.system.compact(table, target_file_bytes)` — rewrite the current
@@ -109,7 +108,11 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
       .write.parquet(dir.resolve(segment).toString)
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
       spark, dir.resolve(segment).toString, meta.schema))).toOption
-    GraftMeta.commit(dir, segment, replace = true, stats)
+    // expectedCurrent: a concurrent append between the rewrite's snapshot pin
+    // and this commit must FAIL the compaction (its rows are not in the
+    // rewritten segment), not silently vanish from the new current snapshot
+    GraftMeta.commit(dir, segment, replace = true, stats,
+      expectedCurrent = Some(meta.current))
     result(segs.size, files.size, parquetFiles(dir.resolve(segment)).size, bytes)
   }
 }
@@ -177,7 +180,8 @@ private[catalog] object GraftDml {
         .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption))
         .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
         .getOrElse(read(segs).count())
-      GraftMeta.commitReplaceSegments(dir, None, segs.toSet)
+      GraftMeta.commitReplaceSegments(dir, None, segs.toSet,
+        expectedCurrent = Some(meta.current))
       return (segs.size, 0, nBefore)
     }
     // 1. discovery: which segments hold at least one matching row
@@ -196,8 +200,11 @@ private[catalog] object GraftDml {
       .parquet(dir.resolve(segment).toString).count()
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
       spark, dir.resolve(segment).toString, meta.schema))).toOption
-    // 3. swap exactly the touched segments
-    GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats)
+    // 3. swap exactly the touched segments; fail on any concurrent commit —
+    // applying `removed` to a changed base would resurrect deleted rows or
+    // duplicate survivors
+    GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
+      expectedCurrent = Some(meta.current))
     (segs.size, touched.size, nBefore - nAfter)
   }
 }
@@ -239,13 +246,10 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
       GraftMeta.write(dir, meta.copy(
         snapshots = meta.snapshots.view.filterKeys(keptIds).toMap,
         zstats = meta.zstats -- dead))
-      dead.foreach { seg =>
-        val p = dir.resolve(seg)
-        if (Files.isDirectory(p)) {
-          Files.list(p).iterator().asScala.foreach(Files.deleteIfExists(_))
-          Files.deleteIfExists(p)
-        }
-      }
+      // recursive: a dead segment may hold subdirectories (e.g. a _temporary
+      // dir from a crashed task attempt); a flat delete would throw after the
+      // metadata was already rewritten
+      dead.foreach(seg => GraftMeta.deleteRecursively(dir.resolve(seg)))
       (removedIds.size, keptIds.size, dead.size)
     }
     result(removed, kept, deleted)

@@ -88,13 +88,15 @@ object Round6Queries {
     val deg = pairs.select(col("p1").as("n"))
       .union(pairs.select(col("p2").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).persist()
-    // total order for orientation: (deg, node) packed into one long — ties on
-    // degree break by node id, so the orientation is deterministic. deg is
-    // node-count-sized, so AQE plans these as broadcast joins.
-    val ord1 = deg.select(col("n").as("p1"), (col("deg") * lit(10000000L) + col("n")).as("o1"))
-    val ord2 = deg.select(col("n").as("p2"), (col("deg") * lit(10000000L) + col("n")).as("o2"))
+    // total order for orientation: (deg, node) compared LEXICOGRAPHICALLY —
+    // a packed deg*K+node long is not injective once node ids reach K, which
+    // would break the total order (and the count) at large scale factors.
+    // deg is node-count-sized, so AQE plans these as broadcast joins.
+    val ord1 = deg.select(col("n").as("p1"), col("deg").as("d1"))
+    val ord2 = deg.select(col("n").as("p2"), col("deg").as("d2"))
     val oriented = pairs.join(ord1, "p1").join(ord2, "p2")
-      .select(when(col("o1") < col("o2"),
+      .select(when(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("p1") < col("p2")),
           struct(col("p1").as("src"), col("p2").as("dst")))
         .otherwise(struct(col("p2").as("src"), col("p1").as("dst")))
         .as("e"))

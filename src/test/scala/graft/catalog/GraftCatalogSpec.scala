@@ -406,6 +406,43 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
   }
 
+  test("ALTER TABLE guards: layout columns cannot drop, dropped names cannot return") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t21")
+    sql("""CREATE TABLE gtest.ns.t21 (k BIGINT, v BIGINT, w STRING) USING parquet
+           TBLPROPERTIES ('write.order-by'='v')""")
+    // dropping the ordering column would brick every future write
+    val e1 = intercept[Exception] { sql("ALTER TABLE gtest.ns.t21 DROP COLUMN v") }
+    assert(e1.getMessage.contains("write-layout"))
+    sql("INSERT INTO gtest.ns.t21 VALUES (1, 2, 'x')")
+    sql("ALTER TABLE gtest.ns.t21 DROP COLUMN w")
+    // re-adding a dropped name would be an unguarded type change over the old
+    // segment's physical column
+    val e2 = intercept[Exception] { sql("ALTER TABLE gtest.ns.t21 ADD COLUMNS (w BIGINT)") }
+    assert(e2.getMessage.contains("previously dropped"))
+    sql("INSERT INTO gtest.ns.t21 VALUES (3, 4)")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t21").head.getLong(0) === 2L)
+  }
+
+  test("replace commits refuse a base that moved (lost-update guard)") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t22")
+    sql("CREATE TABLE gtest.ns.t22 AS SELECT id AS k FROM range(10)")
+    val dir = root.resolve("ns").resolve("t22")
+    val base = GraftMeta.read(dir).current
+    sql("INSERT INTO gtest.ns.t22 VALUES (99)") // lands after the base was pinned
+    val err = intercept[IllegalArgumentException] {
+      GraftMeta.commit(dir, "seg-bogus", replace = true, None, expectedCurrent = Some(base))
+    }
+    assert(err.getMessage.contains("concurrent commit"))
+    val err2 = intercept[IllegalArgumentException] {
+      GraftMeta.commitReplaceSegments(dir, None, Set("x"), None, expectedCurrent = Some(base))
+    }
+    assert(err2.getMessage.contains("concurrent commit"))
+    // the concurrent append survives; nothing was lost or replaced
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t22").head.getLong(0) === 11L)
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
