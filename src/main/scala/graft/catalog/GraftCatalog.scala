@@ -213,6 +213,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "compact"          => new CompactProcedure(this)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
       case "delete_where"     => new DeleteWhereProcedure(this)
+      case "update_where"     => new UpdateWhereProcedure(this)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
     }
@@ -221,7 +222,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "compact"),
       Identifier.of(Array("system"), "delete_where"),
-      Identifier.of(Array("system"), "expire_snapshots"))
+      Identifier.of(Array("system"), "expire_snapshots"),
+      Identifier.of(Array("system"), "update_where"))
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

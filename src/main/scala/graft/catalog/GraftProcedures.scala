@@ -160,10 +160,90 @@ private[catalog] final class DeleteWhereProcedure(catalog: GraftCatalog)
   }
 }
 
+/** `CALL <cat>.system.update_where(table, predicate, assignments)` — the
+  * UPDATE twin of delete_where: discovery scan finds the segments holding
+  * matching rows, ONLY those are read back, matching rows get the assignments
+  * applied (all right-hand sides evaluate against PRE-update values, the SQL
+  * UPDATE contract) and non-matching rows pass through unchanged, one new
+  * segment replaces exactly the touched set. SQL `UPDATE` remains available
+  * with whole-table group-rewrite semantics (Spark has no SupportsUpdate
+  * push-down API — this procedure IS the segment-level path).
+  * `assignments` is `col = expr, col2 = expr2` with top-level commas only. */
+private[catalog] final class UpdateWhereProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "update_where"
+  override def description(): String =
+    "segment-level copy-on-write update: rewrite only segments holding matching rows"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("predicate", StringType).build(),
+    ProcedureParameter.in("assignments", StringType).build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("segments_total", IntegerType, nullable = false),
+    StructField("segments_rewritten", IntegerType, nullable = false),
+    StructField("rows_updated", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val (total, rewritten, updated) = GraftDml.updateWhere(dir,
+      input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+    result(total, rewritten, updated)
+  }
+}
+
 /** The segment-level copy-on-write delete core, shared by the `delete_where`
   * procedure and SQL `DELETE FROM` routed through `SupportsDeleteV2`.
   * Returns (segments_total, segments_rewritten, rows_deleted). */
 private[catalog] object GraftDml {
+
+  /** Segment-level copy-on-write UPDATE. Matching rows (predicate TRUE — SQL
+    * three-valued semantics, NULL rows pass through) get `assignments`
+    * applied in ONE projection, so every right-hand side sees the PRE-update
+    * column values; untouched segments carry over by reference. Returns
+    * (segments_total, segments_rewritten, rows_updated). */
+  def updateWhere(dir: java.nio.file.Path, predicate: String,
+                  assignments: String): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    val spark = SparkSession.active
+    val meta = GraftMeta.read(dir)
+    val segs = meta.snapshots(meta.current)
+    if (segs.isEmpty) return (0, 0, 0L)
+    val assigned = assignments.split(',').map { a =>
+      val Array(name, rhs) = a.split("=", 2).map(_.trim)
+      require(meta.schema.fieldNames.contains(name),
+        s"graft update_where: no column '$name' to assign")
+      name -> rhs
+    }.toMap
+    val matches = coalesce(expr(predicate), lit(false))
+    def read(dirs: Seq[String]) =
+      spark.read.schema(meta.schema).parquet(dirs.map(dir.resolve(_).toString): _*)
+    val touched = read(segs).where(matches)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(r => java.nio.file.Paths.get(java.net.URI.create(r.getString(0)).getPath)
+        .getParent.getFileName.toString)
+      .toSet
+    if (touched.isEmpty) return (segs.size, 0, 0L)
+    val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
+    val touchedDf = read(segs.filter(touched))
+    val nUpdated = touchedDf.where(matches).count()
+    touchedDf.select(meta.schema.fields.map { f =>
+        assigned.get(f.name) match {
+          case Some(rhs) => when(matches, expr(rhs)).otherwise(col(f.name))
+            .cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+      .write.parquet(dir.resolve(segment).toString)
+    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
+      spark, dir.resolve(segment).toString, meta.schema))).toOption
+    GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
+      expectedCurrent = Some(meta.current))
+    (segs.size, touched.size, nUpdated)
+  }
+
   def deleteWhere(dir: java.nio.file.Path, predicate: String): (Int, Int, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val spark = SparkSession.active

@@ -346,6 +346,55 @@ object LakeQueries {
        FROM base WHERE k BETWEEN 100 AND 999
        ORDER BY kind"""
 
+  // --------------------------------------------------------------------------
+  // q167: segment-level copy-on-write UPDATE — `CALL graft.system.update_where`
+  // completes the pruned-DML trio (q163 delete, q164 skipping reads): matching
+  // rows confined to one of three segments get a price adjustment applied in
+  // ONE projection (every right-hand side sees the PRE-update values, the SQL
+  // UPDATE contract — note the two assignments swap-read each other's
+  // columns), untouched segments carry over by reference. Spark core has no
+  // SupportsUpdate pushdown API, so the procedure IS the segment-level path;
+  // SQL UPDATE (q153) remains the whole-table group rewrite.
+  // --------------------------------------------------------------------------
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m167_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 4 IN (0, 1)""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_custkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 4 = 2""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_custkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 4 = 3""")
+    // pre-update-value semantics made visible: cust and price_c swap-read
+    s.sql(s"""CALL graft.system.update_where('lake.$t',
+      'k % 4 = 3 AND st = ''O''', 'price_c = cust, cust = price_c')""")
+    s.sql(s"""SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     CAST(SUM(cust) AS BIGINT) AS total_cust,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q167Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+       updated AS (
+         SELECT k, st,
+                CASE WHEN k % 4 = 3 AND st = 'O' THEN price_c ELSE cust END AS cust,
+                CASE WHEN k % 4 = 3 AND st = 'O' THEN cust ELSE price_c END AS price_c
+         FROM base)
+       SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              CAST(SUM(cust) AS BIGINT) AS total_cust,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM updated GROUP BY st ORDER BY st"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -353,5 +402,6 @@ object LakeQueries {
     QDef("q161_lake_compaction", q161, Some(q161Sql)),
     QDef("q162_lake_schema_evolution", q162, Some(q162Sql)),
     QDef("q163_lake_selective_delete", q163, Some(q163Sql)),
-    QDef("q164_lake_data_skipping", q164, Some(q164Sql)))
+    QDef("q164_lake_data_skipping", q164, Some(q164Sql)),
+    QDef("q167_lake_selective_update", q167, Some(q167Sql)))
 }

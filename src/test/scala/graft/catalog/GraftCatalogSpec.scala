@@ -406,6 +406,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan"), s"expected LocalTableScan:\n$plan")
   }
 
+  test("CALL system.update_where: pre-update RHS values, untouched segments by reference") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t23")
+    sql("CREATE TABLE gtest.ns.t23 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
+    spark.range(0, 10).selectExpr("id AS k", "id * 10 AS a", "id * 100 AS b")
+      .writeTo("gtest.ns.t23").append()
+    spark.range(10, 20).selectExpr("id AS k", "id * 10 AS a", "id * 100 AS b")
+      .writeTo("gtest.ns.t23").append()
+    val untouched = segmentDirs("t23").map(d =>
+      d -> java.nio.file.Files.list(d).iterator().asScala
+        .map(f => f -> java.nio.file.Files.getLastModifiedTime(f)).toMap).toMap
+    // swap-read: both RHS must see pre-update values
+    val summary = sql(
+      "CALL gtest.system.update_where('ns.t23', 'k >= 15', 'a = b, b = a')").collect()
+    assert(summary(0).getInt(0) === 2 && summary(0).getInt(1) === 1)
+    assert(summary(0).getLong(2) === 5L)
+    val r17 = sql("SELECT a, b FROM gtest.ns.t23 WHERE k = 17").head
+    assert((r17.getLong(0), r17.getLong(1)) === (1700L, 170L), "RHS saw post-update values")
+    val r5 = sql("SELECT a, b FROM gtest.ns.t23 WHERE k = 5").head
+    assert((r5.getLong(0), r5.getLong(1)) === (50L, 500L), "non-matching row changed")
+    // the [0,10) segment was never rewritten
+    val lowSeg = untouched.keys.find { d =>
+      spark.read.parquet(d.toString).agg(org.apache.spark.sql.functions.max("k"))
+        .head.getLong(0) < 10
+    }.get
+    untouched(lowSeg).foreach { case (f, mtime) =>
+      assert(java.nio.file.Files.getLastModifiedTime(f) === mtime,
+        s"untouched segment file $f was rewritten by update_where")
+    }
+    // NULL predicate rows pass through unchanged (SQL UPDATE semantics)
+    sql("ALTER TABLE gtest.ns.t23 ADD COLUMNS (tag STRING)")
+    sql("CALL gtest.system.update_where('ns.t23', 'tag = \\'x\\'', 'a = 0')")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t23 WHERE a = 0").head.getLong(0) === 1L,
+      "only k=0 (a already 0) may have a = 0; NULL-tag rows must not update")
+  }
+
   test("ALTER TABLE guards: layout columns cannot drop, dropped names cannot return") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t21")
