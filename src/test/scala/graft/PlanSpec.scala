@@ -369,6 +369,28 @@ class PlanSpec extends SparkSpec {
       s"expected a null-aware broadcast anti join:\n${plan.take(1200)}")
   }
 
+  test("no declared query plans a global window outside the audited allowlist") {
+    // an unpartitioned Window funnels EVERY row through one task — the
+    // classic silent scale-killer. The two allowed cases run over inputs that
+    // are aggregate-sized by construction, audited as such:
+    //   q98  — cumulative token-coverage curve over the vocab-sized frequency
+    //          table (already grouped; the curve is the deliverable)
+    //   q146 — final dominance window over the per-partition-pruned skyline
+    //          CANDIDATES (frontier-sized, not table-sized — the pruning
+    //          before it is the operator's whole point)
+    val allowed = Set("q98_vocab_coverage", "q146_skyline")
+    val offenders = Registry.all.flatMap { q =>
+      val p = q.fn(spark, sf).queryExecution.optimizedPlan
+      val glob = p.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (glob.nonEmpty && !allowed.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global (single-task) windows outside the allowlist: ${offenders.mkString(", ")}")
+  }
+
   test("every declared query produces a bounded, sorted plan (smoke)") {
     // catches accidental cartesians on the full corpus: planning must succeed and
     // contain no CartesianProduct except where declared (q08 cross join)
