@@ -198,6 +198,65 @@ private[catalog] final class UpdateWhereProcedure(catalog: GraftCatalog)
   * procedure and SQL `DELETE FROM` routed through `SupportsDeleteV2`.
   * Returns (segments_total, segments_rewritten, rows_deleted). */
 private[catalog] object GraftDml {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not, when}
+
+  private def segName(filePath: String): String =
+    java.nio.file.Paths.get(java.net.URI.create(filePath).getPath)
+      .getParent.getFileName.toString
+
+  /** ONE discovery scan: per-segment counts of rows where `matches` is TRUE
+    * (`_metadata.file_path` + parquet pushdown). Gives both the touched set
+    * and the affected-row count — neither DML core re-scans for it. */
+  private def discoverTouched(all: DataFrame, matches: Column): Map[String, Long] =
+    all.where(matches)
+      .groupBy(col("_metadata.file_path")).count().collect()
+      .map(r => segName(r.getString(0)) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+  /** The table-owned write layout, applied to a DML rewrite the same way
+    * RequiresDistributionAndOrdering applies it to INSERT/MERGE writes — a
+    * rewritten segment must not silently lose the clustering/sortedness its
+    * zone maps and row-group stats depend on. */
+  private def applyLayout(df: DataFrame, props: Map[String, String]): DataFrame = {
+    val clustered = props.get(GraftTable.ClusterByProp) match {
+      case Some(cols) => df.repartition(cols.split(',').map(c => df(c.trim)).toSeq: _*)
+      case None       => df
+    }
+    props.get(GraftTable.OrderByProp) match {
+      case Some(cols) =>
+        clustered.sortWithinPartitions(cols.split(',').map(c => clustered(c.trim)).toSeq: _*)
+      case None => clustered
+    }
+  }
+
+  private def writeSegment(dir: java.nio.file.Path, meta: GraftMeta,
+                           df: DataFrame): (String, Option[String]) = {
+    val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
+    applyLayout(df, meta.props).write.parquet(dir.resolve(segment).toString)
+    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
+      SparkSession.active, dir.resolve(segment).toString, meta.schema))).toOption
+    (segment, stats)
+  }
+
+  /** `a = expr, b = expr2` split on TOP-LEVEL commas only (parens and quoted
+    * strings protected), so multi-argument calls in a right-hand side work. */
+  private def splitAssignments(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quoted = false
+    s.foreach {
+      case '\''            => quoted = !quoted; cur += '\''
+      case c if quoted     => cur += c
+      case '('             => depth += 1; cur += '('
+      case ')'             => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c               => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Segment-level copy-on-write UPDATE. Matching rows (predicate TRUE — SQL
     * three-valued semantics, NULL rows pass through) get `assignments`
@@ -206,46 +265,47 @@ private[catalog] object GraftDml {
     * (segments_total, segments_rewritten, rows_updated). */
   def updateWhere(dir: java.nio.file.Path, predicate: String,
                   assignments: String): (Int, Int, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
     val segs = meta.snapshots(meta.current)
     if (segs.isEmpty) return (0, 0, 0L)
-    val assigned = assignments.split(',').map { a =>
+    val parts = splitAssignments(assignments)
+    require(parts.nonEmpty, "graft update_where: no assignments given")
+    val assigned = parts.map { a =>
+      require(a.contains("="), s"graft update_where: assignment '$a' has no '='")
       val Array(name, rhs) = a.split("=", 2).map(_.trim)
-      require(meta.schema.fieldNames.contains(name),
-        s"graft update_where: no column '$name' to assign")
-      name -> rhs
-    }.toMap
+      // resolve case-insensitively, like every other SQL identifier here
+      val field = meta.schema.fieldNames.find(_.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft update_where: no column '$name' to assign"))
+      field -> rhs
+    }
+    require(assigned.map(_._1).distinct.size == assigned.size,
+      s"graft update_where: a column is assigned more than once")
+    val assignedMap = assigned.toMap
     val matches = coalesce(expr(predicate), lit(false))
     def read(dirs: Seq[String]) =
       spark.read.schema(meta.schema).parquet(dirs.map(dir.resolve(_).toString): _*)
-    val touched = read(segs).where(matches)
-      .select(col("_metadata.file_path")).distinct().collect()
-      .map(r => java.nio.file.Paths.get(java.net.URI.create(r.getString(0)).getPath)
-        .getParent.getFileName.toString)
-      .toSet
-    if (touched.isEmpty) return (segs.size, 0, 0L)
-    val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
-    val touchedDf = read(segs.filter(touched))
-    val nUpdated = touchedDf.where(matches).count()
-    touchedDf.select(meta.schema.fields.map { f =>
-        assigned.get(f.name) match {
-          case Some(rhs) => when(matches, expr(rhs)).otherwise(col(f.name))
-            .cast(f.dataType).as(f.name)
-          case None => col(f.name)
-        }
-      }.toSeq: _*)
-      .write.parquet(dir.resolve(segment).toString)
-    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
-      spark, dir.resolve(segment).toString, meta.schema))).toOption
+    val touchedCounts = discoverTouched(read(segs), matches)
+    if (touchedCounts.isEmpty) return (segs.size, 0, 0L)
+    val touched = touchedCounts.keySet
+    val projected = read(segs.filter(touched)).select(meta.schema.fields.map { f =>
+      assignedMap.get(f.name) match {
+        // cast INSIDE the branch: CaseWhen coerces both branches to a common
+        // type first, so an outer cast would round-trip non-matching rows'
+        // values through e.g. DOUBLE and corrupt them
+        case Some(rhs) =>
+          when(matches, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
+    val (segment, stats) = writeSegment(dir, meta, projected)
     GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
       expectedCurrent = Some(meta.current))
-    (segs.size, touched.size, nUpdated)
+    (segs.size, touched.size, touchedCounts.values.sum)
   }
 
   def deleteWhere(dir: java.nio.file.Path, predicate: String): (Int, Int, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
     val segs = meta.snapshots(meta.current)
@@ -264,28 +324,20 @@ private[catalog] object GraftDml {
         expectedCurrent = Some(meta.current))
       return (segs.size, 0, nBefore)
     }
-    // 1. discovery: which segments hold at least one matching row
-    val touched = read(segs).where(matches)
-      .select(col("_metadata.file_path")).distinct().collect()
-      .map(r => java.nio.file.Paths.get(java.net.URI.create(r.getString(0)).getPath)
-        .getParent.getFileName.toString)
-      .toSet
-    if (touched.isEmpty) return (segs.size, 0, 0L)
+    // 1. one discovery scan: touched segments AND the per-segment match
+    // counts (= rows deleted) together
+    val touchedCounts = discoverTouched(read(segs), matches)
+    if (touchedCounts.isEmpty) return (segs.size, 0, 0L)
+    val touched = touchedCounts.keySet
     // 2. rewrite only the touched segments
-    val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
-    val touchedDf = read(segs.filter(touched))
-    val nBefore = touchedDf.count()
-    touchedDf.where(not(matches)).write.parquet(dir.resolve(segment).toString)
-    val nAfter = spark.read.schema(meta.schema)
-      .parquet(dir.resolve(segment).toString).count()
-    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
-      spark, dir.resolve(segment).toString, meta.schema))).toOption
+    val (segment, stats) =
+      writeSegment(dir, meta, read(segs.filter(touched)).where(not(matches)))
     // 3. swap exactly the touched segments; fail on any concurrent commit —
     // applying `removed` to a changed base would resurrect deleted rows or
     // duplicate survivors
     GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
       expectedCurrent = Some(meta.current))
-    (segs.size, touched.size, nBefore - nAfter)
+    (segs.size, touched.size, touchedCounts.values.sum)
   }
 }
 
