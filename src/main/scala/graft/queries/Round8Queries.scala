@@ -374,6 +374,103 @@ object Round8Queries {
                                WHERE c_acctbal < 0)
        GROUP BY o_orderstatus ORDER BY st"""
 
+  // --------------------------------------------------------------------------
+  // q168: regular-grid resampling with LINEAR INTERPOLATION — the sensor/price
+  // alignment primitive (q116's gap-fill COPIES the previous value; this one
+  // COMPUTES v_p + (v_n−v_p)·(t−t_p)/(t_n−t_p) between the bracketing
+  // readings). Engine-portable construction: no IGNORE-NULLS windows — a
+  // cumulative reading-count over the union of readings and grid points keys
+  // each grid point to its bracketing readings by EQUI-join (prev = cum,
+  // next = cum+1), so the shape is per-user windows + two node-keyed joins,
+  // distributed at 100 TB. Interpolation is integer-exact in both engines:
+  // floor division is spelled as (num − pmod(num, den)) DIV den — an exact
+  // multiple divides identically under truncating DIV and flooring //, so the
+  // sign-convention trap between the engines never fires.
+  // --------------------------------------------------------------------------
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val stepUs = 6L * 3600 * 1000000 // 6-hour grid
+    val readings = T.events(s, d)
+      .where(col("user_id") % 50 === 0) // deterministic 2% user sample
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("v"))
+      .groupBy(col("user_id"), col("t")).agg(max(col("v")).as("v")) // dedupe equal-µs
+    val spans = readings.groupBy(col("user_id"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("t0"), col("t1"), lit(stepUs))).as("t"))
+    val combined = readings.select(col("user_id"), col("t"), lit(1L).as("is_reading"))
+      .unionByName(grid.select(col("user_id"), col("t"), lit(0L).as("is_reading")))
+    // readings sort BEFORE coincident grid points, so a grid point landing
+    // exactly on a reading brackets to it (t = t_p ⇒ interp = v_p, no division)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("is_reading").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gridCum = combined
+      .withColumn("cum", sum(col("is_reading")).over(w))
+      .where(col("is_reading") === 0)
+      .select(col("user_id"), col("t"), col("cum"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val numbered = readings.withColumn("rn", row_number().over(wr))
+    val prev = numbered.select(col("user_id").as("pu"), col("rn").as("prn"),
+      col("t").as("tp"), col("v").as("vp"))
+    val next = numbered.select(col("user_id").as("nu"), col("rn").as("nrn"),
+      col("t").as("tn"), col("v").as("vn"))
+    val interp = gridCum
+      .join(prev, col("user_id") === col("pu") && col("cum") === col("prn"))
+      .join(next, col("user_id") === col("nu") && (col("cum") + 1) === col("nrn"), "left")
+      .select(col("user_id"), col("t"),
+        when(col("t") === col("tp"), col("vp"))
+          .otherwise(expr(
+            "vp + (((vn - vp) * (t - tp)) - pmod((vn - vp) * (t - tp), tn - tp)) DIV (tn - tp)"))
+          .as("interp_c"))
+    interp.groupBy((col("user_id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("interp_c")).as("sum_c"),
+        min(col("interp_c")).as("min_c"),
+        max(col("interp_c")).as("max_c"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q168Sql =
+    """WITH readings AS (
+         SELECT user_id, epoch_us(ts) AS t, MAX(CAST(ROUND(value * 100) AS BIGINT)) AS v
+         FROM events WHERE user_id % 50 = 0 GROUP BY user_id, epoch_us(ts)),
+       spans AS (SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM readings GROUP BY user_id),
+       grid AS (SELECT user_id, UNNEST(generate_series(t0, t1, 21600000000)) AS t FROM spans),
+       combined AS (
+         SELECT user_id, t, 1 AS is_reading FROM readings
+         UNION ALL SELECT user_id, t, 0 FROM grid),
+       cums AS (
+         SELECT user_id, t, is_reading,
+                SUM(is_reading) OVER (PARTITION BY user_id
+                  ORDER BY t, is_reading DESC ROWS UNBOUNDED PRECEDING) AS cum
+         FROM combined),
+       gridc AS (SELECT user_id, t, cum FROM cums WHERE is_reading = 0),
+       numbered AS (
+         SELECT user_id, t, v,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t) AS rn
+         FROM readings),
+       joined AS (
+         SELECT g.user_id, g.t, p.t AS tp, p.v AS vp, n.t AS tn, n.v AS vn
+         FROM gridc g
+         JOIN numbered p ON g.user_id = p.user_id AND g.cum = p.rn
+         LEFT JOIN numbered n ON g.user_id = n.user_id AND g.cum + 1 = n.rn),
+       interp AS (
+         SELECT user_id, t,
+                CASE WHEN t = tp THEN vp
+                     ELSE vp + (((vn - vp) * (t - tp))
+                            - ((((vn - vp) * (t - tp)) % (tn - tp) + (tn - tp)) % (tn - tp)))
+                          // (tn - tp)
+                END AS interp_c
+         FROM joined)
+       SELECT user_id % 7 AS bucket, COUNT(*) AS n_points,
+              COUNT(DISTINCT user_id) AS n_users,
+              CAST(SUM(interp_c) AS BIGINT) AS sum_c,
+              CAST(MIN(interp_c) AS BIGINT) AS min_c,
+              CAST(MAX(interp_c) AS BIGINT) AS max_c
+       FROM interp GROUP BY bucket ORDER BY bucket"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q155_order_statistics", q155, Some(q155Sql)),
     QDef("q156_markov_transitions", q156, Some(q156Sql)),
@@ -382,5 +479,6 @@ object Round8Queries {
     QDef("q159_spatial_grid_join", q159, Some(q159Sql)),
     QDef("q160_distributed_enumerate", q160, Some(q160Sql)),
     QDef("q165_dynamic_session", q165, Some(q165Sql)),
-    QDef("q166_not_in_null_aware", q166, Some(q166Sql)))
+    QDef("q166_not_in_null_aware", q166, Some(q166Sql)),
+    QDef("q168_resample_interpolate", q168, Some(q168Sql)))
 }
