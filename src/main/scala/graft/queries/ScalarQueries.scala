@@ -199,6 +199,43 @@ object ScalarQueries {
        FROM events WHERE event_id < 500
        ORDER BY event_id"""
 
+  // --------------------------------------------------------------------------
+  // q169: MONTH-BOUNDARY arithmetic — the calendar family where engines
+  // disagree most subtly: add_months clamps to end-of-month (Jan 31 + 1 month
+  // = Feb 29), last_day, next-weekday, quarter truncation, and days-in-month.
+  // q22 covers plain day arithmetic; this pins the clamping semantics against
+  // DuckDB's INTERVAL MONTH (which also clamps) so the hash proves both
+  // engines implement the same calendar, not just the same datatypes.
+  // Spark's next_day is replicated in the oracle with explicit dow offset
+  // arithmetic ((target − dow + 6) % 7 + 1 — strictly-after semantics).
+  // --------------------------------------------------------------------------
+  private def q169(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        date_format(add_months(col("l_shipdate"), 1), "yyyy-MM-dd").as("plus_1m"),
+        date_format(add_months(col("l_shipdate"), -2), "yyyy-MM-dd").as("minus_2m"),
+        date_format(last_day(col("l_shipdate")), "yyyy-MM-dd").as("eom"),
+        date_format(next_day(col("l_shipdate"), "Mon"), "yyyy-MM-dd").as("next_mon"),
+        date_format(trunc(col("l_shipdate"), "quarter"), "yyyy-MM-dd").as("q_start"),
+        (datediff(last_day(col("l_shipdate")), trunc(col("l_shipdate"), "mm")) + 1)
+          .as("days_in_month"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q169Sql =
+    """SELECT l_orderkey, l_linenumber,
+       STRFTIME(l_shipdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_1m,
+       STRFTIME(l_shipdate - INTERVAL 2 MONTH, '%Y-%m-%d') AS minus_2m,
+       STRFTIME(LAST_DAY(l_shipdate), '%Y-%m-%d') AS eom,
+       STRFTIME(l_shipdate + CAST((1 - DAYOFWEEK(l_shipdate) + 6) % 7 + 1 AS INT)
+                  * INTERVAL 1 DAY, '%Y-%m-%d') AS next_mon,
+       STRFTIME(DATE_TRUNC('quarter', l_shipdate), '%Y-%m-%d') AS q_start,
+       CAST(DATE_DIFF('day', DATE_TRUNC('month', l_shipdate), LAST_DAY(l_shipdate)) + 1
+            AS INT) AS days_in_month
+       FROM lineitem WHERE l_orderkey < 200
+       ORDER BY l_orderkey, l_linenumber"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q21_string_funcs", q21, Some(q21Sql)),
     QDef("q22_date_funcs", q22, Some(q22Sql)),
@@ -206,5 +243,6 @@ object ScalarQueries {
     QDef("q24_cond_funcs", q24, Some(q24Sql)),
     QDef("q25_array_funcs", q25, Some(q25Sql)),
     QDef("q26_map_json_funcs", q26, Some(q26Sql)),
+    QDef("q169_month_arithmetic", q169, Some(q169Sql)),
   )
 }
