@@ -134,6 +134,30 @@ object EventStreams {
   def purchaseClickLeftJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     purchaseClickJoinImpl(events, watermark, "left_outer")
 
+  /** FULL OUTER stream-stream interval join — both unattributed purchases AND
+    * orphan clicks surface, each null-extended, each only once the watermark
+    * proves no match can still arrive. Completes the join-type matrix the
+    * inner/left-outer twins start; state stays band-bounded on both sides
+    * because the interval condition lets either side evict rows the other
+    * side's watermark has passed. Output keys on COALESCE of the two user
+    * columns: an orphan click's purchase-side user_id is null, so neither
+    * side's key alone covers every row. */
+  def purchaseClickFullJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"), "full_outer")
+      .select(col("purchase_id"), coalesce(col("user_id"), col("c_user")).as("user_key"),
+        col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserStats(user_id: Long, n: Long, mean: Double, variance: Double)

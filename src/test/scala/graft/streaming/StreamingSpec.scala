@@ -288,6 +288,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("click_id").isNotNull).count() > 0)
   }
 
+  test("FULL OUTER stream-stream interval join: replay equals batch, both halves flushed") {
+    // same heartbeat discipline as the left-outer case, but BOTH null-extended
+    // halves must flush: unattributed purchases (click side null) and orphan
+    // clicks (purchase side null). user_key coalesces the two user columns,
+    // so heartbeat rows filter out even when one side is null-extended.
+    val streamed = replay("ssfulljoin", "append", heartbeatReplayDir)(
+      EventStreams.purchaseClickFullJoin(_)).filter(col("user_key") >= 0)
+    val batch = EventStreams.purchaseClickFullJoin(batchEvents).filter(col("user_key") >= 0)
+    assert(canon(streamed) == canon(batch))
+    assert(streamed.filter(col("click_id").isNull).count() > 0,
+      "fixture must produce unattributed purchases")
+    assert(streamed.filter(col("purchase_id").isNull).count() > 0,
+      "fixture must produce orphan clicks (the full-outer half left_outer lacks)")
+    assert(streamed.filter(col("purchase_id").isNotNull && col("click_id").isNotNull).count() > 0)
+  }
+
   test("watermark drops late data in streaming that batch would count") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
