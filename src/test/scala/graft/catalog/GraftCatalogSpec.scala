@@ -479,6 +479,25 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) FROM gtest.ns.t22").head.getLong(0) === 11L)
   }
 
+  test("ALTER TABLE RENAME TO moves the directory; history and stats survive") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t24")
+    sql("DROP TABLE IF EXISTS gtest.ns.t24r")
+    sql("CREATE TABLE gtest.ns.t24 AS SELECT id AS k FROM range(10)")
+    sql("INSERT INTO gtest.ns.t24 SELECT id FROM range(10, 30)")
+    // the RENAME TO target resolves inside the source's catalog: no catalog prefix
+    sql("ALTER TABLE gtest.ns.t24 RENAME TO ns.t24r")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t24r").head.getLong(0) === 30L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t24r VERSION AS OF 1").head.getLong(0) === 10L,
+      "time travel must survive a rename")
+    // zone maps moved with the table: a range predicate still plans one segment
+    val pf = plannedFiles(sql("SELECT k FROM gtest.ns.t24r WHERE k >= 15"))
+    assert(pf.map(f => java.nio.file.Paths.get(f).getParent.getFileName.toString)
+      .distinct.size === 1, "segment stats must survive a rename")
+    val err = intercept[Exception] { sql("SELECT * FROM gtest.ns.t24").collect() }
+    assert(err.getMessage.toLowerCase.contains("t24"), "old name must be gone")
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
