@@ -480,5 +480,44 @@ object Round8Queries {
     QDef("q160_distributed_enumerate", q160, Some(q160Sql)),
     QDef("q165_dynamic_session", q165, Some(q165Sql)),
     QDef("q166_not_in_null_aware", q166, Some(q166Sql)),
-    QDef("q168_resample_interpolate", q168, Some(q168Sql)))
+    QDef("q168_resample_interpolate", q168, Some(q168Sql)),
+    QDef("q170_bitwise_aggs", q170, Some(q170Sql)))
+
+  // --------------------------------------------------------------------------
+  // q170: bitwise aggregate family — `bit_and` / `bit_or` / `bit_xor`, the
+  // flag-mask rollup (capability intersection, union, and parity in one
+  // linear scan; all three are algebraic with single-long partials, so the
+  // 100 TB form is map-side combine + a group-count-sized shuffle — the same
+  // cost class as SUM). A synthetic per-row flag word (deterministic bits from
+  // key arithmetic) makes every bit position exercised in both engines.
+  // NB `defs` above references q170Sql: as a method (not a val), declaration
+  // order cannot null it.
+  // --------------------------------------------------------------------------
+  private def q170(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_orderstatus").as("st"),
+        expr("CAST(1 << (o_orderkey % 7) AS BIGINT) | CAST(1 << (o_custkey % 5 + 7) AS BIGINT)")
+          .as("flags"),
+        col("o_orderkey"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(flags)").as("mask_all"),
+        expr("bit_or(flags)").as("mask_any"),
+        expr("bit_xor(flags)").as("mask_parity"),
+        expr("bit_or(CAST(1 << (o_orderkey % 31) AS BIGINT))").as("key_coverage"))
+      .orderBy(col("st"))
+
+  private def q170Sql =
+    """WITH f AS (
+         SELECT o_orderstatus AS st,
+                CAST(1 << (o_orderkey % 7) AS BIGINT)
+                  | CAST(1 << (o_custkey % 5 + 7) AS BIGINT) AS flags,
+                o_orderkey
+         FROM orders)
+       SELECT st, COUNT(*) AS n,
+              CAST(BIT_AND(flags) AS BIGINT) AS mask_all,
+              CAST(BIT_OR(flags) AS BIGINT) AS mask_any,
+              CAST(BIT_XOR(flags) AS BIGINT) AS mask_parity,
+              CAST(BIT_OR(CAST(1 << (o_orderkey % 31) AS BIGINT)) AS BIGINT) AS key_coverage
+       FROM f GROUP BY st ORDER BY st"""
 }

@@ -8,6 +8,10 @@ class RegistrySpec extends SparkSpec {
     val names = Registry.all.map(_.name)
     assert(names.distinct.length == names.length, "duplicate query names")
     names.foreach(n => assert(n.matches("q\\d+_[a-z0-9_]+"), s"bad name: $n"))
+    // a QDef listed before its oracle val's declaration captures null (Scala
+    // val init order) and would silently break the driver's oracle_sql.json
+    Registry.all.foreach(q => q.oracle.foreach(sql =>
+      assert(sql != null && sql.nonEmpty, s"${q.name} has a null/empty oracle")))
   }
 
   test("every oracle query declares a total ORDER BY (determinism convention 1)") {
