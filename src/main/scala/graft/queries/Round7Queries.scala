@@ -369,9 +369,9 @@ object Round7Queries {
 
   private val q147Sql =
     """SELECT 'max_cents' AS key,
-         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
-         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
-         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f,
+         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o,
+         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p
        FROM orders
        UNION ALL
        SELECT 'n_orders',

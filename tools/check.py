@@ -60,12 +60,13 @@ def main():
             n_fail += 1
             continue
         scols = spark_tbl.column_names
-        if sorted(scols) != sorted(c.lower() for c in dcols):
+        # the driver's hash is CASE-SENSITIVE on column names — compare exactly
+        if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             n_fail += 1
             continue
         # driver sorts columns by name before hashing values
-        order = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+        order = sorted(range(len(dcols)), key=lambda i: dcols[i])
         duck_rows = [tuple(norm(r[i]) for i in order) for r in drows]
         sdict = {c: spark_tbl.column(c).to_pylist() for c in scols}
         scols_sorted = sorted(scols)
