@@ -642,9 +642,10 @@ private[catalog] final class GraftWriteBuilder(
       override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         delegate.commit(messages) // files are now live in the segment dir
-        // zone maps: one agg pass over the new segment; a stats failure must
-        // never fail the write — segments without stats simply never prune
-        val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
+        // zone maps harvested from the just-written parquet footers (no
+        // second read); a stats failure must never fail the write — segments
+        // without stats simply never prune
+        val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
           SparkSession.active, tableDir.resolve(segment).toString,
           metaAtBuild.schema))).toOption
         GraftMeta.commit(tableDir, segment, replace, stats,

@@ -106,7 +106,7 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
     spark.read.schema(meta.schema).parquet(segs.map(_.toString): _*)
       .coalesce(nOut)
       .write.parquet(dir.resolve(segment).toString)
-    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
+    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
       spark, dir.resolve(segment).toString, meta.schema))).toOption
     // expectedCurrent: a concurrent append between the rewrite's snapshot pin
     // and this commit must FAIL the compaction (its rows are not in the
@@ -234,7 +234,7 @@ private[catalog] object GraftDml {
                            df: DataFrame): (String, Option[String]) = {
     val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
     applyLayout(df, meta.props).write.parquet(dir.resolve(segment).toString)
-    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.compute(
+    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
       SparkSession.active, dir.resolve(segment).toString, meta.schema))).toOption
     (segment, stats)
   }

@@ -3,6 +3,8 @@ package graft.catalog
 import java.nio.charset.StandardCharsets
 import java.util.Base64
 
+import scala.collection.JavaConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.functions.{col, count, datediff, lit, max, min, sum, unix_micros, when}
@@ -41,30 +43,188 @@ private[catalog] object SegmentStats {
     case _                                             => None
   }
 
-  /** One aggregate pass over the freshly written segment (at scale the same
-    * numbers come free from the parquet footers the write just produced — the
-    * documented seam; one extra columnar scan of the NEW segment keeps this
-    * implementation honest and engine-only). */
+  /** Commit-time stats for a freshly written segment. The footers the write
+    * just produced already hold per-chunk min/max/null-count, so the common
+    * path is pure driver-side metadata IO — zero extra row reads, zero Spark
+    * jobs (the Iceberg/Delta recipe: manifests harvest file stats at commit).
+    * Columns whose footer stats are unusable (INT96 timestamps, missing
+    * statistics) fall back to ONE aggregate scan over just those columns —
+    * never the whole segment — so a partially-harvestable schema still skips
+    * the bulk of the re-read. */
+  def harvest(spark: SparkSession, segmentDir: String, schema: StructType): Stats = {
+    fromFooters(segmentDir, schema) match {
+      case Some((rows, ok, failed)) if failed.isEmpty => Stats(rows, ok)
+      case Some((rows, ok, failed)) =>
+        val patched = computeCols(spark, segmentDir, schema, failed)
+        Stats(rows, ok ++ patched)
+      case None => compute(spark, segmentDir, schema)
+    }
+  }
+
+  /** One aggregate pass over the segment — the engine-only fallback when
+    * footers can't serve ([[harvest]] is the zero-IO primary path). */
   def compute(spark: SparkSession, segmentDir: String, schema: StructType): Stats = {
     val eligible = schema.fields.flatMap(f => kindOf(f.dataType).map(f.name -> _)).toSeq
     val df = spark.read.schema(schema).parquet(segmentDir)
-    val aggs = count(lit(1)).as("__rows") +: eligible.flatMap { case (name, kind) =>
-      val c = kind match {
-        case 'i' | 's' => col(name)
-        case 'd'       => datediff(col(name), lit("1970-01-01")).cast(LongType)
-        case 't'       => unix_micros(col(name))
-      }
-      Seq(min(c).as(s"__min_$name"), max(c).as(s"__max_$name"),
-        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"__nulls_$name"))
-    }
+    val aggs = count(lit(1)).as("__rows") +: aggsFor(eligible)
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val cols = eligible.map { case (name, kind) =>
+    Stats(row.getAs[Long]("__rows"), colsFrom(row, eligible))
+  }
+
+  private def aggsFor(cols: Seq[(String, Char)]) = cols.flatMap { case (name, kind) =>
+    val c = kind match {
+      case 'i' | 's' => col(name)
+      case 'd'       => datediff(col(name), lit("1970-01-01")).cast(LongType)
+      case 't'       => unix_micros(col(name))
+    }
+    Seq(min(c).as(s"__min_$name"), max(c).as(s"__max_$name"),
+      sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"__nulls_$name"))
+  }
+
+  private def colsFrom(row: org.apache.spark.sql.Row,
+                       cols: Seq[(String, Char)]): Map[String, Col] =
+    cols.map { case (name, kind) =>
       val mn = Option(row.getAs[Any](s"__min_$name")).map(_.toString)
       val mx = Option(row.getAs[Any](s"__max_$name")).map(_.toString)
       name -> Col(kind, mn, mx, row.getAs[Long](s"__nulls_$name"))
     }.toMap
-    Stats(row.getAs[Long]("__rows"), cols)
+
+  /** Aggregate scan restricted to `subset` — the per-column fallback arm of
+    * [[harvest]]; reads only the named columns (column pruning makes this a
+    * fraction of the full-schema scan). */
+  private def computeCols(spark: SparkSession, segmentDir: String,
+                          schema: StructType, subset: Seq[(String, Char)]): Map[String, Col] = {
+    val df = spark.read.schema(schema).parquet(segmentDir)
+    val aggs = aggsFor(subset)
+    colsFrom(df.agg(aggs.head, aggs.tail: _*).collect()(0), subset)
   }
+
+  /** Harvest (rows, per-column stats, columns-needing-fallback) from the
+    * segment's parquet footers. Driver-side metadata reads only. Returns None
+    * if the directory itself can't be listed/read (caller falls back to the
+    * aggregate scan).
+    *
+    * Per-column rules, conservative in the same direction as [[mayMatch]]:
+    *   - a file with no chunk for the column (pre-ADD COLUMN segment) counts
+    *     all its rows as null — exactly what the null-filling scan reports;
+    *   - a chunk with unusable stats (INT96, statistics absent or deemed
+    *     corrupt by parquet-mr, unset null counts) fails the COLUMN, which
+    *     re-derives via the fallback aggregate — never silently weaker bounds;
+    *   - string bounds merge by unsigned UTF-8 byte order, the same total
+    *     order Spark's min/max on UTF8String uses, so harvested bounds are
+    *     bit-identical to the aggregate's. */
+  private[catalog] def fromFooters(segmentDir: String, schema: StructType)
+    : Option[(Long, Map[String, Col], Seq[(String, Char)])] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+
+    val eligible = schema.fields.flatMap(f => kindOf(f.dataType).map(f.name -> _)).toSeq
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hdir = new org.apache.hadoop.fs.Path(segmentDir)
+    val fs = hdir.getFileSystem(conf)
+    if (!fs.isDirectory(hdir)) return None
+    val files = fs.listStatus(hdir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+
+    // accumulator per column: failed | (nulls, min, max) in the kind's domain
+    // (Long for i/d/t, Binary for s — compared by unsigned bytes)
+    final class Acc(val kind: Char) {
+      var failed = false
+      var nulls = 0L
+      var mn: Any = null
+      var mx: Any = null
+      def merge(v: Any): Unit = {
+        def less(a: Any, b: Any): Boolean = kind match {
+          case 's' =>
+            val (x, y) = (a.asInstanceOf[Binary].getBytes, b.asInstanceOf[Binary].getBytes)
+            val n = math.min(x.length, y.length)
+            var i = 0
+            while (i < n && x(i) == y(i)) i += 1
+            if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+          case _ => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+        }
+        if (mn == null || less(v, mn)) mn = v
+        if (mx == null || less(mx, v)) mx = v
+      }
+    }
+    val accs = eligible.map { case (n, k) => n -> new Acc(k) }.toMap
+    var rows = 0L
+
+    // literal min OR max value from chunk stats → the column kind's domain
+    def convert(kind: Char, tpe: PrimitiveType, v: Any): Option[Any] = {
+      import PrimitiveType.PrimitiveTypeName._
+      (kind, tpe.getPrimitiveTypeName) match {
+        case ('i', INT32) => Some(v.asInstanceOf[Integer].toLong)
+        case ('i', INT64) => Some(v.asInstanceOf[java.lang.Long].longValue)
+        case ('d', INT32) if tpe.getLogicalTypeAnnotation.isInstanceOf[DateLogicalTypeAnnotation] =>
+          Some(v.asInstanceOf[Integer].toLong)
+        case ('t', INT64) => tpe.getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation =>
+            val raw = v.asInstanceOf[java.lang.Long].longValue
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(math.multiplyExact(raw, 1000L))
+              // floor-div is monotone, so floor(min)/floor(max) are the exact
+              // micro bounds of the floored values — same as unix_micros
+              case LogicalTypeAnnotation.TimeUnit.NANOS  => Some(Math.floorDiv(raw, 1000L))
+            }
+          case _ => None
+        }
+        case ('s', BINARY) if tpe.getLogicalTypeAnnotation.isInstanceOf[StringLogicalTypeAnnotation] =>
+          Some(v.asInstanceOf[Binary])
+        case _ => None
+      }
+    }
+
+    files.foreach { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        val footer = reader.getFooter
+        footer.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          val byName = block.getColumns.asScala
+            .filter(_.getPath.size == 1).map(c => c.getPath.toDotString -> c).toMap
+          eligible.foreach { case (name, kind) =>
+            val acc = accs(name)
+            if (!acc.failed) byName.get(name) match {
+              case None =>
+                // no chunk: a pre-ADD COLUMN file — the scan null-fills it
+                acc.nulls += block.getRowCount
+              case Some(chunk) =>
+                val stats = chunk.getStatistics
+                if (stats == null || !stats.isNumNullsSet) acc.failed = true
+                else {
+                  acc.nulls += stats.getNumNulls
+                  if (stats.hasNonNullValue) {
+                    (convert(kind, chunk.getPrimitiveType, stats.genericGetMin),
+                      convert(kind, chunk.getPrimitiveType, stats.genericGetMax)) match {
+                      case (Some(lo), Some(hi)) => acc.merge(lo); acc.merge(hi)
+                      case _                    => acc.failed = true
+                    }
+                  } else if (block.getRowCount > stats.getNumNulls) {
+                    acc.failed = true // non-null rows but no bounds recorded
+                  }
+                }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+
+    def render(kind: Char, v: Any): String = kind match {
+      case 's' => new String(v.asInstanceOf[Binary].getBytes, StandardCharsets.UTF_8)
+      case _   => v.asInstanceOf[Long].toString
+    }
+    val ok = eligible.collect { case (n, k) if !accs(n).failed =>
+      val a = accs(n)
+      n -> Col(k, Option(a.mn).map(render(k, _)), Option(a.mx).map(render(k, _)), a.nulls)
+    }.toMap
+    val failed = eligible.filter { case (n, _) => accs(n).failed }
+    Some((rows, ok, failed))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   private def b64(s: String): String =
     Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))

@@ -498,6 +498,70 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("t24"), "old name must be gone")
   }
 
+  test("zone-map stats harvest from parquet footers: no second read, same bounds") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t25")
+    sql("CREATE TABLE gtest.ns.t25 (k BIGINT, tag STRING, d DATE) USING parquet")
+    // planted nulls in tag so harvested null counts are non-trivial
+    sql("""INSERT INTO gtest.ns.t25
+           SELECT id, CASE WHEN id % 3 = 0 THEN NULL ELSE concat('v', id) END,
+                  DATE'2024-01-01' + CAST(id AS INT) FROM range(100)""")
+    val dir = root.resolve("ns").resolve("t25")
+    val meta = GraftMeta.read(dir)
+    val seg = meta.snapshots(meta.current).head
+    // the footer path alone must cover every column of this schema —
+    // fromFooters has no SparkSession parameter, so a clean harvest is
+    // STRUCTURALLY incapable of re-reading the segment's rows
+    val (rows, ok, failed) =
+      SegmentStats.fromFooters(dir.resolve(seg).toString, meta.schema).get
+    assert(failed.isEmpty, s"footer harvest must cover int/string/date, missed $failed")
+    assert(rows === 100L)
+    // bit-identical to the aggregate-scan fallback (the round-5 implementation)
+    val agg = SegmentStats.compute(spark, dir.resolve(seg).toString, meta.schema)
+    assert(SegmentStats.Stats(rows, ok) === agg,
+      "footer-harvested bounds must equal the aggregate scan's")
+    // and the COMMITTED stats are the harvested ones (same encode round-trip)
+    assert(SegmentStats.decode(meta.zstats(seg)) === agg)
+    assert(ok("tag").nulls === 34L) // ids 0,3,...,99
+    assert(ok("k").min.contains("0") && ok("k").max.contains("99"))
+  }
+
+  test("footer harvest: pre-ADD COLUMN segments read as all-null; INT64 timestamps harvest") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t26")
+    sql("CREATE TABLE gtest.ns.t26 (k BIGINT) USING parquet")
+    sql("INSERT INTO gtest.ns.t26 SELECT id FROM range(10)")          // no `extra` yet
+    sql("ALTER TABLE gtest.ns.t26 ADD COLUMN extra BIGINT")
+    val dir = root.resolve("ns").resolve("t26")
+    val meta = GraftMeta.read(dir)
+    val seg = meta.snapshots(meta.current).head
+    val (rows, ok, failed) =
+      SegmentStats.fromFooters(dir.resolve(seg).toString, meta.schema).get
+    assert(failed.isEmpty && rows === 10L)
+    // the old segment has no chunk for `extra`: all rows count as null and the
+    // bounds stay empty — exactly what the null-filling scan computes
+    assert(ok("extra") === SegmentStats.Col('i', None, None, 10L))
+
+    // timestamps: INT64 micros footers harvest; the writer's timestamp
+    // encoding is session conf, so pin the micros path explicitly
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val saved = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      sql("DROP TABLE IF EXISTS gtest.ns.t27")
+      sql("CREATE TABLE gtest.ns.t27 (ts TIMESTAMP) USING parquet")
+      sql("INSERT INTO gtest.ns.t27 VALUES (TIMESTAMP'2024-01-01 00:00:00'), (TIMESTAMP'2024-06-01 12:34:56')")
+      val d27 = root.resolve("ns").resolve("t27")
+      val m27 = GraftMeta.read(d27)
+      val s27 = m27.snapshots(m27.current).head
+      val (r27, ok27, failed27) =
+        SegmentStats.fromFooters(d27.resolve(s27).toString, m27.schema).get
+      assert(failed27.isEmpty && r27 === 2L)
+      assert(SegmentStats.Stats(r27, ok27) ===
+        SegmentStats.compute(spark, d27.resolve(s27).toString, m27.schema))
+    } finally saved.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
