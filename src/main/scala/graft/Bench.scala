@@ -54,12 +54,16 @@ object Bench {
       val times = Seq.fill(runs)(timeOnce(name, fn))
       // any failed run poisons the query: report the (negative) failure time
       val median = times.find(_ < 0).getOrElse(times.sorted.apply(runs / 2))
-      name -> median
+      // min rides along so a one-off environment stall is self-diagnosing in
+      // the artifact: median >> min flags noise, median ≈ min flags the plan
+      (name, median, times.map(math.abs).min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, v) => math.abs(v) }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val mins = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"sf":"$sfDir"}"""
     println(line)
     // Also write the JSON line to a file: the driver's BENCH_rN.json capture
     // keeps only the stdout TAIL, which truncated per-query numbers for half the

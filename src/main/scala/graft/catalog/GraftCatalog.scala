@@ -147,8 +147,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
-    dir.toString.intern().synchronized {
-      val meta = GraftMeta.read(dir)
+    GraftMeta.mutate(dir) { meta =>
       var dropped = meta.props.get(GraftTable.DroppedColumnsProp)
         .map(_.split(',').toSet).getOrElse(Set.empty[String])
       val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
@@ -199,7 +198,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       val newProps =
         if (dropped.isEmpty) meta.props
         else meta.props + (GraftTable.DroppedColumnsProp -> dropped.toSeq.sorted.mkString(","))
-      GraftMeta.write(dir, meta.copy(schema = newSchema, props = newProps))
+      meta.copy(schema = newSchema, props = newProps)
     }
     loadTable(ident)
   }
@@ -240,20 +239,38 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val dst = tableDir(to)
     if (Files.exists(dst)) throw new TableAlreadyExistsException(to)
     Files.createDirectories(dst.getParent)
-    Files.move(src, dst)
+    // same per-table lock as every commit path: a rename racing an in-flight
+    // write would otherwise land between the parquet job commit and the meta
+    // swap — the meta write would target the moved-away path and the append's
+    // files would sit in the new dir unreferenced (a lost commit)
+    src.toString.intern().synchronized {
+      Files.move(src, dst)
+    }
   }
 }
 
 /** Table metadata: schema + snapshot id → visible segment dirs. Persisted as a
   * line-oriented text file (schema is one JSON line via StructType.json — no
-  * extra parser dependency), swapped atomically on every commit. */
+  * extra parser dependency).
+  *
+  * `committedNamed` is the durable exactly-once registry: every NAMED segment
+  * ever committed (streaming `graft.segment` batches), segment name →
+  * snapshot id it first landed in. Unlike inferring idempotency from "does a
+  * retained snapshot list the segment", this survives compaction folding the
+  * segment away and expiry deleting its directory — a replayed epoch after
+  * maintenance still finds its name here and no-ops (the Delta
+  * txnAppId/txnVersion contract, per-segment-name). */
 private[catalog] final case class GraftMeta(
     schema: StructType, current: Long, snapshots: Map[Long, Seq[String]],
     props: Map[String, String] = Map.empty,
-    zstats: Map[String, String] = Map.empty)
+    zstats: Map[String, String] = Map.empty,
+    committedNamed: Map[String, Long] = Map.empty)
 
 private[catalog] object GraftMeta {
   val FileName = "_graft_meta"
+  /** Directory of full-state commit files, one per meta version, claimed by
+    * atomic hard-link creation — the cross-process CAS (see [[casWrite]]). */
+  val CommitsDir = "_graft_commits"
 
   /** `Files.list` with the stream CLOSED — the bare `.iterator()` idiom pins
     * one directory fd until GC, and catalog code lists directories on every
@@ -269,13 +286,13 @@ private[catalog] object GraftMeta {
     Files.deleteIfExists(p)
   }
 
-  def read(tableDir: Path): GraftMeta = {
-    val lines = Files.readAllLines(tableDir.resolve(FileName), StandardCharsets.UTF_8).asScala
+  private def parse(lines: Seq[String]): GraftMeta = {
     var schema: StructType = null
     var current = 0L
     val snaps = Map.newBuilder[Long, Seq[String]]
     val props = Map.newBuilder[String, String]
     val zstats = Map.newBuilder[String, String]
+    val named = Map.newBuilder[String, Long]
     lines.foreach {
       case l if l.startsWith("schema=") =>
         schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
@@ -286,15 +303,18 @@ private[catalog] object GraftMeta {
       case l if l.startsWith("z.") && l.contains("=") =>
         val Array(seg, payload) = l.drop(2).split("=", 2)
         zstats += seg -> payload
+      case l if l.startsWith("c.") && l.contains("=") =>
+        val Array(seg, snap) = l.drop(2).split("=", 2)
+        named += seg -> snap.toLong
       case l if l.startsWith("s") && l.contains("=") =>
         val Array(id, dirs) = l.split("=", 2)
         snaps += id.drop(1).toLong -> (if (dirs.isEmpty) Nil else dirs.split(",").toSeq)
       case _ => ()
     }
-    GraftMeta(schema, current, snaps.result(), props.result(), zstats.result())
+    GraftMeta(schema, current, snaps.result(), props.result(), zstats.result(), named.result())
   }
 
-  def write(tableDir: Path, meta: GraftMeta): Unit = {
+  private def render(meta: GraftMeta): String = {
     val body = new StringBuilder
     body ++= s"schema=${meta.schema.json}\n"
     body ++= s"current=${meta.current}\n"
@@ -305,21 +325,116 @@ private[catalog] object GraftMeta {
     meta.zstats.toSeq.sorted.foreach { case (seg, payload) =>
       body ++= s"z.$seg=$payload\n"
     }
+    meta.committedNamed.toSeq.sorted.foreach { case (seg, snap) =>
+      body ++= s"c.$seg=$snap\n"
+    }
     meta.snapshots.toSeq.sortBy(_._1).foreach { case (id, dirs) =>
       body ++= s"s$id=${dirs.mkString(",")}\n"
     }
+    body.toString
+  }
+
+  def read(tableDir: Path): GraftMeta = readVersioned(tableDir)._1
+
+  /** Current state + the meta VERSION it carries (the CAS token). The source
+    * of truth is the highest-numbered full-state file in `_graft_commits/`;
+    * `_graft_meta` (always present from createTable on) serves the
+    * no-commits-yet case and stays the cheap table-existence marker. A commit
+    * file may vanish between listing and reading (expiry GC keeps only the
+    * newest) — retry the listing, never fail the read. */
+  def readVersioned(tableDir: Path): (GraftMeta, Long) = {
+    val cd = tableDir.resolve(CommitsDir)
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val versions =
+        if (Files.isDirectory(cd))
+          listDir(cd).flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption)
+        else Nil
+      if (versions.isEmpty)
+        return (parse(Files.readAllLines(tableDir.resolve(FileName),
+          StandardCharsets.UTF_8).asScala.toSeq), 0L)
+      val v = versions.max
+      try return (parse(Files.readAllLines(cd.resolve(v.toString),
+        StandardCharsets.UTF_8).asScala.toSeq), v)
+      catch { case _: java.nio.file.NoSuchFileException => () } // GC'd under us
+    }
+    throw new IllegalStateException(s"graft: cannot read a consistent meta under $tableDir")
+  }
+
+  /** Cross-process compare-and-swap: publish `meta` as version
+    * `expectedVersion + 1`, failing (returning false) iff any other writer —
+    * thread OR process — published that version first. The claim is a hard
+    * link from a fully-written temp file to `_graft_commits/<v+1>`: link(2)
+    * is create-exclusive and atomic on POSIX, so the file is complete the
+    * instant it is visible and two claimants cannot both succeed. (On a
+    * filesystem without hard links the fallback is move-without-replace —
+    * create-exclusive in the JDK implementation up to a hostile-fs race.)
+    * `_graft_meta` is then refreshed as an advisory mirror. */
+  def casWrite(tableDir: Path, meta: GraftMeta, expectedVersion: Long): Boolean = {
+    val cd = tableDir.resolve(CommitsDir)
+    Files.createDirectories(cd)
+    val body = render(meta).getBytes(StandardCharsets.UTF_8)
+    val tmp = cd.resolve(s".tmp.${UUID.randomUUID()}")
+    Files.write(tmp, body)
+    val target = cd.resolve((expectedVersion + 1).toString)
+    val won =
+      try { Files.createLink(target, tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          try { Files.move(tmp, target); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      }
+    Files.deleteIfExists(tmp)
+    if (won) {
+      val mtmp = tableDir.resolve(s"$FileName.tmp.${UUID.randomUUID()}")
+      Files.write(mtmp, body)
+      Files.move(mtmp, tableDir.resolve(FileName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    won
+  }
+
+  /** Initial meta for a fresh table (createTable): the `_graft_meta` mirror
+    * alone — version 0 by definition; the first mutation CAS-claims 1. */
+  def write(tableDir: Path, meta: GraftMeta): Unit = {
+    val body = render(meta).getBytes(StandardCharsets.UTF_8)
     val tmp = tableDir.resolve(s"$FileName.tmp.${UUID.randomUUID()}")
-    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, body)
     Files.move(tmp, tableDir.resolve(FileName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Append-or-replace commit under the table's lock: re-reads meta so
-    * concurrent committers serialize, writes the new snapshot, swaps. */
-  def commit(tableDir: Path, newSegment: String, replace: Boolean,
-             stats: Option[String] = None, expectedCurrent: Option[Long] = None): Unit =
+  /** Read-compute-CAS loop shared by every meta mutation. `f` sees the
+    * freshest state and either returns the successor state, returns its input
+    * unchanged (`eq`) to abort without writing, or throws (the
+    * expectedCurrent lost-update guards). A lost CAS re-runs `f` on the
+    * winner's state — so guards re-evaluate against what actually committed,
+    * exactly the optimistic-concurrency contract. The per-table intern lock
+    * remains as an in-process fast path (same-JVM writers serialize without
+    * burning CAS attempts); the CAS is what makes a SECOND process safe. */
+  def mutate(tableDir: Path)(f: GraftMeta => GraftMeta): GraftMeta =
     tableDir.toString.intern().synchronized {
-      val meta = read(tableDir)
+      var attempt = 0
+      while (attempt < 50) {
+        attempt += 1
+        val (meta, version) = readVersioned(tableDir)
+        val next = f(meta)
+        if (next eq meta) return meta
+        if (casWrite(tableDir, next, version)) return next
+      }
+      throw new IllegalStateException(
+        s"graft: commit contention exhausted 50 CAS attempts under $tableDir")
+    }
+
+  /** Append-or-replace commit: a CAS-published new snapshot. `named` marks a
+    * writer-named segment (streaming exactly-once) — recorded durably in the
+    * committedNamed registry so replays stay no-ops across maintenance. */
+  def commit(tableDir: Path, newSegment: String, replace: Boolean,
+             stats: Option[String] = None, expectedCurrent: Option[Long] = None,
+             named: Boolean = false): Unit =
+    mutate(tableDir) { meta =>
       // optimistic concurrency for read-modify-write commits: a REPLACE built
       // from snapshot N must not clobber a snapshot someone else committed
       // meanwhile — losing their appended rows would be silent data loss
@@ -327,38 +442,40 @@ private[catalog] object GraftMeta {
         s"graft: concurrent commit detected (rewrite based on snapshot $base, " +
           s"current is ${meta.current}); retry the operation"))
       val baseDirs = meta.snapshots.getOrElse(meta.current, Nil)
-      // a named segment already in the current snapshot must not be listed
-      // twice (two racing writers of the same batch id both reach here; the
-      // second append would double every row of the segment)
-      if (!replace && baseDirs.contains(newSegment)) return
-      val next = meta.current + 1
-      val dirs = if (replace) Seq(newSegment) else baseDirs :+ newSegment
-      write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
-        zstats = meta.zstats ++ stats.map(newSegment -> _)))
+      // a named segment must never be committed twice (two racing writers of
+      // the same batch id both reach here; the second append would double
+      // every row) — the registry check covers names whose segment was later
+      // compacted away, the baseDirs check covers pre-registry tables
+      if (!replace && (baseDirs.contains(newSegment) ||
+          meta.committedNamed.contains(newSegment))) meta
+      else {
+        val next = meta.current + 1
+        val dirs = if (replace) Seq(newSegment) else baseDirs :+ newSegment
+        meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
+          zstats = meta.zstats ++ stats.map(newSegment -> _),
+          committedNamed =
+            if (named) meta.committedNamed + (newSegment -> next) else meta.committedNamed)
+      }
     }
 
   /** Segment-level copy-on-write commit: the new snapshot keeps every current
     * segment EXCEPT `removed` and appends `newSegment` — the file-pruned
     * MERGE/DELETE shape (only touched groups swap; untouched segments are
-    * carried by reference, never read or rewritten). Serializes with
-    * concurrent appends under the same lock: a segment committed between the
-    * rewrite's snapshot pin and this commit survives untouched. */
+    * carried by reference, never read or rewritten). The expectedCurrent
+    * guard fails the commit if anything landed since the rewrite's snapshot
+    * pin: swapping `removed` out of a changed base would resurrect deleted
+    * rows or duplicate survivors. */
   def commitReplaceSegments(tableDir: Path, newSegment: Option[String], removed: Set[String],
                             stats: Option[String] = None,
                             expectedCurrent: Option[Long] = None): Unit =
-    tableDir.toString.intern().synchronized {
-      val meta = read(tableDir)
-      // same lost-update guard as commit(): swapping `removed` out of a base
-      // that itself changed would resurrect deleted rows (a concurrent replace
-      // folded them into a segment this commit does not remove) or duplicate
-      // survivors
+    mutate(tableDir) { meta =>
       expectedCurrent.foreach(base => require(meta.current == base,
         s"graft: concurrent commit detected (rewrite based on snapshot $base, " +
           s"current is ${meta.current}); retry the operation"))
       val next = meta.current + 1
       val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) ++ newSegment
-      write(tableDir, meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
-        zstats = meta.zstats ++ (for (s <- newSegment; z <- stats) yield s -> z)))
+      meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
+        zstats = meta.zstats ++ (for (s <- newSegment; z <- stats) yield s -> z))
     }
 }
 
@@ -611,8 +728,12 @@ private[catalog] final class GraftWriteBuilder(
       s"graft.segment must be [A-Za-z0-9_.-]+, got '$n'"))
     private val segment =
       named.map("seg-" + _).getOrElse(s"seg-${UUID.randomUUID().toString.take(12)}")
+    // the durable registry is authoritative (it survives compaction folding
+    // the segment away and expiry deleting its dir); the snapshot scan covers
+    // tables written before the registry existed
     private val alreadyCommitted = named.isDefined &&
-      metaAtBuild.snapshots.valuesIterator.exists(_.contains(segment))
+      (metaAtBuild.committedNamed.contains(segment) ||
+        metaAtBuild.snapshots.valuesIterator.exists(_.contains(segment)))
     // a crashed earlier attempt can leave files in the named dir without a
     // meta commit (job committed, meta swap never ran); a retry must start
     // from an empty segment or the table would read doubled rows. (A ZOMBIE
@@ -649,7 +770,8 @@ private[catalog] final class GraftWriteBuilder(
           SparkSession.active, tableDir.resolve(segment).toString,
           metaAtBuild.schema))).toOption
         GraftMeta.commit(tableDir, segment, replace, stats,
-          if (fromRowLevelOp) expectedCurrent else None) // atomic snapshot swap
+          if (fromRowLevelOp) expectedCurrent else None, // atomic snapshot swap
+          named = named.isDefined)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         delegate.abort(messages) // segment never becomes visible: meta untouched

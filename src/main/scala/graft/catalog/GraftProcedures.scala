@@ -101,18 +101,26 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
     val bytes = files.map(Files.size).sum
     val nOut = math.max(1L, (bytes + target - 1) / target).toInt
     val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
-    // coalesce, never repartition: compaction must not pay a shuffle — it
-    // narrows N input files into nOut writers
-    spark.read.schema(meta.schema).parquet(segs.map(_.toString): _*)
-      .coalesce(nOut)
+    // the rewrite honors the table-owned layout: an unclustered table narrows
+    // N input files into nOut writers via coalesce (bin-packing, no shuffle);
+    // a write.cluster-by/order-by table re-clusters and re-sorts — compacting
+    // a laid-out table with a blind coalesce would interleave its inputs and
+    // widen every zone-map bound to table-wide (data skipping would silently
+    // stop working after each compaction)
+    GraftDml.applyLayout(
+        spark.read.schema(meta.schema).parquet(segs.map(_.toString): _*),
+        meta.props, numPartitions = Some(nOut))
       .write.parquet(dir.resolve(segment).toString)
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
       spark, dir.resolve(segment).toString, meta.schema))).toOption
     // expectedCurrent: a concurrent append between the rewrite's snapshot pin
     // and this commit must FAIL the compaction (its rows are not in the
-    // rewritten segment), not silently vanish from the new current snapshot
-    GraftMeta.commit(dir, segment, replace = true, stats,
-      expectedCurrent = Some(meta.current))
+    // rewritten segment), not silently vanish from the new current snapshot —
+    // and the loser's fully-written segment is deleted, not leaked
+    GraftDml.cleanupOnFailedCommit(dir, segment) {
+      GraftMeta.commit(dir, segment, replace = true, stats,
+        expectedCurrent = Some(meta.current))
+    }
     result(segs.size, files.size, parquetFiles(dir.resolve(segment)).size, bytes)
   }
 }
@@ -217,11 +225,19 @@ private[catalog] object GraftDml {
   /** The table-owned write layout, applied to a DML rewrite the same way
     * RequiresDistributionAndOrdering applies it to INSERT/MERGE writes — a
     * rewritten segment must not silently lose the clustering/sortedness its
-    * zone maps and row-group stats depend on. */
-  private def applyLayout(df: DataFrame, props: Map[String, String]): DataFrame = {
+    * zone maps and row-group stats depend on. `numPartitions` pins the output
+    * file count when given (compaction's size targeting); clustering uses it
+    * as the shuffle width, otherwise it narrows via coalesce (no shuffle). */
+  private[catalog] def applyLayout(df: DataFrame, props: Map[String, String],
+                                   numPartitions: Option[Int] = None): DataFrame = {
     val clustered = props.get(GraftTable.ClusterByProp) match {
-      case Some(cols) => df.repartition(cols.split(',').map(c => df(c.trim)).toSeq: _*)
-      case None       => df
+      case Some(cols) =>
+        val keys = cols.split(',').map(c => df(c.trim)).toSeq
+        numPartitions match {
+          case Some(n) => df.repartition(n, keys: _*)
+          case None    => df.repartition(keys: _*)
+        }
+      case None => numPartitions.map(df.coalesce).getOrElse(df)
     }
     props.get(GraftTable.OrderByProp) match {
       case Some(cols) =>
@@ -229,6 +245,18 @@ private[catalog] object GraftDml {
       case None => clustered
     }
   }
+
+  /** Delete a fully-written rewrite segment whose commit lost the optimistic
+    * race — without this, every lost CAS leaks an unreferenced segment dir
+    * until the orphan sweep finds it. */
+  private[catalog] def cleanupOnFailedCommit[A](dir: java.nio.file.Path,
+                                                segment: String)(commit: => A): A =
+    try commit
+    catch {
+      case e: Throwable =>
+        scala.util.Try(GraftMeta.deleteRecursively(dir.resolve(segment)))
+        throw e
+    }
 
   private def writeSegment(dir: java.nio.file.Path, meta: GraftMeta,
                            df: DataFrame): (String, Option[String]) = {
@@ -300,8 +328,10 @@ private[catalog] object GraftDml {
       }
     }.toSeq: _*)
     val (segment, stats) = writeSegment(dir, meta, projected)
-    GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
-      expectedCurrent = Some(meta.current))
+    cleanupOnFailedCommit(dir, segment) {
+      GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
+        expectedCurrent = Some(meta.current))
+    }
     (segs.size, touched.size, touchedCounts.values.sum)
   }
 
@@ -334,56 +364,124 @@ private[catalog] object GraftDml {
       writeSegment(dir, meta, read(segs.filter(touched)).where(not(matches)))
     // 3. swap exactly the touched segments; fail on any concurrent commit —
     // applying `removed` to a changed base would resurrect deleted rows or
-    // duplicate survivors
-    GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
-      expectedCurrent = Some(meta.current))
+    // duplicate survivors — and delete the loser's segment instead of leaking
+    cleanupOnFailedCommit(dir, segment) {
+      GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
+        expectedCurrent = Some(meta.current))
+    }
     (segs.size, touched.size, touchedCounts.values.sum)
   }
 }
 
-/** `CALL <cat>.system.expire_snapshots(table, keep_last)` — drop all but the
-  * newest `keep_last` snapshots from metadata, then delete every segment
-  * directory that no retained snapshot references. The destructive half of
-  * the maintenance pair: after it runs, `VERSION AS OF` an expired id fails
-  * by design. */
+/** `CALL <cat>.system.expire_snapshots(table, keep_last, dry_run,
+  * orphan_retention_ms)` — drop all but the newest `keep_last` snapshots from
+  * metadata, delete every segment directory no retained snapshot references,
+  * then sweep ORPHANS: `seg-*` directories on disk that no snapshot (kept or
+  * expired) references at all — the residue of rewrites whose optimistic
+  * commit lost to a concurrent writer (the new segment was fully written but
+  * never entered any snapshot, so plain expiry could never find it). Orphans
+  * younger than `orphan_retention_ms` are kept — an in-flight write's segment
+  * dir looks exactly like an orphan until its commit lands (the same
+  * retention contract as Iceberg's remove_orphan_files).
+  *
+  * `dry_run => true` mutates NOTHING and reports what a live run would
+  * remove, with `bytes_reclaimable` summing the dead-segment and orphan
+  * payloads — the "how much disk does maintenance buy" answer without taking
+  * the destructive step. After a live run, `VERSION AS OF` an expired id
+  * fails by design, and superseded `_graft_commits` files are GC'd (each is
+  * full-state, so only the newest is ever needed). */
 private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
 
   override def name(): String = "expire_snapshots"
   override def description(): String =
-    "drop all but the newest keep_last snapshots and delete unreferenced segments"
+    "drop all but the newest keep_last snapshots, delete unreferenced segments and aged orphans"
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
-    ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build())
+    ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build(),
+    ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build(),
+    ProcedureParameter.in("orphan_retention_ms", LongType)
+      .defaultValue(String.valueOf(60L * 60 * 1000)).build())
 
   override val outputSchema: StructType = StructType(Seq(
     StructField("snapshots_removed", IntegerType, nullable = false),
     StructField("snapshots_kept", IntegerType, nullable = false),
-    StructField("segments_deleted", IntegerType, nullable = false)))
+    StructField("segments_deleted", IntegerType, nullable = false),
+    StructField("orphans_deleted", IntegerType, nullable = false),
+    StructField("bytes_reclaimed", LongType, nullable = false)))
+
+  private def dirBytes(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else if (Files.isDirectory(p)) GraftMeta.listDir(p).map(dirBytes).sum
+    else Files.size(p)
+
+  /** seg-* dirs referenced by NO snapshot in `meta`, older than the retention
+    * horizon (mtime — a fresh dir may be an in-flight uncommitted write). */
+  private def orphanDirs(dir: Path, meta: GraftMeta, retentionMs: Long): Seq[Path] = {
+    val referenced = meta.snapshots.valuesIterator.flatten.toSet
+    val horizon = System.currentTimeMillis() - retentionMs
+    GraftMeta.listDir(dir).filter { p =>
+      Files.isDirectory(p) && p.getFileName.toString.startsWith("seg-") &&
+        !referenced(p.getFileName.toString) &&
+        Files.getLastModifiedTime(p).toMillis <= horizon
+    }
+  }
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = resolveTableDir(input.getUTF8String(0).toString)
     val keepLast = input.getInt(1)
+    val dryRun = input.getBoolean(2)
+    val retentionMs = input.getLong(3)
     require(keepLast >= 1, "graft expire_snapshots: keep_last must be >= 1")
-    // same per-table lock as commits: expiry races a concurrent append on the
-    // meta file otherwise
-    val (removed, kept, deleted) = dir.toString.intern().synchronized {
-      val meta = GraftMeta.read(dir)
+    require(retentionMs >= 0, "graft expire_snapshots: orphan_retention_ms must be >= 0")
+
+    def plan(meta: GraftMeta): (Seq[Long], Set[Long], Seq[String]) = {
       val ids = meta.snapshots.keys.toSeq.sorted
       val keptIds = ids.takeRight(keepLast).toSet + meta.current
       val removedIds = ids.filterNot(keptIds)
-      val referenced = keptIds.flatMap(id => meta.snapshots(id)).toSet
+      val referenced = keptIds.flatMap(id => meta.snapshots(id))
       val dead = removedIds.flatMap(meta.snapshots).distinct.filterNot(referenced)
-      GraftMeta.write(dir, meta.copy(
-        snapshots = meta.snapshots.view.filterKeys(keptIds).toMap,
-        zstats = meta.zstats -- dead))
-      // recursive: a dead segment may hold subdirectories (e.g. a _temporary
-      // dir from a crashed task attempt); a flat delete would throw after the
-      // metadata was already rewritten
-      dead.foreach(seg => GraftMeta.deleteRecursively(dir.resolve(seg)))
-      (removedIds.size, keptIds.size, dead.size)
+      (removedIds, keptIds, dead)
     }
-    result(removed, kept, deleted)
+
+    if (dryRun) {
+      val meta = GraftMeta.read(dir)
+      val (removedIds, keptIds, dead) = plan(meta)
+      // orphans judged against the post-expiry reference set = pre-expiry one:
+      // expiry only drops WHOLE snapshots, and dead segments are counted
+      // separately, so "referenced by nothing at all" is the same either way
+      val orphans = orphanDirs(dir, meta, retentionMs)
+      val bytes = dead.map(s => dirBytes(dir.resolve(s))).sum + orphans.map(dirBytes).sum
+      return result(removedIds.size, keptIds.size, dead.size, orphans.size, bytes)
+    }
+
+    // live: CAS the snapshot drop, then delete — metadata first, so a crash
+    // mid-delete leaves only unreferenced dirs (the orphan sweep's job)
+    var planned: (Seq[Long], Set[Long], Seq[String]) = null
+    GraftMeta.mutate(dir) { meta =>
+      planned = plan(meta)
+      val (_, keptIds, dead) = planned
+      meta.copy(snapshots = meta.snapshots.view.filterKeys(keptIds).toMap,
+        zstats = meta.zstats -- dead)
+    }
+    val (removedIds, keptIds, dead) = planned
+    val deadBytes = dead.map(s => dirBytes(dir.resolve(s))).sum
+    // recursive: a dead segment may hold subdirectories (e.g. a _temporary
+    // dir from a crashed task attempt); a flat delete would throw after the
+    // metadata was already rewritten
+    dead.foreach(seg => GraftMeta.deleteRecursively(dir.resolve(seg)))
+    // orphan sweep against the committed post-expiry state
+    val after = GraftMeta.readVersioned(dir)
+    val orphans = orphanDirs(dir, after._1, retentionMs)
+    val orphanBytes = orphans.map(dirBytes).sum
+    orphans.foreach(GraftMeta.deleteRecursively)
+    // commit-file GC: every version below the latest is superseded full state
+    val cd = dir.resolve(GraftMeta.CommitsDir)
+    if (Files.isDirectory(cd)) GraftMeta.listDir(cd).foreach { p =>
+      scala.util.Try(p.getFileName.toString.toLong).toOption
+        .filter(_ < after._2).foreach(_ => Files.deleteIfExists(p))
+    }
+    result(removedIds.size, keptIds.size, dead.size, orphans.size, deadBytes + orphanBytes)
   }
 }

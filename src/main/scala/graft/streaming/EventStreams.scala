@@ -54,18 +54,23 @@ object EventStreams {
 
   /** Exactly-once streaming ingestion into a graft catalog table — the
     * lakehouse landing pattern: `stream.writeStream.foreachBatch(
-    * appendBatchToGraft(table))`. foreachBatch alone is at-least-once (a
-    * failure between the batch write and the checkpoint commit replays the
-    * batch); naming the segment after the batch id makes the graft commit
-    * IDEMPOTENT — a replayed epoch finds its segment already in a snapshot
-    * and discards its rows (GraftCatalog NoopBatchWrite), so the table sees
-    * each micro-batch exactly once. This is the same recipe Delta's
-    * `txnAppId`/`txnVersion` implements, re-derived on the graft meta layer.
+    * appendBatchToGraft(table, appId))`. foreachBatch alone is at-least-once
+    * (a failure between the batch write and the checkpoint commit replays the
+    * batch); naming the segment `<appId>-batch-<id>` makes the graft commit
+    * IDEMPOTENT — a replayed epoch finds its name in the table's durable
+    * committed-segment registry and discards its rows (GraftCatalog
+    * NoopBatchWrite), so the table sees each micro-batch exactly once. This
+    * is the same recipe as Delta's `txnAppId`/`txnVersion`: the WRITER id is
+    * part of the key, because batch ids restart from 0 per checkpoint — two
+    * queries ingesting into one table, or one query restarted with a fresh
+    * checkpoint, must not collide on `batch-0` and silently drop each other's
+    * rows. One (table, appId) pair must have at most one live writer; give a
+    * restarted-from-scratch query a NEW appId.
     *
     * Each micro-batch is one snapshot commit: appends stay atomic, readers
     * are never torn, and `VERSION AS OF` gives per-batch replay points. */
-  def appendBatchToGraft(table: String)(batch: DataFrame, batchId: Long): Unit =
-    batch.writeTo(table).option("graft.segment", s"batch-$batchId").append()
+  def appendBatchToGraft(table: String, appId: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.writeTo(table).option("graft.segment", s"$appId-batch-$batchId").append()
 
   /** Streaming dedup via `dropDuplicatesWithinWatermark` (Spark 3.5+): unlike
     * `dropDuplicates("event_id")` — whose state lives forever unless the event-

@@ -98,7 +98,8 @@ class GraftCatalogSpec extends SparkSpec {
   private def segmentDirs(table: String): Seq[java.nio.file.Path] = {
     val dir = root.resolve("ns").resolve(table)
     java.nio.file.Files.list(dir).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p)).toSeq
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("seg-")).toSeq
   }
 
   test("CALL system.compact rewrites small segments into one, preserving history") {
@@ -161,13 +162,94 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE IF EXISTS gtest.ns.t10")
     sql("CREATE TABLE gtest.ns.t10 (k BIGINT) USING parquet")
     val batch = spark.range(10).toDF("k")
-    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10")(batch, 0L)
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10", "w1")(batch, 0L)
     // replay of the same epoch: rows discarded, no new snapshot
-    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10")(batch, 0L)
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10", "w1")(batch, 0L)
     assert(sql("SELECT COUNT(*) FROM gtest.ns.t10").head.getLong(0) === 10L)
-    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10")(batch, 1L)
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10", "w1")(batch, 1L)
     assert(sql("SELECT COUNT(*) FROM gtest.ns.t10").head.getLong(0) === 20L)
     assert(segmentDirs("t10").size === 2, "one segment per distinct batch id")
+    // a SECOND writer restarts batch ids from 0 — the writer id in the
+    // segment name keeps its epoch distinct instead of silently discarding it
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t10", "w2")(batch, 0L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t10").head.getLong(0) === 30L,
+      "distinct writers must not collide on equal batch ids")
+  }
+
+  test("replayed epochs stay no-ops across compaction and expiry (durable registry)") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t29")
+    sql("CREATE TABLE gtest.ns.t29 (k BIGINT) USING parquet")
+    val batch = spark.range(10).toDF("k")
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t29", "w1")(batch, 0L)
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t29", "w1")(batch, 1L)
+    // maintenance folds the named segments away and deletes their dirs: the
+    // old inference ("is the segment in a retained snapshot?") now says no
+    sql("CALL gtest.system.compact('ns.t29', 134217728)")
+    sql("CALL gtest.system.expire_snapshots('ns.t29', 1)")
+    assert(segmentDirs("t29").size === 1, "only the compacted segment remains")
+    // a replayed epoch after maintenance must STILL be discarded — the
+    // committed-batch registry in the meta file survives segment deletion
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t29", "w1")(batch, 0L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t29").head.getLong(0) === 20L,
+      "replay after compaction+expiry must not duplicate rows")
+  }
+
+  test("meta commits are cross-process safe: a stale CAS loses, nothing is lost") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t28")
+    sql("CREATE TABLE gtest.ns.t28 (k BIGINT) USING parquet")
+    spark.range(5).toDF("k").writeTo("gtest.ns.t28").append()
+    val dir = root.resolve("ns").resolve("t28")
+    val (m, v) = GraftMeta.readVersioned(dir)
+    // an "external process" publishes version v+1 (re-publishing the same
+    // segment list as a new snapshot — content-neutral, so reads stay valid)
+    val external = m.copy(current = m.current + 1,
+      snapshots = m.snapshots + ((m.current + 1) -> m.snapshots(m.current)))
+    assert(GraftMeta.casWrite(dir, external, v), "external writer claims v+1")
+    // our stale write must LOSE: the claim is create-exclusive (hard link),
+    // not last-writer-wins like a plain meta-file swap was
+    assert(!GraftMeta.casWrite(dir, m.copy(current = m.current + 1), v),
+      "a second claim of the same version must fail atomically")
+    // the normal commit path re-reads and lands ON TOP of the winner
+    spark.range(5, 10).toDF("k").writeTo("gtest.ns.t28").append()
+    val (after, _) = GraftMeta.readVersioned(dir)
+    assert(after.current === m.current + 2, "append must build on the external commit")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t28").head.getLong(0) === 10L)
+  }
+
+  test("expire_snapshots: dry_run reports reclaimable bytes, live run sweeps orphans") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t30")
+    sql("CREATE TABLE gtest.ns.t30 AS SELECT id AS k FROM range(0, 10)")   // snap 1
+    sql("INSERT INTO gtest.ns.t30 SELECT id FROM range(10, 20)")           // snap 2
+    sql("CALL gtest.system.compact('ns.t30', 134217728)")                  // snap 3
+    val dir = root.resolve("ns").resolve("t30")
+    // plant an orphan: a fully-written segment dir no snapshot references
+    // (what a lost optimistic commit used to leak before cleanup existed)
+    val orphan = dir.resolve("seg-orphaned0000")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"), Array.fill(128)(7.toByte))
+
+    val dry = sql("CALL gtest.system.expire_snapshots('ns.t30', 1, true, 0)").collect()(0)
+    assert(dry.getInt(0) >= 1, "dry run: snapshots that would be removed")
+    assert(dry.getInt(2) === 2, "dry run: both pre-compaction segments would die")
+    assert(dry.getInt(3) === 1, "dry run: the planted orphan is visible")
+    assert(dry.getLong(4) >= 128L, "dry run: reclaimable bytes cover the orphan")
+    assert(java.nio.file.Files.exists(orphan), "dry run must not delete")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t30 VERSION AS OF 1").head.getLong(0) === 10L,
+      "dry run must not expire history")
+
+    val live = sql("CALL gtest.system.expire_snapshots('ns.t30', 1, false, 0)").collect()(0)
+    assert(live.getInt(2) === 2 && live.getInt(3) === 1)
+    assert(live.getLong(4) >= dry.getLong(4), "live reclaims at least the dry estimate")
+    assert(!java.nio.file.Files.exists(orphan), "live run sweeps the orphan")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t30").head.getLong(0) === 20L)
+    // superseded full-state commit files are GC'd down to the newest
+    val cd = dir.resolve(GraftMeta.CommitsDir)
+    val left = java.nio.file.Files.list(cd).iterator().asScala
+      .flatMap(p => scala.util.Try(p.getFileName.toString.toLong).toOption).toSeq
+    assert(left.size === 1, s"commit-file GC must keep exactly the newest, left $left")
   }
 
   test("foreachBatch streaming ingestion lands each micro-batch as one snapshot") {
@@ -179,7 +261,7 @@ class GraftCatalogSpec extends SparkSpec {
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
     def runAvailable(): Unit = {
       val q = source.toDF().toDF("v").writeStream
-        .foreachBatch(graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t11") _)
+        .foreachBatch(graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t11", "ing") _)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -560,6 +642,37 @@ class GraftCatalogSpec extends SparkSpec {
       assert(SegmentStats.Stats(r27, ok27) ===
         SegmentStats.compute(spark, d27.resolve(s27).toString, m27.schema))
     } finally saved.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+  }
+
+  test("compact honors write.cluster-by/order-by: the rewritten segment keeps the layout") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t31")
+    sql("""CREATE TABLE gtest.ns.t31 (k BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('write.cluster-by'='k', 'write.order-by'='k')""")
+    spark.range(0, 500).selectExpr("id % 10 AS k", "id AS v").writeTo("gtest.ns.t31").append()
+    spark.range(500, 1000).selectExpr("id % 10 AS k", "id AS v").writeTo("gtest.ns.t31").append()
+    // tiny size target → a multi-file rewrite, so the layout is observable; a
+    // blind coalesce would interleave the two appends in every output file
+    sql("CALL gtest.system.compact('ns.t31', 2048)")
+    val dir = root.resolve("ns").resolve("t31")
+    val meta = GraftMeta.read(dir)
+    val segs = meta.snapshots(meta.current)
+    assert(segs.size === 1, "compaction replaces the snapshot with one segment")
+    val files = java.nio.file.Files.list(dir.resolve(segs.head)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(files.size >= 2, s"size target must split the rewrite, got ${files.size} file(s)")
+    // cluster-by: after compaction every key still lives in exactly one file
+    val fileOfKey = files.flatMap(f => spark.read.parquet(f.toString)
+      .select("k").distinct().collect().map(_.getLong(0) -> f.getFileName.toString))
+    fileOfKey.groupBy(_._1).foreach { case (k, fs) =>
+      assert(fs.map(_._2).distinct.size === 1, s"key $k split across files after compact")
+    }
+    // order-by: within each file rows stay sorted (row-group stats selective)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"file ${f.getFileName} lost sortedness")
+    }
+    assert(sql("SELECT CAST(SUM(v) AS BIGINT) FROM gtest.ns.t31").head.getLong(0) === 499500L)
   }
 
   test("a failed write job leaves the table unchanged (commit atomicity)") {
