@@ -63,7 +63,8 @@ object Registry {
       queries.Round6Queries.defs ++
       queries.Round7Queries.defs ++
       queries.LakeQueries.defs ++
-      queries.Round8Queries.defs
+      queries.Round8Queries.defs ++
+      queries.Round9Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }
