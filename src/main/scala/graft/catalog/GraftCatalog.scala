@@ -114,6 +114,23 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(version.toLong))
   }
 
+  /** `TIMESTAMP AS OF <ts>` time travel: Spark hands the requested instant in
+    * MICROSECONDS since epoch; resolve it to the newest snapshot whose commit
+    * time (stamped at commit, millisecond wall clock) is not after it — the
+    * Delta/Iceberg as-of-timestamp contract. Same zero-cost metadata lookup
+    * as VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
+    val meta = GraftMeta.read(dir)
+    val tsMs = Math.floorDiv(timestampMicros, 1000L)
+    val candidates = meta.snapshotTimes.filter(_._2 <= tsMs).keys
+    require(candidates.nonEmpty,
+      s"graft: no snapshot of ${ident} committed at or before timestamp " +
+        s"$tsMs ms (earliest is ${meta.snapshotTimes.values.minOption.getOrElse(-1L)} ms)")
+    new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(candidates.max))
+  }
+
   // the StructType variant is the root of TableCatalog's default-method chain
   // (TableInfo → Column[] → here), so one override covers every call site
   override def createTable(ident: Identifier, schema: StructType,
@@ -131,7 +148,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s"graft catalog: unknown write property '$k' (have ${GraftTable.ClusterByProp}, ${GraftTable.OrderByProp})"))
     kept.values.flatMap(_.split(',')).foreach(c => require(schema.fieldNames.contains(c.trim),
       s"graft catalog: write property references unknown column '${c.trim}'"))
-    GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil), props = kept))
+    GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
+      props = kept, snapshotTimes = Map(0L -> System.currentTimeMillis())))
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
   }
 
@@ -264,7 +282,8 @@ private[catalog] final case class GraftMeta(
     schema: StructType, current: Long, snapshots: Map[Long, Seq[String]],
     props: Map[String, String] = Map.empty,
     zstats: Map[String, String] = Map.empty,
-    committedNamed: Map[String, Long] = Map.empty)
+    committedNamed: Map[String, Long] = Map.empty,
+    snapshotTimes: Map[Long, Long] = Map.empty)
 
 private[catalog] object GraftMeta {
   val FileName = "_graft_meta"
@@ -293,6 +312,7 @@ private[catalog] object GraftMeta {
     val props = Map.newBuilder[String, String]
     val zstats = Map.newBuilder[String, String]
     val named = Map.newBuilder[String, Long]
+    val times = Map.newBuilder[Long, Long]
     lines.foreach {
       case l if l.startsWith("schema=") =>
         schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
@@ -306,12 +326,17 @@ private[catalog] object GraftMeta {
       case l if l.startsWith("c.") && l.contains("=") =>
         val Array(seg, snap) = l.drop(2).split("=", 2)
         named += seg -> snap.toLong
+      case l if l.startsWith("t") && l.contains("=") &&
+          l.takeWhile(_ != '=').drop(1).forall(_.isDigit) =>
+        val Array(id, ms) = l.split("=", 2)
+        times += id.drop(1).toLong -> ms.toLong
       case l if l.startsWith("s") && l.contains("=") =>
         val Array(id, dirs) = l.split("=", 2)
         snaps += id.drop(1).toLong -> (if (dirs.isEmpty) Nil else dirs.split(",").toSeq)
       case _ => ()
     }
-    GraftMeta(schema, current, snaps.result(), props.result(), zstats.result(), named.result())
+    GraftMeta(schema, current, snaps.result(), props.result(), zstats.result(),
+      named.result(), times.result())
   }
 
   private def render(meta: GraftMeta): String = {
@@ -327,6 +352,9 @@ private[catalog] object GraftMeta {
     }
     meta.committedNamed.toSeq.sorted.foreach { case (seg, snap) =>
       body ++= s"c.$seg=$snap\n"
+    }
+    meta.snapshotTimes.toSeq.sortBy(_._1).foreach { case (id, ms) =>
+      body ++= s"t$id=$ms\n"
     }
     meta.snapshots.toSeq.sortBy(_._1).foreach { case (id, dirs) =>
       body ++= s"s$id=${dirs.mkString(",")}\n"
@@ -454,7 +482,8 @@ private[catalog] object GraftMeta {
         meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
           zstats = meta.zstats ++ stats.map(newSegment -> _),
           committedNamed =
-            if (named) meta.committedNamed + (newSegment -> next) else meta.committedNamed)
+            if (named) meta.committedNamed + (newSegment -> next) else meta.committedNamed,
+          snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
       }
     }
 
@@ -475,7 +504,8 @@ private[catalog] object GraftMeta {
       val next = meta.current + 1
       val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) ++ newSegment
       meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
-        zstats = meta.zstats ++ (for (s <- newSegment; z <- stats) yield s -> z))
+        zstats = meta.zstats ++ (for (s <- newSegment; z <- stats) yield s -> z),
+        snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
     }
 }
 
@@ -512,14 +542,37 @@ private[catalog] final class GraftTable(
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   /** Segment dirs visible to this read: a pinned snapshot (`VERSION AS OF` /
-    * a `snapshot` read option) or the current one, resolved NOW — the scan
-    * built from this list is immune to later commits (snapshot isolation). */
+    * `TIMESTAMP AS OF` / a `snapshot` read option), an incremental CHANGES
+    * range, or the current snapshot — resolved NOW, so the scan built from
+    * this list is immune to later commits (snapshot isolation).
+    *
+    * Changes feed (`graft.changes.from` exclusive, `graft.changes.to`
+    * inclusive, default current): the segments APPENDED in the range — the
+    * Iceberg incremental-append-scan contract. Valid only while the range is
+    * append-only; a replace/rewrite commit in between (MERGE, compaction,
+    * delete) fails the read loudly rather than returning rows that are not
+    * "the new data since snapshot N". */
   private def visibleSegments(options: CaseInsensitiveStringMap): Seq[String] = {
-    val snap = Option(options.get("snapshot")).map(_.toLong)
-      .orElse(pinnedSnapshot).getOrElse(meta.current)
-    require(meta.snapshots.contains(snap),
-      s"${name()}: no snapshot $snap (have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})")
-    meta.snapshots(snap)
+    val changesFrom = Option(options.get("graft.changes.from")).map(_.toLong)
+    changesFrom match {
+      case Some(from) =>
+        val to = Option(options.get("graft.changes.to")).map(_.toLong).getOrElse(meta.current)
+        Seq(from, to).foreach(snap => require(meta.snapshots.contains(snap),
+          s"${name()}: no snapshot $snap (have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})"))
+        require(from <= to, s"${name()}: changes.from $from must be <= changes.to $to")
+        val base = meta.snapshots(from)
+        val target = meta.snapshots(to)
+        require(base.forall(target.contains),
+          s"${name()}: snapshots $from..$to are not append-only (a replace/rewrite " +
+            "commit landed in the range); the changes feed cannot express row-level diffs")
+        target.filterNot(base.toSet)
+      case None =>
+        val snap = Option(options.get("snapshot")).map(_.toLong)
+          .orElse(pinnedSnapshot).getOrElse(meta.current)
+        require(meta.snapshots.contains(snap),
+          s"${name()}: no snapshot $snap (have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})")
+        meta.snapshots(snap)
+    }
   }
 
   private def visibleDirs(options: CaseInsensitiveStringMap): Seq[String] =

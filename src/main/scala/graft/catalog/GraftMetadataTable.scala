@@ -26,7 +26,10 @@ private[catalog] object GraftMetadataTable {
     StructField("snapshot_id", LongType, nullable = false),
     StructField("is_current", BooleanType, nullable = false),
     StructField("n_segments", IntegerType, nullable = false),
-    StructField("n_rows", LongType, nullable = true)))
+    StructField("n_rows", LongType, nullable = true),
+    // commit wall-clock (epoch ms) — what TIMESTAMP AS OF resolves against;
+    // null only for tables written before times were stamped
+    StructField("committed_at_ms", LongType, nullable = true)))
 
   val SegmentsSchema: StructType = StructType(Seq(
     StructField("segment", StringType, nullable = false),
@@ -58,7 +61,8 @@ private[catalog] final class GraftMetadataTable(
         val n = segs.map(segRows(meta, _))
           .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
         new GenericInternalRow(Array[Any](
-          id, id == meta.current, segs.size, n.orNull)): InternalRow
+          id, id == meta.current, segs.size, n.orNull,
+          meta.snapshotTimes.get(id).map(Long.box).orNull)): InternalRow
       }.toArray
     } else {
       val live = meta.snapshots.values.flatten.toSeq.distinct.sorted

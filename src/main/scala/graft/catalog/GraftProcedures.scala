@@ -463,7 +463,8 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
       planned = plan(meta)
       val (_, keptIds, dead) = planned
       meta.copy(snapshots = meta.snapshots.view.filterKeys(keptIds).toMap,
-        zstats = meta.zstats -- dead)
+        zstats = meta.zstats -- dead,
+        snapshotTimes = meta.snapshotTimes.view.filterKeys(keptIds).toMap)
     }
     val (removedIds, keptIds, dead) = planned
     val deadBytes = dead.map(s => dirBytes(dir.resolve(s))).sum

@@ -395,6 +395,91 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM updated GROUP BY st ORDER BY st"""
 
+  // --------------------------------------------------------------------------
+  // q177: TIMESTAMP AS OF time travel — the wall-clock twin of q154's
+  // VERSION AS OF. Two appends land as two snapshots with COMMIT-STAMPED
+  // times; an instant captured between them must resolve to snapshot 1 (the
+  // Delta/Iceberg as-of-timestamp contract: newest snapshot committed at or
+  // before the instant), and an instant after both to the full table. Same
+  // zero-cost metadata lookup as the version form — no restore, no file IO
+  // beyond the pinned snapshot's segments. The oracle recomputes both
+  // populations from the raw table, so the hash proves the instant→snapshot
+  // resolution picked EXACTLY the first batch.
+  // --------------------------------------------------------------------------
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m177_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT) USING parquet")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    Thread.sleep(20) // commit stamps are millisecond wall clock: separate them
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 1""")
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val asOf = fmt.format(new java.util.Date(between))
+    s.sql(s"""SELECT 'as_of' AS src, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t TIMESTAMP AS OF '$asOf'
+              UNION ALL
+              SELECT 'current', COUNT(*), CAST(SUM(price_c) AS BIGINT), MIN(k), MAX(k)
+              FROM graft.lake.$t
+              ORDER BY src""")
+  }
+
+  private val q177Sql =
+    """WITH c AS (SELECT o_orderkey AS k,
+                  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c FROM orders)
+       SELECT 'as_of' AS src, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM c WHERE k % 2 = 0
+       UNION ALL
+       SELECT 'current', COUNT(*), CAST(SUM(price_c) AS BIGINT), MIN(k), MAX(k)
+       FROM c
+       ORDER BY src"""
+
+  // --------------------------------------------------------------------------
+  // q178: incremental CHANGES read — "the rows appended since snapshot N",
+  // the CDC-consumer shape every downstream incremental pipeline runs (sync
+  // jobs, streaming backfills, audit diffs). Three appends land three
+  // snapshots; reading `graft.changes.from=1` plans ONLY the segments
+  // committed after snapshot 1 — segment-list set difference at PLAN time,
+  // zero file IO on the base data, cost proportional to the DELTA not the
+  // table (the Iceberg incremental-append-scan contract; a replace/rewrite
+  // inside the range fails loudly, pinned by spec). The oracle recomputes the
+  // same population from the raw table's key ranges.
+  // --------------------------------------------------------------------------
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m178_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT) USING parquet")
+    Seq(0, 1, 2).foreach { m =>
+      s.sql(s"""INSERT INTO graft.lake.$t
+        SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM $src WHERE o_orderkey % 3 = $m""")
+    }
+    s.read.option("graft.changes.from", 1).table(s"graft.lake.$t")
+      .createOrReplaceTempView(s"changes_$t")
+    s.sql(s"""SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM changes_$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q178Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+              MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+       FROM orders WHERE o_orderkey % 3 IN (1, 2)
+       GROUP BY st ORDER BY st"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -403,5 +488,7 @@ object LakeQueries {
     QDef("q162_lake_schema_evolution", q162, Some(q162Sql)),
     QDef("q163_lake_selective_delete", q163, Some(q163Sql)),
     QDef("q164_lake_data_skipping", q164, Some(q164Sql)),
-    QDef("q167_lake_selective_update", q167, Some(q167Sql)))
+    QDef("q167_lake_selective_update", q167, Some(q167Sql)),
+    QDef("q177_lake_timestamp_travel", q177, Some(q177Sql)),
+    QDef("q178_lake_changes_feed", q178, Some(q178Sql)))
 }

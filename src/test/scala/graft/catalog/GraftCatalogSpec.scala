@@ -3,6 +3,7 @@ package graft.catalog
 import scala.collection.JavaConverters._
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 
 /** End-to-end pins for the graft snapshot catalog: DDL, append, full-table
   * overwrite, copy-on-write MERGE/UPDATE/DELETE, and VERSION AS OF time
@@ -642,6 +643,64 @@ class GraftCatalogSpec extends SparkSpec {
       assert(SegmentStats.Stats(r27, ok27) ===
         SegmentStats.compute(spark, d27.resolve(s27).toString, m27.schema))
     } finally saved.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest snapshot committed at or before the instant") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t32")
+    sql("CREATE TABLE gtest.ns.t32 (k BIGINT) USING parquet")
+    spark.range(0, 10).toDF("k").writeTo("gtest.ns.t32").append()   // snap 1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.range(10, 30).toDF("k").writeTo("gtest.ns.t32").append()  // snap 2
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val asOf = fmt.format(new java.util.Date(between))
+    // the instant between the commits must see snapshot 1 only
+    assert(sql(s"SELECT COUNT(*) FROM gtest.ns.t32 TIMESTAMP AS OF '$asOf'")
+      .head.getLong(0) === 10L)
+    // an instant after both sees the current snapshot
+    val now = fmt.format(new java.util.Date(System.currentTimeMillis() + 1000))
+    assert(sql(s"SELECT COUNT(*) FROM gtest.ns.t32 TIMESTAMP AS OF '$now'")
+      .head.getLong(0) === 30L)
+    // before the table existed: a loud resolution error, never an empty read
+    val early = fmt.format(new java.util.Date(between - 3600 * 1000))
+    val err = intercept[Exception] {
+      sql(s"SELECT COUNT(*) FROM gtest.ns.t32 TIMESTAMP AS OF '$early'").collect()
+    }
+    assert(err.getMessage.contains("no snapshot"), err.getMessage)
+    // commit instants surface in the .snapshots metadata table
+    val times = sql("SELECT snapshot_id, committed_at_ms FROM gtest.ns.t32.snapshots ORDER BY snapshot_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(times.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(times.forall(_._2 > 0L) && times(1)._2 < between && between < times(2)._2)
+  }
+
+  test("changes feed: appended segments between snapshots; replace ranges refuse") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t33")
+    sql("CREATE TABLE gtest.ns.t33 (k BIGINT) USING parquet")
+    spark.range(0, 10).toDF("k").writeTo("gtest.ns.t33").append()   // snap 1
+    spark.range(10, 30).toDF("k").writeTo("gtest.ns.t33").append()  // snap 2
+    spark.range(30, 60).toDF("k").writeTo("gtest.ns.t33").append()  // snap 3
+    def changes(from: Long, to: Option[Long] = None) = {
+      val r = spark.read.option("graft.changes.from", from)
+      to.fold(r)(t => r.option("graft.changes.to", t)).table("gtest.ns.t33")
+    }
+    // (1, 3]: the two later appends, not the first
+    assert(changes(1).select(min(col("k")), max(col("k")), count(lit(1))).head.toSeq ===
+      Seq(10L, 59L, 50L))
+    // (1, 2]: exactly the second batch
+    assert(changes(1, Some(2)).agg(count(lit(1))).head.getLong(0) === 20L)
+    // (3, 3]: empty, not an error — "nothing new since N" is a normal answer
+    assert(changes(3).count() === 0L)
+    // a rewrite commit inside the range breaks append-only: loud failure
+    sql("DELETE FROM gtest.ns.t33 WHERE k < 5")                     // snap 4 (replace)
+    val err = intercept[Exception] { changes(1).count() }
+    assert(err.getMessage.contains("append-only"), err.getMessage)
+    // but a range entirely before the rewrite still serves
+    assert(changes(1, Some(3)).agg(count(lit(1))).head.getLong(0) === 50L)
   }
 
   test("compact honors write.cluster-by/order-by: the rewritten segment keeps the layout") {
