@@ -227,10 +227,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     require(ident.namespace().sameElements(Array("system")),
       s"graft catalog: procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
     ident.name() match {
-      case "compact"          => new CompactProcedure(this)
-      case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
-      case "delete_where"     => new DeleteWhereProcedure(this)
-      case "update_where"     => new UpdateWhereProcedure(this)
+      case "compact"              => new CompactProcedure(this)
+      case "expire_snapshots"     => new ExpireSnapshotsProcedure(this)
+      case "delete_where"         => new DeleteWhereProcedure(this)
+      case "update_where"         => new UpdateWhereProcedure(this)
+      case "rollback_to_snapshot" => new RollbackProcedure(this)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
     }
@@ -240,6 +241,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     Array(Identifier.of(Array("system"), "compact"),
       Identifier.of(Array("system"), "delete_where"),
       Identifier.of(Array("system"), "expire_snapshots"),
+      Identifier.of(Array("system"), "rollback_to_snapshot"),
       Identifier.of(Array("system"), "update_where"))
 
   override def dropTable(ident: Identifier): Boolean = {

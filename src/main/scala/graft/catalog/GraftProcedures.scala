@@ -373,6 +373,51 @@ private[catalog] object GraftDml {
   }
 }
 
+/** `CALL <cat>.system.rollback_to_snapshot(table, snapshot)` — restore the
+  * table to an earlier snapshot's content by committing that snapshot's
+  * segment list as a NEW snapshot (Iceberg's rollback semantics): the bad
+  * commits stay in history for audit, time travel to them keeps working, and
+  * the rollback itself is one more zero-IO metadata commit — no segment is
+  * copied or rewritten. Note the exactly-once registry is deliberately NOT
+  * rolled back: a streaming epoch committed before the rollback point stays
+  * recorded, so a replay after rollback is still discarded (rolling back
+  * INTENTIONALLY removes those rows; re-ingesting them needs a fresh writer
+  * appId — the same contract as Delta's txnVersion watermark). */
+private[catalog] final class RollbackProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "rollback_to_snapshot"
+  override def description(): String =
+    "make an earlier snapshot current again via a new metadata-only commit"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("snapshot", LongType).build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("previous_snapshot", LongType, nullable = false),
+    StructField("rolled_back_to", LongType, nullable = false),
+    StructField("new_snapshot", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val target = input.getLong(1)
+    var prev = -1L
+    var next = -1L
+    GraftMeta.mutate(dir) { meta =>
+      require(meta.snapshots.contains(target),
+        s"graft rollback_to_snapshot: no snapshot $target " +
+          s"(have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})")
+      prev = meta.current
+      next = meta.current + 1
+      meta.copy(current = next,
+        snapshots = meta.snapshots + (next -> meta.snapshots(target)),
+        snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
+    }
+    result(prev, target, next)
+  }
+}
+
 /** `CALL <cat>.system.expire_snapshots(table, keep_last, dry_run,
   * orphan_retention_ms)` — drop all but the newest `keep_last` snapshots from
   * metadata, delete every segment directory no retained snapshot references,

@@ -703,6 +703,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(changes(1, Some(3)).agg(count(lit(1))).head.getLong(0) === 50L)
   }
 
+  test("rollback_to_snapshot restores content as a new commit; history and replay guard survive") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t34")
+    sql("CREATE TABLE gtest.ns.t34 (k BIGINT) USING parquet")
+    val batch = spark.range(0, 10).toDF("k")
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t34", "w1")(batch, 0L) // snap 1
+    spark.range(10, 30).toDF("k").writeTo("gtest.ns.t34").append()                   // snap 2
+    val out = sql("CALL gtest.system.rollback_to_snapshot('ns.t34', 1)").collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) === ((2L, 1L, 3L)))
+    // content restored; the rolled-back-over snapshot stays readable for audit
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t34").head.getLong(0) === 10L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t34 VERSION AS OF 2").head.getLong(0) === 30L)
+    // rollback does NOT reopen the exactly-once registry: the replayed epoch
+    // is still discarded (re-ingesting rolled-back rows needs a new appId)
+    graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.t34", "w1")(batch, 0L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t34").head.getLong(0) === 10L,
+      "replay after rollback must stay a no-op")
+    // unknown snapshot: loud failure, no commit
+    val err = intercept[Exception] {
+      sql("CALL gtest.system.rollback_to_snapshot('ns.t34', 99)").collect()
+    }
+    assert(err.getMessage.contains("no snapshot"), err.getMessage)
+  }
+
   test("compact honors write.cluster-by/order-by: the rewritten segment keeps the layout") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t31")
