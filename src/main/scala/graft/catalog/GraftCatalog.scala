@@ -541,6 +541,7 @@ private[catalog] final class GraftTable(
   override def properties(): java.util.Map[String, String] = meta.props.asJava
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   /** Segment dirs visible to this read: a pinned snapshot (`VERSION AS OF` /
@@ -591,7 +592,8 @@ private[catalog] final class GraftTable(
         Some(meta.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
     val segs = visibleSegments(options)
     new GraftPruningScanBuilder(mkInner,
-      segs.map(s => s -> tableDir.resolve(s).toString), meta.zstats)
+      segs.map(s => s -> tableDir.resolve(s).toString), meta.zstats,
+      tableDir, name(), meta.schema, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -681,7 +683,9 @@ private[catalog] final class GraftRowLevelOperation(
 private[catalog] final class GraftPruningScanBuilder(
     mkInner: Seq[String] => ScanBuilder,
     segments: Seq[(String, String)], // (segment name, absolute dir)
-    zstats: Map[String, String])
+    zstats: Map[String, String],
+    tableDir: Path, tableName: String, tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -718,7 +722,113 @@ private[catalog] final class GraftPruningScanBuilder(
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     cat.pushedFilters
 
-  override def build(): Scan = inner.build()
+  override def build(): Scan =
+    new GraftStreamableScan(inner.build(), tableDir, tableName, tableSchema, options)
+}
+
+/** The Scan every graft read plans: batch delegates straight to the pruned
+  * parquet scan; `toMicroBatchStream` makes the SAME table a Structured
+  * Streaming SOURCE following the snapshot log (`readStream.table(...)`) —
+  * offsets are snapshot ids, each micro-batch reads exactly the segments
+  * appended in its offset range. The Delta/Iceberg streaming-source shape:
+  * commits are the batch boundaries, checkpointed offsets give exactly-once
+  * across restarts, and nothing is re-read because segment lists — not file
+  * modification times — define "new data". */
+private[catalog] final class GraftStreamableScan(
+    inner: Scan, tableDir: Path, tableName: String, tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
+  override def supportedCustomMetrics() = inner.supportedCustomMetrics()
+  // runtime (DPP-style) filtering passes through to the parquet scan — the
+  // wrapper must not cost the table the runtime file-skipping batch scans had
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering => f.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering => f.filter(predicates)
+      case _ => ()
+    }
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tableDir, tableName, tableSchema, readSchema(), options)
+}
+
+/** Micro-batch stream over a graft table's snapshot log.
+  *
+  *   - offsets ARE snapshot ids (json = the id), so a checkpoint pins an
+  *     exact table version and restarts resume without re-reads or loss;
+  *   - `latestOffset` re-reads the tiny meta file — no file listing, no
+  *     mtime scanning (the classic FileStreamSource cost at large dirs);
+  *   - `planInputPartitions(a, b)` plans ONLY the segments appended in
+  *     (a, b], via the same append-only set difference the batch changes
+  *     feed uses; a replace/rewrite commit inside a range fails loudly —
+  *     streaming a table under row-rewriting DML needs CDC row lineage this
+  *     catalog honestly does not claim;
+  *   - reads delegate to Spark's parquet reader factory with the STREAM's
+  *     pruned read schema, so `readStream.table(t).select(one_col)` scans
+  *     one column, same as batch.
+  *
+  * Expiry retention note: `expire_snapshots` must keep at least the
+  * checkpointed horizon or a restarted reader fails (same operational
+  * contract as Delta/Iceberg streaming sources). */
+private[catalog] final class GraftMicroBatchStream(
+    tableDir: Path, tableName: String, tableSchema: StructType,
+    readSchema: StructType, options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+  private final case class Snap(id: Long) extends Offset {
+    override def json(): String = id.toString
+  }
+
+  private def meta: GraftMeta = GraftMeta.read(tableDir)
+
+  override def initialOffset(): Offset =
+    Snap(Option(options.get("graft.stream.from")).map(_.toLong).getOrElse(0L))
+  override def latestOffset(): Offset = Snap(meta.current)
+  override def deserializeOffset(json: String): Offset = Snap(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def batchOver(dirs: Seq[String]): Batch = {
+    val b = ParquetTable(tableName, SparkSession.active, options, dirs,
+      Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    // the streaming exec consumes rows in the STREAM's (possibly pruned)
+    // read schema; the per-range scan must project identically
+    b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(readSchema)
+    b.build().toBatch
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[Snap].id, end.asInstanceOf[Snap].id)
+    if (a == b) return Array.empty
+    val m = meta
+    Seq(a, b).foreach(s => require(m.snapshots.contains(s),
+      s"$tableName: streaming offset $s expired from the snapshot log " +
+        s"(have ${m.snapshots.keys.toSeq.sorted.mkString(",")}); " +
+        "expire_snapshots must retain the checkpointed horizon"))
+    val base = m.snapshots(a)
+    val target = m.snapshots(b)
+    require(base.forall(target.contains),
+      s"$tableName: snapshots $a..$b are not append-only (a replace/rewrite " +
+        "commit landed in the range); the streaming source reads appends only")
+    val dirs = target.filterNot(base.toSet).map(s => tableDir.resolve(s).toString)
+    if (dirs.isEmpty) Array.empty else batchOver(dirs).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // the factory closes over schemas and conf, not a file list: one built
+    // from the current snapshot reads any range's partitions
+    batchOver(meta.snapshots(meta.current).map(s => tableDir.resolve(s).toString))
+      .createReaderFactory()
 }
 
 /** Pass-through Scan that does NOT re-export SupportsRuntimeV2Filtering:
