@@ -778,6 +778,23 @@ class GraftCatalogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming source: graft.stream.from skips history before the named snapshot") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t37")
+    sql("CREATE TABLE gtest.ns.t37 (k BIGINT) USING parquet")
+    spark.range(0, 10).toDF("k").writeTo("gtest.ns.t37").append()   // snap 1
+    spark.range(10, 30).toDF("k").writeTo("gtest.ns.t37").append()  // snap 2
+    val q = spark.readStream.option("graft.stream.from", 1)
+      .table("gtest.ns.t37")
+      .writeStream.format("memory").queryName("g_stream_t37").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("g_stream_t37").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === (10L until 30L),
+        "start offset 1 must deliver only commits after snapshot 1")
+    } finally q.stop()
+  }
+
   test("streaming source: checkpointed restart resumes at the committed snapshot offset") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t36")
