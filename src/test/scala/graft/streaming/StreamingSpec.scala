@@ -346,6 +346,49 @@ class StreamingSpec extends SparkSpec {
     runningStatsCase("userstats")(EventStreams.runningUserStats)
   }
 
+  test("streaming Dataset.observe: per-batch metrics sum to the exact batch totals") {
+    // the streaming half of the observability row (MetricsSpec pins batch
+    // observe): metrics ride the micro-batch execution — no second pass over
+    // the stream — and surface per batch in QueryProgress.observedMetrics;
+    // their accumulation across ALL batches must equal one batch recompute.
+    import spark.implicits._
+    import scala.collection.JavaConverters._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("ev_metrics")
+        if (m != null) seen.add((m.getLong(0), m.getDouble(1)))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val input = MemoryStream[Event]
+      val q = input.toDS().toDF()
+        .observe("ev_metrics", count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        .writeStream.format("memory").queryName("obs_sink").outputMode("append").start()
+      val events = (1 to 60).map(i =>
+        Event(i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+          i % 7L, "t", i * 0.5))
+      events.grouped(20).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      q.stop()
+      // listener delivery is async: wait until all three batches reported
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.asScala.map(_._1).sum < 60 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val rows = seen.asScala.toSeq
+      assert(rows.map(_._1).sum === 60L, s"observed row counts must cover every batch: $rows")
+      assert(math.abs(rows.map(_._2).sum - events.map(_.value).sum) < 1e-9,
+        "observed sums must accumulate to the exact batch total")
+      assert(rows.size >= 2, "metrics must arrive per micro-batch, not once")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("transformWithState Misra-Gries: streamed candidates keep the n/k superset guarantee") {
     // q124's sketch family in the streaming plane: per-event-type MG state
     // advanced across micro-batches must still contain every user whose true
