@@ -238,11 +238,101 @@ object Round9Queries {
               MIN(w) AS first_word, MAX(w) AS last_word
        FROM t GROUP BY source ORDER BY source"""
 
+  // --------------------------------------------------------------------------
+  // q179: the SQL UNPIVOT clause (SPARK-39877) — q77 exercises Dataset.unpivot;
+  // this is the SQL-surface twin a SQL-first user writes. Resolution-time
+  // sugar: the plan is an Expand over the wide aggregate, identical to the
+  // Dataset form, so it costs one hash agg + a generator at any scale. The
+  // oracle hand-rolls the same reshape with UNION ALL so the check does not
+  // depend on DuckDB's own UNPIVOT dialect.
+  // --------------------------------------------------------------------------
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("v_orders_r9")
+    s.sql(
+      """WITH wide AS (
+           SELECT o_orderstatus AS st,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                  CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+           FROM v_orders_r9 GROUP BY o_orderstatus)
+         SELECT st, metric, val
+         FROM wide UNPIVOT (val FOR metric IN (n_orders, sum_cents, max_cents))
+         ORDER BY st, metric""")
+  }
+
+  private val q179Sql =
+    """WITH wide AS (
+         SELECT o_orderstatus AS st,
+                CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+                CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+         FROM orders GROUP BY o_orderstatus)
+       SELECT st, 'n_orders' AS metric, n_orders AS val FROM wide
+       UNION ALL SELECT st, 'sum_cents', sum_cents FROM wide
+       UNION ALL SELECT st, 'max_cents', max_cents FROM wide
+       ORDER BY st, metric"""
+
+  // --------------------------------------------------------------------------
+  // q180: IGNORE NULLS window navigation — forward-fill (last non-null up to
+  // the row), previous non-null (strictly before), and BACKWARD-fill (next
+  // non-null after) over sparse per-user readings. q116 covers grid-resampled
+  // forward-fill; this is the row-based family on all three directions — the
+  // sensor-gap/sessionization staple. Planted nulls (event_id % 3) make the
+  // skip behavior non-vacuous. Everything is one window pass per direction,
+  // partitioned by user — no self-join, integer cents → exact sums.
+  // --------------------------------------------------------------------------
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .withColumn("v", when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(expr("CAST(FLOOR(value * 100) AS BIGINT)")))
+      .withColumn("carry",
+        last(col("v"), ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_nn",
+        last(col("v"), ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_nn",
+        first(col("v"), ignoreNulls = true).over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(coalesce(col("carry"), lit(0L))).as("sum_ffill"),
+        sum(coalesce(col("prev_nn"), lit(0L))).as("sum_prev"),
+        sum(coalesce(col("next_nn"), lit(0L))).as("sum_bfill"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q180Sql =
+    """WITH base AS (
+         SELECT event_type, user_id, ts, event_id,
+                CASE WHEN event_id % 3 = 0 THEN NULL
+                     ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS v
+         FROM events),
+       nav AS (
+         SELECT event_type, v,
+                LAST_VALUE(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry,
+                LAST_VALUE(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nn,
+                FIRST_VALUE(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_nn
+         FROM base)
+       SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+              CAST(SUM(COALESCE(carry, 0)) AS BIGINT) AS sum_ffill,
+              CAST(SUM(COALESCE(prev_nn, 0)) AS BIGINT) AS sum_prev,
+              CAST(SUM(COALESCE(next_nn, 0)) AS BIGINT) AS sum_bfill
+       FROM nav GROUP BY event_type ORDER BY event_type"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q171_higher_moments", q171, Some(q171Sql)),
     QDef("q172_csv_scalar_roundtrip", q172, Some(q172Sql)),
     QDef("q173_calendar_family", q173, Some(q173Sql)),
     QDef("q174_string_surface", q174, Some(q174Sql)),
     QDef("q175_ewma", q175, Some(q175Sql)),
-    QDef("q176_regexp_extract_all", q176, Some(q176Sql)))
+    QDef("q176_regexp_extract_all", q176, Some(q176Sql)),
+    QDef("q179_sql_unpivot", q179, Some(q179Sql)),
+    QDef("q180_ignore_nulls_nav", q180, Some(q180Sql)))
 }
