@@ -55,8 +55,12 @@ object Bench {
       // any failed run poisons the query: report the (negative) failure time
       val median = times.find(_ < 0).getOrElse(times.sorted.apply(runs / 2))
       // min rides along so a one-off environment stall is self-diagnosing in
-      // the artifact: median >> min flags noise, median ≈ min flags the plan
-      (name, median, times.map(math.abs).min)
+      // the artifact: median >> min flags noise, median ≈ min flags the plan.
+      // Only SUCCESSFUL runs count toward min — a failed run's (negative)
+      // elapsed must not masquerade as a fast success; if every run failed,
+      // min carries the same negative failure marker as the median.
+      val successes = times.filter(_ >= 0)
+      (name, median, if (successes.nonEmpty) successes.min else median)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

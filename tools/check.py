@@ -90,6 +90,11 @@ def main():
                             continue
                         if abs(fx - fy) > 1e-9:
                             ok = False; break
+                        # the driver's value hash is BIT-pattern exact on the
+                        # rounded floats, so -0.0 != 0.0 (round-7 q171 lesson)
+                        if fx == 0.0 and fy == 0.0 and \
+                                math.copysign(1.0, fx) != math.copysign(1.0, fy):
+                            ok = False; break
                     elif x != y:
                         ok = False; break
             if not ok:
