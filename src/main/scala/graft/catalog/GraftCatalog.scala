@@ -135,8 +135,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   // (TableInfo → Column[] → here), so one override covers every call site
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned (partition-as-group is the documented scale seam)")
+    // identity partitioning only: `PARTITIONED BY (col)`. Bucket/temporal
+    // transforms stay refused — the write.cluster-by property covers the
+    // bucketing use case, and temporal partitioning is a derived column away.
+    val partCols = partitions.map { t =>
+      require(t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1,
+        s"graft catalog: only identity PARTITIONED BY (col) is supported, got $t")
+      val c = t.references()(0).fieldNames()(0)
+      val field = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"graft catalog: unknown partition column '$c'"))
+      require(GraftPartitions.supportedType(field.dataType),
+        s"graft catalog: partition column '$c' has unsupported type ${field.dataType} " +
+          "(string/integral/boolean/date/decimal only — derive a column for timestamps)")
+      field.name
+    }.toSeq
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(GraftMeta.FileName))) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
@@ -148,8 +161,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s"graft catalog: unknown write property '$k' (have ${GraftTable.ClusterByProp}, ${GraftTable.OrderByProp})"))
     kept.values.flatMap(_.split(',')).foreach(c => require(schema.fieldNames.contains(c.trim),
       s"graft catalog: write property references unknown column '${c.trim}'"))
+    val props = kept ++
+      (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
+       else Map.empty)
     GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
-      props = kept, snapshotTimes = Map(0L -> System.currentTimeMillis())))
+      props = props, snapshotTimes = Map(0L -> System.currentTimeMillis())))
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
   }
 
@@ -199,9 +215,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               sch
             } else {
               require(sch.length > 1, "graft catalog: cannot drop the last column")
-              // dropping a write-layout column would brick every future write
-              // (requiredDistribution/Ordering would reference a ghost column)
-              val layoutCols = Seq(GraftTable.ClusterByProp, GraftTable.OrderByProp)
+              // dropping a write-layout or partition column would brick every
+              // future write (requiredDistribution/Ordering or the partition
+              // splitter would reference a ghost column)
+              val layoutCols = Seq(GraftTable.ClusterByProp, GraftTable.OrderByProp,
+                  GraftTable.PartitionByProp)
                 .flatMap(meta.props.get).flatMap(_.split(',')).map(_.trim).toSet
               require(!layoutCols.contains(field),
                 s"graft catalog: column '$field' is referenced by a write-layout property and cannot be dropped")
@@ -403,6 +421,17 @@ private[catalog] object GraftMeta {
     * `_graft_meta` is then refreshed as an advisory mirror. */
   def casWrite(tableDir: Path, meta: GraftMeta, expectedVersion: Long): Boolean = {
     val cd = tableDir.resolve(CommitsDir)
+    // A commit racing a cross-process renameTable/dropTable must not
+    // resurrect the moved-away directory by recreating it and publishing the
+    // commit there — that commit would be silently lost (nothing ever reads
+    // the zombie dir). The in-process intern lock only serializes rename vs
+    // commit within one JVM; cross-process, the liveness witness is the
+    // `_graft_meta` mirror, which exists for the table's entire lifetime
+    // (written at createTable, refreshed atomically on every commit).
+    if (!Files.exists(tableDir.resolve(FileName)))
+      throw new IllegalStateException(
+        s"graft: table directory vanished under $tableDir (concurrent rename " +
+          "or drop) — refusing to publish the commit into a zombie directory")
     Files.createDirectories(cd)
     val body = render(meta).getBytes(StandardCharsets.UTF_8)
     val tmp = cd.resolve(s".tmp.${UUID.randomUUID()}")
@@ -461,9 +490,19 @@ private[catalog] object GraftMeta {
   /** Append-or-replace commit: a CAS-published new snapshot. `named` marks a
     * writer-named segment (streaming exactly-once) — recorded durably in the
     * committedNamed registry so replays stay no-ops across maintenance. */
+  /** Refresh a segment dir's mtime just before its meta CAS: the orphan sweep
+    * judges in-flight writes by mtime, which otherwise reflects job START — a
+    * write running longer than the orphan retention would see its own
+    * about-to-be-committed segment swept by a concurrent expire_snapshots. */
+  private def touchSegment(tableDir: Path, segment: String): Unit =
+    try Files.setLastModifiedTime(tableDir.resolve(segment),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () } // advisory only — never fail a commit
+
   def commit(tableDir: Path, newSegment: String, replace: Boolean,
              stats: Option[String] = None, expectedCurrent: Option[Long] = None,
-             named: Boolean = false): Unit =
+             named: Boolean = false): Unit = {
+    touchSegment(tableDir, newSegment)
     mutate(tableDir) { meta =>
       // optimistic concurrency for read-modify-write commits: a REPLACE built
       // from snapshot N must not clobber a snapshot someone else committed
@@ -488,27 +527,161 @@ private[catalog] object GraftMeta {
           snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
       }
     }
+  }
 
   /** Segment-level copy-on-write commit: the new snapshot keeps every current
-    * segment EXCEPT `removed` and appends `newSegment` — the file-pruned
+    * segment EXCEPT `removed` and appends `newSegments` — the file-pruned
     * MERGE/DELETE shape (only touched groups swap; untouched segments are
-    * carried by reference, never read or rewritten). The expectedCurrent
-    * guard fails the commit if anything landed since the rewrite's snapshot
-    * pin: swapping `removed` out of a changed base would resurrect deleted
-    * rows or duplicate survivors. */
-  def commitReplaceSegments(tableDir: Path, newSegment: Option[String], removed: Set[String],
-                            stats: Option[String] = None,
-                            expectedCurrent: Option[Long] = None): Unit =
+    * carried by reference, never read or rewritten). Partitioned rewrites
+    * land one segment per touched partition, hence the Seq. The
+    * expectedCurrent guard fails the commit if anything landed since the
+    * rewrite's snapshot pin: swapping `removed` out of a changed base would
+    * resurrect deleted rows or duplicate survivors. */
+  def commitReplaceSegments(tableDir: Path, newSegments: Seq[(String, Option[String])],
+                            removed: Set[String],
+                            expectedCurrent: Option[Long] = None): Unit = {
+    newSegments.foreach { case (s, _) => touchSegment(tableDir, s) }
     mutate(tableDir) { meta =>
       expectedCurrent.foreach(base => require(meta.current == base,
         s"graft: concurrent commit detected (rewrite based on snapshot $base, " +
           s"current is ${meta.current}); retry the operation"))
       val next = meta.current + 1
-      val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) ++ newSegment
+      val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) ++
+        newSegments.map(_._1)
       meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
-        zstats = meta.zstats ++ (for (s <- newSegment; z <- stats) yield s -> z),
+        zstats = meta.zstats ++ newSegments.collect { case (s, Some(z)) => s -> z },
         snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
     }
+  }
+
+  /** Multi-segment commit — the partitioned-write shape (one partition-pure
+    * segment per partition value the job touched), published as ONE snapshot:
+    *
+    *   - `replaceAll`: the new segments ARE the table (INSERT OVERWRITE /
+    *     group-based row-level rewrite);
+    *   - `removeSuffixes` non-empty: dynamic partition overwrite — current
+    *     segments whose partition suffix is in the set swap out, everything
+    *     else carries by reference (Iceberg's replace-partitions commit);
+    *   - otherwise plain append.
+    *
+    * `namedKey` is the exactly-once registry key for the whole JOB (streaming
+    * batch id): one logical write = one registry entry regardless of how many
+    * partition segments it produced. Returns false iff the key was already
+    * committed (the replayed-epoch no-op) — the caller deletes its freshly
+    * written segment dirs. */
+  def commitMany(tableDir: Path, segments: Seq[(String, Option[String])],
+                 replaceAll: Boolean, removeSuffixes: Set[String],
+                 expectedCurrent: Option[Long], namedKey: Option[String]): Boolean = {
+    segments.foreach { case (s, _) => touchSegment(tableDir, s) }
+    var applied = true
+    mutate(tableDir) { meta =>
+      if (namedKey.exists(meta.committedNamed.contains)) { applied = false; meta }
+      else {
+        expectedCurrent.foreach(base => require(meta.current == base,
+          s"graft: concurrent commit detected (write based on snapshot $base, " +
+            s"current is ${meta.current}); retry the operation"))
+        applied = true
+        val base = meta.snapshots.getOrElse(meta.current, Nil)
+        val kept =
+          if (replaceAll) Nil
+          else if (removeSuffixes.nonEmpty)
+            base.filterNot(s => GraftPartitions.suffixOf(s).exists(removeSuffixes))
+          else base
+        val next = meta.current + 1
+        meta.copy(current = next,
+          snapshots = meta.snapshots + (next -> (kept ++ segments.map(_._1))),
+          zstats = meta.zstats ++ segments.collect { case (s, Some(z)) => s -> z },
+          committedNamed = namedKey.fold(meta.committedNamed)(k =>
+            meta.committedNamed + (k -> next)),
+          snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
+      }
+    }
+    applied
+  }
+}
+
+/** Partition plumbing for identity-partitioned graft tables.
+  *
+  * A partitioned table's segments are PARTITION-PURE: every write lands one
+  * segment per partition value it touches, named `seg-<base>=<suffix>` where
+  * `<suffix>` encodes the value tuple. Purity is what turns the existing
+  * zone-map layer into a perfect partition pruner (a constant column's
+  * min = max = the value — a predicate on the partition column keeps exactly
+  * the matching segments at PLAN time) and makes segment-level DML the
+  * partition-as-group copy-on-write Iceberg/Delta users expect: a DELETE on
+  * one day's partition rewrites one day.
+  *
+  * The suffix encoding is equality-stable, not reversible-pretty: each value
+  * renders to its canonical STRING form (the same form `CAST(col AS STRING)`
+  * produces, so the DataFrame-side DML rewrite and the InternalRow-side V2
+  * writer agree byte-for-byte), then every byte outside [A-Za-z0-9.-] is
+  * %XX-escaped (so the suffix is POSIX-path-safe and free of the `,` the
+  * meta file delimits segment lists with, of the `=` its key=value lines
+  * split on, and of the `@` that marks the suffix). NULL encodes as `%0N` —
+  * impossible as an escape (N is not hex), so it can never collide with a
+  * real value. Multi-column tuples join with `_`, which the escape set
+  * deliberately excludes from values. */
+private[catalog] object GraftPartitions {
+  import org.apache.spark.sql.types._
+
+  /** Marker between the segment base name and the partition suffix. `@` is
+    * excluded from user-supplied `graft.segment` names, never appears in the
+    * UUID base, and — unlike `=` — is never a delimiter in the meta file's
+    * key=value lines (a `z.<segment>=<payload>` key holding an `=` would
+    * split the line at the wrong spot and orphan the segment's zone stats),
+    * so the FIRST `@` in a segment name is always this marker. */
+  val Marker = '@'
+
+  def cols(props: Map[String, String]): Seq[String] =
+    props.get(GraftTable.PartitionByProp).toSeq.flatMap(_.split(',')).map(_.trim)
+
+  def suffixOf(segment: String): Option[String] = {
+    val i = segment.indexOf(Marker)
+    if (i < 0) None else Some(segment.substring(i + 1))
+  }
+
+  /** Identity partition columns may be any type whose canonical string form
+    * is stable across the write paths; floating point (ill-defined equality)
+    * and nested/binary/timestamp types are refused. Timestamp identity
+    * partitioning is additionally an anti-pattern (unbounded cardinality —
+    * the lakehouse recipe is a derived day/hour column). */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private val safeByte: Int => Boolean = b =>
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') ||
+      b == '.' || b == '-'
+
+  def encodeString(s: String): String =
+    if (s == null) "%0N"
+    else s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
+      val ub = b & 0xff
+      if (safeByte(ub)) ub.toChar.toString else f"%%$ub%02X"
+    }.mkString
+
+  def encodeTuple(values: Seq[String]): String = values.map(encodeString).mkString("_")
+
+  /** Per-field InternalRow → canonical string (null-safe), matching
+    * `CAST(col AS STRING)` for every supported type — the consistency
+    * contract between the V2 writer and the DataFrame DML rewrite. */
+  def internalExtractor(dt: DataType, ordinal: Int): InternalRow => String = dt match {
+    case StringType  => r => if (r.isNullAt(ordinal)) null else r.getUTF8String(ordinal).toString
+    case BooleanType => r => if (r.isNullAt(ordinal)) null else r.getBoolean(ordinal).toString
+    case ByteType    => r => if (r.isNullAt(ordinal)) null else r.getByte(ordinal).toString
+    case ShortType   => r => if (r.isNullAt(ordinal)) null else r.getShort(ordinal).toString
+    case IntegerType => r => if (r.isNullAt(ordinal)) null else r.getInt(ordinal).toString
+    case LongType    => r => if (r.isNullAt(ordinal)) null else r.getLong(ordinal).toString
+    case DateType    => r => if (r.isNullAt(ordinal)) null
+      else java.time.LocalDate.ofEpochDay(r.getInt(ordinal).toLong).toString
+    case d: DecimalType => r => if (r.isNullAt(ordinal)) null
+      else r.getDecimal(ordinal, d.precision, d.scale).toBigDecimal.bigDecimal.toString
+    case other => throw new IllegalArgumentException(
+      s"graft: unsupported partition column type $other")
+  }
 }
 
 private[catalog] object GraftTable {
@@ -524,6 +697,11 @@ private[catalog] object GraftTable {
   /** Internal (alterTable-maintained): names ever dropped from this table —
     * re-adding one would be an unguarded type change over old segments. */
   val DroppedColumnsProp = "graft.dropped-columns"
+
+  /** Internal (createTable-set): identity partition columns, in declaration
+    * order. Presence switches the table onto the partition-pure write path
+    * (one segment per partition value per write — see GraftPartitions). */
+  val PartitionByProp = "graft.partition-by"
 }
 
 private[catalog] final class GraftTable(
@@ -539,10 +717,14 @@ private[catalog] final class GraftTable(
   override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
   override def schema(): StructType = meta.schema
   override def properties(): java.util.Map[String, String] = meta.props.asJava
+  override def partitioning(): Array[Transform] =
+    GraftPartitions.cols(meta.props).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** Segment dirs visible to this read: a pinned snapshot (`VERSION AS OF` /
     * `TIMESTAMP AS OF` / a `snapshot` read option), an incremental CHANGES
@@ -556,6 +738,17 @@ private[catalog] final class GraftTable(
     * delete) fails the read loudly rather than returning rows that are not
     * "the new data since snapshot N". */
   private def visibleSegments(options: CaseInsensitiveStringMap): Seq[String] = {
+    // `graft.segments`: scan exactly the named segments — the CDC row-delta
+    // reader's primitive (GraftCdc reads base-only and target-only segment
+    // sets separately). Guarded: every name must be referenced by SOME
+    // retained snapshot, so this can never read an orphan or foreign path.
+    Option(options.get("graft.segments")).foreach { list =>
+      val names = list.split(",").filter(_.nonEmpty).toSeq
+      val known = meta.snapshots.valuesIterator.flatten.toSet
+      names.foreach(n => require(known(n),
+        s"${name()}: segment '$n' is not referenced by any retained snapshot"))
+      return names
+    }
     val changesFrom = Option(options.get("graft.changes.from")).map(_.toLong)
     changesFrom match {
       case Some(from) =>
@@ -737,8 +930,23 @@ private[catalog] final class GraftPruningScanBuilder(
 private[catalog] final class GraftStreamableScan(
     inner: Scan, tableDir: Path, tableName: String, tableSchema: StructType,
     options: CaseInsensitiveStringMap) extends Scan
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
+  // statistics pass through to the parquet scan (FileScan reports post-pruning
+  // sizeInBytes): without this the wrapper makes DataSourceV2Relation fall
+  // back to spark.sql.defaultSizeInBytes (= huge), losing STATIC
+  // broadcast-hash-join planning and size-based DPP heuristics on graft
+  // tables — only AQE's runtime conversion could recover the broadcast
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
   override def description(): String = inner.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
@@ -781,8 +989,10 @@ private[catalog] final class GraftStreamableScan(
 private[catalog] final class GraftMicroBatchStream(
     tableDir: Path, tableName: String, tableSchema: StructType,
     readSchema: StructType, options: CaseInsensitiveStringMap)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
 
   private final case class Snap(id: Long) extends Offset {
@@ -790,6 +1000,35 @@ private[catalog] final class GraftMicroBatchStream(
   }
 
   private def meta: GraftMeta = GraftMeta.read(tableDir)
+
+  /** `maxSnapshotsPerTrigger` (Delta's maxFilesPerTrigger analog, in COMMIT
+    * units — the natural granularity here since a snapshot is one commit's
+    * append): a stream catching up over a long snapshot history admits at
+    * most N commits per micro-batch instead of swallowing the whole backlog
+    * in one giant batch (unbounded state/shuffle on first start is the
+    * classic new-subscriber failure at scale). Exactly-once is unaffected —
+    * offsets are still snapshot ids, just advanced in bounded steps. */
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxSnapshotsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
+      n
+    }
+
+  // Trigger.AvailableNow contract: pin "now" once at query start; bounded
+  // batches then drain UP TO the pin and the query stops — commits landing
+  // after the pin wait for the next run
+  @volatile private var availableNowBound: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(meta.current)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[Snap].id
+    val cap = availableNowBound.fold(meta.current)(math.min(meta.current, _))
+    Snap(maxPerTrigger.fold(cap)(n => math.min(cap, from + n)))
+  }
 
   override def initialOffset(): Offset =
     Snap(Option(options.get("graft.stream.from")).map(_.toLong).getOrElse(0L))
@@ -844,22 +1083,46 @@ private[catalog] final class GroupScan(inner: Scan) extends Scan {
 private[catalog] final class GraftWriteBuilder(
     tableDir: Path, info: LogicalWriteInfo, replaceOnCommit: Boolean,
     fromRowLevelOp: Boolean = false, expectedCurrent: Option[Long] = None)
-  extends WriteBuilder with SupportsOverwriteV2 {
+  extends WriteBuilder with SupportsOverwriteV2 with SupportsDynamicOverwrite {
 
   private var replace = replaceOnCommit
+  private var dynamicPartitionOverwrite = false
 
   override def truncate(): WriteBuilder = { replace = true; this }
 
   /** INSERT OVERWRITE arrives as overwrite-by-filter; only the full-table form
-    * (always-true predicate) maps onto snapshot replacement. */
+    * (always-true predicate) maps onto snapshot replacement. (Partition-scoped
+    * overwrite is the DYNAMIC path below — partitionOverwriteMode=dynamic or
+    * `writeTo(t).overwritePartitions()`.) */
   override def overwrite(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): WriteBuilder = {
     require(predicates.forall(_.name() == "ALWAYS_TRUE"),
-      "graft catalog: only full-table INSERT OVERWRITE is supported")
+      "graft catalog: only full-table INSERT OVERWRITE is supported " +
+        "(for partition-scoped overwrite use dynamic overwrite mode)")
     replace = true
     this
   }
 
-  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+  /** Dynamic partition overwrite (Iceberg's replace-partitions commit): the
+    * partitions PRESENT IN THE WRITTEN DATA swap out atomically; untouched
+    * partitions carry by reference. On an unpartitioned table this is a plain
+    * truncating overwrite. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicPartitionOverwrite = true
+    this
+  }
+
+  override def build(): Write = {
+    val partCols = GraftPartitions.cols(GraftMeta.read(tableDir).props)
+    if (partCols.nonEmpty)
+      new GraftPartitionedWrite(tableDir, info, partCols,
+        replaceAll = replace && !dynamicPartitionOverwrite,
+        dynamicOverwrite = dynamicPartitionOverwrite,
+        fromRowLevelOp = fromRowLevelOp, expectedCurrent = expectedCurrent)
+    else buildUnpartitioned()
+  }
+
+  private def buildUnpartitioned(): Write = new Write with RequiresDistributionAndOrdering {
+    if (dynamicPartitionOverwrite) replace = true // unpartitioned: = truncate
     // table-owned write layout: the TABLE declares its clustering/sort once and
     // every writer — INSERT, streaming foreachBatch, MERGE replacement — gets
     // the same physical layout; Spark's DistributionAndOrderingUtils plans the

@@ -1,0 +1,227 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriter
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The write path for identity-partitioned graft tables: every job lands one
+  * PARTITION-PURE segment per partition value it touches (see GraftPartitions
+  * for why purity is the whole design), committed as ONE snapshot.
+  *
+  * Spark's v2 file write (ParquetWrite) writes a single directory per job —
+  * it cannot split output by a column — so this Write owns the task-side
+  * fan-out itself, on the same public building blocks FileFormatWriter uses:
+  *
+  *   - the TABLE declares `clustered(partitionCols)` distribution, so Spark
+  *     shuffles each partition value to one task (≈1 file per partition per
+  *     write — the layout a 1000-executor job needs; without it every task
+  *     would write every partition);
+  *   - each task opens one ParquetFileFormat OutputWriter per partition value
+  *     it actually sees, writing into a private STAGING directory
+  *     (`seg-staging@<uuid>` — never referenced by any snapshot, so crashes
+  *     leak only invisible files the orphan sweep reclaims);
+  *   - each task's commit message is a MANIFEST of the files it wrote; job
+  *     commit moves exactly the manifest files into final per-partition
+  *     segment dirs and publishes them in one meta CAS. Files from failed or
+  *     speculative task attempts are never in a manifest, so they vanish
+  *     with the staging dir — the classic manifest commit protocol
+  *     (Iceberg's), which needs no rename-based Hadoop committer.
+  *
+  * Commit modes: plain append; `replaceAll` (INSERT OVERWRITE / group-based
+  * row-level rewrite — the new segments ARE the table); `dynamicOverwrite`
+  * (replace-partitions: current segments whose partition suffix appears in
+  * the written data swap out, guarded by expectedCurrent so a concurrent
+  * append is never silently clobbered).
+  *
+  * Exactly-once streaming composes unchanged: `graft.segment`-named jobs
+  * register ONE registry key for the whole job; a replayed epoch is detected
+  * at build time (no IO) or, if it raced, at the commit CAS (the freshly
+  * moved segments are deleted). */
+private[catalog] final class GraftPartitionedWrite(
+    tableDir: Path, info: LogicalWriteInfo, partCols: Seq[String],
+    replaceAll: Boolean, dynamicOverwrite: Boolean,
+    fromRowLevelOp: Boolean, expectedCurrent: Option[Long])
+  extends Write with RequiresDistributionAndOrdering {
+
+  private val metaAtBuild = GraftMeta.read(tableDir)
+  private val props = metaAtBuild.props
+
+  private val named = Option(info.options.get("graft.segment"))
+  named.foreach(n => require(n.matches("[A-Za-z0-9_.\\-]+"),
+    s"graft.segment must be [A-Za-z0-9_.-]+, got '$n'"))
+  private val namedKey = named.map("seg-" + _)
+  private val alreadyCommitted = namedKey.exists(metaAtBuild.committedNamed.contains)
+  // a crashed earlier attempt of a NAMED job can leave final segment dirs
+  // (moved before the meta CAS ran); a retry must not merge new files into
+  // them — doubled rows — so they are swept here, before any new IO
+  if (named.isDefined && !alreadyCommitted) {
+    val prefix = s"${namedKey.get}${GraftPartitions.Marker}"
+    GraftMeta.listDir(tableDir)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+      .foreach(GraftMeta.deleteRecursively)
+  }
+
+  private val writeId = named.getOrElse(UUID.randomUUID().toString.take(12))
+  private val staging = tableDir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")
+
+  // partition columns resolved against the DATA schema (row-level-op rows
+  // carry a leading __row_operation column the writer strips before lookup)
+  private val dataSchema: StructType = info.schema()
+  private val partFields: Seq[(Int, DataType)] = partCols.map { c =>
+    val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+    require(i >= 0, s"graft: partition column '$c' missing from write schema $dataSchema")
+    (i, dataSchema.fields(i).dataType)
+  }
+
+  /** Partition-first clustering: rows shuffle on (partition cols ++ any
+    * write.cluster-by cols), so each task sees few partition values and each
+    * partition's rows are not scattered across the job. */
+  override def requiredDistribution(): Distribution = {
+    val cluster = props.get(GraftTable.ClusterByProp).toSeq.flatMap(_.split(',')).map(_.trim)
+    Distributions.clustered(
+      (partCols ++ cluster.filterNot(partCols.contains)).map(Expressions.column).toArray[Expression])
+  }
+
+  override def requiredOrdering(): Array[SortOrder] =
+    props.get(GraftTable.OrderByProp).toSeq.flatMap(_.split(',')).map { c =>
+      Expressions.sort(Expressions.column(c.trim), SortDirection.ASCENDING)
+    }.toArray
+
+  override def description(): String =
+    s"graft-partitioned-write($writeId, partitions=${partCols.mkString(",")}, " +
+      s"replaceAll=$replaceAll, dynamic=$dynamicOverwrite)"
+
+  override def toBatch: BatchWrite =
+    if (alreadyCommitted) new NoopBatchWrite(namedKey.get)
+    else new BatchWrite {
+      override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
+        val spark = SparkSession.active
+        val job = Job.getInstance(spark.sessionState.newHadoopConf())
+        val owf = new ParquetFileFormat()
+          .prepareWrite(spark, job, Map.empty[String, String], dataSchema)
+        new GraftPartitionedWriterFactory(owf,
+          new SerializableHadoopConf(job.getConfiguration),
+          staging.toString, dataSchema, partFields, fromRowLevelOp)
+      }
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val manifest = messages.flatMap {
+          case m: GraftPartitionFilesMessage => m.files
+          case _ => Nil
+        }
+        val byPart: Map[String, Seq[String]] =
+          manifest.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        val segments = byPart.toSeq.sortBy(_._1).map { case (enc, fileNames) =>
+          val seg = s"seg-$writeId${GraftPartitions.Marker}$enc"
+          val segDir = tableDir.resolve(seg)
+          Files.createDirectories(segDir)
+          fileNames.foreach(f =>
+            Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
+          val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
+            SparkSession.active, segDir.toString, metaAtBuild.schema))).toOption
+          (seg, stats)
+        }
+        try {
+          if (segments.nonEmpty || replaceAll || namedKey.isDefined) {
+            val guard = expectedCurrent.orElse(
+              if (dynamicOverwrite) Some(metaAtBuild.current) else None)
+            val applied = GraftMeta.commitMany(tableDir, segments,
+              replaceAll = replaceAll,
+              removeSuffixes =
+                if (dynamicOverwrite) byPart.keySet.toSet else Set.empty[String],
+              expectedCurrent = guard, namedKey = namedKey)
+            // a replayed named job that raced past the build-time check loses
+            // at the CAS: its rows are already in the table — drop the copies
+            if (!applied)
+              segments.foreach { case (s, _) => GraftMeta.deleteRecursively(tableDir.resolve(s)) }
+          }
+        } catch {
+          case e: Throwable =>
+            segments.foreach { case (s, _) =>
+              scala.util.Try(GraftMeta.deleteRecursively(tableDir.resolve(s))) }
+            throw e
+        } finally GraftMeta.deleteRecursively(staging)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        GraftMeta.deleteRecursively(staging)
+    }
+}
+
+/** One task's manifest: (partition suffix, file name) per file it wrote. */
+private[catalog] final case class GraftPartitionFilesMessage(
+    files: Seq[(String, String)]) extends WriterCommitMessage
+
+private[catalog] final class GraftPartitionedWriterFactory(
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
+    partFields: Seq[(Int, DataType)], fromRowLevelOp: Boolean)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID("graft", 0, TaskType.MAP, partitionId, (taskId & 0x7fffffff).toInt))
+      private val ext = owf.getFileExtension(ctx)
+      private val extractors = partFields.map { case (i, dt) =>
+        GraftPartitions.internalExtractor(dt, i)
+      }
+      private val opStrip =
+        if (fromRowLevelOp)
+          Some(new ProjectingInternalRow(dataSchema, (1 to dataSchema.length).toIndexedSeq))
+        else None
+      private val writers = scala.collection.mutable.HashMap.empty[String, OutputWriter]
+      private val manifest = Seq.newBuilder[(String, String)]
+
+      override def write(row: InternalRow): Unit = {
+        val data = opStrip match {
+          case Some(p) => p.project(row); p
+          case None    => row
+        }
+        val enc = GraftPartitions.encodeTuple(extractors.map(_(data)))
+        writers.getOrElseUpdate(enc, {
+          val file = s"part-$partitionId-$taskId$ext"
+          manifest += enc -> file
+          owf.newInstance(s"$staging/$enc/$file", dataSchema, ctx)
+        }).write(data)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_.close())
+        writers.clear()
+        GraftPartitionFilesMessage(manifest.result())
+      }
+
+      override def abort(): Unit =
+        writers.values.foreach(w => scala.util.Try(w.close()))
+
+      override def close(): Unit = ()
+    }
+}
+
+/** Hadoop Configuration is not Serializable; ship it via its own writable
+  * form (the standard Spark trick, re-stated locally because Spark's helper
+  * is not public API). */
+private[catalog] final class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

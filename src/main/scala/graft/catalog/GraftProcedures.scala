@@ -96,32 +96,50 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
     require(target > 0, "graft compact: target_file_bytes must be positive")
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
-    val segs = meta.snapshots(meta.current).map(dir.resolve)
-    val files = segs.flatMap(parquetFiles)
-    val bytes = files.map(Files.size).sum
-    val nOut = math.max(1L, (bytes + target - 1) / target).toInt
-    val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
-    // the rewrite honors the table-owned layout: an unclustered table narrows
-    // N input files into nOut writers via coalesce (bin-packing, no shuffle);
-    // a write.cluster-by/order-by table re-clusters and re-sorts — compacting
-    // a laid-out table with a blind coalesce would interleave its inputs and
-    // widen every zone-map bound to table-wide (data skipping would silently
-    // stop working after each compaction)
-    GraftDml.applyLayout(
-        spark.read.schema(meta.schema).parquet(segs.map(_.toString): _*),
-        meta.props, numPartitions = Some(nOut))
-      .write.parquet(dir.resolve(segment).toString)
-    val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-      spark, dir.resolve(segment).toString, meta.schema))).toOption
-    // expectedCurrent: a concurrent append between the rewrite's snapshot pin
-    // and this commit must FAIL the compaction (its rows are not in the
-    // rewritten segment), not silently vanish from the new current snapshot —
-    // and the loser's fully-written segment is deleted, not leaked
-    GraftDml.cleanupOnFailedCommit(dir, segment) {
-      GraftMeta.commit(dir, segment, replace = true, stats,
-        expectedCurrent = Some(meta.current))
+    val segNames = meta.snapshots(meta.current)
+    // compaction groups = partitions: a partitioned table rewrites WITHIN each
+    // partition-pure group (merging across partitions would destroy the purity
+    // every pruned scan and partition-scoped DML depends on); an unpartitioned
+    // table is one group, the original whole-snapshot rewrite
+    val groups: Seq[(Option[String], Seq[String])] =
+      segNames.groupBy(GraftPartitions.suffixOf).toSeq.sortBy(_._1)
+    var filesBefore = 0
+    var filesAfter = 0
+    var bytesTotal = 0L
+    val rewritten = groups.map { case (suffix, group) =>
+      val segs = group.map(dir.resolve)
+      val files = segs.flatMap(parquetFiles)
+      val bytes = files.map(Files.size).sum
+      filesBefore += files.size
+      bytesTotal += bytes
+      val nOut = math.max(1L, (bytes + target - 1) / target).toInt
+      val segment = s"seg-${UUID.randomUUID().toString.take(12)}" +
+        suffix.fold("")(s => s"${GraftPartitions.Marker}$s")
+      // the rewrite honors the table-owned layout: an unclustered table narrows
+      // N input files into nOut writers via coalesce (bin-packing, no shuffle);
+      // a write.cluster-by/order-by table re-clusters and re-sorts — compacting
+      // a laid-out table with a blind coalesce would interleave its inputs and
+      // widen every zone-map bound to table-wide (data skipping would silently
+      // stop working after each compaction)
+      GraftDml.applyLayout(
+          spark.read.schema(meta.schema).parquet(segs.map(_.toString): _*),
+          meta.props, numPartitions = Some(nOut))
+        .write.parquet(dir.resolve(segment).toString)
+      val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
+        spark, dir.resolve(segment).toString, meta.schema))).toOption
+      filesAfter += parquetFiles(dir.resolve(segment)).size
+      (segment, stats)
     }
-    result(segs.size, files.size, parquetFiles(dir.resolve(segment)).size, bytes)
+    // ONE commit swaps every group: expectedCurrent fails the compaction if a
+    // concurrent append landed between the snapshot pin and this commit (its
+    // rows are not in any rewritten segment), not silently vanish from the new
+    // current snapshot — and the loser's fully-written segments are deleted
+    GraftDml.cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
+      GraftMeta.commitMany(dir, rewritten, replaceAll = true,
+        removeSuffixes = Set.empty, expectedCurrent = Some(meta.current),
+        namedKey = None)
+    }
+    result(segNames.size, filesBefore, filesAfter, bytesTotal)
   }
 }
 
@@ -246,25 +264,51 @@ private[catalog] object GraftDml {
     }
   }
 
-  /** Delete a fully-written rewrite segment whose commit lost the optimistic
-    * race — without this, every lost CAS leaks an unreferenced segment dir
-    * until the orphan sweep finds it. */
+  /** Delete fully-written rewrite segments whose commit lost the optimistic
+    * race — without this, every lost CAS leaks unreferenced segment dirs
+    * until the orphan sweep finds them. */
   private[catalog] def cleanupOnFailedCommit[A](dir: java.nio.file.Path,
-                                                segment: String)(commit: => A): A =
+                                                segments: Seq[String])(commit: => A): A =
     try commit
     catch {
       case e: Throwable =>
-        scala.util.Try(GraftMeta.deleteRecursively(dir.resolve(segment)))
+        segments.foreach(s => scala.util.Try(GraftMeta.deleteRecursively(dir.resolve(s))))
         throw e
     }
 
-  private def writeSegment(dir: java.nio.file.Path, meta: GraftMeta,
-                           df: DataFrame): (String, Option[String]) = {
-    val segment = s"seg-${UUID.randomUUID().toString.take(12)}"
+  private def writeOneSegment(dir: java.nio.file.Path, meta: GraftMeta,
+                              df: DataFrame, segment: String): (String, Option[String]) = {
     applyLayout(df, meta.props).write.parquet(dir.resolve(segment).toString)
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
       SparkSession.active, dir.resolve(segment).toString, meta.schema))).toOption
     (segment, stats)
+  }
+
+  /** Land a DML rewrite. Unpartitioned: one segment. Partitioned: one
+    * PARTITION-PURE segment per partition value present in `df` — the number
+    * of values is bounded by the touched-segment set (itself partition-pure),
+    * so the driver-side distinct is group-count-sized, and the common
+    * partition-predicate DML writes exactly one job. The per-value filter
+    * compares on `CAST(col AS STRING)`, the same canonical form the V2
+    * writer's suffix encoder uses (GraftPartitions.internalExtractor), so a
+    * rewritten partition keeps a byte-identical suffix. */
+  private def writeSegments(dir: java.nio.file.Path, meta: GraftMeta,
+                            df: DataFrame): Seq[(String, Option[String])] = {
+    val partCols = GraftPartitions.cols(meta.props)
+    if (partCols.isEmpty)
+      return Seq(writeOneSegment(dir, meta, df,
+        s"seg-${UUID.randomUUID().toString.take(12)}"))
+    val asStrings = partCols.map(c => col(c).cast("string"))
+    val tuples = df.select(asStrings: _*).distinct().collect()
+      .map(r => partCols.indices.map(i => if (r.isNullAt(i)) null else r.getString(i)))
+    tuples.toSeq.map { vals =>
+      val cond = partCols.zip(vals).map { case (c, s) =>
+        if (s == null) col(c).isNull else col(c).cast("string") === lit(s)
+      }.reduce(_ && _)
+      val seg = s"seg-${UUID.randomUUID().toString.take(12)}" +
+        s"${GraftPartitions.Marker}${GraftPartitions.encodeTuple(vals)}"
+      writeOneSegment(dir, meta, df.where(cond), seg)
+    }
   }
 
   /** `a = expr, b = expr2` split on TOP-LEVEL commas only (parens and quoted
@@ -327,9 +371,17 @@ private[catalog] object GraftDml {
         case None => col(f.name)
       }
     }.toSeq: _*)
-    val (segment, stats) = writeSegment(dir, meta, projected)
-    cleanupOnFailedCommit(dir, segment) {
-      GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
+    // guard the partition invariant: UPDATE must not move a row across
+    // partitions (the rewrite would silently create a new partition while the
+    // row's old partition still lists it under the swapped-out segment only) —
+    // assigning a partition column is refused, the Iceberg/Delta contract
+    GraftPartitions.cols(meta.props).foreach(pc => require(
+      !assignedMap.keys.exists(_.equalsIgnoreCase(pc)),
+      s"graft update_where: partition column '$pc' cannot be assigned " +
+        "(delete + insert to move rows across partitions)"))
+    val segments = writeSegments(dir, meta, projected)
+    cleanupOnFailedCommit(dir, segments.map(_._1)) {
+      GraftMeta.commitReplaceSegments(dir, segments, touched,
         expectedCurrent = Some(meta.current))
     }
     (segs.size, touched.size, touchedCounts.values.sum)
@@ -350,7 +402,7 @@ private[catalog] object GraftDml {
         .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption))
         .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
         .getOrElse(read(segs).count())
-      GraftMeta.commitReplaceSegments(dir, None, segs.toSet,
+      GraftMeta.commitReplaceSegments(dir, Nil, segs.toSet,
         expectedCurrent = Some(meta.current))
       return (segs.size, 0, nBefore)
     }
@@ -359,14 +411,16 @@ private[catalog] object GraftDml {
     val touchedCounts = discoverTouched(read(segs), matches)
     if (touchedCounts.isEmpty) return (segs.size, 0, 0L)
     val touched = touchedCounts.keySet
-    // 2. rewrite only the touched segments
-    val (segment, stats) =
-      writeSegment(dir, meta, read(segs.filter(touched)).where(not(matches)))
+    // 2. rewrite only the touched segments (one pure segment per partition
+    // value on a partitioned table — a partition whose rows all die simply
+    // produces no rewrite segment and vanishes from the snapshot)
+    val segments =
+      writeSegments(dir, meta, read(segs.filter(touched)).where(not(matches)))
     // 3. swap exactly the touched segments; fail on any concurrent commit —
     // applying `removed` to a changed base would resurrect deleted rows or
-    // duplicate survivors — and delete the loser's segment instead of leaking
-    cleanupOnFailedCommit(dir, segment) {
-      GraftMeta.commitReplaceSegments(dir, Some(segment), touched, stats,
+    // duplicate survivors — and delete the loser's segments instead of leaking
+    cleanupOnFailedCommit(dir, segments.map(_._1)) {
+      GraftMeta.commitReplaceSegments(dir, segments, touched,
         expectedCurrent = Some(meta.current))
     }
     (segs.size, touched.size, touchedCounts.values.sum)
@@ -446,8 +500,13 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
     ProcedureParameter.in("table", StringType).build(),
     ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build(),
     ProcedureParameter.in("dry_run", BooleanType).defaultValue("false").build(),
+    // 24h default (Iceberg's remove_orphan_files uses 3 days for the same
+    // reason): an in-flight write longer than retention would see its
+    // still-uncommitted segment swept. Commit additionally touches the seg
+    // dir just before the meta CAS, so the mtime reflects commit time, not
+    // job start — belt and braces against long-running writers.
     ProcedureParameter.in("orphan_retention_ms", LongType)
-      .defaultValue(String.valueOf(60L * 60 * 1000)).build())
+      .defaultValue(String.valueOf(24L * 60 * 60 * 1000)).build())
 
   override val outputSchema: StructType = StructType(Seq(
     StructField("snapshots_removed", IntegerType, nullable = false),
@@ -522,11 +581,20 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
     val orphans = orphanDirs(dir, after._1, retentionMs)
     val orphanBytes = orphans.map(dirBytes).sum
     orphans.foreach(GraftMeta.deleteRecursively)
-    // commit-file GC: every version below the latest is superseded full state
+    // commit-file GC: every version below the latest is superseded full state.
+    // Also sweep aged `.tmp.*` residue — a crash between writing the casWrite
+    // temp file and createLink leaks it forever otherwise (readVersioned
+    // ignores tmp files, and the numeric GC above never matches them); the
+    // orphan retention horizon bounds the race against a live casWrite.
     val cd = dir.resolve(GraftMeta.CommitsDir)
+    val tmpHorizon = System.currentTimeMillis() - retentionMs
     if (Files.isDirectory(cd)) GraftMeta.listDir(cd).foreach { p =>
-      scala.util.Try(p.getFileName.toString.toLong).toOption
-        .filter(_ < after._2).foreach(_ => Files.deleteIfExists(p))
+      val name = p.getFileName.toString
+      val superseded = scala.util.Try(name.toLong).toOption.exists(_ < after._2)
+      val agedTmp = name.startsWith(".tmp.") &&
+        scala.util.Try(Files.getLastModifiedTime(p).toMillis <= tmpHorizon)
+          .getOrElse(false)
+      if (superseded || agedTmp) Files.deleteIfExists(p)
     }
     result(removedIds.size, keptIds.size, dead.size, orphans.size, deadBytes + orphanBytes)
   }

@@ -480,6 +480,55 @@ object LakeQueries {
        FROM orders WHERE o_orderkey % 3 IN (1, 2)
        GROUP BY st ORDER BY st"""
 
+  // --------------------------------------------------------------------------
+  // q181: identity-PARTITIONED graft table, full lifecycle — the single most
+  // common lakehouse layout, exercised end-to-end: CREATE ... PARTITIONED BY
+  // (st) lands every write as PARTITION-PURE segments (one per status value,
+  // GraftPartitionedWrite's manifest commit); a DYNAMIC partition overwrite
+  // replaces exactly the 'P' partition (rest carry by reference — Iceberg's
+  // replace-partitions commit); a partition-scoped delete_where rewrites only
+  // the 'F' partition; and the final per-partition aggregate scans a table
+  // whose every segment zone-maps min=max on st, so a partition predicate
+  // plans 1-of-N segments with zero file IO (GraftCatalogSpec pins the
+  // planned-file count; at 100 TB partition pruning IS the difference between
+  // a day-scoped query reading one day or three years). The oracle replays
+  // the same overwrite+delete algebra over raw `orders`.
+  // --------------------------------------------------------------------------
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m181_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+              USING parquet PARTITIONED BY (st)""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src""")
+    // dynamic overwrite: only the 'P' partition is present in the new data,
+    // so only it swaps; 'F'/'O' segments carry by reference
+    s.sql(s"""SELECT o_orderkey AS k, o_orderstatus AS st,
+                     CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 2 AS price_c
+              FROM $src WHERE o_orderstatus = 'P'""")
+      .writeTo(s"graft.lake.$t").overwritePartitions()
+    // partition-scoped copy-on-write delete: rewrites ONLY the 'F' segment
+    s.sql(s"CALL graft.system.delete_where('lake.$t', 'st = ''F'' AND k % 10 = 0')")
+    s.sql(s"""SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q181Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+       final AS (
+         SELECT k, st, CASE WHEN st = 'P' THEN price_c * 2 ELSE price_c END AS price_c
+         FROM base WHERE NOT (st = 'F' AND k % 10 = 0))
+       SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM final GROUP BY st ORDER BY st"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -490,5 +539,6 @@ object LakeQueries {
     QDef("q164_lake_data_skipping", q164, Some(q164Sql)),
     QDef("q167_lake_selective_update", q167, Some(q167Sql)),
     QDef("q177_lake_timestamp_travel", q177, Some(q177Sql)),
-    QDef("q178_lake_changes_feed", q178, Some(q178Sql)))
+    QDef("q178_lake_changes_feed", q178, Some(q178Sql)),
+    QDef("q181_lake_partitioned_table", q181, Some(q181Sql)))
 }

@@ -347,6 +347,64 @@ class GraftCatalogSpec extends SparkSpec {
     assert(joined.count() === 100000L)
   }
 
+  test("scan statistics drive STATIC broadcast planning (no AQE rescue)") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t16b")
+    sql("CREATE TABLE gtest.ns.t16b AS SELECT id AS k, id * 2 AS w FROM range(50)")
+    // AQE off: only compile-time statistics can pick the broadcast join. The
+    // GraftStreamableScan wrapper must forward SupportsReportStatistics or
+    // DataSourceV2Relation falls back to defaultSizeInBytes (= never small
+    // enough) and this plans a sort-merge join.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val big = spark.range(100000).selectExpr("id % 50 AS k", "id AS x")
+      val joined = big.join(spark.table("gtest.ns.t16b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+        s"expected a statically-planned broadcast:\n${plan.take(800)}")
+      assert(joined.count() === 100000L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("expire_snapshots sweeps aged casWrite .tmp residue from _graft_commits") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t30b")
+    sql("CREATE TABLE gtest.ns.t30b AS SELECT id AS k FROM range(0, 5)")
+    sql("INSERT INTO gtest.ns.t30b SELECT id FROM range(5, 10)")
+    val cd = root.resolve("ns").resolve("t30b").resolve(GraftMeta.CommitsDir)
+    // plant what a crash between Files.write(tmp) and createLink leaves behind
+    val freshTmp = cd.resolve(".tmp.planted-fresh")
+    val agedTmp = cd.resolve(".tmp.planted-aged")
+    java.nio.file.Files.write(freshTmp, Array[Byte](1))
+    java.nio.file.Files.write(agedTmp, Array[Byte](1))
+    java.nio.file.Files.setLastModifiedTime(agedTmp,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
+    sql("CALL gtest.system.expire_snapshots('ns.t30b', 1, false, " + (3600L * 1000) + ")")
+    assert(!java.nio.file.Files.exists(agedTmp),
+      "a tmp file older than the retention horizon must be GC'd")
+    assert(java.nio.file.Files.exists(freshTmp),
+      "a tmp file inside the horizon may be a LIVE casWrite in flight — keep it")
+    java.nio.file.Files.deleteIfExists(freshTmp)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t30b").head.getLong(0) === 10L)
+  }
+
+  test("casWrite refuses to publish into a vanished (renamed/dropped) table dir") {
+    root
+    val ghost = java.nio.file.Files.createTempDirectory("graft_ghost")
+    // no _graft_meta mirror: exactly what a commit racing renameTable sees
+    // after the directory moved away — it must NOT recreate the dir and
+    // publish a commit nothing will ever read
+    val err = intercept[IllegalStateException] {
+      GraftMeta.casWrite(ghost.resolve("gone"),
+        GraftMeta(schema = new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType),
+          current = 1L, snapshots = Map(1L -> Nil)), 0L)
+    }
+    assert(err.getMessage.contains("vanished"))
+    assert(!java.nio.file.Files.exists(ghost.resolve("gone").resolve(GraftMeta.CommitsDir)),
+      "the refused commit must not have resurrected the commits dir")
+  }
+
   test("CALL system.delete_where rewrites only segments holding matching rows") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t17")
@@ -555,7 +613,7 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("concurrent commit"))
     val err2 = intercept[IllegalArgumentException] {
-      GraftMeta.commitReplaceSegments(dir, None, Set("x"), None, expectedCurrent = Some(base))
+      GraftMeta.commitReplaceSegments(dir, Nil, Set("x"), expectedCurrent = Some(base))
     }
     assert(err2.getMessage.contains("concurrent commit"))
     // the concurrent append survives; nothing was lost or replaced
@@ -817,6 +875,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got.toSeq === (0L until 25L), "restart must neither lose nor duplicate rows")
   }
 
+  test("streaming source: maxSnapshotsPerTrigger drains a backlog in bounded batches") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t38")
+    sql("CREATE TABLE gtest.ns.t38 (k BIGINT) USING parquet")
+    // 3-commit backlog BEFORE the stream ever starts
+    spark.range(0, 10).toDF("k").writeTo("gtest.ns.t38").append()   // snap 1
+    spark.range(10, 30).toDF("k").writeTo("gtest.ns.t38").append()  // snap 2
+    spark.range(30, 60).toDF("k").writeTo("gtest.ns.t38").append()  // snap 3
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rate_ckpt").toString
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runAvailable(): Unit = {
+      val q = spark.readStream.option("maxSnapshotsPerTrigger", 1)
+        .table("gtest.ns.t38")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ks = df.collect().map(_.getLong(0))
+          sizes.synchronized { sizes += ks.length.toLong; seen ++= ks }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runAvailable()
+    assert(sizes.toSeq === Seq(10L, 20L, 30L),
+      s"backlog must drain one COMMIT per batch, saw batch sizes $sizes")
+    // restart mid-history continues exactly-once: two more commits, same cap
+    spark.range(60, 70).toDF("k").writeTo("gtest.ns.t38").append()  // snap 4
+    spark.range(70, 85).toDF("k").writeTo("gtest.ns.t38").append()  // snap 5
+    runAvailable()
+    assert(sizes.toSeq === Seq(10L, 20L, 30L, 10L, 15L),
+      s"restart must resume at the checkpointed snapshot with the same bound, saw $sizes")
+    assert(seen.sorted.toSeq === (0L until 85L),
+      "no row lost or duplicated across the bounded batches and the restart")
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
@@ -830,5 +926,181 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(sql("SELECT COUNT(*) FROM gtest.ns.t13").head.getLong(0) === 5L,
       "aborted job must not become visible")
+  }
+
+  // ------------------------------------------------------------------------
+  // identity-partitioned tables: partition-pure segments, pruned scans,
+  // partition-as-group copy-on-write DML, dynamic overwrite, maintenance
+  // ------------------------------------------------------------------------
+
+  private def segNames(table: String): Seq[String] =
+    segmentDirs(table).map(_.getFileName.toString)
+
+  test("partitioned create + insert: one PURE segment per partition value") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p1")
+    sql("CREATE TABLE gtest.ns.p1 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    spark.range(0, 30)
+      .selectExpr("id AS k", "CASE WHEN id < 10 THEN 'mon' WHEN id < 20 THEN 'tue' ELSE 'wed' END AS day")
+      .writeTo("gtest.ns.p1").append()
+    val segs = segNames("p1")
+    assert(segs.size === 3, s"one segment per partition value, saw $segs")
+    assert(segs.forall(_.contains("@")), s"partition suffix missing in $segs")
+    // purity: every segment holds exactly one day value, and the partition
+    // column is a REGULAR data column in the files (no reconstruction needed)
+    segmentDirs("p1").foreach { seg =>
+      val days = spark.read.parquet(seg.toString).select("day").distinct().collect()
+      assert(days.length === 1, s"segment $seg holds ${days.length} partition values")
+    }
+    assert(sql("SELECT COUNT(*), CAST(SUM(k) AS BIGINT) FROM gtest.ns.p1").head.toSeq ===
+      Seq(30L, (0L until 30L).sum))
+    // partitioning is visible in the table description
+    assert(spark.table("gtest.ns.p1").schema.fieldNames.toSeq === Seq("k", "day"))
+  }
+
+  test("partition-pruned scan: a partition predicate plans 1 of N segments") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p2")
+    sql("CREATE TABLE gtest.ns.p2 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    spark.range(0, 300)
+      .selectExpr("id AS k", "CASE WHEN id < 100 THEN 'mon' WHEN id < 200 THEN 'tue' ELSE 'wed' END AS day")
+      .writeTo("gtest.ns.p2").append()
+    val q = sql("SELECT k FROM gtest.ns.p2 WHERE day = 'tue'")
+    val segs = plannedFiles(q)
+      .map(f => java.nio.file.Paths.get(f).getParent.getFileName.toString).distinct
+    assert(segs.size === 1, s"expected exactly the tue partition's segment, saw $segs")
+    assert(q.count() === 100L)
+  }
+
+  test("dynamic partition overwrite replaces exactly the written partitions") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p3")
+    sql("CREATE TABLE gtest.ns.p3 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    spark.createDataFrame(Seq((1L, "mon"), (2L, "tue"), (3L, "wed")))
+      .toDF("k", "day").writeTo("gtest.ns.p3").append()
+    val monSegBefore = segNames("p3").filter(_.endsWith("mon"))
+    // overwrite ONLY tue (new rows), mon/wed must carry by reference
+    spark.createDataFrame(Seq((20L, "tue"), (21L, "tue")))
+      .toDF("k", "day").writeTo("gtest.ns.p3").overwritePartitions()
+    val rows = sql("SELECT k, day FROM gtest.ns.p3 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "mon"), (3L, "wed"), (20L, "tue"), (21L, "tue")))
+    assert(segNames("p3").filter(_.endsWith("mon")) === monSegBefore,
+      "untouched partition's segment must carry by reference, not rewrite")
+    // history: pre-overwrite snapshot still readable
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.p3 VERSION AS OF 1").head.getLong(0) === 3L)
+  }
+
+  test("partition-scoped delete_where rewrites one partition, update stays pure") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p4")
+    sql("CREATE TABLE gtest.ns.p4 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    spark.range(0, 300)
+      .selectExpr("id AS k", "CASE WHEN id < 100 THEN 'mon' WHEN id < 200 THEN 'tue' ELSE 'wed' END AS day")
+      .writeTo("gtest.ns.p4").append()
+    val before = segNames("p4").toSet
+    val del = sql("CALL gtest.system.delete_where('ns.p4', \"day = 'tue' AND k < 150\")").collect()(0)
+    assert(del.getInt(0) === 3 && del.getInt(1) === 1,
+      s"delete must touch exactly the tue segment (got total=${del.getInt(0)} rewritten=${del.getInt(1)})")
+    assert(del.getLong(2) === 50L)
+    // untouched partitions carried by reference; the rewritten tue segment is pure
+    val after = segNames("p4").toSet
+    assert((before -- after).forall(_.endsWith("tue")) && (after -- before).forall(_.endsWith("tue")))
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.p4 WHERE day = 'tue'").head.getLong(0) === 50L)
+    // update within a partition keeps purity; assigning the partition col is refused
+    val upd = sql("CALL gtest.system.update_where('ns.p4', \"day = 'wed'\", 'k = k + 1000')").collect()(0)
+    assert(upd.getInt(1) === 1, "update must rewrite exactly the wed segment")
+    assert(sql("SELECT MIN(k) FROM gtest.ns.p4 WHERE day = 'wed'").head.getLong(0) === 1200L)
+    val err = intercept[Exception] {
+      sql("CALL gtest.system.update_where('ns.p4', 'k = 0', \"day = 'xxx'\")").collect()
+    }
+    assert(err.getMessage.contains("partition column"), err.getMessage)
+  }
+
+  test("MERGE INTO a partitioned table keeps segments partition-pure") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p5")
+    sql("CREATE TABLE gtest.ns.p5 (k BIGINT, day STRING, amt BIGINT) USING parquet PARTITIONED BY (day)")
+    sql("INSERT INTO gtest.ns.p5 VALUES (1, 'mon', 10), (2, 'tue', 20), (3, 'wed', 30)")
+    sql("""MERGE INTO gtest.ns.p5 t
+           USING (SELECT * FROM VALUES (2L, 'tue', 99L), (4L, 'thu', 40L) AS s(k, day, amt)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET amt = s.amt
+           WHEN NOT MATCHED THEN INSERT (k, day, amt) VALUES (s.k, s.day, s.amt)""")
+    val rows = sql("SELECT k, day, amt FROM gtest.ns.p5 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "mon", 10L), (2L, "tue", 99L), (3L, "wed", 30L), (4L, "thu", 40L)))
+    segmentDirs("p5").foreach { seg =>
+      assert(spark.read.parquet(seg.toString).select("day").distinct().count() === 1L,
+        s"post-MERGE segment $seg is not partition-pure")
+    }
+  }
+
+  test("partitioned compact rewrites within partitions; purity and counts survive") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p6")
+    sql("CREATE TABLE gtest.ns.p6 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    (0 until 3).foreach { i =>
+      spark.createDataFrame(Seq((i * 10L, "mon"), (i * 10L + 1, "tue")))
+        .toDF("k", "day").writeTo("gtest.ns.p6").append()
+    }
+    assert(segNames("p6").size === 6, "3 appends x 2 partitions")
+    sql("CALL gtest.system.compact('ns.p6', 134217728)")
+    val live = sql("SELECT segment FROM gtest.ns.p6.segments WHERE in_current").collect()
+      .map(_.getString(0))
+    assert(live.length === 2, s"compaction must leave one segment per partition, saw ${live.toSeq}")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.p6").head.getLong(0) === 6L)
+    live.foreach { seg =>
+      assert(spark.read.parquet(root.resolve("ns").resolve("p6").resolve(seg).toString)
+        .select("day").distinct().count() === 1L, s"post-compact segment $seg not pure")
+    }
+  }
+
+  test("partitioned: NULL and date partition values round-trip and prune") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p7")
+    sql("CREATE TABLE gtest.ns.p7 (k BIGINT, d DATE) USING parquet PARTITIONED BY (d)")
+    sql("""INSERT INTO gtest.ns.p7 VALUES
+           (1, DATE'2024-01-01'), (2, DATE'2024-01-02'), (3, NULL)""")
+    assert(segNames("p7").size === 3, s"3 partition values incl. NULL: ${segNames("p7")}")
+    assert(sql("SELECT k FROM gtest.ns.p7 WHERE d IS NULL").head.getLong(0) === 3L)
+    val pruned = sql("SELECT k FROM gtest.ns.p7 WHERE d = DATE'2024-01-02'")
+    assert(plannedFiles(pruned)
+      .map(f => java.nio.file.Paths.get(f).getParent.getFileName.toString).distinct.size === 1)
+    assert(pruned.head.getLong(0) === 2L)
+    // a second insert into an EXISTING partition appends a second pure segment
+    sql("INSERT INTO gtest.ns.p7 VALUES (4, DATE'2024-01-01')")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.p7 WHERE d = DATE'2024-01-01'").head.getLong(0) === 2L)
+  }
+
+  test("partitioned guards: non-identity transform, bad type, drop partition col") {
+    root
+    val e1 = intercept[Exception] {
+      sql("CREATE TABLE gtest.ns.p8a (k BIGINT, ts TIMESTAMP) USING parquet PARTITIONED BY (ts)")
+    }
+    assert(e1.getMessage.contains("unsupported type"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      sql("CREATE TABLE gtest.ns.p8b (k BIGINT, v DOUBLE) USING parquet PARTITIONED BY (bucket(4, k))")
+    }
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+    sql("DROP TABLE IF EXISTS gtest.ns.p8")
+    sql("CREATE TABLE gtest.ns.p8 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    val e3 = intercept[Exception] { sql("ALTER TABLE gtest.ns.p8 DROP COLUMN day") }
+    assert(e3.getMessage.contains("cannot be dropped"), e3.getMessage)
+  }
+
+  test("partitioned exactly-once: a replayed named batch stays a no-op") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p9")
+    sql("CREATE TABLE gtest.ns.p9 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    def namedAppend(): Unit =
+      spark.createDataFrame(Seq((1L, "mon"), (2L, "tue"))).toDF("k", "day")
+        .writeTo("gtest.ns.p9").option("graft.segment", "batch.7").append()
+    namedAppend()
+    namedAppend() // replay: registry key seg-batch.7 already committed
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.p9").head.getLong(0) === 2L,
+      "replayed named batch must not double rows")
+    assert(segNames("p9").count(_.startsWith("seg-batch.7@")) === 2,
+      "the one applied batch landed one segment per partition")
   }
 }
