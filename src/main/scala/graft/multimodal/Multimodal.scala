@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE path is fully real: [[Codecs.encodePng]] / [[Codecs.decodeImage]]
   * run actual PNG (or any ImageIO-readable) encode/decode through `javax.imageio`,
-  * which ships with the JDK — executors need no extra libraries. AUDIO/VIDEO demux
-  * remains a clearly marked STUB seam ([[Codecs.frameSampleStub]],
-  * [[Codecs.decodeImageStub]] for non-ImageIO codecs): this container has no
-  * ffmpeg-class bindings, and swapping one in touches only the [[Codecs]] object —
-  * every operator shape stays identical. Processing is `mapPartitions`-based so
-  * decoders amortize per-batch setup (codec contexts, buffers) across the
-  * partition — the same reason Python pipelines use mapInPandas there.
+  * which ships with the JDK — executors need no extra libraries. The AUDIO path
+  * is likewise real: [[Codecs.encodeWavPcm16]] / [[Codecs.decodeWavPcm16]] demux
+  * RIFF/WAV PCM through `javax.sound.sampled` (also stock JDK). Only VIDEO demux
+  * remains a clearly marked STUB seam ([[Codecs.frameSampleStub]], plus
+  * [[Codecs.decodeImageStub]] for non-ImageIO image codecs): this container has
+  * no ffmpeg-class bindings, and swapping one in touches only the [[Codecs]]
+  * object — every operator shape stays identical. Processing is
+  * `mapPartitions`-based so decoders amortize per-batch setup (codec contexts,
+  * buffers) across the partition — the same reason Python pipelines use
+  * mapInPandas there.
   */
 object Multimodal {
 
@@ -27,8 +30,10 @@ object Multimodal {
 
   /** Deterministic synthetic corpus: payload bytes are a pure function of mediaId.
     * Images are REAL PNGs (encoded on the executor via ImageIO; Java's PNG writer
-    * emits no timestamps, so the bytes are reproducible); audio/video payloads
-    * stay synthetic blobs behind the demux stub seam. */
+    * emits no timestamps, so the bytes are reproducible); audio payloads are REAL
+    * RIFF/WAV PCM16 files (Java's WAV writer emits a fixed 44-byte header, so
+    * bytes are likewise reproducible); video payloads stay synthetic blobs behind
+    * the demux stub seam. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).repartition(spark.sparkContext.defaultParallelism).map { id =>
@@ -39,14 +44,17 @@ object Multimodal {
           val plane = Array.tabulate(w * h)(i => ((id * 131 + i * 31 + 7) % 251).toDouble)
           MediaFile(id, kind, Codecs.encodePng(plane, w, h),
             MediaMeta(w, h, 1, 0, 0L, "png"))
+        case "audio" =>
+          val nSamples = 256 + (id * 37 % 512).toInt
+          val samples = Array.tabulate(nSamples)(i =>
+            ((((id * 131 + i * 31 + 7) % 251) - 125) * 200).toShort)
+          MediaFile(id, kind, Codecs.encodeWavPcm16(samples, 8000),
+            MediaMeta(0, 0, 1, 8000, nSamples * 1000L / 8000, "wav-pcm16"))
         case _ =>
           val size = 256 + (id * 37 % 512).toInt
           val payload =
             Array.tabulate(size)(i => (((id * 131 + i * 31 + 7) % 251) & 0xFF).toByte)
-          val meta =
-            if (kind == "audio") MediaMeta(0, 0, 1, 8000, size.toLong, "stub-pcm")
-            else MediaMeta(8, 8, 1, 0, size.toLong, "stub-vid")
-          MediaFile(id, kind, payload, meta)
+          MediaFile(id, kind, payload, MediaMeta(8, 8, 1, 0, size.toLong, "stub-vid"))
       }
     }
   }
@@ -77,6 +85,10 @@ object Multimodal {
         val frames = m.kind match {
           case "video" => Codecs.frameSampleStub(m.payload, m.meta).length
           case "image" => 1
+          // audio "frames" = decoded PCM sample count — a REAL demux read,
+          // not a metadata echo (the WAV header is parsed, data chunk framed)
+          case "audio" if m.meta.codec == "wav-pcm16" =>
+            Codecs.decodeWavPcm16(m.payload)._1.length
           case _       => 0
         }
         MediaFeatures(m.mediaId, m.kind, m.payload.length.toLong,
@@ -115,10 +127,59 @@ object Multimodal {
         length(col("text")).as("n_chars")).as("meta"))
 }
 
-/** Codec layer: REAL image encode/decode via the JDK's javax.imageio (no external
-  * libraries needed on executors), plus the remaining STUB seams for formats the
-  * JDK cannot demux (audio containers, video). */
+/** Codec layer: REAL image encode/decode via the JDK's javax.imageio and REAL
+  * WAV PCM audio demux via the JDK's javax.sound.sampled (no external libraries
+  * needed on executors), plus the remaining STUB seams for formats the JDK
+  * cannot demux (compressed audio containers, video). */
 object Codecs {
+
+  /** REAL WAV encode: 16-bit signed little-endian PCM mono wrapped in a RIFF
+    * container by the JDK's WAV writer. Deterministic: the writer emits the
+    * fixed canonical 44-byte header (no metadata chunks), so identical samples
+    * produce identical bytes across JVMs and runs — same property the PNG
+    * fixture path relies on. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // signed, little-endian
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV demux: parse the RIFF header, frame the data chunk, return the
+    * interleaved 16-bit PCM samples plus (sampleRate, channels). Either
+    * endianness is handled; non-PCM or non-16-bit payloads are refused loudly
+    * (compressed audio needs codec libraries this container lacks — that seam
+    * is [[frameSampleStub]]'s documented territory, now video-only). */
+  def decodeWavPcm16(payload: Array[Byte]): (Array[Short], Int, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16,
+      s"decodeWavPcm16: expected 16-bit signed PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val out = new Array[Short](bytes.length / 2)
+    val bigEndian = fmt.isBigEndian
+    var i = 0
+    while (i < out.length) {
+      val lo = if (bigEndian) bytes(2 * i + 1) else bytes(2 * i)
+      val hi = if (bigEndian) bytes(2 * i) else bytes(2 * i + 1)
+      out(i) = (((hi & 0xFF) << 8) | (lo & 0xFF)).toShort
+      i += 1
+    }
+    (out, fmt.getSampleRate.toInt, fmt.getChannels)
+  }
 
   /** REAL image decode: any format ImageIO has a reader for (PNG/JPEG/GIF/BMP in
     * a stock JDK). Returns the grayscale plane (column-major, matching

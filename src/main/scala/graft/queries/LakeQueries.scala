@@ -529,6 +529,60 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM final GROUP BY st ORDER BY st"""
 
+  // --------------------------------------------------------------------------
+  // q182: NET row-level CDC between snapshots — the increment q178's
+  // append-only changes feed honestly refuses once a REWRITE commit is in the
+  // range. GraftCdc derives true (op, row) deltas from pure segment-list
+  // algebra: only segments present on ONE side of the range are read, and a
+  // bidirectional EXCEPT ALL cancels the survivor rows a copy-on-write
+  // rewrite copies forward (compaction in the range nets to zero). The range
+  // here spans an append, a copy-on-write UPDATE, a copy-on-write DELETE, and
+  // a compaction; the oracle replays the same state algebra in DuckDB with
+  // EXCEPT ALL over the reconstructed before/after states, so the hash proves
+  // the segment-diff derivation emits exactly the rows that changed — at
+  // 100 TB the cost is the CHANGED segments, never the table.
+  // --------------------------------------------------------------------------
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m182_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 3 = 0""")                         // snapshot 1
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 3 = 1""")                         // snapshot 2
+    s.sql(s"CALL graft.system.update_where('lake.$t', 'k % 10 = 1', 'price_c = price_c + 7')")
+    s.sql(s"CALL graft.system.delete_where('lake.$t', 'k % 10 = 2')")
+    s.sql(s"CALL graft.system.compact('lake.$t', ${128L * 1024 * 1024})")
+    graft.catalog.GraftCdc.rowDeltas(s, "graft", s"lake.$t", from = 1L)
+      .createOrReplaceTempView(s"deltas_$t")
+    s.sql(s"""SELECT _change_type AS op, st, COUNT(*) AS n,
+                     CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM deltas_$t GROUP BY op, st ORDER BY op, st""")
+  }
+
+  private val q182Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+       state1 AS (SELECT * FROM base WHERE k % 3 = 0),
+       state_now AS (
+         SELECT k, st,
+                CASE WHEN k % 10 = 1 THEN price_c + 7 ELSE price_c END AS price_c
+         FROM base WHERE k % 3 IN (0, 1) AND k % 10 <> 2),
+       deltas AS (
+         SELECT 'insert' AS op, * FROM (SELECT * FROM state_now EXCEPT ALL SELECT * FROM state1)
+         UNION ALL
+         SELECT 'delete' AS op, * FROM (SELECT * FROM state1 EXCEPT ALL SELECT * FROM state_now))
+       SELECT op, st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM deltas GROUP BY op, st ORDER BY op, st"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -540,5 +594,6 @@ object LakeQueries {
     QDef("q167_lake_selective_update", q167, Some(q167Sql)),
     QDef("q177_lake_timestamp_travel", q177, Some(q177Sql)),
     QDef("q178_lake_changes_feed", q178, Some(q178Sql)),
-    QDef("q181_lake_partitioned_table", q181, Some(q181Sql)))
+    QDef("q181_lake_partitioned_table", q181, Some(q181Sql)),
+    QDef("q182_lake_cdc_row_deltas", q182, Some(q182Sql)))
 }

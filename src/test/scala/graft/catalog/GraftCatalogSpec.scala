@@ -913,6 +913,35 @@ class GraftCatalogSpec extends SparkSpec {
       "no row lost or duplicated across the bounded batches and the restart")
   }
 
+  test("CDC row deltas: rewrites yield exact rows, compaction nets to zero") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t39")
+    sql("CREATE TABLE gtest.ns.t39 AS SELECT * FROM VALUES " +
+      "(1L, 'a'), (2L, 'b'), (3L, 'c') AS v(k, tag)")                    // snap 1
+    sql("INSERT INTO gtest.ns.t39 VALUES (4, 'd')")                      // snap 2
+    sql("""MERGE INTO gtest.ns.t39 t
+           USING (SELECT * FROM VALUES (2L, 'B'), (5L, 'e') AS s(k, tag)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET tag = s.tag
+           WHEN NOT MATCHED THEN INSERT (k, tag) VALUES (s.k, s.tag)""") // snap 3 (rewrite)
+    sql("CALL gtest.system.compact('ns.t39', 134217728)")                // snap 4 (rewrite)
+    def deltas(from: Long, to: Option[Long] = None) =
+      GraftCdc.rowDeltas(spark, "gtest", "ns.t39", from, to)
+        .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).sorted.toSeq
+    // the full range nets MERGE's update to delete+insert; rows 1/3 copied
+    // forward by the rewrites cancel exactly
+    assert(deltas(1) === Seq(
+      ("delete", 2L, "b"),
+      ("insert", 2L, "B"), ("insert", 4L, "d"), ("insert", 5L, "e")))
+    // a compaction-only range nets to ZERO deltas
+    assert(deltas(3, Some(4)) === Seq.empty,
+      "compaction rewrites every segment but changes no row")
+    // an append-only range agrees with the changes feed
+    assert(deltas(1, Some(2)) === Seq(("insert", 4L, "d")))
+    val err = intercept[Exception] { GraftCdc.rowDeltas(spark, "gtest", "ns.t39", 99L) }
+    assert(err.getMessage.contains("no snapshot"), err.getMessage)
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")

@@ -21,9 +21,11 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.keySet == f2.keySet && f1.keySet.size == 50)
     f1.foreach { case (id, f) =>
       assert(f2(id) == f, s"media $id differs across partitionings")
-      // audio/video payloads are raw >=256-byte blobs; images are real PNGs
+      // video payloads are raw >=256-byte blobs; audio is real WAV (44-byte
+      // RIFF header + 2 bytes/sample x >=256 samples); images are real PNGs
       // whose compressed size varies with content
       if (f.kind == "image") assert(f.nBytes > 0)
+      else if (f.kind == "audio") assert(f.nBytes >= 44 + 2 * 256)
       else assert(f.nBytes >= 256)
       assert(f.meanByte > 0 && f.byteEntropyX1000 > 0)
     }
@@ -31,6 +33,32 @@ class MultimodalSpec extends SparkSpec {
     f1.values.filter(_.kind == "video").foreach { f =>
       assert(f.nFrames == (f.nBytes / 64 + 1) / 2, s"frames ${f.nFrames} bytes ${f.nBytes}")
     }
+    // audio "frames" are DECODED sample counts: header + framing parsed for
+    // real, so nFrames must equal the generator's sample count exactly
+    f1.foreach { case (id, f) =>
+      if (f.kind == "audio")
+        assert(f.nFrames == 256 + (id * 37 % 512).toInt,
+          s"media $id: decoded sample count ${f.nFrames}")
+    }
+  }
+
+  test("WAV PCM16 encode/demux round-trips exactly through javax.sound.sampled") {
+    val samples = Array.tabulate(1000)(i => (((i * 31 + 7) % 251 - 125) * 200).toShort)
+    val wav = Codecs.encodeWavPcm16(samples, 8000)
+    // real RIFF container: magic bytes, then exact sample recovery
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (back, rate, channels) = Codecs.decodeWavPcm16(wav)
+    assert(rate == 8000 && channels == 1)
+    assert(back.toSeq == samples.toSeq, "demux(mux(samples)) must be the identity")
+    // encoding is byte-deterministic (fixed canonical header, no metadata)
+    assert(Codecs.encodeWavPcm16(samples, 8000).toSeq == wav.toSeq)
+    // negative, zero, extreme amplitudes all survive the 16-bit round trip
+    val edges = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue)
+    assert(Codecs.decodeWavPcm16(Codecs.encodeWavPcm16(edges, 44100))._1.toSeq == edges.toSeq)
+    // non-PCM payloads are refused loudly, not misread
+    val err = intercept[Exception] { Codecs.decodeWavPcm16(Array.fill(64)(7.toByte)) }
+    assert(err != null)
   }
 
   test("PNG encode/decode round-trips exactly through javax.imageio") {
