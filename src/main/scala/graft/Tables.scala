@@ -64,7 +64,8 @@ object Registry {
       queries.Round7Queries.defs ++
       queries.LakeQueries.defs ++
       queries.Round8Queries.defs ++
-      queries.Round9Queries.defs
+      queries.Round9Queries.defs ++
+      queries.Round10Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

@@ -321,6 +321,12 @@ object Round5Queries {
     val adj = edges.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg")).persist()
     var ranks = adj.select(col("src").as("node"), lit(1000000L).as("pr"))
+    // Lineage note (round-8 measurement): an eager localCheckpoint after every
+    // 2nd iteration was benchmarked and REJECTED — 5-run medians at sf0.1 were
+    // 2.89 s plain vs 3.00 s checkpointed (min 2.61 vs 2.72): at 5 iterations
+    // the extra materialization costs more than the shallower re-plan saves.
+    // Worth revisiting only if the iteration count grows (lineage depth is
+    // linear in it) or executor loss mid-loop becomes a real retry concern.
     for (_ <- 1 to PrIters) {
       ranks = adj.join(ranks, col("src") === col("node"))
         .select(explode(col("nbrs")).as("dst"), expr("pr DIV deg").as("contrib"))

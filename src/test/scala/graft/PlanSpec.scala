@@ -398,4 +398,23 @@ class PlanSpec extends SparkSpec {
         s"${q.name} plans a global (single-task) window outside the allowlist")
     }
   }
+
+  test("q183 pin: SQL pipe syntax plans the SAME physical tree as the classic form") {
+    graft.Tables.lineitem(spark, sf).createOrReplaceTempView("pipe_pin_li")
+    val piped = spark.sql(
+      """FROM pipe_pin_li
+        ||> WHERE l_shipdate <= DATE'1998-09-02'
+        ||> AGGREGATE COUNT(*) AS n GROUP BY l_returnflag
+        ||> ORDER BY l_returnflag""".stripMargin)
+    val classic = spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n FROM pipe_pin_li
+        |WHERE l_shipdate <= DATE'1998-09-02'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    // pipe syntax is resolution-time sugar: the OPTIMIZED plans must be
+    // structurally identical (same scan, same pushed filter, same agg, same
+    // sort) — canonicalized to erase expression ids
+    assert(piped.queryExecution.optimizedPlan.canonicalized ===
+      classic.queryExecution.optimizedPlan.canonicalized,
+      s"pipe plan diverged from classic:\n${piped.queryExecution.optimizedPlan}\n--- vs ---\n${classic.queryExecution.optimizedPlan}")
+  }
 }

@@ -942,6 +942,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("no snapshot"), err.getMessage)
   }
 
+  test("streaming source over a PARTITIONED table: multi-segment commits arrive whole") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p10")
+    sql("CREATE TABLE gtest.ns.p10 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    // each append commits SEVERAL partition-pure segments as ONE snapshot: the
+    // stream must deliver the whole commit in one batch, never a torn half
+    spark.createDataFrame(Seq((1L, "mon"), (2L, "tue"))).toDF("k", "day")
+      .writeTo("gtest.ns.p10").append()
+    val q = spark.readStream.table("gtest.ns.p10")
+      .writeStream.format("memory").queryName("g_stream_p10").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("g_stream_p10").count() === 2L)
+      spark.createDataFrame(Seq((3L, "mon"), (4L, "wed"), (5L, "wed"))).toDF("k", "day")
+        .writeTo("gtest.ns.p10").append()
+      q.processAllAvailable()
+      val got = spark.table("g_stream_p10").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got === Seq((1L, "mon"), (2L, "tue"), (3L, "mon"), (4L, "wed"), (5L, "wed")),
+        "every partition segment of every commit exactly once")
+    } finally q.stop()
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
