@@ -713,6 +713,7 @@ private[catalog] final class GraftTable(
 
   private[catalog] def dir: Path = tableDir
   private[catalog] def currentSnapshot: Long = meta.current
+  private[catalog] def metaAtLoad: GraftMeta = meta
 
   override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
   override def schema(): StructType = meta.schema
@@ -829,35 +830,63 @@ private[catalog] final class GraftTable(
 }
 
 /** Group-based (copy-on-write) row-level operation: Spark rewrites
-  * MERGE/UPDATE/DELETE into scan + surviving-rows plan; the write lands a full
-  * replacement snapshot.
+  * MERGE/UPDATE/DELETE into scan + surviving-rows plan; the write lands a
+  * replacement of exactly the groups the scan read.
   *
-  * The scan is deliberately pushdown-BLIND: in the group-based contract,
-  * filters pushed into a row-level scan are GROUP-pruning hints (the rewrite
-  * re-applies the row predicate itself, e.g. `Filter NOT cond` for DELETE), so
-  * a scan that honors them as row filters silently drops every untouched row
-  * from the replacement snapshot. Since this operation replaces the whole
-  * table (single group), the correct pruning is "none": the builder exposes
-  * only column pruning, and the built scan hides ParquetScan's runtime file
-  * filtering for the same reason. */
+  * The scan is deliberately pushdown-BLIND at the ROW level: in the
+  * group-based contract, filters pushed into a row-level scan are
+  * GROUP-pruning hints (the rewrite re-applies the row predicate itself,
+  * e.g. `Filter NOT cond` for DELETE), so a scan that honors them as row
+  * filters silently drops every untouched row from the replacement snapshot.
+  * The builder exposes only column pruning.
+  *
+  * GROUP granularity: on a PARTITIONED table the groups are the
+  * partition-pure segments, wired into Spark's runtime group filtering
+  * (RowLevelOperationRuntimeGroupFiltering): the group scan reports the
+  * partition columns as `filterAttributes`, Spark plans a separate
+  * matching-rows scan (itself zone-map pruned) and delivers the DISTINCT
+  * partition values of rows the DML actually touches as a runtime IN
+  * predicate, and the group scan drops every other segment BEFORE reading it.
+  * The commit then swaps exactly the scanned segments (the op records them),
+  * so a MERGE touching one day rewrites one day — SQL DML now matches the
+  * delete_where/update_where procedures' partition-as-group cost. An
+  * unpartitioned table reports no filter attributes and keeps the
+  * whole-table-replace contract unchanged; if the runtime filter never runs,
+  * the recorded scan set stays None and the commit replaces the full
+  * load-time snapshot — never a torn subset. */
 private[catalog] final class GraftRowLevelOperation(
     table: GraftTable, info: RowLevelOperationInfo) extends RowLevelOperation {
+  // the snapshot every piece of this operation pins: the scan reads it, the
+  // commit's expectedCurrent guards it, group removal subtracts from it
+  private val metaAtLoad = table.metaAtLoad
+  private val baseSegments: Seq[String] =
+    metaAtLoad.snapshots.getOrElse(metaAtLoad.current, Nil)
+  /** Segments the (possibly runtime-filtered) group scan will read; None
+    * until a runtime filter actually runs. */
+  @volatile private[catalog] var scannedSegments: Option[Seq[String]] = None
+
   override def command(): RowLevelOperation.Command = info.command()
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = table.newScanBuilder(options)
+    def mkInner(dirs: Seq[String]): ScanBuilder =
+      ParquetTable(table.name(), SparkSession.active, options, dirs,
+        Some(metaAtLoad.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val op = this
     new ScanBuilder with SupportsPushDownRequiredColumns {
-      override def pruneColumns(requiredSchema: StructType): Unit = inner match {
-        case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
-        case _ => ()
-      }
-      override def build(): Scan = new GroupScan(inner.build())
+      private var pruned: StructType = null
+      override def pruneColumns(requiredSchema: StructType): Unit = pruned = requiredSchema
+      override def build(): Scan =
+        new GroupScan(op, mkInner, baseSegments, table.dir, metaAtLoad,
+          Option(pruned))
     }
   }
+
   override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
     // the rewrite read the table at its load-time snapshot: the replacement
     // commit must fail (not silently win) if anything committed in between
     new GraftWriteBuilder(table.dir, writeInfo, replaceOnCommit = true,
-      fromRowLevelOp = true, expectedCurrent = Some(table.currentSnapshot))
+      fromRowLevelOp = true, expectedCurrent = Some(metaAtLoad.current),
+      groupRemovals = () => scannedSegments)
 }
 
 /** Zone-map segment pruning around the delegated parquet ScanBuilder.
@@ -1070,9 +1099,69 @@ private[catalog] final class GraftMicroBatchStream(
       .createReaderFactory()
 }
 
-/** Pass-through Scan that does NOT re-export SupportsRuntimeV2Filtering:
-  * runtime file pruning would shrink the scan below the replacement set. */
-private[catalog] final class GroupScan(inner: Scan) extends Scan {
+/** The row-level operation's group scan. Reads the load-time snapshot's
+  * segments; on a PARTITIONED table it additionally participates in Spark's
+  * runtime GROUP filtering: `filterAttributes` advertises the partition
+  * columns, and the delivered runtime predicate (the distinct partition
+  * values of rows the DML touches) drops whole segments via their zone maps
+  * BEFORE any file is opened, recording the survivors on the operation so the
+  * commit swaps exactly what was read. Pruning is segment-granular only —
+  * never file-granular — because the commit's replacement unit is the
+  * segment; and it is conservative (untranslatable predicates or missing
+  * stats keep the segment: a wrongly-kept segment is rewritten byte-identical,
+  * never lost). The inner ParquetScan's own runtime FILE filtering stays
+  * hidden for the same reason it always was: files pruned below the
+  * replacement set would drop untouched rows. */
+private[catalog] final class GroupScan(
+    op: GraftRowLevelOperation, mkInner: Seq[String] => ScanBuilder,
+    baseSegments: Seq[String], tableDir: Path, meta: GraftMeta,
+    prunedSchema: Option[StructType]) extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private def buildInner(segs: Seq[String]): Scan = {
+    val b = mkInner(segs.map(s => tableDir.resolve(s).toString))
+    prunedSchema.foreach(b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
+    b.build()
+  }
+
+  private var inner: Scan = buildInner(baseSegments)
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    GraftPartitions.cols(meta.props)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // V2 predicate → catalyst expression via its SQL form (the canDeleteWhere
+    // trick), resolved against the table schema so mayMatch sees typed
+    // attribute references; any translation failure keeps every segment
+    val exprs = predicates.toSeq.flatMap { p =>
+      scala.util.Try {
+        val sql = new org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder().build(p)
+        SparkSession.active.sessionState.sqlParser.parseExpression(sql).transformUp {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if u.nameParts.length == 1 =>
+            val f = meta.schema.fields
+              .find(_.name.equalsIgnoreCase(u.nameParts.head))
+              .getOrElse(throw new IllegalArgumentException(s"no column ${u.nameParts.head}"))
+            org.apache.spark.sql.catalyst.expressions.AttributeReference(
+              f.name, f.dataType, f.nullable)()
+        }
+      }.toOption
+    }
+    val survivors =
+      if (exprs.size != predicates.length) baseSegments // something untranslatable
+      else baseSegments.filter { name =>
+        meta.zstats.get(name) match {
+          case Some(enc) =>
+            val st = scala.util.Try(SegmentStats.decode(enc)).toOption
+            st.forall(s => exprs.forall(e => SegmentStats.mayMatch(s, e)))
+          case None => true
+        }
+      }
+    op.scannedSegments = Some(survivors)
+    if (survivors.size < baseSegments.size) inner = buildInner(survivors)
+  }
+
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
   override def description(): String = s"graft-group-scan(${inner.description()})"
@@ -1082,7 +1171,12 @@ private[catalog] final class GroupScan(inner: Scan) extends Scan {
 
 private[catalog] final class GraftWriteBuilder(
     tableDir: Path, info: LogicalWriteInfo, replaceOnCommit: Boolean,
-    fromRowLevelOp: Boolean = false, expectedCurrent: Option[Long] = None)
+    fromRowLevelOp: Boolean = false, expectedCurrent: Option[Long] = None,
+    // row-level ops under runtime GROUP filtering: the segments the group
+    // scan actually read (evaluated at commit time — the runtime filter runs
+    // while the replacement query executes, before any commit). Some(segs) →
+    // swap exactly those; None → replace the whole load-time snapshot.
+    groupRemovals: () => Option[Seq[String]] = () => None)
   extends WriteBuilder with SupportsOverwriteV2 with SupportsDynamicOverwrite {
 
   private var replace = replaceOnCommit
@@ -1117,7 +1211,8 @@ private[catalog] final class GraftWriteBuilder(
       new GraftPartitionedWrite(tableDir, info, partCols,
         replaceAll = replace && !dynamicPartitionOverwrite,
         dynamicOverwrite = dynamicPartitionOverwrite,
-        fromRowLevelOp = fromRowLevelOp, expectedCurrent = expectedCurrent)
+        fromRowLevelOp = fromRowLevelOp, expectedCurrent = expectedCurrent,
+        groupRemovals = groupRemovals)
     else buildUnpartitioned()
   }
 
@@ -1197,9 +1292,17 @@ private[catalog] final class GraftWriteBuilder(
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
           SparkSession.active, tableDir.resolve(segment).toString,
           metaAtBuild.schema))).toOption
-        GraftMeta.commit(tableDir, segment, replace, stats,
-          if (fromRowLevelOp) expectedCurrent else None, // atomic snapshot swap
-          named = named.isDefined)
+        groupRemovals() match {
+          case Some(removed) if fromRowLevelOp =>
+            // runtime group filtering ran: the replacement rows cover exactly
+            // the scanned segments — swap those, carry the rest by reference
+            GraftMeta.commitReplaceSegments(tableDir, Seq(segment -> stats),
+              removed.toSet, expectedCurrent)
+          case _ =>
+            GraftMeta.commit(tableDir, segment, replace, stats,
+              if (fromRowLevelOp) expectedCurrent else None, // atomic snapshot swap
+              named = named.isDefined)
+        }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         delegate.abort(messages) // segment never becomes visible: meta untouched

@@ -51,7 +51,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
 private[catalog] final class GraftPartitionedWrite(
     tableDir: Path, info: LogicalWriteInfo, partCols: Seq[String],
     replaceAll: Boolean, dynamicOverwrite: Boolean,
-    fromRowLevelOp: Boolean, expectedCurrent: Option[Long])
+    fromRowLevelOp: Boolean, expectedCurrent: Option[Long],
+    groupRemovals: () => Option[Seq[String]] = () => None)
   extends Write with RequiresDistributionAndOrdering {
 
   private val metaAtBuild = GraftMeta.read(tableDir)
@@ -133,18 +134,33 @@ private[catalog] final class GraftPartitionedWrite(
           (seg, stats)
         }
         try {
-          if (segments.nonEmpty || replaceAll || namedKey.isDefined) {
+          val removedByGroupFilter =
+            if (fromRowLevelOp) groupRemovals() else None
+          if (segments.nonEmpty || replaceAll || namedKey.isDefined ||
+              removedByGroupFilter.exists(_.nonEmpty)) {
             val guard = expectedCurrent.orElse(
               if (dynamicOverwrite) Some(metaAtBuild.current) else None)
-            val applied = GraftMeta.commitMany(tableDir, segments,
-              replaceAll = replaceAll,
-              removeSuffixes =
-                if (dynamicOverwrite) byPart.keySet.toSet else Set.empty[String],
-              expectedCurrent = guard, namedKey = namedKey)
-            // a replayed named job that raced past the build-time check loses
-            // at the CAS: its rows are already in the table — drop the copies
-            if (!applied)
-              segments.foreach { case (s, _) => GraftMeta.deleteRecursively(tableDir.resolve(s)) }
+            removedByGroupFilter match {
+              case Some(removed) =>
+                // runtime group filtering ran on the row-level scan: the
+                // replacement rows cover exactly the scanned segments — swap
+                // those (a DELETE emptying a partition removes its segment
+                // with nothing added), untouched partitions carry by reference
+                GraftMeta.commitReplaceSegments(tableDir, segments,
+                  removed.toSet, guard)
+              case None =>
+                val applied = GraftMeta.commitMany(tableDir, segments,
+                  replaceAll = replaceAll,
+                  removeSuffixes =
+                    if (dynamicOverwrite) byPart.keySet.toSet else Set.empty[String],
+                  expectedCurrent = guard, namedKey = namedKey)
+                // a replayed named job that raced past the build-time check
+                // loses at the CAS: its rows are already in the table — drop
+                // the copies
+                if (!applied)
+                  segments.foreach { case (s, _) =>
+                    GraftMeta.deleteRecursively(tableDir.resolve(s)) }
+            }
           }
         } catch {
           case e: Throwable =>

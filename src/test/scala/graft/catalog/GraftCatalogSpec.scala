@@ -965,6 +965,50 @@ class GraftCatalogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SQL UPDATE/MERGE on a partitioned table rewrite ONLY the touched partitions") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p11")
+    sql("""CREATE TABLE gtest.ns.p11 (k BIGINT, day STRING, amt BIGINT)
+           USING parquet PARTITIONED BY (day)""")
+    sql("""INSERT INTO gtest.ns.p11 VALUES
+           (1, 'mon', 10), (2, 'mon', 20), (3, 'tue', 30), (4, 'wed', 40)""")
+    val before = segNames("p11").toSet
+    assert(before.size === 3)
+    // SQL UPDATE takes the row-level (group-based) path; runtime group
+    // filtering must confine the rewrite to the tue partition's segment
+    sql("UPDATE gtest.ns.p11 SET amt = amt + 1 WHERE day = 'tue'")
+    val afterUpdate = segNames("p11").toSet
+    assert((before -- afterUpdate).forall(_.endsWith("tue")) &&
+      (afterUpdate -- before).forall(_.endsWith("tue")),
+      s"UPDATE must swap only the tue segment: before=$before after=$afterUpdate")
+    assert(sql("SELECT amt FROM gtest.ns.p11 WHERE k = 3").head.getLong(0) === 31L)
+    assert(sql("SELECT CAST(SUM(amt) AS BIGINT) FROM gtest.ns.p11").head.getLong(0) === 101L)
+    // MERGE touching tue (update) + thu (insert): mon/wed carry by reference
+    val preMerge = segNames("p11").toSet
+    sql("""MERGE INTO gtest.ns.p11 t
+           USING (SELECT * FROM VALUES (3L, 'tue', 300L), (9L, 'thu', 90L)
+                  AS s(k, day, amt)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET amt = s.amt
+           WHEN NOT MATCHED THEN INSERT (k, day, amt) VALUES (s.k, s.day, s.amt)""")
+    val afterMerge = segNames("p11").toSet
+    assert((preMerge -- afterMerge).forall(_.endsWith("tue")),
+      s"MERGE must not rewrite untouched partitions: removed=${preMerge -- afterMerge}")
+    assert((afterMerge -- preMerge).forall(s => s.endsWith("tue") || s.endsWith("thu")),
+      s"MERGE added unexpected segments: ${afterMerge -- preMerge}")
+    val rows = sql("SELECT k, day, amt FROM gtest.ns.p11 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "mon", 10L), (2L, "mon", 20L), (3L, "tue", 300L),
+      (4L, "wed", 40L), (9L, "thu", 90L)))
+    // a DELETE that empties a partition removes its segment without a rewrite
+    // artifact left behind in the snapshot (complex predicate forces the
+    // row-level path — canDeleteWhere rejects the subquery)
+    sql("""DELETE FROM gtest.ns.p11
+           WHERE day = (SELECT MIN(day) FROM gtest.ns.p11 WHERE day = 'wed')""")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.p11 WHERE day = 'wed'").head.getLong(0) === 0L)
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.p11").head.getLong(0) === 4L)
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
