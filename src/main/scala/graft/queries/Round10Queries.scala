@@ -356,6 +356,98 @@ object Round10Queries {
        FROM customer WHERE c_custkey % 25 = 0
        ORDER BY k"""
 
+  // --------------------------------------------------------------------------
+  // q193: `width_bucket` equi-width binning — the SQL-standard histogram
+  // primitive (q78 hand-rolled the same shape with FLOOR arithmetic; this is
+  // the built-in, with its exact BOUNDARY contract pinned: below-range rows
+  // land in bucket 0, at-or-above-range rows in bucket n+1). The upper bound
+  // sits strictly inside the price domain, so the overflow bucket (13) is
+  // provably exercised; bucket edges fall on non-terminating fractions no
+  // cent-valued price can sit within 1e-3 of — float association noise
+  // cannot flip a bucket. Oracle rebuilds the standard's CASE/FLOOR formula.
+  // --------------------------------------------------------------------------
+  private def q193(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .select(col("o_totalprice").as("v"),
+        width_bucket(col("o_totalprice"), lit(900.0), lit(400000.0), lit(12L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 2).as("lo_v"),
+        round(max(col("v")), 2).as("hi_v"))
+      .orderBy(col("bucket"))
+
+  private val q193Sql =
+    """SELECT CASE WHEN o_totalprice < 900.0 THEN 0
+                   WHEN o_totalprice >= 400000.0 THEN 13
+                   ELSE 1 + CAST(FLOOR((o_totalprice - 900.0)
+                                       / ((400000.0 - 900.0) / 12)) AS BIGINT)
+              END AS bucket,
+              COUNT(*) AS n,
+              ROUND(MIN(o_totalprice), 2) AS lo_v,
+              ROUND(MAX(o_totalprice), 2) AS hi_v
+       FROM orders GROUP BY bucket ORDER BY bucket"""
+
+  // --------------------------------------------------------------------------
+  // q194: `conv` radix conversion — decimal↔hex↔binary string forms (content
+  // hashing, bitmap debugging, URL-safe id rendering all reach for it). The
+  // hex→decimal leg closes the round trip INSIDE the query, so the hash pins
+  // both directions at once. Oracle: DuckDB's to_base, with the round-trip
+  // leg reproduced as the identity on the decimal rendering.
+  // --------------------------------------------------------------------------
+  private def q194(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .where(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey").as("k"),
+        conv(col("o_orderkey").cast("string"), 10, 16).as("k16"),
+        conv(conv(col("o_orderkey").cast("string"), 10, 16), 16, 10).as("k_rt"),
+        conv(col("o_orderkey").cast("string"), 10, 2).as("k2"))
+      .orderBy(col("k"))
+
+  private val q194Sql =
+    """SELECT o_orderkey AS k,
+              to_base(o_orderkey, 16) AS k16,
+              CAST(o_orderkey AS VARCHAR) AS k_rt,
+              to_base(o_orderkey, 2) AS k2
+       FROM orders WHERE o_orderkey % 20 = 0
+       ORDER BY k"""
+
+  // --------------------------------------------------------------------------
+  // q195: map CONSTRUCTION completion — `map_from_arrays`, `map(...)`,
+  // `map_concat`, `map_entries` (q26/q130 covered lookup and the HOFs; this
+  // is the build-and-flatten direction a feature-bag pipeline runs: assemble
+  // per-row feature maps, concat sources, explode entries back to long form
+  // and aggregate). The oracle never builds a map: it reproduces the
+  // flattened (group, key, sum) rollup with a UNION ALL — the hash pins
+  // entry ordering out (aggregation is order-free) while pinning content.
+  // --------------------------------------------------------------------------
+  private def q195(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d)
+      .select(col("l_returnflag").as("rf"),
+        map_concat(
+          map_from_arrays(
+            array(lit("qty"), lit("price_c")),
+            array(col("l_quantity").cast("long"),
+              floor(col("l_extendedprice") * 100).cast("long"))),
+          map(lit("disc_bp"), floor(col("l_discount") * 10000).cast("long")))
+          .as("features"))
+      .select(col("rf"), explode(map_entries(col("features"))).as("e"))
+      .groupBy(col("rf"), col("e.key").as("feature"))
+      .agg(count(lit(1)).as("n"), sum(col("e.value")).as("total"))
+      .orderBy(col("rf"), col("feature"))
+
+  private val q195Sql =
+    """WITH long_form AS (
+         SELECT l_returnflag AS rf, 'qty' AS feature,
+                CAST(l_quantity AS BIGINT) AS v FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'price_c',
+                CAST(FLOOR(l_extendedprice * 100) AS BIGINT) FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'disc_bp',
+                CAST(FLOOR(l_discount * 10000) AS BIGINT) FROM lineitem)
+       SELECT rf, feature, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
+       FROM long_form GROUP BY rf, feature ORDER BY rf, feature"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q183_pipe_syntax", q183, Some(q183Sql)),
     QDef("q184_rank_completion", q184, Some(q184Sql)),
@@ -366,5 +458,8 @@ object Round10Queries {
     QDef("q189_json_tuple", q189, Some(q189Sql)),
     QDef("q190_grouping_introspection", q190, Some(q190Sql)),
     QDef("q191_bitwise_scalars", q191, Some(q191Sql)),
-    QDef("q192_string_utilities", q192, Some(q192Sql)))
+    QDef("q192_string_utilities", q192, Some(q192Sql)),
+    QDef("q193_width_bucket", q193, Some(q193Sql)),
+    QDef("q194_radix_conversion", q194, Some(q194Sql)),
+    QDef("q195_map_construction", q195, Some(q195Sql)))
 }
