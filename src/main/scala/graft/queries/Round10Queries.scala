@@ -448,6 +448,110 @@ object Round10Queries {
        SELECT rf, feature, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
        FROM long_form GROUP BY rf, feature ORDER BY rf, feature"""
 
+  // --------------------------------------------------------------------------
+  // q196: `DataFrame.stat.crosstab` — the contingency-table reshape (pair
+  // frequency matrix in one pass; the EDA sibling of q62's pivot). Column
+  // NAMES come from the second column's values, so the oracle pivots with
+  // CASE sums under the same names; the driver's sorted-column hash makes
+  // name agreement the whole contract.
+  // --------------------------------------------------------------------------
+  private def q196(s: SparkSession, d: String): DataFrame =
+    T.lineitem(s, d).stat.crosstab("l_returnflag", "l_linestatus")
+      .orderBy(col("l_returnflag_l_linestatus"))
+
+  private val q196Sql =
+    """SELECT l_returnflag AS l_returnflag_l_linestatus,
+              CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+              CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+       FROM lineitem GROUP BY l_returnflag
+       ORDER BY l_returnflag_l_linestatus"""
+
+  // --------------------------------------------------------------------------
+  // q197: the `DataFrameNaFunctions` surface — `na.fill` (null → default),
+  // `na.replace` (value remap, nulls pass through untouched), `na.drop`
+  // (row filter on remaining nulls) — the missing-data triage every tabular
+  // pipeline runs before training. Nulls are PLANTED in-query (NULLIF), so
+  // the oracle reconstructs each step with CASE/COALESCE/WHERE and the hash
+  // pins the exact null-handling order of operations.
+  // --------------------------------------------------------------------------
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val planted = T.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_totalprice")).as("bal"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_orderstatus")).as("tag"))
+    planted.na.fill(Map("bal" -> 0.0))
+      .na.replace("tag", Map("O" -> "OPEN"))
+      .na.drop(Seq("tag"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("bal") * 100).cast("long")).as("bal_c"))
+      .orderBy(col("tag"))
+  }
+
+  private val q197Sql =
+    """WITH planted AS (
+         SELECT o_orderkey AS k,
+                CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS bal,
+                CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderstatus END AS tag
+         FROM orders),
+       filled AS (
+         SELECT k, COALESCE(bal, 0.0) AS bal,
+                CASE WHEN tag = 'O' THEN 'OPEN' ELSE tag END AS tag
+         FROM planted)
+       SELECT tag, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(bal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+       FROM filled WHERE tag IS NOT NULL
+       GROUP BY tag ORDER BY tag"""
+
+  // --------------------------------------------------------------------------
+  // q198: the SQL `IDENTIFIER()` clause (SPARK-43205) — injection-safe SQL
+  // templating: table and column references resolved from string values at
+  // analysis time (the parameterized-DDL/reporting-template shape; string
+  // concatenation into SQL is the anti-pattern this clause exists to kill).
+  // Resolution-time sugar: the oracle is the statically-written query.
+  // --------------------------------------------------------------------------
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("ident_orders")
+    s.sql(
+      """SELECT IDENTIFIER('o_orderstatus') AS st, COUNT(*) AS n,
+        |       CAST(SUM(CAST(FLOOR(IDENTIFIER('o_totalprice') * 100) AS BIGINT)) AS BIGINT)
+        |         AS total_c
+        |FROM IDENTIFIER('ident_orders')
+        |GROUP BY IDENTIFIER('o_orderstatus')
+        |ORDER BY st""".stripMargin)
+  }
+
+  private val q198Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM orders GROUP BY o_orderstatus ORDER BY st"""
+
+  // --------------------------------------------------------------------------
+  // q199: parameterized SQL (`spark.sql(text, args)`, SPARK-44140) — NAMED
+  // parameter markers bound server-side, the injection-safe twin of q198 for
+  // VALUES: markers are typed literals at parse time, never string splices.
+  // The oracle inlines the same constants statically.
+  // --------------------------------------------------------------------------
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    T.lineitem(s, d).createOrReplaceTempView("param_li")
+    s.sql(
+      """SELECT l_returnflag AS rf, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM param_li
+        |WHERE l_quantity < :qmax AND l_discount BETWEEN :dlo AND :dhi
+        |GROUP BY l_returnflag ORDER BY rf""".stripMargin,
+      Map("qmax" -> 25, "dlo" -> 0.02, "dhi" -> 0.08))
+  }
+
+  private val q199Sql =
+    """SELECT l_returnflag AS rf, COUNT(*) AS n,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       FROM lineitem
+       WHERE l_quantity < 25 AND l_discount BETWEEN 0.02 AND 0.08
+       GROUP BY l_returnflag ORDER BY rf"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q183_pipe_syntax", q183, Some(q183Sql)),
     QDef("q184_rank_completion", q184, Some(q184Sql)),
@@ -461,5 +565,9 @@ object Round10Queries {
     QDef("q192_string_utilities", q192, Some(q192Sql)),
     QDef("q193_width_bucket", q193, Some(q193Sql)),
     QDef("q194_radix_conversion", q194, Some(q194Sql)),
-    QDef("q195_map_construction", q195, Some(q195Sql)))
+    QDef("q195_map_construction", q195, Some(q195Sql)),
+    QDef("q196_crosstab", q196, Some(q196Sql)),
+    QDef("q197_na_functions", q197, Some(q197Sql)),
+    QDef("q198_identifier_clause", q198, Some(q198Sql)),
+    QDef("q199_parameterized_sql", q199, Some(q199Sql)))
 }

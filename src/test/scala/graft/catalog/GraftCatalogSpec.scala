@@ -1009,6 +1009,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) FROM gtest.ns.p11").head.getLong(0) === 4L)
   }
 
+  test("streaming foreachBatch ingestion into a PARTITIONED table: exactly-once, pure segments") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p12")
+    sql("CREATE TABLE gtest.ns.p12 (v BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_part_ingest").toString
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    def runAvailable(): Unit = {
+      val q = source.toDF().toDF("v", "day").writeStream
+        .foreachBatch(graft.streaming.EventStreams.appendBatchToGraft("gtest.ns.p12", "ping") _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    source.addData((1L, "mon"), (2L, "tue"), (3L, "mon"))
+    runAvailable()
+    // restart from the same checkpoint: batch ids continue, nothing replays
+    source.addData((4L, "wed"))
+    runAvailable()
+    assert(sql("SELECT CAST(SUM(v) AS BIGINT) FROM gtest.ns.p12").head.getLong(0) === 10L,
+      "restart must neither lose nor duplicate rows")
+    // every streaming batch landed partition-pure segments
+    segmentDirs("p12").foreach { seg =>
+      assert(spark.read.parquet(seg.toString).select("day").distinct().count() === 1L,
+        s"streaming-ingested segment $seg is not partition-pure")
+    }
+    assert(segNames("p12").size === 3, "batch 0 → mon+tue segments, batch 1 → wed")
+  }
+
   test("a failed write job leaves the table unchanged (commit atomicity)") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t13")
