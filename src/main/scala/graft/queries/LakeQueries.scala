@@ -583,6 +583,65 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM deltas GROUP BY op, st ORDER BY op, st"""
 
+  // --------------------------------------------------------------------------
+  // q200: the lakehouse CAPSTONE — a training-data corpus pipeline composed
+  // entirely of engine-owned operations on ONE identity-partitioned graft
+  // table (PARTITIONED BY lang, write.order-by doc_id):
+  //
+  //   1. gated ingestion (length-window quality filter) lands partition-pure
+  //      per-lang segments;
+  //   2. an OVERLAPPING second batch deduplicates incrementally via
+  //      MERGE ... WHEN NOT MATCHED INSERT — the runtime-group-filtered SQL
+  //      path, so only partitions with genuinely new docs rewrite;
+  //   3. a curation sweep (`delete_where`) drops one language's short docs —
+  //      a one-partition copy-on-write rewrite;
+  //   4. the serving query aggregates per language.
+  //
+  // Every stage is the partition-as-group cost shape a 100 TB corpus needs
+  // (ingestion appends, dedup rewrites only affected partitions, curation
+  // rewrites one), and the whole composition still hash-matches a purely
+  // relational DuckDB replay — the lakehouse adds durability and incremental
+  // cost, never different answers.
+  // --------------------------------------------------------------------------
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    graft.Tables.documents(s, d).createOrReplaceTempView("lake_docs")
+    val t = s"m200_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t
+              (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+              USING parquet PARTITIONED BY (lang)
+              TBLPROPERTIES ('write.order-by'='doc_id')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT doc_id, lang, source, n_chars FROM lake_docs
+      WHERE n_chars BETWEEN 50 AND 545 AND doc_id % 3 IN (0, 1)""")
+    s.sql(s"""MERGE INTO graft.lake.$t c
+      USING (SELECT doc_id, lang, source, n_chars FROM lake_docs
+             WHERE n_chars BETWEEN 50 AND 545 AND doc_id % 3 IN (1, 2)) b
+      ON c.doc_id = b.doc_id
+      WHEN NOT MATCHED THEN INSERT (doc_id, lang, source, n_chars)
+        VALUES (b.doc_id, b.lang, b.source, b.n_chars)""")
+    s.sql(s"CALL graft.system.delete_where('lake.$t', \"lang = 'de' AND n_chars < 200\")")
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                     COUNT(DISTINCT source) AS n_sources,
+                     MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+              FROM graft.lake.$t GROUP BY lang ORDER BY lang""")
+  }
+
+  private val q200Sql =
+    """WITH gated AS (
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE n_chars BETWEEN 50 AND 545),
+       corpus AS (
+         SELECT * FROM gated
+         WHERE NOT (lang = 'de' AND n_chars < 200))
+       SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              COUNT(DISTINCT source) AS n_sources,
+              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       FROM corpus GROUP BY lang ORDER BY lang"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -595,5 +654,6 @@ object LakeQueries {
     QDef("q177_lake_timestamp_travel", q177, Some(q177Sql)),
     QDef("q178_lake_changes_feed", q178, Some(q178Sql)),
     QDef("q181_lake_partitioned_table", q181, Some(q181Sql)),
-    QDef("q182_lake_cdc_row_deltas", q182, Some(q182Sql)))
+    QDef("q182_lake_cdc_row_deltas", q182, Some(q182Sql)),
+    QDef("q200_lakehouse_pipeline", q200, Some(q200Sql)))
 }

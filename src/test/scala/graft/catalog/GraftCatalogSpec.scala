@@ -942,6 +942,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("no snapshot"), err.getMessage)
   }
 
+  test("CDC row deltas on a PARTITIONED table: dynamic overwrite nets exact per-partition rows") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.p13")
+    sql("CREATE TABLE gtest.ns.p13 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
+    sql("INSERT INTO gtest.ns.p13 VALUES (1, 'mon'), (2, 'tue'), (3, 'wed')") // snap 1
+    spark.createDataFrame(Seq((20L, "tue"), (21L, "tue"))).toDF("k", "day")
+      .writeTo("gtest.ns.p13").overwritePartitions()                          // snap 2
+    val deltas = GraftCdc.rowDeltas(spark, "gtest", "ns.p13", 1L)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(deltas === Seq(
+      ("delete", 2L, "tue"), ("insert", 20L, "tue"), ("insert", 21L, "tue")),
+      s"only the overwritten partition's rows may appear: $deltas")
+  }
+
   test("streaming source over a PARTITIONED table: multi-segment commits arrive whole") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.p10")
