@@ -399,6 +399,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SQL join hints override the physical strategy (BROADCAST / MERGE / SHUFFLE_HASH)") {
+    graft.Tables.orders(spark, sf).createOrReplaceTempView("hint_o")
+    graft.Tables.customer(spark, sf).createOrReplaceTempView("hint_c")
+    def planFor(hint: String): String = spark.sql(
+      s"SELECT /*+ $hint */ c.c_custkey, o.o_orderkey FROM hint_o o JOIN hint_c c ON o.o_custkey = c.c_custkey")
+      .queryExecution.executedPlan.toString
+    // each hint must surface its strategy — the hint surface is how a user
+    // overrides a mis-estimated build side without touching configs
+    assert(planFor("BROADCAST(c)").contains("BroadcastHashJoin"))
+    val merge = planFor("MERGE(c)")
+    assert(merge.contains("SortMergeJoin") && !merge.contains("BroadcastHashJoin"),
+      s"MERGE hint ignored:\n${merge.take(400)}")
+    val sh = planFor("SHUFFLE_HASH(c)")
+    assert(sh.contains("ShuffledHashJoin"), s"SHUFFLE_HASH hint ignored:\n${sh.take(400)}")
+  }
+
+  test("DISTRIBUTE BY / SORT BY plan a hash exchange + partition-local sort, no global sort") {
+    graft.Tables.orders(spark, sf).createOrReplaceTempView("dist_o")
+    val df = spark.sql(
+      "SELECT o_custkey, o_totalprice FROM dist_o DISTRIBUTE BY o_custkey SORT BY o_totalprice")
+    val p = df.queryExecution.executedPlan.toString
+    // the Sort node renders `Sort [keys], <global>, 0` — SORT BY must plan a
+    // partition-LOCAL sort (global=false) and never a global one
+    assert(p.contains("Sort [o_totalprice") && p.contains("], false, 0"),
+      s"SORT BY must be partition-local:\n${p.take(400)}")
+    assert(!p.contains("], true, 0"), s"unexpected GLOBAL sort:\n${p.take(400)}")
+    assert(p.contains("hashpartitioning(o_custkey"),
+      s"DISTRIBUTE BY must hash-partition:\n${p.take(400)}")
+  }
+
   test("q183 pin: SQL pipe syntax plans the SAME physical tree as the classic form") {
     graft.Tables.lineitem(spark, sf).createOrReplaceTempView("pipe_pin_li")
     val piped = spark.sql(
