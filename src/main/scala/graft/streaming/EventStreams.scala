@@ -257,6 +257,62 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessionSummary(user_id: Long, n_events: Long,
+                                  start_ms: Long, end_ms: Long)
+  // public: the state encoder's generated code constructs/reads it reflectively
+  final case class SessionBuf(n: Long, startMs: Long, lastMs: Long)
+
+  /** Custom sessionization with EVENT-TIME state timeout — the stateful shape
+    * the built-in `session_window` (q29) cannot express when the session
+    * CLOSE needs custom logic (emit-on-close only, custom gap bookkeeping,
+    * one output row per completed session). State is one (count, start, last)
+    * per user; every batch extends the open session and re-arms
+    * `setTimeoutTimestamp(last + gap)`; when the WATERMARK passes that
+    * instant the timeout branch fires exactly once, emits the completed
+    * session, and frees the state — the deterministic timeout (processing
+    * -time timeouts depend on wall clock; event-time timeouts replay
+    * identically, which is what makes the spec's assertions exact). State
+    * size is bounded by ACTIVE users only — closed sessions hold no state,
+    * the property that keeps this runnable against unbounded user
+    * populations. */
+  def timeoutSessions(events: Dataset[Event], gapMs: Long,
+                      watermarkDelay: String = "0 seconds"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.n, s.startMs, s.lastMs))
+          } else {
+            val times = rows.map(_.ts.getTime).toSeq.sorted
+            val prev = state.getOption
+            // a gap INSIDE the batch closes the running session immediately
+            val (closed, open) = times.foldLeft(
+              (Seq.empty[SessionSummary], prev)) { case ((done, cur), t) =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  (done, Some(SessionBuf(s.n + 1, s.startMs, t)))
+                case Some(s) =>
+                  (done :+ SessionSummary(userId, s.n, s.startMs, s.lastMs),
+                    Some(SessionBuf(1L, t, t)))
+                case None => (done, Some(SessionBuf(1L, t, t)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Running per-user Welford statistics via flatMapGroupsWithState — the streaming
     * twin of the outlier model's training statistics (SURVEY.md §7.7): state is one
     * WelfordBuf per user, updated incrementally, emitted after every batch. */

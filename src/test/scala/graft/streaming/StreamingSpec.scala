@@ -346,6 +346,41 @@ class StreamingSpec extends SparkSpec {
     runningStatsCase("userstats")(EventStreams.runningUserStats)
   }
 
+  test("EVENT-TIME state timeout: sessions close exactly when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ms: Long, user: Long) =
+      Event(id, new java.sql.Timestamp(ms), user, "t", 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.timeoutSessions(input.toDS(), gapMs = 5000L)
+      .writeStream.format("memory").queryName("to_sessions").outputMode("append").start()
+    def sessions = spark.table("to_sessions")
+      .as[EventStreams.SessionSummary].collect()
+      .map(s => (s.user_id, s.n_events, s.start_ms, s.end_ms)).sorted.toSeq
+    try {
+      // batch 1: user 1 has an open 3-event session; user 2 a 1-event one
+      input.addData(ev(1, 1000, 1), ev(2, 2000, 1), ev(3, 3000, 1), ev(4, 1000, 2))
+      q.processAllAvailable()
+      assert(sessions === Seq.empty, "no watermark has passed any gap yet")
+      // batch 2: user 1's 20000 closes its own session IN-batch (gap inside
+      // the data); user 2 goes idle — its timeout (6000) can only fire once
+      // the watermark (now 20000) is applied at the NEXT batch
+      input.addData(ev(5, 20000, 1))
+      q.processAllAvailable()
+      assert(sessions.contains((1L, 3L, 1000L, 3000L)),
+        s"in-batch gap must close user 1's first session: $sessions")
+      // watermark 20000 now armed: user 2's 6000 fires (extra no-data batch)
+      assert(sessions.contains((2L, 1L, 1000L, 1000L)),
+        s"watermark past 6000 must time out user 2's session: $sessions")
+      // batch 3: push the watermark past user 1's open-session timeout (25000)
+      input.addData(ev(6, 40000, 3))
+      q.processAllAvailable()
+      assert(sessions.contains((1L, 1L, 20000L, 20000L)),
+        s"watermark past 25000 must time out user 1's second session: $sessions")
+      assert(sessions.size === 3, s"user 3's session must still be OPEN: $sessions")
+    } finally q.stop()
+  }
+
   test("streaming Dataset.observe: per-batch metrics sum to the exact batch totals") {
     // the streaming half of the observability row (MetricsSpec pins batch
     // observe): metrics ride the micro-batch execution — no second pass over
