@@ -24,15 +24,23 @@ import org.apache.spark.sql.functions.lit
   *     rollback-and-restore nets to ZERO deltas, as it must.
   *
   * Output schema: the table's columns plus `_change_type` ('insert' |
-  * 'delete'). Deltas are RANGE-LEVEL net changes (Delta CDF's "net changes
-  * between versions" shape): per-commit attribution is not claimed because a
-  * row surviving several rewrites in the range has no single commit of
-  * record. Cost scales with the CHANGED segments, not the table — on a
-  * 100 TB table a one-partition MERGE yields a delta read of one partition.
+  * 'delete'). `rowDeltas` gives RANGE-LEVEL net changes (Delta CDF's "net
+  * changes between versions" shape); `commitDeltas` attributes each delta to
+  * the commit that produced it (Delta CDF's `table_changes` / Iceberg's
+  * changelog shape) by diffing every CONSECUTIVE snapshot pair in the range —
+  * attribution per commit is exact because each pair is diffed in isolation;
+  * only the range-level call nets a row's intermediate hops away. Cost
+  * scales with the CHANGED segments, not the table — on a 100 TB table a
+  * one-partition MERGE yields a delta read of one partition.
   *
-  * Retention contract: both snapshot ids must still be retained
+  * Retention contract: the snapshot ids a call diffs must still be retained
   * (`expire_snapshots` keeps the consumer's horizon, same as the streaming
-  * source). */
+  * source) — for `commitDeltas` that is every snapshot in the range, since
+  * attribution needs each intermediate state.
+  *
+  * Reference behaviour derived from the published Delta CDF contract
+  * (`_change_type`, net-vs-per-commit ranges); derivation itself is segment
+  * algebra over the graft meta, no reference code involved. */
 object GraftCdc {
 
   /** Row deltas turning snapshot `from` of `catalog`.`table` into snapshot
@@ -47,8 +55,52 @@ object GraftCdc {
     Seq(from, toSnap).foreach(s => require(meta.snapshots.contains(s),
       s"$catalog.$table: no snapshot $s (have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})"))
     require(from <= toSnap, s"$catalog.$table: from $from must be <= to $toSnap")
-    val base = meta.snapshots(from)
-    val target = meta.snapshots(toSnap)
+    diffSnapshots(spark, catalog, table, meta,
+      meta.snapshots(from), meta.snapshots(toSnap))
+  }
+
+  /** Per-commit row deltas over `(from, to]`: every delta row tagged with the
+    * `_commit_version` (and `_commit_timestamp`) of the commit that produced
+    * it. Each consecutive snapshot pair is diffed independently, so a row
+    * UPDATEd at v and DELETEd at v+2 yields its full history (delete+insert
+    * at v, delete at v+2) where `rowDeltas(from, to)` would net it to one
+    * delete. A pure-compaction commit contributes ZERO rows, as it must.
+    * Requires every snapshot in the range to still be retained. */
+  def commitDeltas(spark: SparkSession, catalog: String, table: String,
+                   from: Long, to: Option[Long] = None): DataFrame = {
+    val root = spark.conf.getOption(s"spark.sql.catalog.$catalog.root").getOrElse(
+      throw new IllegalArgumentException(s"no graft catalog named '$catalog' in this session"))
+    val dir = table.split('.').foldLeft(Paths.get(root))(_ resolve _)
+    val meta = GraftMeta.read(dir)
+    val toSnap = to.getOrElse(meta.current)
+    require(from <= toSnap, s"$catalog.$table: from $from must be <= to $toSnap")
+    val versions = from to toSnap
+    val missing = versions.filterNot(meta.snapshots.contains)
+    require(missing.isEmpty,
+      s"$catalog.$table: snapshots ${missing.mkString(",")} expired — per-commit " +
+        "attribution needs every snapshot in the range (use rowDeltas for net changes)")
+    val perCommit = versions.sliding(2).collect { case Seq(prev, v) =>
+      diffSnapshots(spark, catalog, table, meta,
+        meta.snapshots(prev), meta.snapshots(v))
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(meta.snapshotTimes.getOrElse(v, 0L))))
+    }.toSeq
+    if (perCommit.isEmpty) {
+      import org.apache.spark.sql.types._
+      val schema = meta.schema
+        .add("_change_type", StringType).add("_commit_version", LongType)
+        .add("_commit_timestamp", TimestampType)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else perCommit.reduce(_ unionAll _)
+  }
+
+  /** One snapshot-pair diff: read only the segments on ONE side (shared
+    * segments carry identical rows by immutability and are never touched);
+    * bidirectional EXCEPT ALL cancels copy-on-write survivor copies. */
+  private def diffSnapshots(spark: SparkSession, catalog: String, table: String,
+                            meta: GraftMeta, base: Seq[String],
+                            target: Seq[String]): DataFrame = {
     val leftOnly = base.filterNot(target.toSet)
     val rightOnly = target.filterNot(base.toSet)
 

@@ -642,6 +642,74 @@ object LakeQueries {
               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        FROM corpus GROUP BY lang ORDER BY lang"""
 
+  // --------------------------------------------------------------------------
+  // q201: PER-COMMIT CDC attribution — the increment q182's range-level net
+  // deltas leave on the table. GraftCdc.commitDeltas diffs every CONSECUTIVE
+  // snapshot pair in the range independently, tagging each delta row with the
+  // `_commit_version` that produced it (Delta CDF `table_changes` / Iceberg
+  // changelog shape). The history here is initial load → append → copy-on-
+  // write UPDATE → copy-on-write DELETE → compaction; attribution is exact
+  // per commit (the UPDATE shows as delete+insert AT ITS COMMIT, not netted),
+  // and the trailing compaction contributes ZERO rows — segment churn without
+  // row change is invisible, the property that makes the feed trustworthy.
+  // The oracle replays the same per-commit state algebra in DuckDB: each
+  // commit's deltas are EXCEPT ALL over the reconstructed consecutive states.
+  // Cost per commit is that commit's CHANGED segments only — at 100 TB a
+  // 5-commit history over one partition reads five partitions' worth, never
+  // the table.
+  // --------------------------------------------------------------------------
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m201_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t AS
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 3 = 0""")                         // commit 1
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 3 = 1""")                         // commit 2
+    s.sql(s"CALL graft.system.update_where('lake.$t', 'k % 10 = 1', 'price_c = price_c + 7')") // 3
+    s.sql(s"CALL graft.system.delete_where('lake.$t', 'k % 10 = 2')")                          // 4
+    s.sql(s"CALL graft.system.compact('lake.$t', ${128L * 1024 * 1024})")                      // 5
+    graft.catalog.GraftCdc.commitDeltas(s, "graft", s"lake.$t", from = 0L)
+      .createOrReplaceTempView(s"commit_deltas_$t")
+    s.sql(s"""SELECT _commit_version AS v, _change_type AS op, COUNT(*) AS n,
+                     CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM commit_deltas_$t GROUP BY v, op ORDER BY v, op""")
+  }
+
+  private val q201Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+       s1 AS (SELECT * FROM base WHERE k % 3 = 0),
+       s2 AS (SELECT * FROM base WHERE k % 3 IN (0, 1)),
+       s3 AS (SELECT k, st,
+                     CASE WHEN k % 10 = 1 THEN price_c + 7 ELSE price_c END AS price_c
+              FROM s2),
+       s4 AS (SELECT * FROM s3 WHERE k % 10 <> 2),
+       deltas AS (
+         SELECT CAST(1 AS BIGINT) AS v, 'insert' AS op, * FROM s1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'insert', * FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1)
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'delete', * FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2)
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'insert', * FROM (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2)
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'delete', * FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s3)
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), 'insert', * FROM (SELECT * FROM s4 EXCEPT ALL SELECT * FROM s3)
+         UNION ALL
+         SELECT CAST(4 AS BIGINT), 'delete', * FROM (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s4))
+       SELECT v, op, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM deltas GROUP BY v, op ORDER BY v, op"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -655,5 +723,6 @@ object LakeQueries {
     QDef("q178_lake_changes_feed", q178, Some(q178Sql)),
     QDef("q181_lake_partitioned_table", q181, Some(q181Sql)),
     QDef("q182_lake_cdc_row_deltas", q182, Some(q182Sql)),
-    QDef("q200_lakehouse_pipeline", q200, Some(q200Sql)))
+    QDef("q200_lakehouse_pipeline", q200, Some(q200Sql)),
+    QDef("q201_lake_cdc_per_commit", q201, Some(q201Sql)))
 }

@@ -942,6 +942,44 @@ class GraftCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("no snapshot"), err.getMessage)
   }
 
+  test("CDC per-commit attribution: each delta carries the commit that produced it") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t40")
+    sql("CREATE TABLE gtest.ns.t40 AS SELECT * FROM VALUES " +
+      "(1L, 'a'), (2L, 'b'), (3L, 'c') AS v(k, tag)")                    // snap 1
+    sql("INSERT INTO gtest.ns.t40 VALUES (4, 'd')")                      // snap 2
+    sql("""MERGE INTO gtest.ns.t40 t
+           USING (SELECT * FROM VALUES (2L, 'B'), (5L, 'e') AS s(k, tag)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET tag = s.tag
+           WHEN NOT MATCHED THEN INSERT (k, tag) VALUES (s.k, s.tag)""") // snap 3 (rewrite)
+    sql("CALL gtest.system.compact('ns.t40', 134217728)")                // snap 4 (rewrite)
+    sql("CALL gtest.system.delete_where('ns.t40', 'k = 2')")             // snap 5
+    def perCommit(from: Long, to: Option[Long] = None) =
+      GraftCdc.commitDeltas(spark, "gtest", "ns.t40", from, to)
+        .collect().map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getString(1)))
+        .sorted.toSeq
+    // full history: the MERGE's update is attributed to ITS commit, the later
+    // delete to ITS own — where rowDeltas(1) nets k=2's hops to one delete
+    assert(perCommit(1L) === Seq(
+      (2L, "insert", 4L, "d"),
+      (3L, "delete", 2L, "b"), (3L, "insert", 2L, "B"), (3L, "insert", 5L, "e"),
+      (5L, "delete", 2L, "B")),
+      s"per-commit history wrong: ${perCommit(1L)}")
+    // the compaction commit (v4) contributes zero rows above; ranges are
+    // (from, to] — "the commits turning snapshot `from` into `to`"
+    assert(perCommit(2L, Some(4L)) === Seq(
+      (3L, "delete", 2L, "b"), (3L, "insert", 2L, "B"), (3L, "insert", 5L, "e")))
+    assert(perCommit(5L, Some(5L)) === Seq.empty, "an empty range has no commits")
+    // net-vs-history cross-check: per-commit deltas REPLAYED in order must
+    // reproduce rowDeltas' net answer
+    val net = GraftCdc.rowDeltas(spark, "gtest", "ns.t40", 1L)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(net === Seq(("delete", 2L, "b"), ("insert", 4L, "d"), ("insert", 5L, "e")))
+    val err = intercept[Exception] { GraftCdc.commitDeltas(spark, "gtest", "ns.t40", 7L) }
+    assert(err.getMessage.contains("must be <="), err.getMessage)
+  }
+
   test("CDC row deltas on a PARTITIONED table: dynamic overwrite nets exact per-partition rows") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.p13")
