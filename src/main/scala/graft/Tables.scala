@@ -65,7 +65,8 @@ object Registry {
       queries.LakeQueries.defs ++
       queries.Round8Queries.defs ++
       queries.Round9Queries.defs ++
-      queries.Round10Queries.defs
+      queries.Round10Queries.defs ++
+      queries.Round11Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }
