@@ -417,6 +417,82 @@ object Round11Queries {
     """SELECT true AS mono_unique, true AS uuid_v4, true AS parts_bounded,
               true AS files_tracked, true AS has_version, true AS default_catalog"""
 
+  // --------------------------------------------------------------------------
+  // q211: CSV SCALAR codec family — `to_csv` (struct → line, RFC-4180
+  // quoting pinned by a field that ALWAYS embeds a comma), `from_csv`
+  // (line → struct with explicit schema, closing the round trip so quoting
+  // losslessness is hash-proven per row), and `schema_of_csv` /
+  // `schema_of_json` (type INFERENCE as a scalar — the planted literals pin
+  // the inference rules: int-vs-double promotion, JSON array element
+  // widening). The per-row codec is the Kafka-payload shape: parse/serialize
+  // inside the row pipeline, no separate file scan.
+  // --------------------------------------------------------------------------
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("csv_src")
+    s.sql(
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CONCAT(o_orderstatus, ',', CAST(o_orderkey AS STRING)) AS note
+        |  FROM csv_src WHERE o_orderkey % 10 = 0),
+        |lines AS (
+        |  SELECT k, st, note,
+        |         TO_CSV(NAMED_STRUCT('k', k, 'st', st, 'note', note)) AS line
+        |  FROM src)
+        |SELECT k, line,
+        |       FROM_CSV(line, 'k BIGINT, st STRING, note STRING').note AS note_rt,
+        |       FROM_CSV(line, 'k BIGINT, st STRING, note STRING').k AS k_rt,
+        |       SCHEMA_OF_CSV('1,a,2.5') AS s_csv,
+        |       SCHEMA_OF_JSON('{"a":1,"b":[1.5],"c":"x"}') AS s_json
+        |FROM lines ORDER BY k""".stripMargin)
+  }
+
+  private val q211Sql =
+    """SELECT o_orderkey AS k,
+              CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ',"'
+                || o_orderstatus || ',' || CAST(o_orderkey AS VARCHAR) || '"' AS line,
+              o_orderstatus || ',' || CAST(o_orderkey AS VARCHAR) AS note_rt,
+              o_orderkey AS k_rt,
+              'STRUCT<_c0: INT, _c1: STRING, _c2: DOUBLE>' AS s_csv,
+              'STRUCT<a: BIGINT, b: ARRAY<DOUBLE>, c: STRING>' AS s_json
+       FROM orders WHERE o_orderkey % 10 = 0 ORDER BY k"""
+
+  // --------------------------------------------------------------------------
+  // q212: `stack` generator (the n-way columns→rows literal unpivot — q179's
+  // UNPIVOT clause and q77's Dataset.unpivot cover the resolved forms; stack
+  // is the Hive-surface generator) pipelined into per-row JVM REFLECTION
+  // (`reflect` / `java_method` — arbitrary static-method escape hatch,
+  // pinned against arithmetic the oracle reproduces: Long.toHexString vs
+  // lower(to_hex), Math.floorMod vs %). Generator + codegen'd scalars in one
+  // pass; the oracle rebuilds the stack with UNION ALL.
+  // --------------------------------------------------------------------------
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("stack_src")
+    s.sql(
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM stack_src WHERE o_orderkey % 10 = 0)
+        |SELECT k, t.tag, t.val,
+        |       REFLECT('java.lang.Long', 'toHexString', cents) AS hex_r,
+        |       CAST(JAVA_METHOD('java.lang.Math', 'floorMod', k, 7L) AS BIGINT) AS fm
+        |FROM src LATERAL VIEW STACK(2, 'cents', cents, 'double_k', k * 2) t AS tag, val
+        |ORDER BY k, tag""".stripMargin)
+  }
+
+  private val q212Sql =
+    """WITH src AS (
+         SELECT o_orderkey AS k,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 10 = 0),
+       stacked AS (
+         SELECT k, 'cents' AS tag, cents AS val, cents FROM src
+         UNION ALL
+         SELECT k, 'double_k' AS tag, k * 2 AS val, cents FROM src)
+       SELECT k, tag, val,
+              lower(to_hex(cents)) AS hex_r,
+              k % 7 AS fm
+       FROM stacked ORDER BY k, tag"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q202_string_surgery", q202, Some(q202Sql)),
     QDef("q203_format_roundtrip", q203, Some(q203Sql)),
@@ -426,5 +502,7 @@ object Round11Queries {
     QDef("q207_array_construction", q207, Some(q207Sql)),
     QDef("q208_scalar_misc", q208, Some(q208Sql)),
     QDef("q209_datetime_completion", q209, Some(q209Sql)),
-    QDef("q210_runtime_invariants", q210, Some(q210Sql)))
+    QDef("q210_runtime_invariants", q210, Some(q210Sql)),
+    QDef("q211_csv_scalar_codec", q211, Some(q211Sql)),
+    QDef("q212_stack_reflect", q212, Some(q212Sql)))
 }
