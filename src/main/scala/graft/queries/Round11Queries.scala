@@ -137,7 +137,7 @@ object Round11Queries {
         |  SUM(CASE WHEN luhn_check(CAST(k AS STRING)) THEN 1 ELSE 0 END) AS n_luhn,
         |  (SELECT SUM(CASE WHEN luhn_check(c) THEN 1 ELSE 0 END)
         |   FROM VALUES ('79927398713'), ('79927398714'), ('4111111111111111'), ('123') AS t(c)) AS n_luhn_canon
-        |FROM src""".stripMargin)
+        |FROM src ORDER BY 1""".stripMargin)
   }
 
   private val q204Sql =
@@ -159,7 +159,8 @@ object Round11Queries {
          SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_add_over,
          SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_mul_over,
          SUM(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS n_badnum,
-         SUM(CASE WHEN NULLIF(k % 5, 0) IS NOT DISTINCT FROM NULLIF(k % 7, 0)
+         SUM(CASE WHEN NULLIF(k % 5, 0) = NULLIF(k % 7, 0)
+                       OR (k % 5 = 0 AND k % 7 = 0)
                   THEN 1 ELSE 0 END) AS n_eqnull,
          SUM(CASE WHEN (SELECT list_sum(list_transform(range(1, len(CAST(k AS VARCHAR)) + 1),
                   i -> CASE WHEN (len(CAST(k AS VARCHAR)) - i) % 2 = 0
@@ -169,7 +170,7 @@ object Round11Queries {
                                       ELSE 2 * CAST((CAST(k AS VARCHAR))[i] AS INT) END END)) % 10
                 ) = 0 THEN 1 ELSE 0 END) AS n_luhn,
          (SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) FROM luhn) AS n_luhn_canon
-       FROM src"""
+       FROM src ORDER BY 1"""
 
   // --------------------------------------------------------------------------
   // q205: XPath extraction family — `xpath_string` / `xpath_long` /
@@ -410,12 +411,13 @@ object Round11Queries {
         |  MIN(LENGTH(f)) > 0 AS files_tracked,
         |  LENGTH(VERSION()) > 0 AS has_version,
         |  CURRENT_CATALOG() = 'spark_catalog' AS default_catalog
-        |FROM ids""".stripMargin)
+        |FROM ids ORDER BY 1""".stripMargin)
   }
 
   private val q210Sql =
     """SELECT true AS mono_unique, true AS uuid_v4, true AS parts_bounded,
-              true AS files_tracked, true AS has_version, true AS default_catalog"""
+              true AS files_tracked, true AS has_version, true AS default_catalog
+       ORDER BY 1"""
 
   // --------------------------------------------------------------------------
   // q211: CSV SCALAR codec family — `to_csv` (struct → line, RFC-4180
