@@ -153,22 +153,22 @@ object Round11Queries {
                                       ELSE 2 * CAST(c[i] AS INT) END END)) % 10 = 0 AS ok
          FROM (VALUES ('79927398713'), ('79927398714'), ('4111111111111111'), ('123')) t(c))
        SELECT
-         SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS n_div0,
+         CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div0,
          CAST(SUM(CASE WHEN k % 7 = 0 THEN 0
                        ELSE CAST(ROUND(cents * 100 / (k % 7), 0) AS BIGINT) END) AS BIGINT) AS div_sum,
-         SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_add_over,
-         SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_mul_over,
-         SUM(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS n_badnum,
-         SUM(CASE WHEN NULLIF(k % 5, 0) = NULLIF(k % 7, 0)
+         CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_add_over,
+         CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_mul_over,
+         CAST(SUM(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_badnum,
+         CAST(SUM(CASE WHEN NULLIF(k % 5, 0) = NULLIF(k % 7, 0)
                        OR (k % 5 = 0 AND k % 7 = 0)
-                  THEN 1 ELSE 0 END) AS n_eqnull,
-         SUM(CASE WHEN (SELECT list_sum(list_transform(range(1, len(CAST(k AS VARCHAR)) + 1),
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_eqnull,
+         CAST(SUM(CASE WHEN (SELECT list_sum(list_transform(range(1, len(CAST(k AS VARCHAR)) + 1),
                   i -> CASE WHEN (len(CAST(k AS VARCHAR)) - i) % 2 = 0
                             THEN CAST((CAST(k AS VARCHAR))[i] AS INT)
                             ELSE CASE WHEN 2 * CAST((CAST(k AS VARCHAR))[i] AS INT) > 9
                                       THEN 2 * CAST((CAST(k AS VARCHAR))[i] AS INT) - 9
                                       ELSE 2 * CAST((CAST(k AS VARCHAR))[i] AS INT) END END)) % 10
-                ) = 0 THEN 1 ELSE 0 END) AS n_luhn,
+                ) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn,
          (SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) FROM luhn) AS n_luhn_canon
        FROM src ORDER BY 1"""
 
@@ -324,7 +324,7 @@ object Round11Queries {
     """SELECT o_orderkey AS k,
               CAST(round_even(o_orderkey + 0.5, 0) AS BIGINT) AS banker,
               CAST(ROUND(o_orderkey + 0.5, 0) AS BIGINT) AS half_up,
-              factorial(CAST(o_orderkey % 15 AS INT)) AS fact,
+              CAST(factorial(CAST(o_orderkey % 15 AS INT)) AS BIGINT) AS fact,
               ROUND(EXP(CAST(o_orderkey % 3 AS DOUBLE)) - 1, 2) AS em1,
               ROUND(LN(1 + CAST(o_orderkey % 3 AS DOUBLE)), 2) AS l1p,
               length(o_orderstatus || 'é') AS n_chars,
@@ -396,18 +396,23 @@ object Round11Queries {
   // nondeterministic-id CTE break under coalesced single-file writes).
   // --------------------------------------------------------------------------
   private def q210(s: SparkSession, d: String): DataFrame = {
-    T.orders(s, d).createOrReplaceTempView("meta_src")
+    val src = T.orders(s, d)
+    src.createOrReplaceTempView("meta_src")
+    // spark_partition_id() is evaluated in the scan stage (pre-shuffle), so the
+    // exact bound is the scan's own partition count — derived from the session,
+    // never a literal, so file sizes / maxPartitionBytes / scale can't flip it.
+    val scanParts = src.rdd.getNumPartitions
     s.sql(
-      """WITH ids AS (
+      s"""WITH ids AS (
         |  SELECT MONOTONICALLY_INCREASING_ID() AS mid,
         |         SPARK_PARTITION_ID() AS pid,
         |         INPUT_FILE_NAME() AS f
         |  FROM meta_src)
         |SELECT
         |  COUNT(DISTINCT mid) = COUNT(*) AS mono_unique,
-        |  UUID() RLIKE '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'
+        |  UUID() RLIKE '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$$'
         |    AS uuid_v4,
-        |  COUNT(DISTINCT pid) <= 64 AS parts_bounded,
+        |  COUNT(DISTINCT pid) <= $scanParts AS parts_bounded,
         |  MIN(LENGTH(f)) > 0 AS files_tracked,
         |  LENGTH(VERSION()) > 0 AS has_version,
         |  CURRENT_CATALOG() = 'spark_catalog' AS default_catalog

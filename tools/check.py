@@ -54,6 +54,18 @@ def main():
         try:
             duck = con.sql(oracle[name])
             dcols = duck.columns
+            # the driver's value hash goes through Arrow, which renders DuckDB
+            # HUGEINT (int128) as decimal128 — a Spark integer column can NEVER
+            # hash-match it even when every value is identical (round-8 q204/q208
+            # lesson). Spark has no int128 type, so any HUGEINT oracle column is
+            # an oracle-typing bug: CAST it (usually AS BIGINT) in the SQL.
+            dtypes = [str(t).upper() for t in duck.types]
+            huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t]
+            if huge:
+                print(f"FAIL  {name}: oracle columns {huge} typed HUGEINT (int128) "
+                      f"-- driver hash renders these decimal128; CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1
+                continue
             drows = duck.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {str(e).splitlines()[0]}")

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Doc-vs-source consistency check (round-9 answer to three rounds of stale README).
+
+Counts the declared queries straight from the QDef registrations in src/main and
+the oracle-gated subset (QDefs with Some(sql)), then asserts README.md states
+exactly those numbers in its summary paragraph and its package-table row.
+
+Usage: python3 tools/doc_check.py   (exit 0 = README matches source)
+"""
+import os, re, sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+QDIR = os.path.join(HERE, "src/main/scala/graft")
+
+declared, gated = set(), set()
+for root, _, files in os.walk(QDIR):
+    for fn in files:
+        if not fn.endswith(".scala"):
+            continue
+        src = open(os.path.join(root, fn)).read()
+        for m in re.finditer(r'QDef\(\s*"(q\d+_\w+)"\s*,\s*[\w.]+\s*,\s*(Some\(|None)', src):
+            declared.add(m.group(1))
+            if m.group(2) == "Some(":
+                gated.add(m.group(1))
+
+nums = sorted(int(re.match(r"q(\d+)_", q).group(1)) for q in declared)
+problems = []
+if not nums:
+    problems.append("found no QDef registrations under src/main/scala/graft")
+else:
+    lo, hi = nums[0], nums[-1]
+    missing = sorted(set(range(lo, hi + 1)) - set(nums))
+    if missing:
+        problems.append(f"query numbering has gaps: {missing}")
+
+readme = open(os.path.join(HERE, "README.md")).read()
+m = re.search(r"(\d+) queries are declared; (\d+) of them are DuckDB-hash-matched", readme)
+if not m:
+    problems.append("README summary sentence 'N queries are declared; M ... hash-matched' not found")
+else:
+    if int(m.group(1)) != len(declared):
+        problems.append(f"README says {m.group(1)} declared, source has {len(declared)}")
+    if int(m.group(2)) != len(gated):
+        problems.append(f"README says {m.group(2)} oracle-gated, source has {len(gated)}")
+m = re.search(r"q01–q(\d+) \(one `QDef` per operator\)", readme)
+if not m:
+    problems.append("README package-table row 'q01-qNNN' not found")
+elif nums and int(m.group(1)) != nums[-1]:
+    problems.append(f"README package table says q01-q{m.group(1)}, source tops out at q{nums[-1]}")
+
+if problems:
+    print("DOC CHECK FAIL:")
+    for p in problems:
+        print("  -", p)
+    sys.exit(1)
+print(f"DOC CHECK PASS: {len(declared)} declared (q{nums[0]:02d}-q{nums[-1]}), "
+      f"{len(gated)} oracle-gated, README matches")
