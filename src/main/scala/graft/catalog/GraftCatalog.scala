@@ -148,6 +148,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       require(GraftPartitions.supportedType(field.dataType),
         s"graft catalog: partition column '$c' has unsupported type ${field.dataType} " +
           "(string/integral/boolean/date/decimal only — derive a column for timestamps)")
+      // the names are persisted comma-joined in graft.partition-by (unlike
+      // partition VALUES, which are %XX-escaped), so a name containing ','
+      // or other unsafe characters would corrupt the property that
+      // GraftPartitions.cols later splits on — same character set the
+      // segment-name validation enforces
+      require(field.name.matches("[A-Za-z0-9_.\\-]+"),
+        s"graft catalog: partition column name '${field.name}' must match [A-Za-z0-9_.-]+")
       field.name
     }.toSeq
     val dir = tableDir(ident)

@@ -83,8 +83,13 @@ object GraftCdc {
       diffSnapshots(spark, catalog, table, meta,
         meta.snapshots(prev), meta.snapshots(v))
         .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp",
-          lit(new java.sql.Timestamp(meta.snapshotTimes.getOrElse(v, 0L))))
+        // snapshots recorded before snapshotTimes existed have no commit
+        // time: emit null (the column is nullable) rather than silently
+        // attributing them to the 1970 epoch
+        .withColumn("_commit_timestamp", meta.snapshotTimes.get(v) match {
+          case Some(ms) => lit(new java.sql.Timestamp(ms))
+          case None     => lit(null).cast("timestamp")
+        })
     }.toSeq
     if (perCommit.isEmpty) {
       import org.apache.spark.sql.types._

@@ -62,15 +62,31 @@ private[catalog] final class GraftPartitionedWrite(
   named.foreach(n => require(n.matches("[A-Za-z0-9_.\\-]+"),
     s"graft.segment must be [A-Za-z0-9_.-]+, got '$n'"))
   private val namedKey = named.map("seg-" + _)
-  private val alreadyCommitted = namedKey.exists(metaAtBuild.committedNamed.contains)
   // a crashed earlier attempt of a NAMED job can leave final segment dirs
   // (moved before the meta CAS ran); a retry must not merge new files into
-  // them — doubled rows — so they are swept here, before any new IO
-  if (named.isDefined && !alreadyCommitted) {
-    val prefix = s"${namedKey.get}${GraftPartitions.Marker}"
-    GraftMeta.listDir(tableDir)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
-      .foreach(GraftMeta.deleteRecursively)
+  // them — doubled rows — so they are swept here, before any new IO. The
+  // sweep holds the per-table lock and RE-READS meta inside it (not
+  // metaAtBuild, which can predate a racing attempt's CAS), and the named
+  // commit path below holds the same lock across its move+CAS — so an
+  // in-process racing first attempt can never have its freshly-moved dirs
+  // swept after its CAS is destined to win. A zombie writer in ANOTHER
+  // process remains exposed here (the lock is per-JVM): its failure mode is
+  // a published snapshot referencing swept dirs — worse than the
+  // unpartitioned path's torn-segment-never-doubled-rows — mitigated by the
+  // registry contract that a named retry only launches once its predecessor
+  // is known dead.
+  private val alreadyCommitted = namedKey.exists { k =>
+    metaAtBuild.committedNamed.contains(k) ||
+      tableDir.toString.intern().synchronized {
+        if (GraftMeta.read(tableDir).committedNamed.contains(k)) true
+        else {
+          val prefix = s"$k${GraftPartitions.Marker}"
+          GraftMeta.listDir(tableDir)
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+            .foreach(GraftMeta.deleteRecursively)
+          false
+        }
+      }
   }
 
   private val writeId = named.getOrElse(UUID.randomUUID().toString.take(12))
@@ -117,6 +133,16 @@ private[catalog] final class GraftPartitionedWrite(
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        // NAMED jobs hold the per-table lock across move+CAS so a concurrent
+        // retry's crashed-attempt sweep (see alreadyCommitted above) can
+        // never delete dirs this attempt just moved but has not yet
+        // published; mutate() re-entering the same monitor is fine
+        if (namedKey.isDefined)
+          tableDir.toString.intern().synchronized(doCommit(messages))
+        else doCommit(messages)
+      }
+
+      private def doCommit(messages: Array[WriterCommitMessage]): Unit = {
         val manifest = messages.flatMap {
           case m: GraftPartitionFilesMessage => m.files
           case _ => Nil

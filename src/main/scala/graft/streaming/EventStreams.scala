@@ -297,7 +297,12 @@ object EventStreams {
               (Seq.empty[SessionSummary], prev)) { case ((done, cur), t) =>
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  (done, Some(SessionBuf(s.n + 1, s.startMs, t)))
+                  // late-but-in-watermark events from a LATER batch can carry
+                  // t < s.lastMs (sorting is per-batch only); clamping keeps
+                  // session bounds monotone so a negative diff can never
+                  // shrink the armed timeout or rewind the start
+                  (done, Some(SessionBuf(s.n + 1, math.min(s.startMs, t),
+                    math.max(s.lastMs, t))))
                 case Some(s) =>
                   (done :+ SessionSummary(userId, s.n, s.startMs, s.lastMs),
                     Some(SessionBuf(1L, t, t)))

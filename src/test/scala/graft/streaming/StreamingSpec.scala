@@ -381,6 +381,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-but-in-watermark events never rewind timeoutSessions bounds") {
+    // with watermarkDelay > 0 a LATER batch can legally deliver an event
+    // older than state.lastMs; the session must absorb it without shrinking
+    // its armed timeout or rewinding start/end (the clamp in timeoutSessions)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, ms: Long, user: Long) =
+      Event(id, new java.sql.Timestamp(ms), user, "t", 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.timeoutSessions(input.toDS(), gapMs = 5000L,
+        watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000, 1), ev(2, 5000, 1))
+      q.processAllAvailable()
+      // batch 2: t=2000 is older than lastMs=5000 but inside the watermark
+      input.addData(ev(3, 2000, 1))
+      q.processAllAvailable()
+      // close everything: watermark jumps past lastMs + gap
+      input.addData(ev(4, 50000, 9))
+      q.processAllAvailable()
+      val got = spark.table("late_sessions")
+        .as[EventStreams.SessionSummary].collect()
+        .map(s => (s.user_id, s.n_events, s.start_ms, s.end_ms)).toSet
+      assert(got.contains((1L, 3L, 1000L, 5000L)),
+        s"late event must extend the session without rewinding end_ms: $got")
+    } finally q.stop()
+  }
+
   test("streaming Dataset.observe: per-batch metrics sum to the exact batch totals") {
     // the streaming half of the observability row (MetricsSpec pins batch
     // observe): metrics ride the micro-batch execution — no second pass over
