@@ -102,6 +102,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       if (GraftMetadataTable.Kinds.contains(ident.name()) && parent != null &&
           Files.exists(parent.resolve(GraftMeta.FileName)))
         return new GraftMetadataTable(catalogName, ident, parent, ident.name())
+      // `t.changes`: the row-level change feed (batch + streaming CDC read)
+      if (ident.name() == GraftChanges.Name && parent != null &&
+          Files.exists(parent.resolve(GraftMeta.FileName)))
+        return new GraftChangesTable(catalogName, ident, parent)
       throw new NoSuchTableException(ident)
     }
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)

@@ -1,0 +1,288 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft.ns.t.changes` — the table's row-level CHANGE FEED as a first-class
+  * readable table (the Delta CDF surface shape, re-derived on the public
+  * DSv2 API; contract only, no code):
+  *
+  *   - batch: `spark.read.option("graft.cdc.from", a).option("graft.cdc.to",
+  *     b).table("graft.ns.t.changes")` — every commit in `(a, b]` emits its
+  *     row deltas tagged `_change_type` ('insert'/'delete'),
+  *     `_commit_version`, `_commit_timestamp` — the same per-commit
+  *     attribution `GraftCdc.commitDeltas` computes, served by the engine;
+  *   - streaming: `spark.readStream.table("graft.ns.t.changes")` — offsets
+  *     ARE snapshot ids (exactly the plain streaming source's contract), so
+  *     checkpoints give exactly-once per COMMIT, and — unlike the plain
+  *     source, which refuses rewrite commits — every commit kind streams:
+  *     appends, copy-on-write UPDATE/DELETE, MERGE, compaction (which nets
+  *     to zero rows, as it must).
+  *
+  * Scale design — who pays for the diff:
+  *   - an APPEND-ONLY commit streams straight from its new segment files
+  *     with the three CDC columns synthesized per partition as codegen'd
+  *     constants: zero write amplification, zero extra IO (the 100 TB
+  *     ingest path stays untouched);
+  *   - a REWRITE commit lazily materializes its delta ONCE under
+  *     `_cdc/v=<n>` (bidirectional EXCEPT ALL over only the segments that
+  *     changed sides — cost ∝ rewritten data, not table size), published by
+  *     atomic rename so concurrent readers/restarts share one copy and a
+  *     crashed materialization leaves only an invisible temp dir. This is
+  *     the read-side twin of Delta's commit-time CDF files: same artifact,
+  *     paid on first read instead of on every write (rewrites are rare and
+  *     many are never streamed).
+  *
+  * Retention: like the plain source, `expire_snapshots` must keep the
+  * checkpointed horizon — a missing snapshot in a requested range fails
+  * loudly rather than silently skipping commits. */
+private[catalog] object GraftChanges {
+  val Name = "changes"
+  val ChangeType = "_change_type"
+  val CommitVersion = "_commit_version"
+  val CommitTimestamp = "_commit_timestamp"
+  val CdcCols: Set[String] = Set(ChangeType, CommitVersion, CommitTimestamp)
+
+  def cdcSchema(dataSchema: StructType): StructType = dataSchema
+    .add(ChangeType, StringType, nullable = false)
+    .add(CommitVersion, LongType, nullable = false)
+    .add(CommitTimestamp, TimestampType, nullable = true)
+
+  /** The delta parquet for REWRITE commit `v` (data columns + _change_type),
+    * materialized on first use. Idempotent and crash-safe: computed into a
+    * temp dir, atomically renamed to `_cdc/v=<v>`; a concurrent loser just
+    * discards its copy. */
+  def ensureMaterialized(spark: SparkSession, tableDir: Path,
+                         meta: GraftMeta, v: Long): Path = {
+    val target = tableDir.resolve("_cdc").resolve(s"v=$v")
+    if (Files.isDirectory(target)) return target
+    val base = meta.snapshots(v - 1)
+    val cur = meta.snapshots(v)
+    val leftOnly = base.filterNot(cur.toSet)
+    val rightOnly = cur.filterNot(base.toSet)
+    // explicit schema: segments written before an ADD COLUMN lack the new
+    // field in their footers and must null-fill, same as the table scan
+    def readSegs(segs: Seq[String]): DataFrame =
+      if (segs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+      else spark.read.schema(meta.schema)
+        .parquet(segs.map(s => tableDir.resolve(s).toString): _*)
+    val removed = readSegs(leftOnly)
+    val added = readSegs(rightOnly)
+    val delta = added.exceptAll(removed).withColumn(ChangeType, lit("insert"))
+      .unionAll(removed.exceptAll(added).withColumn(ChangeType, lit("delete")))
+    val tmp = tableDir.resolve("_cdc")
+      .resolve(s".tmp-v$v-${UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(tmp.getParent)
+    delta.write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        GraftMeta.deleteRecursively(tmp)
+        if (!Files.isDirectory(target)) throw e // lost to a concurrent reader: fine
+    }
+    target
+  }
+}
+
+/** One commit-range planner shared by the batch scan and the micro-batch
+  * stream: partitions for every commit in `(from, to]`, each carrying its
+  * own inner parquet partition + reader factory + the CDC constants. */
+private[catalog] object GraftCdcPlanner {
+  import GraftChanges._
+
+  def plan(tableDir: Path, tableName: String, meta: GraftMeta,
+           readSchema: StructType, from: Long, to: Long,
+           options: CaseInsensitiveStringMap): Array[InputPartition] = {
+    require(from <= to, s"$tableName: cdc range from $from must be <= to $to")
+    (from to to).foreach(s => require(meta.snapshots.contains(s),
+      s"$tableName: snapshot $s expired from the log " +
+        s"(have ${meta.snapshots.keys.toSeq.sorted.mkString(",")}); per-commit " +
+        "change reads need every snapshot in the range retained"))
+    (from + 1 to to).flatMap { v =>
+      val base = meta.snapshots(v - 1)
+      val cur = meta.snapshots(v)
+      val tsMs = meta.snapshotTimes.get(v)
+      if (base.forall(cur.contains)) {
+        // append-only commit: stream the new segment files directly; all
+        // three CDC columns are per-partition constants
+        val dirs = cur.filterNot(base.toSet).map(s => tableDir.resolve(s).toString)
+        if (dirs.isEmpty) Nil
+        else {
+          val innerSchema = StructType(readSchema.filterNot(f => CdcCols(f.name)))
+          val b = scanOver(tableName, dirs, meta.schema, innerSchema, options)
+          val factory = b.createReaderFactory()
+          b.planInputPartitions().toSeq.map(p => GraftCdcPartition(
+            p, factory, innerSchema, readSchema, Some("insert"), v, tsMs))
+        }
+      } else {
+        // rewrite commit: serve the once-materialized delta (_change_type is
+        // a real file column there); version/timestamp stay constants
+        val dir = GraftChanges.ensureMaterialized(
+          SparkSession.active, tableDir, meta, v)
+        val fileSchema = meta.schema.add(ChangeType, StringType)
+        val innerSchema = StructType(readSchema.filterNot(f =>
+          f.name == CommitVersion || f.name == CommitTimestamp))
+        val b = scanOver(tableName, Seq(dir.toString), fileSchema, innerSchema, options)
+        val factory = b.createReaderFactory()
+        b.planInputPartitions().toSeq.map(p => GraftCdcPartition(
+          p, factory, innerSchema, readSchema, None, v, tsMs))
+      }
+    }.toArray
+  }
+
+  private def scanOver(tableName: String, dirs: Seq[String],
+                       tableSchema: StructType, pruned: StructType,
+                       options: CaseInsensitiveStringMap): Batch = {
+    val b = ParquetTable(s"$tableName-cdc", SparkSession.active, options, dirs,
+      Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(pruned)
+    b.build().toBatch
+  }
+}
+
+/** A CDC partition: the wrapped parquet partition, its factory, and the
+  * commit constants the reader splices in. */
+private[catalog] final case class GraftCdcPartition(
+    inner: InputPartition, factory: PartitionReaderFactory,
+    innerSchema: StructType, readSchema: StructType,
+    constChangeType: Option[String], version: Long, tsMs: Option[Long])
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Delegates to each partition's own parquet factory and projects rows into
+  * the (possibly pruned) CDC read schema, splicing commit constants in as
+  * codegen'd literals — one UnsafeProjection per partition, no per-row
+  * allocation beyond the projection's reused buffer. */
+private[catalog] object GraftCdcReaderFactory extends PartitionReaderFactory {
+  import GraftChanges._
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[GraftCdcPartition]
+    val inner = cp.factory.createReader(cp.inner)
+    val exprs = cp.readSchema.fields.map { f =>
+      f.name match {
+        case CommitVersion => Literal(cp.version, LongType)
+        case CommitTimestamp =>
+          new Literal(cp.tsMs.map(ms => Long.box(ms * 1000L)).orNull, TimestampType)
+        case ChangeType if cp.constChangeType.isDefined =>
+          Literal(UTF8String.fromString(cp.constChangeType.get), StringType)
+        case n =>
+          val i = cp.innerSchema.fieldIndex(n)
+          BoundReference(i, cp.innerSchema(i).dataType, cp.innerSchema(i).nullable)
+      }
+    }
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** The `t.changes` table served by the catalog's metadata-table routing. */
+private[catalog] final class GraftChangesTable(
+    catalog: String, ident: Identifier, tableDir: Path)
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    (catalog +: ident.namespace() :+ ident.name()).mkString(".")
+  override def schema(): StructType =
+    GraftChanges.cdcSchema(GraftMeta.read(tableDir).schema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned: StructType = schema()
+      override def pruneColumns(required: StructType): Unit = pruned = required
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = pruned
+        override def description(): String = s"graft-changes(${name()})"
+        override def toBatch: Batch = new Batch {
+          // resolved at planning, point-in-time like every graft scan
+          private val meta = GraftMeta.read(tableDir)
+          private val from =
+            Option(options.get("graft.cdc.from")).map(_.toLong).getOrElse(0L)
+          private val to =
+            Option(options.get("graft.cdc.to")).map(_.toLong).getOrElse(meta.current)
+          override def planInputPartitions(): Array[InputPartition] =
+            GraftCdcPlanner.plan(tableDir, name(), meta, pruned, from, to, options)
+          override def createReaderFactory(): PartitionReaderFactory =
+            GraftCdcReaderFactory
+        }
+        override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new GraftCdcMicroBatchStream(tableDir, name(), pruned, options)
+      }
+    }
+}
+
+/** Micro-batch CHANGE stream: the plain snapshot-log source's offset scheme
+  * (offsets are snapshot ids, admission control in commit units, Trigger
+  * .AvailableNow pinning) with per-commit delta batches instead of
+  * append-segment batches — so rewrite commits stream instead of failing. */
+private[catalog] final class GraftCdcMicroBatchStream(
+    tableDir: Path, tableName: String, readSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private final case class Snap(id: Long) extends Offset {
+    override def json(): String = id.toString
+  }
+
+  private def meta: GraftMeta = GraftMeta.read(tableDir)
+
+  private val maxPerTrigger: Option[Long] =
+    Option(options.get("maxSnapshotsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
+      n
+    }
+
+  @volatile private var availableNowBound: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound = Some(meta.current)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[Snap].id
+    val cap = availableNowBound.fold(meta.current)(math.min(meta.current, _))
+    Snap(maxPerTrigger.fold(cap)(n => math.min(cap, from + n)))
+  }
+
+  override def initialOffset(): Offset =
+    Snap(Option(options.get("graft.stream.from")).map(_.toLong).getOrElse(0L))
+  override def latestOffset(): Offset = Snap(meta.current)
+  override def deserializeOffset(json: String): Offset = Snap(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[Snap].id, end.asInstanceOf[Snap].id)
+    if (a == b) Array.empty
+    else GraftCdcPlanner.plan(tableDir, tableName, meta, readSchema, a, b, options)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = GraftCdcReaderFactory
+}

@@ -576,6 +576,12 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
     // dir from a crashed task attempt); a flat delete would throw after the
     // metadata was already rewritten
     dead.foreach(seg => GraftMeta.deleteRecursively(dir.resolve(seg)))
+    // materialized change-feed deltas (_cdc/v=<id>) for expired snapshots can
+    // never be requested again — a CDC range requires every snapshot in it
+    // retained — so they expire with their snapshot
+    val cdcDir = dir.resolve("_cdc")
+    if (Files.isDirectory(cdcDir))
+      removedIds.foreach(id => GraftMeta.deleteRecursively(cdcDir.resolve(s"v=$id")))
     // orphan sweep against the committed post-expiry state
     val after = GraftMeta.readVersioned(dir)
     val orphans = orphanDirs(dir, after._1, retentionMs)

@@ -1267,6 +1267,98 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e3.getMessage.contains("cannot be dropped"), e3.getMessage)
   }
 
+  test("changes table: batch read matches GraftCdc.commitDeltas over a mixed history") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t45")
+    sql("CREATE TABLE gtest.ns.t45 AS SELECT * FROM VALUES " +
+      "(1L, 'a'), (2L, 'b'), (3L, 'c') AS v(k, tag)")                    // snap 1
+    sql("INSERT INTO gtest.ns.t45 VALUES (4, 'd')")                      // snap 2
+    sql("""MERGE INTO gtest.ns.t45 t
+           USING (SELECT * FROM VALUES (2L, 'B'), (5L, 'e') AS s(k, tag)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET tag = s.tag
+           WHEN NOT MATCHED THEN INSERT (k, tag) VALUES (s.k, s.tag)""") // snap 3 (rewrite)
+    sql("CALL gtest.system.compact('ns.t45', 134217728)")                // snap 4 (rewrite)
+    sql("CALL gtest.system.delete_where('ns.t45', 'k = 2')")             // snap 5
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaTable = spark.read.option("graft.cdc.from", 1)
+      .table("gtest.ns.t45.changes")
+    assert(norm(viaTable) === Seq(
+      (2L, "insert", 4L, "d"),
+      (3L, "delete", 2L, "b"), (3L, "insert", 2L, "B"), (3L, "insert", 5L, "e"),
+      (5L, "delete", 2L, "B")),
+      s"changes table history wrong: ${norm(viaTable)}")
+    // engine-served feed must equal the API computation exactly
+    assert(norm(viaTable) === norm(
+      GraftCdc.commitDeltas(spark, "gtest", "ns.t45", 1L)))
+    // every commit here is time-stamped
+    assert(viaTable.collect().forall(!_.isNullAt(4)),
+      "_commit_timestamp must be non-null for stamped snapshots")
+    // bounded range + pruned projection (one data col + one cdc col)
+    val pruned = spark.read.option("graft.cdc.from", 2).option("graft.cdc.to", 3)
+      .table("gtest.ns.t45.changes").select("k", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(pruned === Seq((2L, "delete"), (2L, "insert"), (5L, "insert")))
+    // a compaction-only range is empty, never an error
+    assert(spark.read.option("graft.cdc.from", 3).option("graft.cdc.to", 4)
+      .table("gtest.ns.t45.changes").count() === 0L)
+  }
+
+  test("changes stream: rewrite commits stream with attribution, exactly-once across restart") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t46")
+    sql("CREATE TABLE gtest.ns.t46 AS SELECT * FROM VALUES " +
+      "(1L, 'a'), (2L, 'b'), (3L, 'c') AS v(k, tag)")                    // snap 1
+    sql("INSERT INTO gtest.ns.t46 VALUES (4, 'd')")                      // snap 2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, String, Long, String)]]
+    def runAvailable(): Unit = {
+      val q = spark.readStream.option("maxSnapshotsPerTrigger", 1)
+        .table("gtest.ns.t46.changes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect()
+            .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getString(1)))
+            .sorted.toSeq
+          batches.synchronized { batches += rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runAvailable() // drains commits 1..2, one per batch
+    assert(batches.flatten.toSeq.sorted === Seq(
+      (1L, "insert", 1L, "a"), (1L, "insert", 2L, "b"), (1L, "insert", 3L, "c"),
+      (2L, "insert", 4L, "d")),
+      s"initial drain wrong: ${batches.toSeq}")
+    assert(batches.count(_.nonEmpty) === 2, "one COMMIT per bounded batch")
+    val drained = batches.size
+    // rewrites land while the stream is down — the plain source would refuse
+    sql("""MERGE INTO gtest.ns.t46 t
+           USING (SELECT * FROM VALUES (2L, 'B'), (5L, 'e') AS s(k, tag)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET tag = s.tag
+           WHEN NOT MATCHED THEN INSERT (k, tag) VALUES (s.k, s.tag)""") // snap 3 (rewrite)
+    sql("CALL gtest.system.compact('ns.t46', 134217728)")                // snap 4 (rewrite)
+    sql("INSERT INTO gtest.ns.t46 VALUES (6, 'f')")                      // snap 5
+    runAvailable() // restart resumes at the checkpointed snapshot
+    val resumed = batches.drop(drained).flatten.toSeq.sorted
+    assert(resumed === Seq(
+      (3L, "delete", 2L, "b"), (3L, "insert", 2L, "B"), (3L, "insert", 5L, "e"),
+      (5L, "insert", 6L, "f")),
+      s"restart must deliver exactly the new commits' deltas: $resumed")
+    // the whole stream equals the API's full-history answer: nothing lost,
+    // nothing doubled, compaction contributed zero rows
+    val api = GraftCdc.commitDeltas(spark, "gtest", "ns.t46", 0L).collect()
+      .map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(batches.flatten.toSeq.sorted === api,
+      "stream-over-lifetime must equal commitDeltas(0, current)")
+  }
+
   test("partitioned exactly-once: a replayed named batch stays a no-op") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.p9")
