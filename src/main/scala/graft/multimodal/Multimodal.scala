@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, and decode / feature-extract /
   * resize / frame-sample stages over them.
   *
-  * The IMAGE path is fully real: [[Codecs.encodePng]] / [[Codecs.decodeImage]]
-  * run actual PNG (or any ImageIO-readable) encode/decode through `javax.imageio`,
-  * which ships with the JDK — executors need no extra libraries. The AUDIO path
-  * is likewise real: [[Codecs.encodeWavPcm16]] / [[Codecs.decodeWavPcm16]] demux
-  * RIFF/WAV PCM through `javax.sound.sampled` (also stock JDK). Only VIDEO demux
-  * remains a clearly marked STUB seam ([[Codecs.frameSampleStub]], plus
-  * [[Codecs.decodeImageStub]] for non-ImageIO image codecs): this container has
-  * no ffmpeg-class bindings, and swapping one in touches only the [[Codecs]]
-  * object — every operator shape stays identical. Processing is
+  * All three modalities are real, pure-JVM: IMAGES encode/decode through
+  * `javax.imageio` ([[Codecs.encodePng]] / [[Codecs.decodeImage]]); AUDIO
+  * muxes/demuxes RIFF/WAV PCM through `javax.sound.sampled`
+  * ([[Codecs.encodeWavPcm16]] / [[Codecs.decodeWavPcm16]]); VIDEO
+  * muxes/demuxes MJPEG-in-AVI — a RIFF chunk walk (the WAV parser's
+  * sibling) with ImageIO JPEG per frame and idx1-indexed frame sampling
+  * ([[Codecs.encodeAviMjpeg]] / [[Codecs.demuxAvi]] /
+  * [[Codecs.frameSampleAvi]]). No ffmpeg-class bindings exist in this
+  * container, so codecs beyond what the JDK decodes (H.264 et al.) would
+  * need [[Codecs.decodeImageStub]]-style seams — the CONTAINER layer above
+  * them is real. Processing is
   * `mapPartitions`-based so decoders amortize per-batch setup (codec contexts,
   * buffers) across the partition — the same reason Python pipelines use
   * mapInPandas there.
@@ -32,8 +34,8 @@ object Multimodal {
     * Images are REAL PNGs (encoded on the executor via ImageIO; Java's PNG writer
     * emits no timestamps, so the bytes are reproducible); audio payloads are REAL
     * RIFF/WAV PCM16 files (Java's WAV writer emits a fixed 44-byte header, so
-    * bytes are likewise reproducible); video payloads stay synthetic blobs behind
-    * the demux stub seam. */
+    * bytes are likewise reproducible); video payloads are REAL MJPEG-in-AVI
+    * containers muxed from per-frame JPEGs. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaFile] = {
     import spark.implicits._
     spark.range(n).repartition(spark.sparkContext.defaultParallelism).map { id =>
@@ -51,10 +53,15 @@ object Multimodal {
           MediaFile(id, kind, Codecs.encodeWavPcm16(samples, 8000),
             MediaMeta(0, 0, 1, 8000, nSamples * 1000L / 8000, "wav-pcm16"))
         case _ =>
-          val size = 256 + (id * 37 % 512).toInt
-          val payload =
-            Array.tabulate(size)(i => (((id * 131 + i * 31 + 7) % 251) & 0xFF).toByte)
-          MediaFile(id, kind, payload, MediaMeta(8, 8, 1, 0, size.toLong, "stub-vid"))
+          val (w, h) = (16, 16)
+          val nFrames = 2 + (id % 4).toInt
+          val frames = Array.tabulate(nFrames) { f =>
+            val plane = Array.tabulate(w * h)(i =>
+              ((id * 131 + f * 61 + i * 31 + 7) % 251).toDouble)
+            Codecs.encodeJpegGray(plane, w, h)
+          }
+          MediaFile(id, kind, Codecs.encodeAviMjpeg(frames, w, h, fps = 10),
+            MediaMeta(w, h, 1, 0, nFrames * 100L, "avi-mjpeg"))
       }
     }
   }
@@ -83,7 +90,10 @@ object Multimodal {
           j += 1
         }
         val frames = m.kind match {
-          case "video" => Codecs.frameSampleStub(m.payload, m.meta).length
+          // REAL container demux: the RIFF walk counts actual '00dc' chunks
+          case "video" if m.meta.codec == "avi-mjpeg" =>
+            Codecs.demuxAvi(m.payload).frames.length
+          case "video" => 0 // unknown container: no codec library to demux it
           case "image" => 1
           // audio "frames" = decoded PCM sample count — a REAL demux read,
           // not a metadata echo (the WAV header is parsed, data chunk framed)
@@ -127,10 +137,11 @@ object Multimodal {
         length(col("text")).as("n_chars")).as("meta"))
 }
 
-/** Codec layer: REAL image encode/decode via the JDK's javax.imageio and REAL
-  * WAV PCM audio demux via the JDK's javax.sound.sampled (no external libraries
-  * needed on executors), plus the remaining STUB seams for formats the JDK
-  * cannot demux (compressed audio containers, video). */
+/** Codec layer — all pure JDK, no external libraries on executors: image
+  * encode/decode via javax.imageio, WAV PCM mux/demux via
+  * javax.sound.sampled, MJPEG-in-AVI mux/demux via a hand-rolled RIFF
+  * walk + ImageIO JPEG frames. [[decodeImageStub]] remains the one seam for
+  * image codecs ImageIO lacks a reader for. */
 object Codecs {
 
   /** REAL WAV encode: 16-bit signed little-endian PCM mono wrapped in a RIFF
@@ -159,8 +170,7 @@ object Codecs {
   /** REAL WAV demux: parse the RIFF header, frame the data chunk, return the
     * interleaved 16-bit PCM samples plus (sampleRate, channels). Either
     * endianness is handled; non-PCM or non-16-bit payloads are refused loudly
-    * (compressed audio needs codec libraries this container lacks — that seam
-    * is [[frameSampleStub]]'s documented territory, now video-only). */
+    * (compressed audio needs codec libraries this container lacks). */
   def decodeWavPcm16(payload: Array[Byte]): (Array[Short], Int, Int) = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -267,13 +277,181 @@ object Codecs {
     out
   }
 
-  /** STUB: frame sampling — treats the payload as fixed-size frame blocks and takes
-    * every k-th; a real implementation would demux the container. */
-  def frameSampleStub(payload: Array[Byte], meta: Multimodal.MediaMeta,
-                      frameBytes: Int = 64, every: Int = 2): Array[Array[Byte]] = {
-    val nFrames = payload.length / frameBytes
-    (0 until nFrames by every).map { f =>
-      java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes)
+  /** A demuxed MJPEG-in-AVI video: container metadata plus the COMPRESSED
+    * frame payloads (each one a complete JPEG — decode via [[decodeImage]]). */
+  final case class AviVideo(width: Int, height: Int, usPerFrame: Int,
+                            frames: Array[Array[Byte]])
+
+  /** REAL JPEG encode (grayscale), the frame codec for [[encodeAviMjpeg]].
+    * Same plane convention as [[encodePng]]. Deterministic: the JDK's JPEG
+    * writer emits fixed quantization/Huffman tables and no timestamps. */
+  def encodeJpegGray(plane: Array[Double], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        raster.setSample(x, y, 0,
+          math.max(0L, math.min(255L, math.round(plane(x * h + y)))).toInt)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  // -------- MJPEG-in-AVI container (RIFF — the WAV parser's sibling) --------
+  // Layout written and read here, from the public AVI RIFF spec:
+  //   RIFF <sz> 'AVI '
+  //     LIST <sz> 'hdrl'  { 'avih' <56> MainAVIHeader ;
+  //                         LIST <sz> 'strl' { 'strh' <56> ; 'strf' <40> } }
+  //     LIST <sz> 'movi'  { '00dc' <sz> <jpeg bytes> [pad] ... }
+  //     'idx1' <16*n>     { ckid, flags, offset-from-'movi'-fourcc, size }
+  // Every u16/u32 is little-endian; chunks pad to even length.
+
+  private def u32le(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+  }
+  private def u16le(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+  }
+  private def fcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** REAL AVI mux: wrap pre-encoded JPEG frames as an MJPG video stream,
+    * with the standard idx1 frame index so samplers can seek without
+    * scanning the movi list. Deterministic byte-for-byte. */
+  def encodeAviMjpeg(frames: Array[Array[Byte]], w: Int, h: Int,
+                     fps: Int): Array[Byte] = {
+    require(frames.nonEmpty && fps > 0, "encodeAviMjpeg: frames and fps required")
+    val maxFrame = frames.map(_.length).max
+    val paddedSizes = frames.map(f => 8 + f.length + (f.length & 1))
+    val moviSize = 4 + paddedSizes.sum
+    val idx1Size = 16 * frames.length
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val out = new java.io.ByteArrayOutputStream(riffSize + 8)
+    fcc(out, "RIFF"); u32le(out, riffSize); fcc(out, "AVI ")
+    // hdrl
+    fcc(out, "LIST"); u32le(out, hdrlSize); fcc(out, "hdrl")
+    fcc(out, "avih"); u32le(out, 56)
+    u32le(out, 1000000 / fps)            // dwMicroSecPerFrame
+    u32le(out, 0); u32le(out, 0)         // dwMaxBytesPerSec, dwPaddingGranularity
+    u32le(out, 0x10)                     // dwFlags = AVIF_HASINDEX
+    u32le(out, frames.length)            // dwTotalFrames
+    u32le(out, 0); u32le(out, 1)         // dwInitialFrames, dwStreams
+    u32le(out, maxFrame)                 // dwSuggestedBufferSize
+    u32le(out, w); u32le(out, h)
+    (0 until 4).foreach(_ => u32le(out, 0))
+    fcc(out, "LIST"); u32le(out, strlSize); fcc(out, "strl")
+    fcc(out, "strh"); u32le(out, 56)
+    fcc(out, "vids"); fcc(out, "MJPG")
+    u32le(out, 0); u32le(out, 0)         // dwFlags, wPriority+wLanguage
+    u32le(out, 0)                        // dwInitialFrames
+    u32le(out, 1); u32le(out, fps)       // dwScale, dwRate → rate/scale = fps
+    u32le(out, 0); u32le(out, frames.length) // dwStart, dwLength
+    u32le(out, maxFrame); u32le(out, -1) // dwSuggestedBufferSize, dwQuality
+    u32le(out, 0)                        // dwSampleSize
+    u16le(out, 0); u16le(out, 0); u16le(out, w); u16le(out, h) // rcFrame
+    fcc(out, "strf"); u32le(out, 40)
+    u32le(out, 40); u32le(out, w); u32le(out, h)
+    u16le(out, 1); u16le(out, 24)        // biPlanes, biBitCount
+    fcc(out, "MJPG")                     // biCompression
+    u32le(out, w * h * 3)
+    (0 until 4).foreach(_ => u32le(out, 0))
+    // movi + idx1 offsets (relative to the 'movi' fourcc position)
+    fcc(out, "LIST"); u32le(out, moviSize); fcc(out, "movi")
+    val offsets = new Array[Int](frames.length)
+    var off = 4 // first chunk sits right after the 'movi' fourcc
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = off
+      fcc(out, "00dc"); u32le(out, f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+      off += 8 + f.length + (f.length & 1)
+    }
+    fcc(out, "idx1"); u32le(out, idx1Size)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      fcc(out, "00dc"); u32le(out, 0x10)  // AVIIF_KEYFRAME
+      u32le(out, offsets(i)); u32le(out, f.length)
+    }
+    out.toByteArray
+  }
+
+  private def rdU32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+      ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
+  private def rdFcc(p: Array[Byte], o: Int): String =
+    new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL AVI demux: RIFF chunk walk — hdrl for dimensions/timing, movi for
+    * the stream-0 video chunks ('00dc'/'00db'), each returned as its
+    * complete compressed JPEG payload. Refuses non-AVI payloads loudly. */
+  def demuxAvi(payload: Array[Byte]): AviVideo = {
+    require(payload.length >= 12 && rdFcc(payload, 0) == "RIFF" &&
+      rdFcc(payload, 8) == "AVI ", "demuxAvi: payload is not a RIFF/AVI container")
+    var w = 0; var h = 0; var uspf = 0
+    val frames = Array.newBuilder[Array[Byte]]
+    def walk(from: Int, end: Int): Unit = {
+      var o = from
+      while (o + 8 <= end) {
+        val id = rdFcc(payload, o)
+        val size = rdU32(payload, o + 4)
+        if (id == "LIST") {
+          val kind = rdFcc(payload, o + 8)
+          if (kind == "hdrl" || kind == "movi" || kind == "strl")
+            walk(o + 12, math.min(end, o + 8 + size))
+        } else if (id == "avih") {
+          uspf = rdU32(payload, o + 8)
+          w = rdU32(payload, o + 8 + 32)
+          h = rdU32(payload, o + 8 + 36)
+        } else if ((id == "00dc" || id == "00db") && size > 0) {
+          frames += java.util.Arrays.copyOfRange(payload, o + 8, o + 8 + size)
+        }
+        o += 8 + size + (size & 1)
+      }
+    }
+    walk(12, math.min(payload.length, 8 + rdU32(payload, 4)))
+    AviVideo(w, h, uspf, frames.result())
+  }
+
+  /** Frame sampling VIA THE INDEX: reads idx1 and slices only every k-th
+    * frame's bytes — no movi scan, the seek pattern a sampler over large
+    * videos needs. Falls back to a full demux when the index is absent. */
+  def frameSampleAvi(payload: Array[Byte], every: Int): Array[Array[Byte]] = {
+    require(every > 0, "frameSampleAvi: every must be positive")
+    // locate top-level 'movi' and 'idx1'
+    var moviPos = -1; var idxPos = -1; var idxSize = 0
+    var o = 12
+    val end = math.min(payload.length, 8 + rdU32(payload, 4))
+    while (o + 8 <= end) {
+      val id = rdFcc(payload, o)
+      val size = rdU32(payload, o + 4)
+      if (id == "LIST" && rdFcc(payload, o + 8) == "movi") moviPos = o + 8
+      else if (id == "idx1") { idxPos = o + 8; idxSize = size }
+      o += 8 + size + (size & 1)
+    }
+    if (idxPos < 0 || moviPos < 0) {
+      val all = demuxAvi(payload).frames
+      return (0 until all.length by every).map(all).toArray
+    }
+    val n = idxSize / 16
+    (0 until n by every).flatMap { i =>
+      val e = idxPos + 16 * i
+      val ckid = rdFcc(payload, e)
+      if (ckid == "00dc" || ckid == "00db") {
+        val off = rdU32(payload, e + 8)
+        val sz = rdU32(payload, e + 12)
+        // offset is relative to the 'movi' fourcc; chunk data starts past
+        // the 8-byte chunk header
+        Some(java.util.Arrays.copyOfRange(
+          payload, moviPos + off + 8, moviPos + off + 8 + sz))
+      } else None
     }.toArray
   }
 }

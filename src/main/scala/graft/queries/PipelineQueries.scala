@@ -204,7 +204,8 @@ object PipelineQueries {
        FROM documents
        ORDER BY doc_id"""
 
-  /** Multimodal feature extraction over binary media (stub codec, real partition-
+  /** Multimodal feature extraction over binary media (real PNG/WAV/AVI codecs,
+    * partition-
     * batched plumbing): per-kind corpus statistics. */
   private def q52(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -21,17 +21,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.keySet == f2.keySet && f1.keySet.size == 50)
     f1.foreach { case (id, f) =>
       assert(f2(id) == f, s"media $id differs across partitionings")
-      // video payloads are raw >=256-byte blobs; audio is real WAV (44-byte
-      // RIFF header + 2 bytes/sample x >=256 samples); images are real PNGs
-      // whose compressed size varies with content
+      // audio is real WAV (44-byte RIFF header + 2 bytes/sample x >=256
+      // samples); images are real PNGs and videos real AVIs whose compressed
+      // sizes vary with content
       if (f.kind == "image") assert(f.nBytes > 0)
       else if (f.kind == "audio") assert(f.nBytes >= 44 + 2 * 256)
-      else assert(f.nBytes >= 256)
+      else assert(f.nBytes > 0)
       assert(f.meanByte > 0 && f.byteEntropyX1000 > 0)
     }
-    // video frame sampling: every 2nd 64-byte block
-    f1.values.filter(_.kind == "video").foreach { f =>
-      assert(f.nFrames == (f.nBytes / 64 + 1) / 2, s"frames ${f.nFrames} bytes ${f.nBytes}")
+    // video frames are REAL AVI demux counts: '00dc' chunks in the container
+    f1.foreach { case (id, f) =>
+      if (f.kind == "video")
+        assert(f.nFrames == 2 + (id % 4).toInt,
+          s"media $id: demuxed frame count ${f.nFrames}")
     }
     // audio "frames" are DECODED sample counts: header + framing parsed for
     // real, so nFrames must equal the generator's sample count exactly
@@ -90,6 +92,61 @@ class MultimodalSpec extends SparkSpec {
     }
     val again = Multimodal.decodeAndResize(media, 8, 8).collect().toMap
     planes.foreach { case (id, p) => assert(again(id).toSeq == p.toSeq) }
+  }
+
+  test("MJPEG-in-AVI mux/demux round-trips container and frames exactly") {
+    val (w, h) = (16, 16)
+    // two JPEG frames with distinct content
+    val frames = Array.tabulate(2) { f =>
+      Codecs.encodeJpegGray(
+        Array.tabulate(w * h)(i => ((f * 61 + i * 31 + 7) % 251).toDouble), w, h)
+    }
+    val avi = Codecs.encodeAviMjpeg(frames, w, h, fps = 10)
+    // container magics: RIFF....AVI LIST....hdrl
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val v = Codecs.demuxAvi(avi)
+    assert((v.width, v.height, v.usPerFrame) == (w, h, 100000))
+    // demux returns the EXACT compressed frame payloads that were muxed
+    assert(v.frames.length == 2)
+    assert(v.frames(0).toSeq == frames(0).toSeq && v.frames(1).toSeq == frames(1).toSeq,
+      "demux(mux(frames)) must return identical frame bytes")
+    // each frame is a complete decodable JPEG; gray8 JPEG is lossy but the
+    // decoded dimensions are exact and values stay in range
+    v.frames.foreach { f =>
+      assert((f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8, "not a JPEG SOI")
+      val (plane, bw, bh) = Codecs.decodeImage(f)
+      assert((bw, bh) == (w, h))
+      assert(plane.forall(p => p >= 0 && p <= 255))
+    }
+    // muxing is byte-deterministic
+    assert(Codecs.encodeAviMjpeg(frames, w, h, fps = 10).toSeq == avi.toSeq)
+    // non-AVI payloads are refused loudly
+    val err = intercept[IllegalArgumentException] { Codecs.demuxAvi("junk".getBytes) }
+    assert(err.getMessage.contains("RIFF/AVI"))
+  }
+
+  test("frameSampleAvi seeks every k-th frame via the idx1 index") {
+    val (w, h) = (8, 8)
+    val frames = Array.tabulate(5) { f =>
+      Codecs.encodeJpegGray(
+        Array.tabulate(w * h)(i => ((f * 97 + i * 13 + 3) % 251).toDouble), w, h)
+    }
+    val avi = Codecs.encodeAviMjpeg(frames, w, h, fps = 25)
+    val sampled = Codecs.frameSampleAvi(avi, every = 2)
+    assert(sampled.length == 3, "5 frames sampled every 2 -> frames 0,2,4")
+    assert(sampled(0).toSeq == frames(0).toSeq)
+    assert(sampled(1).toSeq == frames(2).toSeq)
+    assert(sampled(2).toSeq == frames(4).toSeq)
+    // the synthetic corpus' video payloads demux to their declared frame count
+    val media = Multimodal.syntheticMedia(spark, 12)
+      .filter((m: Multimodal.MediaFile) => m.kind == "video").collect()
+    assert(media.nonEmpty)
+    media.foreach { m =>
+      val n = Codecs.demuxAvi(m.payload).frames.length
+      assert(n == 2 + (m.mediaId % 4).toInt,
+        s"media ${m.mediaId}: demuxed $n frames")
+    }
   }
 
   test("documentsAsBinary exposes a real binary column with typed metadata") {
