@@ -19,15 +19,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects.
-    * Read it as a raw long (legacy flag) and floor-divide to µs — the same truncation
-    * DuckDB applies when it reads the ns column as TIMESTAMP, so both engines see
-    * identical µs values. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as a raw long via the legacy flag and floor-divide to µs,
+    * the same truncation DuckDB applies) and plain timestamp[us] written
+    * without a timezone (read as TIMESTAMP_NTZ — cast to TIMESTAMP, identical
+    * wall-clock under the pinned UTC session). Dispatch on the footer type so
+    * either generation loads to the same µs-precision TIMESTAMP column. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

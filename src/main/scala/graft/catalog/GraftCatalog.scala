@@ -164,15 +164,22 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(GraftMeta.FileName))) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
-    // persist only the graft-owned write-layout properties; Spark adds
-    // bookkeeping entries (owner, created-at) that don't belong in the contract
+    // persist only the graft-owned properties; Spark adds bookkeeping
+    // entries (owner, created-at) that don't belong in the contract
     val kept = properties.asScala.filter { case (k, _) => k.startsWith("write.") }.toMap
     kept.keys.foreach(k => require(
       k == GraftTable.ClusterByProp || k == GraftTable.OrderByProp,
       s"graft catalog: unknown write property '$k' (have ${GraftTable.ClusterByProp}, ${GraftTable.OrderByProp})"))
     kept.values.flatMap(_.split(',')).foreach(c => require(schema.fieldNames.contains(c.trim),
       s"graft catalog: write property references unknown column '${c.trim}'"))
-    val props = kept ++
+    val deleteMode = Option(properties.get(GraftDv.DeleteModeProp))
+      .map { m =>
+        require(m == GraftDv.ModeCow || m == GraftDv.ModeMor,
+          s"graft catalog: ${GraftDv.DeleteModeProp} must be " +
+            s"'${GraftDv.ModeCow}' or '${GraftDv.ModeMor}', got '$m'")
+        Map(GraftDv.DeleteModeProp -> m)
+      }.getOrElse(Map.empty)
+    val props = kept ++ deleteMode ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty)
     GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
@@ -195,8 +202,19 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     GraftMeta.mutate(dir) { meta =>
       var dropped = meta.props.get(GraftTable.DroppedColumnsProp)
         .map(_.split(',').toSet).getOrElse(Set.empty[String])
+      var setProps = Map.empty[String, String]
       val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
         ch match {
+          // the DELETE implementation is switchable per table: existing
+          // delete vectors keep applying either way (mode only selects how
+          // FUTURE deletes execute)
+          case set: TableChange.SetProperty
+              if set.property() == GraftDv.DeleteModeProp =>
+            require(set.value() == GraftDv.ModeCow || set.value() == GraftDv.ModeMor,
+              s"graft catalog: ${GraftDv.DeleteModeProp} must be " +
+                s"'${GraftDv.ModeCow}' or '${GraftDv.ModeMor}', got '${set.value()}'")
+            setProps += GraftDv.DeleteModeProp -> set.value()
+            sch
           case add: TableChange.AddColumn =>
             require(add.fieldNames().length == 1,
               "graft catalog: nested ADD COLUMN not supported")
@@ -242,9 +260,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               s"graft catalog: unsupported ALTER TABLE change $other")
         }
       }
-      val newProps =
-        if (dropped.isEmpty) meta.props
-        else meta.props + (GraftTable.DroppedColumnsProp -> dropped.toSeq.sorted.mkString(","))
+      val newProps = (if (dropped.isEmpty) meta.props
+        else meta.props +
+          (GraftTable.DroppedColumnsProp -> dropped.toSeq.sorted.mkString(","))) ++ setProps
       meta.copy(schema = newSchema, props = newProps)
     }
     loadTable(ident)
@@ -260,6 +278,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "expire_snapshots"     => new ExpireSnapshotsProcedure(this)
       case "delete_where"         => new DeleteWhereProcedure(this)
       case "update_where"         => new UpdateWhereProcedure(this)
+      case "rewrite_deletes"      => new RewriteDeletesProcedure(this)
       case "rollback_to_snapshot" => new RollbackProcedure(this)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
@@ -270,6 +289,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     Array(Identifier.of(Array("system"), "compact"),
       Identifier.of(Array("system"), "delete_where"),
       Identifier.of(Array("system"), "expire_snapshots"),
+      Identifier.of(Array("system"), "rewrite_deletes"),
       Identifier.of(Array("system"), "rollback_to_snapshot"),
       Identifier.of(Array("system"), "update_where"))
 
@@ -314,7 +334,24 @@ private[catalog] final case class GraftMeta(
     props: Map[String, String] = Map.empty,
     zstats: Map[String, String] = Map.empty,
     committedNamed: Map[String, Long] = Map.empty,
-    snapshotTimes: Map[Long, Long] = Map.empty)
+    snapshotTimes: Map[Long, Long] = Map.empty,
+    // per-snapshot DELETE VECTORS: snapshot → (segment → dv dirs applied to
+    // it). Snapshots absent from the map carry none; a segment leaving a
+    // snapshot drops its vectors with it (see dvsAfter).
+    dvs: Map[Long, Map[String, Seq[String]]] = Map.empty) {
+
+  /** The DV associations a successor snapshot with segment list `nextDirs`
+    * carries: the CURRENT snapshot's vectors, restricted to segments still
+    * present — a rewritten/removed segment takes its delete vectors with it
+    * (every rewrite path reads DV-merged, so nothing is lost). */
+  def dvsAfter(nextDirs: Seq[String]): Map[String, Seq[String]] = {
+    val cur = dvs.getOrElse(current, Map.empty)
+    if (cur.isEmpty) cur else {
+      val keep = nextDirs.toSet
+      cur.filter { case (s, _) => keep(s) }
+    }
+  }
+}
 
 private[catalog] object GraftMeta {
   val FileName = "_graft_meta"
@@ -344,6 +381,7 @@ private[catalog] object GraftMeta {
     val zstats = Map.newBuilder[String, String]
     val named = Map.newBuilder[String, Long]
     val times = Map.newBuilder[Long, Long]
+    val dvs = Map.newBuilder[Long, Map[String, Seq[String]]]
     lines.foreach {
       case l if l.startsWith("schema=") =>
         schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
@@ -361,13 +399,17 @@ private[catalog] object GraftMeta {
           l.takeWhile(_ != '=').drop(1).forall(_.isDigit) =>
         val Array(id, ms) = l.split("=", 2)
         times += id.drop(1).toLong -> ms.toLong
+      case l if l.startsWith("d") && l.contains("=") &&
+          l.takeWhile(_ != '=').drop(1).forall(_.isDigit) =>
+        val Array(id, enc) = l.split("=", 2)
+        dvs += id.drop(1).toLong -> GraftDv.decode(enc)
       case l if l.startsWith("s") && l.contains("=") =>
         val Array(id, dirs) = l.split("=", 2)
         snaps += id.drop(1).toLong -> (if (dirs.isEmpty) Nil else dirs.split(",").toSeq)
       case _ => ()
     }
     GraftMeta(schema, current, snaps.result(), props.result(), zstats.result(),
-      named.result(), times.result())
+      named.result(), times.result(), dvs.result())
   }
 
   private def render(meta: GraftMeta): String = {
@@ -386,6 +428,9 @@ private[catalog] object GraftMeta {
     }
     meta.snapshotTimes.toSeq.sortBy(_._1).foreach { case (id, ms) =>
       body ++= s"t$id=$ms\n"
+    }
+    meta.dvs.toSeq.sortBy(_._1).foreach { case (id, m) =>
+      if (m.nonEmpty) body ++= s"d$id=${GraftDv.encode(m)}\n"
     }
     meta.snapshots.toSeq.sortBy(_._1).foreach { case (id, dirs) =>
       body ++= s"s$id=${dirs.mkString(",")}\n"
@@ -535,7 +580,8 @@ private[catalog] object GraftMeta {
           zstats = meta.zstats ++ stats.map(newSegment -> _),
           committedNamed =
             if (named) meta.committedNamed + (newSegment -> next) else meta.committedNamed,
-          snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
+          snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
+          dvs = meta.dvs + (next -> meta.dvsAfter(dirs)))
       }
     }
   }
@@ -561,7 +607,35 @@ private[catalog] object GraftMeta {
         newSegments.map(_._1)
       meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
         zstats = meta.zstats ++ newSegments.collect { case (s, Some(z)) => s -> z },
-        snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
+        snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
+        dvs = meta.dvs + (next -> meta.dvsAfter(dirs)))
+    }
+  }
+
+  /** MERGE-ON-READ delete commit: the snapshot keeps every segment
+    * byte-identical and associates `dvName` (a freshly written positional
+    * delete-vector dir) with each segment in `touched`. Pure metadata plus
+    * the O(rows-deleted) vector — the point-delete path that never rewrites
+    * a segment. The expectedCurrent guard serializes against concurrent
+    * rewrites the same way every read-modify-write commit does. */
+  def commitAddDeletes(tableDir: Path, dvName: String, touched: Set[String],
+                       expectedCurrent: Option[Long]): Unit = {
+    touchSegment(tableDir, dvName) // mtime = commit time, for the orphan sweep
+    mutate(tableDir) { meta =>
+      expectedCurrent.foreach(base => require(meta.current == base,
+        s"graft: concurrent commit detected (delete based on snapshot $base, " +
+          s"current is ${meta.current}); retry the operation"))
+      val dirs = meta.snapshots.getOrElse(meta.current, Nil)
+      touched.foreach(s => require(dirs.contains(s),
+        s"graft: delete vector targets segment '$s' absent from the current snapshot"))
+      val next = meta.current + 1
+      val cur = meta.dvs.getOrElse(meta.current, Map.empty)
+      val nextDvs = touched.foldLeft(cur) { (m, s) =>
+        m + (s -> (m.getOrElse(s, Nil) :+ dvName))
+      }
+      meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
+        snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
+        dvs = meta.dvs + (next -> nextDvs))
     }
   }
 
@@ -599,12 +673,14 @@ private[catalog] object GraftMeta {
             base.filterNot(s => GraftPartitions.suffixOf(s).exists(removeSuffixes))
           else base
         val next = meta.current + 1
+        val dirs = kept ++ segments.map(_._1)
         meta.copy(current = next,
-          snapshots = meta.snapshots + (next -> (kept ++ segments.map(_._1))),
+          snapshots = meta.snapshots + (next -> dirs),
           zstats = meta.zstats ++ segments.collect { case (s, Some(z)) => s -> z },
           committedNamed = namedKey.fold(meta.committedNamed)(k =>
             meta.committedNamed + (k -> next)),
-          snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
+          snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
+          dvs = meta.dvs + (next -> meta.dvsAfter(dirs)))
       }
     }
     applied
@@ -749,17 +825,28 @@ private[catalog] final class GraftTable(
     * append-only; a replace/rewrite commit in between (MERGE, compaction,
     * delete) fails the read loudly rather than returning rows that are not
     * "the new data since snapshot N". */
-  private def visibleSegments(options: CaseInsensitiveStringMap): Seq[String] = {
+  private def visibleSegments(options: CaseInsensitiveStringMap): Seq[String] =
+    visibleWithDvs(options)._1
+
+  /** Visible segments PLUS the delete-vector associations that apply to this
+    * read (the visible snapshot's vectors; an explicit `graft.dvs` map for
+    * raw segment reads; none for the append-only changes feed, which refuses
+    * DV commits in range the same way it refuses rewrites). */
+  private def visibleWithDvs(options: CaseInsensitiveStringMap)
+    : (Seq[String], Map[String, Seq[String]]) = {
     // `graft.segments`: scan exactly the named segments — the CDC row-delta
     // reader's primitive (GraftCdc reads base-only and target-only segment
     // sets separately). Guarded: every name must be referenced by SOME
     // retained snapshot, so this can never read an orphan or foreign path.
+    // `graft.dvs` optionally carries the side's snapshot-exact DV map.
     Option(options.get("graft.segments")).foreach { list =>
       val names = list.split(",").filter(_.nonEmpty).toSeq
       val known = meta.snapshots.valuesIterator.flatten.toSet
       names.foreach(n => require(known(n),
         s"${name()}: segment '$n' is not referenced by any retained snapshot"))
-      return names
+      val dvMap = GraftDv.decode(options.get(GraftDv.DvsOption))
+        .filter { case (s, _) => names.contains(s) }
+      return (names, dvMap)
     }
     val changesFrom = Option(options.get("graft.changes.from")).map(_.toLong)
     changesFrom match {
@@ -773,18 +860,20 @@ private[catalog] final class GraftTable(
         require(base.forall(target.contains),
           s"${name()}: snapshots $from..$to are not append-only (a replace/rewrite " +
             "commit landed in the range); the changes feed cannot express row-level diffs")
-        target.filterNot(base.toSet)
+        require(meta.dvs.getOrElse(from, Map.empty) == meta.dvs.getOrElse(to, Map.empty),
+          s"${name()}: snapshots $from..$to are not append-only (a merge-on-read " +
+            "DELETE committed a delete vector in the range); the changes feed " +
+            "cannot express row-level deletes — use t.changes or GraftCdc")
+        (target.filterNot(base.toSet), Map.empty)
       case None =>
         val snap = Option(options.get("snapshot")).map(_.toLong)
           .orElse(pinnedSnapshot).getOrElse(meta.current)
         require(meta.snapshots.contains(snap),
           s"${name()}: no snapshot $snap (have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})")
-        meta.snapshots(snap)
+        val segs = meta.snapshots(snap)
+        (segs, GraftDv.forSegments(meta, snap, segs))
     }
   }
-
-  private def visibleDirs(options: CaseInsensitiveStringMap): Seq[String] =
-    visibleSegments(options).map(seg => tableDir.resolve(seg).toString)
 
   /** Reads delegate to Spark's v2 parquet table over the visible segments —
     * filter pushdown, column pruning, and vectorized decode come with it —
@@ -792,13 +881,28 @@ private[catalog] final class GraftTable(
     * whose committed min/max/null stats cannot satisfy them, at PLAN time,
     * before any file is opened (SegmentStats.scala). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    def mkInner(dirs: Seq[String]): ScanBuilder =
+    def mkInner(schema: StructType)(dirs: Seq[String]): ScanBuilder =
       ParquetTable(name(), SparkSession.active, options, dirs,
-        Some(meta.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
-    val segs = visibleSegments(options)
-    new GraftPruningScanBuilder(mkInner,
-      segs.map(s => s -> tableDir.resolve(s).toString), meta.zstats,
-      tableDir, name(), meta.schema, options)
+        Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val (segs, dvMap) = visibleWithDvs(options)
+    def pruning(ss: Seq[String], schema: StructType) =
+      new GraftPruningScanBuilder(mkInner(schema),
+        ss.map(s => s -> tableDir.resolve(s).toString), meta.zstats,
+        tableDir, name(), meta.schema, options)
+    if (dvMap.isEmpty)
+      pruning(segs, meta.schema)
+    else {
+      // merge-on-read: clean segments keep the untouched vectorized path;
+      // DV'd segments read row-based with the per-file position filter
+      val dirty = segs.filter(dvMap.contains)
+      val clean = segs.filterNot(dvMap.contains)
+      val positions = GraftDv.loadPositions(SparkSession.active, tableDir,
+        dvMap.valuesIterator.flatten.toSeq.distinct)
+      new GraftDvScanBuilder(
+        if (clean.isEmpty) None else Some(pruning(clean, meta.schema)),
+        pruning(dirty, StructType(meta.schema.fields :+ GraftDv.RowIdxField)),
+        positions, tableDir, name(), meta.schema, options)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -879,9 +983,9 @@ private[catalog] final class GraftRowLevelOperation(
   override def command(): RowLevelOperation.Command = info.command()
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    def mkInner(dirs: Seq[String]): ScanBuilder =
+    def mkInner(dirs: Seq[String], schema: StructType): ScanBuilder =
       ParquetTable(table.name(), SparkSession.active, options, dirs,
-        Some(metaAtLoad.schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+        Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
     val op = this
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var pruned: StructType = null
@@ -954,6 +1058,10 @@ private[catalog] final class GraftPruningScanBuilder(
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     cat.pushedFilters
+
+  /** The pruned parquet scan WITHOUT the streamable wrapper — the DV scan
+    * builder composes clean+dirty inner scans itself before wrapping. */
+  private[catalog] def buildInner(): Scan = inner.build()
 
   override def build(): Scan =
     new GraftStreamableScan(inner.build(), tableDir, tableName, tableSchema, options)
@@ -1099,6 +1207,10 @@ private[catalog] final class GraftMicroBatchStream(
     require(base.forall(target.contains),
       s"$tableName: snapshots $a..$b are not append-only (a replace/rewrite " +
         "commit landed in the range); the streaming source reads appends only")
+    require(m.dvs.getOrElse(a, Map.empty) == m.dvs.getOrElse(b, Map.empty),
+      s"$tableName: snapshots $a..$b are not append-only (a merge-on-read DELETE " +
+        "committed a delete vector in the range); the plain streaming source " +
+        "reads appends only — stream t.changes for row-level deletes")
     val dirs = target.filterNot(base.toSet).map(s => tableDir.resolve(s).toString)
     if (dirs.isEmpty) Array.empty else batchOver(dirs).planInputPartitions()
   }
@@ -1124,15 +1236,35 @@ private[catalog] final class GraftMicroBatchStream(
   * hidden for the same reason it always was: files pruned below the
   * replacement set would drop untouched rows. */
 private[catalog] final class GroupScan(
-    op: GraftRowLevelOperation, mkInner: Seq[String] => ScanBuilder,
+    op: GraftRowLevelOperation, mkInner: (Seq[String], StructType) => ScanBuilder,
     baseSegments: Seq[String], tableDir: Path, meta: GraftMeta,
     prunedSchema: Option[StructType]) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
+  /** The group scan must serve the table's LIVE rows: a DV'd segment read
+    * raw would resurrect its deleted rows in the rewrite's replacement
+    * segments. DV'd groups read through the same row-index position filter
+    * the batch scan uses; clean groups keep the plain path. */
   private def buildInner(segs: Seq[String]): Scan = {
-    val b = mkInner(segs.map(s => tableDir.resolve(s).toString))
-    prunedSchema.foreach(b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
-    b.build()
+    val dvMap = GraftDv.forSegments(meta, meta.current, segs)
+    def one(ss: Seq[String], schema: StructType, prune: Option[StructType]): Scan = {
+      val b = mkInner(ss.map(s => tableDir.resolve(s).toString), schema)
+      prune.foreach(b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
+      b.build()
+    }
+    if (dvMap.isEmpty) one(segs, meta.schema, prunedSchema)
+    else {
+      val dirty = segs.filter(dvMap.contains)
+      val clean = segs.filterNot(dvMap.contains)
+      val real = prunedSchema.getOrElse(meta.schema)
+      val positions = GraftDv.loadPositions(SparkSession.active, tableDir,
+        dvMap.valuesIterator.flatten.toSeq.distinct)
+      new GraftDvScan(
+        if (clean.isEmpty) None else Some(one(clean, meta.schema, Some(real))),
+        one(dirty, StructType(meta.schema.fields :+ GraftDv.RowIdxField),
+          Some(StructType(real.fields :+ GraftDv.RowIdxField))),
+        positions, real)
+    }
   }
 
   private var inner: Scan = buildInner(baseSegments)

@@ -55,8 +55,7 @@ object GraftCdc {
     Seq(from, toSnap).foreach(s => require(meta.snapshots.contains(s),
       s"$catalog.$table: no snapshot $s (have ${meta.snapshots.keys.toSeq.sorted.mkString(",")})"))
     require(from <= toSnap, s"$catalog.$table: from $from must be <= to $toSnap")
-    diffSnapshots(spark, catalog, table, meta,
-      meta.snapshots(from), meta.snapshots(toSnap))
+    diffSnapshots(spark, catalog, table, meta, from, toSnap)
   }
 
   /** Per-commit row deltas over `(from, to]`: every delta row tagged with the
@@ -80,8 +79,7 @@ object GraftCdc {
       s"$catalog.$table: snapshots ${missing.mkString(",")} expired — per-commit " +
         "attribution needs every snapshot in the range (use rowDeltas for net changes)")
     val perCommit = versions.sliding(2).collect { case Seq(prev, v) =>
-      diffSnapshots(spark, catalog, table, meta,
-        meta.snapshots(prev), meta.snapshots(v))
+      diffSnapshots(spark, catalog, table, meta, prev, v)
         .withColumn("_commit_version", lit(v))
         // snapshots recorded before snapshotTimes existed have no commit
         // time: emit null (the column is nullable) rather than silently
@@ -100,25 +98,40 @@ object GraftCdc {
     } else perCommit.reduce(_ unionAll _)
   }
 
-  /** One snapshot-pair diff: read only the segments on ONE side (shared
-    * segments carry identical rows by immutability and are never touched);
-    * bidirectional EXCEPT ALL cancels copy-on-write survivor copies. */
+  /** One snapshot-pair diff: read only the segments that CHANGED between the
+    * sides (shared segments with identical delete vectors carry identical
+    * live rows by immutability and are never touched); bidirectional EXCEPT
+    * ALL cancels copy-on-write survivor copies. A segment present on both
+    * sides whose DELETE-VECTOR list changed (a merge-on-read DELETE) is read
+    * on BOTH sides, each side merged against its own snapshot's vectors —
+    * the surviving rows cancel and exactly the newly-deleted rows remain as
+    * 'delete' deltas. */
   private def diffSnapshots(spark: SparkSession, catalog: String, table: String,
-                            meta: GraftMeta, base: Seq[String],
-                            target: Seq[String]): DataFrame = {
-    val leftOnly = base.filterNot(target.toSet)
-    val rightOnly = target.filterNot(base.toSet)
+                            meta: GraftMeta, baseSnap: Long,
+                            targetSnap: Long): DataFrame = {
+    val base = meta.snapshots(baseSnap)
+    val target = meta.snapshots(targetSnap)
+    val baseDvs = meta.dvs.getOrElse(baseSnap, Map.empty)
+    val targetDvs = meta.dvs.getOrElse(targetSnap, Map.empty)
+    val dvChanged = base.toSet.intersect(target.toSet).filter(s =>
+      baseDvs.getOrElse(s, Nil) != targetDvs.getOrElse(s, Nil))
+    val leftOnly = base.filterNot(target.toSet) ++ dvChanged.toSeq.sorted
+    val rightOnly = target.filterNot(base.toSet) ++ dvChanged.toSeq.sorted
 
-    def readSegs(segs: Seq[String]): DataFrame =
+    def readSegs(segs: Seq[String], dvs: Map[String, Seq[String]]): DataFrame =
       if (segs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           meta.schema)
-      else
-        spark.read.option("graft.segments", segs.mkString(","))
+      else {
+        val reader = spark.read.option("graft.segments", segs.mkString(","))
+        val applicable = dvs.filter { case (s, _) => segs.contains(s) }
+        (if (applicable.isEmpty) reader
+         else reader.option(GraftDv.DvsOption, GraftDv.encode(applicable)))
           .table(s"$catalog.$table")
+      }
 
-    val removed = readSegs(leftOnly)
-    val added = readSegs(rightOnly)
+    val removed = readSegs(leftOnly, baseDvs)
+    val added = readSegs(rightOnly, targetDvs)
     added.exceptAll(removed).withColumn("_change_type", lit("insert"))
       .unionAll(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
   }

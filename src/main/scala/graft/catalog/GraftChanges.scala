@@ -72,17 +72,23 @@ private[catalog] object GraftChanges {
     if (Files.isDirectory(target)) return target
     val base = meta.snapshots(v - 1)
     val cur = meta.snapshots(v)
-    val leftOnly = base.filterNot(cur.toSet)
-    val rightOnly = cur.filterNot(base.toSet)
+    val baseDvs = meta.dvs.getOrElse(v - 1, Map.empty)
+    val curDvs = meta.dvs.getOrElse(v, Map.empty)
+    // a merge-on-read DELETE changes a segment's live rows without changing
+    // the segment list: diff such segments on both sides, each merged
+    // against its own snapshot's vectors — survivors cancel, the newly
+    // deleted rows remain as 'delete' deltas
+    val dvChanged = base.toSet.intersect(cur.toSet).filter(s =>
+      baseDvs.getOrElse(s, Nil) != curDvs.getOrElse(s, Nil)).toSeq.sorted
+    val leftOnly = base.filterNot(cur.toSet) ++ dvChanged
+    val rightOnly = cur.filterNot(base.toSet) ++ dvChanged
     // explicit schema: segments written before an ADD COLUMN lack the new
     // field in their footers and must null-fill, same as the table scan
-    def readSegs(segs: Seq[String]): DataFrame =
-      if (segs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
-      else spark.read.schema(meta.schema)
-        .parquet(segs.map(s => tableDir.resolve(s).toString): _*)
-    val removed = readSegs(leftOnly)
-    val added = readSegs(rightOnly)
+    def readSegs(segs: Seq[String], dvs: Map[String, Seq[String]]): DataFrame =
+      GraftDv.readLive(spark, tableDir, meta.schema, segs,
+        dvs.filter { case (s, _) => segs.contains(s) })
+    val removed = readSegs(leftOnly, baseDvs)
+    val added = readSegs(rightOnly, curDvs)
     val delta = added.exceptAll(removed).withColumn(ChangeType, lit("insert"))
       .unionAll(removed.exceptAll(added).withColumn(ChangeType, lit("delete")))
     val tmp = tableDir.resolve("_cdc")
@@ -117,7 +123,9 @@ private[catalog] object GraftCdcPlanner {
       val base = meta.snapshots(v - 1)
       val cur = meta.snapshots(v)
       val tsMs = meta.snapshotTimes.get(v)
-      if (base.forall(cur.contains)) {
+      val dvStable =
+        meta.dvs.getOrElse(v - 1, Map.empty) == meta.dvs.getOrElse(v, Map.empty)
+      if (base.forall(cur.contains) && dvStable) {
         // append-only commit: stream the new segment files directly; all
         // three CDC columns are per-partition constants
         val dirs = cur.filterNot(base.toSet).map(s => tableDir.resolve(s).toString)

@@ -120,9 +120,12 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
       // a write.cluster-by/order-by table re-clusters and re-sorts — compacting
       // a laid-out table with a blind coalesce would interleave its inputs and
       // widen every zone-map bound to table-wide (data skipping would silently
-      // stop working after each compaction)
+      // stop working after each compaction). The read is DV-merged: compaction
+      // MATERIALIZES any delete vectors on its inputs (rows stay deleted, the
+      // vectors drop with the replaced segments — Iceberg's rewrite contract).
       GraftDml.applyLayout(
-          spark.read.schema(meta.schema).parquet(segs.map(_.toString): _*),
+          GraftDv.readLive(spark, dir, meta.schema, group,
+            GraftDv.forSegments(meta, meta.current, group)),
           meta.props, numPartitions = Some(nOut))
         .write.parquet(dir.resolve(segment).toString)
       val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
@@ -220,6 +223,61 @@ private[catalog] final class UpdateWhereProcedure(catalog: GraftCatalog)
   }
 }
 
+/** `CALL <cat>.system.rewrite_deletes(table)` — MATERIALIZE the current
+  * snapshot's delete vectors (Iceberg's rewrite_position_delete_files +
+  * rewrite_data_files in one step, at segment granularity): every DV'd
+  * segment is rewritten DV-merged into a fresh segment (partition suffix
+  * preserved, table-owned layout applied), the vectors drop with the
+  * replaced segments, and CLEAN segments are not touched — restoring the
+  * full vectorized read path that row-filtered merge-on-read scans give up.
+  * A no-op (zero rewrites, no commit) when the table carries no vectors. */
+private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "rewrite_deletes"
+  override def description(): String =
+    "materialize delete vectors: rewrite DV'd segments minus their deleted rows"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("segments_rewritten", IntegerType, nullable = false),
+    StructField("vectors_removed", IntegerType, nullable = false),
+    StructField("rows_dropped", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val spark = SparkSession.active
+    val meta = GraftMeta.read(dir)
+    val segs = meta.snapshots(meta.current)
+    val dvMap = GraftDv.forSegments(meta, meta.current, segs)
+    if (dvMap.isEmpty) return result(0, 0, 0L)
+    val dvNames = dvMap.valuesIterator.flatten.toSeq.distinct
+    val droppedRows = spark.read
+      .parquet(dvNames.map(d => dir.resolve(d).toString): _*).count()
+    // one new segment per DV'd segment, suffix (= partition purity) preserved
+    val rewritten = dvMap.keys.toSeq.sorted.map { seg =>
+      val suffix = GraftPartitions.suffixOf(seg)
+        .fold("")(s => s"${GraftPartitions.Marker}$s")
+      val newSeg = s"seg-${UUID.randomUUID().toString.take(12)}$suffix"
+      GraftDml.applyLayout(
+          GraftDv.readLive(spark, dir, meta.schema, Seq(seg),
+            dvMap.view.filterKeys(_ == seg).toMap),
+          meta.props)
+        .write.parquet(dir.resolve(newSeg).toString)
+      val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
+        spark, dir.resolve(newSeg).toString, meta.schema))).toOption
+      (newSeg, stats)
+    }
+    GraftDml.cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
+      GraftMeta.commitReplaceSegments(dir, rewritten, dvMap.keySet,
+        expectedCurrent = Some(meta.current))
+    }
+    result(rewritten.size, dvNames.size, droppedRows)
+  }
+}
+
 /** The segment-level copy-on-write delete core, shared by the `delete_where`
   * procedure and SQL `DELETE FROM` routed through `SupportsDeleteV2`.
   * Returns (segments_total, segments_rewritten, rows_deleted). */
@@ -232,13 +290,24 @@ private[catalog] object GraftDml {
       .getParent.getFileName.toString
 
   /** ONE discovery scan: per-segment counts of rows where `matches` is TRUE
-    * (`_metadata.file_path` + parquet pushdown). Gives both the touched set
-    * and the affected-row count — neither DML core re-scans for it. */
+    * (`__g_file` from `_metadata.file_path` + parquet pushdown). Gives both
+    * the touched set and the affected-row count — neither DML core re-scans
+    * for it. `all` must come from [[readLive]] with keepMeta=true, so DV'd
+    * rows never count as matches. */
   private def discoverTouched(all: DataFrame, matches: Column): Map[String, Long] =
     all.where(matches)
-      .groupBy(col("_metadata.file_path")).count().collect()
+      .groupBy(col("__g_fp")).count().collect()
       .map(r => segName(r.getString(0)) -> r.getLong(1))
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+  /** DV-merged read of `segs` at the CURRENT snapshot (the DML rewrite
+    * primitive — a copy-on-write rewrite of a DV'd segment must not
+    * resurrect its deleted rows). */
+  private def readLive(spark: SparkSession, dir: java.nio.file.Path,
+                       meta: GraftMeta, segs: Seq[String],
+                       keepMeta: Boolean = false): DataFrame =
+    GraftDv.readLive(spark, dir, meta.schema, segs,
+      GraftDv.forSegments(meta, meta.current, segs), keepMeta)
 
   /** The table-owned write layout, applied to a DML rewrite the same way
     * RequiresDistributionAndOrdering applies it to INSERT/MERGE writes — a
@@ -356,12 +425,12 @@ private[catalog] object GraftDml {
       s"graft update_where: a column is assigned more than once")
     val assignedMap = assigned.toMap
     val matches = coalesce(expr(predicate), lit(false))
-    def read(dirs: Seq[String]) =
-      spark.read.schema(meta.schema).parquet(dirs.map(dir.resolve(_).toString): _*)
-    val touchedCounts = discoverTouched(read(segs), matches)
+    val touchedCounts =
+      discoverTouched(readLive(spark, dir, meta, segs, keepMeta = true), matches)
     if (touchedCounts.isEmpty) return (segs.size, 0, 0L)
     val touched = touchedCounts.keySet
-    val projected = read(segs.filter(touched)).select(meta.schema.fields.map { f =>
+    val projected = readLive(spark, dir, meta, segs.filter(touched))
+      .select(meta.schema.fields.map { f =>
       assignedMap.get(f.name) match {
         // cast INSIDE the branch: CaseWhen coerces both branches to a common
         // type first, so an outer cast would round-trip non-matching rows'
@@ -392,30 +461,36 @@ private[catalog] object GraftDml {
     val meta = GraftMeta.read(dir)
     val segs = meta.snapshots(meta.current)
     if (segs.isEmpty) return (0, 0, 0L)
+    val curDvs = GraftDv.forSegments(meta, meta.current, segs)
     val matches = coalesce(expr(predicate), lit(false)) // DELETE removes TRUE rows only
-    def read(dirs: Seq[String]) =
-      spark.read.schema(meta.schema).parquet(dirs.map(dir.resolve(_).toString): _*)
     // unconditional delete (DELETE without WHERE / TRUNCATE routed here):
-    // pure metadata — commit an empty snapshot, read and write nothing
+    // pure metadata — commit an empty snapshot, read and write nothing.
+    // zstats row counts include DV'd rows, so a table carrying delete
+    // vectors falls back to a real (DV-merged) count.
     if (predicate.trim.equalsIgnoreCase("TRUE") || predicate.trim == "(TRUE)") {
-      val nBefore = segs.map(s => meta.zstats.get(s)
-        .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption))
-        .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
-        .getOrElse(read(segs).count())
+      val nBefore = (if (curDvs.isEmpty)
+        segs.map(s => meta.zstats.get(s)
+          .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption))
+          .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
+      else None)
+        .getOrElse(readLive(spark, dir, meta, segs).count())
       GraftMeta.commitReplaceSegments(dir, Nil, segs.toSet,
         expectedCurrent = Some(meta.current))
       return (segs.size, 0, nBefore)
     }
+    if (GraftDv.mode(meta.props) == GraftDv.ModeMor)
+      return deleteWhereMor(spark, dir, meta, segs, matches)
     // 1. one discovery scan: touched segments AND the per-segment match
     // counts (= rows deleted) together
-    val touchedCounts = discoverTouched(read(segs), matches)
+    val touchedCounts =
+      discoverTouched(readLive(spark, dir, meta, segs, keepMeta = true), matches)
     if (touchedCounts.isEmpty) return (segs.size, 0, 0L)
     val touched = touchedCounts.keySet
     // 2. rewrite only the touched segments (one pure segment per partition
     // value on a partitioned table — a partition whose rows all die simply
     // produces no rewrite segment and vanishes from the snapshot)
-    val segments =
-      writeSegments(dir, meta, read(segs.filter(touched)).where(not(matches)))
+    val segments = writeSegments(dir, meta,
+      readLive(spark, dir, meta, segs.filter(touched)).where(not(matches)))
     // 3. swap exactly the touched segments; fail on any concurrent commit —
     // applying `removed` to a changed base would resurrect deleted rows or
     // duplicate survivors — and delete the loser's segments instead of leaking
@@ -424,6 +499,41 @@ private[catalog] object GraftDml {
         expectedCurrent = Some(meta.current))
     }
     (segs.size, touched.size, touchedCounts.values.sum)
+  }
+
+  /** MERGE-ON-READ delete: record the matching rows' POSITIONS (parquet file
+    * name + row index) in a fresh `dv-*` directory and commit the
+    * association — no segment is read back in full or rewritten. The scan
+    * that finds the positions is DV-merged against EXISTING vectors, so
+    * positions across a snapshot's vectors stay disjoint and repeated
+    * overlapping deletes count each row once. Cost: one filtered scan (the
+    * same discovery scan copy-on-write runs) + O(rows deleted) written. */
+  private def deleteWhereMor(spark: SparkSession, dir: java.nio.file.Path,
+                             meta: GraftMeta, segs: Seq[String],
+                             matches: Column): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.element_at
+    import org.apache.spark.sql.functions.split
+    val hits = readLive(spark, dir, meta, segs, keepMeta = true)
+      .where(matches)
+      .select(
+        element_at(split(col("__g_fp"), "/"), -2).as("seg"),
+        element_at(split(col("__g_fp"), "/"), -1).as("file"),
+        col("__g_pos").as("pos"))
+    val dvName = s"${GraftDv.Prefix}${UUID.randomUUID().toString.take(12)}"
+    hits.write.parquet(dir.resolve(dvName).toString)
+    // counts from the just-written vector (tiny) — one big scan total
+    val perSeg = spark.read.parquet(dir.resolve(dvName).toString)
+      .groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perSeg.isEmpty) {
+      GraftMeta.deleteRecursively(dir.resolve(dvName))
+      return (segs.size, 0, 0L)
+    }
+    cleanupOnFailedCommit(dir, Seq(dvName)) {
+      GraftMeta.commitAddDeletes(dir, dvName, perSeg.keySet,
+        expectedCurrent = Some(meta.current))
+    }
+    (segs.size, perSeg.size, perSeg.values.sum)
   }
 }
 
@@ -466,7 +576,11 @@ private[catalog] final class RollbackProcedure(catalog: GraftCatalog)
       next = meta.current + 1
       meta.copy(current = next,
         snapshots = meta.snapshots + (next -> meta.snapshots(target)),
-        snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()))
+        snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
+        // restore the target's DELETE VECTORS with its segments — rolling
+        // back past a merge-on-read DELETE must resurrect those rows, and
+        // rolling back TO one must keep them deleted
+        dvs = meta.dvs + (next -> meta.dvs.getOrElse(target, Map.empty)))
     }
     result(prev, target, next)
   }
@@ -520,14 +634,18 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
     else if (Files.isDirectory(p)) GraftMeta.listDir(p).map(dirBytes).sum
     else Files.size(p)
 
-  /** seg-* dirs referenced by NO snapshot in `meta`, older than the retention
-    * horizon (mtime — a fresh dir may be an in-flight uncommitted write). */
+  /** seg-* and dv-* dirs referenced by NO snapshot in `meta`, older than the
+    * retention horizon (mtime — a fresh dir may be an in-flight uncommitted
+    * write or an about-to-commit delete vector). */
   private def orphanDirs(dir: Path, meta: GraftMeta, retentionMs: Long): Seq[Path] = {
-    val referenced = meta.snapshots.valuesIterator.flatten.toSet
+    val referenced = meta.snapshots.valuesIterator.flatten.toSet ++
+      meta.dvs.valuesIterator.flatMap(_.valuesIterator.flatten)
     val horizon = System.currentTimeMillis() - retentionMs
     GraftMeta.listDir(dir).filter { p =>
-      Files.isDirectory(p) && p.getFileName.toString.startsWith("seg-") &&
-        !referenced(p.getFileName.toString) &&
+      val n = p.getFileName.toString
+      Files.isDirectory(p) &&
+        (n.startsWith("seg-") || n.startsWith(GraftDv.Prefix)) &&
+        !referenced(n) &&
         Files.getLastModifiedTime(p).toMillis <= horizon
     }
   }
@@ -546,7 +664,13 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
       val removedIds = ids.filterNot(keptIds)
       val referenced = keptIds.flatMap(id => meta.snapshots(id))
       val dead = removedIds.flatMap(meta.snapshots).distinct.filterNot(referenced)
-      (removedIds, keptIds, dead)
+      // delete-vector dirs referenced only by expired snapshots die with them
+      val keptDvs = keptIds.flatMap(id =>
+        meta.dvs.getOrElse(id, Map.empty).valuesIterator.flatten)
+      val deadDvs = removedIds
+        .flatMap(id => meta.dvs.getOrElse(id, Map.empty).valuesIterator.flatten)
+        .distinct.filterNot(keptDvs)
+      (removedIds, keptIds, dead ++ deadDvs)
     }
 
     if (dryRun) {
@@ -568,7 +692,8 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
       val (_, keptIds, dead) = planned
       meta.copy(snapshots = meta.snapshots.view.filterKeys(keptIds).toMap,
         zstats = meta.zstats -- dead,
-        snapshotTimes = meta.snapshotTimes.view.filterKeys(keptIds).toMap)
+        snapshotTimes = meta.snapshotTimes.view.filterKeys(keptIds).toMap,
+        dvs = meta.dvs.view.filterKeys(keptIds).toMap)
     }
     val (removedIds, keptIds, dead) = planned
     val deadBytes = dead.map(s => dirBytes(dir.resolve(s))).sum

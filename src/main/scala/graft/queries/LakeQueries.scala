@@ -710,6 +710,99 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM deltas GROUP BY v, op ORDER BY v, op"""
 
+  // --------------------------------------------------------------------------
+  // q213: MERGE-ON-READ point deletes via positional DELETE VECTORS
+  // (catalog/GraftDeleteVectors.scala) — the O(rows-deleted) DML path. The
+  // table declares `graft.delete-mode`='merge-on-read'; both the procedure
+  // and SQL `DELETE FROM` then record (file, row-index) vectors instead of
+  // rewriting segments (snap 2, then an OVERLAPPING snap-3 delete that must
+  // count each row once), and `rewrite_deletes` (snap 4) materializes the
+  // vectors back into pure segments without changing content. Reading every
+  // snapshot back via VERSION AS OF pins: the row-index merge filter, vector
+  // composition across commits, time travel over vectored snapshots, and
+  // materialization equivalence — all hash-matched against a relational
+  // replay of the four states.
+  // --------------------------------------------------------------------------
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m213_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+      USING parquet TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src""")
+    s.sql(s"CALL graft.system.delete_where('lake.$t', 'k % 7 = 0')")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE k % 7 IN (0, 1)")
+    s.sql(s"CALL graft.system.rewrite_deletes('lake.$t')")
+    s.sql(s"""
+      WITH per_v AS (
+        SELECT 1 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 1
+        UNION ALL SELECT 2 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 2
+        UNION ALL SELECT 3 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 3
+        UNION ALL SELECT 4 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 4)
+      SELECT v, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM per_v GROUP BY v ORDER BY v""")
+  }
+
+  private val q213Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+       per_v AS (
+         SELECT 1 AS v, k, price_c FROM base
+         UNION ALL SELECT 2 AS v, k, price_c FROM base WHERE k % 7 <> 0
+         UNION ALL SELECT 3 AS v, k, price_c FROM base WHERE k % 7 NOT IN (0, 1)
+         UNION ALL SELECT 4 AS v, k, price_c FROM base WHERE k % 7 NOT IN (0, 1))
+       SELECT v, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM per_v GROUP BY v ORDER BY v"""
+
+  // --------------------------------------------------------------------------
+  // q214: row-level CDC ACROSS delete-vector commits — a merge-on-read DELETE
+  // changes a table's live rows while keeping its segment list byte-identical,
+  // so segment-list algebra alone would see "no change"; GraftCdc diffs
+  // DV-changed segments on both sides, each merged against its own snapshot's
+  // vectors, leaving exactly the newly-deleted rows. Two overlapping MOR
+  // deletes → per-commit attribution must charge each row to the commit that
+  // actually deleted it (k%7=0 to v2; only k%7=1 to v3).
+  // --------------------------------------------------------------------------
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m214_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+      USING parquet TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src""")
+    s.sql(s"CALL graft.system.delete_where('lake.$t', 'k % 7 = 0')")
+    s.sql(s"CALL graft.system.delete_where('lake.$t', 'k % 7 IN (0, 1)')")
+    graft.catalog.GraftCdc.commitDeltas(s, "graft", s"lake.$t", from = 1, to = Some(3))
+      .createOrReplaceTempView(s"dv_cdc_$t")
+    s.sql(s"""SELECT _commit_version AS v, _change_type AS op, COUNT(*) AS n,
+                     CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM dv_cdc_$t GROUP BY v, op ORDER BY v, op""")
+  }
+
+  private val q214Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders),
+       deltas AS (
+         SELECT CAST(2 AS BIGINT) AS v, 'delete' AS op, k, price_c
+         FROM base WHERE k % 7 = 0
+         UNION ALL
+         SELECT CAST(3 AS BIGINT) AS v, 'delete' AS op, k, price_c
+         FROM base WHERE k % 7 = 1)
+       SELECT v, op, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM deltas GROUP BY v, op ORDER BY v, op"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -724,5 +817,7 @@ object LakeQueries {
     QDef("q181_lake_partitioned_table", q181, Some(q181Sql)),
     QDef("q182_lake_cdc_row_deltas", q182, Some(q182Sql)),
     QDef("q200_lakehouse_pipeline", q200, Some(q200Sql)),
-    QDef("q201_lake_cdc_per_commit", q201, Some(q201Sql)))
+    QDef("q201_lake_cdc_per_commit", q201, Some(q201Sql)),
+    QDef("q213_lake_delete_vectors", q213, Some(q213Sql)),
+    QDef("q214_lake_dv_cdc", q214, Some(q214Sql)))
 }

@@ -1,0 +1,262 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import scala.collection.JavaConverters._
+
+import graft.SparkSpec
+
+/** Pins for merge-on-read DELETE via positional delete vectors:
+  * point deletes write O(rows-deleted) vectors instead of rewriting
+  * segments, reads merge them (clean segments stay vectorized), every
+  * rewrite path materializes them, and time travel / CDC / streaming see
+  * each snapshot's exact row content. */
+class DeleteVectorSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = Files.createTempDirectory("graft_dv_spec")
+    spark.conf.set("spark.sql.catalog.gdv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdv.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def tableDir(t: String): Path = t.split('.').foldLeft(root)(_ resolve _)
+
+  /** (name, mtime, recursive file list) of every seg-* dir — byte-identity
+    * witness for "merge-on-read touched no segment". */
+  private def segState(dir: Path): Map[String, Seq[(String, Long)]] =
+    GraftMeta.listDir(dir)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg-"))
+      .map { p =>
+        val files = GraftMeta.listDir(p).filter(Files.isRegularFile(_))
+          .map(f => (f.getFileName.toString, Files.getLastModifiedTime(f).toMillis))
+          .sortBy(_._1)
+        p.getFileName.toString -> files
+      }.toMap
+
+  private def dvDirs(dir: Path): Seq[String] =
+    GraftMeta.listDir(dir)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("dv-"))
+      .map(_.getFileName.toString).sorted
+
+  private def mkMor(t: String, rows: Seq[(Long, String, Long)], batches: Int = 2): Unit = {
+    sql(s"DROP TABLE IF EXISTS gdv.ns.$t")
+    sql(s"""CREATE TABLE gdv.ns.$t (k BIGINT, tag STRING, amt BIGINT) USING parquet
+            TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    rows.grouped(math.max(1, (rows.size + batches - 1) / batches)).foreach { g =>
+      val vals = g.map { case (k, s, a) => s"($k, '$s', $a)" }.mkString(", ")
+      sql(s"INSERT INTO gdv.ns.$t VALUES $vals")
+    }
+  }
+
+  private val fixture: Seq[(Long, String, Long)] =
+    (1L to 20L).map(k => (k, if (k % 2 == 0) "even" else "odd", k * 10))
+
+  test("MOR delete: content correct, no segment rewritten, vector on disk") {
+    root
+    mkMor("t1", fixture)
+    val dir = tableDir("ns.t1")
+    val before = segState(dir)
+    assert(before.size === 2)
+
+    val res = sql("CALL gdv.system.delete_where('ns.t1', 'k IN (3, 4, 17)')").collect()
+    assert(res.head.getLong(2) === 3L) // rows_deleted
+
+    // byte-identity: every segment dir and file untouched
+    assert(segState(dir) === before)
+    assert(dvDirs(dir).size === 1)
+
+    val rows = sql("SELECT k FROM gdv.ns.t1 ORDER BY k").collect().map(_.getLong(0))
+    assert(rows.toSeq === (1L to 20L).filterNot(Set(3L, 4L, 17L)))
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t1").collect().head.getLong(0) === 17L)
+  }
+
+  test("MOR delete composes: overlapping second delete counts each row once") {
+    root
+    mkMor("t2", fixture)
+    sql("CALL gdv.system.delete_where('ns.t2', 'k <= 6')")
+    // k in 1..6 already deleted; this predicate also matches k=5,6 — they
+    // must NOT be double-counted or re-recorded
+    val res = sql("CALL gdv.system.delete_where('ns.t2', 'k BETWEEN 5 AND 8')").collect()
+    assert(res.head.getLong(2) === 2L) // only 7, 8 newly deleted
+    val rows = sql("SELECT k FROM gdv.ns.t2 ORDER BY k").collect().map(_.getLong(0))
+    assert(rows.toSeq === (9L to 20L))
+    assert(dvDirs(tableDir("ns.t2")).size === 2)
+  }
+
+  test("SQL DELETE FROM routes to vectors on a merge-on-read table") {
+    root
+    mkMor("t3", fixture)
+    val dir = tableDir("ns.t3")
+    val before = segState(dir)
+    sql("DELETE FROM gdv.ns.t3 WHERE tag = 'even'")
+    assert(segState(dir) === before) // no segment rewritten
+    assert(dvDirs(dir).nonEmpty)
+    val rows = sql("SELECT k FROM gdv.ns.t3 ORDER BY k").collect().map(_.getLong(0))
+    assert(rows.toSeq === (1L to 20L).filter(_ % 2 == 1))
+  }
+
+  test("time travel pins each snapshot's delete vectors") {
+    root
+    mkMor("t4", fixture, batches = 1)
+    sql("CALL gdv.system.delete_where('ns.t4', 'k > 15')") // snap 2
+    sql("CALL gdv.system.delete_where('ns.t4', 'k < 5')")  // snap 3
+    def at(v: Int) =
+      sql(s"SELECT count(*) AS c FROM gdv.ns.t4 VERSION AS OF $v").collect().head.getLong(0)
+    assert(at(1) === 20L)
+    assert(at(2) === 15L)
+    assert(at(3) === 11L)
+    // filters push down through the DV merge
+    val filtered = sql("SELECT k FROM gdv.ns.t4 WHERE k >= 14").collect().map(_.getLong(0))
+    assert(filtered.toSeq.sorted === Seq(14L, 15L))
+  }
+
+  test("COW update on a DV'd table does not resurrect deleted rows") {
+    root
+    mkMor("t5", fixture, batches = 1)
+    sql("CALL gdv.system.delete_where('ns.t5', 'k <= 10')")
+    sql("CALL gdv.system.update_where('ns.t5', 'k = 12', 'amt = 999')")
+    val rows = sql("SELECT k, amt FROM gdv.ns.t5 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === (11L to 20L).map(k => (k, if (k == 12) 999L else k * 10)))
+    // the rewrite materialized the vector: it no longer applies to current
+    val meta = GraftMeta.read(tableDir("ns.t5"))
+    assert(meta.dvs.getOrElse(meta.current, Map.empty).isEmpty)
+  }
+
+  test("SQL MERGE on a DV'd table: group rewrite stays DV-merged") {
+    root
+    mkMor("t6", fixture, batches = 1)
+    sql("CALL gdv.system.delete_where('ns.t6', 'k >= 18')")
+    sql("""MERGE INTO gdv.ns.t6 t
+           USING (SELECT * FROM VALUES (1L, 'm', 111L), (18L, 'back', 0L) AS s(k, tag, amt)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET amt = s.amt
+           WHEN NOT MATCHED THEN INSERT (k, tag, amt) VALUES (s.k, s.tag, s.amt)""")
+    // k=18 was DELETED → merge sees no match → INSERTs it back; k=1 updates
+    val rows = sql("SELECT k, amt FROM gdv.ns.t6 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq ===
+      ((1L, 111L) +: (2L to 17L).map(k => (k, k * 10)) :+ ((18L, 0L))))
+  }
+
+  test("compaction materializes vectors; rewrite_deletes touches only dirty segments") {
+    root
+    // rewrite_deletes: two segments, vector on one — the clean one must not move
+    mkMor("t7", fixture)
+    val dir = tableDir("ns.t7")
+    val metaBefore = GraftMeta.read(dir)
+    val seg1 = metaBefore.snapshots(metaBefore.current).head // holds k=1..10
+    sql("CALL gdv.system.delete_where('ns.t7', 'k IN (1, 2)')")
+    val before = segState(dir)
+    val res = sql("CALL gdv.system.rewrite_deletes('ns.t7')").collect()
+    assert((res.head.getInt(0), res.head.getInt(1), res.head.getLong(2)) === ((1, 1, 2L)))
+    val after = segState(dir)
+    // the untouched (clean) segment is byte-identical; the dirty one replaced
+    val metaAfter = GraftMeta.read(dir)
+    val survivors = metaAfter.snapshots(metaAfter.current)
+    assert(survivors.size === 2)
+    val carried = before.keySet.intersect(survivors.toSet)
+    carried.foreach(s => assert(after(s) === before(s)))
+    assert(!survivors.contains(seg1) || carried.size == 1)
+    assert(metaAfter.dvs.getOrElse(metaAfter.current, Map.empty).isEmpty)
+    val rows = sql("SELECT k FROM gdv.ns.t7 ORDER BY k").collect().map(_.getLong(0))
+    assert(rows.toSeq === (3L to 20L))
+    // idempotent no-op when no vectors remain
+    val res2 = sql("CALL gdv.system.rewrite_deletes('ns.t7')").collect()
+    assert(res2.head.getInt(0) === 0)
+
+    // compaction also materializes
+    mkMor("t8", fixture)
+    sql("CALL gdv.system.delete_where('ns.t8', 'k % 5 = 0')")
+    sql("CALL gdv.system.compact('ns.t8')")
+    val m8 = GraftMeta.read(tableDir("ns.t8"))
+    assert(m8.dvs.getOrElse(m8.current, Map.empty).isEmpty)
+    val r8 = sql("SELECT k FROM gdv.ns.t8 ORDER BY k").collect().map(_.getLong(0))
+    assert(r8.toSeq === (1L to 20L).filterNot(_ % 5 == 0))
+  }
+
+  test("CDC row deltas see a DV commit as row-level deletes") {
+    root
+    mkMor("t9", fixture, batches = 1)
+    sql("CALL gdv.system.delete_where('ns.t9', 'k IN (2, 9)')") // snap 2
+    val deltas = GraftCdc.rowDeltas(spark, "gdv", "ns.t9", from = 1, to = Some(2))
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted
+    assert(deltas.toSeq === Seq((2L, "delete"), (9L, "delete")))
+    // per-commit attribution agrees
+    val perCommit = GraftCdc.commitDeltas(spark, "gdv", "ns.t9", from = 1, to = Some(2))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sorted
+    assert(perCommit.toSeq === Seq((2L, "delete", 2L), (9L, "delete", 2L)))
+  }
+
+  test("t.changes serves a DV commit; append-only feed and plain stream refuse it") {
+    root
+    mkMor("t10", fixture, batches = 1)
+    sql("CALL gdv.system.delete_where('ns.t10', 'k = 7')") // snap 2: DV commit
+    // the first-class change feed materializes the delete
+    val feed = sql(
+      """SELECT k, _change_type FROM gdv.ns.t10.changes
+         WHERE _commit_version = 2""").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.toSeq === Seq((7L, "delete")))
+    // the append-only incremental read refuses the range
+    val e = intercept[Exception] {
+      spark.read.option("graft.changes.from", "1").table("gdv.ns.t10").collect()
+    }
+    assert(e.getMessage.contains("delete vector"))
+  }
+
+  test("expire_snapshots GCs vectors with their snapshots; rollback restores them") {
+    root
+    mkMor("t11", fixture, batches = 1)
+    sql("CALL gdv.system.delete_where('ns.t11', 'k <= 5')")  // snap 2 + dv A
+    val dir = tableDir("ns.t11")
+    assert(dvDirs(dir).size === 1)
+    // rollback to 1: rows resurrect (metadata-only commit)
+    sql("CALL gdv.system.rollback_to_snapshot('ns.t11', 1)")
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t11").collect().head.getLong(0) === 20L)
+    // roll forward again to the DV'd state
+    sql("CALL gdv.system.rollback_to_snapshot('ns.t11', 2)")
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t11").collect().head.getLong(0) === 15L)
+    // expiring history keeps the vector (current still references it)
+    sql("CALL gdv.system.expire_snapshots('ns.t11', 1, false, 0)")
+    assert(dvDirs(dir).size === 1)
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t11").collect().head.getLong(0) === 15L)
+    // rewrite away the vector, then expire: the dv dir is garbage-collected
+    sql("CALL gdv.system.rewrite_deletes('ns.t11')")
+    sql("CALL gdv.system.expire_snapshots('ns.t11', 1, false, 0)")
+    assert(dvDirs(dir).isEmpty)
+  }
+
+  test("partitioned table: MOR delete leaves sibling partitions byte-identical") {
+    root
+    sql("DROP TABLE IF EXISTS gdv.ns.p1")
+    sql("""CREATE TABLE gdv.ns.p1 (k BIGINT, part STRING) USING parquet
+           PARTITIONED BY (part)
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gdv.ns.p1 SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(1, 21)")
+    val dir = tableDir("ns.p1")
+    val before = segState(dir)
+    sql("DELETE FROM gdv.ns.p1 WHERE k IN (2, 4)") // both in partition 'a'
+    assert(segState(dir) === before)
+    val rows = sql("SELECT k FROM gdv.ns.p1 WHERE part = 'a' ORDER BY k").collect().map(_.getLong(0))
+    assert(rows.toSeq === Seq(6L, 8L, 10L, 12L, 14L, 16L, 18L, 20L))
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.p1").collect().head.getLong(0) === 18L)
+  }
+
+  test("meta round-trips the dv map through parse/render") {
+    root
+    mkMor("t12", fixture)
+    sql("CALL gdv.system.delete_where('ns.t12', 'k = 1')")
+    sql("CALL gdv.system.delete_where('ns.t12', 'k = 11')")
+    val dir = tableDir("ns.t12")
+    val meta = GraftMeta.read(dir)
+    val cur = meta.dvs(meta.current)
+    assert(cur.valuesIterator.flatten.toSeq.distinct.size === 2)
+    assert(cur.keys.forall(s => meta.snapshots(meta.current).contains(s)))
+    // render → parse identity via a fresh read (the CAS file round trip)
+    assert(GraftMeta.read(dir).dvs === meta.dvs)
+  }
+}
