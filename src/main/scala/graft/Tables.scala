@@ -73,6 +73,7 @@ object Registry {
       queries.LakeQueries.defs ++
       queries.Round8Queries.defs ++
       queries.Round9Queries.defs ++
+      queries.Round12Queries.defs ++
       queries.Round10Queries.defs ++
       queries.Round11Queries.defs
 

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 surface: the SQL clauses and scalar families still unpinned
+  * after q01–q214 — `TABLESAMPLE` (the one SQL clause the round-8 audit
+  * left open: seeded Bernoulli row sampling, rows-only + property-spec'd
+  * like every nondeterministic-output operator), printf-style formatting
+  * (`format_string` / `find_in_set` / `left` / `right` / `repeat`), array
+  * MEMBERSHIP completion (`array_position` / `array_remove` /
+  * `array_compact` / `array_prepend` / `array_append` / `flatten`), and the
+  * crypto codec surface (`aes_encrypt`/`aes_decrypt` ECB round trip pinned
+  * by identity, `md5` / `sha2` digests hash-matched against the oracle's
+  * own implementations — the content-addressing shape exact dedup runs on).
+  *
+  * All queries follow the SURVEY.md §2b determinism conventions (trailing
+  * total-order sort, integer or ROUND(x,2) outputs, DuckDB HUGEINT casts).
+  */
+object Round12Queries {
+
+  // --------------------------------------------------------------------------
+  // q215: SQL TABLESAMPLE — seeded BERNOULLI row sampling as a SCAN clause
+  // (`TABLESAMPLE (10 PERCENT) REPEATABLE (42)`), the survey's one unpinned
+  // SQL clause. Output is nondeterministic-by-design across configs (the
+  // sample depends on the scan's split layout), so the query is declared
+  // rows-only like q71's sampleBy; Round12Spec pins the properties that ARE
+  // deterministic: same seed ⇒ identical sample, sampled fraction within
+  // binomial bounds, and the sample is a true subset (every sampled key
+  // exists in the source). Per-flag aggregation keeps the output small and
+  // rows-only-stable (3 groups at every scale).
+  // --------------------------------------------------------------------------
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    T.lineitem(s, d).createOrReplaceTempView("ts215_src")
+    s.sql("""SELECT l_returnflag AS rf, COUNT(*) AS n_sampled,
+                    CAST(SUM(l_quantity) AS BIGINT) AS qty_sampled
+             FROM (SELECT l_returnflag, l_quantity
+                   FROM ts215_src TABLESAMPLE (10 PERCENT) REPEATABLE (42))
+             GROUP BY 1 ORDER BY 1""")
+  }
+
+  // --------------------------------------------------------------------------
+  // q216: printf-style formatting family — `format_string` (C-style %05d/%.2f
+  // templating, the log-line / report shape), `find_in_set` (1-based position
+  // in a comma-delimited set, 0 when absent — both arms exercised),
+  // `left`/`right` (fixed-width prefix/suffix), `repeat`. The oracle rebuilds
+  // each from primitives: DuckDB printf for format_string, list_position over
+  // str_split for find_in_set (coalesced to 0 on miss), left/right/repeat
+  // natively. Codegen'd scalars; one WholeStageCodegen span.
+  // --------------------------------------------------------------------------
+  private def q216(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d).where(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey").as("k"),
+        format_string("%07d|%s|%.2f", col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2)).as("line"),
+        expr("find_in_set(o_orderstatus, 'F,O,P')").as("pos_all"),
+        expr("find_in_set(o_orderstatus, 'O,P')").as("pos_missing_f"),
+        expr("left(concat('Order#', lpad(CAST(o_orderkey AS STRING), 9, '0')), 8)")
+          .as("tag_l"),
+        expr("right(lpad(CAST(o_orderkey AS STRING), 9, '0'), 3)").as("tag_r"),
+        repeat(col("o_orderstatus"), 3).as("st3"))
+      .orderBy("k")
+
+  private val q216Sql =
+    """SELECT o_orderkey AS k,
+              printf('%07d|%s|%.2f', o_orderkey, o_orderstatus,
+                     ROUND(o_totalprice, 2)) AS line,
+              CAST(COALESCE(list_position(str_split('F,O,P', ','), o_orderstatus), 0)
+                AS INT) AS pos_all,
+              CAST(COALESCE(list_position(str_split('O,P', ','), o_orderstatus), 0)
+                AS INT) AS pos_missing_f,
+              left('Order#' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0'), 8) AS tag_l,
+              right(lpad(CAST(o_orderkey AS VARCHAR), 9, '0'), 3) AS tag_r,
+              repeat(o_orderstatus, 3) AS st3
+       FROM orders WHERE o_orderkey % 10 = 0 ORDER BY k"""
+
+  // --------------------------------------------------------------------------
+  // q217: array MEMBERSHIP completion — `array_position` (1-based first
+  // occurrence, 0 on miss: both arms planted), `array_remove` (all
+  // occurrences of a value), `array_compact` (null removal), `array_prepend`
+  // / `array_append`, `flatten` (one nesting level). Arrays are planted from
+  // key arithmetic so every row is a ground truth the oracle rebuilds with
+  // DuckDB list primitives (list_position + coalesce, list_filter for
+  // remove/compact, list_prepend/list_append, flatten).
+  // --------------------------------------------------------------------------
+  private def q217(s: SparkSession, d: String): DataFrame =
+    q217Src(s, d).where(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey").as("k"),
+        expr("array(k7, k5, k7)").as("arr"),
+        expr("array_position(array(k7, k5, k7), k7)").as("pos_hit"),
+        expr("array_position(array(k7, k5, k7), 99L)").as("pos_miss"),
+        expr("array_remove(array(k7, k5, k7), k7)").as("removed"),
+        expr("array_compact(array(k7, CAST(NULL AS BIGINT), k5))").as("compacted"),
+        expr("array_prepend(array(k7, k5), 100L)").as("prepended"),
+        expr("array_append(array(k7, k5), 200L)").as("appended"),
+        expr("flatten(array(array(k7), array(k5, k7)))").as("flat"))
+      .orderBy("k")
+
+  // the planted per-row values: k7/k5 derive from the key so the oracle can
+  // rebuild every array element exactly
+  private def q217Src(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d).withColumn("k7", col("o_orderkey") % 7)
+      .withColumn("k5", col("o_orderkey") % 5)
+
+  private val q217Sql =
+    """WITH src AS (
+         SELECT o_orderkey AS k, o_orderkey % 7 AS k7, o_orderkey % 5 AS k5
+         FROM orders WHERE o_orderkey % 10 = 0)
+       SELECT k,
+              [k7, k5, k7] AS arr,
+              CAST(COALESCE(list_position([k7, k5, k7], k7), 0) AS BIGINT) AS pos_hit,
+              CAST(COALESCE(list_position([k7, k5, k7], 99), 0) AS BIGINT) AS pos_miss,
+              list_filter([k7, k5, k7], x -> x <> k7) AS removed,
+              list_filter([k7, NULL, k5], x -> x IS NOT NULL) AS compacted,
+              list_prepend(100, [k7, k5]) AS prepended,
+              list_append([k7, k5], 200) AS appended,
+              flatten([[k7], [k5, k7]]) AS flat
+       FROM src ORDER BY k"""
+
+  // --------------------------------------------------------------------------
+  // q218: crypto codec surface — `aes_encrypt`/`aes_decrypt` (AES-128 ECB:
+  // the DETERMINISTIC mode, so decrypt∘encrypt is an identity the hash can
+  // pin per row; GCM's random IV is exactly why it is not used here) and the
+  // digest pair `md5` / `sha2(…,256)` hash-matched against DuckDB's own
+  // md5/sha256 — the content-addressing primitives q34's exact dedup and
+  // q84's hash split build on, here pinned engine-vs-engine. The ciphertext
+  // itself leaves the query only through the round trip (the oracle cannot
+  // run AES); its LENGTH is pinned — ECB pads to the 16-byte block grid.
+  // --------------------------------------------------------------------------
+  private def q218(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d).where(col("o_orderkey") % 10 === 0)
+      .withColumn("payload",
+        expr("concat(o_orderstatus, '|', CAST(o_orderkey AS STRING))"))
+      .select(
+        col("o_orderkey").as("k"),
+        col("payload").as("orig"),
+        expr("CAST(aes_decrypt(aes_encrypt(payload, '0123456789abcdef', 'ECB'), " +
+          "'0123456789abcdef', 'ECB') AS STRING)").as("decrypted"),
+        expr("length(aes_encrypt(payload, '0123456789abcdef', 'ECB'))").as("ct_len"),
+        md5(col("payload")).as("payload_md5"),
+        sha2(col("payload"), 256).as("payload_sha256"))
+      .orderBy("k")
+
+  private val q218Sql =
+    """WITH src AS (
+         SELECT o_orderkey AS k,
+                o_orderstatus || '|' || CAST(o_orderkey AS VARCHAR) AS payload
+         FROM orders WHERE o_orderkey % 10 = 0)
+       SELECT k, payload AS orig, payload AS decrypted,
+              CAST(((length(payload) // 16) + 1) * 16 AS INT) AS ct_len,
+              md5(payload) AS payload_md5,
+              sha256(payload) AS payload_sha256
+       FROM src ORDER BY k"""
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q215_tablesample", q215, None),
+    QDef("q216_printf_family", q216, Some(q216Sql)),
+    QDef("q217_array_membership", q217, Some(q217Sql)),
+    QDef("q218_crypto_codec", q218, Some(q218Sql)))
+}
