@@ -29,14 +29,20 @@ private[catalog] object GraftMetadataTable {
     StructField("n_rows", LongType, nullable = true),
     // commit wall-clock (epoch ms) — what TIMESTAMP AS OF resolves against;
     // null only for tables written before times were stamped
-    StructField("committed_at_ms", LongType, nullable = true)))
+    StructField("committed_at_ms", LongType, nullable = true),
+    // distinct delete-vector dirs this snapshot applies (merge-on-read)
+    StructField("n_delete_vectors", IntegerType, nullable = false)))
 
   val SegmentsSchema: StructType = StructType(Seq(
     StructField("segment", StringType, nullable = false),
     StructField("in_current", BooleanType, nullable = false),
     StructField("n_files", IntegerType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("n_rows", LongType, nullable = true)))
+    StructField("n_rows", LongType, nullable = true),
+    // delete vectors applied to this segment in the CURRENT snapshot —
+    // n_rows counts the physical file rows, so a DV'd segment's live count
+    // is lower; rewrite_deletes/compact zero this column back
+    StructField("n_delete_vectors", IntegerType, nullable = false)))
 }
 
 private[catalog] final class GraftMetadataTable(
@@ -60,9 +66,11 @@ private[catalog] final class GraftMetadataTable(
       meta.snapshots.toSeq.sortBy(_._1).map { case (id, segs) =>
         val n = segs.map(segRows(meta, _))
           .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
+        val nDvs = meta.dvs.getOrElse(id, Map.empty)
+          .valuesIterator.flatten.toSet.size
         new GenericInternalRow(Array[Any](
           id, id == meta.current, segs.size, n.orNull,
-          meta.snapshotTimes.get(id).map(Long.box).orNull)): InternalRow
+          meta.snapshotTimes.get(id).map(Long.box).orNull, nDvs)): InternalRow
       }.toArray
     } else {
       val live = meta.snapshots.values.flatten.toSeq.distinct.sorted
@@ -75,7 +83,9 @@ private[catalog] final class GraftMetadataTable(
           else Nil
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(seg), current.contains(seg), files.size,
-          files.map(Files.size).sum, segRows(meta, seg).orNull)): InternalRow
+          files.map(Files.size).sum, segRows(meta, seg).orNull,
+          meta.dvs.getOrElse(meta.current, Map.empty)
+            .getOrElse(seg, Nil).size)): InternalRow
       }.toArray
     }
   }

@@ -246,6 +246,57 @@ class DeleteVectorSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS c FROM gdv.ns.p1").collect().head.getLong(0) === 18L)
   }
 
+  test("changes STREAM serves DV commits with attribution, exactly-once across restart") {
+    root
+    mkMor("t13", fixture, batches = 1)                       // snap 1
+    sql("INSERT INTO gdv.ns.t13 VALUES (100, 'x', 1000)")    // snap 2
+    val ckpt = Files.createTempDirectory("graft_dv_ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long)]]
+    def runAvailable(): Unit = {
+      val q = spark.readStream.table("gdv.ns.t13.changes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect()
+            .map(r => (r.getLong(4), r.getString(3), r.getLong(0))) // (_commit_version, _change_type, k)
+            .sorted.toSeq
+          batches.synchronized { batches += rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runAvailable() // drains snaps 1..2 (appends)
+    val drained = batches.size
+    // a merge-on-read DELETE lands while the stream is down — the PLAIN
+    // source refuses this range (pinned above); the changes stream must
+    // deliver it as row-level deletes
+    sql("CALL gdv.system.delete_where('ns.t13', 'k IN (3, 100)')") // snap 3 (DV)
+    runAvailable()
+    val resumed = batches.drop(drained).flatten.toSeq.sorted
+    assert(resumed === Seq((3L, "delete", 3L), (3L, "delete", 100L)),
+      s"restart must deliver the DV commit's deletes: $resumed")
+    val api = GraftCdc.commitDeltas(spark, "gdv", "ns.t13", 0L).collect()
+      .map(r => (r.getLong(4), r.getString(3), r.getLong(0))).sorted.toSeq
+    assert(batches.flatten.toSeq.sorted === api,
+      "stream-over-lifetime must equal commitDeltas(0, current)")
+  }
+
+  test("metadata tables expose delete-vector counts per snapshot and segment") {
+    root
+    mkMor("t14", fixture)
+    sql("CALL gdv.system.delete_where('ns.t14', 'k IN (1, 11)')") // one dv, both segments
+    val snaps = sql(
+      "SELECT snapshot_id, n_delete_vectors FROM gdv.ns.t14.snapshots ORDER BY snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(snaps.last._2 === 1, s"current snapshot applies one vector: ${snaps.toSeq}")
+    assert(snaps.init.forall(_._2 === 0))
+    val segs = sql("SELECT segment, n_delete_vectors FROM gdv.ns.t14.segments")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(segs.forall(_._2 === 1), s"the vector touches both segments: ${segs.toSeq}")
+  }
+
   test("meta round-trips the dv map through parse/render") {
     root
     mkMor("t12", fixture)
