@@ -155,9 +155,63 @@ object Round12Queries {
               sha256(payload) AS payload_sha256
        FROM src ORDER BY k"""
 
+  // --------------------------------------------------------------------------
+  // q219: SQL session VARIABLES (SPARK-46913, Spark 4 `DECLARE` / `SET VAR`) —
+  // typed session state referenced from a later query: the parameterized-
+  // report shape where thresholds live in variables, not string-spliced SQL
+  // (q199's `spark.sql(text, args)` is the API twin; this is the pure-SQL
+  // surface). A variable is SET from a scalar SUBQUERY over the data (the
+  // median-ish pivot price), then the report filters by it — so the oracle
+  // must reproduce the whole two-step computation relationally.
+  // --------------------------------------------------------------------------
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("v219_src")
+    s.sql("DECLARE OR REPLACE VARIABLE q219_cut DOUBLE")
+    s.sql("SET VAR q219_cut = (SELECT AVG(o_totalprice) FROM v219_src)")
+    s.sql("DECLARE OR REPLACE VARIABLE q219_flag STRING DEFAULT 'O'")
+    s.sql("""SELECT o_orderstatus AS st, COUNT(*) AS n_above,
+                    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+                    BOOL_OR(o_orderstatus = q219_flag) AS has_flag
+             FROM v219_src WHERE o_totalprice > q219_cut
+             GROUP BY st ORDER BY st""")
+  }
+
+  private val q219Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n_above,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+              BOOL_OR(o_orderstatus = 'O') AS has_flag
+       FROM orders WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+       GROUP BY st ORDER BY st"""
+
+  // --------------------------------------------------------------------------
+  // q220: `EXECUTE IMMEDIATE` (SPARK-44751) — dynamic SQL with BIND
+  // PARAMETERS (`?` positional via USING), the stored-procedure-style shape
+  // for templated maintenance queries: the statement text is data, the
+  // parameters are typed values, no string splicing (the injection-safe twin
+  // of q198's IDENTIFIER and q199's parameterized API). The INTO-less form
+  // returns the result set directly.
+  // --------------------------------------------------------------------------
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    T.lineitem(s, d).createOrReplaceTempView("v220_src")
+    s.sql("""EXECUTE IMMEDIATE
+               'SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n,
+                       CAST(SUM(l_quantity) AS BIGINT) AS qty
+                FROM v220_src WHERE l_quantity > ? AND l_shipdate <= ?
+                GROUP BY rf, ls ORDER BY rf, ls'
+             USING 25, DATE'1998-09-02'""")
+  }
+
+  private val q220Sql =
+    """SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n,
+              CAST(SUM(l_quantity) AS BIGINT) AS qty
+       FROM lineitem WHERE l_quantity > 25 AND l_shipdate <= DATE '1998-09-02'
+       GROUP BY rf, ls ORDER BY rf, ls"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q215_tablesample", q215, None),
     QDef("q216_printf_family", q216, Some(q216Sql)),
     QDef("q217_array_membership", q217, Some(q217Sql)),
-    QDef("q218_crypto_codec", q218, Some(q218Sql)))
+    QDef("q218_crypto_codec", q218, Some(q218Sql)),
+    QDef("q219_sql_variables", q219, Some(q219Sql)),
+    QDef("q220_execute_immediate", q220, Some(q220Sql)))
 }
