@@ -1025,14 +1025,20 @@ private[catalog] final class GraftPruningScanBuilder(
     options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var inner = mkInner(segments.map(_._2))
   private var prunedSchema: StructType = null
+  private var anyFilterPushed = false
+  private var statsAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
   private def cat = inner.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // in stats-served aggregate mode the output schema is the aggregate's,
+    // owned by build() — a late pruneColumns must not reach the parquet side
+    if (statsAgg.isDefined) return
     prunedSchema = requiredSchema
     inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(requiredSchema)
   }
@@ -1040,6 +1046,7 @@ private[catalog] final class GraftPruningScanBuilder(
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
     : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    anyFilterPushed ||= filters.nonEmpty
     val surviving = segments.filter { case (name, _) =>
       zstats.get(name) match {
         case Some(enc) =>
@@ -1056,15 +1063,37 @@ private[catalog] final class GraftPruningScanBuilder(
     cat.pushFilters(filters)
   }
 
+  /** Metadata-only COUNT/MIN/MAX from segment zone maps (GraftStatsAgg):
+    * partial pushdown, exactness-gated, refused whenever a predicate was
+    * pushed or any stat is missing. Disable per read with
+    * `option("graft.stats.aggregate-pushdown", "false")`. */
+  override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (anyFilterPushed) return false
+    if ("false".equalsIgnoreCase(options.get("graft.stats.aggregate-pushdown"))) return false
+    GraftStatsAgg.plan(aggregation, segments.map(_._1), zstats, tableSchema) match {
+      case Some(planned) => statsAgg = Some(planned); true
+      case None => false
+    }
+  }
+
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     cat.pushedFilters
 
   /** The pruned parquet scan WITHOUT the streamable wrapper — the DV scan
-    * builder composes clean+dirty inner scans itself before wrapping. */
+    * builder composes clean+dirty inner scans itself before wrapping.
+    * (Never in stats-agg mode: the DV builder does not offer the interface.) */
   private[catalog] def buildInner(): Scan = inner.build()
 
-  override def build(): Scan =
-    new GraftStreamableScan(inner.build(), tableDir, tableName, tableSchema, options)
+  override def build(): Scan = statsAgg match {
+    case Some((aggSchema, row)) =>
+      new GraftStreamableScan(
+        new GraftStatsAggScan(aggSchema, row, tableName, segments.size),
+        tableDir, tableName, tableSchema, options)
+    case None =>
+      new GraftStreamableScan(inner.build(), tableDir, tableName, tableSchema, options)
+  }
 }
 
 /** The Scan every graft read plans: batch delegates straight to the pruned

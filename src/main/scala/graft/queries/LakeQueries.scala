@@ -803,6 +803,48 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM deltas GROUP BY v, op ORDER BY v, op"""
 
+  // --------------------------------------------------------------------------
+  // q221: METADATA-ONLY aggregate pushdown (catalog/GraftStatsAggregate.scala)
+  // — COUNT(*)/COUNT(col)/MIN/MAX served from the committed segment zone maps
+  // with zero file IO: the scan-less count every lakehouse runs constantly on
+  // 100 TB tables ("how many rows landed today?"). The fixture writes THREE
+  // segments (one with planted NULLs so COUNT(col) < COUNT(*)), and the
+  // audit aggregate answers from 3 zone-map entries — no task reads a row.
+  // PlanSpec pins the physical shape (graft-stats-agg scan, no parquet);
+  // this query pins the VALUES against a full relational replay.
+  // --------------------------------------------------------------------------
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m221_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, od DATE, st STRING) USING parquet""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderdate, o_orderstatus FROM $src WHERE o_orderkey % 3 = 0""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderdate, o_orderstatus FROM $src WHERE o_orderkey % 3 = 1""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END
+      FROM $src WHERE o_orderkey % 3 = 2""")
+    s.sql(s"""SELECT COUNT(*) AS n_rows, COUNT(st) AS n_status,
+                     MIN(k) AS min_k, MAX(k) AS max_k,
+                     CAST(MIN(od) AS STRING) AS min_day,
+                     CAST(MAX(od) AS STRING) AS max_day
+              FROM graft.lake.$t ORDER BY 1""")
+  }
+
+  private val q221Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS od,
+                CASE WHEN o_orderkey % 3 = 2 AND o_orderkey % 2 = 0 THEN NULL
+                     ELSE o_orderstatus END AS st
+         FROM orders)
+       SELECT COUNT(*) AS n_rows, COUNT(st) AS n_status,
+              MIN(k) AS min_k, MAX(k) AS max_k,
+              CAST(MIN(od) AS STRING) AS min_day, CAST(MAX(od) AS STRING) AS max_day
+       FROM base ORDER BY 1"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -819,5 +861,6 @@ object LakeQueries {
     QDef("q200_lakehouse_pipeline", q200, Some(q200Sql)),
     QDef("q201_lake_cdc_per_commit", q201, Some(q201Sql)),
     QDef("q213_lake_delete_vectors", q213, Some(q213Sql)),
-    QDef("q214_lake_dv_cdc", q214, Some(q214Sql)))
+    QDef("q214_lake_dv_cdc", q214, Some(q214Sql)),
+    QDef("q221_lake_stats_aggregate", q221, Some(q221Sql)))
 }

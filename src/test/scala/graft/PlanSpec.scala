@@ -429,6 +429,15 @@ class PlanSpec extends SparkSpec {
       s"DISTRIBUTE BY must hash-partition:\n${p.take(400)}")
   }
 
+  test("q221 pin: lake audit aggregate serves from zone maps — no parquet scan in the plan") {
+    val df = graft.Registry.byName("q221_lake_stats_aggregate").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-stats-agg"),
+      s"expected the stats-served aggregate scan:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"the audit aggregate must read NO data file:\n$plan")
+  }
+
   test("q183 pin: SQL pipe syntax plans the SAME physical tree as the classic form") {
     graft.Tables.lineitem(spark, sf).createOrReplaceTempView("pipe_pin_li")
     val piped = spark.sql(
