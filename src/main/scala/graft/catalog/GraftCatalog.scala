@@ -616,20 +616,34 @@ private[catalog] object GraftMeta {
     * byte-identical and associates `dvName` (a freshly written positional
     * delete-vector dir) with each segment in `touched`. Pure metadata plus
     * the O(rows-deleted) vector — the point-delete path that never rewrites
-    * a segment. The expectedCurrent guard serializes against concurrent
-    * rewrites the same way every read-modify-write commit does. */
+    * a segment.
+    *
+    * Conflict validation is POSITIONAL, not whole-snapshot (the Iceberg
+    * position-delete contract): positions reference immutable files, so a
+    * concurrent APPEND — the continuous-ingest case — never invalidates
+    * them and must not fail this commit. What MUST fail it:
+    *   - a touched segment left the current snapshot (concurrent rewrite/
+    *     compaction/delete: the files the positions point into are gone);
+    *   - a touched segment's DV list changed (a concurrent merge-on-read
+    *     delete on the SAME segment: this delete's match set was computed
+    *     against the old vectors, so overlapping positions could be
+    *     recorded twice and rows_deleted would double-count). Disjoint-
+    *     segment concurrent deletes commute and both commit. */
   def commitAddDeletes(tableDir: Path, dvName: String, touched: Set[String],
-                       expectedCurrent: Option[Long]): Unit = {
+                       baseDvs: Map[String, Seq[String]]): Unit = {
     touchSegment(tableDir, dvName) // mtime = commit time, for the orphan sweep
     mutate(tableDir) { meta =>
-      expectedCurrent.foreach(base => require(meta.current == base,
-        s"graft: concurrent commit detected (delete based on snapshot $base, " +
-          s"current is ${meta.current}); retry the operation"))
       val dirs = meta.snapshots.getOrElse(meta.current, Nil)
-      touched.foreach(s => require(dirs.contains(s),
-        s"graft: delete vector targets segment '$s' absent from the current snapshot"))
-      val next = meta.current + 1
       val cur = meta.dvs.getOrElse(meta.current, Map.empty)
+      touched.foreach { s =>
+        require(dirs.contains(s),
+          s"graft: concurrent rewrite detected — delete vector targets segment '$s', " +
+            "which is no longer in the current snapshot; retry the delete")
+        require(cur.getOrElse(s, Nil) == baseDvs.getOrElse(s, Nil),
+          s"graft: concurrent merge-on-read delete detected on segment '$s'; " +
+            "retry the delete")
+      }
+      val next = meta.current + 1
       val nextDvs = touched.foldLeft(cur) { (m, s) =>
         m + (s -> (m.getOrElse(s, Nil) :+ dvName))
       }

@@ -531,7 +531,7 @@ private[catalog] object GraftDml {
     }
     cleanupOnFailedCommit(dir, Seq(dvName)) {
       GraftMeta.commitAddDeletes(dir, dvName, perSeg.keySet,
-        expectedCurrent = Some(meta.current))
+        baseDvs = GraftDv.forSegments(meta, meta.current, segs))
     }
     (segs.size, perSeg.size, perSeg.values.sum)
   }

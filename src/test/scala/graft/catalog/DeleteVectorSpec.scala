@@ -297,6 +297,52 @@ class DeleteVectorSpec extends SparkSpec {
     assert(segs.forall(_._2 === 1), s"the vector touches both segments: ${segs.toSeq}")
   }
 
+  test("DV commit validation is positional: appends commute, same-segment conflicts fail") {
+    root
+    mkMor("t15", fixture, batches = 1)
+    val dir = tableDir("ns.t15")
+    val base = GraftMeta.read(dir)
+    val seg = base.snapshots(base.current).head
+    // a concurrent APPEND lands between the delete's snapshot pin and its
+    // commit — positional deletes reference immutable files, so the commit
+    // must SUCCEED (the continuous-ingest case)
+    sql("INSERT INTO gdv.ns.t15 VALUES (100, 'x', 1000)")
+    val dvA = s"dv-${java.util.UUID.randomUUID().toString.take(12)}"
+    stageDv(dir, dvA, seg, poss = Seq(0L))
+    GraftMeta.commitAddDeletes(dir, dvA, Set(seg),
+      baseDvs = GraftDv.forSegments(base, base.current, Seq(seg)))
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t15").collect().head.getLong(0) === 20L,
+      "21 rows after append, minus the 1 vectored position")
+    // a concurrent SAME-SEGMENT merge-on-read delete must fail: this
+    // commit's match set was computed against the pre-delete vectors
+    val dvB = s"dv-${java.util.UUID.randomUUID().toString.take(12)}"
+    stageDv(dir, dvB, seg, poss = Seq(1L))
+    val e1 = intercept[IllegalArgumentException] {
+      GraftMeta.commitAddDeletes(dir, dvB, Set(seg),
+        baseDvs = GraftDv.forSegments(base, base.current, Seq(seg))) // stale: pre-dvA
+    }
+    assert(e1.getMessage.contains("concurrent merge-on-read delete"))
+    // a concurrent REWRITE of the touched segment must fail: the files the
+    // positions point into are gone
+    sql("CALL gdv.system.compact('ns.t15')")
+    val e2 = intercept[IllegalArgumentException] {
+      val m = GraftMeta.read(dir)
+      GraftMeta.commitAddDeletes(dir, dvB, Set(seg),
+        baseDvs = GraftDv.forSegments(m, m.current, Seq(seg)))
+    }
+    assert(e2.getMessage.contains("concurrent rewrite"))
+  }
+
+  /** Write a minimal (seg, file, pos) vector dir targeting `seg`'s first
+    * parquet file — the fixture for commit-level validation tests. */
+  private def stageDv(dir: Path, dvName: String, seg: String, poss: Seq[Long]): Unit = {
+    val file = GraftMeta.listDir(dir.resolve(seg))
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).sorted.head
+    import spark.implicits._
+    poss.map(p => (seg, file, p)).toDF("seg", "file", "pos")
+      .coalesce(1).write.parquet(dir.resolve(dvName).toString)
+  }
+
   test("meta round-trips the dv map through parse/render") {
     root
     mkMor("t12", fixture)
