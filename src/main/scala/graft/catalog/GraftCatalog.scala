@@ -172,14 +172,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       s"graft catalog: unknown write property '$k' (have ${GraftTable.ClusterByProp}, ${GraftTable.OrderByProp})"))
     kept.values.flatMap(_.split(',')).foreach(c => require(schema.fieldNames.contains(c.trim),
       s"graft catalog: write property references unknown column '${c.trim}'"))
-    val deleteMode = Option(properties.get(GraftDv.DeleteModeProp))
-      .map { m =>
+    val dmlModes = GraftDv.ModeProps.flatMap { p =>
+      Option(properties.get(p)).map { m =>
         require(m == GraftDv.ModeCow || m == GraftDv.ModeMor,
-          s"graft catalog: ${GraftDv.DeleteModeProp} must be " +
+          s"graft catalog: $p must be " +
             s"'${GraftDv.ModeCow}' or '${GraftDv.ModeMor}', got '$m'")
-        Map(GraftDv.DeleteModeProp -> m)
-      }.getOrElse(Map.empty)
-    val props = kept ++ deleteMode ++
+        p -> m
+      }
+    }.toMap
+    val props = kept ++ dmlModes ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty)
     GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
@@ -205,15 +206,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       var setProps = Map.empty[String, String]
       val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
         ch match {
-          // the DELETE implementation is switchable per table: existing
-          // delete vectors keep applying either way (mode only selects how
-          // FUTURE deletes execute)
+          // the DELETE/UPDATE implementation is switchable per table:
+          // existing delete vectors keep applying either way (mode only
+          // selects how FUTURE DML executes)
           case set: TableChange.SetProperty
-              if set.property() == GraftDv.DeleteModeProp =>
+              if GraftDv.ModeProps(set.property()) =>
             require(set.value() == GraftDv.ModeCow || set.value() == GraftDv.ModeMor,
-              s"graft catalog: ${GraftDv.DeleteModeProp} must be " +
+              s"graft catalog: ${set.property()} must be " +
                 s"'${GraftDv.ModeCow}' or '${GraftDv.ModeMor}', got '${set.value()}'")
-            setProps += GraftDv.DeleteModeProp -> set.value()
+            setProps += set.property() -> set.value()
             sch
           case add: TableChange.AddColumn =>
             require(add.fieldNames().length == 1,
@@ -630,24 +631,37 @@ private[catalog] object GraftMeta {
     *     recorded twice and rows_deleted would double-count). Disjoint-
     *     segment concurrent deletes commute and both commit. */
   def commitAddDeletes(tableDir: Path, dvName: String, touched: Set[String],
-                       baseDvs: Map[String, Seq[String]]): Unit = {
+                       baseDvs: Map[String, Seq[String]]): Unit =
+    commitAddDeletesAndAppend(tableDir, dvName, touched, baseDvs, Nil)
+
+  /** The merge-on-read UPDATE commit shape: ONE atomic snapshot that both
+    * associates `dvName` with the `touched` segments (the updated rows' OLD
+    * positions die) and appends `newSegments` (their NEW versions). With
+    * `newSegments` empty this is the plain MOR delete commit. Same
+    * positional conflict validation either way. */
+  def commitAddDeletesAndAppend(tableDir: Path, dvName: String, touched: Set[String],
+                                baseDvs: Map[String, Seq[String]],
+                                newSegments: Seq[(String, Option[String])]): Unit = {
     touchSegment(tableDir, dvName) // mtime = commit time, for the orphan sweep
+    newSegments.foreach { case (s, _) => touchSegment(tableDir, s) }
     mutate(tableDir) { meta =>
       val dirs = meta.snapshots.getOrElse(meta.current, Nil)
       val cur = meta.dvs.getOrElse(meta.current, Map.empty)
       touched.foreach { s =>
         require(dirs.contains(s),
           s"graft: concurrent rewrite detected — delete vector targets segment '$s', " +
-            "which is no longer in the current snapshot; retry the delete")
+            "which is no longer in the current snapshot; retry the operation")
         require(cur.getOrElse(s, Nil) == baseDvs.getOrElse(s, Nil),
           s"graft: concurrent merge-on-read delete detected on segment '$s'; " +
-            "retry the delete")
+            "retry the operation")
       }
       val next = meta.current + 1
       val nextDvs = touched.foldLeft(cur) { (m, s) =>
         m + (s -> (m.getOrElse(s, Nil) :+ dvName))
       }
-      meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
+      meta.copy(current = next,
+        snapshots = meta.snapshots + (next -> (dirs ++ newSegments.map(_._1))),
+        zstats = meta.zstats ++ newSegments.collect { case (s, Some(z)) => s -> z },
         snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
         dvs = meta.dvs + (next -> nextDvs))
     }

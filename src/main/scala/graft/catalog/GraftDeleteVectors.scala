@@ -45,11 +45,14 @@ private[catalog] object GraftDv {
   /** DV directory prefix (sibling of seg-*; swept by the same GC). */
   val Prefix = "dv-"
 
-  /** Table property selecting the DELETE implementation: 'copy-on-write'
-    * (default — segment rewrite) or 'merge-on-read' (delete vectors). */
+  /** Table properties selecting the DELETE / UPDATE implementation:
+    * 'copy-on-write' (default — segment rewrite) or 'merge-on-read'
+    * (delete vectors; for UPDATE, vector + appended new row versions). */
   val DeleteModeProp = "graft.delete-mode"
+  val UpdateModeProp = "graft.update-mode"
   val ModeCow = "copy-on-write"
   val ModeMor = "merge-on-read"
+  val ModeProps: Set[String] = Set(DeleteModeProp, UpdateModeProp)
 
   /** Read option carrying an explicit segment→DV association for raw
     * `graft.segments` reads (the CDC diff primitive). */
@@ -71,11 +74,11 @@ private[catalog] object GraftDv {
       e.substring(0, i) -> e.substring(i + 1).split(';').filter(_.nonEmpty).toSeq
     }.toMap
 
-  def mode(props: Map[String, String]): String =
-    props.getOrElse(DeleteModeProp, ModeCow) match {
+  def mode(props: Map[String, String], prop: String = DeleteModeProp): String =
+    props.getOrElse(prop, ModeCow) match {
       case m @ (ModeCow | ModeMor) => m
       case other => throw new IllegalArgumentException(
-        s"graft: $DeleteModeProp must be '$ModeCow' or '$ModeMor', got '$other'")
+        s"graft: $prop must be '$ModeCow' or '$ModeMor', got '$other'")
     }
 
   /** The current snapshot's DV map restricted to `segs`. */

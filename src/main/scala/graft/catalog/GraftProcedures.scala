@@ -425,6 +425,8 @@ private[catalog] object GraftDml {
       s"graft update_where: a column is assigned more than once")
     val assignedMap = assigned.toMap
     val matches = coalesce(expr(predicate), lit(false))
+    if (GraftDv.mode(meta.props, GraftDv.UpdateModeProp) == GraftDv.ModeMor)
+      return updateWhereMor(spark, dir, meta, segs, matches, assignedMap)
     val touchedCounts =
       discoverTouched(readLive(spark, dir, meta, segs, keepMeta = true), matches)
     if (touchedCounts.isEmpty) return (segs.size, 0, 0L)
@@ -499,6 +501,51 @@ private[catalog] object GraftDml {
         expectedCurrent = Some(meta.current))
     }
     (segs.size, touched.size, touchedCounts.values.sum)
+  }
+
+  /** MERGE-ON-READ update (Iceberg v2's write.update.mode=merge-on-read
+    * shape): the matching rows' OLD positions go into a delete vector and
+    * their NEW versions land in appended segments — ONE atomic commit, no
+    * untouched row is ever rewritten. Cost is O(rows updated), not
+    * O(touched-segment bytes). Unlike the copy-on-write path, assigning a
+    * PARTITION column is legal here: the old position dies in its partition
+    * and the new row version lands partition-pure wherever it now belongs
+    * (writeSegments splits by value) — the delete+insert the COW guard tells
+    * users to do by hand, performed atomically by the engine. */
+  private def updateWhereMor(spark: SparkSession, dir: java.nio.file.Path,
+                             meta: GraftMeta, segs: Seq[String],
+                             matches: Column,
+                             assignedMap: Map[String, String]): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{element_at, split}
+    val hits = readLive(spark, dir, meta, segs, keepMeta = true).where(matches)
+    val dvName = s"${GraftDv.Prefix}${UUID.randomUUID().toString.take(12)}"
+    hits.select(
+        element_at(split(col("__g_fp"), "/"), -2).as("seg"),
+        element_at(split(col("__g_fp"), "/"), -1).as("file"),
+        col("__g_pos").as("pos"))
+      .write.parquet(dir.resolve(dvName).toString)
+    val perSeg = spark.read.parquet(dir.resolve(dvName).toString)
+      .groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perSeg.isEmpty) {
+      GraftMeta.deleteRecursively(dir.resolve(dvName))
+      return (segs.size, 0, 0L)
+    }
+    // every selected row matches, so the projection applies assignments
+    // unconditionally — each RHS still sees the PRE-update column values
+    val updated = hits.select(meta.schema.fields.map { f =>
+      assignedMap.get(f.name) match {
+        case Some(rhs) => expr(rhs).cast(f.dataType).as(f.name)
+        case None      => col(f.name)
+      }
+    }.toSeq: _*)
+    val newSegments = writeSegments(dir, meta, updated)
+    cleanupOnFailedCommit(dir, dvName +: newSegments.map(_._1)) {
+      GraftMeta.commitAddDeletesAndAppend(dir, dvName, perSeg.keySet,
+        baseDvs = GraftDv.forSegments(meta, meta.current, segs),
+        newSegments = newSegments)
+    }
+    (segs.size, perSeg.size, perSeg.values.sum)
   }
 
   /** MERGE-ON-READ delete: record the matching rows' POSITIONS (parquet file

@@ -845,6 +845,53 @@ object LakeQueries {
               CAST(MIN(od) AS STRING) AS min_day, CAST(MAX(od) AS STRING) AS max_day
        FROM base ORDER BY 1"""
 
+  // --------------------------------------------------------------------------
+  // q222: MERGE-ON-READ UPDATE (`graft.update-mode`='merge-on-read',
+  // GraftDml.updateWhereMor) — the matched rows' OLD positions go into a
+  // delete vector and their NEW versions append, in ONE atomic commit; no
+  // untouched row is rewritten, cost is O(rows updated). Two OVERLAPPING
+  // updates (k%11 then k%13 — keys divisible by both carry BOTH edits,
+  // proving the second update's scan read through the first's vector), each
+  // snapshot read back via VERSION AS OF and hash-matched against a
+  // relational replay of the three states.
+  // --------------------------------------------------------------------------
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m222_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+      USING parquet TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read',
+                                   'graft.update-mode' = 'merge-on-read')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src""")
+    s.sql(s"CALL graft.system.update_where('lake.$t', 'k % 11 = 0', 'price_c = price_c + 7')")
+    s.sql(s"CALL graft.system.update_where('lake.$t', 'k % 13 = 0', 'price_c = -price_c')")
+    s.sql(s"""
+      WITH per_v AS (
+        SELECT 1 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 1
+        UNION ALL SELECT 2 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 2
+        UNION ALL SELECT 3 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 3)
+      SELECT v, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM per_v GROUP BY v ORDER BY v""")
+  }
+
+  private val q222Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p
+         FROM orders),
+       v2 AS (SELECT k, CASE WHEN k % 11 = 0 THEN p + 7 ELSE p END AS p FROM base),
+       v3 AS (SELECT k, CASE WHEN k % 13 = 0 THEN -p ELSE p END AS p FROM v2),
+       per_v AS (
+         SELECT 1 AS v, k, p FROM base
+         UNION ALL SELECT 2 AS v, k, p FROM v2
+         UNION ALL SELECT 3 AS v, k, p FROM v3)
+       SELECT v, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM per_v GROUP BY v ORDER BY v"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -862,5 +909,6 @@ object LakeQueries {
     QDef("q201_lake_cdc_per_commit", q201, Some(q201Sql)),
     QDef("q213_lake_delete_vectors", q213, Some(q213Sql)),
     QDef("q214_lake_dv_cdc", q214, Some(q214Sql)),
-    QDef("q221_lake_stats_aggregate", q221, Some(q221Sql)))
+    QDef("q221_lake_stats_aggregate", q221, Some(q221Sql)),
+    QDef("q222_lake_mor_update", q222, Some(q222Sql)))
 }

@@ -343,6 +343,67 @@ class DeleteVectorSpec extends SparkSpec {
       .coalesce(1).write.parquet(dir.resolve(dvName).toString)
   }
 
+  test("MOR update: old positions vectored, new versions appended, no segment rewritten") {
+    root
+    sql("DROP TABLE IF EXISTS gdv.ns.u1")
+    sql("""CREATE TABLE gdv.ns.u1 (k BIGINT, tag STRING, amt BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read',
+                          'graft.update-mode' = 'merge-on-read')""")
+    fixture.grouped(10).foreach { g =>
+      val vals = g.map { case (k, s, a) => s"($k, '$s', $a)" }.mkString(", ")
+      sql(s"INSERT INTO gdv.ns.u1 VALUES $vals")
+    }
+    val dir = tableDir("ns.u1")
+    val before = segState(dir)
+    val res = sql(
+      "CALL gdv.system.update_where('ns.u1', 'k IN (2, 15)', 'amt = amt * 100')").collect()
+    assert(res.head.getLong(2) === 2L) // rows_updated
+    // the pre-update segments are byte-identical; one new segment appended
+    val after = segState(dir)
+    before.keys.foreach(s => assert(after(s) === before(s)))
+    assert(after.size === before.size + 1)
+    assert(dvDirs(dir).size === 1)
+    val rows = sql("SELECT k, amt FROM gdv.ns.u1 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === (1L to 20L).map(k =>
+      (k, if (k == 2 || k == 15) k * 1000 else k * 10)))
+    // RHS saw pre-update values; count is stable; time travel sees the old amt
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.u1").collect().head.getLong(0) === 20L)
+    assert(sql("SELECT amt FROM gdv.ns.u1 VERSION AS OF 2 WHERE k = 2")
+      .collect().head.getLong(0) === 20L)
+    // CDC: the update commit is a delete+insert pair per row
+    val m = GraftMeta.read(dir)
+    val deltas = GraftCdc.commitDeltas(spark, "gdv", "ns.u1", m.current - 1, Some(m.current))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(2))).sorted
+    assert(deltas.toSeq === Seq(
+      (2L, "delete", 20L), (2L, "insert", 2000L),
+      (15L, "delete", 150L), (15L, "insert", 15000L)))
+  }
+
+  test("MOR update may move rows ACROSS partitions (COW refuses this)") {
+    root
+    sql("DROP TABLE IF EXISTS gdv.ns.u2")
+    sql("""CREATE TABLE gdv.ns.u2 (k BIGINT, part STRING) USING parquet
+           PARTITIONED BY (part)
+           TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gdv.ns.u2 SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(1, 11)")
+    val dir = tableDir("ns.u2")
+    val before = segState(dir)
+    sql("CALL gdv.system.update_where('ns.u2', 'k = 4', \"part = 'b'\")")
+    // every pre-existing segment untouched; the moved row landed partition-pure in 'b'
+    before.keys.foreach(s => assert(segState(dir)(s) === before(s)))
+    val aRows = sql("SELECT k FROM gdv.ns.u2 WHERE part = 'a' ORDER BY k")
+      .collect().map(_.getLong(0))
+    val bRows = sql("SELECT k FROM gdv.ns.u2 WHERE part = 'b' ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(aRows.toSeq === Seq(2L, 6L, 8L, 10L))
+    assert(bRows.toSeq === Seq(1L, 3L, 4L, 5L, 7L, 9L))
+    val m = GraftMeta.read(dir)
+    val moved = m.snapshots(m.current).filterNot(before.keySet)
+    assert(moved.size === 1 && moved.head.contains("@b"),
+      s"the new row version must land in a partition-pure 'b' segment: $moved")
+  }
+
   test("meta round-trips the dv map through parse/render") {
     root
     mkMor("t12", fixture)
