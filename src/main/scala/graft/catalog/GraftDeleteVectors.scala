@@ -90,7 +90,13 @@ private[catalog] object GraftDv {
   /** Load per-FILE deleted positions for the given DV dirs (driver-side, one
     * small job, O(rows deleted) — the same plan-time cost class as DPP).
     * Positions across a snapshot's DV files are disjoint by construction
-    * (a delete only matches LIVE rows), so concatenation needs no dedup. */
+    * (a delete only matches LIVE rows), so concatenation needs no dedup.
+    * Driver memory is bounded by rows deleted SINCE THE LAST
+    * rewrite_deletes/compaction (8 bytes per deleted row) — the maintenance
+    * cadence is the bound, exactly as in Delta/Iceberg deployments; if
+    * vectors were ever allowed to grow unbounded, the documented seam is a
+    * per-task lazy load (each GraftDvPartition reading its own file's
+    * positions from the dv parquet instead of carrying them). */
   def loadPositions(spark: SparkSession, tableDir: Path,
                     dvDirs: Seq[String]): Map[String, Array[Long]] = {
     if (dvDirs.isEmpty) return Map.empty

@@ -511,7 +511,14 @@ private[catalog] object GraftDml {
     * PARTITION column is legal here: the old position dies in its partition
     * and the new row version lands partition-pure wherever it now belongs
     * (writeSegments splits by value) — the delete+insert the COW guard tells
-    * users to do by hand, performed atomically by the engine. */
+    * users to do by hand, performed atomically by the engine.
+    *
+    * Surface note: the `update_where` procedure and SQL `DELETE FROM` (via
+    * SupportsDeleteV2) honor the mode properties; SQL `UPDATE`/`MERGE`
+    * statements remain the group-based copy-on-write rewrite — Spark's
+    * row-level API expresses merge-on-read as a DELTA write (SupportsDelta,
+    * row-id-tagged rows), which is the documented seam for a future
+    * increment, not silently half-implemented here. */
   private def updateWhereMor(spark: SparkSession, dir: java.nio.file.Path,
                              meta: GraftMeta, segs: Seq[String],
                              matches: Column,
