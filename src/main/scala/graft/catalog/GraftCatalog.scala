@@ -280,6 +280,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "delete_where"         => new DeleteWhereProcedure(this)
       case "update_where"         => new UpdateWhereProcedure(this)
       case "rewrite_deletes"      => new RewriteDeletesProcedure(this)
+      case "upsert"               => new UpsertProcedure(this)
       case "rollback_to_snapshot" => new RollbackProcedure(this)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
@@ -292,7 +293,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Identifier.of(Array("system"), "expire_snapshots"),
       Identifier.of(Array("system"), "rewrite_deletes"),
       Identifier.of(Array("system"), "rollback_to_snapshot"),
-      Identifier.of(Array("system"), "update_where"))
+      Identifier.of(Array("system"), "update_where"),
+      Identifier.of(Array("system"), "upsert"))
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -278,6 +278,48 @@ private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
   }
 }
 
+/** `CALL <cat>.system.upsert(table, source, keys)` — MERGE-ON-READ UPSERT,
+  * the continuous-CDC-apply primitive (the Delta merge-upsert / Hudi upsert
+  * shape): every source row becomes the CURRENT version of its key — rows
+  * whose key matches a live target row have the old position recorded in a
+  * delete vector, and the WHOLE source appends as new partition-pure
+  * segments; one atomic commit, no existing segment rewritten. Cost is one
+  * probe of the target (broadcast-joined against the source — no shuffle of
+  * the table) plus O(source) written: the shape a 100 TB table ingesting a
+  * CDC feed runs every few minutes, where copy-on-write MERGE would rewrite
+  * every touched segment each batch.
+  *
+  * `source` is a session view/table name with the target's columns (matched
+  * BY NAME, case-insensitive); `keys` is the comma-separated match key. The
+  * standard MERGE cardinality rule is enforced: duplicate keys in the
+  * source fail loudly (two versions of one key in one batch would both
+  * land). NULL keys never match a target row (SQL join semantics) and
+  * insert like any unmatched row. */
+private[catalog] final class UpsertProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "upsert"
+  override def description(): String =
+    "merge-on-read upsert: vector matched rows' old positions, append the source as new versions"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("source", StringType).build(),
+    ProcedureParameter.in("keys", StringType).build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("rows_updated", LongType, nullable = false),
+    StructField("rows_inserted", LongType, nullable = false),
+    StructField("segments_appended", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val (updated, inserted, appended) = GraftDml.upsertMor(dir,
+      input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+    result(updated, inserted, appended)
+  }
+}
+
 /** The segment-level copy-on-write delete core, shared by the `delete_where`
   * procedure and SQL `DELETE FROM` routed through `SupportsDeleteV2`.
   * Returns (segments_total, segments_rewritten, rows_deleted). */
@@ -553,6 +595,80 @@ private[catalog] object GraftDml {
         newSegments = newSegments)
     }
     (segs.size, perSeg.size, perSeg.values.sum)
+  }
+
+  /** MERGE-ON-READ UPSERT core (see UpsertProcedure). Returns
+    * (rows_updated, rows_inserted, segments_appended). */
+  def upsertMor(dir: java.nio.file.Path, sourceName: String,
+                keys: String): (Long, Long, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, element_at, split}
+    val spark = SparkSession.active
+    val meta = GraftMeta.read(dir)
+    val segs = meta.snapshots(meta.current)
+    val keyCols = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(keyCols.nonEmpty, "graft upsert: keys must name at least one column")
+    val resolvedKeys = keyCols.map { k =>
+      meta.schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(s"graft upsert: no key column '$k'"))
+    }
+    val raw = spark.table(sourceName)
+    // project the source to the TARGET schema by name (case-insensitive),
+    // casting each column — a CDC feed's source often arrives with wider
+    // types (int where the table says bigint)
+    val src = raw.select(meta.schema.fields.map { f =>
+      val c = raw.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft upsert: source '$sourceName' lacks column '${f.name}'"))
+      col(c).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    // MERGE cardinality rule: one source row per key, or the batch is
+    // ambiguous (which version of the key should survive?)
+    val dupes = src.groupBy(resolvedKeys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dupes.isEmpty,
+      s"graft upsert: source '$sourceName' has duplicate keys " +
+        s"(${resolvedKeys.mkString(",")}) — e.g. ${dupes.headOption.getOrElse("")}")
+    if (segs.isEmpty && src.isEmpty) return (0L, 0L, 0)
+    // ONE probe of the live target against the broadcast source finds the
+    // positions the upsert supersedes; the table is never shuffled
+    val live = GraftDv.readLive(spark, dir, meta.schema, segs,
+      GraftDv.forSegments(meta, meta.current, segs), keepMeta = true)
+    val joinCond = resolvedKeys.map(k => live(k) === src(k)).reduce(_ && _)
+    val dvName = s"${GraftDv.Prefix}${UUID.randomUUID().toString.take(12)}"
+    live.join(broadcast(src), joinCond, "left_semi")
+      .select(
+        element_at(split(col("__g_fp"), "/"), -2).as("seg"),
+        element_at(split(col("__g_fp"), "/"), -1).as("file"),
+        col("__g_pos").as("pos"))
+      .write.parquet(dir.resolve(dvName).toString)
+    val perSeg = spark.read.parquet(dir.resolve(dvName).toString)
+      .groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val updatedCount = perSeg.values.sum
+    // the whole source appends as the keys' current versions
+    val newSegments = writeSegments(dir, meta, src)
+    val srcCount = newSegments.flatMap(_._2)
+      .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption) match {
+      case rs if rs.size == newSegments.size => rs.sum
+      case _ => src.count()
+    }
+    if (updatedCount == 0 && srcCount == 0) {
+      GraftMeta.deleteRecursively(dir.resolve(dvName))
+      newSegments.foreach { case (s, _) => GraftMeta.deleteRecursively(dir.resolve(s)) }
+      return (0L, 0L, 0)
+    }
+    cleanupOnFailedCommit(dir, dvName +: newSegments.map(_._1)) {
+      if (updatedCount == 0)
+        // pure insert: no vector to publish
+        GraftMeta.commitMany(dir, newSegments, replaceAll = false,
+          removeSuffixes = Set.empty, expectedCurrent = None, namedKey = None)
+      else
+        GraftMeta.commitAddDeletesAndAppend(dir, dvName, perSeg.keySet,
+          baseDvs = GraftDv.forSegments(meta, meta.current, segs),
+          newSegments = newSegments)
+    }
+    if (updatedCount == 0) GraftMeta.deleteRecursively(dir.resolve(dvName))
+    (updatedCount, srcCount - updatedCount, newSegments.size)
   }
 
   /** MERGE-ON-READ delete: record the matching rows' POSITIONS (parquet file

@@ -892,6 +892,64 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM per_v GROUP BY v ORDER BY v"""
 
+  // --------------------------------------------------------------------------
+  // q223: MERGE-ON-READ UPSERT (`CALL graft.system.upsert`) — the
+  // continuous-CDC-apply primitive: each batch's matched keys have their old
+  // positions vectored and the WHOLE batch appends as the keys' current
+  // versions, one atomic commit per batch, no existing segment rewritten.
+  // Batch 1 updates half the even keys (+1 cent) and inserts the k%8=1 odds;
+  // batch 2 OVERLAPS both groups (negates k%8 IN (0,1,3) — reading through
+  // batch 1's vector) and inserts the k%8=3 odds. Per-version VERSION AS OF
+  // aggregates hash-match a three-state relational replay.
+  // --------------------------------------------------------------------------
+  private def q223(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m223_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+      USING parquet""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    s.sql(s"""CREATE OR REPLACE TEMP VIEW ups1_$t AS
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) +
+               CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END AS price_c
+      FROM $src WHERE o_orderkey % 4 = 0 OR o_orderkey % 8 = 1""")
+    s.sql(s"CALL graft.system.upsert('lake.$t', 'ups1_$t', 'k')")
+    s.sql(s"""CREATE OR REPLACE TEMP VIEW ups2_$t AS
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             -CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM $src WHERE o_orderkey % 8 IN (0, 1, 3)""")
+    s.sql(s"CALL graft.system.upsert('lake.$t', 'ups2_$t', 'k')")
+    s.sql(s"""
+      WITH per_v AS (
+        SELECT 1 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 1
+        UNION ALL SELECT 2 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 2
+        UNION ALL SELECT 3 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 3)
+      SELECT v, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM per_v GROUP BY v ORDER BY v""")
+  }
+
+  private val q223Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p
+         FROM orders),
+       v1 AS (SELECT k, p FROM base WHERE k % 2 = 0),
+       v2 AS (SELECT k, CASE WHEN k % 4 = 0 THEN p + 1 ELSE p END AS p FROM v1
+              UNION ALL SELECT k, p FROM base WHERE k % 8 = 1),
+       v3 AS (SELECT k, p FROM v2 WHERE k % 8 NOT IN (0, 1)
+              UNION ALL SELECT k, -p AS p FROM base WHERE k % 8 IN (0, 1, 3)),
+       per_v AS (
+         SELECT 1 AS v, k, p FROM v1
+         UNION ALL SELECT 2 AS v, k, p FROM v2
+         UNION ALL SELECT 3 AS v, k, p FROM v3)
+       SELECT v, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM per_v GROUP BY v ORDER BY v"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -910,5 +968,6 @@ object LakeQueries {
     QDef("q213_lake_delete_vectors", q213, Some(q213Sql)),
     QDef("q214_lake_dv_cdc", q214, Some(q214Sql)),
     QDef("q221_lake_stats_aggregate", q221, Some(q221Sql)),
-    QDef("q222_lake_mor_update", q222, Some(q222Sql)))
+    QDef("q222_lake_mor_update", q222, Some(q222Sql)),
+    QDef("q223_lake_mor_upsert", q223, Some(q223Sql)))
 }

@@ -404,6 +404,85 @@ class DeleteVectorSpec extends SparkSpec {
       s"the new row version must land in a partition-pure 'b' segment: $moved")
   }
 
+  test("MOR upsert: matched keys vectored + replaced, new keys inserted, one commit") {
+    root
+    mkMor("t16", fixture, batches = 1)
+    val dir = tableDir("ns.t16")
+    val before = segState(dir)
+    // 3 updates (k=1,2,3 with new amounts) + 2 inserts (k=30,31)
+    spark.sql("""SELECT * FROM VALUES
+        (1L, 'up', 111L), (2L, 'up', 222L), (3L, 'up', 333L),
+        (30L, 'new', 300L), (31L, 'new', 310L) AS v(k, tag, amt)""")
+      .createOrReplaceTempView("ups_src")
+    val res = sql("CALL gdv.system.upsert('ns.t16', 'ups_src', 'k')").collect()
+    assert((res.head.getLong(0), res.head.getLong(1)) === ((3L, 2L)))
+    // no pre-existing segment rewritten; exactly one commit happened
+    before.keys.foreach(s => assert(segState(dir)(s) === before(s)))
+    val m = GraftMeta.read(dir)
+    assert(m.current === 2L, "the upsert is ONE commit")
+    val rows = sql("SELECT k, amt FROM gdv.ns.t16 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq ===
+      (Seq((1L, 111L), (2L, 222L), (3L, 333L)) ++
+        (4L to 20L).map(k => (k, k * 10)) ++ Seq((30L, 300L), (31L, 310L))))
+    // time travel shows the pre-upsert state; CDC shows pairs + inserts
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t16 VERSION AS OF 1")
+      .collect().head.getLong(0) === 20L)
+    val deltas = GraftCdc.rowDeltas(spark, "gdv", "ns.t16", 1, Some(2))
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted
+    assert(deltas.toSeq === Seq((1L, "delete"), (1L, "insert"), (2L, "delete"),
+      (2L, "insert"), (3L, "delete"), (3L, "insert"),
+      (30L, "insert"), (31L, "insert")))
+    // a second upsert hitting an APPENDED segment's row composes
+    spark.sql("SELECT * FROM VALUES (30L, 'up2', 3000L) AS v(k, tag, amt)")
+      .createOrReplaceTempView("ups_src2")
+    val res2 = sql("CALL gdv.system.upsert('ns.t16', 'ups_src2', 'k')").collect()
+    assert((res2.head.getLong(0), res2.head.getLong(1)) === ((1L, 0L)))
+    assert(sql("SELECT amt FROM gdv.ns.t16 WHERE k = 30").collect().head.getLong(0) === 3000L)
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t16").collect().head.getLong(0) === 22L)
+  }
+
+  test("MOR upsert: duplicate source keys fail; pure insert commits no vector") {
+    root
+    mkMor("t17", fixture, batches = 1)
+    spark.sql("SELECT * FROM VALUES (1L, 'a', 1L), (1L, 'b', 2L) AS v(k, tag, amt)")
+      .createOrReplaceTempView("ups_dup")
+    val e = intercept[Exception] {
+      sql("CALL gdv.system.upsert('ns.t17', 'ups_dup', 'k')").collect()
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    spark.sql("SELECT * FROM VALUES (40L, 'new', 400L) AS v(k, tag, amt)")
+      .createOrReplaceTempView("ups_ins")
+    val res = sql("CALL gdv.system.upsert('ns.t17', 'ups_ins', 'k')").collect()
+    assert((res.head.getLong(0), res.head.getLong(1)) === ((0L, 1L)))
+    assert(dvDirs(tableDir("ns.t17")).isEmpty, "pure insert publishes no vector")
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t17").collect().head.getLong(0) === 21L)
+  }
+
+  test("MOR upsert on a PARTITIONED table lands partition-pure new versions") {
+    root
+    sql("DROP TABLE IF EXISTS gdv.ns.u3")
+    sql("""CREATE TABLE gdv.ns.u3 (k BIGINT, part STRING) USING parquet
+           PARTITIONED BY (part)""")
+    sql("INSERT INTO gdv.ns.u3 SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(1, 11)")
+    // k=4 moves partition a→b; k=50 inserts into c
+    spark.sql("SELECT * FROM VALUES (4L, 'b'), (50L, 'c') AS v(k, part)")
+      .createOrReplaceTempView("ups_p")
+    val dir = tableDir("ns.u3")
+    val before = segState(dir)
+    sql("CALL gdv.system.upsert('ns.u3', 'ups_p', 'k')")
+    before.keys.foreach(s => assert(segState(dir)(s) === before(s)))
+    val m = GraftMeta.read(dir)
+    val appended = m.snapshots(m.current).filterNot(before.keySet).sorted
+    assert(appended.size === 2 &&
+      appended.exists(_.contains("@b")) && appended.exists(_.contains("@c")),
+      s"partition-pure appends expected: $appended")
+    assert(sql("SELECT k FROM gdv.ns.u3 WHERE part = 'b' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L, 5L, 7L, 9L))
+    assert(sql("SELECT k FROM gdv.ns.u3 WHERE part = 'c'")
+      .collect().map(_.getLong(0)).toSeq === Seq(50L))
+  }
+
   test("meta round-trips the dv map through parse/render") {
     root
     mkMor("t12", fixture)
