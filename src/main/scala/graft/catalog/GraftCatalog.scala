@@ -636,37 +636,52 @@ private[catalog] object GraftMeta {
                        baseDvs: Map[String, Seq[String]]): Unit =
     commitAddDeletesAndAppend(tableDir, dvName, touched, baseDvs, Nil)
 
-  /** The merge-on-read UPDATE commit shape: ONE atomic snapshot that both
-    * associates `dvName` with the `touched` segments (the updated rows' OLD
-    * positions die) and appends `newSegments` (their NEW versions). With
-    * `newSegments` empty this is the plain MOR delete commit. Same
-    * positional conflict validation either way. */
+  /** The merge-on-read UPDATE/UPSERT commit shape: ONE atomic snapshot that
+    * both associates `dvName` with the `touched` segments (the superseded
+    * rows' OLD positions die) and appends `newSegments` (their NEW
+    * versions). With `newSegments` empty this is the plain MOR delete
+    * commit. Same positional conflict validation either way.
+    *
+    * `namedKey` makes the WHOLE delta commit idempotent via the durable
+    * exactly-once registry (the streaming CDC-apply contract: name the
+    * upsert after the micro-batch id and a replayed epoch is a no-op).
+    * Returns false iff the key was already committed — the caller deletes
+    * its freshly staged vector/segment dirs. */
   def commitAddDeletesAndAppend(tableDir: Path, dvName: String, touched: Set[String],
                                 baseDvs: Map[String, Seq[String]],
-                                newSegments: Seq[(String, Option[String])]): Unit = {
+                                newSegments: Seq[(String, Option[String])],
+                                namedKey: Option[String] = None): Boolean = {
     touchSegment(tableDir, dvName) // mtime = commit time, for the orphan sweep
     newSegments.foreach { case (s, _) => touchSegment(tableDir, s) }
+    var applied = true
     mutate(tableDir) { meta =>
-      val dirs = meta.snapshots.getOrElse(meta.current, Nil)
-      val cur = meta.dvs.getOrElse(meta.current, Map.empty)
-      touched.foreach { s =>
-        require(dirs.contains(s),
-          s"graft: concurrent rewrite detected — delete vector targets segment '$s', " +
-            "which is no longer in the current snapshot; retry the operation")
-        require(cur.getOrElse(s, Nil) == baseDvs.getOrElse(s, Nil),
-          s"graft: concurrent merge-on-read delete detected on segment '$s'; " +
-            "retry the operation")
+      if (namedKey.exists(meta.committedNamed.contains)) { applied = false; meta }
+      else {
+        applied = true
+        val dirs = meta.snapshots.getOrElse(meta.current, Nil)
+        val cur = meta.dvs.getOrElse(meta.current, Map.empty)
+        touched.foreach { s =>
+          require(dirs.contains(s),
+            s"graft: concurrent rewrite detected — delete vector targets segment '$s', " +
+              "which is no longer in the current snapshot; retry the operation")
+          require(cur.getOrElse(s, Nil) == baseDvs.getOrElse(s, Nil),
+            s"graft: concurrent merge-on-read delete detected on segment '$s'; " +
+              "retry the operation")
+        }
+        val next = meta.current + 1
+        val nextDvs = touched.foldLeft(cur) { (m, s) =>
+          m + (s -> (m.getOrElse(s, Nil) :+ dvName))
+        }
+        meta.copy(current = next,
+          snapshots = meta.snapshots + (next -> (dirs ++ newSegments.map(_._1))),
+          zstats = meta.zstats ++ newSegments.collect { case (s, Some(z)) => s -> z },
+          snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
+          committedNamed = namedKey.fold(meta.committedNamed)(k =>
+            meta.committedNamed + (k -> next)),
+          dvs = meta.dvs + (next -> nextDvs))
       }
-      val next = meta.current + 1
-      val nextDvs = touched.foldLeft(cur) { (m, s) =>
-        m + (s -> (m.getOrElse(s, Nil) :+ dvName))
-      }
-      meta.copy(current = next,
-        snapshots = meta.snapshots + (next -> (dirs ++ newSegments.map(_._1))),
-        zstats = meta.zstats ++ newSegments.collect { case (s, Some(z)) => s -> z },
-        snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
-        dvs = meta.dvs + (next -> nextDvs))
     }
+    applied
   }
 
   /** Multi-segment commit — the partitioned-write shape (one partition-pure

@@ -114,9 +114,14 @@ private[catalog] object GraftDv {
   def readLive(spark: SparkSession, tableDir: Path, schema: StructType,
                segs: Seq[String], dvMap: Map[String, Seq[String]],
                keepMeta: Boolean = false): DataFrame = {
-    if (segs.isEmpty)
-      return spark.createDataFrame(
+    if (segs.isEmpty) {
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return if (!keepMeta) empty
+      else empty
+        .withColumn("__g_fp", org.apache.spark.sql.functions.lit(null).cast("string"))
+        .withColumn("__g_pos", org.apache.spark.sql.functions.lit(null).cast("bigint"))
+    }
     val base = spark.read.schema(schema)
       .parquet(segs.map(s => tableDir.resolve(s).toString): _*)
       .withColumn("__g_fp", col("_metadata.file_path"))

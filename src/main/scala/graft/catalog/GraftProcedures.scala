@@ -305,7 +305,9 @@ private[catalog] final class UpsertProcedure(catalog: GraftCatalog)
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
     ProcedureParameter.in("source", StringType).build(),
-    ProcedureParameter.in("keys", StringType).build())
+    ProcedureParameter.in("keys", StringType).build(),
+    // optional exactly-once key: a replayed batch_id is a complete no-op
+    ProcedureParameter.in("batch_id", StringType).defaultValue("''").build())
 
   override val outputSchema: StructType = StructType(Seq(
     StructField("rows_updated", LongType, nullable = false),
@@ -314,8 +316,9 @@ private[catalog] final class UpsertProcedure(catalog: GraftCatalog)
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val batch = Option(input.getUTF8String(3)).map(_.toString).filter(_.nonEmpty)
     val (updated, inserted, appended) = GraftDml.upsertMor(dir,
-      input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      input.getUTF8String(1).toString, input.getUTF8String(2).toString, batch)
     result(updated, inserted, appended)
   }
 }
@@ -598,12 +601,24 @@ private[catalog] object GraftDml {
   }
 
   /** MERGE-ON-READ UPSERT core (see UpsertProcedure). Returns
-    * (rows_updated, rows_inserted, segments_appended). */
+    * (rows_updated, rows_inserted, segments_appended).
+    *
+    * `batchId` (optional) makes the upsert EXACTLY-ONCE via the durable
+    * registry: a replayed batch id is a complete no-op — no scan, no
+    * staging, no commit — the streaming CDC-apply contract (foreachBatch
+    * names each micro-batch after its epoch id, and restarts re-deliver
+    * epochs without double-applying them). */
   def upsertMor(dir: java.nio.file.Path, sourceName: String,
-                keys: String): (Long, Long, Int) = {
+                keys: String, batchId: Option[String] = None): (Long, Long, Int) = {
     import org.apache.spark.sql.functions.{broadcast, element_at, split}
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
+    val namedKey = batchId.map { b =>
+      require(b.matches("[A-Za-z0-9_.\\-]+"),
+        s"graft upsert: batch_id must be [A-Za-z0-9_.-]+, got '$b'")
+      s"ups-$b"
+    }
+    if (namedKey.exists(meta.committedNamed.contains)) return (0L, 0L, 0)
     val segs = meta.snapshots(meta.current)
     val keyCols = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(keyCols.nonEmpty, "graft upsert: keys must name at least one column")
@@ -657,17 +672,24 @@ private[catalog] object GraftDml {
       newSegments.foreach { case (s, _) => GraftMeta.deleteRecursively(dir.resolve(s)) }
       return (0L, 0L, 0)
     }
-    cleanupOnFailedCommit(dir, dvName +: newSegments.map(_._1)) {
+    val applied = cleanupOnFailedCommit(dir, dvName +: newSegments.map(_._1)) {
       if (updatedCount == 0)
         // pure insert: no vector to publish
         GraftMeta.commitMany(dir, newSegments, replaceAll = false,
-          removeSuffixes = Set.empty, expectedCurrent = None, namedKey = None)
+          removeSuffixes = Set.empty, expectedCurrent = None, namedKey = namedKey)
       else
         GraftMeta.commitAddDeletesAndAppend(dir, dvName, perSeg.keySet,
           baseDvs = GraftDv.forSegments(meta, meta.current, segs),
-          newSegments = newSegments)
+          newSegments = newSegments, namedKey = namedKey)
     }
     if (updatedCount == 0) GraftMeta.deleteRecursively(dir.resolve(dvName))
+    if (!applied) {
+      // lost the replay race: another attempt of this batch id committed
+      // between our registry pre-check and the CAS — discard the staging
+      GraftMeta.deleteRecursively(dir.resolve(dvName))
+      newSegments.foreach { case (s, _) => GraftMeta.deleteRecursively(dir.resolve(s)) }
+      return (0L, 0L, 0)
+    }
     (updatedCount, srcCount - updatedCount, newSegments.size)
   }
 

@@ -483,6 +483,55 @@ class DeleteVectorSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(50L))
   }
 
+  test("end-to-end CDC apply: t.changes stream + exactly-once upsert mirrors a table") {
+    root
+    // SOURCE: a table with an append + a merge-on-read update in its history
+    mkMor("src1", fixture.take(6), batches = 1)                       // snap 1
+    sql("INSERT INTO gdv.ns.src1 VALUES (100, 'x', 1000)")            // snap 2
+    sql("ALTER TABLE gdv.ns.src1 SET TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')")
+    sql("CALL gdv.system.update_where('ns.src1', 'k = 2', 'amt = 999')") // snap 3 (DV + append)
+    // MIRROR: built by replaying the change feed, one upsert per commit.
+    // An UPDATE arrives as delete(old)+insert(new) on one key inside one
+    // commit — applying the commit's INSERT rows via keyed upsert replaces
+    // the old version exactly (the delete half is implied by the key match).
+    sql("DROP TABLE IF EXISTS gdv.ns.mir1")
+    sql("CREATE TABLE gdv.ns.mir1 (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    def applyFeed(tag: String): Unit = {
+      val ckpt = Files.createTempDirectory(s"graft_apply_$tag").toString
+      val q = spark.readStream.option("maxSnapshotsPerTrigger", 1)
+        .table("gdv.ns.src1.changes")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val inserts = df.where("_change_type = 'insert'")
+            .select("k", "tag", "amt")
+          // view + CALL must share the micro-batch's session clone
+          inserts.createOrReplaceTempView("cdc_apply_batch")
+          // the batch id is the idempotency key: replays become no-ops
+          inserts.sparkSession.sql(
+            s"CALL gdv.system.upsert('ns.mir1', 'cdc_apply_batch', 'k', '$tag-$batchId')")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    applyFeed("a")
+    def mirrorRows() = sql("SELECT k, tag, amt FROM gdv.ns.mir1 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    def sourceRows() = sql("SELECT k, tag, amt FROM gdv.ns.src1 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(mirrorRows() === sourceRows(), "mirror must equal the source after apply")
+    val snapAfter = GraftMeta.read(tableDir("ns.mir1")).current
+    // REPLAY the whole feed with a FRESH checkpoint (same batch ids
+    // re-delivered from epoch 0): every upsert is a registry no-op — the
+    // mirror neither doubles rows nor advances a snapshot
+    applyFeed("a")
+    assert(mirrorRows() === sourceRows(), "replay must not change the mirror")
+    assert(GraftMeta.read(tableDir("ns.mir1")).current === snapAfter,
+      "replayed batches must commit nothing")
+  }
+
   test("meta round-trips the dv map through parse/render") {
     root
     mkMor("t12", fixture)
