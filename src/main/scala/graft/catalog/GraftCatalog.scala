@@ -356,6 +356,12 @@ private[catalog] final case class GraftMeta(
   }
 }
 
+/** A snapshot-CAS commit lost to a concurrent writer. Typed (vs the generic
+  * require failures) so SERIALIZABLE operations — upsert, whose contract is
+  * not append-commutative — can catch it and retry from a fresh probe. */
+private[catalog] final class GraftConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
+
 private[catalog] object GraftMeta {
   val FileName = "_graft_meta"
   /** Directory of full-state commit files, one per meta version, claimed by
@@ -646,11 +652,21 @@ private[catalog] object GraftMeta {
     * exactly-once registry (the streaming CDC-apply contract: name the
     * upsert after the micro-batch id and a replayed epoch is a no-op).
     * Returns false iff the key was already committed — the caller deletes
-    * its freshly staged vector/segment dirs. */
+    * its freshly staged vector/segment dirs.
+    *
+    * `expectedCurrent` upgrades validation from positional to SERIALIZABLE:
+    * the commit fails (typed, retryable) if ANY snapshot advanced since the
+    * caller's probe. Plain MOR DELETE leaves it unset — positions reference
+    * immutable files, so concurrent appends commute with a delete. UPSERT
+    * must set it: its contract ('every source row becomes the CURRENT
+    * version of its key') is NOT append-commutative — an append or
+    * pure-insert upsert landing the same key between probe and commit would
+    * leave two live versions of one key. */
   def commitAddDeletesAndAppend(tableDir: Path, dvName: String, touched: Set[String],
                                 baseDvs: Map[String, Seq[String]],
                                 newSegments: Seq[(String, Option[String])],
-                                namedKey: Option[String] = None): Boolean = {
+                                namedKey: Option[String] = None,
+                                expectedCurrent: Option[Long] = None): Boolean = {
     touchSegment(tableDir, dvName) // mtime = commit time, for the orphan sweep
     newSegments.foreach { case (s, _) => touchSegment(tableDir, s) }
     var applied = true
@@ -658,6 +674,10 @@ private[catalog] object GraftMeta {
       if (namedKey.exists(meta.committedNamed.contains)) { applied = false; meta }
       else {
         applied = true
+        expectedCurrent.foreach(base => if (meta.current != base)
+          throw new GraftConcurrentCommitException(
+            s"graft: concurrent commit detected (write based on snapshot $base, " +
+              s"current is ${meta.current}); retry the operation"))
         val dirs = meta.snapshots.getOrElse(meta.current, Nil)
         val cur = meta.dvs.getOrElse(meta.current, Map.empty)
         touched.foreach { s =>
@@ -707,9 +727,10 @@ private[catalog] object GraftMeta {
     mutate(tableDir) { meta =>
       if (namedKey.exists(meta.committedNamed.contains)) { applied = false; meta }
       else {
-        expectedCurrent.foreach(base => require(meta.current == base,
-          s"graft: concurrent commit detected (write based on snapshot $base, " +
-            s"current is ${meta.current}); retry the operation"))
+        expectedCurrent.foreach(base => if (meta.current != base)
+          throw new GraftConcurrentCommitException(
+            s"graft: concurrent commit detected (write based on snapshot $base, " +
+              s"current is ${meta.current}); retry the operation"))
         applied = true
         val base = meta.snapshots.getOrElse(meta.current, Nil)
         val kept =

@@ -91,19 +91,24 @@ private[catalog] object GraftDv {
     * small job, O(rows deleted) — the same plan-time cost class as DPP).
     * Positions across a snapshot's DV files are disjoint by construction
     * (a delete only matches LIVE rows), so concatenation needs no dedup.
-    * Driver memory is bounded by rows deleted SINCE THE LAST
-    * rewrite_deletes/compaction (8 bytes per deleted row) — the maintenance
-    * cadence is the bound, exactly as in Delta/Iceberg deployments; if
-    * vectors were ever allowed to grow unbounded, the documented seam is a
-    * per-task lazy load (each GraftDvPartition reading its own file's
-    * positions from the dv parquet instead of carrying them). */
+    * Keys are `seg/file`, NOT bare file names: file names are per-task
+    * (`part-<partition>-<task>`) and one task writes the SAME name into every
+    * partition segment it touches, and task ids restart across application
+    * runs — so bare names collide across segments, and a name-keyed filter
+    * would apply one file's deleted positions to its same-named twin,
+    * silently dropping live rows. Driver memory is bounded by rows deleted
+    * SINCE THE LAST rewrite_deletes/compaction (8 bytes per deleted row) —
+    * the maintenance cadence is the bound, exactly as in Delta/Iceberg
+    * deployments; if vectors were ever allowed to grow unbounded, the
+    * documented seam is a per-task lazy load (each GraftDvPartition reading
+    * its own file's positions from the dv parquet instead of carrying them). */
   def loadPositions(spark: SparkSession, tableDir: Path,
                     dvDirs: Seq[String]): Map[String, Array[Long]] = {
     if (dvDirs.isEmpty) return Map.empty
     spark.read.parquet(dvDirs.map(d => tableDir.resolve(d).toString): _*)
-      .select("file", "pos").collect()
-      .groupBy(_.getString(0))
-      .map { case (f, rs) => f -> rs.map(_.getLong(1)).sorted }
+      .select("seg", "file", "pos").collect()
+      .groupBy(r => r.getString(0) + "/" + r.getString(1))
+      .map { case (sf, rs) => sf -> rs.map(_.getLong(2)).sorted }
   }
 
   /** V1-path DV-merged segment read (the DML/compaction/CDC-materialization
@@ -130,10 +135,15 @@ private[catalog] object GraftDv {
     val live =
       if (dvDirs.isEmpty) base
       else {
+        // anti-join on SEGMENT + file name + position: bare file names repeat
+        // across segments (see loadPositions), so the segment dir (second-to-
+        // last path component) must qualify the match
         val dv = spark.read.parquet(dvDirs.map(d => tableDir.resolve(d).toString): _*)
-          .select(col("file").as("__d_file"), col("pos").as("__d_pos"))
+          .select(col("seg").as("__d_seg"), col("file").as("__d_file"),
+            col("pos").as("__d_pos"))
         base.join(broadcast(dv),
-          element_at(split(base("__g_fp"), "/"), -1) === dv("__d_file") &&
+          element_at(split(base("__g_fp"), "/"), -2) === dv("__d_seg") &&
+            element_at(split(base("__g_fp"), "/"), -1) === dv("__d_file") &&
             base("__g_pos") === dv("__d_pos"),
           "left_anti")
       }
@@ -251,9 +261,13 @@ private[catalog] final class GraftDvBatch(
     clean: Option[Batch], dirty: Batch, dirtySchema: StructType,
     positions: Map[String, Array[Long]], realSchema: StructType) extends Batch {
 
-  private def fileName(f: org.apache.spark.sql.execution.datasources.PartitionedFile): String = {
+  /** `seg/file` — the last TWO path components. Positions are keyed by
+    * segment + file name (bare names collide across segments; see
+    * GraftDv.loadPositions). */
+  private def segAndFile(f: org.apache.spark.sql.execution.datasources.PartitionedFile): String = {
     val p = f.filePath.toUri.getPath
-    p.substring(p.lastIndexOf('/') + 1)
+    val i = p.lastIndexOf('/')
+    p.substring(p.lastIndexOf('/', i - 1) + 1)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -264,7 +278,7 @@ private[catalog] final class GraftDvBatch(
       case fp: FilePartition =>
         fp.files.groupBy(f => f.filePath.toString).values.map { files =>
           GraftDvPartition(FilePartition(0, files),
-            positions.getOrElse(fileName(files.head), Array.emptyLongArray))
+            positions.getOrElse(segAndFile(files.head), Array.emptyLongArray))
         }
       case other => throw new IllegalStateException(
         s"graft-dv: unexpected non-file partition ${other.getClass.getName}")

@@ -607,9 +607,28 @@ private[catalog] object GraftDml {
     * registry: a replayed batch id is a complete no-op — no scan, no
     * staging, no commit — the streaming CDC-apply contract (foreachBatch
     * names each micro-batch after its epoch id, and restarts re-deliver
-    * epochs without double-applying them). */
+    * epochs without double-applying them).
+    *
+    * The commit is SERIALIZABLE, not merely position-valid: upsert's
+    * contract ('every source row becomes the CURRENT version of its key')
+    * is not append-commutative — an append or another upsert landing the
+    * same key between this upsert's probe and its commit would leave two
+    * live versions of one key. The commit therefore pins the probed
+    * snapshot (expectedCurrent) and a lost CAS discards the staging and
+    * RE-PROBES from the new snapshot, up to a bounded number of attempts. */
   def upsertMor(dir: java.nio.file.Path, sourceName: String,
                 keys: String, batchId: Option[String] = None): (Long, Long, Int) = {
+    val maxAttempts = 5
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return upsertMorAttempt(dir, sourceName, keys, batchId)
+      catch { case _: GraftConcurrentCommitException => attempt += 1 }
+    }
+    upsertMorAttempt(dir, sourceName, keys, batchId) // final attempt propagates
+  }
+
+  private def upsertMorAttempt(dir: java.nio.file.Path, sourceName: String,
+                               keys: String, batchId: Option[String]): (Long, Long, Int) = {
     import org.apache.spark.sql.functions.{broadcast, element_at, split}
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
@@ -650,16 +669,28 @@ private[catalog] object GraftDml {
       GraftDv.forSegments(meta, meta.current, segs), keepMeta = true)
     val joinCond = resolvedKeys.map(k => live(k) === src(k)).reduce(_ && _)
     val dvName = s"${GraftDv.Prefix}${UUID.randomUUID().toString.take(12)}"
+    // the dv rows carry the matched KEY columns (__k0..__kN) alongside the
+    // positions: the readers (loadPositions/readLive) project seg/file/pos
+    // only, while the count pass below gets exact DISTINCT-KEY arithmetic
+    // from the same tiny file — without them, a target holding duplicate
+    // keys (appends bypass upsert's uniqueness) would make rows_inserted =
+    // srcCount - positionCount go negative
     live.join(broadcast(src), joinCond, "left_semi")
-      .select(
+      .select(Seq(
         element_at(split(col("__g_fp"), "/"), -2).as("seg"),
         element_at(split(col("__g_fp"), "/"), -1).as("file"),
-        col("__g_pos").as("pos"))
+        col("__g_pos").as("pos")) ++
+        resolvedKeys.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") }: _*)
       .write.parquet(dir.resolve(dvName).toString)
-    val perSeg = spark.read.parquet(dir.resolve(dvName).toString)
+    val dvStaged = spark.read.parquet(dir.resolve(dvName).toString)
+    val perSeg = dvStaged
       .groupBy("seg").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val updatedCount = perSeg.values.sum
+    val updatedCount = perSeg.values.sum // positions vectored (>= keys matched)
+    val matchedKeys =
+      if (updatedCount == 0) 0L
+      else dvStaged.select(resolvedKeys.indices.map(i => col(s"__k$i")): _*)
+        .distinct().count()
     // the whole source appends as the keys' current versions
     val newSegments = writeSegments(dir, meta, src)
     val srcCount = newSegments.flatMap(_._2)
@@ -672,15 +703,20 @@ private[catalog] object GraftDml {
       newSegments.foreach { case (s, _) => GraftMeta.deleteRecursively(dir.resolve(s)) }
       return (0L, 0L, 0)
     }
+    // expectedCurrent pins the PROBED snapshot: any commit that landed since
+    // (append, another upsert) may carry this upsert's keys, so the CAS must
+    // lose and the caller re-probe — see upsertMor's retry loop
     val applied = cleanupOnFailedCommit(dir, dvName +: newSegments.map(_._1)) {
       if (updatedCount == 0)
         // pure insert: no vector to publish
         GraftMeta.commitMany(dir, newSegments, replaceAll = false,
-          removeSuffixes = Set.empty, expectedCurrent = None, namedKey = namedKey)
+          removeSuffixes = Set.empty, expectedCurrent = Some(meta.current),
+          namedKey = namedKey)
       else
         GraftMeta.commitAddDeletesAndAppend(dir, dvName, perSeg.keySet,
           baseDvs = GraftDv.forSegments(meta, meta.current, segs),
-          newSegments = newSegments, namedKey = namedKey)
+          newSegments = newSegments, namedKey = namedKey,
+          expectedCurrent = Some(meta.current))
     }
     if (updatedCount == 0) GraftMeta.deleteRecursively(dir.resolve(dvName))
     if (!applied) {
@@ -690,7 +726,10 @@ private[catalog] object GraftDml {
       newSegments.foreach { case (s, _) => GraftMeta.deleteRecursively(dir.resolve(s)) }
       return (0L, 0L, 0)
     }
-    (updatedCount, srcCount - updatedCount, newSegments.size)
+    // report in KEY arithmetic: rows_updated = distinct matched keys (a
+    // duplicate-keyed target vectors >1 position per key), rows_inserted =
+    // source keys with no live match — never negative
+    (matchedKeys, srcCount - matchedKeys, newSegments.size)
   }
 
   /** MERGE-ON-READ delete: record the matching rows' POSITIONS (parquet file

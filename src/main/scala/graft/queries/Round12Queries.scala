@@ -83,21 +83,28 @@ object Round12Queries {
   // / `array_append`, `flatten` (one nesting level). Arrays are planted from
   // key arithmetic so every row is a ground truth the oracle rebuilds with
   // DuckDB list primitives (list_position + coalesce, list_filter for
-  // remove/compact, list_prepend/list_append, flatten).
+  // remove/compact, list_prepend/list_append, flatten). Every array output is
+  // scalarized to a CSV string via array_join — the q13 convention
+  // (RelationalQueries q13: collect_list "emitted as a CSV string") — because
+  // the verification harness sorts result cells and cannot hash raw arrays.
   // --------------------------------------------------------------------------
-  private def q217(s: SparkSession, d: String): DataFrame =
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    // q13 convention: array column -> deterministic CSV string
+    def csv(arrExpr: String): org.apache.spark.sql.Column =
+      expr(s"array_join(transform($arrExpr, x -> CAST(x AS STRING)), ',')")
     q217Src(s, d).where(col("o_orderkey") % 10 === 0)
       .select(
         col("o_orderkey").as("k"),
-        expr("array(k7, k5, k7)").as("arr"),
+        csv("array(k7, k5, k7)").as("arr"),
         expr("array_position(array(k7, k5, k7), k7)").as("pos_hit"),
         expr("array_position(array(k7, k5, k7), 99L)").as("pos_miss"),
-        expr("array_remove(array(k7, k5, k7), k7)").as("removed"),
-        expr("array_compact(array(k7, CAST(NULL AS BIGINT), k5))").as("compacted"),
-        expr("array_prepend(array(k7, k5), 100L)").as("prepended"),
-        expr("array_append(array(k7, k5), 200L)").as("appended"),
-        expr("flatten(array(array(k7), array(k5, k7)))").as("flat"))
+        csv("array_remove(array(k7, k5, k7), k7)").as("removed"),
+        csv("array_compact(array(k7, CAST(NULL AS BIGINT), k5))").as("compacted"),
+        csv("array_prepend(array(k7, k5), 100L)").as("prepended"),
+        csv("array_append(array(k7, k5), 200L)").as("appended"),
+        csv("flatten(array(array(k7), array(k5, k7)))").as("flat"))
       .orderBy("k")
+  }
 
   // the planted per-row values: k7/k5 derive from the key so the oracle can
   // rebuild every array element exactly
@@ -110,14 +117,21 @@ object Round12Queries {
          SELECT o_orderkey AS k, o_orderkey % 7 AS k7, o_orderkey % 5 AS k5
          FROM orders WHERE o_orderkey % 10 = 0)
        SELECT k,
-              [k7, k5, k7] AS arr,
+              array_to_string(list_transform([k7, k5, k7],
+                x -> CAST(x AS VARCHAR)), ',') AS arr,
               CAST(COALESCE(list_position([k7, k5, k7], k7), 0) AS BIGINT) AS pos_hit,
               CAST(COALESCE(list_position([k7, k5, k7], 99), 0) AS BIGINT) AS pos_miss,
-              list_filter([k7, k5, k7], x -> x <> k7) AS removed,
-              list_filter([k7, NULL, k5], x -> x IS NOT NULL) AS compacted,
-              list_prepend(100, [k7, k5]) AS prepended,
-              list_append([k7, k5], 200) AS appended,
-              flatten([[k7], [k5, k7]]) AS flat
+              COALESCE(array_to_string(list_transform(
+                list_filter([k7, k5, k7], x -> x <> k7),
+                x -> CAST(x AS VARCHAR)), ','), '') AS removed,
+              array_to_string(list_transform(list_filter([k7, NULL, k5], x -> x IS NOT NULL),
+                x -> CAST(x AS VARCHAR)), ',') AS compacted,
+              array_to_string(list_transform(list_prepend(100, [k7, k5]),
+                x -> CAST(x AS VARCHAR)), ',') AS prepended,
+              array_to_string(list_transform(list_append([k7, k5], 200),
+                x -> CAST(x AS VARCHAR)), ',') AS appended,
+              array_to_string(list_transform(flatten([[k7], [k5, k7]]),
+                x -> CAST(x AS VARCHAR)), ',') AS flat
        FROM src ORDER BY k"""
 
   // --------------------------------------------------------------------------

@@ -442,6 +442,79 @@ class DeleteVectorSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS c FROM gdv.ns.t16").collect().head.getLong(0) === 22L)
   }
 
+  test("MOR upsert: duplicate-keyed TARGET vectors all positions, reports key arithmetic") {
+    root
+    // appends bypass upsert's source-side uniqueness: plant k=1 twice
+    mkMor("t18", fixture, batches = 1)
+    sql("INSERT INTO gdv.ns.t18 VALUES (1, 'dup', 999)")
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t18 WHERE k = 1")
+      .collect().head.getLong(0) === 2L)
+    spark.sql("SELECT * FROM VALUES (1L, 'up', 111L), (40L, 'new', 400L) AS v(k, tag, amt)")
+      .createOrReplaceTempView("ups_dup_tgt")
+    val res = sql("CALL gdv.system.upsert('ns.t18', 'ups_dup_tgt', 'k')").collect()
+    // KEY arithmetic: 1 key updated (both its live positions vectored),
+    // 1 key inserted — rows_inserted must not go negative or overstate
+    assert((res.head.getLong(0), res.head.getLong(1)) === ((1L, 1L)))
+    // the upsert healed the duplicate: exactly ONE live version of k=1
+    val k1 = sql("SELECT tag, amt FROM gdv.ns.t18 WHERE k = 1").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(k1.toSeq === Seq(("up", 111L)))
+    assert(sql("SELECT amt FROM gdv.ns.t18 WHERE k = 40").collect()
+      .head.getLong(0) === 400L)
+  }
+
+  test("upsert commit is serializable: a snapshot advanced since the probe loses the CAS") {
+    root
+    mkMor("t19", fixture, batches = 1)
+    val dir = tableDir("ns.t19")
+    val probed = GraftMeta.read(dir)
+    sql("INSERT INTO gdv.ns.t19 VALUES (50, 'race', 500)") // advances the snapshot
+    // a delta commit pinned to the probed snapshot must fail typed-retryable
+    val seg = probed.snapshots(probed.current).head
+    val e = intercept[GraftConcurrentCommitException] {
+      GraftMeta.commitAddDeletesAndAppend(dir, "dv-nonexistent", Set(seg),
+        baseDvs = Map.empty, newSegments = Nil,
+        expectedCurrent = Some(probed.current))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // ...and WITHOUT the pin the same commit passes positional validation —
+    // the append-commutative contract plain MOR DELETE relies on
+    sql("CALL gdv.system.delete_where('ns.t19', 'k = 2')")
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t19").collect().head.getLong(0) === 20L)
+  }
+
+  test("racing upserts of the same key leave exactly one live version") {
+    root
+    mkMor("t20", fixture, batches = 1)
+    spark.sql("SELECT * FROM VALUES (100L, 'a', 1L) AS v(k, tag, amt)")
+      .createOrReplaceTempView("race_a")
+    spark.sql("SELECT * FROM VALUES (100L, 'b', 2L) AS v(k, tag, amt)")
+      .createOrReplaceTempView("race_b")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val session = spark
+    def race(view: String) = pool.submit(new Runnable {
+      override def run(): Unit = {
+        org.apache.spark.sql.SparkSession.setActiveSession(session)
+        gate.await()
+        sql(s"CALL gdv.system.upsert('ns.t20', '$view', 'k')").collect()
+        ()
+      }
+    })
+    val (fa, fb) = (race("race_a"), race("race_b"))
+    gate.countDown()
+    fa.get(120, TimeUnit.SECONDS); fb.get(120, TimeUnit.SECONDS)
+    pool.shutdown()
+    // both upserts carry k=100: whatever the interleaving, the serializable
+    // retry means the loser re-probes and vectors the winner's row — never
+    // two live versions of one key
+    val versions = sql("SELECT tag FROM gdv.ns.t20 WHERE k = 100").collect()
+    assert(versions.length === 1,
+      s"expected one live version of k=100, got ${versions.map(_.getString(0)).toSeq}")
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.t20").collect().head.getLong(0) === 21L)
+  }
+
   test("MOR upsert: duplicate source keys fail; pure insert commits no vector") {
     root
     mkMor("t17", fixture, batches = 1)
@@ -530,6 +603,49 @@ class DeleteVectorSpec extends SparkSpec {
     assert(mirrorRows() === sourceRows(), "replay must not change the mirror")
     assert(GraftMeta.read(tableDir("ns.mir1")).current === snapAfter,
       "replayed batches must commit nothing")
+  }
+
+  test("cross-segment DV: same-named files in two segments never cross-filter") {
+    root
+    // GraftPartitionedWrite names files `part-<partitionId>-<taskId>`, and ONE
+    // task writes that same name into EVERY partition segment it touches — so
+    // a coalesce(1) insert spanning two partition values plants the collision:
+    // two segments, each holding a parquet file with the SAME base name.
+    // Positions keyed by bare file name would merge both files' vectors and
+    // filter each file with the union, silently dropping live rows.
+    sql("DROP TABLE IF EXISTS gdv.ns.txseg")
+    sql("""CREATE TABLE gdv.ns.txseg (k BIGINT, p STRING) USING parquet
+            PARTITIONED BY (p)
+            TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    import spark.implicits._
+    (0L until 20L).map(k => (k, if (k < 10) "a" else "b")).toDF("k", "p")
+      .coalesce(1).writeTo("gdv.ns.txseg").append()
+    val dir = tableDir("ns.txseg")
+    // precondition: the collision is REAL — both segments contain a parquet
+    // file with the same base name (else this test stops covering the bug)
+    val segFiles = segState(dir).view.mapValues(_.map(_._1).filter(_.endsWith(".parquet")).toSet).toMap
+    assert(segFiles.size === 2, s"expected 2 partition segments, got ${segFiles.keySet}")
+    val common = segFiles.values.reduce(_ intersect _)
+    assert(common.nonEmpty,
+      s"fixture must plant same-named files across segments, got $segFiles")
+
+    // k=0 is position 0 in segment p=a; k=15 is position 5 in segment p=b.
+    // A name-keyed union {0,5} applied to both files would also kill k=5
+    // (pos 5 in a) and k=10 (pos 0 in b).
+    val res = sql("CALL gdv.system.delete_where('ns.txseg', 'k IN (0, 15)')").collect()
+    assert(res.head.getLong(2) === 2L)
+    val rows = sql("SELECT k FROM gdv.ns.txseg ORDER BY k").collect().map(_.getLong(0))
+    assert(rows.toSeq === (0L until 20L).filterNot(Set(0L, 15L)))
+
+    // a second DV on the OTHER partition at a clashing position composes
+    sql("CALL gdv.system.delete_where('ns.txseg', 'k = 5')") // pos 5 in seg a
+    val rows2 = sql("SELECT k FROM gdv.ns.txseg ORDER BY k").collect().map(_.getLong(0))
+    assert(rows2.toSeq === (0L until 20L).filterNot(Set(0L, 5L, 15L)))
+
+    // materialization must not bake in any cross-filter loss
+    sql("CALL gdv.system.rewrite_deletes('ns.txseg')")
+    val rows3 = sql("SELECT k FROM gdv.ns.txseg ORDER BY k").collect().map(_.getLong(0))
+    assert(rows3.toSeq === (0L until 20L).filterNot(Set(0L, 5L, 15L)))
   }
 
   test("meta round-trips the dv map through parse/render") {

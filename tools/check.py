@@ -16,6 +16,12 @@ import pyarrow.parquet as pq
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def pa_is_nested(t):
+    import pyarrow as pa
+    return (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t) or pa.types.is_struct(t)
+            or pa.types.is_map(t))
+
 def norm(v):
     if isinstance(v, float):
         return round(v, 6)
@@ -49,6 +55,21 @@ def main():
             spark_tbl = pq.read_table(files[0])
         except Exception as e:
             print(f"FAIL  {name}: cannot read spark parquet: {e}")
+            n_fail += 1
+            continue
+        # the driver's checker sorts result cells through pandas, which throws
+        # `TypeError: unhashable type: 'numpy.ndarray'` on any list/struct/map
+        # cell (round-10 q217 lesson — the FOURTH local-vs-driver divergence:
+        # r6 column case, r7 signed zero, r8 HUGEINT, r10 arrays). Nested
+        # output types can therefore NEVER get a driver verdict; fail them here
+        # even though this harness could value-compare them.
+        nested = [f.name for f in spark_tbl.schema
+                  if pa_is_nested(f.type)]
+        if nested:
+            print(f"FAIL  {name}: spark output columns {nested} are list/struct/map "
+                  f"-- the driver's pandas sorter crashes on nested cells; scalarize "
+                  f"per the q13 convention: array_join(transform(c, x -> CAST(x AS "
+                  f"STRING)), ',')")
             n_fail += 1
             continue
         try:
