@@ -180,7 +180,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         p -> m
       }
     }.toMap
-    val props = kept ++ dmlModes ++
+    // commit-time SUM harvest opt-in (validated lazily per schema — '*' or a
+    // column list; non-integral/unknown names are simply never harvested)
+    val sumsProp = Option(properties.get(SegmentStats.SumsProp))
+      .map(v => SegmentStats.SumsProp -> v).toMap
+    val props = kept ++ dmlModes ++ sumsProp ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty)
     GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
@@ -214,6 +218,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
             require(set.value() == GraftDv.ModeCow || set.value() == GraftDv.ModeMor,
               s"graft catalog: ${set.property()} must be " +
                 s"'${GraftDv.ModeCow}' or '${GraftDv.ModeMor}', got '${set.value()}'")
+            setProps += set.property() -> set.value()
+            sch
+          // commit-time SUM harvest opt-in applies to FUTURE segments only;
+          // pre-existing sum-less segments simply keep SUM pushdown refused
+          case set: TableChange.SetProperty
+              if set.property() == SegmentStats.SumsProp =>
             setProps += set.property() -> set.value()
             sch
           case add: TableChange.AddColumn =>
@@ -860,7 +870,8 @@ private[catalog] object GraftTable {
 private[catalog] final class GraftTable(
     catalog: String, ident: Identifier, tableDir: Path, pinnedSnapshot: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-  with SupportsDeleteV2 {
+  with SupportsDeleteV2
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private val meta = GraftMeta.read(tableDir)
 
@@ -974,8 +985,37 @@ private[catalog] final class GraftTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableDir, info, replaceOnCommit = false)
 
+  /** Row-identity metadata columns for the delta (merge-on-read MERGE) path:
+    * Spark resolves `SupportsDelta.rowId` against the relation's metadata
+    * output, so the columns must exist here. They are SERVED only by the
+    * row-level delta scan (GraftDeltaScanBuilder) — referencing them in an
+    * ordinary SELECT is unsupported (the normal scan builders cannot emit
+    * them), the same hidden-column contract as Iceberg's `_file`/`_pos`. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftDeltaMerge.SfCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "segment-qualified file name (row identity)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = GraftDeltaMerge.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row ordinal within its parquet file (row identity)"
+      })
+
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(this, info)
+    () =>
+      // MERGE on a merge-on-read table takes the DELTA path (positions +
+      // appends, O(rows-touched)); everything else keeps the group-based
+      // copy-on-write rewrite
+      if (GraftDeltaMerge.isDeltaMerge(info, meta.props))
+        new GraftDeltaOperation(this, info)
+      else new GraftRowLevelOperation(this, info)
 
   /** SQL `DELETE FROM` routed through `SupportsDeleteV2`: when every pushed
     * predicate round-trips through the public V2ExpressionSQLBuilder, the
@@ -1529,7 +1569,8 @@ private[catalog] final class GraftWriteBuilder(
         // without stats simply never prune
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
           SparkSession.active, tableDir.resolve(segment).toString,
-          metaAtBuild.schema))).toOption
+          metaAtBuild.schema,
+          SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
         groupRemovals() match {
           case Some(removed) if fromRowLevelOp =>
             // runtime group filtering ran: the replacement rows cover exactly

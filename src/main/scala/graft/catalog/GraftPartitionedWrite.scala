@@ -156,7 +156,8 @@ private[catalog] final class GraftPartitionedWrite(
           fileNames.foreach(f =>
             Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
           val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-            SparkSession.active, segDir.toString, metaAtBuild.schema))).toOption
+            SparkSession.active, segDir.toString, metaAtBuild.schema,
+            SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
           (seg, stats)
         }
         try {

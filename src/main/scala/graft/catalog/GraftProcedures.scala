@@ -129,7 +129,8 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
           meta.props, numPartitions = Some(nOut))
         .write.parquet(dir.resolve(segment).toString)
       val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-        spark, dir.resolve(segment).toString, meta.schema))).toOption
+        spark, dir.resolve(segment).toString, meta.schema,
+        SegmentStats.sumCols(meta.props, meta.schema)))).toOption
       filesAfter += parquetFiles(dir.resolve(segment)).size
       (segment, stats)
     }
@@ -267,7 +268,8 @@ private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
           meta.props)
         .write.parquet(dir.resolve(newSeg).toString)
       val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-        spark, dir.resolve(newSeg).toString, meta.schema))).toOption
+        spark, dir.resolve(newSeg).toString, meta.schema,
+        SegmentStats.sumCols(meta.props, meta.schema)))).toOption
       (newSeg, stats)
     }
     GraftDml.cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
@@ -394,7 +396,8 @@ private[catalog] object GraftDml {
                               df: DataFrame, segment: String): (String, Option[String]) = {
     applyLayout(df, meta.props).write.parquet(dir.resolve(segment).toString)
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-      SparkSession.active, dir.resolve(segment).toString, meta.schema))).toOption
+      SparkSession.active, dir.resolve(segment).toString, meta.schema,
+      SegmentStats.sumCols(meta.props, meta.schema)))).toOption
     (segment, stats)
   }
 
@@ -558,12 +561,11 @@ private[catalog] object GraftDml {
     * (writeSegments splits by value) — the delete+insert the COW guard tells
     * users to do by hand, performed atomically by the engine.
     *
-    * Surface note: the `update_where` procedure and SQL `DELETE FROM` (via
-    * SupportsDeleteV2) honor the mode properties; SQL `UPDATE`/`MERGE`
-    * statements remain the group-based copy-on-write rewrite — Spark's
-    * row-level API expresses merge-on-read as a DELTA write (SupportsDelta,
-    * row-id-tagged rows), which is the documented seam for a future
-    * increment, not silently half-implemented here. */
+    * Surface note: the `update_where` procedure, SQL `DELETE FROM` (via
+    * SupportsDeleteV2) and SQL `MERGE INTO` (via the SupportsDelta path,
+    * GraftDeltaMerge.scala) honor the mode properties; SQL `UPDATE`
+    * statements remain the group-based copy-on-write rewrite (this
+    * procedure IS the merge-on-read update path). */
   private def updateWhereMor(spark: SparkSession, dir: java.nio.file.Path,
                              meta: GraftMeta, segs: Seq[String],
                              matches: Column,

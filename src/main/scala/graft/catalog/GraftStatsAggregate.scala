@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.types._
 
@@ -99,7 +99,28 @@ private[catalog] object GraftStatsAgg {
         val maxes = per.flatMap(_.max).map(_.toLong)
         fields += StructField(s"max(${f.name})", f.dataType, nullable = true)
         values += (if (maxes.isEmpty) null else physical(f.dataType, maxes.max.toString))
-      case _ => return None // SUM/AVG/COUNT DISTINCT/UDAFs need rows
+      case sm: Sum if !sm.isDistinct =>
+        // served only when the table opted into commit-time SUM harvest
+        // (graft.stats.sums) AND every visible segment carries the sum for
+        // this integral column; the partial is LongType (Spark's sum result
+        // for integral inputs), merged with overflow-checked addition — an
+        // overflowing total refuses pushdown rather than wrapping where the
+        // row-reading plan would raise
+        val f = colOf(sm.column()).getOrElse(return None)
+        val integral = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        if (!integral) return None
+        val per = colStats(f.name).getOrElse(return None)
+        if (per.exists(_.sum.isEmpty)) return None
+        val nonNull = stats.zip(per).map { case (s, c) => s.rows - c.nulls }.sum
+        val total =
+          try Some(per.flatMap(_.sum).map(_.toLong).foldLeft(0L)(Math.addExact))
+          catch { case _: ArithmeticException => return None }
+        fields += StructField(s"sum(${f.name})", LongType, nullable = true)
+        values += (if (nonNull == 0) null else total.get)
+      case _ => return None // AVG/COUNT DISTINCT/UDAFs need rows
     }
     Some((StructType(fields.result()), new GenericInternalRow(values.result().toArray)))
   }

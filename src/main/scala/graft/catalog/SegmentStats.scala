@@ -30,10 +30,31 @@ private[catalog] object SegmentStats {
 
   /** One column's zone entry. `min`/`max` are None when every row is null.
     * Domains by kind: 'i' integral → Long, 'd' date → epoch days Long,
-    * 't' timestamp → micros Long, 's' string → String. */
-  final case class Col(kind: Char, min: Option[String], max: Option[String], nulls: Long)
+    * 't' timestamp → micros Long, 's' string → String.
+    *
+    * `sum` is the column's exact per-segment SUM of non-null values ("0" for
+    * an all-null segment — SUM's null-ness is derived from `nulls` == rows at
+    * merge time). Present only for integral columns of tables that OPT IN via
+    * `graft.stats.sums`: parquet footers carry min/max/null-count but no
+    * sums, so harvesting one costs a projected aggregate read of the fresh
+    * segment at commit — a deliberate trade (pay once at write, answer
+    * `SUM(col)` audits with zero IO forever) that must not be imposed on
+    * every table's zero-read commit path. */
+  final case class Col(kind: Char, min: Option[String], max: Option[String],
+                       nulls: Long, sum: Option[String] = None)
 
   final case class Stats(rows: Long, cols: Map[String, Col])
+
+  /** Table property naming the integral columns to harvest commit-time SUMs
+    * for ('*' = every integral column). */
+  val SumsProp = "graft.stats.sums"
+
+  def sumCols(props: Map[String, String], schema: StructType): Seq[String] =
+    props.get(SumsProp).toSeq.flatMap { spec =>
+      val integral = schema.fields.filter(f => kindOf(f.dataType).contains('i')).map(_.name)
+      if (spec.trim == "*") integral.toSeq
+      else spec.split(',').map(_.trim).flatMap(c => integral.find(_.equalsIgnoreCase(c))).toSeq
+    }
 
   private def kindOf(dt: DataType): Option[Char] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some('i')
@@ -51,14 +72,36 @@ private[catalog] object SegmentStats {
     * statistics) fall back to ONE aggregate scan over just those columns —
     * never the whole segment — so a partially-harvestable schema still skips
     * the bulk of the re-read. */
-  def harvest(spark: SparkSession, segmentDir: String, schema: StructType): Stats = {
-    fromFooters(segmentDir, schema) match {
+  def harvest(spark: SparkSession, segmentDir: String, schema: StructType,
+              sums: Seq[String] = Nil): Stats = {
+    val base = fromFooters(segmentDir, schema) match {
       case Some((rows, ok, failed)) if failed.isEmpty => Stats(rows, ok)
       case Some((rows, ok, failed)) =>
         val patched = computeCols(spark, segmentDir, schema, failed)
         Stats(rows, ok ++ patched)
       case None => compute(spark, segmentDir, schema)
     }
+    if (sums.isEmpty) base else withSums(spark, segmentDir, schema, base, sums)
+  }
+
+  /** Opt-in commit-time SUM harvest: one aggregate scan projected to exactly
+    * the named integral columns. Any failure (overflow under ANSI, unreadable
+    * segment) degrades to sum-less stats — min/max/null zone maps are never
+    * lost to a sum problem. */
+  private def withSums(spark: SparkSession, segmentDir: String, schema: StructType,
+                       base: Stats, sums: Seq[String]): Stats = {
+    val targets = sums.filter(c => base.cols.get(c).exists(_.kind == 'i'))
+    if (targets.isEmpty) return base
+    scala.util.Try {
+      val df = spark.read.schema(schema).parquet(segmentDir)
+      val aggs = targets.map(c => sum(col(c).cast(LongType)).as(s"__sum_$c"))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val patched = targets.flatMap { c =>
+        val v = Option(row.getAs[Any](s"__sum_$c")).map(_.toString).getOrElse("0")
+        base.cols.get(c).map(col0 => c -> col0.copy(sum = Some(v)))
+      }
+      base.copy(cols = base.cols ++ patched)
+    }.getOrElse(base)
   }
 
   /** One aggregate pass over the segment — the engine-only fallback when
@@ -231,11 +274,14 @@ private[catalog] object SegmentStats {
   private def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
-  /** `rows;name:kind:minB64:maxB64:nulls,...` — base64 keeps arbitrary string
-    * bounds clear of the line format's delimiters. '-' marks all-null. */
+  /** `rows;name:kind:minB64:maxB64:nulls[:sum],...` — base64 keeps arbitrary
+    * string bounds clear of the line format's delimiters. '-' marks all-null.
+    * The 6th field (per-segment SUM) appears only when harvested, so every
+    * pre-existing 5-field entry still decodes. */
   def encode(s: Stats): String = {
     val cols = s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
-      s"$n:${c.kind}:${c.min.map(b64).getOrElse("-")}:${c.max.map(b64).getOrElse("-")}:${c.nulls}"
+      val base = s"$n:${c.kind}:${c.min.map(b64).getOrElse("-")}:${c.max.map(b64).getOrElse("-")}:${c.nulls}"
+      c.sum.fold(base)(v => s"$base:$v")
     }
     s"${s.rows};${cols.mkString(",")}"
   }
@@ -245,11 +291,15 @@ private[catalog] object SegmentStats {
     val cols =
       if (rest.isEmpty) Map.empty[String, Col]
       else rest.split(',').map { rec =>
-        val Array(n, k, mn, mx, nulls) = rec.split(':')
+        val parts = rec.split(':')
+        require(parts.length == 5 || parts.length == 6,
+          s"graft: malformed zone entry '$rec'")
+        val Array(n, k, mn, mx, nulls) = parts.take(5)
         n -> Col(k.head,
           if (mn == "-") None else Some(unb64(mn)),
           if (mx == "-") None else Some(unb64(mx)),
-          nulls.toLong)
+          nulls.toLong,
+          if (parts.length == 6) Some(parts(5)) else None)
       }.toMap
     Stats(rows.toLong, cols)
   }

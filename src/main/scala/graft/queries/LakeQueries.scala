@@ -810,15 +810,20 @@ object LakeQueries {
   // 100 TB tables ("how many rows landed today?"). The fixture writes THREE
   // segments (one with planted NULLs so COUNT(col) < COUNT(*)), and the
   // audit aggregate answers from 3 zone-map entries — no task reads a row.
-  // PlanSpec pins the physical shape (graft-stats-agg scan, no parquet);
-  // this query pins the VALUES against a full relational replay.
+  // SUM(k) joins the class via the `graft.stats.sums` opt-in: footers carry
+  // no sums, so the table pays one projected aggregate read per commit to
+  // answer SUM audits with zero IO forever (the explicit trade the default
+  // zero-read commit path must not inherit). PlanSpec pins the physical
+  // shape (graft-stats-agg scan, no parquet); this query pins the VALUES
+  // against a full relational replay.
   // --------------------------------------------------------------------------
   private def q221(s: SparkSession, d: String): DataFrame = {
     ensureCatalog(s)
     val src = ordersView(s, d)
     val t = s"m221_${sfTag(d)}"
     s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
-    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, od DATE, st STRING) USING parquet""")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, od DATE, st STRING) USING parquet
+      TBLPROPERTIES ('graft.stats.sums' = 'k')""")
     s.sql(s"""INSERT INTO graft.lake.$t
       SELECT o_orderkey, o_orderdate, o_orderstatus FROM $src WHERE o_orderkey % 3 = 0""")
     s.sql(s"""INSERT INTO graft.lake.$t
@@ -829,6 +834,7 @@ object LakeQueries {
       FROM $src WHERE o_orderkey % 3 = 2""")
     s.sql(s"""SELECT COUNT(*) AS n_rows, COUNT(st) AS n_status,
                      MIN(k) AS min_k, MAX(k) AS max_k,
+                     CAST(SUM(k) AS BIGINT) AS sum_k,
                      CAST(MIN(od) AS STRING) AS min_day,
                      CAST(MAX(od) AS STRING) AS max_day
               FROM graft.lake.$t ORDER BY 1""")
@@ -842,6 +848,7 @@ object LakeQueries {
          FROM orders)
        SELECT COUNT(*) AS n_rows, COUNT(st) AS n_status,
               MIN(k) AS min_k, MAX(k) AS max_k,
+              CAST(SUM(k) AS BIGINT) AS sum_k,
               CAST(MIN(od) AS STRING) AS min_day, CAST(MAX(od) AS STRING) AS max_day
        FROM base ORDER BY 1"""
 
@@ -950,6 +957,61 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM per_v GROUP BY v ORDER BY v"""
 
+  // --------------------------------------------------------------------------
+  // q224: SQL MERGE routed through MERGE-ON-READ (`graft.update-mode` =
+  // 'merge-on-read' + SupportsDelta): the full MERGE clause surface —
+  // conditional WHEN MATCHED DELETE, WHEN MATCHED UPDATE, WHEN NOT MATCHED
+  // INSERT — committed as ONE delete-vector + partition-pure appends, no
+  // touched segment rewritten (q152 is the copy-on-write twin; the
+  // byte-identity / CDC-pair pins live in DeleteVectorSpec). The oracle
+  // replays the MERGE relationally and compares BOTH versions through time
+  // travel, so the hash gates the vectors' exact row content.
+  // --------------------------------------------------------------------------
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m224_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+      USING parquet
+      TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    s.sql(s"""MERGE INTO graft.lake.$t t
+      USING (SELECT o_orderkey AS k, o_orderstatus AS st,
+                    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+             FROM $src WHERE o_orderkey % 3 = 0) s
+      ON t.k = s.k
+      WHEN MATCHED AND s.k % 12 = 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET price_c = s.price_c + 1, st = s.st
+      WHEN NOT MATCHED THEN INSERT (k, st, price_c) VALUES (s.k, s.st, -s.price_c)""")
+    s.sql(s"""
+      WITH per_v AS (
+        SELECT 1 AS v, k, price_c FROM graft.lake.$t VERSION AS OF 1
+        UNION ALL SELECT 2 AS v, k, price_c FROM graft.lake.$t)
+      SELECT v, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM per_v GROUP BY v ORDER BY v""")
+  }
+
+  private val q224Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p
+         FROM orders),
+       v1 AS (SELECT k, p FROM base WHERE k % 2 = 0),
+       v2 AS (SELECT k,
+                     CASE WHEN k % 6 = 0 THEN p + 1 ELSE p END AS p
+              FROM v1 WHERE k % 12 <> 0
+              UNION ALL
+              SELECT k, -p AS p FROM base WHERE k % 3 = 0 AND k % 2 <> 0),
+       per_v AS (
+         SELECT 1 AS v, k, p FROM v1
+         UNION ALL SELECT 2 AS v, k, p FROM v2)
+       SELECT v, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS total_c,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM per_v GROUP BY v ORDER BY v"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -969,5 +1031,6 @@ object LakeQueries {
     QDef("q214_lake_dv_cdc", q214, Some(q214Sql)),
     QDef("q221_lake_stats_aggregate", q221, Some(q221Sql)),
     QDef("q222_lake_mor_update", q222, Some(q222Sql)),
-    QDef("q223_lake_mor_upsert", q223, Some(q223Sql)))
+    QDef("q223_lake_mor_upsert", q223, Some(q223Sql)),
+    QDef("q224_lake_mor_merge", q224, Some(q224Sql)))
 }

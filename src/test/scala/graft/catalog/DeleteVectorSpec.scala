@@ -648,6 +648,130 @@ class DeleteVectorSpec extends SparkSpec {
     assert(rows3.toSeq === (0L until 20L).filterNot(Set(0L, 5L, 15L)))
   }
 
+  test("SQL MERGE on update-mode=merge-on-read: vectors + appends, no segment rewritten") {
+    root
+    sql("DROP TABLE IF EXISTS gdv.ns.dm1")
+    sql("""CREATE TABLE gdv.ns.dm1 (k BIGINT, tag STRING, amt BIGINT) USING parquet
+            TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    fixture.grouped(10).foreach { g =>
+      val vals = g.map { case (k, s, a) => s"($k, '$s', $a)" }.mkString(", ")
+      sql(s"INSERT INTO gdv.ns.dm1 VALUES $vals")
+    }
+    val dir = tableDir("ns.dm1")
+    val before = segState(dir)
+    assert(before.size === 2)
+    val snapBefore = GraftMeta.read(dir).current
+
+    sql("""MERGE INTO gdv.ns.dm1 t
+           USING (SELECT * FROM VALUES
+             (1L, 'up', 111L), (11L, 'up', 211L),
+             (30L, 'new', 300L), (5L, 'kill', 0L) AS s(k, tag, amt)) s
+           ON t.k = s.k
+           WHEN MATCHED AND s.tag = 'kill' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET amt = s.amt, tag = s.tag
+           WHEN NOT MATCHED THEN INSERT (k, tag, amt) VALUES (s.k, s.tag, s.amt)""")
+
+    // MERGE-ON-READ: every pre-existing segment byte-identical, a delete
+    // vector on disk, exactly ONE new commit
+    before.keys.foreach(s => assert(segState(dir)(s) === before(s),
+      s"segment $s must not be rewritten by a merge-on-read MERGE"))
+    assert(dvDirs(dir).nonEmpty)
+    val metaAfter = GraftMeta.read(dir)
+    assert(metaAfter.current === snapBefore + 1, "the MERGE is ONE commit")
+    assert(metaAfter.dvs.getOrElse(metaAfter.current, Map.empty).nonEmpty)
+
+    // content: k=1,11 updated; k=5 deleted; k=30 inserted; rest untouched
+    val rows = sql("SELECT k, amt FROM gdv.ns.dm1 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (1L to 20L).filterNot(_ == 5L).map {
+      case 1L  => (1L, 111L)
+      case 11L => (11L, 211L)
+      case k   => (k, k * 10)
+    } :+ ((30L, 300L))
+    assert(rows.toSeq === expected)
+
+    // time travel sees the pre-MERGE state; CDC nets exact delete/insert pairs
+    assert(sql(s"SELECT count(*) AS c FROM gdv.ns.dm1 VERSION AS OF $snapBefore")
+      .collect().head.getLong(0) === 20L)
+    val deltas = GraftCdc.rowDeltas(spark, "gdv", "ns.dm1", snapBefore, Some(metaAfter.current))
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted
+    assert(deltas.toSeq === Seq((1L, "delete"), (1L, "insert"), (5L, "delete"),
+      (11L, "delete"), (11L, "insert"), (30L, "insert")))
+
+    // a second MERGE composes on top of the vectors (hits a vectored segment
+    // AND an appended segment); rewrite_deletes then materializes cleanly
+    sql("""MERGE INTO gdv.ns.dm1 t
+           USING (SELECT * FROM VALUES (1L, 'up2', 112L), (30L, 'up2', 302L)
+             AS s(k, tag, amt)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET amt = s.amt, tag = s.tag""")
+    val rows2 = sql("SELECT k, amt FROM gdv.ns.dm1 WHERE k IN (1, 30) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows2.toSeq === Seq((1L, 112L), (30L, 302L)))
+    sql("CALL gdv.system.rewrite_deletes('ns.dm1')")
+    val rows3 = sql("SELECT k, amt FROM gdv.ns.dm1 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows3.toSeq === (expected.map {
+      case (1L, _)  => (1L, 112L)
+      case (30L, _) => (30L, 302L)
+      case other    => other
+    }))
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.dm1").collect().head.getLong(0) === 20L)
+  }
+
+  test("delta MERGE on a PARTITIONED MOR table: partition-pure appends, cross-partition update") {
+    root
+    sql("DROP TABLE IF EXISTS gdv.ns.dm2")
+    sql("""CREATE TABLE gdv.ns.dm2 (k BIGINT, p STRING) USING parquet
+            PARTITIONED BY (p)
+            TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    import spark.implicits._
+    (0L until 10L).map(k => (k, if (k < 5) "a" else "b")).toDF("k", "p")
+      .coalesce(1).writeTo("gdv.ns.dm2").append()
+    val dir = tableDir("ns.dm2")
+    val before = segState(dir)
+
+    // k=2 MOVES from partition a to b — the COW path refuses partition
+    // reassignment; merge-on-read expresses it as vector + partition-pure
+    // append, atomically
+    sql("""MERGE INTO gdv.ns.dm2 t
+           USING (SELECT * FROM VALUES (2L, 'b'), (77L, 'a') AS s(k, p)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET p = s.p
+           WHEN NOT MATCHED THEN INSERT (k, p) VALUES (s.k, s.p)""")
+    before.keys.foreach(s => assert(segState(dir)(s) === before(s)))
+    val rows = sql("SELECT k, p FROM gdv.ns.dm2 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === (0L until 10L).map(k =>
+      (k, if (k == 2L) "b" else if (k < 5) "a" else "b")) :+ ((77L, "a")))
+    // every appended segment is partition-pure (suffix present), and
+    // partition pruning still serves exact results through the vectors
+    val metaAfter = GraftMeta.read(dir)
+    metaAfter.snapshots(metaAfter.current).foreach(s =>
+      assert(GraftPartitions.suffixOf(s).isDefined, s"segment $s must be partition-pure"))
+    val aOnly = sql("SELECT k FROM gdv.ns.dm2 WHERE p = 'a' ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(aOnly.toSeq === Seq(0L, 1L, 3L, 4L, 77L))
+  }
+
+  test("delta MERGE is serializable: concurrent append between scan and commit fails it") {
+    root
+    sql("DROP TABLE IF EXISTS gdv.ns.dm3")
+    sql("""CREATE TABLE gdv.ns.dm3 (k BIGINT, tag STRING, amt BIGINT) USING parquet
+            TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gdv.ns.dm3 VALUES (1, 'a', 10), (2, 'b', 20)")
+    // insert-only merge still commits through the serializable path and
+    // appends without a vector
+    sql("""MERGE INTO gdv.ns.dm3 t
+           USING (SELECT * FROM VALUES (9L, 'i', 90L) AS s(k, tag, amt)) s
+           ON t.k = s.k
+           WHEN NOT MATCHED THEN INSERT (k, tag, amt) VALUES (s.k, s.tag, s.amt)""")
+    val meta = GraftMeta.read(tableDir("ns.dm3"))
+    assert(meta.dvs.getOrElse(meta.current, Map.empty).isEmpty,
+      "insert-only merge must not publish a vector")
+    assert(sql("SELECT count(*) AS c FROM gdv.ns.dm3").collect().head.getLong(0) === 3L)
+  }
+
   test("meta round-trips the dv map through parse/render") {
     root
     mkMor("t12", fixture)

@@ -48,6 +48,7 @@ class StatsAggSpec extends SparkSpec {
 
   test("string MIN/MAX, SUM and COUNT DISTINCT refuse the shortcut") {
     root
+    // a1 never opted into graft.stats.sums, so SUM has no harvested partials
     for (q <- Seq(
         "SELECT MIN(s) AS m FROM gsa.ns.a1",
         "SELECT SUM(k) AS m FROM gsa.ns.a1",
@@ -56,6 +57,47 @@ class StatsAggSpec extends SparkSpec {
     }
     assert(sql("SELECT SUM(k) FROM gsa.ns.a1").collect().head.getLong(0) ===
       (0L until 250L).sum)
+  }
+
+  test("SUM serves from zone maps when the table opts into commit-time sum harvest") {
+    root
+    sql("DROP TABLE IF EXISTS gsa.ns.a2")
+    sql("""CREATE TABLE gsa.ns.a2 (k BIGINT, v BIGINT, s STRING) USING parquet
+            TBLPROPERTIES ('graft.stats.sums' = 'k,v')""")
+    sql("INSERT INTO gsa.ns.a2 SELECT id, id * 3, 'x' || id FROM range(0, 100)")
+    sql("INSERT INTO gsa.ns.a2 SELECT id, CASE WHEN id % 2 = 0 THEN NULL ELSE id * 3 END, NULL FROM range(100, 200)")
+    val q = "SELECT SUM(k) AS sk, SUM(v) AS sv, COUNT(*) AS n FROM gsa.ns.a2"
+    val plan = planOf(q)
+    assert(plan.contains(Marker), s"opted-in SUM must serve from stats:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"), s"no file scan expected:\n$plan")
+    val r = sql(q).collect().head
+    val expectedV = (0L until 100L).map(_ * 3).sum +
+      (100L until 200L).filter(_ % 2 == 1).map(_ * 3).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      (((0L until 200L).sum, expectedV, 200L)))
+
+    // a column OUTSIDE the opt-in list refuses (string col has no sum at all)
+    assert(!planOf("SELECT SUM(LENGTH(s)) AS m FROM gsa.ns.a2").contains(Marker))
+
+    // all-null opted-in column over a fresh table: SUM must be NULL, not 0
+    sql("DROP TABLE IF EXISTS gsa.ns.a3")
+    sql("""CREATE TABLE gsa.ns.a3 (k BIGINT, v BIGINT) USING parquet
+            TBLPROPERTIES ('graft.stats.sums' = '*')""")
+    sql("INSERT INTO gsa.ns.a3 SELECT id, CAST(NULL AS BIGINT) FROM range(0, 10)")
+    val q3 = "SELECT SUM(v) AS sv FROM gsa.ns.a3"
+    assert(planOf(q3).contains(Marker))
+    assert(sql(q3).collect().head.isNullAt(0), "SUM over all-null must be NULL")
+
+    // segments written BEFORE the opt-in lack sums -> the whole table refuses
+    sql("DROP TABLE IF EXISTS gsa.ns.a4")
+    sql("CREATE TABLE gsa.ns.a4 (k BIGINT) USING parquet")
+    sql("INSERT INTO gsa.ns.a4 SELECT id FROM range(0, 10)")
+    sql("ALTER TABLE gsa.ns.a4 SET TBLPROPERTIES ('graft.stats.sums' = '*')")
+    sql("INSERT INTO gsa.ns.a4 SELECT id FROM range(10, 20)")
+    assert(!planOf("SELECT SUM(k) AS m FROM gsa.ns.a4").contains(Marker),
+      "a sum-less segment must refuse the shortcut")
+    assert(sql("SELECT SUM(k) FROM gsa.ns.a4").collect().head.getLong(0) ===
+      (0L until 20L).sum)
   }
 
   test("GROUP BY refuses; read-option disables; time travel serves its snapshot") {

@@ -48,6 +48,29 @@ if not m:
 elif nums and int(m.group(1)) != nums[-1]:
     problems.append(f"README package table says q01-q{m.group(1)}, source tops out at q{nums[-1]}")
 
+# Any README claim about a driver correctness artifact must match the artifact
+# itself ("CORRECTNESS_rNN.json) scored X/Y oracle-gated green"): the round-10
+# extension of the stale-counts guard — hand-edited driver numbers drift just
+# like hand-edited totals did.
+import json
+for m in re.finditer(r"CORRECTNESS_r(\d+)\.json\) scored (\d+)/(\d+) oracle-gated", readme):
+    rnd, claimed_pass, claimed_total = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    path = os.path.join(HERE, f"CORRECTNESS_r{rnd:02d}.json")
+    if not os.path.exists(path):
+        problems.append(f"README cites CORRECTNESS_r{rnd:02d}.json but it does not exist")
+        continue
+    art = json.load(open(path))
+    # artifact schema: {qname: {rows_match, schema_match, hash_match, err}};
+    # err == "no_oracle" marks a declared rows-only exemption (not gated)
+    gated_rows = [v for v in art.values()
+                  if isinstance(v, dict) and v.get("err") != "no_oracle"]
+    passed = sum(1 for v in gated_rows
+                 if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
+    if (passed, len(gated_rows)) != (claimed_pass, claimed_total):
+        problems.append(
+            f"README claims CORRECTNESS_r{rnd:02d} scored {claimed_pass}/{claimed_total}, "
+            f"artifact says {passed}/{len(gated_rows)}")
+
 if problems:
     print("DOC CHECK FAIL:")
     for p in problems:
