@@ -299,10 +299,12 @@ object Round5Queries {
     * links/deg frames hide their subtrees behind InMemoryRelation, so a persist
     * regression would multiply the visible join count). Callers must
     * materialize the result and then unpersist the returned caches. */
-  private[graft] def pagerankRanks(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+  /** Symmetrized distinct co-purchase edge list (src, dst) — pair-gen is one
+    * shuffle + in-basket expansion (q132's shape; the keyed self-join would
+    * shuffle lineitem twice for the same distinct pairs). Shared by q125's
+    * PageRank and q229's BFS so both graph operators walk the same graph. */
+  private[queries] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    // pair-gen: one shuffle + in-basket expansion (q132's shape) — the keyed
-    // self-join shuffles lineitem twice for the same distinct pairs
     val pairs = li.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(expr(
@@ -310,8 +312,12 @@ object Round5Queries {
           "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
         .as("e"))
       .select(col("e.p1"), col("e.p2")).distinct()
-    val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+    pairs.select(col("p1").as("src"), col("p2").as("dst"))
       .union(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+  }
+
+  private[graft] def pagerankRanks(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val edges = copurchaseEdges(s, d)
     // adjacency-list graph: NODE-count-sized rows (degree folded in), cached
     // once — so the per-iteration join is node⋈node (AQE broadcasts the rank
     // side) and the edge-count-sized contribution stream exists only between

@@ -382,8 +382,11 @@ class PlanSpec extends SparkSpec {
     //      q146 — final dominance window over the per-partition-pruned skyline
     //             CANDIDATES (frontier-sized — the pruning before it is the
     //             operator's whole point)
+    //      q233 — largest-remainder ranking over the per-NATION aggregate
+    //             (≤25 rows — dimension-bounded by construction)
     //    collectWithSubqueries so a window nested in a subquery can't hide.
-    val allowedGlobalWindow = Set("q98_vocab_coverage", "q146_skyline")
+    val allowedGlobalWindow =
+      Set("q98_vocab_coverage", "q146_skyline", "q233_largest_remainder_proration")
     Registry.all.foreach { q =>
       val df = q.fn(spark, sf)
       if (q.name != "q08_cross_join") {
