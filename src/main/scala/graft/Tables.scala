@@ -76,7 +76,8 @@ object Registry {
       queries.Round12Queries.defs ++
       queries.Round10Queries.defs ++
       queries.Round11Queries.defs ++
-      queries.Round13Queries.defs
+      queries.Round13Queries.defs ++
+      queries.Round14Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

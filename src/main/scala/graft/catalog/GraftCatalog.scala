@@ -111,11 +111,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
   }
 
-  /** `VERSION AS OF <n>` time travel — a metadata lookup, not a restore. */
+  /** `VERSION AS OF <n>` time travel — a metadata lookup, not a restore.
+    * A non-numeric version is a BRANCH name (`VERSION AS OF 'audit'` — the
+    * Iceberg ref-read convention): the table pins the ref's staged state. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
-    new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(version.toLong))
+    if (version.nonEmpty && version.forall(_.isDigit))
+      new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(version.toLong))
+    else
+      new GraftTable(catalogName, ident, dir, pinnedSnapshot = None,
+        pinnedRef = Some(version))
   }
 
   /** `TIMESTAMP AS OF <ts>` time travel: Spark hands the requested instant in
@@ -184,7 +190,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // column list; non-integral/unknown names are simply never harvested)
     val sumsProp = Option(properties.get(SegmentStats.SumsProp))
       .map(v => SegmentStats.SumsProp -> v).toMap
-    val props = kept ++ dmlModes ++ sumsProp ++
+    // CHECK constraints: validated NOW (parse + analyze against the schema)
+    // so a broken check can never become a property the writers then fail on
+    val checkProps = properties.asScala.filter(_._1.startsWith(GraftChecks.Prefix)).toMap
+    checkProps.foreach { case (k, sql) =>
+      GraftChecks.resolve(schema, k.stripPrefix(GraftChecks.Prefix), sql)
+    }
+    val props = kept ++ dmlModes ++ sumsProp ++ checkProps ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty)
     GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
@@ -292,6 +304,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "rewrite_deletes"      => new RewriteDeletesProcedure(this)
       case "upsert"               => new UpsertProcedure(this)
       case "rollback_to_snapshot" => new RollbackProcedure(this)
+      case "create_branch"        => new CreateBranchProcedure(this)
+      case "drop_branch"          => new DropBranchProcedure(this)
+      case "fast_forward"         => new FastForwardProcedure(this)
+      case "create_mv"            => new CreateMvProcedure(this)
+      case "refresh_mv"           => new RefreshMvProcedure(this)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
     }
@@ -676,7 +693,8 @@ private[catalog] object GraftMeta {
                                 baseDvs: Map[String, Seq[String]],
                                 newSegments: Seq[(String, Option[String])],
                                 namedKey: Option[String] = None,
-                                expectedCurrent: Option[Long] = None): Boolean = {
+                                expectedCurrent: Option[Long] = None,
+                                propsUpdate: Map[String, String] = Map.empty): Boolean = {
     touchSegment(tableDir, dvName) // mtime = commit time, for the orphan sweep
     newSegments.foreach { case (s, _) => touchSegment(tableDir, s) }
     var applied = true
@@ -708,7 +726,10 @@ private[catalog] object GraftMeta {
           snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
           committedNamed = namedKey.fold(meta.committedNamed)(k =>
             meta.committedNamed + (k -> next)),
-          dvs = meta.dvs + (next -> nextDvs))
+          dvs = meta.dvs + (next -> nextDvs),
+          // rides the same CAS: a caller whose bookkeeping must advance
+          // WITH its data (the MV refresh watermark) stays atomic
+          props = meta.props ++ propsUpdate)
       }
     }
     applied
@@ -731,7 +752,8 @@ private[catalog] object GraftMeta {
     * written segment dirs. */
   def commitMany(tableDir: Path, segments: Seq[(String, Option[String])],
                  replaceAll: Boolean, removeSuffixes: Set[String],
-                 expectedCurrent: Option[Long], namedKey: Option[String]): Boolean = {
+                 expectedCurrent: Option[Long], namedKey: Option[String],
+                 propsUpdate: Map[String, String] = Map.empty): Boolean = {
     segments.foreach { case (s, _) => touchSegment(tableDir, s) }
     var applied = true
     mutate(tableDir) { meta =>
@@ -756,7 +778,8 @@ private[catalog] object GraftMeta {
           committedNamed = namedKey.fold(meta.committedNamed)(k =>
             meta.committedNamed + (k -> next)),
           snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
-          dvs = meta.dvs + (next -> meta.dvsAfter(dirs)))
+          dvs = meta.dvs + (next -> meta.dvsAfter(dirs)),
+          props = meta.props ++ propsUpdate)
       }
     }
     applied
@@ -868,7 +891,8 @@ private[catalog] object GraftTable {
 }
 
 private[catalog] final class GraftTable(
-    catalog: String, ident: Identifier, tableDir: Path, pinnedSnapshot: Option[Long])
+    catalog: String, ident: Identifier, tableDir: Path, pinnedSnapshot: Option[Long],
+    pinnedRef: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
   with SupportsDeleteV2
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -924,6 +948,14 @@ private[catalog] final class GraftTable(
       val dvMap = GraftDv.decode(options.get(GraftDv.DvsOption))
         .filter { case (s, _) => names.contains(s) }
       return (names, dvMap)
+    }
+    // branch read (VERSION AS OF '<name>' or .option("graft.branch", name)):
+    // the ref's staged segment list, with the BASE snapshot's delete vectors
+    // applied — the audit query sees exactly what fast_forward would publish
+    Option(options.get("graft.branch")).orElse(pinnedRef).foreach { b =>
+      val ref = GraftRefs.get(meta, b).getOrElse(throw new IllegalArgumentException(
+        s"${name()}: no branch '$b' (and not a snapshot id)"))
+      return (ref.dirs, GraftDv.forSegments(meta, ref.base, ref.dirs))
     }
     val changesFrom = Option(options.get("graft.changes.from")).map(_.toLong)
     changesFrom match {
@@ -1496,6 +1528,18 @@ private[catalog] final class GraftWriteBuilder(
 
   private def buildUnpartitioned(): Write = new Write with RequiresDistributionAndOrdering {
     if (dynamicPartitionOverwrite) replace = true // unpartitioned: = truncate
+    // WAP: `.option("graft.branch", b)` stages this append onto branch `b`
+    // instead of committing a main snapshot. Appends only — WAP stages
+    // additions for audit; it is not a parallel DML surface.
+    private val branch = Option(info.options.get("graft.branch"))
+    branch.foreach { b =>
+      require(!replace && !dynamicPartitionOverwrite && !fromRowLevelOp,
+        "graft: branch writes are plain appends (no overwrite/DML on a branch)")
+      // fail before the job runs, not at commit (commitToBranch re-checks
+      // under the lock — a concurrent drop_branch still fails the commit)
+      require(GraftRefs.get(GraftMeta.read(tableDir), b).isDefined,
+        s"graft: no branch '$b' — CALL create_branch first")
+    }
     // table-owned write layout: the TABLE declares its clustering/sort once and
     // every writer — INSERT, streaming foreachBatch, MERGE replacement — gets
     // the same physical layout; Spark's DistributionAndOrderingUtils plans the
@@ -1553,7 +1597,11 @@ private[catalog] final class GraftWriteBuilder(
       if (alreadyCommitted) new NoopBatchWrite(segment) else new BatchWrite {
       private val delegate = inner.toBatch
       override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
-        val f = delegate.createBatchWriterFactory(pInfo)
+        // CHECK constraints gate every row entering the segment; wrapped
+        // INSIDE the op-stripping layer so checks always see plain data rows
+        // (bound against the WRITE schema — the authoritative row layout)
+        val f = GraftChecks.wrap(delegate.createBatchWriterFactory(pInfo),
+          info.schema(), props, segment)
         // Group-based replace-data rows arrive as [__row_operation, data...]:
         // with no metadata attrs declared, ReplaceDataExec runs the plain
         // writing task, which does NOT apply the row projection (Spark's own
@@ -1571,8 +1619,11 @@ private[catalog] final class GraftWriteBuilder(
           SparkSession.active, tableDir.resolve(segment).toString,
           metaAtBuild.schema,
           SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
-        groupRemovals() match {
-          case Some(removed) if fromRowLevelOp =>
+        (branch, groupRemovals()) match {
+          case (Some(b), _) =>
+            // WAP: extend the ref's staged list; main's current never moves
+            GraftRefs.commitToBranch(tableDir, b, Seq(segment -> stats))
+          case (None, Some(removed)) if fromRowLevelOp =>
             // runtime group filtering ran: the replacement rows cover exactly
             // the scanned segments — swap those, carry the rest by reference
             GraftMeta.commitReplaceSegments(tableDir, Seq(segment -> stats),

@@ -1,0 +1,250 @@
+package graft.catalog
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.functions.{broadcast, col, count, element_at, lit, split, sum, when}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Incrementally maintained MATERIALIZED VIEWS over graft tables — the
+  * aggregate-serving layer a 100 TB store needs: the expensive GROUP BY runs
+  * once at creation, and every refresh afterwards costs O(rows CHANGED since
+  * the last refresh), not O(table).
+  *
+  * An MV is itself an ordinary graft table (snapshot-versioned, time-travels,
+  * compacts) holding `keys..., n_rows, sum_<col>...` plus bookkeeping props:
+  * `graft.mv.source` / `graft.mv.keys` / `graft.mv.sums` and the REFRESH
+  * WATERMARK `graft.mv.version` (the source snapshot the contents equal).
+  *
+  * `refresh_mv` is pure delta arithmetic over the CDC feed:
+  * `GraftCdc.rowDeltas(watermark → current)` nets the source's changes
+  * (append, MOR/COW DELETE/UPDATE, MERGE, upsert — compaction nets to zero);
+  * each delta row contributes ±1 to its group's count and ±value to its sums,
+  * touched groups' new values land via the merge-on-read upsert shape (vector
+  * old group rows, append new versions, groups reaching n_rows=0 die), and
+  * ONE serializable commit publishes data + watermark together — a crash can
+  * never leave the watermark claiming changes that didn't land (or vice
+  * versa: double-application on replay is impossible because the commit is
+  * also registered under `mvr-<to-version>` in the exactly-once registry).
+  *
+  * Only COUNT/SUM (and therefore AVG downstream) are maintained: they are the
+  * delta-commutative aggregates. MIN/MAX under deletes require a full regroup
+  * of affected groups and are refused at creation, loudly.
+  *
+  * Shape derived from the published literature on incremental view
+  * maintenance (counting algorithm / DBToaster-style delta processing) —
+  * contract only, no code. */
+private[catalog] object GraftMv {
+  val SourceProp = "graft.mv.source"
+  val KeysProp = "graft.mv.keys"
+  val SumsProp = "graft.mv.sums"
+  val VersionProp = "graft.mv.version"
+
+  def keyCols(meta: GraftMeta): Seq[String] =
+    meta.props(KeysProp).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+  def sumCols(meta: GraftMeta): Seq[String] =
+    meta.props.get(SumsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** The MV aggregate of `rows`: one row per key tuple, counting all rows and
+    * summing each sum column — column names are the MV schema's. */
+  def aggregate(rows: DataFrame, keys: Seq[String], sums: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      sums.map(c => sum(col(c)).as(s"sum_$c"))
+    rows.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "create_mv"
+  override def description(): String =
+    "materialize a COUNT/SUM group-by over a graft table, incrementally refreshable"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("mv_table", StringType).build(),
+    ProcedureParameter.in("source_table", StringType).build(),
+    ProcedureParameter.in("keys", StringType).build(),
+    ProcedureParameter.in("sums", StringType).defaultValue("''").build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("mv", StringType, nullable = false),
+    StructField("source_version", LongType, nullable = false),
+    StructField("n_groups", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val mvArg = input.getUTF8String(0).toString
+    val srcArg = input.getUTF8String(1).toString
+    val keys = input.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val sums = input.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "graft create_mv: keys must name at least one column")
+    sums.foreach(c => require(!c.contains(":"),
+      s"graft create_mv: '$c' — only plain SUM columns are supported " +
+        "(COUNT is implicit as n_rows; MIN/MAX are not delta-maintainable under deletes)"))
+    val srcDir = resolveTableDir(srcArg)
+    val srcMeta = GraftMeta.read(srcDir)
+    (keys ++ sums).foreach(c => require(srcMeta.schema.fieldNames.contains(c),
+      s"graft create_mv: source '$srcArg' has no column '$c'"))
+    sums.foreach { c =>
+      val t = srcMeta.schema(c).dataType
+      require(t.isInstanceOf[NumericType], s"graft create_mv: SUM column '$c' is $t, not numeric")
+    }
+    val v = srcMeta.current
+    // aggregate the source PINNED at v — commits racing this build land
+    // after the watermark and surface at the first refresh
+    val src = spark.read.option("snapshot", v.toString)
+      .table(s"${catalog.name()}.$srcArg")
+    val df = GraftMv.aggregate(src, keys, sums)
+
+    val parts = mvArg.split('.')
+    catalog.createTable(Identifier.of(parts.init, parts.last), df.schema,
+      Array.empty, new java.util.HashMap[String, String]())
+    val mvDir = resolveTableDir(mvArg)
+    val mvMeta = GraftMeta.read(mvDir)
+    val segments = GraftDml.writeSegments(mvDir, mvMeta, df)
+    GraftMeta.commitMany(mvDir, segments, replaceAll = false,
+      removeSuffixes = Set.empty, expectedCurrent = Some(mvMeta.current),
+      namedKey = None,
+      propsUpdate = Map(GraftMv.SourceProp -> srcArg,
+        GraftMv.KeysProp -> keys.mkString(","),
+        GraftMv.SumsProp -> sums.mkString(","),
+        GraftMv.VersionProp -> v.toString))
+    val nGroups = segments.flatMap(_._2)
+      .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption) match {
+      case rs if rs.size == segments.size => rs.sum
+      case _ => spark.read.parquet(segments.map(s => mvDir.resolve(s._1).toString): _*).count()
+    }
+    result(UTF8String.fromString(mvArg), v, nGroups)
+  }
+}
+
+private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "refresh_mv"
+  override def description(): String =
+    "apply the source's CDC deltas since the last refresh — O(rows changed), not O(table)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("mv_table", StringType).build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("from_version", LongType, nullable = false),
+    StructField("to_version", LongType, nullable = false),
+    StructField("groups_changed", LongType, nullable = false),
+    StructField("groups_deleted", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val mvArg = input.getUTF8String(0).toString
+    val mvDir = resolveTableDir(mvArg)
+    val maxAttempts = 5
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return attemptRefresh(mvArg, mvDir)
+      catch { case _: GraftConcurrentCommitException => attempt += 1 }
+    }
+    attemptRefresh(mvArg, mvDir) // final attempt propagates
+  }
+
+  private def attemptRefresh(mvArg: String,
+                             mvDir: java.nio.file.Path): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val meta = GraftMeta.read(mvDir)
+    val srcArg = meta.props.getOrElse(GraftMv.SourceProp,
+      throw new IllegalArgumentException(s"graft refresh_mv: '$mvArg' is not a materialized view"))
+    val keys = GraftMv.keyCols(meta)
+    val sums = GraftMv.sumCols(meta)
+    val lastV = meta.props(GraftMv.VersionProp).toLong
+    val srcDir = resolveTableDir(srcArg)
+    val cur = GraftMeta.read(srcDir).current
+    if (cur == lastV) return result(lastV, cur, 0L, 0L)
+
+    val deltas = GraftCdc.rowDeltas(spark, catalog.name(), srcArg, lastV, Some(cur))
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val aggs = sum(sign).as("__dn") +:
+      sums.map(c => sum(sign * col(c)).as(s"__d_$c"))
+    val grouped = deltas.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+    if (grouped.isEmpty) {
+      // net-zero range (pure compaction/maintenance): advance the watermark
+      GraftMeta.mutate(mvDir)(m => m.copy(props = m.props + (GraftMv.VersionProp -> cur.toString)))
+      return result(lastV, cur, 0L, 0L)
+    }
+
+    // merge-on-read apply, the upsert shape generalized with group deletion:
+    // probe the live MV for every touched group's positions (broadcast
+    // group-delta join — the MV is never shuffled), vector them, append the
+    // surviving groups' new versions, and let n_rows=0 groups die with their
+    // vectored positions
+    val segs = meta.snapshots(meta.current)
+    val live = GraftDv.readLive(spark, mvDir, meta.schema, segs,
+      GraftDv.forSegments(meta, meta.current, segs), keepMeta = true)
+    val g = broadcast(grouped)
+    val joinCond = keys.map(k => live(k) <=> g(k)).reduce(_ && _)
+
+    val dvName = s"${GraftDv.Prefix}${UUID.randomUUID().toString.take(12)}"
+    live.join(g, joinCond, "left_semi")
+      .select(
+        element_at(split(col("__g_fp"), "/"), -2).as("seg"),
+        element_at(split(col("__g_fp"), "/"), -1).as("file"),
+        col("__g_pos").as("pos"))
+      .write.parquet(mvDir.resolve(dvName).toString)
+    val perSeg = spark.read.parquet(mvDir.resolve(dvName).toString)
+      .groupBy("seg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // new group states: old (or zero for brand-new groups) + delta
+    val liveSel = live.select(
+      (keys.map(live(_)) ++ (col("n_rows") +: sums.map(c => col(s"sum_$c")))): _*)
+    val joined = g.join(liveSel, keys.map(k => liveSel(k) <=> g(k)).reduce(_ && _), "left")
+    val coalesceF = org.apache.spark.sql.functions.coalesce _
+    val newState = joined.select(
+      keys.map(g(_)) ++
+        Seq((coalesceF(Seq(col("n_rows"), lit(0L))) + col("__dn")).as("n_rows"),
+          col("n_rows").isNotNull.as("__existed")) ++
+        sums.map { c =>
+          val t = meta.schema(s"sum_$c").dataType
+          val zero = lit(0).cast(t)
+          coalesceF(Seq(
+            (coalesceF(Seq(col(s"sum_$c"), zero)) + col(s"__d_$c")).cast(t), zero))
+            .as(s"sum_$c")
+        }: _*).cache()
+    val alive = newState.where(col("n_rows") > 0)
+      .select(meta.schema.fieldNames.map(col).toSeq: _*)
+    val deleted = newState.where(col("__existed") && col("n_rows") <= 0).count()
+
+    val newSegments = GraftDml.writeSegments(mvDir, meta, alive)
+    val changed = newSegments.flatMap(_._2)
+      .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption) match {
+      case rs if rs.size == newSegments.size => rs.sum
+      case _ => alive.count()
+    }
+
+    val propsUpdate = Map(GraftMv.VersionProp -> cur.toString)
+    val namedKey = Some(s"mvr-$cur") // replayed refresh to the same version: no-op
+    val applied = GraftDml.cleanupOnFailedCommit(mvDir, dvName +: newSegments.map(_._1)) {
+      if (perSeg.isEmpty)
+        GraftMeta.commitMany(mvDir, newSegments, replaceAll = false,
+          removeSuffixes = Set.empty, expectedCurrent = Some(meta.current),
+          namedKey = namedKey, propsUpdate = propsUpdate)
+      else
+        GraftMeta.commitAddDeletesAndAppend(mvDir, dvName, perSeg.keySet,
+          baseDvs = GraftDv.forSegments(meta, meta.current, segs),
+          newSegments = newSegments, namedKey = namedKey,
+          expectedCurrent = Some(meta.current), propsUpdate = propsUpdate)
+    }
+    if (perSeg.isEmpty) GraftMeta.deleteRecursively(mvDir.resolve(dvName))
+    if (!applied) {
+      GraftMeta.deleteRecursively(mvDir.resolve(dvName))
+      newSegments.foreach { case (s, _) => GraftMeta.deleteRecursively(mvDir.resolve(s)) }
+      return result(lastV, cur, 0L, 0L)
+    }
+    result(lastV, cur, changed, deleted)
+  }
+}

@@ -20,7 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * when every segment in scope has them, else null — introspection never
   * triggers a data scan. */
 private[catalog] object GraftMetadataTable {
-  val Kinds: Set[String] = Set("snapshots", "segments")
+  val Kinds: Set[String] = Set("snapshots", "segments", "refs")
+
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("base_snapshot", LongType, nullable = false),
+    StructField("n_segments", IntegerType, nullable = false),
+    // segments staged on the branch beyond its base snapshot (what
+    // fast_forward would publish / drop_branch would delete)
+    StructField("n_staged_segments", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = true)))
 
   val SnapshotsSchema: StructType = StructType(Seq(
     StructField("snapshot_id", LongType, nullable = false),
@@ -52,8 +61,11 @@ private[catalog] final class GraftMetadataTable(
   import GraftMetadataTable._
 
   override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
-  override def schema(): StructType =
-    if (kind == "snapshots") SnapshotsSchema else SegmentsSchema
+  override def schema(): StructType = kind match {
+    case "snapshots" => SnapshotsSchema
+    case "refs"      => RefsSchema
+    case _           => SegmentsSchema
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -62,7 +74,16 @@ private[catalog] final class GraftMetadataTable(
 
   private def rows(): Array[InternalRow] = {
     val meta = GraftMeta.read(tableDir)
-    if (kind == "snapshots") {
+    if (kind == "refs") {
+      GraftRefs.all(meta).toSeq.sortBy(_._1).map { case (name, ref) =>
+        val baseSegs = meta.snapshots.getOrElse(ref.base, Nil).toSet
+        val n = ref.dirs.map(segRows(meta, _))
+          .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name), ref.base, ref.dirs.size,
+          ref.dirs.count(!baseSegs(_)), n.orNull)): InternalRow
+      }.toArray
+    } else if (kind == "snapshots") {
       meta.snapshots.toSeq.sortBy(_._1).map { case (id, segs) =>
         val n = segs.map(segRows(meta, _))
           .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }

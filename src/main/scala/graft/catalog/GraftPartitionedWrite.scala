@@ -62,6 +62,17 @@ private[catalog] final class GraftPartitionedWrite(
   named.foreach(n => require(n.matches("[A-Za-z0-9_.\\-]+"),
     s"graft.segment must be [A-Za-z0-9_.-]+, got '$n'"))
   private val namedKey = named.map("seg-" + _)
+
+  // WAP: stage this append's partition-pure segments onto a branch — same
+  // contract as the unpartitioned path (plain appends only; existence checked
+  // here to fail before the job runs, re-checked under the commit lock)
+  private val branch = Option(info.options.get("graft.branch"))
+  branch.foreach { b =>
+    require(!replaceAll && !dynamicOverwrite && !fromRowLevelOp && named.isEmpty,
+      "graft: branch writes are plain unnamed appends (no overwrite/DML on a branch)")
+    require(GraftRefs.get(metaAtBuild, b).isDefined,
+      s"graft: no branch '$b' — CALL create_branch first")
+  }
   // a crashed earlier attempt of a NAMED job can leave final segment dirs
   // (moved before the meta CAS ran); a retry must not merge new files into
   // them — doubled rows — so they are swept here, before any new IO. The
@@ -127,9 +138,15 @@ private[catalog] final class GraftPartitionedWrite(
         val job = Job.getInstance(spark.sessionState.newHadoopConf())
         val owf = new ParquetFileFormat()
           .prepareWrite(spark, job, Map.empty[String, String], dataSchema)
-        new GraftPartitionedWriterFactory(owf,
-          new SerializableHadoopConf(job.getConfiguration),
-          staging.toString, dataSchema, partFields, fromRowLevelOp)
+        // CHECK constraints wrap OUTSIDE the partition router (it strips the
+        // row-level op column internally), so bound ordinals shift by the op
+        // prefix when present
+        GraftChecks.wrap(
+          new GraftPartitionedWriterFactory(owf,
+            new SerializableHadoopConf(job.getConfiguration),
+            staging.toString, dataSchema, partFields, fromRowLevelOp),
+          dataSchema, props, writeId,
+          ordinalOffset = if (fromRowLevelOp) 1 else 0)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -163,7 +180,9 @@ private[catalog] final class GraftPartitionedWrite(
         try {
           val removedByGroupFilter =
             if (fromRowLevelOp) groupRemovals() else None
-          if (segments.nonEmpty || replaceAll || namedKey.isDefined ||
+          if (branch.isDefined) {
+            if (segments.nonEmpty) GraftRefs.commitToBranch(tableDir, branch.get, segments)
+          } else if (segments.nonEmpty || replaceAll || namedKey.isDefined ||
               removedByGroupFilter.exists(_.nonEmpty)) {
             val guard = expectedCurrent.orElse(
               if (dynamicOverwrite) Some(metaAtBuild.current) else None)

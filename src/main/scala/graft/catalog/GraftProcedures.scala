@@ -409,8 +409,8 @@ private[catalog] object GraftDml {
     * compares on `CAST(col AS STRING)`, the same canonical form the V2
     * writer's suffix encoder uses (GraftPartitions.internalExtractor), so a
     * rewritten partition keeps a byte-identical suffix. */
-  private def writeSegments(dir: java.nio.file.Path, meta: GraftMeta,
-                            df: DataFrame): Seq[(String, Option[String])] = {
+  private[catalog] def writeSegments(dir: java.nio.file.Path, meta: GraftMeta,
+                                     df: DataFrame): Seq[(String, Option[String])] = {
     val partCols = GraftPartitions.cols(meta.props)
     if (partCols.isEmpty)
       return Seq(writeOneSegment(dir, meta, df,
@@ -872,7 +872,8 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
     * write or an about-to-commit delete vector). */
   private def orphanDirs(dir: Path, meta: GraftMeta, retentionMs: Long): Seq[Path] = {
     val referenced = meta.snapshots.valuesIterator.flatten.toSet ++
-      meta.dvs.valuesIterator.flatMap(_.valuesIterator.flatten)
+      meta.dvs.valuesIterator.flatMap(_.valuesIterator.flatten) ++
+      GraftRefs.all(meta).valuesIterator.flatMap(_.dirs) // unpublished branch state
     val horizon = System.currentTimeMillis() - retentionMs
     GraftMeta.listDir(dir).filter { p =>
       val n = p.getFileName.toString
@@ -893,9 +894,15 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
 
     def plan(meta: GraftMeta): (Seq[Long], Set[Long], Seq[String]) = {
       val ids = meta.snapshots.keys.toSeq.sorted
-      val keptIds = ids.takeRight(keepLast).toSet + meta.current
+      val refs = GraftRefs.all(meta)
+      // a ref's BASE snapshot stays retained (its delete vectors define the
+      // branch's live rows) and every ref-listed segment stays referenced —
+      // maintenance can never eat an unpublished branch
+      val keptIds = ids.takeRight(keepLast).toSet + meta.current ++
+        refs.valuesIterator.map(_.base).filter(meta.snapshots.contains)
       val removedIds = ids.filterNot(keptIds)
-      val referenced = keptIds.flatMap(id => meta.snapshots(id))
+      val referenced = keptIds.flatMap(id => meta.snapshots(id)) ++
+        refs.valuesIterator.flatMap(_.dirs)
       val dead = removedIds.flatMap(meta.snapshots).distinct.filterNot(referenced)
       // delete-vector dirs referenced only by expired snapshots die with them
       val keptDvs = keptIds.flatMap(id =>

@@ -24,7 +24,7 @@ object LakeQueries {
   /** One catalog root per JVM (pid-scoped, like the SinkQueries scratch dirs);
     * table names additionally carry the scale-factor hash so concurrent SFs
     * never collide inside one catalog. */
-  private def ensureCatalog(s: SparkSession): Unit =
+  private[queries] def ensureCatalog(s: SparkSession): Unit =
     if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_lake_p${ProcessHandle.current().pid()}").getAbsolutePath
@@ -1012,6 +1012,123 @@ object LakeQueries {
               MIN(k) AS min_k, MAX(k) AS max_k
        FROM per_v GROUP BY v ORDER BY v"""
 
+  // --------------------------------------------------------------------------
+  // q235: WRITE-AUDIT-PUBLISH via branch refs (GraftRefs.scala) — the Iceberg
+  // WAP pattern: stage a batch on a branch (main's lineage untouched), run the
+  // audit query against the branch (`VERSION AS OF 'branch'` sees base+staged,
+  // exactly what publishing would make current), REJECT the dirty batch
+  // (drop_branch deletes its staged segments), re-stage the cleaned batch,
+  // and fast_forward publishes it as ONE main commit. The audit rule here:
+  // no pending-status ('P') orders may enter the serving table. The target is
+  // PARTITIONED, so staged segments are partition-pure and pruning survives
+  // publication. The oracle replays all three phases relationally; the hash
+  // gates that rejected rows NEVER surface and published rows all do.
+  // --------------------------------------------------------------------------
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m235_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+      USING parquet PARTITIONED BY (st)""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 4 = 0""")
+    val batch = s.sql(s"""SELECT o_orderkey AS k, o_orderstatus AS st,
+                                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+                          FROM $src WHERE o_orderkey % 4 = 1""")
+    // stage the raw batch; the audit query finds 'P' rows → REJECT
+    s.sql(s"CALL graft.system.create_branch('lake.$t', 'wap')")
+    batch.write.option("graft.branch", "wap").mode("append")
+      .saveAsTable(s"graft.lake.$t")
+    val audit = s.sql(
+      s"""SELECT COUNT(*) FROM graft.lake.$t VERSION AS OF 'wap'
+          WHERE st = 'P' AND k % 4 = 1""")
+      .collect()(0).getLong(0)
+    s.sql(s"CALL graft.system.drop_branch('lake.$t', 'wap')")
+    // re-stage cleaned; audit passes → PUBLISH as one main commit
+    s.sql(s"CALL graft.system.create_branch('lake.$t', 'wap')")
+    batch.where("st <> 'P'").write.option("graft.branch", "wap").mode("append")
+      .saveAsTable(s"graft.lake.$t")
+    s.sql(s"CALL graft.system.fast_forward('lake.$t', 'wap')")
+    s.sql(s"""
+      SELECT '1_base' AS phase, COUNT(*) AS n,
+             CAST(SUM(price_c) AS BIGINT) AS total_c
+      FROM graft.lake.$t VERSION AS OF 1
+      UNION ALL
+      SELECT '2_audit_rejected', CAST($audit AS BIGINT), CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT '3_published', COUNT(*), CAST(SUM(price_c) AS BIGINT)
+      FROM graft.lake.$t
+      ORDER BY phase""")
+  }
+
+  private val q235Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p
+         FROM orders),
+       v1 AS (SELECT k, p FROM base WHERE k % 4 = 0),
+       staged AS (SELECT k, st, p FROM base WHERE k % 4 = 1),
+       published AS (
+         SELECT k, p FROM v1
+         UNION ALL SELECT k, p FROM staged WHERE st <> 'P')
+       SELECT '1_base' AS phase, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS total_c FROM v1
+       UNION ALL
+       SELECT '2_audit_rejected', COUNT(*), CAST(NULL AS BIGINT)
+       FROM staged WHERE st = 'P'
+       UNION ALL
+       SELECT '3_published', COUNT(*), CAST(SUM(p) AS BIGINT) FROM published
+       ORDER BY phase"""
+
+  // --------------------------------------------------------------------------
+  // q236: incrementally maintained MATERIALIZED VIEW (GraftMaterializedView
+  // .scala) — create_mv materializes a 97-bucket COUNT/SUM group-by once;
+  // a mixed DML wave (append + merge-on-read DELETE + merge-on-read UPDATE)
+  // lands on the source; refresh_mv applies ONLY the CDC deltas since the
+  // watermark (O(rows changed), the MV is probed with a broadcast of the
+  // touched groups and never shuffled) and commits data + watermark in one
+  // serializable snapshot. The output is the refreshed MV itself; the oracle
+  // recomputes the same aggregate from a relational replay of the final
+  // source state — the hash gates that incremental maintenance ≡ full
+  // recompute. Spec pins (MaterializedViewSpec): group birth/death, touched-
+  // group-only rewrites, idempotent replay, upsert-source composition.
+  // --------------------------------------------------------------------------
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"m236_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_mv")
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, b BIGINT, price_c BIGINT)
+      USING parquet
+      TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read',
+                     'graft.update-mode' = 'merge-on-read')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderkey % 97, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    s.sql(s"CALL graft.system.create_mv('lake.${t}_mv', 'lake.$t', " +
+      "keys => 'b', sums => 'price_c')")
+    // the DML wave the refresh must absorb: append + MOR delete + MOR update
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderkey % 97, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 1""")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE k % 14 = 0")
+    s.sql(s"UPDATE graft.lake.$t SET price_c = price_c + 5 WHERE k % 11 = 0")
+    s.sql(s"CALL graft.system.refresh_mv('lake.${t}_mv')")
+    s.sql(s"""SELECT b, n_rows, CAST(sum_price_c AS BIGINT) AS sum_price_c
+              FROM graft.lake.${t}_mv ORDER BY b""")
+  }
+
+  private val q236Sql =
+    """WITH final AS (
+         SELECT o_orderkey AS k, o_orderkey % 97 AS b,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                  + CASE WHEN o_orderkey % 11 = 0 THEN 5 ELSE 0 END AS price_c
+         FROM orders WHERE o_orderkey % 14 <> 0)
+       SELECT b, COUNT(*) AS n_rows, CAST(SUM(price_c) AS BIGINT) AS sum_price_c
+       FROM final GROUP BY b ORDER BY b"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q152_lake_merge", q152, Some(q152Sql)),
     QDef("q153_lake_update_delete", q153, Some(q153Sql)),
@@ -1032,5 +1149,7 @@ object LakeQueries {
     QDef("q221_lake_stats_aggregate", q221, Some(q221Sql)),
     QDef("q222_lake_mor_update", q222, Some(q222Sql)),
     QDef("q223_lake_mor_upsert", q223, Some(q223Sql)),
-    QDef("q224_lake_mor_merge", q224, Some(q224Sql)))
+    QDef("q224_lake_mor_merge", q224, Some(q224Sql)),
+    QDef("q235_lake_wap_branch", q235, Some(q235Sql)),
+    QDef("q236_lake_incremental_mv", q236, Some(q236Sql)))
 }

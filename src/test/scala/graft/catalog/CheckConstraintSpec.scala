@@ -1,0 +1,98 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Pins for CHECK constraints (GraftChecks.scala): declared as
+  * `graft.check.*` table properties, validated at CREATE TABLE, evaluated
+  * per row in every SQL-surfaced writer; a violation fails the job and the
+  * atomic commit publishes nothing. SQL semantics: NULL admits. */
+class CheckConstraintSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = Files.createTempDirectory("graft_check_spec")
+    spark.conf.set("spark.sql.catalog.gck", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gck.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+  private def count(t: String): Long =
+    sql(s"SELECT COUNT(*) c FROM gck.ns.$t").collect().head.getLong(0)
+
+  test("violating insert fails the job and publishes nothing; valid rows land") {
+    root
+    sql("DROP TABLE IF EXISTS gck.ns.t1")
+    sql("""CREATE TABLE gck.ns.t1 (k BIGINT, amt BIGINT) USING parquet
+           TBLPROPERTIES ('graft.check.pos' = 'amt > 0')""")
+    sql("INSERT INTO gck.ns.t1 VALUES (1, 10), (2, 20)")
+    val e = intercept[Exception](
+      sql("INSERT INTO gck.ns.t1 VALUES (3, 30), (4, -1)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CHECK constraint 'pos'")))
+    // atomicity: the batch with one bad row contributed NOTHING
+    assert(count("t1") === 2)
+  }
+
+  test("NULL admits (SQL check semantics); IS NOT NULL expresses NOT NULL") {
+    root
+    sql("DROP TABLE IF EXISTS gck.ns.t2")
+    sql("""CREATE TABLE gck.ns.t2 (k BIGINT, amt BIGINT, tag STRING) USING parquet
+           TBLPROPERTIES ('graft.check.pos' = 'amt > 0',
+                          'graft.check.tagged' = 'tag IS NOT NULL')""")
+    // amt NULL → pos is NULL → admits; tag non-null required
+    sql("INSERT INTO gck.ns.t2 VALUES (1, NULL, 'a')")
+    assert(count("t2") === 1)
+    val e = intercept[Exception](sql("INSERT INTO gck.ns.t2 VALUES (2, 5, NULL)"))
+    assert(e.getMessage.contains("tagged") ||
+      Option(e.getCause).exists(_.getMessage.contains("tagged")))
+  }
+
+  test("checks ride the partitioned writer and branch writes") {
+    root
+    sql("DROP TABLE IF EXISTS gck.ns.t3")
+    sql("""CREATE TABLE gck.ns.t3 (k BIGINT, p STRING, amt BIGINT) USING parquet
+           PARTITIONED BY (p)
+           TBLPROPERTIES ('graft.check.pos' = 'amt > 0')""")
+    sql("INSERT INTO gck.ns.t3 VALUES (1, 'a', 10), (2, 'b', 20)")
+    intercept[Exception](sql("INSERT INTO gck.ns.t3 VALUES (3, 'c', 0)"))
+    assert(count("t3") === 2)
+    // a WAP branch write is still gated — nothing unchecked can even be STAGED
+    sql("CALL gck.system.create_branch('ns.t3', 'b')")
+    import spark.implicits._
+    intercept[Exception](Seq((9L, "z", -5L)).toDF("k", "p", "amt")
+      .write.option("graft.branch", "b").mode("append").saveAsTable("gck.ns.t3"))
+    assert(spark.read.option("graft.branch", "b").table("gck.ns.t3").count() === 2)
+  }
+
+  test("checks gate MERGE-written replacement rows (group-based COW)") {
+    root
+    sql("DROP TABLE IF EXISTS gck.ns.t4")
+    sql("""CREATE TABLE gck.ns.t4 (k BIGINT, amt BIGINT) USING parquet
+           TBLPROPERTIES ('graft.check.pos' = 'amt > 0')""")
+    sql("INSERT INTO gck.ns.t4 VALUES (1, 10), (2, 20)")
+    // the UPDATE would drive amt negative → the replacement write must fail
+    // and the table must keep its pre-merge state
+    val e = intercept[Exception](sql(
+      """MERGE INTO gck.ns.t4 t USING (SELECT 1 AS k) s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET amt = -99"""))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CHECK constraint")))
+    assert(sql("SELECT sum(amt) s FROM gck.ns.t4").collect().head.getLong(0) === 30)
+  }
+
+  test("CREATE TABLE validates checks up front") {
+    root
+    val e1 = intercept[Exception](sql(
+      """CREATE TABLE gck.ns.bad1 (k BIGINT) USING parquet
+         TBLPROPERTIES ('graft.check.x' = 'no_such_col > 0')"""))
+    assert(e1.getMessage.contains("does not analyze"))
+    val e2 = intercept[Exception](sql(
+      """CREATE TABLE gck.ns.bad2 (k BIGINT) USING parquet
+         TBLPROPERTIES ('graft.check.x' = 'k +')"""))
+    assert(e2.getMessage.contains("cannot parse"))
+  }
+}
