@@ -309,6 +309,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "fast_forward"         => new FastForwardProcedure(this)
       case "create_mv"            => new CreateMvProcedure(this)
       case "refresh_mv"           => new RefreshMvProcedure(this)
+      case "clone_table"          => new CloneTableProcedure(this)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
     }
@@ -911,7 +912,7 @@ private[catalog] final class GraftTable(
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
 
@@ -1592,6 +1593,14 @@ private[catalog] final class GraftWriteBuilder(
       ParquetWrite(Seq(tableDir.resolve(segment).toString), "parquet", _ => true, info)
 
     override def description(): String = s"graft-write($segment, replace=$replace)"
+
+    /** `writeStream.toTable` — the native exactly-once streaming sink
+      * (GraftStreamingWrite). Append mode only. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!replace && !dynamicPartitionOverwrite && branch.isEmpty && !fromRowLevelOp,
+        "graft: streaming writes are plain appends")
+      new GraftStreamingWrite(tableDir, info, Nil, metaAtBuild)
+    }
 
     override def toBatch: BatchWrite =
       if (alreadyCommitted) new NoopBatchWrite(segment) else new BatchWrite {

@@ -130,6 +130,15 @@ private[catalog] final class GraftPartitionedWrite(
     s"graft-partitioned-write($writeId, partitions=${partCols.mkString(",")}, " +
       s"replaceAll=$replaceAll, dynamic=$dynamicOverwrite)"
 
+  /** `writeStream.toTable` on a partitioned table — partition-pure per-epoch
+    * segments via the native exactly-once streaming sink. Append mode only. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!replaceAll && !dynamicOverwrite && branch.isEmpty &&
+        !fromRowLevelOp && named.isEmpty,
+      "graft: streaming writes are plain unnamed appends")
+    new GraftStreamingWrite(tableDir, info, partCols, metaAtBuild)
+  }
+
   override def toBatch: BatchWrite =
     if (alreadyCommitted) new NoopBatchWrite(namedKey.get)
     else new BatchWrite {

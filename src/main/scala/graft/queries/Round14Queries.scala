@@ -147,7 +147,94 @@ object Round14Queries {
        FROM orders WHERE o_orderkey % 3 = 0
        GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------------------
+  // q239: ZERO-COPY TABLE CLONE (GraftClone.scala) — clone_table hard-links
+  // the source snapshot's files (O(#files) metadata, zero data bytes; spec
+  // pins same-inode sharing and survival of source maintenance), then the two
+  // tables DIVERGE independently: the source takes an append, the clone takes
+  // a merge-on-read DELETE, and neither sees the other's change. The oracle
+  // replays both lineages relationally; the hash gates full isolation.
+  // --------------------------------------------------------------------------
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    graft.Tables.orders(s, d).createOrReplaceTempView("cl_orders")
+    val t = s"m239_${Integer.toHexString(d.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_clone")
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, price_c BIGINT) USING parquet
+      TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM cl_orders WHERE o_orderkey % 5 = 0""")
+    s.sql(s"CALL graft.system.clone_table('lake.$t', 'lake.${t}_clone')")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM cl_orders WHERE o_orderkey % 5 = 1""")
+    s.sql(s"DELETE FROM graft.lake.${t}_clone WHERE k % 10 = 0")
+    s.sql(s"""
+      SELECT 'source' AS side, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+      FROM graft.lake.$t
+      UNION ALL
+      SELECT 'clone', COUNT(*), CAST(SUM(price_c) AS BIGINT)
+      FROM graft.lake.${t}_clone
+      ORDER BY side""")
+  }
+
+  private val q239Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p
+         FROM orders),
+       src AS (SELECT k, p FROM base WHERE k % 5 = 0 OR k % 5 = 1),
+       cl AS (SELECT k, p FROM base WHERE k % 5 = 0 AND k % 10 <> 0)
+       SELECT 'source' AS side, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS total_c FROM src
+       UNION ALL
+       SELECT 'clone', COUNT(*), CAST(SUM(p) AS BIGINT) FROM cl
+       ORDER BY side"""
+
+  // --------------------------------------------------------------------------
+  // q240: NATIVE STREAMING SINK (GraftStreamingWrite) — `writeStream.toTable`
+  // straight into a partitioned graft table, no foreachBatch glue: a
+  // file-replayed stream of orders drains under AvailableNow, each micro-
+  // batch committing as ONE registry-named segment set (exactly-once — the
+  // restart-replay no-op and CHECK gating are pinned in StreamingSinkSpec),
+  // and the query aggregates the landed table. The oracle aggregates the
+  // same rows relationally: streamed ingestion ≡ batch ingestion.
+  // --------------------------------------------------------------------------
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val t = s"m240_${Integer.toHexString(d.hashCode)}"
+    val tmp = java.nio.file.Files.createTempDirectory(s"q240_${t}").toString
+    val src = graft.Tables.orders(s, d)
+      .where("o_orderkey % 4 = 2")
+      .selectExpr("o_orderkey AS k", "o_orderstatus AS st",
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c")
+    src.coalesce(4).write.mode("overwrite").parquet(tmp)
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, price_c BIGINT)
+      USING parquet PARTITIONED BY (st)""")
+    val q = s.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "2") // several epochs, not one
+      .parquet(tmp)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft.lake.$t")
+    require(q.awaitTermination(300000), s"q240: stream into $t did not drain")
+    s.sql(s"""SELECT st, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c,
+                     COUNT(DISTINCT k) AS n_keys
+              FROM graft.lake.$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q240Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+              COUNT(DISTINCT o_orderkey) AS n_keys
+       FROM orders WHERE o_orderkey % 4 = 2
+       GROUP BY 1 ORDER BY 1"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q237_similarity_join_prefix_filter", q237, Some(q237Sql)),
-    QDef("q238_check_constraints", q238, Some(q238Sql)))
+    QDef("q238_check_constraints", q238, Some(q238Sql)),
+    QDef("q239_lake_zero_copy_clone", q239, Some(q239Sql)),
+    QDef("q240_lake_streaming_sink", q240, Some(q240Sql)))
 }

@@ -1,0 +1,121 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Pins for the NATIVE streaming sink (GraftStreamingWrite):
+  * `writeStream.toTable("graft.ns.t")` with no foreachBatch glue — each
+  * epoch is one named commit in the exactly-once registry, restart replay is
+  * a no-op, partitioned tables get partition-pure per-epoch segments, and
+  * CHECK constraints gate streamed rows. */
+class StreamingSinkSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = Files.createTempDirectory("graft_ssink_spec")
+    spark.conf.set("spark.sql.catalog.gss", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gss.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+  private def count(t: String): Long =
+    sql(s"SELECT COUNT(*) c FROM gss.ns.$t").collect().head.getLong(0)
+
+  private def drain(stream: MemoryStream[(Long, String, Long)], table: String,
+                    ckpt: String): Unit = {
+    import spark.implicits._
+    val q = stream.toDS().toDF("k", "tag", "amt").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"gss.ns.$table")
+    assert(q.awaitTermination(300000), "stream did not drain")
+  }
+
+  test("writeStream.toTable lands epochs as named commits; restart replay is a no-op") {
+    root
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql("DROP TABLE IF EXISTS gss.ns.t1")
+    sql("CREATE TABLE gss.ns.t1 (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    val ckpt = Files.createTempDirectory("gss_ckpt1").toString
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData((1L, "a", 10L), (2L, "b", 20L))
+    drain(stream, "t1", ckpt)
+    assert(count("t1") === 2)
+    // restart from the SAME checkpoint with more data: the old epoch must
+    // not re-apply, the new one must land
+    stream.addData((3L, "a", 30L))
+    drain(stream, "t1", ckpt)
+    assert(count("t1") === 3)
+    assert(sql("SELECT sum(amt) s FROM gss.ns.t1").collect().head.getLong(0) === 60)
+    // the epoch segments carry the exactly-once name shape
+    val meta = GraftMeta.read(root.resolve("ns").resolve("t1"))
+    assert(meta.committedNamed.keys.exists(_.startsWith("seg-str-")),
+      s"expected str-named registry entries, got ${meta.committedNamed.keys}")
+  }
+
+  test("partitioned streaming sink: partition-pure per-epoch segments, pruning works") {
+    root
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql("DROP TABLE IF EXISTS gss.ns.t2")
+    sql("""CREATE TABLE gss.ns.t2 (k BIGINT, tag STRING, amt BIGINT)
+           USING parquet PARTITIONED BY (tag)""")
+    val ckpt = Files.createTempDirectory("gss_ckpt2").toString
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+    drain(stream, "t2", ckpt)
+    assert(count("t2") === 3)
+    assert(sql("SELECT COUNT(*) c FROM gss.ns.t2 WHERE tag = 'a'")
+      .collect().head.getLong(0) === 2)
+    // one segment per partition value per epoch, each partition-pure
+    val meta = GraftMeta.read(root.resolve("ns").resolve("t2"))
+    val segs = meta.snapshots(meta.current)
+    assert(segs.forall(_.contains(GraftPartitions.Marker.toString)),
+      s"streamed segments must carry partition suffixes: $segs")
+    assert(segs.size === 2)
+  }
+
+  test("CHECK constraints gate streamed rows; failed epoch publishes nothing") {
+    root
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql("DROP TABLE IF EXISTS gss.ns.t3")
+    sql("""CREATE TABLE gss.ns.t3 (k BIGINT, tag STRING, amt BIGINT) USING parquet
+           TBLPROPERTIES ('graft.check.pos' = 'amt > 0')""")
+    val ckpt = Files.createTempDirectory("gss_ckpt3").toString
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData((1L, "a", 10L), (2L, "b", -5L))
+    val q = stream.toDS().toDF("k", "tag", "amt").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("gss.ns.t3")
+    val e = intercept[Exception](q.awaitTermination(300000))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CHECK constraint 'pos'")))
+    assert(count("t3") === 0, "failed epoch must publish nothing")
+  }
+
+  test("streamed result equals the equivalent batch append") {
+    root
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql("DROP TABLE IF EXISTS gss.ns.t4s")
+    sql("DROP TABLE IF EXISTS gss.ns.t4b")
+    sql("CREATE TABLE gss.ns.t4s (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    sql("CREATE TABLE gss.ns.t4b (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    val rows = (1L to 50L).map(k => (k, if (k % 2 == 0) "e" else "o", k * 3))
+    val ckpt = Files.createTempDirectory("gss_ckpt4").toString
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData(rows: _*)
+    drain(stream, "t4s", ckpt)
+    rows.toDF("k", "tag", "amt").write.mode("append").saveAsTable("gss.ns.t4b")
+    val a = sql("SELECT * FROM gss.ns.t4s ORDER BY k").collect().toSeq
+    val b = sql("SELECT * FROM gss.ns.t4b ORDER BY k").collect().toSeq
+    assert(a === b)
+  }
+}
