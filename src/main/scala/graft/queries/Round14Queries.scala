@@ -5,8 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-14 surface: set-similarity JOIN with prefix filtering (the PPJoin
-  * candidate-pruning shape — published algorithm, re-derived, no code) and
-  * the CHECK-constraint write gate (GraftChecks.scala).
+  * candidate-pruning shape — published algorithm, re-derived, no code), the
+  * CHECK-constraint write gate (GraftChecks.scala), zero-copy table clone
+  * (GraftClone.scala), the native exactly-once streaming sink
+  * (GraftStreamingWrite.scala), a trained trigram language classifier
+  * (Cavnar–Trenkle profile shape), and a one-pass column profiler.
   *
   * All queries follow the SURVEY.md §2b determinism conventions (trailing
   * total-order sort, integer or ROUND(x,2) outputs, DuckDB HUGEINT casts). */
@@ -232,9 +235,161 @@ object Round14Queries {
        FROM orders WHERE o_orderkey % 4 = 2
        GROUP BY 1 ORDER BY 1"""
 
+  // --------------------------------------------------------------------------
+  // q241: TRAINED n-gram LANGUAGE CLASSIFIER (Cavnar–Trenkle profile shape,
+  // published method re-derived) — upgrade over q33's stopword heuristic: a
+  // deterministic 80/20 hash split trains per-language char-TRIGRAM profiles
+  // (top-40 by count, (count DESC, trigram ASC) total order so rank cutoff is
+  // engine-independent), test docs score by profile overlap, argmax with
+  // lexicographic tie-break, and the output is the full CONFUSION MATRIX.
+  // The synthetic corpus's text is label-independent, so accuracy is
+  // uninformative BY CONSTRUCTION — what the oracle hash gates is the whole
+  // train→profile→classify pipeline being exactly reproducible relational
+  // algebra. Scale shape: one groupBy per stage, windows partitioned by
+  // lang / doc_id (never global).
+  // --------------------------------------------------------------------------
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    T.documents(s, d).createOrReplaceTempView("lid_docs")
+    s.sql("""
+      WITH tg AS (
+        SELECT doc_id, lang, explode(transform(
+                 sequence(1, length(lower(text)) - 2),
+                 i -> substring(lower(text), i, 3))) AS t
+        FROM lid_docs WHERE length(text) >= 3),
+      profile AS (
+        SELECT lang, t FROM (
+          SELECT lang, t,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY COUNT(*) DESC, t ASC) AS r
+          FROM tg WHERE doc_id % 5 <> 0
+          GROUP BY lang, t)
+        WHERE r <= 40),
+      test_toks AS (
+        SELECT DISTINCT doc_id, lang AS labeled, t
+        FROM tg WHERE doc_id % 5 = 0),
+      scored AS (
+        SELECT tt.doc_id, tt.labeled, p.lang AS guess, COUNT(*) AS score
+        FROM test_toks tt JOIN profile p ON tt.t = p.t
+        GROUP BY tt.doc_id, tt.labeled, p.lang),
+      best AS (
+        SELECT doc_id, labeled, guess FROM (
+          SELECT doc_id, labeled, guess,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, guess ASC) AS rn
+          FROM scored)
+        WHERE rn = 1)
+      SELECT labeled, guess, COUNT(*) AS n
+      FROM best GROUP BY labeled, guess ORDER BY labeled, guess""")
+  }
+
+  private val q241Sql =
+    """WITH tg AS (
+         SELECT doc_id, lang, unnest([substring(lower(text), i, 3)
+                                      for i in range(1, length(lower(text)) - 1)]) AS t
+         FROM documents WHERE length(text) >= 3),
+       profile AS (
+         SELECT lang, t FROM (
+           SELECT lang, t,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY COUNT(*) DESC, t ASC) AS r
+           FROM tg WHERE doc_id % 5 <> 0
+           GROUP BY lang, t)
+         WHERE r <= 40),
+       test_toks AS (
+         SELECT DISTINCT doc_id, lang AS labeled, t
+         FROM tg WHERE doc_id % 5 = 0),
+       scored AS (
+         SELECT tt.doc_id, tt.labeled, p.lang AS guess, COUNT(*) AS score
+         FROM test_toks tt JOIN profile p ON tt.t = p.t
+         GROUP BY tt.doc_id, tt.labeled, p.lang),
+       best AS (
+         SELECT doc_id, labeled, guess FROM (
+           SELECT doc_id, labeled, guess,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, guess ASC) AS rn
+           FROM scored)
+         WHERE rn = 1)
+       SELECT labeled, guess, COUNT(*) AS n
+       FROM best GROUP BY labeled, guess ORDER BY labeled, guess"""
+
+  // --------------------------------------------------------------------------
+  // q242: one-pass COLUMN PROFILER — the data-quality summary every curation
+  // pipeline runs first (rows, nulls, exact distincts, min/max) for a column
+  // set, computed in ONE aggregate over the table and reshaped with stack
+  // (never N per-column scans). String and numeric min/max are emitted in
+  // SEPARATE typed columns: cross-engine numeric-to-string formatting is not
+  // canonical, typed values are.
+  // --------------------------------------------------------------------------
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    T.lineitem(s, d).createOrReplaceTempView("prof_src")
+    s.sql("""
+      WITH agg AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS null_sm,
+               COUNT(DISTINCT l_linestatus) AS d_sm,
+               MIN(l_linestatus) AS min_sm, MAX(l_linestatus) AS max_sm,
+               SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_rf,
+               COUNT(DISTINCT l_returnflag) AS d_rf,
+               MIN(l_returnflag) AS min_rf, MAX(l_returnflag) AS max_rf,
+               SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_q,
+               COUNT(DISTINCT l_quantity) AS d_q,
+               ROUND(MIN(l_quantity), 2) AS min_q, ROUND(MAX(l_quantity), 2) AS max_q,
+               SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_di,
+               COUNT(DISTINCT l_discount) AS d_di,
+               ROUND(MIN(l_discount), 2) AS min_di, ROUND(MAX(l_discount), 2) AS max_di
+        FROM prof_src)
+      SELECT col, n, n_null, n_distinct, min_s, max_s, min_n, max_n
+      FROM (
+        SELECT n, stack(4,
+          'l_linestatus', null_sm, d_sm, min_sm, max_sm, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          'l_returnflag', null_rf, d_rf, min_rf, max_rf, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          'l_quantity',   null_q,  d_q,  CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(min_q AS DOUBLE), CAST(max_q AS DOUBLE),
+          'l_discount',   null_di, d_di, CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(min_di AS DOUBLE), CAST(max_di AS DOUBLE))
+          AS (col, n_null, n_distinct, min_s, max_s, min_n, max_n)
+        FROM agg)
+      ORDER BY col""")
+  }
+
+  private val q242Sql =
+    """WITH agg AS (
+         SELECT COUNT(*) AS n,
+                SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS null_sm,
+                COUNT(DISTINCT l_linestatus) AS d_sm,
+                MIN(l_linestatus) AS min_sm, MAX(l_linestatus) AS max_sm,
+                SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_rf,
+                COUNT(DISTINCT l_returnflag) AS d_rf,
+                MIN(l_returnflag) AS min_rf, MAX(l_returnflag) AS max_rf,
+                SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_q,
+                COUNT(DISTINCT l_quantity) AS d_q,
+                ROUND(MIN(l_quantity), 2) AS min_q, ROUND(MAX(l_quantity), 2) AS max_q,
+                SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS null_di,
+                COUNT(DISTINCT l_discount) AS d_di,
+                ROUND(MIN(l_discount), 2) AS min_di, ROUND(MAX(l_discount), 2) AS max_di
+         FROM lineitem),
+       u AS (
+         SELECT 'l_linestatus' AS col, CAST(n AS BIGINT) AS n, CAST(null_sm AS BIGINT) AS n_null,
+                CAST(d_sm AS BIGINT) AS n_distinct, min_sm AS min_s, max_sm AS max_s,
+                CAST(NULL AS DOUBLE) AS min_n, CAST(NULL AS DOUBLE) AS max_n FROM agg
+         UNION ALL
+         SELECT 'l_returnflag', CAST(n AS BIGINT), CAST(null_rf AS BIGINT),
+                CAST(d_rf AS BIGINT), min_rf, max_rf,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM agg
+         UNION ALL
+         SELECT 'l_quantity', CAST(n AS BIGINT), CAST(null_q AS BIGINT),
+                CAST(d_q AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                CAST(min_q AS DOUBLE), CAST(max_q AS DOUBLE) FROM agg
+         UNION ALL
+         SELECT 'l_discount', CAST(n AS BIGINT), CAST(null_di AS BIGINT),
+                CAST(d_di AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                CAST(min_di AS DOUBLE), CAST(max_di AS DOUBLE) FROM agg)
+       SELECT col, n, n_null, n_distinct, min_s, max_s, min_n, max_n
+       FROM u ORDER BY col"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q237_similarity_join_prefix_filter", q237, Some(q237Sql)),
     QDef("q238_check_constraints", q238, Some(q238Sql)),
     QDef("q239_lake_zero_copy_clone", q239, Some(q239Sql)),
-    QDef("q240_lake_streaming_sink", q240, Some(q240Sql)))
+    QDef("q240_lake_streaming_sink", q240, Some(q240Sql)),
+    QDef("q241_trigram_language_classifier", q241, Some(q241Sql)),
+    QDef("q242_column_profiler", q242, Some(q242Sql)))
 }
