@@ -77,7 +77,8 @@ object Registry {
       queries.Round10Queries.defs ++
       queries.Round11Queries.defs ++
       queries.Round13Queries.defs ++
-      queries.Round14Queries.defs
+      queries.Round14Queries.defs ++
+      queries.Round15Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

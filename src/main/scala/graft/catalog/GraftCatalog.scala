@@ -196,7 +196,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     checkProps.foreach { case (k, sql) =>
       GraftChecks.resolve(schema, k.stripPrefix(GraftChecks.Prefix), sql)
     }
-    val props = kept ++ dmlModes ++ sumsProp ++ checkProps ++
+    // bloom point-lookup index opt-in (validated lazily per schema — only
+    // integral/string columns are ever harvested)
+    val bloomProp = Seq(GraftBloom.Prop, GraftBloom.FppProp)
+      .flatMap(p => Option(properties.get(p)).map(p -> _)).toMap
+    val props = kept ++ dmlModes ++ sumsProp ++ checkProps ++ bloomProp ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty)
     GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
@@ -1186,13 +1190,16 @@ private[catalog] final class GraftPruningScanBuilder(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
     : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     anyFilterPushed ||= filters.nonEmpty
-    val surviving = segments.filter { case (name, _) =>
-      zstats.get(name) match {
+    val surviving = segments.filter { case (name, dir) =>
+      val zoneKeeps = zstats.get(name) match {
         case Some(enc) =>
           val st = scala.util.Try(SegmentStats.decode(enc)).toOption
           st.forall(s => filters.forall(f => SegmentStats.mayMatch(s, f)))
         case None => true
       }
+      // bloom layer: equality probes against the segment's opt-in point-
+      // lookup index (GraftBloom) — prunes where range stats are blind
+      zoneKeeps && filters.forall(f => GraftBloom.mayContain(dir, f))
     }
     if (surviving.size < segments.size) {
       inner = mkInner(surviving.map(_._2))
@@ -1627,7 +1634,8 @@ private[catalog] final class GraftWriteBuilder(
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
           SparkSession.active, tableDir.resolve(segment).toString,
           metaAtBuild.schema,
-          SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
+          SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
+          GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema)))).toOption
         (branch, groupRemovals()) match {
           case (Some(b), _) =>
             // WAP: extend the ref's staged list; main's current never moves

@@ -296,7 +296,8 @@ private[catalog] final class GraftDeltaBatchWrite(
           Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
           SparkSession.active, segDir.toString, metaAtLoad.schema,
-          SegmentStats.sumCols(metaAtLoad.props, metaAtLoad.schema)))).toOption
+          SegmentStats.sumCols(metaAtLoad.props, metaAtLoad.schema),
+          GraftBloom.cols(metaAtLoad.props, metaAtLoad.schema)))).toOption
         (seg, stats)
       }
       if (allPositions.isEmpty && segments.isEmpty) return

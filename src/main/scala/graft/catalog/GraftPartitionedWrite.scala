@@ -183,7 +183,8 @@ private[catalog] final class GraftPartitionedWrite(
             Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
           val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
             SparkSession.active, segDir.toString, metaAtBuild.schema,
-            SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
+            SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
+            GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema)))).toOption
           (seg, stats)
         }
         try {

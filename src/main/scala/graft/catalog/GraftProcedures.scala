@@ -130,7 +130,8 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
         .write.parquet(dir.resolve(segment).toString)
       val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
         spark, dir.resolve(segment).toString, meta.schema,
-        SegmentStats.sumCols(meta.props, meta.schema)))).toOption
+        SegmentStats.sumCols(meta.props, meta.schema),
+        GraftBloom.cols(meta.props, meta.schema)))).toOption
       filesAfter += parquetFiles(dir.resolve(segment)).size
       (segment, stats)
     }
@@ -269,7 +270,8 @@ private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
         .write.parquet(dir.resolve(newSeg).toString)
       val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
         spark, dir.resolve(newSeg).toString, meta.schema,
-        SegmentStats.sumCols(meta.props, meta.schema)))).toOption
+        SegmentStats.sumCols(meta.props, meta.schema),
+        GraftBloom.cols(meta.props, meta.schema)))).toOption
       (newSeg, stats)
     }
     GraftDml.cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
@@ -397,7 +399,8 @@ private[catalog] object GraftDml {
     applyLayout(df, meta.props).write.parquet(dir.resolve(segment).toString)
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
       SparkSession.active, dir.resolve(segment).toString, meta.schema,
-      SegmentStats.sumCols(meta.props, meta.schema)))).toOption
+      SegmentStats.sumCols(meta.props, meta.schema),
+        GraftBloom.cols(meta.props, meta.schema)))).toOption
     (segment, stats)
   }
 

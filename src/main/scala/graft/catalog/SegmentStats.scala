@@ -73,7 +73,7 @@ private[catalog] object SegmentStats {
     * never the whole segment — so a partially-harvestable schema still skips
     * the bulk of the re-read. */
   def harvest(spark: SparkSession, segmentDir: String, schema: StructType,
-              sums: Seq[String] = Nil): Stats = {
+              sums: Seq[String] = Nil, blooms: Seq[String] = Nil): Stats = {
     val base = fromFooters(segmentDir, schema) match {
       case Some((rows, ok, failed)) if failed.isEmpty => Stats(rows, ok)
       case Some((rows, ok, failed)) =>
@@ -81,6 +81,9 @@ private[catalog] object SegmentStats {
         Stats(rows, ok ++ patched)
       case None => compute(spark, segmentDir, schema)
     }
+    // opt-in point-lookup index, persisted beside the segment's parquet
+    // (GraftBloom) — rides the same commit pass as the sums harvest
+    GraftBloom.harvest(spark, segmentDir, schema, blooms, base.rows)
     if (sums.isEmpty) base else withSums(spark, segmentDir, schema, base, sums)
   }
 
