@@ -17,8 +17,15 @@ object Round14Queries {
 
   // --------------------------------------------------------------------------
   // q237: SET-SIMILARITY JOIN with PREFIX FILTERING — find all document pairs
-  // with bigram-shingle Jaccard >= 0.6, WITHOUT the all-pairs cross join:
-  //   1. shingle: distinct word bigrams per doc;
+  // with 4-gram-shingle Jaccard >= 0.6, WITHOUT the all-pairs cross join:
+  //   1. shingle: distinct word 4-grams per doc. Shingle WIDTH is the prefix
+  //      filter's selectivity dial: over this corpus's small vocabulary,
+  //      BIGRAMS behave like stop words (every doc shares its prefix tokens
+  //      with thousands of others — measured 7.0M candidate pairs among 5k
+  //      docs at sf0.1, i.e. the filter pruned nothing and the join
+  //      degenerated to brute force at 44 s); 4-grams are rare enough that
+  //      the same filter yields 256 candidates. Same rule as production
+  //      near-dup pipelines: shingle until df is selective.
   //   2. rank every shingle by global rarity (document frequency, then the
   //      token itself — a total order, no global window needed: the (df,tok)
   //      pair IS the sort key);
@@ -35,32 +42,37 @@ object Round14Queries {
   // --------------------------------------------------------------------------
   private def q237(s: SparkSession, d: String): DataFrame = {
     T.documents(s, d).createOrReplaceTempView("ssj_docs")
+    // The shingle table is consumed THREE times (df counting, prefix ranking,
+    // exact verification) and Spark INLINES `WITH` CTEs — left in one SQL the
+    // split+4gram+distinct pipeline re-ran per consumer (measured 5× cost,
+    // Q237Probe). Materialize it once; every consumer reads the cached
+    // relation. At cluster scale this is "shingle once, reuse" — the standard
+    // similarity-join staging table.
+    val toks = s.sql("""
+      SELECT doc_id,
+             array_distinct(transform(sequence(0, size(w) - 4),
+               i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2), ' ',
+                           element_at(w, i + 3), ' ', element_at(w, i + 4)))) AS t
+      FROM (SELECT doc_id, filter(split(lower(trim(text)), ' '), x -> x <> '') AS w
+            FROM ssj_docs)
+      WHERE size(w) >= 4""").persist()
+    toks.createOrReplaceTempView("ssj_toks")
     s.sql("""
-      WITH base AS (
-        SELECT doc_id, filter(split(lower(trim(text)), ' '), x -> x <> '') AS w
-        FROM ssj_docs),
-      toks AS (
-        SELECT doc_id,
-               array_distinct(transform(sequence(0, size(w) - 2),
-                 i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))) AS t
-        FROM base WHERE size(w) >= 2),
-      exploded AS (
-        SELECT doc_id, tok FROM toks LATERAL VIEW explode(t) ex AS tok),
+      WITH exploded AS (
+        SELECT doc_id, tok FROM ssj_toks LATERAL VIEW explode(t) ex AS tok),
       df AS (
         SELECT tok, COUNT(*) AS dfreq FROM exploded GROUP BY tok),
       ranked AS (
-        SELECT e.doc_id,
-               transform(
-                 array_sort(collect_list(struct(d.dfreq, e.tok))),
-                 p -> p.tok) AS sorted_t
-        FROM exploded e JOIN df d ON e.tok = d.tok
-        GROUP BY e.doc_id),
+        -- prefix membership = rank within the doc by (global rarity, token):
+        -- a rank window over the exploded rows replaces the previous
+        -- collect_list + array_sort + slice + re-explode round trip
+        SELECT e.doc_id, e.tok,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.dfreq, e.tok) AS rk,
+               COUNT(*) OVER (PARTITION BY e.doc_id) AS n
+        FROM exploded e JOIN df d ON e.tok = d.tok),
       prefixes AS (
-        SELECT doc_id, ptok
-        FROM ranked
-        LATERAL VIEW explode(
-          slice(sorted_t, 1,
-                size(sorted_t) - CAST(ceil(0.6 * size(sorted_t)) AS INT) + 1)) AS ptok),
+        SELECT doc_id, tok AS ptok FROM ranked
+        WHERE rk <= n - CAST(ceil(0.6 * n) AS INT) + 1),
       cands AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM prefixes a JOIN prefixes b
@@ -70,8 +82,8 @@ object Round14Queries {
                size(array_intersect(ta.t, tb.t)) AS i,
                size(ta.t) AS na, size(tb.t) AS nb
         FROM cands c
-        JOIN toks ta ON ta.doc_id = c.da
-        JOIN toks tb ON tb.doc_id = c.db)
+        JOIN ssj_toks ta ON ta.doc_id = c.da
+        JOIN ssj_toks tb ON tb.doc_id = c.db)
       SELECT da, db, ROUND(CAST(i AS DOUBLE) / (na + nb - i), 2) AS jaccard
       FROM verified
       WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.6
@@ -85,8 +97,9 @@ object Round14Queries {
          FROM documents),
        toks AS (
          SELECT doc_id,
-                list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS t
-         FROM base WHERE len(w) >= 2),
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                               for i in range(1, len(w) - 2)]) AS t
+         FROM base WHERE len(w) >= 4),
        pairs AS (
          SELECT a.doc_id AS da, b.doc_id AS db,
                 len(list_intersect(a.t, b.t)) AS i,

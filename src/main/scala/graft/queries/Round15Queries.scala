@@ -4,8 +4,12 @@ import graft.QDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-15 surface: SCD Type-2 dimension build from the CDC feed, and the
-  * segment-level BLOOM index (high-cardinality point-lookup pruning).
+/** Round-15 surface: SCD Type-2 dimension build from the CDC feed, the
+  * segment-level BLOOM index (high-cardinality point-lookup pruning), the
+  * time-series/profiling completions (autocorrelation, Benford first-digit
+  * audit, rolling distinct users), and Unicode normalization as a native
+  * codegen Expression (functions/UnicodeNormalize.scala) — the
+  * canonicalize-before-hash step exact dedup needs on real-world corpora.
   *
   * All queries follow the SURVEY.md §2b determinism conventions. */
 object Round15Queries {
@@ -157,7 +161,398 @@ object Round15Queries {
        SELECT 'miss', 0, CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
        ORDER BY probe"""
 
+  // --------------------------------------------------------------------------
+  // q245: AUTOCORRELATION FUNCTION (ACF lags 1–7) of the daily revenue
+  // series — the time-series diagnostic (seasonality detection) the resample
+  // (q168) / EWMA (q175) family was missing. The lag shift is expressed as a
+  // self-join of the daily series against a 7-row lag spine rather than 7
+  // LAG() windows: the series is date-keyed so the join is an equi-join on
+  // (day - k), every engine plans it identically, and adding lags is O(1).
+  // At scale the daily series is |days| rows (tiny) regardless of input
+  // size — the heavy aggregation is the one groupBy day. corr is emitted in
+  // basis points per the q89 convention.
+  // --------------------------------------------------------------------------
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.orders(s, d).createOrReplaceTempView("acf_orders")
+    s.sql("""
+      WITH series AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev
+        FROM acf_orders GROUP BY 1),
+      lags AS (SELECT explode(sequence(1, 7)) AS k)
+      SELECT l.k AS lag, COUNT(*) AS n_pairs,
+             CAST(ROUND(corr(a.rev, b.rev) * 10000) AS BIGINT) AS acf_bp
+      FROM series a
+      JOIN lags l
+      JOIN series b ON b.day = date_sub(a.day, l.k)
+      GROUP BY l.k ORDER BY l.k""")
+  }
+
+  private val q245Sql =
+    """WITH series AS (
+         SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev
+         FROM orders GROUP BY 1),
+       lags AS (SELECT k FROM generate_series(1, 7) t(k))
+       SELECT CAST(l.k AS INT) AS lag, COUNT(*) AS n_pairs,
+              CAST(ROUND(corr(a.rev, b.rev) * 10000) AS BIGINT) AS acf_bp
+       FROM series a, lags l, series b
+       WHERE b.day = a.day - CAST(l.k AS INT)
+       GROUP BY l.k ORDER BY lag"""
+
+  // --------------------------------------------------------------------------
+  // q246: BENFORD FIRST-DIGIT AUDIT — the data-quality / fraud-screen
+  // profile: distribution of leading significant digits vs Benford's
+  // log10(1 + 1/d) expectation, deviation in basis points. One scan, one
+  // 9-group aggregate, a window total — fully codegen'd, embarrassingly
+  // parallel at 100 TB. dev_bp is computed from the two ALREADY-ROUNDED
+  // integer columns so the output is exact integer arithmetic.
+  // --------------------------------------------------------------------------
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.orders(s, d).createOrReplaceTempView("ben_orders")
+    s.sql("""
+      WITH digits AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1)
+                 AS INT) AS d1
+        FROM ben_orders WHERE o_totalprice >= 1.0),
+      freq AS (
+        SELECT d1, COUNT(*) AS n,
+               CAST(ROUND(COUNT(*) * 10000.0 / SUM(COUNT(*)) OVER ()) AS BIGINT) AS pct_bp,
+               CAST(ROUND(LOG10(1.0 + 1.0 / d1) * 10000) AS BIGINT) AS benford_bp
+        FROM digits GROUP BY d1)
+      SELECT d1, n, pct_bp, benford_bp, pct_bp - benford_bp AS dev_bp
+      FROM freq ORDER BY d1""")
+  }
+
+  private val q246Sql =
+    """WITH digits AS (
+         SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d1
+         FROM orders WHERE o_totalprice >= 1.0),
+       freq AS (
+         SELECT d1, COUNT(*) AS n,
+                CAST(ROUND(COUNT(*) * 10000.0 / SUM(COUNT(*)) OVER ()) AS BIGINT) AS pct_bp,
+                CAST(ROUND(LOG10(1.0 + 1.0 / d1) * 10000) AS BIGINT) AS benford_bp
+         FROM digits GROUP BY d1)
+       SELECT d1, n, pct_bp, benford_bp, pct_bp - benford_bp AS dev_bp
+       FROM freq ORDER BY d1"""
+
+  // --------------------------------------------------------------------------
+  // q247: ROLLING DISTINCT USERS (trailing-7-day active users) — the DAU/WAU
+  // shape. Spark has no COUNT(DISTINCT) OVER, and the naive fix (self-join
+  // every row against a 7-day band) re-scans the fact table 7×. The scalable
+  // decomposition: ONE groupBy collapses the fact table to |days| rows of
+  // per-day user SETS, then the window unions 7 tiny sets per day —
+  // the post-aggregate state is days × daily-distinct, independent of event
+  // count. The frame orders by epoch-day RANGE so calendar gaps (if any)
+  // are handled correctly, not positionally. Oracle computes the same
+  // number the obvious way (correlated distinct count over a date band).
+  // --------------------------------------------------------------------------
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.events(s, d).createOrReplaceTempView("rdu_events")
+    s.sql("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               DATEDIFF(CAST(ts AS DATE), DATE'1970-01-01') AS day_num,
+               collect_set(user_id) AS us
+        FROM rdu_events GROUP BY 1, 2)
+      SELECT CAST(day AS STRING) AS day,
+             size(us) AS u1,
+             size(array_distinct(flatten(collect_list(us) OVER (
+               ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS u7
+      FROM daily ORDER BY day""")
+  }
+
+  private val q247Sql =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+       SELECT CAST(day AS VARCHAR) AS day,
+              (SELECT COUNT(DISTINCT e.user_id) FROM events e
+               WHERE CAST(e.ts AS DATE) = day) AS u1,
+              (SELECT COUNT(DISTINCT e.user_id) FROM events e
+               WHERE CAST(e.ts AS DATE) BETWEEN day - 6 AND day) AS u7
+       FROM days ORDER BY day"""
+
+  // --------------------------------------------------------------------------
+  // q248: UNICODE NORMALIZATION as a native codegen Expression
+  // (functions/UnicodeNormalize.scala: graft_normalize(str, form) +
+  // graft_strip_accents) — canonicalize-before-hash. The corpus text is
+  // ASCII (normalization-invariant), so the test plants the classes that
+  // matter: a DECOMPOSED accent ('e' + U+0301 combining acute — NFC composes
+  // it to 'é', shortening the string by one code point and changing its
+  // md5), and NFKC compatibility folds (U+FB01 'ﬁ' ligature → "fi",
+  // U+2116 '№' → "No") that NFC alone leaves in place. The oracle uses
+  // DuckDB's nfc_normalize/strip_accents for the NFC path and rebuilds the
+  // NFKC folds from the planted constants (DuckDB has no NFKC) — so the
+  // Expression is gated against an INDEPENDENT normalizer, not itself.
+  // --------------------------------------------------------------------------
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    graft.functions.UnicodeFunctions.register(s)
+    graft.Tables.documents(s, d).createOrReplaceTempView("uni_docs")
+    // NOTE: the \u escapes below are substituted by the Scala compiler, so the
+    // SQL literals contain the actual code points.
+    s.sql("""
+      WITH planted AS (
+        SELECT doc_id,
+               CONCAT('Cafe', '́', ' ', SUBSTRING(text, 1, 40)) AS raw,
+               CONCAT('résumé ', 'ﬁle ', '№ ',
+                      CAST(doc_id AS STRING)) AS kraw
+        FROM uni_docs WHERE doc_id % 5 = 0)
+      SELECT doc_id,
+             CAST(LENGTH(raw) AS BIGINT) AS len_raw,
+             CAST(LENGTH(graft_normalize(raw, 'NFC')) AS BIGINT) AS len_nfc,
+             MD5(graft_normalize(raw, 'NFC')) AS md5_nfc,
+             MD5(graft_strip_accents(raw)) AS md5_stripped,
+             graft_normalize(kraw, 'NFKC') AS folded
+      FROM planted ORDER BY doc_id""")
+  }
+
+  private val q248Sql =
+    """WITH planted AS (
+         SELECT doc_id,
+                'Cafe' || chr(769) || ' ' || SUBSTRING(text, 1, 40) AS raw,
+                'r' || chr(233) || 'sum' || chr(233) || ' ' || chr(64257) || 'le ' ||
+                  chr(8470) || ' ' || CAST(doc_id AS VARCHAR) AS kraw
+         FROM documents WHERE doc_id % 5 = 0)
+       SELECT doc_id,
+              CAST(LENGTH(raw) AS BIGINT) AS len_raw,
+              CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+              MD5(nfc_normalize(raw)) AS md5_nfc,
+              MD5(strip_accents(nfc_normalize(raw))) AS md5_stripped,
+              REPLACE(REPLACE(kraw, chr(64257), 'fi'), chr(8470), 'No') AS folded
+       FROM planted ORDER BY doc_id"""
+
+  // --------------------------------------------------------------------------
+  // q249: DISTRIBUTED BPE MERGE TRAINING — the byte-pair-encoding trainer
+  // loop that produces an LLM tokenizer's merge table, as a Spark-first
+  // pipeline: corpus → word-frequency table (ONE shuffle collapses the corpus
+  // to vocab size — everything after is vocab-sized, the property that makes
+  // BPE trainable on a 100 TB corpus) → per-iteration adjacent-pair counts
+  // (explode + hash agg, map-side combined) → argmax merge → simultaneous
+  // in-array merge via higher-order functions. Only the 1-row argmax crosses
+  // to the driver per iteration (the standard trainer structure; 3 iterations
+  // here, the loop is N by construction). Self-adjacent pairs (a = b) are
+  // excluded from merge selection so the simultaneous HOF merge is EXACTLY
+  // greedy left-to-right (a ≠ b makes overlapping matches impossible) — the
+  // documented variant, enforced identically in the oracle's unrolled CTEs.
+  // --------------------------------------------------------------------------
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val words = graft.Tables.documents(s, d)
+      .select(explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = words.selectExpr("word", "freq",
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS arr")
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to 3) {
+      val top = syms.where(expr("size(arr) >= 2"))
+        .selectExpr("freq",
+          """explode(transform(sequence(1, size(arr) - 1),
+            |  i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b)))
+            |  AS pr""".stripMargin)
+        .where(expr("pr.a <> pr.b"))
+        .groupBy(expr("pr.a").as("a"), expr("pr.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((it, a, b, cnt))
+      // simultaneous merge: drop every position that is the RIGHT half of a
+      // match, rewrite every position that is the LEFT half to the merged
+      // symbol — exact because a != b forbids overlapping matches
+      syms = syms.selectExpr("word", "freq",
+        s"""transform(
+           |  filter(sequence(1, size(arr)),
+           |    i -> NOT (i > 1 AND element_at(arr, i - 1) = '$a'
+           |              AND element_at(arr, i) = '$b')),
+           |  i -> CASE WHEN element_at(arr, i) = '$a' AND i < size(arr)
+           |                 AND element_at(arr, i + 1) = '$b'
+           |            THEN concat(element_at(arr, i), element_at(arr, i + 1))
+           |            ELSE element_at(arr, i) END) AS arr""".stripMargin)
+    }
+    import s.implicits._
+    merges.result().toDF("it", "left_sym", "right_sym", "cnt")
+      .selectExpr("it", "left_sym", "right_sym",
+        "concat(left_sym, right_sym) AS merged", "cnt")
+      .orderBy("it")
+  }
+
+  private def q249MergeSql(src: String, top: String): String =
+    s"""SELECT word, freq,
+       |       list_transform(
+       |         list_filter(generate_series(1, len(arr)),
+       |           i -> NOT (i > 1 AND arr[i-1] = $top.a AND arr[i] = $top.b)),
+       |         i -> CASE WHEN arr[i] = $top.a AND i < len(arr) AND arr[i+1] = $top.b
+       |                   THEN arr[i] || arr[i+1] ELSE arr[i] END) AS arr
+       |FROM $src CROSS JOIN $top""".stripMargin
+
+  private def q249PairsSql(src: String): String =
+    s"""SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+       |FROM (SELECT freq, UNNEST(list_transform(generate_series(1, len(arr) - 1),
+       |               i -> [arr[i], arr[i+1]])) AS pr
+       |      FROM $src WHERE len(arr) >= 2)
+       |WHERE pr[1] <> pr[2] GROUP BY 1, 2""".stripMargin
+
+  private val q249Sql =
+    s"""WITH w AS (
+       |  SELECT t AS word, COUNT(*) AS freq
+       |  FROM (SELECT UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |                                  t -> t <> '')) AS t
+       |        FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (SELECT word, freq,
+       |              list_transform(generate_series(1, length(word)), i -> word[i]) AS arr
+       |       FROM w),
+       |p1 AS (${q249PairsSql("s0")}),
+       |t1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+       |s1 AS (${q249MergeSql("s0", "t1")}),
+       |p2 AS (${q249PairsSql("s1")}),
+       |t2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+       |s2 AS (${q249MergeSql("s1", "t2")}),
+       |p3 AS (${q249PairsSql("s2")}),
+       |t3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+       |SELECT CAST(1 AS INT) AS it, a AS left_sym, b AS right_sym, a || b AS merged, cnt FROM t1
+       |UNION ALL SELECT 2, a, b, a || b, cnt FROM t2
+       |UNION ALL SELECT 3, a, b, a || b, cnt FROM t3
+       |ORDER BY it""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // q250: PRODUCT QUANTIZATION (PQ) ANN — the memory-side scale path the
+  // similarity-search family (q42 brute / q43 sign-LSH / q60 IVF) was
+  // missing: 64 floats/vector (256 B) compress to 4 codebook ids (4 B), and
+  // search runs over codes with a PROBE-LOCAL distance table (ADC —
+  // asymmetric distance computation). m=4 subspaces × 16 dims, k=4 centroids
+  // per subspace, 2 Lloyd rounds. Everything is relational: assignment is a
+  // subvector × centroid broadcast join (16 rows) + argmin window; the
+  // centroid update is an ELEMENT-WISE DISCRETE MEDIAN (row_number selection
+  // at position (n+1) div 2) instead of a mean — medians SELECT an existing
+  // float, so the codebook is bit-identical across engines with no
+  // summation-order hazard (means are order-dependent in fp); distances fold
+  // left-to-right in DOUBLE (Spark `aggregate` ≡ DuckDB `list_reduce`, the
+  // q42 convention) so every ADC value hash-matches exactly. At 100 TB the
+  // shape holds: codes are a 4-byte-per-vector scan, the per-probe distance
+  // table is 16 entries broadcast, and the only big shuffle is the one
+  // groupBy(vec_id) behind encoding. Empty clusters keep their previous
+  // centroid (COALESCE over the codebook spine) — same rule both engines.
+  // --------------------------------------------------------------------------
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.embeddings(s, d).createOrReplaceTempView("pq_emb")
+    def fold(a: String, b: String): String =
+      s"""aggregate(transform(sequence(1, 16),
+         |  i -> (element_at($a, i) - element_at($b, i)) * (element_at($a, i) - element_at($b, i))),
+         |  CAST(0.0 AS DOUBLE), (x, y) -> x + y)""".stripMargin
+    def assign(cent: String): String =
+      s"""SELECT vec_id, j, r, d, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, r) AS rn
+         |FROM (SELECT s.vec_id, s.j, c.r, ${fold("s.sub", "c.c")} AS d
+         |      FROM subs s JOIN $cent c ON s.j = c.j)""".stripMargin
+    def update(a: String, mem: String, vals: String, med: String, upd: String): String =
+      s"""$mem AS (SELECT a.j, a.r, s.sub
+         |          FROM (SELECT vec_id, j, r FROM $a WHERE rn = 1) a
+         |          JOIN subs s ON s.vec_id = a.vec_id AND s.j = a.j),
+         |$vals AS (SELECT j, r, dim, element_at(sub, dim) AS v
+         |          FROM $mem LATERAL VIEW explode(sequence(1, 16)) t AS dim),
+         |$med AS (SELECT j, r, dim, v AS med
+         |         FROM (SELECT j, r, dim, v,
+         |                 ROW_NUMBER() OVER (PARTITION BY j, r, dim ORDER BY v) AS vr,
+         |                 COUNT(*) OVER (PARTITION BY j, r, dim) AS n
+         |               FROM $vals)
+         |         WHERE vr = (n + 1) DIV 2),
+         |$upd AS (SELECT j, r,
+         |                transform(array_sort(collect_list(struct(dim, med))), x -> x.med) AS c
+         |         FROM $med GROUP BY j, r)""".stripMargin
+    s.sql(s"""
+      WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM pq_emb),
+      subs AS (SELECT vec_id, j,
+                      transform(sequence(1, 16), i -> element_at(emb, j * 16 + i)) AS sub
+               FROM e LATERAL VIEW explode(sequence(0, 3)) t AS j),
+      c0 AS (SELECT j, vec_id AS r, sub AS c FROM subs WHERE vec_id < 4),
+      a1 AS (${assign("c0")}),
+      ${update("a1", "mem1", "vals1", "med1", "u1")},
+      c1 AS (SELECT c0.j, c0.r, COALESCE(u1.c, c0.c) AS c
+             FROM c0 LEFT JOIN u1 ON c0.j = u1.j AND c0.r = u1.r),
+      a2 AS (${assign("c1")}),
+      ${update("a2", "mem2", "vals2", "med2", "u2")},
+      c2 AS (SELECT c1.j, c1.r, COALESCE(u2.c, c1.c) AS c
+             FROM c1 LEFT JOIN u2 ON c1.j = u2.j AND c1.r = u2.r),
+      codes AS (SELECT vec_id, j, r FROM (${assign("c2")}) WHERE rn = 1),
+      dtab AS (SELECT s.vec_id AS pid, s.j, c.r, ${fold("s.sub", "c.c")} AS d
+               FROM subs s JOIN c2 c ON s.j = c.j WHERE s.vec_id < 3),
+      adc AS (SELECT d.pid, k.vec_id AS cand,
+                     MAX(CASE WHEN d.j = 0 THEN d.d END) AS d0,
+                     MAX(CASE WHEN d.j = 1 THEN d.d END) AS d1,
+                     MAX(CASE WHEN d.j = 2 THEN d.d END) AS d2,
+                     MAX(CASE WHEN d.j = 3 THEN d.d END) AS d3
+              FROM codes k JOIN dtab d ON d.j = k.j AND d.r = k.r
+              WHERE k.vec_id <> d.pid
+              GROUP BY d.pid, k.vec_id),
+      ranked AS (SELECT pid, cand, ((d0 + d1) + d2) + d3 AS adc_d,
+                        ROW_NUMBER() OVER (PARTITION BY pid
+                          ORDER BY ((d0 + d1) + d2) + d3, cand) AS rn
+                 FROM adc)
+      SELECT pid, CAST(rn AS INT) AS rn, cand,
+             CAST(ROUND(adc_d * 10000) AS BIGINT) AS adc_bp
+      FROM ranked WHERE rn <= 10 ORDER BY pid, rn""")
+  }
+
+  private val q250Sql = {
+    def fold(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(generate_series(1,16), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+         |  (x, y) -> x + y)""".stripMargin
+    def assign(cent: String): String =
+      s"""SELECT vec_id, j, r, d, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, r) AS rn
+         |FROM (SELECT s.vec_id, s.j, c.r, ${fold("s.sub", "c.c")} AS d
+         |      FROM subs s JOIN $cent c ON s.j = c.j)""".stripMargin
+    def update(a: String, mem: String, vals: String, med: String, upd: String): String =
+      s"""$mem AS (SELECT a.j, a.r, s.sub
+         |          FROM (SELECT vec_id, j, r FROM $a WHERE rn = 1) a
+         |          JOIN subs s ON s.vec_id = a.vec_id AND s.j = a.j),
+         |$vals AS (SELECT j, r, dim, sub[dim] AS v FROM $mem, generate_series(1,16) AS t(dim)),
+         |$med AS (SELECT j, r, dim, v AS med
+         |         FROM (SELECT j, r, dim, v,
+         |                 ROW_NUMBER() OVER (PARTITION BY j, r, dim ORDER BY v) AS vr,
+         |                 COUNT(*) OVER (PARTITION BY j, r, dim) AS n
+         |               FROM $vals)
+         |         WHERE vr = (n + 1) // 2),
+         |$upd AS (SELECT j, r, array_agg(med ORDER BY dim) AS c FROM $med GROUP BY j, r)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |           FROM embeddings),
+       |subs AS (SELECT vec_id, j,
+       |                list_transform(generate_series(1, 16), i -> emb[j * 16 + i]) AS sub
+       |         FROM e, generate_series(0, 3) AS t(j)),
+       |c0 AS (SELECT j, vec_id AS r, sub AS c FROM subs WHERE vec_id < 4),
+       |a1 AS (${assign("c0")}),
+       |${update("a1", "mem1", "vals1", "med1", "u1")},
+       |c1 AS (SELECT c0.j, c0.r, COALESCE(u1.c, c0.c) AS c
+       |       FROM c0 LEFT JOIN u1 ON c0.j = u1.j AND c0.r = u1.r),
+       |a2 AS (${assign("c1")}),
+       |${update("a2", "mem2", "vals2", "med2", "u2")},
+       |c2 AS (SELECT c1.j, c1.r, COALESCE(u2.c, c1.c) AS c
+       |       FROM c1 LEFT JOIN u2 ON c1.j = u2.j AND c1.r = u2.r),
+       |codes AS (SELECT vec_id, j, r FROM (${assign("c2")}) WHERE rn = 1),
+       |dtab AS (SELECT s.vec_id AS pid, s.j, c.r, ${fold("s.sub", "c.c")} AS d
+       |         FROM subs s JOIN c2 c ON s.j = c.j WHERE s.vec_id < 3),
+       |adc AS (SELECT d.pid, k.vec_id AS cand,
+       |               MAX(CASE WHEN d.j = 0 THEN d.d END) AS d0,
+       |               MAX(CASE WHEN d.j = 1 THEN d.d END) AS d1,
+       |               MAX(CASE WHEN d.j = 2 THEN d.d END) AS d2,
+       |               MAX(CASE WHEN d.j = 3 THEN d.d END) AS d3
+       |        FROM codes k JOIN dtab d ON d.j = k.j AND d.r = k.r
+       |        WHERE k.vec_id <> d.pid
+       |        GROUP BY d.pid, k.vec_id),
+       |ranked AS (SELECT pid, cand, ((d0 + d1) + d2) + d3 AS adc_d,
+       |                  ROW_NUMBER() OVER (PARTITION BY pid
+       |                    ORDER BY ((d0 + d1) + d2) + d3, cand) AS rn
+       |           FROM adc)
+       |SELECT pid, CAST(rn AS INT) AS rn, cand,
+       |       CAST(ROUND(adc_d * 10000) AS BIGINT) AS adc_bp
+       |FROM ranked WHERE rn <= 10 ORDER BY pid, rn""".stripMargin
+  }
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
-    QDef("q244_bloom_index_lookup", q244, Some(q244Sql)))
+    QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
+    QDef("q245_autocorrelation", q245, Some(q245Sql)),
+    QDef("q246_benford_profile", q246, Some(q246Sql)),
+    QDef("q247_rolling_distinct_users", q247, Some(q247Sql)),
+    QDef("q248_unicode_normalize", q248, Some(q248Sql)),
+    QDef("q249_bpe_merge_training", q249, Some(q249Sql)),
+    QDef("q250_product_quantization", q250, Some(q250Sql)))
 }

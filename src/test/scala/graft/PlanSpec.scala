@@ -384,9 +384,14 @@ class PlanSpec extends SparkSpec {
     //             operator's whole point)
     //      q233 — largest-remainder ranking over the per-NATION aggregate
     //             (≤25 rows — dimension-bounded by construction)
+    //      q246 — grand-total window over the 9-row first-digit frequency
+    //             table (digit-bounded by construction)
+    //      q247 — trailing-7-day set union over the per-DAY aggregate
+    //             (|days| rows — calendar-bounded by construction)
     //    collectWithSubqueries so a window nested in a subquery can't hide.
     val allowedGlobalWindow =
-      Set("q98_vocab_coverage", "q146_skyline", "q233_largest_remainder_proration")
+      Set("q98_vocab_coverage", "q146_skyline", "q233_largest_remainder_proration",
+        "q246_benford_profile", "q247_rolling_distinct_users")
     Registry.all.foreach { q =>
       val df = q.fn(spark, sf)
       if (q.name != "q08_cross_join") {

@@ -27,12 +27,15 @@ class RegistrySpec extends SparkSpec {
     // \b guard: without it, a column like `n_from` followed by the FROM keyword
     // matches as FROM\s+FROM and reports a phantom relation named 'from'
     val fromPat = "(?i)\\b(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
+    // DuckDB built-in TABLE FUNCTIONS are valid FROM targets that are neither
+    // base tables nor CTEs (q245/q250 use generate_series as a lag/dim spine)
+    val tableFunctions = Set("generate_series", "range", "unnest")
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (name, sql) =>
       // both CTE forms: `name AS (` and the recursive `name(col, ...) AS (`
       val ctes = "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       fromPat.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
-        assert(tables.contains(t) || ctes.contains(t),
+        assert(tables.contains(t) || ctes.contains(t) || tableFunctions.contains(t),
           s"$name oracle references unknown relation '$t'")
       }
     }
