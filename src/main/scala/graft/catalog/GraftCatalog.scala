@@ -119,9 +119,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
     if (version.nonEmpty && version.forall(_.isDigit))
       new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(version.toLong))
-    else
-      new GraftTable(catalogName, ident, dir, pinnedSnapshot = None,
-        pinnedRef = Some(version))
+    else {
+      // named refs share one namespace (create_* procedures enforce it):
+      // a branch resolves to base+staged, a TAG to its pinned snapshot
+      val meta = GraftMeta.read(dir)
+      GraftRefs.getTag(meta, version) match {
+        case Some(snap) =>
+          require(meta.snapshots.contains(snap),
+            s"graft: tag '$version' pins snapshot $snap which no longer exists " +
+              "(rolled back past it?) — drop_tag and re-create")
+          new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(snap))
+        case None =>
+          new GraftTable(catalogName, ident, dir, pinnedSnapshot = None,
+            pinnedRef = Some(version))
+      }
+    }
   }
 
   /** `TIMESTAMP AS OF <ts>` time travel: Spark hands the requested instant in
@@ -310,6 +322,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "rollback_to_snapshot" => new RollbackProcedure(this)
       case "create_branch"        => new CreateBranchProcedure(this)
       case "drop_branch"          => new DropBranchProcedure(this)
+      case "create_tag"           => new CreateTagProcedure(this)
+      case "drop_tag"             => new DropTagProcedure(this)
       case "fast_forward"         => new FastForwardProcedure(this)
       case "create_mv"            => new CreateMvProcedure(this)
       case "refresh_mv"           => new RefreshMvProcedure(this)

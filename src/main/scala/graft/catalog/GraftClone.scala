@@ -98,7 +98,10 @@ private[catalog] final class CloneTableProcedure(catalog: GraftCatalog)
       schema = meta.schema, current = 1L,
       snapshots = Map(0L -> Nil, 1L -> segs),
       props = meta.props.view.filterKeys(k => !k.startsWith("graft.mv.") &&
-        !k.startsWith(GraftRefs.Prefix)).toMap,
+        !k.startsWith(GraftRefs.Prefix) &&
+        // tags pin SOURCE snapshot ids — meaningless in the clone's fresh
+        // lineage (its history starts at 1), so they don't carry
+        !k.startsWith(GraftRefs.TagPrefix)).toMap,
       zstats = meta.zstats.view.filterKeys(segs.contains).toMap,
       snapshotTimes = Map(0L -> now, 1L -> now),
       dvs = if (dvs.isEmpty) Map.empty else Map(1L -> dvs)))

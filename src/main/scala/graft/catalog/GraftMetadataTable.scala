@@ -20,7 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * when every segment in scope has them, else null — introspection never
   * triggers a data scan. */
 private[catalog] object GraftMetadataTable {
-  val Kinds: Set[String] = Set("snapshots", "segments", "refs")
+  val Kinds: Set[String] = Set("snapshots", "segments", "refs", "tags")
+
+  val TagsSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("snapshot", LongType, nullable = false),
+    // commit time of the pinned snapshot (release timestamp), null for
+    // pre-snapshotTimes tables
+    StructField("committed_at_ms", LongType, nullable = true)))
 
   val RefsSchema: StructType = StructType(Seq(
     StructField("branch", StringType, nullable = false),
@@ -64,6 +71,7 @@ private[catalog] final class GraftMetadataTable(
   override def schema(): StructType = kind match {
     case "snapshots" => SnapshotsSchema
     case "refs"      => RefsSchema
+    case "tags"      => TagsSchema
     case _           => SegmentsSchema
   }
   override def capabilities(): java.util.Set[TableCapability] =
@@ -74,7 +82,13 @@ private[catalog] final class GraftMetadataTable(
 
   private def rows(): Array[InternalRow] = {
     val meta = GraftMeta.read(tableDir)
-    if (kind == "refs") {
+    if (kind == "tags") {
+      GraftRefs.allTags(meta).toSeq.sortBy(_._1).map { case (name, snap) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(name), snap,
+          meta.snapshotTimes.get(snap).map(Long.box).orNull)): InternalRow
+      }.toArray
+    } else if (kind == "refs") {
       GraftRefs.all(meta).toSeq.sortBy(_._1).map { case (name, ref) =>
         val baseSegs = meta.snapshots.getOrElse(ref.base, Nil).toSet
         val n = ref.dirs.map(segRows(meta, _))

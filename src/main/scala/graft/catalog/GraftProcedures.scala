@@ -900,9 +900,11 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
       val refs = GraftRefs.all(meta)
       // a ref's BASE snapshot stays retained (its delete vectors define the
       // branch's live rows) and every ref-listed segment stays referenced —
-      // maintenance can never eat an unpublished branch
+      // maintenance can never eat an unpublished branch; TAGGED snapshots are
+      // retained outright (a tag is a release pointer — only drop_tag frees it)
       val keptIds = ids.takeRight(keepLast).toSet + meta.current ++
-        refs.valuesIterator.map(_.base).filter(meta.snapshots.contains)
+        refs.valuesIterator.map(_.base).filter(meta.snapshots.contains) ++
+        GraftRefs.allTags(meta).valuesIterator.filter(meta.snapshots.contains)
       val removedIds = ids.filterNot(keptIds)
       val referenced = keptIds.flatMap(id => meta.snapshots(id)) ++
         refs.valuesIterator.flatMap(_.dirs)

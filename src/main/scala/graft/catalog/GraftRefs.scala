@@ -41,7 +41,28 @@ import org.apache.spark.sql.types._
 private[catalog] object GraftRefs {
   val Prefix = "ref."
 
+  /** TAGS are the IMMUTABLE sibling of branches: a named pointer to one main
+    * snapshot (`tag.<name> = <snapshot id>`), read via `VERSION AS OF '<tag>'`.
+    * The separate property prefix is what makes the immutability structural —
+    * the branch write path (`.option("graft.branch", ...)`) looks up `ref.*`
+    * only, so a tag can NEVER accept staged segments; there is no "commit to a
+    * tag" to forbid. Retention: `expire_snapshots` keeps every tagged
+    * snapshot (a tag is a release pointer — `drop_tag` is the only way it
+    * stops pinning history). Published Iceberg tag contract, re-derived —
+    * contract only, no code. */
+  val TagPrefix = "tag."
+
   final case class Ref(base: Long, dirs: Seq[String])
+
+  def tagKey(name: String): String = TagPrefix + name
+
+  def getTag(meta: GraftMeta, name: String): Option[Long] =
+    meta.props.get(tagKey(name)).map(_.toLong)
+
+  def allTags(meta: GraftMeta): Map[String, Long] =
+    meta.props.collect { case (k, v) if k.startsWith(TagPrefix) =>
+      k.stripPrefix(TagPrefix) -> v.toLong
+    }
 
   def key(name: String): String = Prefix + name
 
@@ -110,6 +131,9 @@ private[catalog] final class CreateBranchProcedure(catalog: GraftCatalog)
     GraftMeta.mutate(dir) { meta =>
       require(!meta.props.contains(GraftRefs.key(branch)),
         s"graft: branch '$branch' already exists")
+      // shared namespace with tags: `VERSION AS OF '<name>'` must be unambiguous
+      require(!meta.props.contains(GraftRefs.tagKey(branch)),
+        s"graft: '$branch' already names a tag")
       out = GraftRefs.Ref(meta.current, meta.snapshots.getOrElse(meta.current, Nil))
       meta.copy(props = meta.props + (GraftRefs.key(branch) -> GraftRefs.encode(out)))
     }
@@ -199,5 +223,76 @@ private[catalog] final class FastForwardProcedure(catalog: GraftCatalog)
         props = meta.props - GraftRefs.key(branch))
     }
     result(prev, next, published)
+  }
+}
+
+/** `CALL graft.system.create_tag(table, tag[, snapshot])` — pin an immutable
+  * named pointer at a snapshot (default: the current one). Reads resolve via
+  * `VERSION AS OF '<tag>'`; `expire_snapshots` retains the tagged snapshot for
+  * as long as the tag exists. */
+private[catalog] final class CreateTagProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "create_tag"
+  override def description(): String =
+    "pin an immutable named tag at a snapshot (default: current)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("tag", StringType).build(),
+    ProcedureParameter.in("snapshot", LongType).defaultValue("-1").build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("snapshot", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val tag = input.getUTF8String(1).toString
+    val requested = input.getLong(2)
+    GraftRefs.requireValidName(tag)
+    var pinned = -1L
+    GraftMeta.mutate(dir) { meta =>
+      pinned = if (requested >= 0) requested else meta.current
+      require(meta.snapshots.contains(pinned),
+        s"graft create_tag: no snapshot $pinned (have ${meta.snapshots.keys.toSeq.sorted})")
+      require(!meta.props.contains(GraftRefs.tagKey(tag)),
+        s"graft: tag '$tag' already exists")
+      // one NAMESPACE across both ref kinds: `VERSION AS OF '<name>'` must
+      // resolve unambiguously, so a name can't be a branch and a tag at once
+      require(!meta.props.contains(GraftRefs.key(tag)),
+        s"graft: '$tag' already names a branch")
+      meta.copy(props = meta.props + (GraftRefs.tagKey(tag) -> pinned.toString))
+    }
+    result(org.apache.spark.unsafe.types.UTF8String.fromString(tag), pinned)
+  }
+}
+
+/** `CALL graft.system.drop_tag(table, tag)` — remove the pointer; the
+  * snapshot it pinned becomes expirable again (data is untouched here). */
+private[catalog] final class DropTagProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "drop_tag"
+  override def description(): String = "drop a tag (the snapshot stays; it just stops being retained)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("tag", StringType).build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("snapshot", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val tag = input.getUTF8String(1).toString
+    var pinned = -1L
+    GraftMeta.mutate(dir) { meta =>
+      pinned = GraftRefs.getTag(meta, tag).getOrElse(
+        throw new IllegalArgumentException(s"graft: no tag '$tag'"))
+      meta.copy(props = meta.props - GraftRefs.tagKey(tag))
+    }
+    result(org.apache.spark.unsafe.types.UTF8String.fromString(tag), pinned)
   }
 }

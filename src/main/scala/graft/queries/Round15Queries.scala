@@ -546,6 +546,53 @@ object Round15Queries {
        |FROM ranked WHERE rn <= 10 ORDER BY pid, rn""".stripMargin
   }
 
+  // --------------------------------------------------------------------------
+  // q251: TAG REFS — immutable named snapshots (`create_tag` → `VERSION AS OF
+  // '<tag>'`), the release-pointer sibling of q235's WAP branches. The
+  // lifecycle under oracle: seed → TAG 'v1' → more inserts → DELETE →
+  // `expire_snapshots(keep_last => 1)` — and the tagged read STILL serves the
+  // exact v1 content, because expiry retains tagged snapshots (the whole
+  // point: a release pin survives maintenance that would otherwise eat its
+  // history). Both the pinned read and the current read are hash-gated
+  // against independent relational replays. TagSpec pins the rest of the
+  // contract (structural immutability, drop_tag frees retention, namespace
+  // exclusivity vs branches, t.tags, clone stripping).
+  // --------------------------------------------------------------------------
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    graft.Tables.orders(s, d).createOrReplaceTempView("tag_orders")
+    val t = s"m251_${Integer.toHexString(d.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, price_c BIGINT) USING parquet")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM tag_orders WHERE o_orderkey % 3 = 0""")
+    s.sql(s"CALL graft.system.create_tag('lake.$t', 'v1')")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM tag_orders WHERE o_orderkey % 3 = 1""")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE k % 9 = 0")
+    s.sql(s"CALL graft.system.expire_snapshots('lake.$t', keep_last => 1)")
+    s.sql(s"""
+      SELECT 'tagged' AS state, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+      FROM graft.lake.$t VERSION AS OF 'v1'
+      UNION ALL
+      SELECT 'current', COUNT(*), CAST(SUM(price_c) AS BIGINT)
+      FROM graft.lake.$t
+      ORDER BY state""")
+  }
+
+  private val q251Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS p
+         FROM orders),
+       v1 AS (SELECT k, p FROM base WHERE k % 3 = 0),
+       cur AS (SELECT k, p FROM base WHERE (k % 3 = 0 OR k % 3 = 1) AND k % 9 <> 0)
+       SELECT 'current' AS state, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS total_c FROM cur
+       UNION ALL
+       SELECT 'tagged', COUNT(*), CAST(SUM(p) AS BIGINT) FROM v1
+       ORDER BY state"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -554,5 +601,6 @@ object Round15Queries {
     QDef("q247_rolling_distinct_users", q247, Some(q247Sql)),
     QDef("q248_unicode_normalize", q248, Some(q248Sql)),
     QDef("q249_bpe_merge_training", q249, Some(q249Sql)),
-    QDef("q250_product_quantization", q250, Some(q250Sql)))
+    QDef("q250_product_quantization", q250, Some(q250Sql)),
+    QDef("q251_lake_tags", q251, Some(q251Sql)))
 }
