@@ -593,6 +593,130 @@ object Round15Queries {
        SELECT 'tagged', COUNT(*), CAST(SUM(p) AS BIGINT) FROM v1
        ORDER BY state"""
 
+  // --------------------------------------------------------------------------
+  // q252: KAPLAN–MEIER SURVIVAL ESTIMATOR — the censored-durations analytics
+  // staple (retention/churn studies). Subjects = customers; duration = the
+  // 30-day-bucketed span between first and last order; event = any final
+  // ('F') order observed, else right-censored. The estimator is pure
+  // relational algebra over the AGGREGATED time table (≤ ~25 rows at any
+  // scale — 100 TB of orders still collapses to one groupBy(custkey) +
+  // one groupBy(bucket)): at-risk counts via a cumulative window over prior
+  // (deaths + censored), survival via the exp∘cumsum∘ln spelling of the
+  // running product — the cumulative frame fixes the summation ORDER (time
+  // ascending) identically in both engines, so values match to the bp after
+  // rounding. Times with d=0 contribute ln(1)=0, exactly a factor of 1.
+  // --------------------------------------------------------------------------
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.orders(s, d).createOrReplaceTempView("km_orders")
+    s.sql("""
+      WITH cust AS (
+        SELECT o_custkey,
+               CAST(FLOOR(DATEDIFF(CAST(MAX(o_orderdate) AS DATE),
+                                   CAST(MIN(o_orderdate) AS DATE)) / 30.0) AS INT) AS t,
+               MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+        FROM km_orders GROUP BY o_custkey),
+      agg AS (SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM cust GROUP BY t),
+      risk AS (
+        SELECT t, d,
+               (SELECT COUNT(*) FROM cust) -
+                 COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+        FROM agg),
+      km AS (
+        -- the terminal bucket can have d = n (everyone remaining dies):
+        -- survival is EXACTLY 0 from there on, and ln(0) must never be
+        -- evaluated (Spark yields NULL, DuckDB raises) — the absorbing
+        -- state is carried by a cumulative flag instead
+        SELECT t, n, d,
+               MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
+                 ORDER BY t ROWS UNBOUNDED PRECEDING) AS absorbed,
+               EXP(SUM(CASE WHEN d >= n THEN 0.0
+                            ELSE LN(1.0 - CAST(d AS DOUBLE) / n) END) OVER (
+                 ORDER BY t ROWS UNBOUNDED PRECEDING)) AS surv
+        FROM risk)
+      SELECT t, n, d,
+             CAST(ROUND(CASE WHEN absorbed = 1 THEN 0.0 ELSE surv END * 10000)
+               AS BIGINT) AS surv_bp
+      FROM km ORDER BY t""")
+  }
+
+  private val q252Sql =
+    """WITH cust AS (
+         SELECT o_custkey,
+                CAST(FLOOR(DATE_DIFF('day', CAST(MIN(o_orderdate) AS DATE),
+                                     CAST(MAX(o_orderdate) AS DATE)) / 30.0) AS INT) AS t,
+                MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ev
+         FROM orders GROUP BY o_custkey),
+       agg AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                      CAST(SUM(1 - ev) AS BIGINT) AS c FROM cust GROUP BY t),
+       risk AS (
+         SELECT t, d,
+                (SELECT COUNT(*) FROM cust) -
+                  COALESCE(SUM(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+         FROM agg),
+       km AS (
+         SELECT t, n, d,
+                MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
+                  ORDER BY t ROWS UNBOUNDED PRECEDING) AS absorbed,
+                EXP(SUM(CASE WHEN d >= n THEN 0.0
+                             ELSE LN(1.0 - CAST(d AS DOUBLE) / n) END) OVER (
+                  ORDER BY t ROWS UNBOUNDED PRECEDING)) AS surv
+         FROM risk)
+       SELECT t, CAST(n AS BIGINT) AS n, d,
+              CAST(ROUND(CASE WHEN absorbed = 1 THEN 0.0 ELSE surv END * 10000)
+                AS BIGINT) AS surv_bp
+       FROM km ORDER BY t"""
+
+  // --------------------------------------------------------------------------
+  // q253: FLESCH READING-EASE SCORING — the classic text-quality heuristic
+  // (quality classifiers like q117 routinely take it as a feature). The
+  // corpus has no punctuation, so sentence boundaries are PLANTED
+  // deterministically (every standalone 'table' ends a sentence) and the
+  // declared sentence count = period count floored at 1 — documented
+  // simplification, mirrored in the oracle. Syllables = vowel-run count
+  // (the standard cheap approximation). The score is one fixed double
+  // expression over three integer counts — identical operation order in
+  // both engines, emitted ×100 rounded. Pure per-row map work: no shuffle,
+  // no window, embarrassingly parallel at any scale.
+  // --------------------------------------------------------------------------
+  private def q253(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.documents(s, d).createOrReplaceTempView("fl_docs")
+    s.sql("""
+      WITH planted AS (
+        SELECT doc_id, regexp_replace(lower(text), '\\btable\\b', 'table.') AS tx
+        FROM fl_docs WHERE doc_id % 7 = 0),
+      counts AS (
+        SELECT doc_id,
+               size(filter(split(tx, ' '), x -> x <> '')) AS words,
+               GREATEST(1, size(regexp_extract_all(tx, '\\.', 0))) AS sentences,
+               size(regexp_extract_all(tx, '[aeiouy]+', 0)) AS syllables
+        FROM planted)
+      SELECT doc_id, words, sentences, syllables,
+             CAST(ROUND((206.835
+               - 1.015 * (CAST(words AS DOUBLE) / sentences)
+               - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 100) AS BIGINT)
+               AS flesch_x100
+      FROM counts ORDER BY doc_id""")
+  }
+
+  private val q253Sql =
+    """WITH planted AS (
+         SELECT doc_id, regexp_replace(lower(text), '\btable\b', 'table.', 'g') AS tx
+         FROM documents WHERE doc_id % 7 = 0),
+       counts AS (
+         SELECT doc_id,
+                CAST(len(list_filter(str_split(tx, ' '), x -> x <> '')) AS INT) AS words,
+                CAST(GREATEST(1, len(regexp_extract_all(tx, '\.'))) AS INT) AS sentences,
+                CAST(len(regexp_extract_all(tx, '[aeiouy]+')) AS INT) AS syllables
+         FROM planted)
+       SELECT doc_id, words, sentences, syllables,
+              CAST(ROUND((206.835
+                - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                - 84.6 * (CAST(syllables AS DOUBLE) / words)) * 100) AS BIGINT)
+                AS flesch_x100
+       FROM counts ORDER BY doc_id"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -602,5 +726,7 @@ object Round15Queries {
     QDef("q248_unicode_normalize", q248, Some(q248Sql)),
     QDef("q249_bpe_merge_training", q249, Some(q249Sql)),
     QDef("q250_product_quantization", q250, Some(q250Sql)),
-    QDef("q251_lake_tags", q251, Some(q251Sql)))
+    QDef("q251_lake_tags", q251, Some(q251Sql)),
+    QDef("q252_kaplan_meier", q252, Some(q252Sql)),
+    QDef("q253_flesch_readability", q253, Some(q253Sql)))
 }

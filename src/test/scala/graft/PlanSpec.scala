@@ -388,10 +388,12 @@ class PlanSpec extends SparkSpec {
     //             table (digit-bounded by construction)
     //      q247 — trailing-7-day set union over the per-DAY aggregate
     //             (|days| rows — calendar-bounded by construction)
+    //      q252 — Kaplan–Meier cumulative at-risk/survival windows over the
+    //             30-day-bucketed time table (≤ ~25 rows at any scale)
     //    collectWithSubqueries so a window nested in a subquery can't hide.
     val allowedGlobalWindow =
       Set("q98_vocab_coverage", "q146_skyline", "q233_largest_remainder_proration",
-        "q246_benford_profile", "q247_rolling_distinct_users")
+        "q246_benford_profile", "q247_rolling_distinct_users", "q252_kaplan_meier")
     Registry.all.foreach { q =>
       val df = q.fn(spark, sf)
       if (q.name != "q08_cross_join") {
