@@ -236,6 +236,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       var dropped = meta.props.get(GraftTable.DroppedColumnsProp)
         .map(_.split(',').toSet).getOrElse(Set.empty[String])
       var setProps = Map.empty[String, String]
+      var removedProps = Set.empty[String]
       val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
         ch match {
           // the DELETE/UPDATE implementation is switchable per table:
@@ -253,6 +254,37 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
           case set: TableChange.SetProperty
               if set.property() == SegmentStats.SumsProp =>
             setProps += set.property() -> set.value()
+            sch
+          // PARTITION EVOLUTION: the new spec governs FUTURE writes only —
+          // existing segments keep their own (partition-pure) layout and stay
+          // correct under every value-based path (zone-map pruning, COW DML
+          // discovery, MOR vectors). Each evolution bumps the spec id, so new
+          // suffixes are spec-qualified and can never collide with old ones;
+          // the one suffix-KEYED operation (dynamic partition overwrite) is
+          // refused while mixed-layout segments remain (see commitMany).
+          // Rewrites migrate incrementally: COW delete/update re-route
+          // touched rows by the current spec, and a full INSERT OVERWRITE
+          // rewrites the whole table under it.
+          case set: TableChange.SetProperty
+              if set.property() == GraftTable.PartitionByProp =>
+            val names = set.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            require(names.nonEmpty,
+              "graft catalog: empty partition spec — use UNSET TBLPROPERTIES to departition")
+            val cased = GraftPartitions.validateCols(names, sch)
+            if (meta.props.get(GraftTable.PartitionByProp).contains(cased.mkString(","))) sch
+            else {
+              setProps += GraftTable.PartitionByProp -> cased.mkString(",")
+              setProps += GraftPartitions.SpecIdProp ->
+                (GraftPartitions.specId(meta.props) + 1L).toString
+              sch
+            }
+          case rm: TableChange.RemoveProperty
+              if rm.property() == GraftTable.PartitionByProp =>
+            if (meta.props.contains(GraftTable.PartitionByProp)) {
+              removedProps += GraftTable.PartitionByProp
+              setProps += GraftPartitions.SpecIdProp ->
+                (GraftPartitions.specId(meta.props) + 1L).toString
+            }
             sch
           case add: TableChange.AddColumn =>
             require(add.fieldNames().length == 1,
@@ -299,9 +331,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               s"graft catalog: unsupported ALTER TABLE change $other")
         }
       }
-      val newProps = (if (dropped.isEmpty) meta.props
+      val newProps = ((if (dropped.isEmpty) meta.props
         else meta.props +
-          (GraftTable.DroppedColumnsProp -> dropped.toSeq.sorted.mkString(","))) ++ setProps
+          (GraftTable.DroppedColumnsProp -> dropped.toSeq.sorted.mkString(","))) --
+        removedProps) ++ setProps
       meta.copy(schema = newSchema, props = newProps)
     }
     loadTable(ident)
@@ -784,6 +817,20 @@ private[catalog] object GraftMeta {
               s"current is ${meta.current}); retry the operation"))
         applied = true
         val base = meta.snapshots.getOrElse(meta.current, Nil)
+        if (removeSuffixes.nonEmpty) {
+          // dynamic partition overwrite is SUFFIX-keyed: under a mixed layout
+          // (segments written under an older partition spec) it would skip
+          // old-spec segments holding rows of the overwritten partitions —
+          // silently stale data. Refuse loudly; value-based paths migrate.
+          val mixed = GraftPartitions.mixedLayoutSegments(meta)
+          require(mixed.isEmpty,
+            s"graft: dynamic partition overwrite on a MIXED-LAYOUT table — " +
+              s"${mixed.size} segment(s) predate the current partition spec " +
+              s"(spec id ${GraftPartitions.specId(meta.props)}); migrate first: " +
+              "INSERT OVERWRITE the full table (rewrites everything under the " +
+              "current spec), or let COW delete_where/update_where re-route the " +
+              "partitions you touch")
+        }
         val kept =
           if (replaceAll) Nil
           else if (removeSuffixes.nonEmpty)
@@ -869,6 +916,64 @@ private[catalog] object GraftPartitions {
     }.mkString
 
   def encodeTuple(values: Seq[String]): String = values.map(encodeString).mkString("_")
+
+  /** PARTITION EVOLUTION support. Each evolution bumps `graft.partition-spec-id`;
+    * segments written under spec N > 0 carry suffix `<N>~<tuple>` — the spec id
+    * is part of the suffix string, so segments of DIFFERENT specs can never
+    * suffix-collide (dynamic overwrite's removal matching and compaction's
+    * grouping both compare full suffix strings). Never-evolved tables keep the
+    * bare `<tuple>` form (spec id 0), byte-identical to the pre-evolution
+    * format. '~' cannot appear inside an encoded tuple (it is %7E-escaped), so
+    * the first '~' after leading digits is always this marker. */
+  val SpecIdProp = "graft.partition-spec-id"
+
+  def specId(props: Map[String, String]): Long =
+    props.get(SpecIdProp).map(_.toLong).getOrElse(0L)
+
+  /** Spec-qualified suffix for freshly written partition-pure segments. */
+  def suffix(values: Seq[String], specId: Long): String =
+    if (specId == 0L) encodeTuple(values) else s"$specId~${encodeTuple(values)}"
+
+  /** Spec id a segment was written under (0 = pre-evolution format). */
+  def specIdOf(suffixStr: String): Long = {
+    val i = suffixStr.indexOf('~')
+    if (i <= 0) 0L
+    else {
+      val head = suffixStr.substring(0, i)
+      if (head.forall(_.isDigit)) head.toLong else 0L
+    }
+  }
+
+  /** Same validation the CREATE path applies to identity partition columns
+    * (existence, supported type, property-safe name charset) — evolution must
+    * not admit a spec CREATE would refuse. Returns the schema-cased names. */
+  def validateCols(names: Seq[String], schema: StructType): Seq[String] =
+    names.map { c =>
+      val field = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"graft catalog: unknown partition column '$c'"))
+      require(supportedType(field.dataType),
+        s"graft catalog: partition column '$c' has unsupported type ${field.dataType} " +
+          "(string/integral/boolean/date/decimal only — derive a column for timestamps)")
+      require(field.name.matches("[A-Za-z0-9_.\\-]+"),
+        s"graft catalog: partition column name '${field.name}' must match [A-Za-z0-9_.-]+")
+      field.name
+    }
+
+  /** Current-snapshot segments whose layout does not match the CURRENT
+    * partition spec — the set that makes suffix-keyed operations (dynamic
+    * partition overwrite) ambiguous. Value-based operations (zone-map-pruned
+    * scans, COW delete/update discovery, MOR vectors) are layout-agnostic
+    * and stay correct on a mixed table. */
+  def mixedLayoutSegments(meta: GraftMeta): Seq[String] = {
+    val sid = specId(meta.props)
+    val partitioned = cols(meta.props).nonEmpty
+    meta.snapshots.getOrElse(meta.current, Nil).filter { seg =>
+      suffixOf(seg) match {
+        case Some(sfx) => !partitioned || specIdOf(sfx) != sid
+        case None      => partitioned
+      }
+    }
+  }
 
   /** Per-field InternalRow → canonical string (null-safe), matching
     * `CAST(col AS STRING)` for every supported type — the consistency

@@ -276,7 +276,8 @@ private[catalog] final class GraftDeltaBatchWrite(
       .prepareWrite(spark, job, Map.empty[String, String], dataSchema)
     new GraftDeltaWriterFactory(owf,
       new SerializableHadoopConf(job.getConfiguration),
-      staging.toString, dataSchema, partFields)
+      staging.toString, dataSchema, partFields,
+      GraftPartitions.specId(metaAtLoad.props))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -354,11 +355,13 @@ private[catalog] final class GraftDeltaBatchWrite(
 private[catalog] final class GraftDeltaWriterFactory(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
-    partFields: Seq[(Int, org.apache.spark.sql.types.DataType)])
+    partFields: Seq[(Int, org.apache.spark.sql.types.DataType)],
+    specId: Long)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaWriter(owf, conf, staging, dataSchema, partFields, partitionId, taskId)
+    new GraftDeltaWriter(owf, conf, staging, dataSchema, partFields, partitionId, taskId,
+      specId)
 }
 
 /** Per-task delta writer. `id` rows are [__graft_sf, __graft_pos] in rowId()
@@ -369,7 +372,7 @@ private[catalog] final class GraftDeltaWriter(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
     partFields: Seq[(Int, org.apache.spark.sql.types.DataType)],
-    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+    partitionId: Int, taskId: Long, specId: Long) extends DeltaWriter[InternalRow] {
 
   import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskType}
   import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -386,7 +389,7 @@ private[catalog] final class GraftDeltaWriter(
   private val positions = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
   override def insert(row: InternalRow): Unit = {
-    val enc = GraftPartitions.encodeTuple(extractors.map(_(row)))
+    val enc = GraftPartitions.suffix(extractors.map(_(row)), specId)
     writers.getOrElseUpdate(enc, {
       val file = s"part-$partitionId-$taskId$ext"
       manifest += enc -> file

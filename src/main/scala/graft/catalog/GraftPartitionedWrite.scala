@@ -153,7 +153,8 @@ private[catalog] final class GraftPartitionedWrite(
         GraftChecks.wrap(
           new GraftPartitionedWriterFactory(owf,
             new SerializableHadoopConf(job.getConfiguration),
-            staging.toString, dataSchema, partFields, fromRowLevelOp),
+            staging.toString, dataSchema, partFields, fromRowLevelOp,
+            GraftPartitions.specId(props)),
           dataSchema, props, writeId,
           ordinalOffset = if (fromRowLevelOp) 1 else 0)
       }
@@ -238,7 +239,8 @@ private[catalog] final case class GraftPartitionFilesMessage(
 private[catalog] final class GraftPartitionedWriterFactory(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
-    partFields: Seq[(Int, DataType)], fromRowLevelOp: Boolean)
+    partFields: Seq[(Int, DataType)], fromRowLevelOp: Boolean,
+    specId: Long)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -261,7 +263,7 @@ private[catalog] final class GraftPartitionedWriterFactory(
           case Some(p) => p.project(row); p
           case None    => row
         }
-        val enc = GraftPartitions.encodeTuple(extractors.map(_(data)))
+        val enc = GraftPartitions.suffix(extractors.map(_(data)), specId)
         writers.getOrElseUpdate(enc, {
           val file = s"part-$partitionId-$taskId$ext"
           manifest += enc -> file

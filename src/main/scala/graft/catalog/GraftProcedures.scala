@@ -426,7 +426,8 @@ private[catalog] object GraftDml {
         if (s == null) col(c).isNull else col(c).cast("string") === lit(s)
       }.reduce(_ && _)
       val seg = s"seg-${UUID.randomUUID().toString.take(12)}" +
-        s"${GraftPartitions.Marker}${GraftPartitions.encodeTuple(vals)}"
+        s"${GraftPartitions.Marker}${GraftPartitions.suffix(vals,
+          GraftPartitions.specId(meta.props))}"
       writeOneSegment(dir, meta, df.where(cond), seg)
     }
   }

@@ -63,7 +63,8 @@ private[catalog] final class GraftStreamingWrite(
       new SerializableHadoopConf(job.getConfiguration), staging.toString,
       dataSchema, partFields,
       GraftChecks.boundChecks(dataSchema, metaAtBuild.props),
-      tableDir.getFileName.toString)
+      tableDir.getFileName.toString,
+      GraftPartitions.specId(metaAtBuild.props))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -116,7 +117,7 @@ private[catalog] final class GraftStreamingWriterFactory(
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
     partFields: Seq[(Int, org.apache.spark.sql.types.DataType)],
     checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)],
-    table: String)
+    table: String, specId: Long)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -141,7 +142,7 @@ private[catalog] final class GraftStreamingWriterFactory(
           if (p.eval(row)) throw new IllegalArgumentException(
             s"graft: CHECK constraint '$n' ($sql) violated on a row streamed to $table")
         }
-        val enc = GraftPartitions.encodeTuple(extractors.map(_(row)))
+        val enc = GraftPartitions.suffix(extractors.map(_(row)), specId)
         writers.getOrElseUpdate(enc, {
           val file = s"part-$partitionId-$taskId$ext"
           manifest += enc -> file

@@ -717,6 +717,59 @@ object Round15Queries {
                 AS flesch_x100
        FROM counts ORDER BY doc_id"""
 
+  // --------------------------------------------------------------------------
+  // q254: PARTITION EVOLUTION lifecycle under oracle — create partitioned by
+  // STATUS, ingest, `ALTER TABLE SET ('graft.partition-by'='prio')`, ingest
+  // more (new segments partition-pure by the NEW spec, spec-qualified
+  // suffixes), then a COW delete that touches BOTH generations (its rewrite
+  // re-routes surviving rows under the current spec — incremental
+  // migration). The final content is hash-gated against a pure relational
+  // replay grouped by both generations' partition columns — evolution must
+  // be invisible to query results. PartitionEvolutionSpec pins the physical
+  // side (spec-qualified suffixes, mixed-layout dynamic-overwrite refusal,
+  // zone-map pruning on either column, UNSET, validation).
+  // --------------------------------------------------------------------------
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    graft.Tables.orders(s, d).createOrReplaceTempView("pevo_orders")
+    val t = s"m254_${Integer.toHexString(d.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, prio STRING, amt BIGINT)
+      USING parquet PARTITIONED BY (st)""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM pevo_orders WHERE o_orderkey % 3 = 0""")
+    s.sql(s"ALTER TABLE graft.lake.$t SET TBLPROPERTIES('graft.partition-by'='prio')")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM pevo_orders WHERE o_orderkey % 3 = 1""")
+    s.sql(s"CALL graft.system.delete_where('lake.$t', 'k % 9 = 0')")
+    s.sql(s"""
+      SELECT 'by_status' AS grp, st AS key, COUNT(*) AS n,
+             CAST(SUM(amt) AS BIGINT) AS total_c
+      FROM graft.lake.$t GROUP BY st
+      UNION ALL
+      SELECT 'by_priority', prio, COUNT(*), CAST(SUM(amt) AS BIGINT)
+      FROM graft.lake.$t GROUP BY prio
+      ORDER BY grp, key""")
+  }
+
+  private val q254Sql =
+    """WITH live AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st, o_orderpriority AS prio,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS amt
+         FROM orders
+         WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1) AND o_orderkey % 9 <> 0)
+       SELECT 'by_status' AS grp, st AS key, COUNT(*) AS n,
+              CAST(SUM(amt) AS BIGINT) AS total_c
+       FROM live GROUP BY st
+       UNION ALL
+       SELECT 'by_priority', prio, COUNT(*), CAST(SUM(amt) AS BIGINT)
+       FROM live GROUP BY prio
+       ORDER BY grp, key"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -728,5 +781,6 @@ object Round15Queries {
     QDef("q250_product_quantization", q250, Some(q250Sql)),
     QDef("q251_lake_tags", q251, Some(q251Sql)),
     QDef("q252_kaplan_meier", q252, Some(q252Sql)),
-    QDef("q253_flesch_readability", q253, Some(q253Sql)))
+    QDef("q253_flesch_readability", q253, Some(q253Sql)),
+    QDef("q254_partition_evolution", q254, Some(q254Sql)))
 }
