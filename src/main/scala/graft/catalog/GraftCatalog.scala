@@ -361,6 +361,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "create_mv"            => new CreateMvProcedure(this)
       case "refresh_mv"           => new RefreshMvProcedure(this)
       case "clone_table"          => new CloneTableProcedure(this)
+      case "add_files"            => new AddFilesProcedure(this)
       case other =>
         throw new UnsupportedOperationException(s"graft catalog: no procedure '$other'")
     }

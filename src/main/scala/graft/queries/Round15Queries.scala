@@ -338,8 +338,15 @@ object Round15Queries {
       .select(explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    // The symbol table is PERSISTED after every merge: chained higher-order
+    // transforms otherwise collapse into ONE nested expression where each
+    // element_at(arr, i) re-evaluates the whole previous iteration's lambda
+    // chain per element — multiplicative blowup per iteration (measured 55 s
+    // at sf0.1; materialized, the loop is sub-second per round). The cached
+    // state is vocab-sized, the exact reason BPE training scales at all.
     var syms = words.selectExpr("word", "freq",
       "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS arr")
+      .persist()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (it <- 1 to 3) {
       val top = syms.where(expr("size(arr) >= 2"))
@@ -356,6 +363,7 @@ object Round15Queries {
       // simultaneous merge: drop every position that is the RIGHT half of a
       // match, rewrite every position that is the LEFT half to the merged
       // symbol — exact because a != b forbids overlapping matches
+      val prev = syms
       syms = syms.selectExpr("word", "freq",
         s"""transform(
            |  filter(sequence(1, size(arr)),
@@ -365,7 +373,11 @@ object Round15Queries {
            |                 AND element_at(arr, i + 1) = '$b'
            |            THEN concat(element_at(arr, i), element_at(arr, i + 1))
            |            ELSE element_at(arr, i) END) AS arr""".stripMargin)
+        .persist()
+      syms.count() // materialize, then release the previous generation
+      prev.unpersist()
     }
+    syms.unpersist()
     import s.implicits._
     merges.result().toDF("it", "left_sym", "right_sym", "cnt")
       .selectExpr("it", "left_sym", "right_sym",
@@ -770,6 +782,163 @@ object Round15Queries {
        FROM live GROUP BY prio
        ORDER BY grp, key"""
 
+  // --------------------------------------------------------------------------
+  // q255: RFM CUSTOMER SEGMENTATION — recency/frequency/monetary quintiles,
+  // the classic marketing-analytics operator. ONE groupBy(custkey) collapses
+  // orders to integer customer metrics (days since last order, order count,
+  // monetary CENTS — all exact integers, no fp summation hazard); quintile
+  // BOUNDARIES are percentile_disc-style rank SELECTIONS over each metric
+  // (actual data values, never interpolation — bit-identical across
+  // engines); each customer then buckets by four integer comparisons, and
+  // the SERVING path (bucket + re-aggregate) has no global sort. The
+  // boundary pass itself ranks the customer aggregate in one task —
+  // allowlisted and stated honestly: exact oracle-matchable quantiles need
+  // a rank; the 100 TB drop-in is approx_percentile boundaries (mergeable
+  // t-digest), same downstream bucketing.
+  // --------------------------------------------------------------------------
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.orders(s, d).createOrReplaceTempView("rfm_orders")
+    def boundaries(metric: String): String =
+      s"""SELECT v AS b FROM (
+         |  SELECT $metric AS v,
+         |         ROW_NUMBER() OVER (ORDER BY $metric, o_custkey) AS rk,
+         |         COUNT(*) OVER () AS n
+         |  FROM cust)
+         |WHERE rk IN ((n * 1) DIV 5, (n * 2) DIV 5, (n * 3) DIV 5, (n * 4) DIV 5)""".stripMargin
+    s.sql(s"""
+      WITH cust AS (
+        SELECT o_custkey,
+               DATEDIFF((SELECT CAST(MAX(o_orderdate) AS DATE) FROM rfm_orders),
+                        CAST(MAX(o_orderdate) AS DATE)) AS r_days,
+               COUNT(*) AS freq,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+        FROM rfm_orders GROUP BY o_custkey),
+      rb AS (${boundaries("r_days")}),
+      fb AS (${boundaries("freq")}),
+      mb AS (${boundaries("mon_c")}),
+      scored AS (
+        SELECT c.o_custkey, c.mon_c,
+               1 + (SELECT COUNT(*) FROM rb WHERE c.r_days > rb.b) AS r_q,
+               1 + (SELECT COUNT(*) FROM fb WHERE c.freq   > fb.b) AS f_q,
+               1 + (SELECT COUNT(*) FROM mb WHERE c.mon_c  > mb.b) AS m_q
+        FROM cust c)
+      SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+             CAST(SUM(mon_c) AS BIGINT) AS monetary_c
+      FROM scored GROUP BY r_q, f_q, m_q
+      ORDER BY r_q, f_q, m_q""")
+  }
+
+  private val q255Sql = {
+    def boundaries(metric: String): String =
+      s"""SELECT v AS b FROM (
+         |  SELECT $metric AS v,
+         |         ROW_NUMBER() OVER (ORDER BY $metric, o_custkey) AS rk,
+         |         COUNT(*) OVER () AS n
+         |  FROM cust) t
+         |WHERE rk IN ((n * 1) // 5, (n * 2) // 5, (n * 3) // 5, (n * 4) // 5)""".stripMargin
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |         DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+       |                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS r_days,
+       |         COUNT(*) AS freq,
+       |         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+       |  FROM orders GROUP BY o_custkey),
+       |rb AS (${boundaries("r_days")}),
+       |fb AS (${boundaries("freq")}),
+       |mb AS (${boundaries("mon_c")}),
+       |scored AS (
+       |  SELECT c.o_custkey, c.mon_c,
+       |         1 + (SELECT COUNT(*) FROM rb WHERE c.r_days > rb.b) AS r_q,
+       |         1 + (SELECT COUNT(*) FROM fb WHERE c.freq   > fb.b) AS f_q,
+       |         1 + (SELECT COUNT(*) FROM mb WHERE c.mon_c  > mb.b) AS m_q
+       |  FROM cust c)
+       |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       |       CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_customers,
+       |       CAST(SUM(mon_c) AS BIGINT) AS monetary_c
+       |FROM scored GROUP BY r_q, f_q, m_q
+       |ORDER BY r_q, f_q, m_q""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // q256: ZERO-COPY PARQUET IMPORT (`CALL graft.system.add_files`) — raw
+  // parquet written OUTSIDE the engine (a plain spark.write, the onboarding
+  // scenario) is imported by hard-linking the files into a segment: no read,
+  // no rewrite, O(#files) metadata, zone maps harvested from footers like
+  // any write. The oracle replays the union relationally, so the hash gates
+  // that imported bytes serve queries exactly like inserted ones.
+  // AddFilesSpec pins the physical side (same-inode sharing, schema /
+  // partitioned / CHECK gates, source-deletion independence).
+  // --------------------------------------------------------------------------
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    graft.Tables.orders(s, d).createOrReplaceTempView("addf_orders")
+    val t = s"m256_${Integer.toHexString(d.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, st STRING, amt BIGINT) USING parquet")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM addf_orders WHERE o_orderkey % 5 = 0""")
+    val raw = java.nio.file.Files.createTempDirectory("graft_q256_raw")
+    s.sql("""SELECT o_orderkey AS k, o_orderstatus AS st,
+                    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS amt
+             FROM addf_orders WHERE o_orderkey % 5 = 1""")
+      .write.mode("overwrite").parquet(raw.toString)
+    s.sql(s"CALL graft.system.add_files('lake.$t', '$raw')")
+    s.sql(s"""
+      SELECT st, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS total_c
+      FROM graft.lake.$t GROUP BY st ORDER BY st""")
+  }
+
+  private val q256Sql =
+    """SELECT o_orderstatus AS st, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM orders WHERE o_orderkey % 5 = 0 OR o_orderkey % 5 = 1
+       GROUP BY st ORDER BY st"""
+
+  // --------------------------------------------------------------------------
+  // q257: JARO–WINKLER similarity as a native codegen Expression
+  // (functions/JaroWinkler.scala) — the entity-resolution metric Spark lacks
+  // (levenshtein is the only built-in string distance; JW is the
+  // length-normalized, prefix-weighted one record-linkage uses). Gated
+  // against DuckDB's INDEPENDENT jaro_similarity/jaro_winkler_similarity on
+  // three planted comparison classes per part: a deterministic 2-char-swap
+  // typo (high similarity, transposition arm), the brand string (low
+  // similarity, threshold/no-boost arm), and the reversed name (adversarial
+  // arm). Basis-point rounding per the q89 convention. Per-row scalar work
+  // inside WholeStageCodegen — the fuzzy-join surface is q135's.
+  // --------------------------------------------------------------------------
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    graft.functions.JaroFunctions.register(s)
+    graft.Tables.part(s, d).createOrReplaceTempView("jw_part")
+    s.sql("""
+      WITH planted AS (
+        SELECT p_partkey, p_name, p_brand,
+               CONCAT(SUBSTRING(p_name, 1, 1), SUBSTRING(p_name, 3, 1),
+                      SUBSTRING(p_name, 2, 1), SUBSTRING(p_name, 4)) AS typo,
+               REVERSE(p_name) AS rev
+        FROM jw_part WHERE p_partkey % 3 = 0)
+      SELECT p_partkey,
+             CAST(ROUND(graft_jaro(p_name, typo) * 10000) AS BIGINT) AS jaro_typo_bp,
+             CAST(ROUND(graft_jaro_winkler(p_name, typo) * 10000) AS BIGINT) AS jw_typo_bp,
+             CAST(ROUND(graft_jaro_winkler(p_name, p_brand) * 10000) AS BIGINT) AS jw_brand_bp,
+             CAST(ROUND(graft_jaro_winkler(p_name, rev) * 10000) AS BIGINT) AS jw_rev_bp
+      FROM planted ORDER BY p_partkey""")
+  }
+
+  private val q257Sql =
+    """WITH planted AS (
+         SELECT p_partkey, p_name, p_brand,
+                CONCAT(SUBSTRING(p_name, 1, 1), SUBSTRING(p_name, 3, 1),
+                       SUBSTRING(p_name, 2, 1), SUBSTRING(p_name, 4)) AS typo,
+                REVERSE(p_name) AS rev
+         FROM part WHERE p_partkey % 3 = 0)
+       SELECT p_partkey,
+              CAST(ROUND(jaro_similarity(p_name, typo) * 10000) AS BIGINT) AS jaro_typo_bp,
+              CAST(ROUND(jaro_winkler_similarity(p_name, typo) * 10000) AS BIGINT) AS jw_typo_bp,
+              CAST(ROUND(jaro_winkler_similarity(p_name, p_brand) * 10000) AS BIGINT) AS jw_brand_bp,
+              CAST(ROUND(jaro_winkler_similarity(p_name, rev) * 10000) AS BIGINT) AS jw_rev_bp
+       FROM planted ORDER BY p_partkey"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -782,5 +951,8 @@ object Round15Queries {
     QDef("q251_lake_tags", q251, Some(q251Sql)),
     QDef("q252_kaplan_meier", q252, Some(q252Sql)),
     QDef("q253_flesch_readability", q253, Some(q253Sql)),
-    QDef("q254_partition_evolution", q254, Some(q254Sql)))
+    QDef("q254_partition_evolution", q254, Some(q254Sql)),
+    QDef("q255_rfm_segmentation", q255, Some(q255Sql)),
+    QDef("q256_lake_add_files", q256, Some(q256Sql)),
+    QDef("q257_jaro_winkler", q257, Some(q257Sql)))
 }

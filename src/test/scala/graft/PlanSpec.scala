@@ -390,10 +390,14 @@ class PlanSpec extends SparkSpec {
     //             (|days| rows — calendar-bounded by construction)
     //      q252 — Kaplan–Meier cumulative at-risk/survival windows over the
     //             30-day-bucketed time table (≤ ~25 rows at any scale)
+    //      q255 — quintile-boundary rank selection over the customer
+    //             aggregate (exact oracle-matchable quantiles need a rank;
+    //             the query documents approx_percentile as the scale swap)
     //    collectWithSubqueries so a window nested in a subquery can't hide.
     val allowedGlobalWindow =
       Set("q98_vocab_coverage", "q146_skyline", "q233_largest_remainder_proration",
-        "q246_benford_profile", "q247_rolling_distinct_users", "q252_kaplan_meier")
+        "q246_benford_profile", "q247_rolling_distinct_users", "q252_kaplan_meier",
+        "q255_rfm_segmentation")
     Registry.all.foreach { q =>
       val df = q.fn(spark, sf)
       if (q.name != "q08_cross_join") {

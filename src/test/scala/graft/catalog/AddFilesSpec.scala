@@ -1,0 +1,104 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+
+/** Pins for `add_files` — zero-copy parquet import (GraftAddFiles.scala):
+  * hard-linked (same inode), stats-harvested, one append commit; schema /
+  * partitioned / CHECK-constraint gates refuse with remediation named. */
+class AddFilesSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = Files.createTempDirectory("graft_addf_spec")
+    spark.conf.set("spark.sql.catalog.gaf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gaf.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+  private def count(q: String): Long = sql(q).collect().head.getLong(0)
+
+  private def rawDir(name: String, n: Int): Path = {
+    import spark.implicits._
+    val d = root.resolve(s"raw_$name")
+    (1 to n).map(i => (i.toLong, s"v$i", i * 10L)).toDF("k", "tag", "amt")
+      .coalesce(2).write.mode("overwrite").parquet(d.toString)
+    d
+  }
+
+  test("import links files (same inode), content lands, stats prune") {
+    root
+    sql("DROP TABLE IF EXISTS gaf.ns.t1")
+    sql("CREATE TABLE gaf.ns.t1 (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    sql("INSERT INTO gaf.ns.t1 VALUES (100, 'seed', 1000)")
+    val src = rawDir("t1", 6)
+    val out = sql(s"CALL gaf.system.add_files('ns.t1', '$src')").collect().head
+    assert(out.getAs[Int]("files_added") === 2)
+    assert(out.getAs[Long]("rows") === 6L)
+    assert(count("SELECT count(*) c FROM gaf.ns.t1") === 7)
+    assert(count("SELECT sum(amt) s FROM gaf.ns.t1") === 210 + 1000)
+    // zero-copy: the segment's files share inodes with the source files
+    val seg = root.resolve("ns").resolve("t1").resolve(out.getAs[String]("segment"))
+    val linked = GraftMeta.listDir(seg).filter(_.getFileName.toString.endsWith(".parquet"))
+    val srcInodes = GraftMeta.listDir(src).filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => Files.getAttribute(p, "unix:ino")).toSet
+    assert(linked.nonEmpty && linked.forall(p =>
+      srcInodes.contains(Files.getAttribute(p, "unix:ino"))))
+    // harvested zone maps serve pruning: a k-range predicate skips the seed segment
+    val planned = sql("SELECT k FROM gaf.ns.t1 WHERE k <= 6")
+      .queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.toBatch.planInputPartitions().length
+      }.sum
+    assert(planned >= 1)
+    assert(count("SELECT count(*) c FROM gaf.ns.t1 WHERE k <= 6") === 6)
+  }
+
+  test("source dir deletion does not affect the table (links, not references)") {
+    sql("DROP TABLE IF EXISTS gaf.ns.t2")
+    sql("CREATE TABLE gaf.ns.t2 (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    val src = rawDir("t2", 4)
+    sql(s"CALL gaf.system.add_files('ns.t2', '$src')")
+    GraftMeta.deleteRecursively(src)
+    assert(count("SELECT count(*) c FROM gaf.ns.t2") === 4)
+  }
+
+  test("schema gates: missing column, type mismatch, extra column all refused") {
+    import spark.implicits._
+    sql("DROP TABLE IF EXISTS gaf.ns.t3")
+    sql("CREATE TABLE gaf.ns.t3 (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    val missing = root.resolve("raw_missing")
+    Seq((1L, "a")).toDF("k", "tag").write.mode("overwrite").parquet(missing.toString)
+    val e1 = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t3', '$missing')") }
+    assert(e1.getMessage.contains("lacks table column"))
+    val wrongType = root.resolve("raw_wrongtype")
+    Seq((1, "a", 1.5)).toDF("k", "tag", "amt").write.mode("overwrite").parquet(wrongType.toString)
+    val e2 = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t3', '$wrongType')") }
+    assert(e2.getMessage.contains("in the table") || e2.getMessage.contains("is"))
+    val extra = root.resolve("raw_extra")
+    Seq((1L, "a", 1L, true)).toDF("k", "tag", "amt", "oops")
+      .write.mode("overwrite").parquet(extra.toString)
+    val e3 = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t3', '$extra')") }
+    assert(e3.getMessage.contains("columns the table lacks"))
+    assert(count("SELECT count(*) c FROM gaf.ns.t3") === 0)
+  }
+
+  test("partitioned and CHECK-constrained targets are refused with remediation") {
+    sql("DROP TABLE IF EXISTS gaf.ns.t4")
+    sql("CREATE TABLE gaf.ns.t4 (k BIGINT, tag STRING, amt BIGINT) USING parquet PARTITIONED BY (tag)")
+    val src = rawDir("t4", 3)
+    val e1 = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t4', '$src')") }
+    assert(e1.getMessage.contains("identity-partitioned"))
+    sql("DROP TABLE IF EXISTS gaf.ns.t5")
+    sql("""CREATE TABLE gaf.ns.t5 (k BIGINT, tag STRING, amt BIGINT) USING parquet
+      TBLPROPERTIES ('graft.check.pos' = 'amt > 0')""")
+    val e2 = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t5', '$src')") }
+    assert(e2.getMessage.contains("CHECK constraints"))
+  }
+}
