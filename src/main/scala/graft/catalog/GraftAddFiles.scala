@@ -64,6 +64,9 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
     require(!meta.props.keys.exists(_.startsWith(GraftChecks.Prefix)),
       "graft add_files: table declares CHECK constraints — imported rows would " +
         "bypass the write gate; use INSERT ... SELECT instead")
+    require(!meta.props.keys.exists(_.startsWith(GraftGenerate.Prefix)),
+      "graft add_files: table declares GENERATED columns — imported rows would " +
+        "bypass fill/validation; use INSERT ... SELECT instead")
 
     // schema gate: footer schema must carry every table column with the same
     // type (order-free); extra source columns are refused (they would silently

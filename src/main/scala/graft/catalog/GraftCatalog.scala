@@ -208,11 +208,16 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     checkProps.foreach { case (k, sql) =>
       GraftChecks.resolve(schema, k.stripPrefix(GraftChecks.Prefix), sql)
     }
+    // GENERATED columns: validated NOW like checks (parse + analyze + type
+    // cast-check + no generation chains) so a broken derivation can never
+    // become a property the writers then fail on
+    val genProps = properties.asScala.filter(_._1.startsWith(GraftGenerate.Prefix)).toMap
+    if (genProps.nonEmpty) GraftGenerate.boundGens(schema, genProps)
     // bloom point-lookup index opt-in (validated lazily per schema — only
     // integral/string columns are ever harvested)
     val bloomProp = Seq(GraftBloom.Prop, GraftBloom.FppProp)
       .flatMap(p => Option(properties.get(p)).map(p -> _)).toMap
-    val props = kept ++ dmlModes ++ sumsProp ++ checkProps ++ bloomProp ++
+    val props = kept ++ dmlModes ++ sumsProp ++ checkProps ++ genProps ++ bloomProp ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty)
     GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
@@ -1736,7 +1741,11 @@ private[catalog] final class GraftWriteBuilder(
         // CHECK constraints gate every row entering the segment; wrapped
         // INSIDE the op-stripping layer so checks always see plain data rows
         // (bound against the WRITE schema — the authoritative row layout)
-        val f = GraftChecks.wrap(delegate.createBatchWriterFactory(pInfo),
+        // generated columns fill OUTSIDE the checks so constraints see final
+        // values; op-stripping stays outermost so both see plain data rows
+        val f = GraftGenerate.wrap(
+          GraftChecks.wrap(delegate.createBatchWriterFactory(pInfo),
+            info.schema(), props, segment),
           info.schema(), props, segment)
         // Group-based replace-data rows arrive as [__row_operation, data...]:
         // with no metadata attrs declared, ReplaceDataExec runs the plain

@@ -150,13 +150,20 @@ private[catalog] final class GraftPartitionedWrite(
         // CHECK constraints wrap OUTSIDE the partition router (it strips the
         // row-level op column internally), so bound ordinals shift by the op
         // prefix when present
-        GraftChecks.wrap(
+        val checked = GraftChecks.wrap(
           new GraftPartitionedWriterFactory(owf,
             new SerializableHadoopConf(job.getConfiguration),
             staging.toString, dataSchema, partFields, fromRowLevelOp,
             GraftPartitions.specId(props)),
           dataSchema, props, writeId,
           ordinalOffset = if (fromRowLevelOp) 1 else 0)
+        // generated columns fill BEFORE checks and before the partition
+        // router, so derived partition values route correctly; the
+        // row-level-op path carries a leading op column the projection
+        // cannot rebuild generically — group-rewrite rows are already
+        // filled, the documented seam is partitioned MERGE INSERT clauses
+        if (fromRowLevelOp) checked
+        else GraftGenerate.wrap(checked, dataSchema, props, writeId)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -59,12 +59,14 @@ private[catalog] final class GraftStreamingWrite(
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
-    new GraftStreamingWriterFactory(owf,
-      new SerializableHadoopConf(job.getConfiguration), staging.toString,
-      dataSchema, partFields,
-      GraftChecks.boundChecks(dataSchema, metaAtBuild.props),
-      tableDir.getFileName.toString,
-      GraftPartitions.specId(metaAtBuild.props))
+    GraftGenerate.wrapStreaming(
+      new GraftStreamingWriterFactory(owf,
+        new SerializableHadoopConf(job.getConfiguration), staging.toString,
+        dataSchema, partFields,
+        GraftChecks.boundChecks(dataSchema, metaAtBuild.props),
+        tableDir.getFileName.toString,
+        GraftPartitions.specId(metaAtBuild.props)),
+      dataSchema, metaAtBuild.props, tableDir.getFileName.toString)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

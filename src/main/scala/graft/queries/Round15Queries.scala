@@ -939,6 +939,44 @@ object Round15Queries {
               CAST(ROUND(jaro_winkler_similarity(p_name, rev) * 10000) AS BIGINT) AS jw_rev_bp
        FROM planted ORDER BY p_partkey"""
 
+  // --------------------------------------------------------------------------
+  // q258: GENERATED COLUMNS + DERIVED PARTITIONING under oracle — the
+  // lakehouse recipe for time-partitioned tables: `PARTITIONED BY (day)`
+  // with `'graft.generate.day' = 'CAST(ts AS DATE)'`; writers insert NULL
+  // and the engine fills/validates (GraftGenerate.scala), with the fill
+  // running BEFORE the partition router so segments are partition-pure by
+  // the DERIVED value. The per-day aggregate over the table is hash-gated
+  // against a replay that derives the day in SQL — generation must be
+  // exactly CAST(ts AS DATE), not approximately. GeneratedColumnsSpec pins
+  // the contract (fill, explicit-mismatch refusal, streaming, validation,
+  // add_files refusal).
+  // --------------------------------------------------------------------------
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    graft.Tables.events(s, d).createOrReplaceTempView("gen_events")
+    val t = s"m258_${Integer.toHexString(d.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t
+      (ts TIMESTAMP, user_id BIGINT, value DOUBLE, day DATE) USING parquet
+      PARTITIONED BY (day)
+      TBLPROPERTIES ('graft.generate.day' = 'CAST(ts AS DATE)')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT ts, user_id, value, CAST(NULL AS DATE) FROM gen_events
+      WHERE event_id % 4 = 0""")
+    s.sql(s"""
+      SELECT CAST(day AS STRING) AS day, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS users,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+      FROM graft.lake.$t GROUP BY day ORDER BY day""")
+  }
+
+  private val q258Sql =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+              COUNT(DISTINCT user_id) AS users,
+              CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+       FROM events WHERE event_id % 4 = 0
+       GROUP BY 1 ORDER BY day"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -954,5 +992,6 @@ object Round15Queries {
     QDef("q254_partition_evolution", q254, Some(q254Sql)),
     QDef("q255_rfm_segmentation", q255, Some(q255Sql)),
     QDef("q256_lake_add_files", q256, Some(q256Sql)),
-    QDef("q257_jaro_winkler", q257, Some(q257Sql)))
+    QDef("q257_jaro_winkler", q257, Some(q257Sql)),
+    QDef("q258_generated_columns", q258, Some(q258Sql)))
 }
