@@ -977,6 +977,121 @@ object Round15Queries {
        FROM events WHERE event_id % 4 = 0
        GROUP BY 1 ORDER BY day"""
 
+  // --------------------------------------------------------------------------
+  // q259: CSV MALFORMED-ROW MODES — the ingestion-robustness surface
+  // (PERMISSIVE / DROPMALFORMED / FAILFAST + columnNameOfCorruptRecord).
+  // Fixture: a distributed CSV export of an orders slice plus one extra
+  // driver-written part file holding exactly TWO malformed lines (a
+  // truncated row and a type-garbage row) — the constant-size corruption a
+  // real feed produces. PERMISSIVE must land good+2 rows with the corrupt
+  // ones null-filled and captured in the corrupt-record column (counted
+  // through the documented cache workaround — Spark refuses corrupt-only
+  // projections on an uncached parse); DROPMALFORMED lands exactly the good
+  // rows; FAILFAST fails the job (reported as a null-row in the output).
+  // The oracle derives every count from the orders table relationally.
+  // --------------------------------------------------------------------------
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q259_csv")
+    graft.Tables.orders(s, d).where(col("o_orderkey") % 7 === 0)
+      .selectExpr("o_orderkey AS k", "o_orderstatus AS st",
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS amt")
+      .write.mode("overwrite").option("header", "false").csv(dir.toString)
+    // both planted lines are FULL-WIDTH type garbage: truncated lines are
+    // deliberately excluded — whether a short row is malformed depends on
+    // which columns the pruned parse requires (observed: kept under a
+    // {k}-only parse, dropped under full-width), so they are not a stable
+    // cross-mode fixture; unparseable typed fields are malformed in every
+    // pruning regime
+    java.nio.file.Files.write(dir.resolve("part-malformed.csv"),
+      java.util.Arrays.asList("99,X,notanumber", "12,F,alsobad"))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("st", StringType),
+      StructField("amt", LongType), StructField("_bad", StringType)))
+    def read(mode: String) = s.read.schema(schema)
+      .option("mode", mode).option("columnNameOfCorruptRecord", "_bad")
+      .csv(dir.toString)
+    val perm = read("PERMISSIVE").cache()
+    val permRows = perm.count()
+    val permCorrupt = perm.where(col("_bad").isNotNull).count()
+    perm.unpersist()
+    // two parser fast paths would silently skip the semantics under test:
+    // a bare count() takes the CSV count-only path (raw line count, NO
+    // parsing), and referencing a prefix of the columns lets COLUMN PRUNING
+    // judge malformedness against the pruned schema only (the truncated
+    // "99" line parses fine as just `k`). Referencing the LAST data column
+    // forces the full-width parse both modes are defined over.
+    val dropRows = read("DROPMALFORMED")
+      .agg(count(lit(1)).as("c"), sum("amt")).head().getLong(0)
+    val failed =
+      try { read("FAILFAST").agg(count(lit(1)), sum("amt")).head(); 0L }
+      catch { case _: Exception => 1L }
+    import s.implicits._
+    Seq(
+      ("dropmalformed", Some(dropRows), Some(0L)),
+      ("failfast", None: Option[Long], None: Option[Long]),
+      ("permissive", Some(permRows), Some(permCorrupt)))
+      .toDF("mode", "n_rows", "n_corrupt")
+      .withColumn("job_failed", when(col("mode") === "failfast", lit(failed)).otherwise(lit(0L)))
+      .orderBy("mode")
+  }
+
+  private val q259Sql =
+    """WITH good AS (SELECT COUNT(*) AS g FROM orders WHERE o_orderkey % 7 = 0)
+       SELECT 'dropmalformed' AS mode, g AS n_rows, CAST(0 AS BIGINT) AS n_corrupt,
+              CAST(0 AS BIGINT) AS job_failed FROM good
+       UNION ALL
+       SELECT 'failfast', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 1
+       UNION ALL
+       SELECT 'permissive', g + 2, 2, 0 FROM good
+       ORDER BY mode"""
+
+  // --------------------------------------------------------------------------
+  // q260: SHANNON ENTROPY of the per-day event-type mix — the
+  // distribution-drift signal (a day whose type mix collapses has low
+  // entropy). Contributions are folded in a FIXED ORDER: per-day per-type
+  // counts collect into a type-sorted array and reduce left-to-right (the
+  // q42 aggregate ≡ list_reduce convention) — a bare SUM over double
+  // contributions would be partition-order-dependent and could flip the
+  // rounded output between engines. Emitted in millibits.
+  // --------------------------------------------------------------------------
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.events(s, d).createOrReplaceTempView("ent_events")
+    s.sql("""
+      WITH counts AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        FROM ent_events GROUP BY 1, 2),
+      perday AS (
+        SELECT day,
+               COUNT(*) AS n_types,
+               SUM(n) AS total,
+               array_sort(collect_list(struct(event_type, n))) AS tn
+        FROM counts GROUP BY day)
+      SELECT CAST(day AS STRING) AS day, n_types,
+             CAST(ROUND(aggregate(tn, CAST(0.0 AS DOUBLE),
+               (acc, x) -> acc - (CAST(x.n AS DOUBLE) / total)
+                 * (LOG2(CAST(x.n AS DOUBLE) / total))) * 1000) AS BIGINT)
+               AS entropy_mbit
+      FROM perday ORDER BY day""")
+  }
+
+  private val q260Sql =
+    """WITH counts AS (
+         SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2),
+       perday AS (
+         SELECT day,
+                COUNT(*) AS n_types,
+                SUM(n) AS total,
+                list_sort(list([event_type, CAST(n AS VARCHAR)])) AS tn
+         FROM counts GROUP BY day)
+       SELECT CAST(day AS VARCHAR) AS day, n_types,
+              CAST(ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(tn, x -> CAST(x[2] AS DOUBLE))),
+                (acc, v) -> acc - (v / total) * LOG2(v / total)) * 1000) AS BIGINT)
+                AS entropy_mbit
+       FROM perday ORDER BY day"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -993,5 +1108,7 @@ object Round15Queries {
     QDef("q255_rfm_segmentation", q255, Some(q255Sql)),
     QDef("q256_lake_add_files", q256, Some(q256Sql)),
     QDef("q257_jaro_winkler", q257, Some(q257Sql)),
-    QDef("q258_generated_columns", q258, Some(q258Sql)))
+    QDef("q258_generated_columns", q258, Some(q258Sql)),
+    QDef("q259_csv_malformed_modes", q259, Some(q259Sql)),
+    QDef("q260_shannon_entropy", q260, Some(q260Sql)))
 }
