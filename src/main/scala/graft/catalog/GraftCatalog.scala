@@ -237,7 +237,39 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
+    // ADD CONSTRAINT validates the FULL existing history first (the Delta
+    // ADD CONSTRAINT contract: a check that admits the table's past is the
+    // only check worth trusting) — the scan runs OUTSIDE the meta lock
+    // against a pinned snapshot, and the mutate below CAS-requires that
+    // snapshot to still be current
+    val checkAdds = changes.collect {
+      case set: TableChange.SetProperty if set.property().startsWith(GraftChecks.Prefix) =>
+        set.property().stripPrefix(GraftChecks.Prefix) -> set.value()
+    }
+    val checkValidatedAt: Option[Long] = if (checkAdds.isEmpty) None else {
+      val spark = SparkSession.active
+      val pre = GraftMeta.read(dir)
+      checkAdds.foreach { case (name, sql) =>
+        GraftChecks.resolve(pre.schema, name, sql) // parse + analyze + bind
+        val segs = pre.snapshots.getOrElse(pre.current, Nil)
+        if (segs.nonEmpty) {
+          val live = GraftDv.readLive(spark, dir, pre.schema, segs,
+            GraftDv.forSegments(pre, pre.current, segs))
+          // violation ⇔ definitely FALSE (SQL CHECK: NULL admits)
+          val bad = live.where(s"coalesce(($sql), true) = false").count()
+          require(bad == 0L,
+            s"graft catalog: cannot add CHECK constraint '$name' ($sql): " +
+              s"$bad existing row(s) violate it — clean the data first " +
+              "(delete_where the violations or fix them with update_where)")
+        }
+      }
+      Some(pre.current)
+    }
     GraftMeta.mutate(dir) { meta =>
+      checkValidatedAt.foreach(v => if (meta.current != v)
+        throw new GraftConcurrentCommitException(
+          s"graft catalog: table advanced (snapshot $v -> ${meta.current}) while " +
+            "ADD CONSTRAINT was validating existing rows; retry"))
       var dropped = meta.props.get(GraftTable.DroppedColumnsProp)
         .map(_.split(',').toSet).getOrElse(Set.empty[String])
       var setProps = Map.empty[String, String]
@@ -290,6 +322,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               setProps += GraftPartitions.SpecIdProp ->
                 (GraftPartitions.specId(meta.props) + 1L).toString
             }
+            sch
+          // ADD CONSTRAINT (validated against the full history above) /
+          // DROP CONSTRAINT — future writes simply stop checking it
+          case set: TableChange.SetProperty
+              if set.property().startsWith(GraftChecks.Prefix) =>
+            setProps += set.property() -> set.value()
+            sch
+          case rm: TableChange.RemoveProperty
+              if rm.property().startsWith(GraftChecks.Prefix) =>
+            require(meta.props.contains(rm.property()),
+              s"graft catalog: no CHECK constraint '${rm.property().stripPrefix(GraftChecks.Prefix)}' to drop")
+            removedProps += rm.property()
             sch
           case add: TableChange.AddColumn =>
             require(add.fieldNames().length == 1,

@@ -1092,6 +1092,72 @@ object Round15Queries {
                 AS entropy_mbit
        FROM perday ORDER BY day"""
 
+  // --------------------------------------------------------------------------
+  // q261: GINI COEFFICIENT of customer spend, per nation — the inequality
+  // measure (concentration of spend/tokens/contributions). Rank-based
+  // formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending integer CENTS;
+  // the rank window partitions BY NATION, so the shape is scalable (no
+  // global sort — each nation ranks independently; at 100 TB nations are
+  // the natural shards). Σ(i·x) accumulates in DECIMAL(38,0) — BIGINT would
+  // overflow around 10⁸ customers (rank × cents × n), and DOUBLE would be
+  // partition-order-dependent; both engines sum decimals exactly, and the
+  // single final division runs in one fixed expression.
+  // --------------------------------------------------------------------------
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.orders(s, d).createOrReplaceTempView("gini_orders")
+    graft.Tables.customer(s, d).createOrReplaceTempView("gini_cust")
+    graft.Tables.nation(s, d).createOrReplaceTempView("gini_nation")
+    s.sql("""
+      WITH cust AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+        FROM gini_cust c JOIN gini_orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey),
+      ranked AS (
+        SELECT c_nationkey, mon_c,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                 ORDER BY mon_c, c_custkey) AS i
+        FROM cust),
+      pernation AS (
+        SELECT c_nationkey, COUNT(*) AS n,
+               SUM(CAST(mon_c AS DECIMAL(38, 0))) AS sx,
+               SUM(CAST(i AS DECIMAL(38, 0)) * CAST(mon_c AS DECIMAL(38, 0))) AS six
+        FROM ranked GROUP BY c_nationkey)
+      SELECT n.n_name AS nation, p.n AS n_customers,
+             CAST(p.sx AS BIGINT) AS total_c,
+             CAST(ROUND((2.0 * CAST(p.six AS DOUBLE)
+                          / (CAST(p.n AS DOUBLE) * CAST(p.sx AS DOUBLE))
+                         - (CAST(p.n AS DOUBLE) + 1.0) / CAST(p.n AS DOUBLE))
+                        * 10000) AS BIGINT) AS gini_bp
+      FROM pernation p JOIN gini_nation n ON n.n_nationkey = p.c_nationkey
+      ORDER BY nation""")
+  }
+
+  private val q261Sql =
+    """WITH cust AS (
+         SELECT c.c_custkey, c.c_nationkey,
+                CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mon_c
+         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_custkey, c.c_nationkey),
+       ranked AS (
+         SELECT c_nationkey, mon_c,
+                ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                  ORDER BY mon_c, c_custkey) AS i
+         FROM cust),
+       pernation AS (
+         SELECT c_nationkey, COUNT(*) AS n,
+                SUM(CAST(mon_c AS DECIMAL(38, 0))) AS sx,
+                SUM(CAST(i AS DECIMAL(38, 0)) * CAST(mon_c AS DECIMAL(38, 0))) AS six
+         FROM ranked GROUP BY c_nationkey)
+       SELECT n.n_name AS nation, p.n AS n_customers,
+              CAST(p.sx AS BIGINT) AS total_c,
+              CAST(ROUND((2.0 * CAST(p.six AS DOUBLE)
+                           / (CAST(p.n AS DOUBLE) * CAST(p.sx AS DOUBLE))
+                          - (CAST(p.n AS DOUBLE) + 1.0) / CAST(p.n AS DOUBLE))
+                         * 10000) AS BIGINT) AS gini_bp
+       FROM pernation p JOIN nation n ON n.n_nationkey = p.c_nationkey
+       ORDER BY nation"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -1110,5 +1176,6 @@ object Round15Queries {
     QDef("q257_jaro_winkler", q257, Some(q257Sql)),
     QDef("q258_generated_columns", q258, Some(q258Sql)),
     QDef("q259_csv_malformed_modes", q259, Some(q259Sql)),
-    QDef("q260_shannon_entropy", q260, Some(q260Sql)))
+    QDef("q260_shannon_entropy", q260, Some(q260Sql)),
+    QDef("q261_gini_coefficient", q261, Some(q261Sql)))
 }

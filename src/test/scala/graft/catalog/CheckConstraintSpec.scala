@@ -95,4 +95,31 @@ class CheckConstraintSpec extends SparkSpec {
          TBLPROPERTIES ('graft.check.x' = 'k +')"""))
     assert(e2.getMessage.contains("cannot parse"))
   }
+
+  test("ALTER ADD CONSTRAINT validates the full existing history; DROP stops gating") {
+    root
+    sql("DROP TABLE IF EXISTS gck.ns.t9")
+    sql("CREATE TABLE gck.ns.t9 (k BIGINT, amt BIGINT) USING parquet")
+    sql("INSERT INTO gck.ns.t9 VALUES (1, 10), (2, -5)")
+    // a constraint the history violates is refused, with the count named
+    val e = intercept[Exception](
+      sql("ALTER TABLE gck.ns.t9 SET TBLPROPERTIES('graft.check.pos' = 'amt > 0')"))
+    assert(e.getMessage.contains("1 existing row"))
+    // clean the violation, re-add: accepted and gates FUTURE writes
+    sql("DELETE FROM gck.ns.t9 WHERE amt < 0")
+    sql("ALTER TABLE gck.ns.t9 SET TBLPROPERTIES('graft.check.pos' = 'amt > 0')")
+    val e2 = intercept[Exception](sql("INSERT INTO gck.ns.t9 VALUES (3, -1)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(_.contains("CHECK constraint 'pos'")))
+    assert(count("t9") === 1)
+    // DROP CONSTRAINT: the same insert now lands
+    sql("ALTER TABLE gck.ns.t9 UNSET TBLPROPERTIES('graft.check.pos')")
+    sql("INSERT INTO gck.ns.t9 VALUES (3, -1)")
+    assert(count("t9") === 2)
+    // dropping a constraint that does not exist is a loud error
+    val e3 = intercept[Exception](
+      sql("ALTER TABLE gck.ns.t9 UNSET TBLPROPERTIES('graft.check.nope')"))
+    assert(e3.getMessage.contains("no CHECK constraint"))
+  }
 }
