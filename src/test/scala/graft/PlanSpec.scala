@@ -413,6 +413,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q250 PQ pins: every codebook join broadcasts (centroid side is 16 rows)") {
+    val df = Registry.byName("q250_product_quantization").fn(spark, sf)
+    df.collect()
+    // judge the FINAL AQE plan only — the rendered string also carries the
+    // initial (pre-runtime-stats) plan, where the same joins are sort-merge
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"),
+      "a centroid join fell back to sort-merge — the 16-row side must broadcast")
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("SQL join hints override the physical strategy (BROADCAST / MERGE / SHUFFLE_HASH)") {
     graft.Tables.orders(spark, sf).createOrReplaceTempView("hint_o")
     graft.Tables.customer(spark, sf).createOrReplaceTempView("hint_c")
