@@ -103,7 +103,8 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
     val harvested = scala.util.Try(SegmentStats.harvest(
       spark, segDir.toString, meta.schema,
       SegmentStats.sumCols(meta.props, meta.schema),
-      GraftBloom.cols(meta.props, meta.schema))).toOption
+      GraftBloom.cols(meta.props, meta.schema),
+      SegmentStats.ndvCols(meta.props, meta.schema))).toOption
     val stats = harvested.flatMap(h => scala.util.Try(SegmentStats.encode(h)).toOption)
     GraftDml.cleanupOnFailedCommit(dir, Seq(segment)) {
       GraftMeta.commitMany(dir, Seq(segment -> stats),

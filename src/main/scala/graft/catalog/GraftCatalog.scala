@@ -202,6 +202,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // column list; non-integral/unknown names are simply never harvested)
     val sumsProp = Option(properties.get(SegmentStats.SumsProp))
       .map(v => SegmentStats.SumsProp -> v).toMap
+    // commit-time NDV-sketch harvest opt-in (same lazy per-schema validation)
+    val ndvProp = Option(properties.get(SegmentStats.NdvProp))
+      .map(v => SegmentStats.NdvProp -> v).toMap
     // CHECK constraints: validated NOW (parse + analyze against the schema)
     // so a broken check can never become a property the writers then fail on
     val checkProps = properties.asScala.filter(_._1.startsWith(GraftChecks.Prefix)).toMap
@@ -217,7 +220,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // integral/string columns are ever harvested)
     val bloomProp = Seq(GraftBloom.Prop, GraftBloom.FppProp)
       .flatMap(p => Option(properties.get(p)).map(p -> _)).toMap
-    val props = kept ++ dmlModes ++ sumsProp ++ checkProps ++ genProps ++ bloomProp ++
+    val props = kept ++ dmlModes ++ sumsProp ++ ndvProp ++ checkProps ++ genProps ++ bloomProp ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty)
     GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
@@ -1808,7 +1811,8 @@ private[catalog] final class GraftWriteBuilder(
           SparkSession.active, tableDir.resolve(segment).toString,
           metaAtBuild.schema,
           SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
-          GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema)))).toOption
+          GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
+          SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
         (branch, groupRemovals()) match {
           case (Some(b), _) =>
             // WAP: extend the ref's staged list; main's current never moves

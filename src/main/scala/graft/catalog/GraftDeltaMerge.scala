@@ -298,7 +298,8 @@ private[catalog] final class GraftDeltaBatchWrite(
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
           SparkSession.active, segDir.toString, metaAtLoad.schema,
           SegmentStats.sumCols(metaAtLoad.props, metaAtLoad.schema),
-          GraftBloom.cols(metaAtLoad.props, metaAtLoad.schema)))).toOption
+          GraftBloom.cols(metaAtLoad.props, metaAtLoad.schema),
+          SegmentStats.ndvCols(metaAtLoad.props, metaAtLoad.schema)))).toOption
         (seg, stats)
       }
       if (allPositions.isEmpty && segments.isEmpty) return

@@ -20,7 +20,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * when every segment in scope has them, else null — introspection never
   * triggers a data scan. */
 private[catalog] object GraftMetadataTable {
-  val Kinds: Set[String] = Set("snapshots", "segments", "refs", "tags")
+  val Kinds: Set[String] = Set("snapshots", "segments", "refs", "tags", "column_stats")
+
+  val ColumnStatsSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("n_segments", IntegerType, nullable = false),
+    // exact, summed from zone maps; null if any current segment lacks stats
+    StructField("rows", LongType, nullable = true),
+    StructField("nulls", LongType, nullable = true),
+    // distinct-count estimate from UNIONED per-segment HLL sketches
+    // (graft.stats.ndv opt-in); null unless EVERY current segment carries a
+    // sketch for the column — a partial union would silently under-count
+    StructField("ndv_estimate", LongType, nullable = true)))
 
   val TagsSchema: StructType = StructType(Seq(
     StructField("tag", StringType, nullable = false),
@@ -69,10 +80,11 @@ private[catalog] final class GraftMetadataTable(
 
   override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
   override def schema(): StructType = kind match {
-    case "snapshots" => SnapshotsSchema
-    case "refs"      => RefsSchema
-    case "tags"      => TagsSchema
-    case _           => SegmentsSchema
+    case "snapshots"    => SnapshotsSchema
+    case "refs"         => RefsSchema
+    case "tags"         => TagsSchema
+    case "column_stats" => ColumnStatsSchema
+    case _              => SegmentsSchema
   }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -82,7 +94,38 @@ private[catalog] final class GraftMetadataTable(
 
   private def rows(): Array[InternalRow] = {
     val meta = GraftMeta.read(tableDir)
-    if (kind == "tags") {
+    if (kind == "column_stats") {
+      // one decoded Stats per current segment; everything below is
+      // metadata-sized driver work — zero file IO, the zone-map contract
+      val segs = meta.snapshots.getOrElse(meta.current, Nil)
+      val decoded = segs.map(s => meta.zstats.get(s)
+        .flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption))
+      val allStats = decoded.flatten
+      val covered = decoded.forall(_.isDefined)
+      meta.schema.fields.map { f =>
+        val cols = allStats.flatMap(_.cols.get(f.name))
+        val rows =
+          if (covered && cols.length == segs.length)
+            Long.box(allStats.map(_.rows).sum) else null
+        val nulls =
+          if (covered && cols.length == segs.length)
+            Long.box(cols.map(_.nulls).sum) else null
+        // union the per-segment HLL sketches; any sketch-less segment voids
+        // the estimate (a partial union would silently under-count)
+        val ndv: Any =
+          if (segs.nonEmpty && covered && cols.length == segs.length &&
+              cols.forall(_.ndv.isDefined)) {
+            scala.util.Try {
+              val u = new org.apache.datasketches.hll.Union(12)
+              cols.foreach(c => u.update(org.apache.datasketches.hll.HllSketch.heapify(
+                java.util.Base64.getDecoder.decode(c.ndv.get))))
+              Long.box(Math.round(u.getEstimate))
+            }.getOrElse(null)
+          } else null
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(f.name), segs.size, rows, nulls, ndv)): InternalRow
+      }
+    } else if (kind == "tags") {
       GraftRefs.allTags(meta).toSeq.sortBy(_._1).map { case (name, snap) =>
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(name), snap,

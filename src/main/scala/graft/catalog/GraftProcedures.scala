@@ -131,7 +131,8 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
       val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
         spark, dir.resolve(segment).toString, meta.schema,
         SegmentStats.sumCols(meta.props, meta.schema),
-        GraftBloom.cols(meta.props, meta.schema)))).toOption
+        GraftBloom.cols(meta.props, meta.schema),
+        SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
       filesAfter += parquetFiles(dir.resolve(segment)).size
       (segment, stats)
     }
@@ -271,7 +272,8 @@ private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
       val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
         spark, dir.resolve(newSeg).toString, meta.schema,
         SegmentStats.sumCols(meta.props, meta.schema),
-        GraftBloom.cols(meta.props, meta.schema)))).toOption
+        GraftBloom.cols(meta.props, meta.schema),
+        SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
       (newSeg, stats)
     }
     GraftDml.cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
@@ -400,7 +402,8 @@ private[catalog] object GraftDml {
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
       SparkSession.active, dir.resolve(segment).toString, meta.schema,
       SegmentStats.sumCols(meta.props, meta.schema),
-        GraftBloom.cols(meta.props, meta.schema)))).toOption
+        GraftBloom.cols(meta.props, meta.schema),
+        SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
     (segment, stats)
   }
 

@@ -91,7 +91,8 @@ private[catalog] final class GraftStreamingWrite(
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
           SparkSession.active, segDir.toString, metaAtBuild.schema,
           SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
-          GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema)))).toOption
+          GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
+          SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
         (seg, stats)
       }
       val applied = GraftMeta.commitMany(tableDir, segments, replaceAll = false,

@@ -41,13 +41,30 @@ private[catalog] object SegmentStats {
     * `SUM(col)` audits with zero IO forever) that must not be imposed on
     * every table's zero-read commit path. */
   final case class Col(kind: Char, min: Option[String], max: Option[String],
-                       nulls: Long, sum: Option[String] = None)
+                       nulls: Long, sum: Option[String] = None,
+                       ndv: Option[String] = None)
 
   final case class Stats(rows: Long, cols: Map[String, Col])
 
   /** Table property naming the integral columns to harvest commit-time SUMs
     * for ('*' = every integral column). */
   val SumsProp = "graft.stats.sums"
+
+  /** Table property naming the columns to harvest commit-time NDV SKETCHES
+    * for ('*' = every zone-map-eligible column): a per-segment DataSketches
+    * HLL (lgK=12, built by Spark's own `hll_sketch_agg`, b64'd into the zone
+    * entry). Sketches are MERGEABLE — `t.column_stats` unions the current
+    * snapshot's sketches into one distinct-count estimate with ZERO file IO
+    * — which per-segment exact counts can never be (distinct does not sum).
+    * Same pay-once-at-write trade as `graft.stats.sums`, hence opt-in. */
+  val NdvProp = "graft.stats.ndv"
+
+  def ndvCols(props: Map[String, String], schema: StructType): Seq[String] =
+    props.get(NdvProp).toSeq.flatMap { spec =>
+      val eligible = schema.fields.filter(f => kindOf(f.dataType).isDefined).map(_.name)
+      if (spec.trim == "*") eligible.toSeq
+      else spec.split(',').map(_.trim).flatMap(c => eligible.find(_.equalsIgnoreCase(c))).toSeq
+    }
 
   def sumCols(props: Map[String, String], schema: StructType): Seq[String] =
     props.get(SumsProp).toSeq.flatMap { spec =>
@@ -73,7 +90,8 @@ private[catalog] object SegmentStats {
     * never the whole segment — so a partially-harvestable schema still skips
     * the bulk of the re-read. */
   def harvest(spark: SparkSession, segmentDir: String, schema: StructType,
-              sums: Seq[String] = Nil, blooms: Seq[String] = Nil): Stats = {
+              sums: Seq[String] = Nil, blooms: Seq[String] = Nil,
+              ndvs: Seq[String] = Nil): Stats = {
     val base = fromFooters(segmentDir, schema) match {
       case Some((rows, ok, failed)) if failed.isEmpty => Stats(rows, ok)
       case Some((rows, ok, failed)) =>
@@ -84,7 +102,34 @@ private[catalog] object SegmentStats {
     // opt-in point-lookup index, persisted beside the segment's parquet
     // (GraftBloom) — rides the same commit pass as the sums harvest
     GraftBloom.harvest(spark, segmentDir, schema, blooms, base.rows)
-    if (sums.isEmpty) base else withSums(spark, segmentDir, schema, base, sums)
+    val summed =
+      if (sums.isEmpty) base else withSums(spark, segmentDir, schema, base, sums)
+    if (ndvs.isEmpty) summed else withNdv(spark, segmentDir, schema, summed, ndvs)
+  }
+
+  /** Opt-in commit-time NDV-sketch harvest: one aggregate scan projected to
+    * exactly the named columns, building a DataSketches HLL per column via
+    * Spark's codegen'd `hll_sketch_agg` (lgK=12, ~1.6% RSE). An all-null
+    * segment stores an EMPTY sketch — "this segment contributes zero
+    * distincts" is information, absence would read as "not covered".
+    * Failures degrade to sketch-less stats, never lost zone maps. */
+  private def withNdv(spark: SparkSession, segmentDir: String, schema: StructType,
+                      base: Stats, ndvs: Seq[String]): Stats = {
+    val targets = ndvs.filter(base.cols.contains)
+    if (targets.isEmpty) return base
+    scala.util.Try {
+      val df = spark.read.schema(schema).parquet(segmentDir)
+      val aggs = targets.map(c =>
+        org.apache.spark.sql.functions.hll_sketch_agg(col(c), 12).as(s"__h_$c"))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val empty = new org.apache.datasketches.hll.HllSketch(12).toCompactByteArray
+      val patched = targets.flatMap { c =>
+        val bytes = Option(row.getAs[Array[Byte]](s"__h_$c")).getOrElse(empty)
+        base.cols.get(c).map(col0 =>
+          c -> col0.copy(ndv = Some(Base64.getEncoder.encodeToString(bytes))))
+      }
+      base.copy(cols = base.cols ++ patched)
+    }.getOrElse(base)
   }
 
   /** Opt-in commit-time SUM harvest: one aggregate scan projected to exactly
@@ -284,7 +329,12 @@ private[catalog] object SegmentStats {
   def encode(s: Stats): String = {
     val cols = s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
       val base = s"$n:${c.kind}:${c.min.map(b64).getOrElse("-")}:${c.max.map(b64).getOrElse("-")}:${c.nulls}"
-      c.sum.fold(base)(v => s"$base:$v")
+      // positional tail: 6 fields = sum only (the pre-NDV on-disk form,
+      // still read back); 7 fields = sum-or-dash + ndv sketch
+      c.ndv match {
+        case Some(h) => s"$base:${c.sum.getOrElse("-")}:$h"
+        case None    => c.sum.fold(base)(v => s"$base:$v")
+      }
     }
     s"${s.rows};${cols.mkString(",")}"
   }
@@ -295,14 +345,16 @@ private[catalog] object SegmentStats {
       if (rest.isEmpty) Map.empty[String, Col]
       else rest.split(',').map { rec =>
         val parts = rec.split(':')
-        require(parts.length == 5 || parts.length == 6,
+        require(parts.length >= 5 && parts.length <= 7,
           s"graft: malformed zone entry '$rec'")
         val Array(n, k, mn, mx, nulls) = parts.take(5)
+        val sum =
+          if (parts.length >= 6 && parts(5) != "-") Some(parts(5)) else None
+        val ndv = if (parts.length == 7) Some(parts(6)) else None
         n -> Col(k.head,
           if (mn == "-") None else Some(unb64(mn)),
           if (mx == "-") None else Some(unb64(mx)),
-          nulls.toLong,
-          if (parts.length == 6) Some(parts(5)) else None)
+          nulls.toLong, sum, ndv)
       }.toMap
     Stats(rows.toLong, cols)
   }

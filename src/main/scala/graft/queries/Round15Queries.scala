@@ -1158,6 +1158,54 @@ object Round15Queries {
        FROM pernation p JOIN nation n ON n.n_nationkey = p.c_nationkey
        ORDER BY nation"""
 
+  // --------------------------------------------------------------------------
+  // q262: NDV SKETCH STATS (`graft.stats.ndv` + `t.column_stats`) — per-column
+  // DISTINCT-COUNT estimates served with ZERO file IO: each commit harvests a
+  // mergeable HLL per column (Spark's own hll_sketch_agg, lgK=12), and the
+  // metadata table UNIONS the current snapshot's sketches — the operation
+  // per-segment exact counts cannot do (distincts don't sum; the fixture's
+  // two inserts overlap on purpose). rows/nulls are EXACT zone-map sums and
+  // hash-gate against the oracle; the estimate's accuracy is itself an
+  // output column, computed against an exact COUNT(DISTINCT) — so the 2%
+  // claim is oracle-gated, not asserted. NdvStatsSpec pins the physical side
+  // (LocalTableScan, coverage honesty, compaction re-harvest).
+  // --------------------------------------------------------------------------
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    graft.Tables.orders(s, d).createOrReplaceTempView("ndv_orders")
+    val t = s"m262_${Integer.toHexString(d.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, st STRING, cust BIGINT)
+      USING parquet TBLPROPERTIES ('graft.stats.ndv' = '*')""")
+    // two OVERLAPPING halves: k%2=0 then k%3=0 (k%6=0 lands twice) — the
+    // union must not double-count the overlap
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, o_custkey FROM ndv_orders WHERE o_orderkey % 2 = 0""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderstatus, o_custkey FROM ndv_orders WHERE o_orderkey % 3 = 0""")
+    s.sql(s"SELECT * FROM graft.lake.$t.column_stats").createOrReplaceTempView(s"${t}_cs")
+    s.sql(s"""
+      WITH exact AS (
+        SELECT 'k' AS column, COUNT(DISTINCT k) AS x FROM graft.lake.$t
+        UNION ALL SELECT 'st', COUNT(DISTINCT st) FROM graft.lake.$t
+        UNION ALL SELECT 'cust', COUNT(DISTINCT cust) FROM graft.lake.$t)
+      SELECT c.column, c.rows, c.nulls,
+             CAST(ABS(c.ndv_estimate - e.x) <= CAST(0.02 * e.x AS BIGINT) + 1 AS INT)
+               AS ndv_within_2pct
+      FROM ${t}_cs c JOIN exact e ON c.column = e.column
+      ORDER BY c.column""")
+  }
+
+  private val q262Sql =
+    """WITH u2 AS (
+         SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+       SELECT c."column", (SELECT COUNT(*) FROM u2) AS rows,
+              CAST(0 AS BIGINT) AS nulls, 1 AS ndv_within_2pct
+       FROM (SELECT 'cust' AS "column" UNION ALL SELECT 'k' UNION ALL SELECT 'st') c
+       ORDER BY c."column""""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -1177,5 +1225,6 @@ object Round15Queries {
     QDef("q258_generated_columns", q258, Some(q258Sql)),
     QDef("q259_csv_malformed_modes", q259, Some(q259Sql)),
     QDef("q260_shannon_entropy", q260, Some(q260Sql)),
-    QDef("q261_gini_coefficient", q261, Some(q261Sql)))
+    QDef("q261_gini_coefficient", q261, Some(q261Sql)),
+    QDef("q262_ndv_column_stats", q262, Some(q262Sql)))
 }
