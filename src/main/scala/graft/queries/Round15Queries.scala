@@ -1206,6 +1206,80 @@ object Round15Queries {
        FROM (SELECT 'cust' AS "column" UNION ALL SELECT 'k' UNION ALL SELECT 'st') c
        ORDER BY c."column""""
 
+  // --------------------------------------------------------------------------
+  // q263: CHI-SQUARE TEST OF INDEPENDENCE + CRAMÉR'S V between two
+  // categorical columns (returnflag × linestatus) — the categorical sibling
+  // of q89's numeric correlation family. All inputs are exact integer
+  // counts; the χ² statistic sums per-cell (O−E)²/E contributions in a
+  // FIXED (rf, ls)-sorted fold (the q260/q42 convention — a bare double SUM
+  // over cells is partition-order-dependent), and Cramér's V normalizes by
+  // min(r−1, c−1). Contingency table is one groupBy; marginals broadcast.
+  // --------------------------------------------------------------------------
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.lineitem(s, d).createOrReplaceTempView("chi_li")
+    s.sql("""
+      WITH cells AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n
+        FROM chi_li GROUP BY 1, 2),
+      rm AS (SELECT rf, SUM(n) AS nr FROM cells GROUP BY rf),
+      cm AS (SELECT ls, SUM(n) AS nc FROM cells GROUP BY ls),
+      tot AS (SELECT SUM(n) AS nt, COUNT(DISTINCT rf) AS r, COUNT(DISTINCT ls) AS c
+              FROM cells),
+      contrib AS (
+        SELECT cells.rf, cells.ls,
+               POW(CAST(cells.n AS DOUBLE)
+                   - CAST(rm.nr AS DOUBLE) * CAST(cm.nc AS DOUBLE) / CAST(tot.nt AS DOUBLE), 2)
+                 / (CAST(rm.nr AS DOUBLE) * CAST(cm.nc AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                 AS x2
+        FROM cells JOIN rm ON cells.rf = rm.rf
+                   JOIN cm ON cells.ls = cm.ls
+                   CROSS JOIN tot),
+      folded AS (
+        SELECT aggregate(
+                 transform(array_sort(collect_list(struct(rf, ls, x2))), p -> p.x2),
+                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS chi2
+        FROM contrib)
+      SELECT tot.nt AS n, tot.r, tot.c,
+             CAST(ROUND(folded.chi2 * 100) AS BIGINT) AS chi2_x100,
+             CAST(ROUND(SQRT(folded.chi2 / (CAST(tot.nt AS DOUBLE)
+               * CAST(LEAST(tot.r - 1, tot.c - 1) AS DOUBLE))) * 10000) AS BIGINT)
+               AS cramers_v_bp
+      FROM folded CROSS JOIN tot
+      ORDER BY n""")
+  }
+
+  private val q263Sql =
+    """WITH cells AS (
+         SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n
+         FROM lineitem GROUP BY 1, 2),
+       rm AS (SELECT rf, SUM(n) AS nr FROM cells GROUP BY rf),
+       cm AS (SELECT ls, SUM(n) AS nc FROM cells GROUP BY ls),
+       tot AS (SELECT SUM(n) AS nt, COUNT(DISTINCT rf) AS r, COUNT(DISTINCT ls) AS c
+               FROM cells),
+       contrib AS (
+         SELECT cells.rf, cells.ls,
+                POW(CAST(cells.n AS DOUBLE)
+                    - CAST(rm.nr AS DOUBLE) * CAST(cm.nc AS DOUBLE) / CAST(tot.nt AS DOUBLE), 2)
+                  / (CAST(rm.nr AS DOUBLE) * CAST(cm.nc AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                  AS x2
+         FROM cells JOIN rm ON cells.rf = rm.rf
+                    JOIN cm ON cells.ls = cm.ls
+                    CROSS JOIN tot),
+       folded AS (
+         SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(list_sort(list([rf, ls, CAST(x2 AS VARCHAR)])),
+                                 p -> CAST(p[3] AS DOUBLE))),
+                  (acc, v) -> acc + v) AS chi2
+         FROM contrib)
+       SELECT CAST(tot.nt AS BIGINT) AS n, CAST(tot.r AS BIGINT) AS r,
+              CAST(tot.c AS BIGINT) AS c,
+              CAST(ROUND(folded.chi2 * 100) AS BIGINT) AS chi2_x100,
+              CAST(ROUND(SQRT(folded.chi2 / (CAST(tot.nt AS DOUBLE)
+                * CAST(LEAST(tot.r - 1, tot.c - 1) AS DOUBLE))) * 10000) AS BIGINT)
+                AS cramers_v_bp
+       FROM folded CROSS JOIN tot
+       ORDER BY n"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -1226,5 +1300,6 @@ object Round15Queries {
     QDef("q259_csv_malformed_modes", q259, Some(q259Sql)),
     QDef("q260_shannon_entropy", q260, Some(q260Sql)),
     QDef("q261_gini_coefficient", q261, Some(q261Sql)),
-    QDef("q262_ndv_column_stats", q262, Some(q262Sql)))
+    QDef("q262_ndv_column_stats", q262, Some(q262Sql)),
+    QDef("q263_chi_square_independence", q263, Some(q263Sql)))
 }
