@@ -4,12 +4,17 @@ import graft.QDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-15 surface: SCD Type-2 dimension build from the CDC feed, the
-  * segment-level BLOOM index (high-cardinality point-lookup pruning), the
-  * time-series/profiling completions (autocorrelation, Benford first-digit
-  * audit, rolling distinct users), and Unicode normalization as a native
-  * codegen Expression (functions/UnicodeNormalize.scala) — the
-  * canonicalize-before-hash step exact dedup needs on real-world corpora.
+/** Round-15 surface (q243–q263): the SCD Type-2 dimension build and the
+  * segment-level BLOOM index; the analytics completions (autocorrelation,
+  * Benford audit, rolling distinct users, Kaplan–Meier survival, RFM
+  * segmentation, Shannon entropy, per-nation Gini, chi-square independence);
+  * the text/tokenizer operators (Unicode normalization, BPE merge training,
+  * Flesch readability, Jaro–Winkler — the latter two as native codegen
+  * Expressions); the similarity-search memory tier (product quantization);
+  * the ingestion-robustness surface (CSV malformed-row modes); and the
+  * round's lakehouse features under oracle (tags q251, partition evolution
+  * q254, zero-copy add_files q256, generated columns q258, NDV column stats
+  * q262).
   *
   * All queries follow the SURVEY.md §2b determinism conventions. */
 object Round15Queries {
