@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.StructType
   * every writer having to compute the derivation: generation runs OUTSIDE
   * the partition router, so routed suffixes always see filled values.
   *
+  * SCALE NOTE (honest seam): the partitioned writer's clustered
+  * DISTRIBUTION is computed on the INPUT rows — before generation fills —
+  * so a bulk load that sends NULL for a generated partition column hashes
+  * every row to the same (null) cluster and funnels through few tasks. The
+  * output is still correct and partition-pure (the task writer fans out per
+  * filled value); for large loads, supply the derived value explicitly —
+  * the conflict gate validates it, and distribution then parallelizes.
+  *
   * Validated at CREATE TABLE (parse + analyze against the schema, result
   * type cast-checked to the column's type); a generation expression may not
   * reference a generated column (no chains — evaluation order would be
