@@ -1285,6 +1285,66 @@ object Round15Queries {
        FROM folded CROSS JOIN tot
        ORDER BY n"""
 
+  // --------------------------------------------------------------------------
+  // q264: TWO-PROPORTION Z-TEST — the A/B experiment readout: users split
+  // into deterministic arms (user_id parity — the hash-split q84 shape),
+  // conversion = any HIGH-VALUE purchase (value > 120 — a plain 'any
+  // purchase' converts ~every synthetic user, making the pooled variance 0
+  // and the statistic undefined); the pooled-variance z statistic is
+  // one fixed double expression over four exact integer counts, identical
+  // operation order in both engines, emitted ×1000. Everything before the
+  // formula is ONE user-level aggregate + one 2-group rollup — the
+  // experimentation readout at 100 TB is exactly this shape.
+  // --------------------------------------------------------------------------
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.events(s, d).createOrReplaceTempView("ab_events")
+    s.sql("""
+      WITH users AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 120.0 THEN 1 ELSE 0 END) AS conv
+        FROM ab_events GROUP BY user_id),
+      g AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS c FROM users GROUP BY arm),
+      w AS (SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN c END) AS ca,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN c END) AS cb
+        FROM g)
+      SELECT na, ca, nb, cb,
+             CAST(ROUND(CAST(ca AS DOUBLE) / na * 10000) AS BIGINT) AS rate_a_bp,
+             CAST(ROUND(CAST(cb AS DOUBLE) / nb * 10000) AS BIGINT) AS rate_b_bp,
+             CAST(ROUND(
+               (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+               / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))
+                      * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                      * (1.0 / na + 1.0 / nb)) * 1000) AS BIGINT) AS z_x1000
+      FROM w ORDER BY na""")
+  }
+
+  private val q264Sql =
+    """WITH users AS (
+         SELECT user_id,
+                CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                MAX(CASE WHEN event_type = 'purchase' AND value > 120.0 THEN 1 ELSE 0 END) AS conv
+         FROM events GROUP BY user_id),
+       g AS (SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c FROM users GROUP BY arm),
+       w AS (SELECT
+         MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+         MAX(CASE WHEN arm = 'A' THEN c END) AS ca,
+         MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+         MAX(CASE WHEN arm = 'B' THEN c END) AS cb
+         FROM g)
+       SELECT na, ca, nb, cb,
+              CAST(ROUND(CAST(ca AS DOUBLE) / na * 10000) AS BIGINT) AS rate_a_bp,
+              CAST(ROUND(CAST(cb AS DOUBLE) / nb * 10000) AS BIGINT) AS rate_b_bp,
+              CAST(ROUND(
+                (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))
+                       * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                       * (1.0 / na + 1.0 / nb)) * 1000) AS BIGINT) AS z_x1000
+       FROM w ORDER BY na"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q243_scd2_from_cdc", q243, Some(q243Sql)),
     QDef("q244_bloom_index_lookup", q244, Some(q244Sql)),
@@ -1306,5 +1366,6 @@ object Round15Queries {
     QDef("q260_shannon_entropy", q260, Some(q260Sql)),
     QDef("q261_gini_coefficient", q261, Some(q261Sql)),
     QDef("q262_ndv_column_stats", q262, Some(q262Sql)),
-    QDef("q263_chi_square_independence", q263, Some(q263Sql)))
+    QDef("q263_chi_square_independence", q263, Some(q263Sql)),
+    QDef("q264_ab_test_ztest", q264, Some(q264Sql)))
 }
