@@ -19,8 +19,14 @@ import org.apache.spark.sql.types._
   *
   * Honesty gates (each refusal names its remediation):
   *   - SCHEMA must match the table exactly by name and type (order-free;
-  *     nullability ignored — the scan null-fills). Anything else would defer
-  *     a read error to some future query instead of failing the import.
+  *     nullability ignored — the scan null-fills), validated against EVERY
+  *     file's own footer — per-file drift among the linked files must fail
+  *     here, not at some future read. Anything else would defer a read error
+  *     to some future query instead of failing the import.
+  *   - NESTED parquet (a partitioned or multi-level export) is refused: a
+  *     flat top-level link would silently skip the nested files, and a
+  *     partition-dir export keeps its partition values in directory names
+  *     that a flat import would drop.
   *   - PARTITIONED tables are refused: imported files are not partition-pure,
   *     and faking a suffix would poison pruning and partition-scoped DML.
   *     Route through INSERT ... SELECT for partitioned targets.
@@ -54,6 +60,27 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
       s"graft add_files: '$srcPath' is not a directory")
     val files = GraftMeta.listDir(srcPath)
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+    // nested parquet (a partitioned or multi-level export) must refuse, not
+    // silently import only the top level: partition-dir exports carry the
+    // partition VALUES in directory names, which a flat link would drop
+    val nested = {
+      val walk = Files.walk(srcPath)
+      try {
+        val it = walk.iterator()
+        var found = false
+        while (!found && it.hasNext) {
+          val p = it.next()
+          found = Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet") &&
+            p.getParent != srcPath
+        }
+        found
+      } finally walk.close()
+    }
+    require(!nested,
+      s"graft add_files: '$srcPath' contains .parquet files in nested " +
+        "subdirectories — a flat import would skip them (and a partitioned " +
+        "export's partition values live in the directory names); import each " +
+        "leaf directory separately or load via INSERT ... SELECT")
     require(files.nonEmpty, s"graft add_files: no .parquet files under '$srcPath'")
 
     val spark = SparkSession.active
@@ -68,24 +95,31 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
       "graft add_files: table declares GENERATED columns — imported rows would " +
         "bypass fill/validation; use INSERT ... SELECT instead")
 
-    // schema gate: footer schema must carry every table column with the same
-    // type (order-free); extra source columns are refused (they would silently
-    // vanish on read — surprise data loss at import is worse than an error)
-    val srcSchema = spark.read.parquet(srcPath.toString).schema
-    val byName = srcSchema.fields.map(f => f.name -> f.dataType).toMap
-    meta.schema.fields.foreach { f =>
-      byName.get(f.name) match {
-        case Some(dt) => require(dt == f.dataType,
-          s"graft add_files: column '${f.name}' is ${dt.simpleString} in the " +
-            s"source, ${f.dataType.simpleString} in the table")
-        case None => throw new IllegalArgumentException(
-          s"graft add_files: source lacks table column '${f.name}'")
+    // schema gate, PER FILE: every footer must carry every table column with
+    // the same type (order-free); extra source columns are refused (they would
+    // silently vanish on read — surprise data loss at import is worse than an
+    // error). A directory-level sampled read would let per-file drift through
+    // the gate and defer the error to read time, contradicting fail-at-import.
+    // Cost: one driver-side footer read per file — the same O(#files)
+    // metadata class as the link loop and the stats harvest below.
+    files.foreach { file =>
+      val srcSchema = spark.read.parquet(file.toString).schema
+      val byName = srcSchema.fields.map(f => f.name -> f.dataType).toMap
+      meta.schema.fields.foreach { f =>
+        byName.get(f.name) match {
+          case Some(dt) => require(dt == f.dataType,
+            s"graft add_files: column '${f.name}' is ${dt.simpleString} in " +
+              s"'${file.getFileName}', ${f.dataType.simpleString} in the table")
+          case None => throw new IllegalArgumentException(
+            s"graft add_files: '${file.getFileName}' lacks table column '${f.name}'")
+        }
       }
+      val extra = srcSchema.fieldNames.toSet -- meta.schema.fieldNames.toSet
+      require(extra.isEmpty,
+        s"graft add_files: '${file.getFileName}' has columns the table lacks: " +
+          s"${extra.mkString(", ")} — ALTER TABLE ADD COLUMNS first, or project " +
+          "them away and INSERT")
     }
-    val extra = srcSchema.fieldNames.toSet -- meta.schema.fieldNames.toSet
-    require(extra.isEmpty,
-      s"graft add_files: source has columns the table lacks: ${extra.mkString(", ")} " +
-        "— ALTER TABLE ADD COLUMNS first, or project them away and INSERT")
 
     val segment = s"seg-add-${UUID.randomUUID().toString.take(12)}"
     val segDir = dir.resolve(segment)

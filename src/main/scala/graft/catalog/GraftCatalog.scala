@@ -249,15 +249,24 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case set: TableChange.SetProperty if set.property().startsWith(GraftChecks.Prefix) =>
         set.property().stripPrefix(GraftChecks.Prefix) -> set.value()
     }
-    val checkValidatedAt: Option[Long] = if (checkAdds.isEmpty) None else {
+    val checkValidatedAt: Option[(Long, Map[String, String])] =
+      if (checkAdds.isEmpty) None else {
       val spark = SparkSession.active
       val pre = GraftMeta.read(dir)
+      // WAP branches are publishable state too: fast_forward's only guard is
+      // `base == current`, which this ALTER does not move — so rows staged on
+      // a branch BEFORE the constraint lands would publish unchecked. Validate
+      // every ref's staged-only segments alongside main (staged segments are
+      // plain appends — branch DML is refused — so no delete vectors apply),
+      // and CAS below on the ref properties so a concurrent stage retries.
+      val mainSegs = pre.snapshots.getOrElse(pre.current, Nil)
+      val stagedSegs = GraftRefs.all(pre).valuesIterator.flatMap(_.dirs)
+        .toSeq.distinct.filterNot(mainSegs.contains)
       checkAdds.foreach { case (name, sql) =>
         GraftChecks.resolve(pre.schema, name, sql) // parse + analyze + bind
-        val segs = pre.snapshots.getOrElse(pre.current, Nil)
-        if (segs.nonEmpty) {
-          val live = GraftDv.readLive(spark, dir, pre.schema, segs,
-            GraftDv.forSegments(pre, pre.current, segs))
+        if (mainSegs.nonEmpty) {
+          val live = GraftDv.readLive(spark, dir, pre.schema, mainSegs,
+            GraftDv.forSegments(pre, pre.current, mainSegs))
           // violation ⇔ definitely FALSE (SQL CHECK: NULL admits)
           val bad = live.where(s"coalesce(($sql), true) = false").count()
           require(bad == 0L,
@@ -265,14 +274,30 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               s"$bad existing row(s) violate it — clean the data first " +
               "(delete_where the violations or fix them with update_where)")
         }
+        if (stagedSegs.nonEmpty) {
+          val staged = GraftDv.readLive(spark, dir, pre.schema, stagedSegs, Map.empty)
+          val bad = staged.where(s"coalesce(($sql), true) = false").count()
+          require(bad == 0L,
+            s"graft catalog: cannot add CHECK constraint '$name' ($sql): " +
+              s"$bad row(s) staged on a WAP branch violate it — fast_forward " +
+              "would publish them unchecked; fix or drop_branch first")
+        }
       }
-      Some(pre.current)
+      Some((pre.current, pre.props.filter(_._1.startsWith(GraftRefs.Prefix))))
     }
     GraftMeta.mutate(dir) { meta =>
-      checkValidatedAt.foreach(v => if (meta.current != v)
-        throw new GraftConcurrentCommitException(
-          s"graft catalog: table advanced (snapshot $v -> ${meta.current}) while " +
-            "ADD CONSTRAINT was validating existing rows; retry"))
+      checkValidatedAt.foreach { case (v, refProps) =>
+        if (meta.current != v)
+          throw new GraftConcurrentCommitException(
+            s"graft catalog: table advanced (snapshot $v -> ${meta.current}) while " +
+              "ADD CONSTRAINT was validating existing rows; retry")
+        // refs mutated (branch created/staged/dropped) during validation ⇒
+        // the staged-segment scan above may be stale; retry like a CAS miss
+        if (meta.props.filter(_._1.startsWith(GraftRefs.Prefix)) != refProps)
+          throw new GraftConcurrentCommitException(
+            "graft catalog: branch refs changed while ADD CONSTRAINT was " +
+              "validating staged segments; retry")
+      }
       var dropped = meta.props.get(GraftTable.DroppedColumnsProp)
         .map(_.split(',').toSet).getOrElse(Set.empty[String])
       var setProps = Map.empty[String, String]
@@ -289,11 +314,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
                 s"'${GraftDv.ModeCow}' or '${GraftDv.ModeMor}', got '${set.value()}'")
             setProps += set.property() -> set.value()
             sch
-          // commit-time SUM harvest opt-in applies to FUTURE segments only;
-          // pre-existing sum-less segments simply keep SUM pushdown refused
+          // commit-time stats-harvest opt-ins (SUMs, NDV sketches) apply to
+          // FUTURE segments only; pre-existing stat-less segments simply keep
+          // the corresponding pushdown/report refused
           case set: TableChange.SetProperty
-              if set.property() == SegmentStats.SumsProp =>
+              if set.property() == SegmentStats.SumsProp ||
+                set.property() == SegmentStats.NdvProp =>
             setProps += set.property() -> set.value()
+            sch
+          case rm: TableChange.RemoveProperty
+              if rm.property() == SegmentStats.SumsProp ||
+                rm.property() == SegmentStats.NdvProp =>
+            removedProps += rm.property()
             sch
           // PARTITION EVOLUTION: the new spec governs FUTURE writes only —
           // existing segments keep their own (partition-pure) layout and stay

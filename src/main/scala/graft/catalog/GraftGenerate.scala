@@ -88,8 +88,13 @@ private[catalog] object GraftGenerate {
         s"${badRefs.mkString(", ")} — generation chains are not supported")
     val typed =
       if (analyzed.dataType == field.dataType) analyzed
+      // The implicit coercion needs the session timezone: a tz-dependent cast
+      // (e.g. TIMESTAMP expr filling a DATE column) built without one never
+      // resolves, and the failure would surface at WRITE time inside
+      // UnsafeProjection creation — breaking the validated-at-CREATE contract.
       else if (Cast.canCast(analyzed.dataType, field.dataType))
-        Cast(analyzed, field.dataType)
+        Cast(analyzed, field.dataType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
       else throw new IllegalArgumentException(
         s"graft generate '$col': expression type ${analyzed.dataType.simpleString} " +
           s"cannot cast to the column's ${field.dataType.simpleString}")

@@ -33,6 +33,15 @@ object Round14Queries {
   //      the first n - ceil(t*n) + 1 of their rarity-sorted tokens — so
   //      candidates come from an EQUI-join on prefix tokens only (the rarest
   //      tokens, so candidate lists stay short);
+  //   3b. LENGTH FILTER (PPJoin's companion bound): J(A,B) >= t implies
+  //      |A∩B| >= t·(|A|+|B|-|A∩B|) and |A∩B| <= min(|A|,|B|), which gives
+  //      min(|A|,|B|) >= t·max(|A|,|B|) — evaluated INSIDE the prefix
+  //      equi-join as a cheap integer predicate, so size-mismatched pairs
+  //      never reach DISTINCT or the exact verify. This is the prune that
+  //      holds up at scale: candidate density grows superlinearly with
+  //      near-dup density (the measured sf1 pattern), but candidates that
+  //      differ in cardinality by more than 1/t can never pass and now cost
+  //      one comparison instead of an array_intersect.
   //   4. verify candidates exactly (array_intersect), emit pairs >= t.
   // The ORACLE is the brute-force all-pairs join in DuckDB — it gates that
   // the pruned join finds EXACTLY the same pairs (no recall loss), which is
@@ -57,7 +66,7 @@ object Round14Queries {
             FROM ssj_docs)
       WHERE size(w) >= 4""").persist()
     toks.createOrReplaceTempView("ssj_toks")
-    s.sql("""
+    val out = s.sql("""
       WITH exploded AS (
         SELECT doc_id, tok FROM ssj_toks LATERAL VIEW explode(t) ex AS tok),
       df AS (
@@ -71,12 +80,16 @@ object Round14Queries {
                COUNT(*) OVER (PARTITION BY e.doc_id) AS n
         FROM exploded e JOIN df d ON e.tok = d.tok),
       prefixes AS (
-        SELECT doc_id, tok AS ptok FROM ranked
+        SELECT doc_id, tok AS ptok, n FROM ranked
         WHERE rk <= n - CAST(ceil(0.6 * n) AS INT) + 1),
       cands AS (
+        -- the length bound rides the equi-join condition: Jaccard >= 0.6
+        -- forces least(na,nb) >= 0.6 * greatest(na,nb), so the DISTINCT and
+        -- the exact verify below only ever see length-compatible pairs
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM prefixes a JOIN prefixes b
-          ON a.ptok = b.ptok AND a.doc_id < b.doc_id),
+          ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+         AND least(a.n, b.n) >= 0.6 * greatest(a.n, b.n)),
       verified AS (
         SELECT c.da, c.db,
                size(array_intersect(ta.t, tb.t)) AS i,
@@ -88,6 +101,13 @@ object Round14Queries {
       FROM verified
       WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.6
       ORDER BY da, db""")
+      // materialize-then-release (the q249/Round5/Round7 convention):
+      // localCheckpoint(true) computes the result while the shingle cache is
+      // hot and truncates lineage, so the persist never leaks executor
+      // storage into the rest of the suite
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
   }
 
   private val q237Sql =

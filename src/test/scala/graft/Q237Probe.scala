@@ -49,12 +49,31 @@ object Q237Probe {
       cands AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM prefixes a JOIN prefixes b ON a.ptok = b.ptok AND a.doc_id < b.doc_id)"""
+    // production-shaped prefixes (window rank + set size) with and without
+    // PPJoin's length companion bound — records how many candidate pairs the
+    // length filter removes before DISTINCT/verify
+    val prefixesW = s"""$df,
+      rankedw AS (
+        SELECT e.doc_id, e.tok,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.dfreq, e.tok) AS rk,
+               COUNT(*) OVER (PARTITION BY e.doc_id) AS n
+        FROM exploded e JOIN df d ON e.tok = d.tok),
+      prefixesw AS (
+        SELECT doc_id, tok AS ptok, n FROM rankedw
+        WHERE rk <= n - CAST(ceil(0.6 * n) AS INT) + 1)"""
+    val candsLf = s"""$prefixesW,
+      cands AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM prefixesw a JOIN prefixesw b
+          ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+         AND least(a.n, b.n) >= 0.6 * greatest(a.n, b.n))"""
     t("toks", s"WITH $toks SELECT * FROM toks")
     t("exploded", s"WITH $exploded SELECT * FROM exploded")
     t("df", s"WITH $df SELECT * FROM df")
     t("ranked", s"WITH $ranked SELECT * FROM ranked")
     t("prefixes", s"WITH $prefixes SELECT * FROM prefixes")
     t("cands", s"WITH $cands SELECT * FROM cands")
+    t("cands_lf", s"WITH $candsLf SELECT * FROM cands")
     val full = Registry.byName("q237_similarity_join_prefix_filter")
     val t0 = System.nanoTime()
     val n = full.fn(spark, sf).count()

@@ -87,6 +87,48 @@ class AddFilesSpec extends SparkSpec {
     assert(count("SELECT count(*) c FROM gaf.ns.t3") === 0)
   }
 
+  test("per-file schema drift among the linked files is refused (no sampled-footer pass)") {
+    import spark.implicits._
+    sql("DROP TABLE IF EXISTS gaf.ns.t6")
+    sql("CREATE TABLE gaf.ns.t6 (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    // one conforming file and one drifted file (amt DOUBLE) in the SAME dir:
+    // a directory-level sampled read can pick the good footer and let the
+    // drift through to read time — the per-file gate must catch it here
+    val mixed = root.resolve("raw_mixed")
+    Files.createDirectories(mixed)
+    val good = root.resolve("raw_mixed_good")
+    val bad = root.resolve("raw_mixed_bad")
+    Seq((1L, "a", 10L)).toDF("k", "tag", "amt").coalesce(1)
+      .write.mode("overwrite").parquet(good.toString)
+    Seq((2L, "b", 1.5)).toDF("k", "tag", "amt").coalesce(1)
+      .write.mode("overwrite").parquet(bad.toString)
+    def partFile(d: Path): Path =
+      GraftMeta.listDir(d).filter(_.getFileName.toString.endsWith(".parquet")).head
+    // copy the good file FIRST (lexicographic name order) so a first-footer
+    // sample would see the conforming schema
+    Files.copy(partFile(good), mixed.resolve("part-00000-aaa.parquet"))
+    Files.copy(partFile(bad), mixed.resolve("part-00001-zzz.parquet"))
+    val e = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t6', '$mixed')") }
+    assert(e.getMessage.contains("amt") && e.getMessage.contains("zzz"),
+      e.getMessage)
+    assert(count("SELECT count(*) c FROM gaf.ns.t6") === 0)
+  }
+
+  test("nested parquet (partitioned/multi-level export) is refused, not silently skipped") {
+    import spark.implicits._
+    sql("DROP TABLE IF EXISTS gaf.ns.t7")
+    sql("CREATE TABLE gaf.ns.t7 (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    // a partition-dir export: files live under tag=a/, none at the top level
+    val nested = root.resolve("raw_nested")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "tag", "amt")
+      .write.partitionBy("tag").mode("overwrite").parquet(nested.toString)
+    val e = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t7', '$nested')") }
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    assert(count("SELECT count(*) c FROM gaf.ns.t7") === 0)
+  }
+
   test("partitioned and CHECK-constrained targets are refused with remediation") {
     sql("DROP TABLE IF EXISTS gaf.ns.t4")
     sql("CREATE TABLE gaf.ns.t4 (k BIGINT, tag STRING, amt BIGINT) USING parquet PARTITIONED BY (tag)")

@@ -122,4 +122,37 @@ class CheckConstraintSpec extends SparkSpec {
       sql("ALTER TABLE gck.ns.t9 UNSET TBLPROPERTIES('graft.check.nope')"))
     assert(e3.getMessage.contains("no CHECK constraint"))
   }
+
+  test("ALTER ADD CONSTRAINT validates WAP-branch staged segments too") {
+    // fast_forward's only guard is base == current, which ADD CONSTRAINT does
+    // not move — so rows staged on a branch BEFORE the constraint must be
+    // validated at ADD time or they publish unchecked (ADVICE r11, medium)
+    import spark.implicits._
+    root
+    sql("DROP TABLE IF EXISTS gck.ns.t10")
+    sql("CREATE TABLE gck.ns.t10 (k BIGINT, amt BIGINT) USING parquet")
+    sql("INSERT INTO gck.ns.t10 VALUES (1, 10)")
+    sql("CALL gck.system.create_branch('ns.t10', 'audit')")
+    // stage a violating row on the branch; main's own history stays clean
+    Seq((2L, -7L)).toDF("k", "amt").write.format("parquet")
+      .option("graft.branch", "audit").mode("append").saveAsTable("gck.ns.t10")
+    val e = intercept[Exception](
+      sql("ALTER TABLE gck.ns.t10 SET TBLPROPERTIES('graft.check.pos' = 'amt > 0')"))
+    assert(e.getMessage.contains("WAP branch"), e.getMessage)
+    // the refused ALTER left no constraint behind: the branch still publishes
+    sql("CALL gck.system.drop_branch('ns.t10', 'audit')")
+    // with the offending branch gone, the same ALTER lands; and a fresh
+    // branch staging a violating row now fails at WRITE time (branch writes
+    // are check-gated), so the unchecked-publish window is fully closed
+    sql("ALTER TABLE gck.ns.t10 SET TBLPROPERTIES('graft.check.pos' = 'amt > 0')")
+    sql("CALL gck.system.create_branch('ns.t10', 'audit2')")
+    val e2 = intercept[Exception](
+      Seq((3L, -1L)).toDF("k", "amt").write.format("parquet")
+        .option("graft.branch", "audit2").mode("append").saveAsTable("gck.ns.t10"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(_.contains("CHECK constraint 'pos'")))
+    sql("CALL gck.system.drop_branch('ns.t10', 'audit2')")
+    assert(count("t10") === 1)
+  }
 }

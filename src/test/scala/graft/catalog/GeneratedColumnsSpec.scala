@@ -84,6 +84,18 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(e3.getMessage.contains("chains are not supported"))
   }
 
+  test("implicit tz-dependent coercion (TIMESTAMP expr filling a DATE column) fills at write") {
+    // the coercion Cast must be built WITH the session timezone: without it
+    // the expression stays unresolved, CREATE passes, and every write then
+    // dies inside UnsafeProjection creation — the exact validated-at-CREATE
+    // contract violation ADVICE r11 flagged
+    sql("DROP TABLE IF EXISTS ggc.ns.t6")
+    sql("""CREATE TABLE ggc.ns.t6 (ts TIMESTAMP, day DATE) USING parquet
+      TBLPROPERTIES ('graft.generate.day' = 'ts')""")
+    sql("INSERT INTO ggc.ns.t6 VALUES (TIMESTAMP'2024-03-01 10:00:00', CAST(NULL AS DATE))")
+    assert(sql("SELECT day FROM ggc.ns.t6").head().getDate(0).toString === "2024-03-01")
+  }
+
   test("add_files refuses generated-column tables") {
     import spark.implicits._
     sql("DROP TABLE IF EXISTS ggc.ns.t5")

@@ -62,4 +62,29 @@ class NdvStatsSpec extends SparkSpec {
     val est = r.getAs[Long]("ndv_estimate")
     assert(math.abs(est - 2000L) <= 100L, s"post-compaction estimate $est")
   }
+
+  test("ALTER TABLE can opt an EXISTING table into ndv (and back out), like sums") {
+    // ADVICE r11 (low): the opt-in must not be CREATE-only — mirrors sums
+    sql("DROP TABLE IF EXISTS gnv.ns.t3")
+    sql("CREATE TABLE gnv.ns.t3 (k BIGINT) USING parquet")
+    sql("INSERT INTO gnv.ns.t3 SELECT id FROM range(0, 500)")
+    sql("ALTER TABLE gnv.ns.t3 SET TBLPROPERTIES('graft.stats.ndv' = '*')")
+    // harvest applies to FUTURE segments only; the pre-existing sketch-less
+    // segment keeps the estimate voided (coverage honesty)
+    sql("INSERT INTO gnv.ns.t3 SELECT id FROM range(500, 1000)")
+    val mixed = sql("SELECT * FROM gnv.ns.t3.column_stats").collect().head
+    assert(mixed.isNullAt(mixed.fieldIndex("ndv_estimate")),
+      "pre-opt-in segment lacks a sketch -> estimate voided")
+    // a compact re-harvests everything under the now-active opt-in
+    sql("CALL gnv.system.compact('ns.t3')")
+    val r = sql("SELECT * FROM gnv.ns.t3.column_stats").collect().head
+    val est = r.getAs[Long]("ndv_estimate")
+    assert(math.abs(est - 1000L) <= 50L, s"post-compact estimate $est vs exact 1000")
+    // and the opt-out is symmetric
+    sql("ALTER TABLE gnv.ns.t3 UNSET TBLPROPERTIES('graft.stats.ndv')")
+    sql("INSERT INTO gnv.ns.t3 SELECT id FROM range(1000, 1100)")
+    val off = sql("SELECT * FROM gnv.ns.t3.column_stats").collect().head
+    assert(off.getAs[Long]("rows") === 1100L)
+    assert(off.isNullAt(off.fieldIndex("ndv_estimate")), "opt-out stops new harvests")
+  }
 }
