@@ -292,6 +292,56 @@ private[catalog] final class GraftPartitionedWriterFactory(
     }
 }
 
+/** Fan-out factory routing on a PRE-COMPUTED (suffix string, slot) pair
+  * carried as the row's FIRST TWO columns ('' = unsuffixed) instead of
+  * re-encoding partition VALUES under the current spec. Compaction's one-job
+  * rewrite uses it to preserve each segment generation's own layout
+  * byte-identically — per-spec suffixes survive exactly
+  * (PartitionEvolutionSpec's "compact groups by FULL suffix" pin), which the
+  * value-based factory above cannot do (it would migrate old-spec rows to
+  * the current spec). The SLOT picks the output file within the suffix, so
+  * size targeting (ceil(bytes/target) files per group) holds exactly even
+  * when AQE coalesces the whole shuffle into one task. Same staging/manifest
+  * protocol; both routing columns are stripped before the row hits parquet. */
+private[catalog] final class GraftRouteWriterFactory(
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableHadoopConf, staging: String, dataSchema: StructType)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID("graft", 0, TaskType.MAP, partitionId, (taskId & 0x7fffffff).toInt))
+      private val ext = owf.getFileExtension(ctx)
+      private val strip =
+        new ProjectingInternalRow(dataSchema, (2 to dataSchema.length + 1).toIndexedSeq)
+      private val writers = scala.collection.mutable.HashMap.empty[(String, Int), OutputWriter]
+      private val manifest = Seq.newBuilder[(String, String)]
+
+      override def write(row: InternalRow): Unit = {
+        val enc = row.getUTF8String(0).toString
+        val slot = row.getInt(1)
+        strip.project(row)
+        writers.getOrElseUpdate((enc, slot), {
+          val file = s"part-$partitionId-$taskId-s$slot$ext"
+          manifest += enc -> file
+          owf.newInstance(s"$staging/$enc/$file", dataSchema, ctx)
+        }).write(strip)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_.close())
+        writers.clear()
+        GraftPartitionFilesMessage(manifest.result())
+      }
+
+      override def abort(): Unit =
+        writers.values.foreach(w => scala.util.Try(w.close()))
+
+      override def close(): Unit = ()
+    }
+}
+
 /** Hadoop Configuration is not Serializable; ship it via its own writable
   * form (the standard Spark trick, re-stated locally because Spark's helper
   * is not public API). */

@@ -68,10 +68,12 @@ private[catalog] abstract class GraftProcedure(catalog: GraftCatalog)
 }
 
 /** `CALL <cat>.system.compact(table, target_file_bytes)` — rewrite the current
-  * snapshot's segments into one segment of ceil(totalBytes / target) files.
-  * The rewrite is a plain distributed read→coalesce→write (no shuffle: file
-  * bin-packing, not re-sorting), and the commit is a REPLACE snapshot, so time
-  * travel to every pre-compaction version keeps working. */
+  * snapshot's segments into one segment per partition group, each of
+  * ceil(groupBytes / target) size-targeted files. The rewrite is ONE
+  * distributed job for the whole snapshot regardless of partition count
+  * (rows route back to their source group's suffix task-side —
+  * GraftDml.rewriteGroupsOneJob), and the commit is a REPLACE snapshot, so
+  * time travel to every pre-compaction version keeps working. */
 private[catalog] final class CompactProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
 
@@ -100,42 +102,31 @@ private[catalog] final class CompactProcedure(catalog: GraftCatalog)
     // compaction groups = partitions: a partitioned table rewrites WITHIN each
     // partition-pure group (merging across partitions would destroy the purity
     // every pruned scan and partition-scoped DML depends on); an unpartitioned
-    // table is one group, the original whole-snapshot rewrite
+    // table is one group, the whole-snapshot rewrite. The rewrite itself is
+    // ONE distributed job for the entire snapshot, not a per-group driver
+    // loop — rows route back to their source group's suffix task-side and
+    // salt into each group's size-targeted slot count (a 10k-partition
+    // compact is one job; the round-11 scale seam). The read is DV-merged:
+    // compaction MATERIALIZES any delete vectors on its inputs (rows stay
+    // deleted, the vectors drop with the replaced segments — Iceberg's
+    // rewrite contract). The table-owned layout rides the rewrite: cluster-by
+    // tables salt on the cluster key (a key never splits across files) and
+    // order-by re-sorts within each writer — compacting a laid-out table
+    // with a blind bin-pack would interleave inputs and widen every zone-map
+    // bound to table-wide.
     val groups: Seq[(Option[String], Seq[String])] =
       segNames.groupBy(GraftPartitions.suffixOf).toSeq.sortBy(_._1)
     var filesBefore = 0
-    var filesAfter = 0
     var bytesTotal = 0L
-    val rewritten = groups.map { case (suffix, group) =>
-      val segs = group.map(dir.resolve)
-      val files = segs.flatMap(parquetFiles)
+    val slotsBySuffix = groups.map { case (suffix, group) =>
+      val files = group.map(dir.resolve).flatMap(parquetFiles)
       val bytes = files.map(Files.size).sum
       filesBefore += files.size
       bytesTotal += bytes
-      val nOut = math.max(1L, (bytes + target - 1) / target).toInt
-      val segment = s"seg-${UUID.randomUUID().toString.take(12)}" +
-        suffix.fold("")(s => s"${GraftPartitions.Marker}$s")
-      // the rewrite honors the table-owned layout: an unclustered table narrows
-      // N input files into nOut writers via coalesce (bin-packing, no shuffle);
-      // a write.cluster-by/order-by table re-clusters and re-sorts — compacting
-      // a laid-out table with a blind coalesce would interleave its inputs and
-      // widen every zone-map bound to table-wide (data skipping would silently
-      // stop working after each compaction). The read is DV-merged: compaction
-      // MATERIALIZES any delete vectors on its inputs (rows stay deleted, the
-      // vectors drop with the replaced segments — Iceberg's rewrite contract).
-      GraftDml.applyLayout(
-          GraftDv.readLive(spark, dir, meta.schema, group,
-            GraftDv.forSegments(meta, meta.current, group)),
-          meta.props, numPartitions = Some(nOut))
-        .write.parquet(dir.resolve(segment).toString)
-      val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-        spark, dir.resolve(segment).toString, meta.schema,
-        SegmentStats.sumCols(meta.props, meta.schema),
-        GraftBloom.cols(meta.props, meta.schema),
-        SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
-      filesAfter += parquetFiles(dir.resolve(segment)).size
-      (segment, stats)
-    }
+      suffix.getOrElse("") -> math.max(1L, (bytes + target - 1) / target).toInt
+    }.toMap
+    val rewritten = GraftDml.rewriteGroupsOneJob(dir, meta, segNames, slotsBySuffix)
+    val filesAfter = rewritten.map(r => parquetFiles(dir.resolve(r._1)).size).sum
     // ONE commit swaps every group: expectedCurrent fails the compaction if a
     // concurrent append landed between the snapshot pin and this commit (its
     // rows are not in any rewritten segment), not silently vanish from the new
@@ -363,19 +354,14 @@ private[catalog] object GraftDml {
   /** The table-owned write layout, applied to a DML rewrite the same way
     * RequiresDistributionAndOrdering applies it to INSERT/MERGE writes — a
     * rewritten segment must not silently lose the clustering/sortedness its
-    * zone maps and row-group stats depend on. `numPartitions` pins the output
-    * file count when given (compaction's size targeting); clustering uses it
-    * as the shuffle width, otherwise it narrows via coalesce (no shuffle). */
-  private[catalog] def applyLayout(df: DataFrame, props: Map[String, String],
-                                   numPartitions: Option[Int] = None): DataFrame = {
+    * zone maps and row-group stats depend on. (Compaction's size-targeted
+    * variant lives in rewriteGroupsOneJob's slot salting.) */
+  private[catalog] def applyLayout(df: DataFrame, props: Map[String, String]): DataFrame = {
     val clustered = props.get(GraftTable.ClusterByProp) match {
       case Some(cols) =>
         val keys = cols.split(',').map(c => df(c.trim)).toSeq
-        numPartitions match {
-          case Some(n) => df.repartition(n, keys: _*)
-          case None    => df.repartition(keys: _*)
-        }
-      case None => numPartitions.map(df.coalesce).getOrElse(df)
+        df.repartition(keys: _*)
+      case None => df
     }
     props.get(GraftTable.OrderByProp) match {
       case Some(cols) =>
@@ -407,32 +393,161 @@ private[catalog] object GraftDml {
     (segment, stats)
   }
 
-  /** Land a DML rewrite. Unpartitioned: one segment. Partitioned: one
-    * PARTITION-PURE segment per partition value present in `df` — the number
-    * of values is bounded by the touched-segment set (itself partition-pure),
-    * so the driver-side distinct is group-count-sized, and the common
-    * partition-predicate DML writes exactly one job. The per-value filter
-    * compares on `CAST(col AS STRING)`, the same canonical form the V2
-    * writer's suffix encoder uses (GraftPartitions.internalExtractor), so a
-    * rewritten partition keeps a byte-identical suffix. */
+  /** Run the fan-out write job: each task routes its rows through `factory`
+    * into the staging dir and returns a file manifest. Task attempt ids keep
+    * retried/speculative attempts' files distinct; only the winning attempt's
+    * manifest reaches the driver, so losers' files die with the staging dir —
+    * the same manifest protocol as the V2 partitioned writer's commit. */
+  private def runFanOutJob(
+      prepared: DataFrame,
+      factory: org.apache.spark.sql.connector.write.DataWriterFactory)
+    : Array[(String, String)] =
+    prepared.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val w = factory.createWriter(pid, org.apache.spark.TaskContext.get().taskAttemptId())
+      try {
+        rows.foreach(w.write)
+        Iterator.single(w.commit())
+      } catch { case t: Throwable => w.abort(); throw t }
+    }.collect().flatMap {
+      case m: GraftPartitionFilesMessage => m.files
+      case _ => Nil
+    }
+
+  /** Move manifest files out of `staging` into final segment dirs — one
+    * partition-pure segment per suffix ('' = the unsuffixed segment) — and
+    * harvest each segment's commit-time stats. */
+  private def landManifest(dir: java.nio.file.Path, meta: GraftMeta,
+                           staging: java.nio.file.Path, writeId: String,
+                           manifest: Array[(String, String)])
+    : Seq[(String, Option[String])] = {
+    val spark = SparkSession.active
+    manifest.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      .toSeq.sortBy(_._1).map { case (enc, fileNames) =>
+        val seg = if (enc.isEmpty) s"seg-$writeId"
+          else s"seg-$writeId${GraftPartitions.Marker}$enc"
+        val segDir = dir.resolve(seg)
+        Files.createDirectories(segDir)
+        fileNames.foreach(f =>
+          Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
+        val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
+          spark, segDir.toString, meta.schema,
+          SegmentStats.sumCols(meta.props, meta.schema),
+          GraftBloom.cols(meta.props, meta.schema),
+          SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
+        (seg, stats)
+      }
+  }
+
+  private def parquetWriterFactory(spark: SparkSession, schema: StructType)
+    : (org.apache.spark.sql.execution.datasources.OutputWriterFactory, SerializableHadoopConf) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty[String, String], schema)
+    (owf, new SerializableHadoopConf(job.getConfiguration))
+  }
+
+  /** Land a DML rewrite. Unpartitioned: one segment, one job. Partitioned:
+    * ONE distributed job writes every partition-pure segment — rows shuffle
+    * on (partition cols ++ table cluster-by), each task fans out per
+    * partition value through the same OutputWriter + staging + manifest
+    * machinery the V2 partitioned writer uses (GraftPartitionedWriterFactory),
+    * and the driver moves exactly the manifest files into final segment dirs.
+    * A rewrite touching 10k partitions is ONE job, never a driver loop of 10k
+    * sequential per-partition jobs (the round-11 scale seam); crashed or
+    * losing task attempts leak only invisible staging files the orphan sweep
+    * reclaims. Rows route under the CURRENT partition spec (rewrites migrate
+    * old-spec data incrementally — the partition-evolution contract), and the
+    * suffix comes from the same InternalRow extractors the V2 writer uses, so
+    * a rewritten partition keeps a byte-identical suffix. */
   private[catalog] def writeSegments(dir: java.nio.file.Path, meta: GraftMeta,
                                      df: DataFrame): Seq[(String, Option[String])] = {
     val partCols = GraftPartitions.cols(meta.props)
     if (partCols.isEmpty)
       return Seq(writeOneSegment(dir, meta, df,
         s"seg-${UUID.randomUUID().toString.take(12)}"))
-    val asStrings = partCols.map(c => col(c).cast("string"))
-    val tuples = df.select(asStrings: _*).distinct().collect()
-      .map(r => partCols.indices.map(i => if (r.isNullAt(i)) null else r.getString(i)))
-    tuples.toSeq.map { vals =>
-      val cond = partCols.zip(vals).map { case (c, s) =>
-        if (s == null) col(c).isNull else col(c).cast("string") === lit(s)
-      }.reduce(_ && _)
-      val seg = s"seg-${UUID.randomUUID().toString.take(12)}" +
-        s"${GraftPartitions.Marker}${GraftPartitions.suffix(vals,
-          GraftPartitions.specId(meta.props))}"
-      writeOneSegment(dir, meta, df.where(cond), seg)
+    val spark = df.sparkSession
+    val schema = meta.schema
+    val cluster = meta.props.get(GraftTable.ClusterByProp).toSeq
+      .flatMap(_.split(',')).map(_.trim)
+      .filterNot(c => partCols.exists(_.equalsIgnoreCase(c)))
+    val shuffled = df.repartition((partCols ++ cluster).map(df(_)): _*)
+    val ordered = meta.props.get(GraftTable.OrderByProp) match {
+      case Some(cols) => shuffled.sortWithinPartitions(
+        cols.split(',').map(c => shuffled(c.trim)).toSeq: _*)
+      case None => shuffled
     }
+    // pin column order to the table schema so the factory's extractor
+    // ordinals line up (projection preserves the shuffle's distribution)
+    val prepared = ordered.select(schema.fieldNames.map(col).toSeq: _*)
+    val partFields = partCols.map { c =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      (i, schema.fields(i).dataType)
+    }
+    val writeId = UUID.randomUUID().toString.take(12)
+    val staging = dir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")
+    val (owf, conf) = parquetWriterFactory(spark, schema)
+    try {
+      val manifest = runFanOutJob(prepared,
+        new GraftPartitionedWriterFactory(owf, conf, staging.toString,
+          schema, partFields, fromRowLevelOp = false,
+          GraftPartitions.specId(meta.props)))
+      landManifest(dir, meta, staging, writeId, manifest)
+    } finally GraftMeta.deleteRecursively(staging)
+  }
+
+  /** Compaction's ONE-job rewrite of the whole current snapshot: every row
+    * routes back to its SOURCE segment's partition suffix (groups by FULL
+    * suffix — each spec generation keeps its own layout byte-identically,
+    * never migrated, matching the dynamic-overwrite mixed-layout refusal),
+    * salted into `slotsBySuffix(suffix)` shuffle slots so each group lands
+    * ~ceil(bytes/target) output files. Cluster-by tables salt on the cluster
+    * key (a key never splits across files — the zone-map contract); plain
+    * tables salt on all columns. Returns the new (segment, stats) set;
+    * untouched semantics aside, this replaces the previous driver loop of
+    * one read→write job per partition group. */
+  private[catalog] def rewriteGroupsOneJob(dir: java.nio.file.Path, meta: GraftMeta,
+                                           segs: Seq[String],
+                                           slotsBySuffix: Map[String, Int])
+    : Seq[(String, Option[String])] = {
+    val spark = SparkSession.active
+    val schema = meta.schema
+    import org.apache.spark.sql.functions.{broadcast, greatest, hash, pmod, udf}
+    // route = the source segment's suffix ('' when unsuffixed), recovered
+    // from the scan's file path with EXACTLY the discovery scan's parsing
+    // (URI decode, parent dir name) so encoded suffix bytes round-trip
+    val routeOf = udf((fp: String) =>
+      GraftPartitions.suffixOf(segName(fp)).getOrElse(""))
+    val live = readLive(spark, dir, meta, segs, keepMeta = true)
+      .withColumn("__g_route", routeOf(col("__g_fp")))
+    val slots = spark.createDataFrame(
+      slotsBySuffix.toSeq.map { case (s, n) => (s, n) }).toDF("__g_route", "__g_slots")
+    val joined = live.join(broadcast(slots), Seq("__g_route"), "left")
+    val saltCols = meta.props.get(GraftTable.ClusterByProp) match {
+      case Some(cols) => cols.split(',').map(c => col(c.trim)).toSeq
+      case None       => schema.fieldNames.map(col).toSeq
+    }
+    // the slot picks the output FILE within a group (the writer fans out per
+    // (suffix, slot), so ceil(bytes/target) files per group holds even when
+    // AQE coalesces the tiny-table shuffle into one task); it is also a
+    // shuffle key, so at scale each slot's rows land in one task
+    val salt = pmod(hash(saltCols: _*),
+      greatest(coalesce(col("__g_slots"), lit(1)), lit(1))).cast("int").as("__g_slot")
+    val slotted = joined.select(
+      (col("__g_route") +: salt +: schema.fieldNames.map(col)).toSeq: _*)
+    val shuffled = slotted.repartition(col("__g_route"), col("__g_slot"))
+    val prepared = meta.props.get(GraftTable.OrderByProp) match {
+      case Some(cols) => shuffled.sortWithinPartitions(
+        cols.split(',').map(c => shuffled(c.trim)).toSeq: _*)
+      case None => shuffled
+    }
+    val writeId = UUID.randomUUID().toString.take(12)
+    val staging = dir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")
+    val (owf, conf) = parquetWriterFactory(spark, schema)
+    try {
+      val manifest = runFanOutJob(prepared,
+        new GraftRouteWriterFactory(owf, conf, staging.toString, schema))
+      landManifest(dir, meta, staging, writeId, manifest)
+    } finally GraftMeta.deleteRecursively(staging)
   }
 
   /** `a = expr, b = expr2` split on TOP-LEVEL commas only (parens and quoted

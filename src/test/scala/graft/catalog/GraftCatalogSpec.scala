@@ -123,6 +123,71 @@ class GraftCatalogSpec extends SparkSpec {
     assert(segmentDirs("t7").size === 4)
   }
 
+  test("multi-partition compact is ONE write job with byte-identical per-partition layout") {
+    // the r11 scale seam: the old rewrite collected partition values and
+    // drove one filtered write job per partition — a 10k-partition compact
+    // was 10k sequential jobs. The unified path (GraftDml.rewriteGroupsOneJob)
+    // routes every row to its source group's suffix inside ONE distributed
+    // job; this pin counts jobs so a per-partition loop can never return.
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t40")
+    sql("""CREATE TABLE gtest.ns.t40 (k BIGINT, p STRING, v BIGINT)
+           USING parquet PARTITIONED BY (p)""")
+    spark.range(0, 600).selectExpr("id AS k", "concat('p', id % 6) AS p", "id AS v")
+      .writeTo("gtest.ns.t40").append()
+    spark.range(600, 1200).selectExpr("id AS k", "concat('p', id % 6) AS p", "id AS v")
+      .writeTo("gtest.ns.t40").append()
+    val dir = root.resolve("ns").resolve("t40")
+    val before = GraftMeta.read(dir)
+    val beforeSegs = before.snapshots(before.current)
+    assert(beforeSegs.size === 12, s"2 appends x 6 partitions: $beforeSegs")
+    val suffixesBefore = beforeSegs.flatMap(GraftPartitions.suffixOf).toSet
+    val contentBefore = sql(
+      "SELECT p, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s FROM gtest.ns.t40 GROUP BY p ORDER BY p")
+      .collect().toSeq
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sql("CALL gtest.system.compact('ns.t40')")
+      // listener delivery is async — poll until the count stops moving
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val c = jobs.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one distributed write (AQE materializes its shuffle as a stage job) +
+    // scan-side small jobs; NEVER one per partition — 6 partitions must not
+    // mean >= 6 write jobs
+    assert(jobs.get() <= 4,
+      s"compact of 6 partitions ran ${jobs.get()} Spark jobs — per-partition loop regression?")
+
+    val after = GraftMeta.read(dir)
+    val afterSegs = after.snapshots(after.current)
+    assert(afterSegs.size === 6, s"one rewritten segment per partition: $afterSegs")
+    assert(afterSegs.flatMap(GraftPartitions.suffixOf).toSet === suffixesBefore,
+      "per-partition suffixes byte-identical across the rewrite")
+    // partition purity: each rewritten segment holds exactly its own p value
+    afterSegs.foreach { seg =>
+      val sfx = GraftPartitions.suffixOf(seg).get
+      val vals = spark.read.parquet(dir.resolve(seg).toString)
+        .select("p").distinct().collect().map(_.getString(0)).toSeq
+      assert(vals.size === 1 && GraftPartitions.encodeTuple(Seq(vals.head)) === sfx,
+        s"segment $seg is not partition-pure: $vals")
+    }
+    val contentAfter = sql(
+      "SELECT p, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s FROM gtest.ns.t40 GROUP BY p ORDER BY p")
+      .collect().toSeq
+    assert(contentAfter === contentBefore, "per-partition content identical")
+  }
+
   test("CALL system.expire_snapshots deletes unreferenced segments and old versions") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t8")
