@@ -78,7 +78,8 @@ object Registry {
       queries.Round11Queries.defs ++
       queries.Round13Queries.defs ++
       queries.Round14Queries.defs ++
-      queries.Round15Queries.defs
+      queries.Round15Queries.defs ++
+      queries.Round16Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins for the distributed DBSCAN operator (Dbscan.scala) against
+  * hand-derived labelings of the sklearn contract — including the exact
+  * example the sklearn DBSCAN docs publish, and the reference notebook's
+  * min_samples=1 degenerate setting (`image_masking.ipynb` cells 20-25). */
+class DbscanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(pts: Seq[(Long, Long, Long)], eps: Long, minSamples: Int): Map[Long, Long] =
+    Dbscan.label(pts.toDF("id", "x", "y"), eps, minSamples)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("sklearn docs example: eps=3, min_samples=2 -> [0,0,0,1,1,-1]") {
+    // the published sklearn example: X = [[1,2],[2,2],[2,3],[8,7],[8,8],[25,80]]
+    // DBSCAN(eps=3, min_samples=2).labels_ == [0, 0, 0, 1, 1, -1].
+    // Our labels are min-core-id representatives, so cluster 0 = {1,2,3}
+    // labeled 1, cluster 1 = {4,5} labeled 4, and id 6 is noise.
+    val pts = Seq(
+      (1L, 1L, 2L), (2L, 2L, 2L), (3L, 2L, 3L),
+      (4L, 8L, 7L), (5L, 8L, 8L), (6L, 25L, 80L))
+    val labels = run(pts, eps = 3L, minSamples = 2)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> -1L))
+  }
+
+  test("core / border / noise split at min_samples=4") {
+    // square of 4 mutually-ε-close points (each has 3 neighbors + itself = 4
+    // -> core); (3,1) reaches only (1,1) -> 1 neighbor, not core, but its
+    // neighbor IS core -> border, adopts the cluster label; (10,10) -> noise
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 1L, 1L),
+      (5L, 3L, 1L), (6L, 10L, 10L))
+    val labels = run(pts, eps = 2L, minSamples = 4)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> -1L))
+  }
+
+  test("reference setting min_samples=1: every point is core, isolated points are singleton clusters") {
+    // the notebook's DBSCAN(eps=2.5, min_samples=1): no noise can exist —
+    // an isolated point is its own cluster (sklearn contract). Integer
+    // eps=2 here; chain 1-2-3 merges transitively (1<->2 and 2<->3 within
+    // eps, 1<->3 not), id 9 is isolated but still labeled, never -1.
+    val pts = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 4L, 0L), (9L, 50L, 50L))
+    val labels = run(pts, eps = 2L, minSamples = 1)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    assert(!labels.values.exists(_ == -1L), "min_samples=1 admits no noise")
+  }
+
+  test("long chain converges via pointer jumping (diameter >> rounds of plain propagation)") {
+    // a 400-hop path: plain min-propagation needs ~400 rounds; the doubling
+    // loop must label the whole chain with the min id within its 30-round cap
+    val pts = (1L to 401L).map(i => (i, i * 2L, 0L))
+    val labels = run(pts, eps = 2L, minSamples = 2)
+    assert(labels.values.toSet === Set(1L), "one component labeled by its min id")
+  }
+
+  test("two dense blobs either side of a wide gap stay separate clusters") {
+    val blobA = (1L to 5L).map(i => (i, i, i))            // pairwise ≤ eps via chain
+    val blobB = (11L to 15L).map(i => (i, 1000L + i, i))
+    val labels = run(blobA ++ blobB, eps = 3L, minSamples = 3)
+    val reps = labels.values.toSet
+    assert(reps.size === 2 && labels(1L) != labels(11L),
+      s"expected two clusters, got $labels")
+  }
+}
