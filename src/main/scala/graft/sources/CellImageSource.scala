@@ -27,7 +27,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `channels`             comma-separated 1-based channel projection ("1,2,3")
   *  - `masked`               include the mask column (default true)
   *
-  * Pushdowns (the DSv2 triad): required-column pruning
+  * Pushdowns (the DSv2 triad + aggregates): required-column pruning
   * (SupportsPushDownRequiredColumns — a width-only query never materializes pixel
   * arrays), LIMIT pushdown (SupportsPushDownLimit caps images per partition), and
   * FILTER pushdown (SupportsPushDownFilters) on the two physical-layout columns:
@@ -143,11 +143,12 @@ class CellImageTable(options: CaseInsensitiveStringMap) extends Table with Suppo
 
 class CellImageScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = CellImageSource.schemaFor(options.getBoolean("masked", true))
   private var limit: Option[Int] = None
   private var pushed: Array[Filter] = Array.empty
+  private var countsPushed = 0
 
   override def pruneColumns(required: StructType): Unit = {
     // Catalyst hands us the columns the query actually touches; everything else is
@@ -169,7 +170,42 @@ class CellImageScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new CellImageScan(options, requiredSchema, limit, pushed)
+  // COUNT aggregate pushdown — the reference's FIRST pipeline is load+count
+  // (`main.py:27`), and the source already knows every file's image count
+  // from partition planning: serving COUNT from that metadata decodes ZERO
+  // pixels (it never even parses the JSON lines — plan-time line counting is
+  // the whole read). PARTIAL form (supportCompletePushDown=false): each
+  // planned partition emits its count as one row and Spark sums — the same
+  // contract Spark's own parquet count pushdown uses, and it keeps the
+  // global aggregate correct under multi-file scans.
+  override def supportCompletePushDown(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+    // COUNT(*) / COUNT(col) only (every source column is non-nullable by
+    // schema, so both equal the planned line-range length); no GROUP BY, no
+    // DISTINCT, and no pushed filters (the planner already refuses aggregate
+    // pushdown over residual filters — belt and braces here)
+    val allCols = CellImageSource.fullSchema.fieldNames.toSet
+    val exprs = aggregation.aggregateExpressions()
+    val ok = pushed.isEmpty && aggregation.groupByExpressions().isEmpty &&
+      exprs.nonEmpty && exprs.forall {
+        case _: CountStar => true
+        case c: Count if !c.isDistinct => c.column() match {
+          case ref: NamedReference =>
+            ref.fieldNames().length == 1 && allCols(ref.fieldNames()(0))
+          case _ => false
+        }
+        case _ => false
+      }
+    if (ok) countsPushed = exprs.length
+    ok
+  }
+
+  override def build(): Scan =
+    if (countsPushed > 0) new CellImageCountScan(options, countsPushed)
+    else new CellImageScan(options, requiredSchema, limit, pushed)
 }
 
 class CellImageScan(options: CaseInsensitiveStringMap, requiredSchema: StructType,
@@ -236,6 +272,61 @@ class CellImageScan(options: CaseInsensitiveStringMap, requiredSchema: StructTyp
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CellImageReaderFactory(requiredSchema, CellImageSource.channelsOf(options), filters)
+}
+
+/** COUNT-pushdown scan: one row per FILE carrying that file's (imagelimit-
+  * capped) image count, computed entirely at plan time from line counting —
+  * no JSON parsed, no pixels decoded, no reader IO. A SCIFIO-backed reader
+  * would serve the same number from container metadata. */
+class CellImageCountScan(options: CaseInsensitiveStringMap, nCounts: Int)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType((0 until nCounts).map(i => StructField(s"count_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"cellimage path=${options.get("path")} PushedAggregates: [COUNT] " +
+      "(metadata-only: plan-time line counts, zero image decode)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dir = new java.io.File(options.get("path"))
+    val fileLimit = options.getInt("filelimit", Int.MaxValue)
+    val imageLimit = options.getInt("imagelimit", Int.MaxValue)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".jsonl"))
+      .sortBy(_.getName)
+      .take(fileLimit)
+    val parts = files.map { f =>
+      val src = scala.io.Source.fromFile(f)
+      val total = try src.getLines().size finally src.close()
+      CellImageCountPartition(math.min(total, imageLimit).toLong): InputPartition
+    }
+    // an empty relation must still emit one zero row: the final SUM over the
+    // partial counts would otherwise see no input and return NULL, not 0
+    if (parts.isEmpty) Array(CellImageCountPartition(0L)) else parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CellImageCountReaderFactory(nCounts)
+}
+
+/** One file's plan-time image count. */
+case class CellImageCountPartition(count: Long) extends InputPartition
+
+/** Emits one row per partition carrying the plan-time count (top-level class:
+  * an anonymous factory would capture the non-serializable Scan as $outer). */
+class CellImageCountReaderFactory(nCounts: Int) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val c = partition.asInstanceOf[CellImageCountPartition].count
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(Seq.fill(nCounts)(c))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One slice of one file: images [startLine, endLine). */

@@ -149,4 +149,46 @@ class CellImageSourceSpec extends SparkSpec {
     assert(feats.count() == 20 * 4)
     assert(feats.filter((f: graft.pipeline.CellFeatures) => f.values.length == 3).count() == 80)
   }
+
+  test("COUNT aggregate pushdown: metadata-only count, zero image decode") {
+    // the reference's FIRST pipeline is load+count (main.py:27) — the count
+    // must come from plan-time line counting, with no reader rows and no JSON
+    // parsed. Plan shape: the scan is the COUNT scan and reads count columns.
+    val df = read().groupBy().count()
+    // the agg introduces an exchange, so the plan is AQE-wrapped and
+    // BatchScanExec is not collectible pre-execution — assert on the plan text
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT]"),
+      s"count must push into the scan:\n$plan")
+    assert(df.collect().head.getLong(0) === 45L)
+    // the options ride along: filelimit/imagelimit shape the pushed count
+    assert(read("filelimit" -> "2", "imagelimit" -> "3").count() === 6L)
+
+    // ZERO-DECODE PROOF: a file whose non-head lines are INVALID JSON counts
+    // fine (plan-time line counting never parses), while a full scan of the
+    // same directory dies in the reader trying to decode those lines
+    val poison = java.nio.file.Files.createTempDirectory("cellimages_poison").toFile
+    val good = CellImageFixtures.make("p_0", 0, 0L, channels = 1, w = 4, h = 4)
+    CellImageJsonl.write(poison, "p.jsonl", Seq(good))
+    val fw = new java.io.FileWriter(new java.io.File(poison, "p.jsonl"), true)
+    try fw.write("this is not json\n{neither is this\n") finally fw.close()
+    val pRead = spark.read.format("cellimage").option("path", poison.getAbsolutePath).load()
+    assert(pRead.count() === 3L, "count = line count, garbage lines never parsed")
+    val e = intercept[Exception](pRead.collect())
+    assert(e != null, "a full scan must fail decoding the poisoned lines")
+  }
+
+  test("COUNT(col) pushes too (all columns non-nullable); filtered counts do NOT push") {
+    import org.apache.spark.sql.functions.count
+    val df = read().agg(count("imageIdx"))
+    assert(df.queryExecution.executedPlan.toString.contains("PushedAggregates: [COUNT]"))
+    assert(df.collect().head.getLong(0) === 45L)
+    // a filter above the scan keeps the normal read path (our pushed filters
+    // are residual by design, so aggregate pushdown must not engage) — and
+    // the filtered count stays exact
+    val filtered = read().filter("imageIdx < 5").groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "filtered count must take the row-scan path")
+    assert(filtered.collect().head.getLong(0) === 15L)
+  }
 }
