@@ -108,6 +108,236 @@ object Round16Queries {
        SELECT label, COUNT(*) AS n_points, CAST(SUM(id) AS BIGINT) AS id_sum
        FROM all_pts GROUP BY label ORDER BY label"""
 
+  // --------------------------------------------------------------------------
+  // q266: MAD ROBUST OUTLIER DETECTION (Hampel filter) — the data-quality
+  // gate that survives what the reference's mean±k·σ outlier model (O2) does
+  // not: a single extreme value inflates σ and masks every other outlier,
+  // while the median and the Median Absolute Deviation have a 50% breakdown
+  // point (published robust-statistics method, re-derived). Per event type:
+  // med = median(value), MAD = median(|value − med|), outlier ⇔
+  // |v − med| > 3·1.4826·MAD (1.4826 = the normal-consistency constant).
+  // Everything is integer: cents ×10 for the first interpolated median,
+  // ×100 for the second (each interpolation can land on a .5), and the
+  // 3·1.4826 = 4.4478 rule cross-multiplied into integers — dev_x10 is in
+  // x10 cents and mad_x100 in x100 cents, so dev > 4.4478·mad becomes
+  // 100000·dev_x10 > 44478·mad_x100, exact in BIGINT.
+  // Scale shape: exact medians are per-group sorts over bounded groups (5
+  // event types); the deviations join is a broadcast of 5 medians.
+  // --------------------------------------------------------------------------
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    T.events(s, d).createOrReplaceTempView("mad_events")
+    s.sql("""
+      WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        FROM mad_events),
+      med AS (
+        SELECT event_type,
+               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY v_c) * 10 AS BIGINT) AS med_x10
+        FROM v GROUP BY event_type),
+      dev AS (
+        SELECT v.event_type, v.v_c, m.med_x10,
+               abs(v.v_c * 10 - m.med_x10) AS dev_x10
+        FROM v JOIN med m ON v.event_type = m.event_type),
+      mad AS (
+        SELECT event_type,
+               CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY dev_x10) * 10 AS BIGINT) AS mad_x100
+        FROM dev GROUP BY event_type)
+      SELECT d.event_type, COUNT(*) AS n,
+             MIN(d.med_x10) AS med_x10, MIN(a.mad_x100) AS mad_x100,
+             CAST(SUM(CASE WHEN 100000 * d.dev_x10 > 44478 * a.mad_x100
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad a ON d.event_type = a.event_type
+      GROUP BY d.event_type ORDER BY d.event_type""")
+  }
+
+  private val q266Sql =
+    """WITH v AS (
+         SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v_c
+         FROM events),
+       med AS (
+         SELECT event_type,
+                CAST(quantile_cont(v_c, 0.5) * 10 AS BIGINT) AS med_x10
+         FROM v GROUP BY event_type),
+       dev AS (
+         SELECT v.event_type, v.v_c, m.med_x10,
+                abs(v.v_c * 10 - m.med_x10) AS dev_x10
+         FROM v JOIN med m ON v.event_type = m.event_type),
+       mad AS (
+         SELECT event_type,
+                CAST(quantile_cont(dev_x10, 0.5) * 10 AS BIGINT) AS mad_x100
+         FROM dev GROUP BY event_type)
+       SELECT d.event_type, COUNT(*) AS n,
+              MIN(d.med_x10) AS med_x10, MIN(a.mad_x100) AS mad_x100,
+              CAST(SUM(CASE WHEN 100000 * d.dev_x10 > 44478 * a.mad_x100
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad a ON d.event_type = a.event_type
+       GROUP BY d.event_type ORDER BY d.event_type"""
+
+  // --------------------------------------------------------------------------
+  // q267: TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the distribution-shift readout
+  // (did arm B's value distribution change shape, not just its mean? q264's
+  // z-test can't see that). Arms by user-id parity (the q84/q264 deterministic
+  // split); D = max_x |F0(x) − F1(x)| evaluated at every distinct value —
+  // exact integer arithmetic: |cum0·n1 − cum1·n0| maximized, then D in basis
+  // points by integer division. The cumulative walk is ONE window over the
+  // DISTINCT-CENTS aggregate (value range bounds it at ~49k rows, never
+  // corpus-sized — the PlanSpec global-window audit note), and the reject
+  // decision compares D² against c(0.05)²·(n0+n1)/(n0·n1) with c² = 1.844164
+  // as IEEE doubles built from identical expression text in both engines
+  // (mult/compare are exactly-rounded and portable; no sqrt, no libm).
+  // --------------------------------------------------------------------------
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    T.events(s, d).createOrReplaceTempView("ks_events")
+    s.sql("""
+      WITH v AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        FROM ks_events),
+      per_value AS (
+        SELECT v_c,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM v GROUP BY v_c),
+      totals AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+        FROM per_value),
+      cums AS (
+        SELECT v_c,
+               SUM(c0) OVER (ORDER BY v_c) AS cum0,
+               SUM(c1) OVER (ORDER BY v_c) AS cum1
+        FROM per_value),
+      dmax AS (
+        SELECT MAX(abs(cum0 * (SELECT n1 FROM totals) -
+                       cum1 * (SELECT n0 FROM totals))) AS max_abs
+        FROM cums)
+      SELECT t.n0, t.n1, m.max_abs,
+             CAST(10000 * m.max_abs DIV (t.n0 * t.n1) AS BIGINT) AS d_bp,
+             CAST(CASE WHEN CAST(m.max_abs AS DOUBLE) * CAST(m.max_abs AS DOUBLE) >
+                            1.844164e0 * (t.n0 + t.n1) * t.n0 * t.n1
+                       THEN 1 ELSE 0 END AS INT) AS reject05
+      FROM totals t CROSS JOIN dmax m
+      ORDER BY d_bp""")
+  }
+
+  private val q267Sql =
+    """WITH v AS (
+         SELECT CAST(user_id % 2 AS INT) AS arm,
+                CAST(ROUND(value * 100) AS BIGINT) AS v_c
+         FROM events),
+       per_value AS (
+         SELECT v_c,
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         FROM v GROUP BY v_c),
+       totals AS (
+         SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+         FROM per_value),
+       cums AS (
+         SELECT v_c,
+                SUM(c0) OVER (ORDER BY v_c) AS cum0,
+                SUM(c1) OVER (ORDER BY v_c) AS cum1
+         FROM per_value),
+       dmax AS (
+         SELECT MAX(abs(cum0 * (SELECT n1 FROM totals) -
+                        cum1 * (SELECT n0 FROM totals))) AS max_abs
+         FROM cums)
+       SELECT t.n0, t.n1, CAST(m.max_abs AS BIGINT) AS max_abs,
+              CAST(10000 * m.max_abs // (t.n0 * t.n1) AS BIGINT) AS d_bp,
+              CAST(CASE WHEN CAST(m.max_abs AS DOUBLE) * CAST(m.max_abs AS DOUBLE) >
+                             1.844164e0 * (t.n0 + t.n1) * t.n0 * t.n1
+                        THEN 1 ELSE 0 END AS INT) AS reject05
+       FROM totals t CROSS JOIN dmax m
+       ORDER BY d_bp"""
+
+  // --------------------------------------------------------------------------
+  // q268: RECIPROCAL RANK FUSION — the hybrid-retrieval combiner every modern
+  // search stack runs to merge a lexical ranker with a second signal
+  // (published method: RRF(d) = Σ_r 1/(k + rank_r(d)), k=60). Ranker 1 is
+  // lexical: total tf of the query terms {hash, join, scan} per doc (q110's
+  // inverted-index shape); ranker 2 is a quality prior: doc length closest
+  // to the corpus-median length (the curation heuristic — mid-length docs).
+  // Integer-exact end to end: ranks are ROW_NUMBER under total orders,
+  // contributions are 1e6 DIV (60 + rank) ppm, and the fused ordering
+  // tie-breaks on doc_id. Scale shape: each ranker CUTS to its top-200 with
+  // a distributed sort+LIMIT (TakeOrdered — never a corpus-wide window) and
+  // only the 200 survivors get ROW_NUMBER'd, so the global windows run over
+  // LIMIT-bounded inputs by construction (the PlanSpec audit contract);
+  // production fuses per-query candidate lists the same way.
+  // --------------------------------------------------------------------------
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    T.documents(s, d).createOrReplaceTempView("rrf_docs")
+    s.sql("""
+      WITH toks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, explode(filter(split(lower(trim(text)), ' '),
+                                            x -> x <> '')) AS tok
+              FROM rrf_docs)),
+      lex AS (
+        SELECT doc_id, COUNT(*) AS tf
+        FROM toks WHERE tok IN ('hash', 'join', 'scan')
+        GROUP BY doc_id),
+      lex_cut AS (
+        SELECT doc_id, tf FROM lex ORDER BY tf DESC, doc_id ASC LIMIT 200),
+      lex_top AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC) AS r
+        FROM lex_cut),
+      dl AS (
+        SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+      med AS (
+        SELECT CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY len) * 2 AS BIGINT) AS med2
+        FROM dl),
+      len_cut AS (
+        SELECT doc_id, abs(len * 2 - (SELECT med2 FROM med)) AS dmid
+        FROM dl ORDER BY dmid ASC, doc_id ASC LIMIT 200),
+      len_top AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dmid ASC, doc_id ASC) AS r
+        FROM len_cut),
+      fused AS (
+        SELECT COALESCE(l.doc_id, q.doc_id) AS doc_id,
+               COALESCE(CAST(1000000 AS BIGINT) DIV (60 + l.r), 0) +
+               COALESCE(CAST(1000000 AS BIGINT) DIV (60 + q.r), 0) AS rrf_ppm
+        FROM lex_top l FULL OUTER JOIN len_top q ON l.doc_id = q.doc_id)
+      SELECT doc_id, rrf_ppm
+      FROM fused
+      ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 20""")
+  }
+
+  private val q268Sql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_filter(string_split(lower(trim(text)), ' '),
+                                           x -> x <> '')) AS tok
+         FROM documents),
+       lex AS (
+         SELECT doc_id, COUNT(*) AS tf
+         FROM toks WHERE tok IN ('hash', 'join', 'scan')
+         GROUP BY doc_id),
+       lex_cut AS (
+         SELECT doc_id, tf FROM lex ORDER BY tf DESC, doc_id ASC LIMIT 200),
+       lex_top AS (
+         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id ASC) AS r
+         FROM lex_cut),
+       dl AS (
+         SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+       med AS (
+         SELECT CAST(quantile_cont(len, 0.5) * 2 AS BIGINT) AS med2 FROM dl),
+       len_cut AS (
+         SELECT doc_id, abs(len * 2 - (SELECT med2 FROM med)) AS dmid
+         FROM dl ORDER BY dmid ASC, doc_id ASC LIMIT 200),
+       len_top AS (
+         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dmid ASC, doc_id ASC) AS r
+         FROM len_cut),
+       fused AS (
+         SELECT COALESCE(l.doc_id, q.doc_id) AS doc_id,
+                COALESCE(1000000 // (60 + l.r), 0) +
+                COALESCE(1000000 // (60 + q.r), 0) AS rrf_ppm
+         FROM lex_top l FULL OUTER JOIN len_top q ON l.doc_id = q.doc_id)
+       SELECT doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+       FROM fused
+       ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 20"""
+
   val defs: Seq[QDef] = Seq(
-    QDef("q265_dbscan", q265, Some(q265Sql)))
+    QDef("q265_dbscan", q265, Some(q265Sql)),
+    QDef("q266_mad_outliers", q266, Some(q266Sql)),
+    QDef("q267_ks_test", q267, Some(q267Sql)),
+    QDef("q268_rrf_fusion", q268, Some(q268Sql)))
 }

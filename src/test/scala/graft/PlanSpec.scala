@@ -397,7 +397,13 @@ class PlanSpec extends SparkSpec {
     val allowedGlobalWindow =
       Set("q98_vocab_coverage", "q146_skyline", "q233_largest_remainder_proration",
         "q246_benford_profile", "q247_rolling_distinct_users", "q252_kaplan_meier",
-        "q255_rfm_segmentation")
+        "q255_rfm_segmentation",
+        // q267: the KS cumulative walk runs over the DISTINCT-CENTS aggregate
+        // (bounded by the value range at ~49k rows, never corpus-sized)
+        "q267_ks_test",
+        // q268: both rank windows run over top-200 sort+LIMIT cuts — the
+        // TakeOrdered happens distributed BEFORE the window sees any rows
+        "q268_rrf_fusion")
     Registry.all.foreach { q =>
       val df = q.fn(spark, sf)
       if (q.name != "q08_cross_join") {
