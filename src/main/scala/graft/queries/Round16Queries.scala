@@ -20,14 +20,13 @@ import org.apache.spark.sql.functions._
   *      engine-portable) verified inside the block only, never n².
   *   2. CORE points: ≥ min_samples neighbors counting the point itself
   *      (sklearn's contract) — one hash agg over the neighbor pairs.
-  *   3. CLUSTERS: connected components over CORE-CORE edges by min-label
-  *      propagation WITH POINTER JUMPING (each round also compresses one
-  *      indirection, label(v) := label(label(v)), so rounds are
-  *      O(log diameter) — the ε-graph forms long thin components where
-  *      q81's plain O(diameter) propagation does not converge in bounded
-  *      rounds). One keyed join + hash agg + one self-join per round;
-  *      convergence via the strictly-decreasing sum(label) scalar. A core
-  *      with no core neighbor is its own singleton cluster.
+  *   3. CLUSTERS: connected components over CORE-CORE edges by
+  *      HOOK–COMPRESS–CONTRACT (Shiloach–Vishkin): hook to the min
+  *      neighbor, pointer-double the parent forest to its roots, contract
+  *      the edge list — the supernode graph shrinks geometrically where
+  *      q81-style label propagation stalls on converged plateaus (measured
+  *      30 rounds without convergence on the sf0.1 ε-graph). A core with no
+  *      core neighbor is its own singleton cluster.
   *   4. BORDER points (non-core with a core neighbor) adopt the MINIMUM
   *      cluster label among their core neighbors — deterministic, unlike
   *      sklearn's scan-order-dependent first-come assignment (a documented,
@@ -52,9 +51,9 @@ object Round16Queries {
   // reference's eps=2.5, min_samples=1 setting
   // degenerates to connected components over the ε-graph, which is exactly
   // stages 1+3 of this pipeline. Scale shape: candidate volume scales with
-  // per-cell density (never n²), components converge in O(log diameter)
-  // keyed joins via pointer jumping, and the only driver-side state is one
-  // convergence scalar per round.
+  // per-cell density (never n²), components converge in O(log n)
+  // hook-compress-contract rounds on a geometrically shrinking supernode
+  // graph, and the driver-side state is one scalar per round.
   // --------------------------------------------------------------------------
   private def q265(s: SparkSession, d: String): DataFrame = {
     val pts = T.events(s, d)

@@ -9,8 +9,9 @@ import graft.SparkSpec
 class DbscanSpec extends SparkSpec {
   import spark.implicits._
 
-  private def run(pts: Seq[(Long, Long, Long)], eps: Long, minSamples: Int): Map[Long, Long] =
-    Dbscan.label(pts.toDF("id", "x", "y"), eps, minSamples)
+  private def run(pts: Seq[(Long, Long, Long)], eps: Long, minSamples: Int,
+                  localFinishEdges: Long = 100000L): Map[Long, Long] =
+    Dbscan.label(pts.toDF("id", "x", "y"), eps, minSamples, localFinishEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("sklearn docs example: eps=3, min_samples=2 -> [0,0,0,1,1,-1]") {
@@ -47,12 +48,23 @@ class DbscanSpec extends SparkSpec {
     assert(!labels.values.exists(_ == -1L), "min_samples=1 admits no noise")
   }
 
-  test("long chain converges via pointer jumping (diameter >> rounds of plain propagation)") {
-    // a 400-hop path: plain min-propagation needs ~400 rounds; the doubling
-    // loop must label the whole chain with the min id within its 30-round cap
+  test("long chain converges via DISTRIBUTED contraction (local finish disabled)") {
+    // a 400-hop path with localFinishEdges=0, so every round is the full
+    // distributed hook-compress-contract: plain min-propagation needs ~400
+    // rounds and hook-only contraction ~400 too (the chain just shifts);
+    // pointer-doubled compression must close it within the 30-round cap
     val pts = (1L to 401L).map(i => (i, i * 2L, 0L))
-    val labels = run(pts, eps = 2L, minSamples = 2)
+    val labels = run(pts, eps = 2L, minSamples = 2, localFinishEdges = 0L)
     assert(labels.values.toSet === Set(1L), "one component labeled by its min id")
+  }
+
+  test("distributed rounds and local finish agree on the same graph") {
+    val pts = (1L to 101L).map(i => (i, i * 2L, 0L)) ++
+      Seq((501L, 2000L, 0L), (502L, 2001L, 0L), (503L, 2002L, 0L))
+    val viaDistributed = run(pts, eps = 2L, minSamples = 2, localFinishEdges = 0L)
+    val viaLocal = run(pts, eps = 2L, minSamples = 2)
+    assert(viaDistributed === viaLocal)
+    assert(viaLocal.values.toSet === Set(1L, 501L))
   }
 
   test("two dense blobs either side of a wide gap stay separate clusters") {
