@@ -220,11 +220,13 @@ private[catalog] final class UpdateWhereProcedure(catalog: GraftCatalog)
 /** `CALL <cat>.system.rewrite_deletes(table)` — MATERIALIZE the current
   * snapshot's delete vectors (Iceberg's rewrite_position_delete_files +
   * rewrite_data_files in one step, at segment granularity): every DV'd
-  * segment is rewritten DV-merged into a fresh segment (partition suffix
-  * preserved, table-owned layout applied), the vectors drop with the
-  * replaced segments, and CLEAN segments are not touched — restoring the
-  * full vectorized read path that row-filtered merge-on-read scans give up.
-  * A no-op (zero rewrites, no commit) when the table carries no vectors. */
+  * segment is rewritten DV-merged in ONE distributed job (rows route back to
+  * their source suffix — partition purity and per-generation layout
+  * preserved; dirty segments sharing a suffix merge into that suffix's one
+  * new segment), the vectors drop with the replaced segments, and CLEAN
+  * segments are not touched — restoring the full vectorized read path that
+  * row-filtered merge-on-read scans give up. A no-op (zero rewrites, no
+  * commit) when the table carries no vectors. */
 private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
   extends GraftProcedure(catalog) {
 
@@ -250,23 +252,16 @@ private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
     val dvNames = dvMap.valuesIterator.flatten.toSeq.distinct
     val droppedRows = spark.read
       .parquet(dvNames.map(d => dir.resolve(d).toString): _*).count()
-    // one new segment per DV'd segment, suffix (= partition purity) preserved
-    val rewritten = dvMap.keys.toSeq.sorted.map { seg =>
-      val suffix = GraftPartitions.suffixOf(seg)
-        .fold("")(s => s"${GraftPartitions.Marker}$s")
-      val newSeg = s"seg-${UUID.randomUUID().toString.take(12)}$suffix"
-      GraftDml.applyLayout(
-          GraftDv.readLive(spark, dir, meta.schema, Seq(seg),
-            dvMap.view.filterKeys(_ == seg).toMap),
-          meta.props)
-        .write.parquet(dir.resolve(newSeg).toString)
-      val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-        spark, dir.resolve(newSeg).toString, meta.schema,
-        SegmentStats.sumCols(meta.props, meta.schema),
-        GraftBloom.cols(meta.props, meta.schema),
-        SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
-      (newSeg, stats)
-    }
+    // ONE distributed job rewrites every dirty segment DV-merged (clean
+    // segments are never read); rows route back to their source segment's
+    // suffix, so partition purity and per-generation layout are preserved —
+    // the same rewriteGroupsOneJob path compaction uses, replacing the
+    // previous driver loop of one read→write job per dirty segment (dirty
+    // segments sharing a suffix merge into that suffix's one new segment —
+    // strictly fewer small files, same rows)
+    val dirty = dvMap.keys.toSeq.sorted
+    val slots = dirty.map(s => GraftPartitions.suffixOf(s).getOrElse("") -> 1).toMap
+    val rewritten = GraftDml.rewriteGroupsOneJob(dir, meta, dirty, slots)
     GraftDml.cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
       GraftMeta.commitReplaceSegments(dir, rewritten, dvMap.keySet,
         expectedCurrent = Some(meta.current))
