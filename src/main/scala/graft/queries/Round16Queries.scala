@@ -334,9 +334,160 @@ object Round16Queries {
        FROM fused
        ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 20"""
 
+  // --------------------------------------------------------------------------
+  // q269: MANN–WHITNEY U TEST — the rank-based two-sample test (the
+  // nonparametric sibling of q264's z-test and q267's KS: robust to heavy
+  // tails where the mean test is not, sensitive to location where KS spreads
+  // power over shape). Arms by user-id parity; ties get AVERAGE ranks, kept
+  // exact by working in DOUBLED rank units (avgRank×2 = 2·cumBefore + t + 1,
+  // integer). U0×2 = ΣranksA×2 − n0(n0+1) exactly; the normal approximation
+  // uses the TIE-CORRECTED variance σ² = (n0·n1/12)·((n+1) − Σ(t³−t)/(n(n−1)))
+  // and emits z×1000 — multiplication/division/sqrt on identical expression
+  // text are IEEE-portable (the q264 convention), no libm transcendentals.
+  // The rank walk is ONE window over the distinct-cents aggregate (the q267
+  // audit contract).
+  // --------------------------------------------------------------------------
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    T.events(s, d).createOrReplaceTempView("mwu_events")
+    s.sql("""
+      WITH v AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        FROM mwu_events),
+      per_value AS (
+        SELECT v_c,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM v GROUP BY v_c),
+      ranked AS (
+        SELECT v_c, c0, c1, c0 + c1 AS t,
+               COALESCE(SUM(c0 + c1) OVER (ORDER BY v_c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM per_value),
+      agg AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c0 * (2 * cum_before + t + 1)) AS BIGINT) AS r0_x2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+        FROM ranked)
+      SELECT n0, n1,
+             CAST(r0_x2 - n0 * (n0 + 1) AS BIGINT) AS u0_x2,
+             CAST(2 * n0 * n1 - (r0_x2 - n0 * (n0 + 1)) AS BIGINT) AS u1_x2,
+             CAST(ROUND(1000 * ((CAST(r0_x2 - n0 * (n0 + 1) AS DOUBLE) / 2 -
+                                 CAST(n0 AS DOUBLE) * n1 / 2) /
+               sqrt(CAST(n0 AS DOUBLE) * n1 / 12 *
+                    ((n0 + n1 + 1) - CAST(tie_sum AS DOUBLE) /
+                      (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))) ) AS BIGINT) AS z_x1000
+      FROM agg ORDER BY n0""")
+  }
+
+  private val q269Sql =
+    """WITH v AS (
+         SELECT CAST(user_id % 2 AS INT) AS arm,
+                CAST(ROUND(value * 100) AS BIGINT) AS v_c
+         FROM events),
+       per_value AS (
+         SELECT v_c,
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         FROM v GROUP BY v_c),
+       ranked AS (
+         SELECT v_c, c0, c1, c0 + c1 AS t,
+                COALESCE(SUM(c0 + c1) OVER (ORDER BY v_c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         FROM per_value),
+       agg AS (
+         SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+                CAST(SUM(c0 * (2 * cum_before + t + 1)) AS BIGINT) AS r0_x2,
+                CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+         FROM ranked)
+       SELECT n0, n1,
+              CAST(r0_x2 - n0 * (n0 + 1) AS BIGINT) AS u0_x2,
+              CAST(2 * n0 * n1 - (r0_x2 - n0 * (n0 + 1)) AS BIGINT) AS u1_x2,
+              CAST(ROUND(1000 * ((CAST(r0_x2 - n0 * (n0 + 1) AS DOUBLE) / 2 -
+                                  CAST(n0 AS DOUBLE) * n1 / 2) /
+                sqrt(CAST(n0 AS DOUBLE) * n1 / 12 *
+                     ((n0 + n1 + 1) - CAST(tie_sum AS DOUBLE) /
+                       (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1))))) ) AS BIGINT) AS z_x1000
+       FROM agg ORDER BY n0"""
+
+  // --------------------------------------------------------------------------
+  // q270: CUSUM DRIFT DETECTION — the sequential changepoint monitor every
+  // data-quality pipeline runs on its daily metrics (did the revenue process
+  // shift upward, and WHEN?). The textbook recurrence S_t = max(0, S_{t-1} +
+  // (x_t − μ)) is not windowable, but its closed form IS: with prefix sums
+  // P_t = Σ(x_i − μ), S_t = P_t − min(0, min_{j<t} P_j) — one prefix-sum
+  // window + one running-min window over the DAILY aggregate (bounded by the
+  // calendar, the q267/q269 audit contract). Exact integers throughout:
+  // deviations are scaled ×D (days), so μ = T/D never divides — dev_t =
+  // D·x_t − T. Output: each day's CUSUM in the top decile of the series,
+  // with the global max flagged — the drift report, deterministic.
+  // --------------------------------------------------------------------------
+  private def q270(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("cusum_orders")
+    s.sql("""
+      WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x_c
+        FROM cusum_orders GROUP BY o_orderdate),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS dd, CAST(SUM(x_c) AS BIGINT) AS tt
+        FROM daily),
+      dev AS (
+        SELECT day, x_c, (SELECT dd FROM tot) * x_c - (SELECT tt FROM tot) AS dv
+        FROM daily),
+      pre AS (
+        SELECT day, x_c,
+               SUM(dv) OVER (ORDER BY day) AS p
+        FROM dev),
+      cusum AS (
+        SELECT day, x_c,
+               p - LEAST(CAST(0 AS BIGINT),
+                 COALESCE(MIN(p) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   CAST(0 AS BIGINT))) AS s
+        FROM pre),
+      mx AS (SELECT MAX(s) AS smax FROM cusum)
+      SELECT day, x_c, s,
+             CAST(CASE WHEN s = (SELECT smax FROM mx) THEN 1 ELSE 0 END AS INT) AS is_peak
+      FROM cusum
+      WHERE 10 * s >= 9 * (SELECT smax FROM mx)
+      ORDER BY day""")
+  }
+
+  private val q270Sql =
+    """WITH daily AS (
+         SELECT o_orderdate AS day,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x_c
+         FROM orders GROUP BY o_orderdate),
+       tot AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS dd, CAST(SUM(x_c) AS BIGINT) AS tt
+         FROM daily),
+       dev AS (
+         SELECT day, x_c, (SELECT dd FROM tot) * x_c - (SELECT tt FROM tot) AS dv
+         FROM daily),
+       pre AS (
+         SELECT day, x_c,
+                SUM(dv) OVER (ORDER BY day) AS p
+         FROM dev),
+       cusum AS (
+         SELECT day, x_c,
+                p - LEAST(CAST(0 AS BIGINT),
+                  COALESCE(MIN(p) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    CAST(0 AS BIGINT))) AS s
+         FROM pre),
+       mx AS (SELECT MAX(s) AS smax FROM cusum)
+       SELECT day, x_c, CAST(s AS BIGINT) AS s,
+              CAST(CASE WHEN s = (SELECT smax FROM mx) THEN 1 ELSE 0 END AS INT) AS is_peak
+       FROM cusum
+       WHERE 10 * s >= 9 * (SELECT smax FROM mx)
+       ORDER BY day"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q265_dbscan", q265, Some(q265Sql)),
     QDef("q266_mad_outliers", q266, Some(q266Sql)),
     QDef("q267_ks_test", q267, Some(q267Sql)),
-    QDef("q268_rrf_fusion", q268, Some(q268Sql)))
+    QDef("q268_rrf_fusion", q268, Some(q268Sql)),
+    QDef("q269_mann_whitney", q269, Some(q269Sql)),
+    QDef("q270_cusum_drift", q270, Some(q270Sql)))
 }

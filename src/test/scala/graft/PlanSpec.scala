@@ -403,7 +403,13 @@ class PlanSpec extends SparkSpec {
         "q267_ks_test",
         // q268: both rank windows run over top-200 sort+LIMIT cuts — the
         // TakeOrdered happens distributed BEFORE the window sees any rows
-        "q268_rrf_fusion")
+        "q268_rrf_fusion",
+        // q269: the rank walk runs over the same distinct-cents aggregate
+        // as q267 — bounded by the value range, never corpus-sized
+        "q269_mann_whitney",
+        // q270: prefix-sum + running-min windows over the DAILY aggregate —
+        // bounded by the calendar
+        "q270_cusum_drift")
     Registry.all.foreach { q =>
       val df = q.fn(spark, sf)
       if (q.name != "q08_cross_join") {
