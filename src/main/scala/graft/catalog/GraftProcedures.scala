@@ -958,7 +958,7 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
 
   override def name(): String = "expire_snapshots"
   override def description(): String =
-    "drop all but the newest keep_last snapshots, delete unreferenced segments and aged orphans"
+    "drop expirable snapshots (beyond keep_last AND older than older_than_ms), delete unreferenced segments and aged orphans"
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
@@ -970,7 +970,13 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
     // dir just before the meta CAS, so the mtime reflects commit time, not
     // job start — belt and braces against long-running writers.
     ProcedureParameter.in("orphan_retention_ms", LongType)
-      .defaultValue(String.valueOf(24L * 60 * 60 * 1000)).build())
+      .defaultValue(String.valueOf(24L * 60 * 60 * 1000)).build(),
+    // AGE-based retention (Iceberg's primary expire form): a snapshot is
+    // expirable only if it is BOTH beyond the newest keep_last AND older
+    // than this horizon — age makes expiry strictly more conservative.
+    // -1 (default) disables the age test: the original keep_last-only
+    // behavior. Appended LAST so existing positional callers are unchanged.
+    ProcedureParameter.in("older_than_ms", LongType).defaultValue("-1").build())
 
   override val outputSchema: StructType = StructType(Seq(
     StructField("snapshots_removed", IntegerType, nullable = false),
@@ -1006,17 +1012,26 @@ private[catalog] final class ExpireSnapshotsProcedure(catalog: GraftCatalog)
     val keepLast = input.getInt(1)
     val dryRun = input.getBoolean(2)
     val retentionMs = input.getLong(3)
+    val olderThanMs = input.getLong(4)
     require(keepLast >= 1, "graft expire_snapshots: keep_last must be >= 1")
     require(retentionMs >= 0, "graft expire_snapshots: orphan_retention_ms must be >= 0")
+    val now = System.currentTimeMillis()
 
     def plan(meta: GraftMeta): (Seq[Long], Set[Long], Seq[String]) = {
       val ids = meta.snapshots.keys.toSeq.sorted
       val refs = GraftRefs.all(meta)
+      // age protection: with older_than_ms >= 0, snapshots committed inside
+      // the horizon are NOT expirable even when beyond keep_last (a missing
+      // commit time — pre-upgrade metadata — conservatively counts as young)
+      val ageProtected =
+        if (olderThanMs < 0) Set.empty[Long]
+        else ids.filter(id =>
+          meta.snapshotTimes.getOrElse(id, Long.MaxValue) > now - olderThanMs).toSet
       // a ref's BASE snapshot stays retained (its delete vectors define the
       // branch's live rows) and every ref-listed segment stays referenced —
       // maintenance can never eat an unpublished branch; TAGGED snapshots are
       // retained outright (a tag is a release pointer — only drop_tag frees it)
-      val keptIds = ids.takeRight(keepLast).toSet + meta.current ++
+      val keptIds = ids.takeRight(keepLast).toSet + meta.current ++ ageProtected ++
         refs.valuesIterator.map(_.base).filter(meta.snapshots.contains) ++
         GraftRefs.allTags(meta).valuesIterator.filter(meta.snapshots.contains)
       val removedIds = ids.filterNot(keptIds)

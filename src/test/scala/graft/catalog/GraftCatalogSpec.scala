@@ -188,6 +188,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(contentAfter === contentBefore, "per-partition content identical")
   }
 
+  test("expire_snapshots older_than_ms: young snapshots survive keep_last; old ones expire") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t41")
+    sql("CREATE TABLE gtest.ns.t41 AS SELECT id AS k FROM range(0, 10)")    // snap 1
+    sql("INSERT INTO gtest.ns.t41 SELECT id FROM range(10, 20)")            // snap 2
+    sql("INSERT INTO gtest.ns.t41 SELECT id FROM range(20, 30)")            // snap 3
+    val dir = root.resolve("ns").resolve("t41")
+    // every snapshot is young: with a 1h age horizon, keep_last=1 must
+    // remove NOTHING (age protection is strictly more conservative)
+    val r1 = sql("CALL gtest.system.expire_snapshots('ns.t41', 1, false, 0, " +
+      3600L * 1000 + ")").collect()(0)
+    assert(r1.getInt(0) === 0, "all snapshots inside the age horizon must survive")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t41 VERSION AS OF 2").head.getLong(0) === 20L)
+    // age the two non-current snapshots past the horizon; they now expire
+    GraftMeta.mutate(dir) { meta =>
+      val aged = meta.snapshotTimes.map { case (id, t) =>
+        id -> (if (id < meta.current) t - 2 * 3600L * 1000 else t)
+      }
+      meta.copy(snapshotTimes = aged)
+    }
+    val r2 = sql("CALL gtest.system.expire_snapshots('ns.t41', 1, false, 0, " +
+      3600L * 1000 + ")").collect()(0)
+    assert(r2.getInt(0) >= 2, s"aged snapshots beyond keep_last must expire: $r2")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t41").head.getLong(0) === 30L)
+    intercept[Exception](sql("SELECT * FROM gtest.ns.t41 VERSION AS OF 2").collect())
+    // default (-1) keeps the original keep_last-only behavior: nothing left to drop
+    val r3 = sql("CALL gtest.system.expire_snapshots('ns.t41', 1)").collect()(0)
+    assert(r3.getInt(0) === 0)
+  }
+
   test("CALL system.expire_snapshots deletes unreferenced segments and old versions") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t8")
