@@ -338,7 +338,11 @@ object Round15Queries {
   // greedy left-to-right (a ≠ b makes overlapping matches impossible) — the
   // documented variant, enforced identically in the oracle's unrolled CTEs.
   // --------------------------------------------------------------------------
-  private def q249(s: SparkSession, d: String): DataFrame = {
+  /** Shared BPE trainer (q249's loop): 3 greedy merges over the corpus
+    * word-frequency table. Returns (merge table, trained word→symbols
+    * frame); the CALLER unpersists the returned syms after materializing. */
+  private def bpeTrain(s: SparkSession, d: String)
+    : (Seq[(Int, String, String, Long)], DataFrame) = {
     val words = graft.Tables.documents(s, d)
       .select(explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
         .as("word"))
@@ -382,13 +386,83 @@ object Round15Queries {
       syms.count() // materialize, then release the previous generation
       prev.unpersist()
     }
+    (merges.result(), syms)
+  }
+
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val (merges, syms) = bpeTrain(s, d)
     syms.unpersist()
     import s.implicits._
-    merges.result().toDF("it", "left_sym", "right_sym", "cnt")
+    merges.toDF("it", "left_sym", "right_sym", "cnt")
       .selectExpr("it", "left_sym", "right_sym",
         "concat(left_sym, right_sym) AS merged", "cnt")
       .orderBy("it")
   }
+
+  // --------------------------------------------------------------------------
+  // q271: BPE ENCODING via the trained vocabulary — the SERVE half of the
+  // tokenizer story (q249 trains the merge table; this applies it to the
+  // corpus). The scale-right design is NOT per-document merge replay
+  // (n_merges passes over the full corpus): the trainer's word→symbols table
+  // IS the tokenizer — encoding is docs → words → ONE equi-join to the
+  // vocab-sized table, so a 100 TB corpus encodes in a single pass no matter
+  // how many merges were trained (production tokenizers do exactly this:
+  // word-level caching in front of merge replay). Out-of-vocabulary words
+  // (none here — trained on the same corpus; real at serve time) fall back
+  // to character count via the LEFT join. Output: per-doc word/char/token
+  // counts + compression in basis points, all integer.
+  // --------------------------------------------------------------------------
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    val (_, syms) = bpeTrain(s, d)
+    val words = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')")).as("word"))
+    val out = words
+      .join(syms.selectExpr("word", "size(arr) AS n_sym"), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(coalesce(col("n_sym"), length(col("word")))).cast("long").as("n_tokens"))
+      .withColumn("compression_bp", expr("n_chars * 10000L DIV n_tokens"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    syms.unpersist()
+    out
+  }
+
+  private val q271Sql =
+    s"""WITH w AS (
+       |  SELECT t AS word, COUNT(*) AS freq
+       |  FROM (SELECT UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |                                  t -> t <> '')) AS t
+       |        FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (SELECT word, freq,
+       |              list_transform(generate_series(1, length(word)), i -> word[i]) AS arr
+       |       FROM w),
+       |p1 AS (${q249PairsSql("s0")}),
+       |t1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+       |s1 AS (${q249MergeSql("s0", "t1")}),
+       |p2 AS (${q249PairsSql("s1")}),
+       |t2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+       |s2 AS (${q249MergeSql("s1", "t2")}),
+       |p3 AS (${q249PairsSql("s2")}),
+       |t3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+       |s3 AS (${q249MergeSql("s2", "t3")}),
+       |dw AS (
+       |  SELECT doc_id,
+       |         UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |                            t -> t <> '')) AS word
+       |  FROM documents),
+       |enc AS (
+       |  SELECT dw.doc_id, length(dw.word) AS n_chr,
+       |         COALESCE(len(s3.arr), length(dw.word)) AS n_sym
+       |  FROM dw LEFT JOIN s3 ON dw.word = s3.word)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+       |       CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(n_chr) * 10000 // SUM(n_sym) AS BIGINT) AS compression_bp
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def q249MergeSql(src: String, top: String): String =
     s"""SELECT word, freq,
@@ -1367,5 +1441,6 @@ object Round15Queries {
     QDef("q261_gini_coefficient", q261, Some(q261Sql)),
     QDef("q262_ndv_column_stats", q262, Some(q262Sql)),
     QDef("q263_chi_square_independence", q263, Some(q263Sql)),
-    QDef("q264_ab_test_ztest", q264, Some(q264Sql)))
+    QDef("q264_ab_test_ztest", q264, Some(q264Sql)),
+    QDef("q271_bpe_encode", q271, Some(q271Sql)))
 }
