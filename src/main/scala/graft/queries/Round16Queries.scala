@@ -483,11 +483,133 @@ object Round16Queries {
        WHERE 10 * s >= 9 * (SELECT smax FROM mx)
        ORDER BY day"""
 
+  // --------------------------------------------------------------------------
+  // q272: THEIL–SEN ROBUST TREND — the median of all pairwise slopes of the
+  // daily revenue series (published robust-regression method, re-derived):
+  // up to ~29% of the days can be corrupted before the estimate moves, where
+  // q139's OLS slope chases a single bad day. The pair space is
+  // CALENDAR-BOUNDED (days², constant in data size — the same boundedness
+  // argument as q270's windows), so the self-join is aggregate×aggregate,
+  // never corpus². Slopes divide exact integer cents by exact integer day
+  // gaps in DOUBLE (IEEE division, identical expression text both engines);
+  // the median interpolates two identically-sorted doubles (portable);
+  // output ×1000 rounded, with the OLS slope alongside for the robustness
+  // contrast.
+  // --------------------------------------------------------------------------
+  private def q272(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("ts_orders")
+    s.sql("""
+      WITH daily AS (
+        SELECT CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM ts_orders GROUP BY o_orderdate),
+      pairs AS (
+        SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        FROM daily a JOIN daily b ON a.x < b.x),
+      sen AS (
+        SELECT COUNT(*) AS n_pairs,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY slope) AS med_slope
+        FROM pairs),
+      ols AS (
+        SELECT COUNT(*) AS n_days,
+               regr_slope(y, x) AS ols_slope
+        FROM daily)
+      SELECT o.n_days, p.n_pairs,
+             CAST(ROUND(p.med_slope * 1000) AS BIGINT) AS sen_slope_x1000,
+             CAST(ROUND(o.ols_slope * 1000) AS BIGINT) AS ols_slope_x1000
+      FROM ols o CROSS JOIN sen p
+      ORDER BY n_days""")
+  }
+
+  private val q272Sql =
+    """WITH daily AS (
+         SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+         FROM orders GROUP BY o_orderdate),
+       pairs AS (
+         SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+         FROM daily a JOIN daily b ON a.x < b.x),
+       sen AS (
+         SELECT COUNT(*) AS n_pairs,
+                quantile_cont(slope, 0.5) AS med_slope
+         FROM pairs),
+       ols AS (
+         SELECT COUNT(*) AS n_days,
+                regr_slope(y, x) AS ols_slope
+         FROM daily)
+       SELECT o.n_days, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+              CAST(ROUND(p.med_slope * 1000) AS BIGINT) AS sen_slope_x1000,
+              CAST(ROUND(o.ols_slope * 1000) AS BIGINT) AS ols_slope_x1000
+       FROM ols o CROSS JOIN sen p
+       ORDER BY n_days"""
+
+  // --------------------------------------------------------------------------
+  // q273: SPEARMAN RANK CORRELATION — the rank sibling of q89's Pearson:
+  // monotone-association strength between per-customer spend and order
+  // count, immune to the heavy spend tail that drags Pearson. Ranks use the
+  // q269 machinery — AVERAGE ranks for ties kept exact in DOUBLED integer
+  // units via a window over each variable's DISTINCT-VALUE aggregate, joined
+  // back — and ρ = corr(rank_x×2, rank_y×2) (correlation is scale-invariant,
+  // so the doubling changes nothing), ×10000 rounded like q89's corr_bp.
+  // Scale note: exact global ranks need a total order; the rank walk here
+  // runs over distinct-value aggregates (entity-sized for spend) — at 100 TB
+  // the documented swap is q160's range-partitioned distributed enumerate,
+  // identical semantics for untied values.
+  // --------------------------------------------------------------------------
+  private def q273(s: SparkSession, d: String): DataFrame = {
+    T.orders(s, d).createOrReplaceTempView("sp_orders")
+    s.sql("""
+      WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM sp_orders GROUP BY o_custkey),
+      rx AS (
+        SELECT spend_c, 2 * COALESCE(SUM(t) OVER (ORDER BY spend_c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rx2
+        FROM (SELECT spend_c, CAST(COUNT(*) AS BIGINT) AS t FROM cust GROUP BY spend_c)),
+      ry AS (
+        SELECT n_orders, 2 * COALESCE(SUM(t) OVER (ORDER BY n_orders
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS ry2
+        FROM (SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS t FROM cust GROUP BY n_orders))
+      SELECT COUNT(*) AS n_customers,
+             CAST(ROUND(corr(rx.rx2, ry.ry2) * 10000) AS BIGINT) AS spearman_bp,
+             CAST(ROUND(corr(c.spend_c, c.n_orders) * 10000) AS BIGINT) AS pearson_bp
+      FROM cust c
+      JOIN rx ON c.spend_c = rx.spend_c
+      JOIN ry ON c.n_orders = ry.n_orders
+      ORDER BY n_customers""")
+  }
+
+  private val q273Sql =
+    """WITH cust AS (
+         SELECT o_custkey,
+                CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c,
+                CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM orders GROUP BY o_custkey),
+       rx AS (
+         SELECT spend_c, 2 * COALESCE(SUM(t) OVER (ORDER BY spend_c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS rx2
+         FROM (SELECT spend_c, CAST(COUNT(*) AS BIGINT) AS t FROM cust GROUP BY spend_c)),
+       ry AS (
+         SELECT n_orders, 2 * COALESCE(SUM(t) OVER (ORDER BY n_orders
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS ry2
+         FROM (SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS t FROM cust GROUP BY n_orders))
+       SELECT COUNT(*) AS n_customers,
+              CAST(ROUND(corr(rx.rx2, ry.ry2) * 10000) AS BIGINT) AS spearman_bp,
+              CAST(ROUND(corr(c.spend_c, c.n_orders) * 10000) AS BIGINT) AS pearson_bp
+       FROM cust c
+       JOIN rx ON c.spend_c = rx.spend_c
+       JOIN ry ON c.n_orders = ry.n_orders
+       ORDER BY n_customers"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q265_dbscan", q265, Some(q265Sql)),
     QDef("q266_mad_outliers", q266, Some(q266Sql)),
     QDef("q267_ks_test", q267, Some(q267Sql)),
     QDef("q268_rrf_fusion", q268, Some(q268Sql)),
     QDef("q269_mann_whitney", q269, Some(q269Sql)),
-    QDef("q270_cusum_drift", q270, Some(q270Sql)))
+    QDef("q270_cusum_drift", q270, Some(q270Sql)),
+    QDef("q272_theil_sen", q272, Some(q272Sql)),
+    QDef("q273_spearman", q273, Some(q273Sql)))
 }

@@ -409,7 +409,11 @@ class PlanSpec extends SparkSpec {
         "q269_mann_whitney",
         // q270: prefix-sum + running-min windows over the DAILY aggregate —
         // bounded by the calendar
-        "q270_cusum_drift")
+        "q270_cusum_drift",
+        // q273: rank walks over each variable's DISTINCT-VALUE aggregate
+        // (entity-sized for spend; the documented 100 TB swap is q160's
+        // range-partitioned enumerate)
+        "q273_spearman")
     Registry.all.foreach { q =>
       val df = q.fn(spark, sf)
       if (q.name != "q08_cross_join") {
