@@ -517,15 +517,26 @@ private[catalog] object GraftDml {
     val slots = spark.createDataFrame(
       slotsBySuffix.toSeq.map { case (s, n) => (s, n) }).toDF("__g_route", "__g_slots")
     val joined = live.join(broadcast(slots), Seq("__g_route"), "left")
+    // salt inputs must be HASHABLE: Spark's hash() rejects MapType, so map
+    // columns are dropped from the default all-columns salt (a map-only
+    // schema degenerates to one slot — correct, just unsplit)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case st: org.apache.spark.sql.types.StructType => st.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
     val saltCols = meta.props.get(GraftTable.ClusterByProp) match {
       case Some(cols) => cols.split(',').map(c => col(c.trim)).toSeq
-      case None       => schema.fieldNames.map(col).toSeq
+      case None =>
+        schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toSeq
     }
     // the slot picks the output FILE within a group (the writer fans out per
     // (suffix, slot), so ceil(bytes/target) files per group holds even when
     // AQE coalesces the tiny-table shuffle into one task); it is also a
     // shuffle key, so at scale each slot's rows land in one task
-    val salt = pmod(hash(saltCols: _*),
+    val salt = pmod(
+      if (saltCols.isEmpty) lit(0L) else hash(saltCols: _*).cast("bigint"),
       greatest(coalesce(col("__g_slots"), lit(1)), lit(1))).cast("int").as("__g_slot")
     val slotted = joined.select(
       (col("__g_route") +: salt +: schema.fieldNames.map(col)).toSeq: _*)

@@ -188,6 +188,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(contentAfter === contentBefore, "per-partition content identical")
   }
 
+  test("compact handles map-typed columns (unhashable types drop out of the slot salt)") {
+    // Spark's hash() rejects MapType — the rewrite salt must skip map columns
+    // rather than crash the whole compaction
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t42")
+    sql("CREATE TABLE gtest.ns.t42 (k BIGINT, m MAP<STRING, BIGINT>) USING parquet")
+    sql("INSERT INTO gtest.ns.t42 SELECT id, map('a', id) FROM range(0, 50)")
+    sql("INSERT INTO gtest.ns.t42 SELECT id, map('b', id) FROM range(50, 100)")
+    sql("CALL gtest.system.compact('ns.t42')")
+    assert(sql("SELECT COUNT(*) FROM gtest.ns.t42").head.getLong(0) === 100L)
+    assert(sql("SELECT CAST(SUM(element_at(m, 'a')) AS BIGINT) FROM gtest.ns.t42")
+      .head.getLong(0) === (0L until 50L).sum)
+    val meta = GraftMeta.read(root.resolve("ns").resolve("t42"))
+    assert(meta.snapshots(meta.current).size === 1)
+  }
+
   test("expire_snapshots older_than_ms: young snapshots survive keep_last; old ones expire") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t41")
