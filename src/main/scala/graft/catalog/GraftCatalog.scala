@@ -260,8 +260,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // plain appends — branch DML is refused — so no delete vectors apply),
       // and CAS below on the ref properties so a concurrent stage retries.
       val mainSegs = pre.snapshots.getOrElse(pre.current, Nil)
-      val stagedSegs = GraftRefs.all(pre).valuesIterator.flatMap(_.dirs)
-        .toSeq.distinct.filterNot(mainSegs.contains)
+      // staged-only = each ref's dirs minus its OWN base snapshot's segments.
+      // Subtracting CURRENT main instead is wrong once main moves past the
+      // fork (compact/DML): the lagging base's segments would be re-validated
+      // as "staged" — and read with NO delete vectors (the base's DVs apply
+      // to them), resurrecting deleted rows into spurious CHECK refusals. A
+      // base-lagging branch can never fast_forward anyway (base != current),
+      // so only the true staged appends — which carry no DVs by construction,
+      // branch DML being refused — need checking.
+      val stagedSegs = GraftRefs.all(pre).valuesIterator.flatMap { ref =>
+        val baseSegs = pre.snapshots.getOrElse(ref.base, Nil).toSet
+        ref.dirs.filterNot(baseSegs)
+      }.toSeq.distinct.filterNot(mainSegs.contains)
       checkAdds.foreach { case (name, sql) =>
         GraftChecks.resolve(pre.schema, name, sql) // parse + analyze + bind
         if (mainSegs.nonEmpty) {

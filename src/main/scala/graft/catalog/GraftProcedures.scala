@@ -235,7 +235,9 @@ private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
     "materialize delete vectors: rewrite DV'd segments minus their deleted rows"
 
   override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("table", StringType).build())
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target_file_bytes", LongType)
+      .defaultValue(String.valueOf(128L * 1024 * 1024)).build())
 
   override val outputSchema: StructType = StructType(Seq(
     StructField("segments_rewritten", IntegerType, nullable = false),
@@ -244,6 +246,8 @@ private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val target = input.getLong(1)
+    require(target > 0, "graft rewrite_deletes: target_file_bytes must be positive")
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
     val segs = meta.snapshots(meta.current)
@@ -258,9 +262,16 @@ private[catalog] final class RewriteDeletesProcedure(catalog: GraftCatalog)
     // the same rewriteGroupsOneJob path compaction uses, replacing the
     // previous driver loop of one read→write job per dirty segment (dirty
     // segments sharing a suffix merge into that suffix's one new segment —
-    // strictly fewer small files, same rows)
+    // strictly fewer small files, same rows). Slots size like compact:
+    // ceil(dirty-group bytes / target) writers per suffix — a hardcoded 1
+    // would serialize a large unpartitioned MOR rewrite into ONE task
+    // writing ONE unbounded file.
     val dirty = dvMap.keys.toSeq.sorted
-    val slots = dirty.map(s => GraftPartitions.suffixOf(s).getOrElse("") -> 1).toMap
+    val slots = dirty.groupBy(s => GraftPartitions.suffixOf(s).getOrElse(""))
+      .map { case (suffix, group) =>
+        val bytes = group.map(dir.resolve).flatMap(parquetFiles).map(Files.size).sum
+        suffix -> math.max(1L, (bytes + target - 1) / target).toInt
+      }
     val rewritten = GraftDml.rewriteGroupsOneJob(dir, meta, dirty, slots)
     GraftDml.cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
       GraftMeta.commitReplaceSegments(dir, rewritten, dvMap.keySet,

@@ -415,7 +415,9 @@ object Round16Queries {
   // data-quality pipeline runs on its daily metrics (did the revenue process
   // shift upward, and WHEN?). The textbook recurrence S_t = max(0, S_{t-1} +
   // (x_t − μ)) is not windowable, but its closed form IS: with prefix sums
-  // P_t = Σ(x_i − μ), S_t = P_t − min(0, min_{j<t} P_j) — one prefix-sum
+  // P_t = Σ(x_i − μ), S_t = P_t − min(0, min_{j≤t} P_j) — the min INCLUDES
+  // the current prefix sum (j ≤ t, so S_t clamps at 0 when P_t sets a new
+  // minimum, exactly the textbook max(0, ·) recurrence) — one prefix-sum
   // window + one running-min window over the DAILY aggregate (bounded by the
   // calendar, the q267/q269 audit contract). Exact integers throughout:
   // deviations are scaled ×D (days), so μ = T/D never divides — dev_t =
@@ -442,9 +444,8 @@ object Round16Queries {
       cusum AS (
         SELECT day, x_c,
                p - LEAST(CAST(0 AS BIGINT),
-                 COALESCE(MIN(p) OVER (ORDER BY day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   CAST(0 AS BIGINT))) AS s
+                 MIN(p) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
         FROM pre),
       mx AS (SELECT MAX(s) AS smax FROM cusum)
       SELECT day, x_c, s,
@@ -472,9 +473,8 @@ object Round16Queries {
        cusum AS (
          SELECT day, x_c,
                 p - LEAST(CAST(0 AS BIGINT),
-                  COALESCE(MIN(p) OVER (ORDER BY day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    CAST(0 AS BIGINT))) AS s
+                  MIN(p) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
          FROM pre),
        mx AS (SELECT MAX(s) AS smax FROM cusum)
        SELECT day, x_c, CAST(s AS BIGINT) AS s,

@@ -155,4 +155,59 @@ class CheckConstraintSpec extends SparkSpec {
     sql("CALL gck.system.drop_branch('ns.t10', 'audit2')")
     assert(count("t10") === 1)
   }
+
+  test("ADD CONSTRAINT on a base-lagging branch: base residue is NOT re-validated (MOR-deleted rows stay deleted)") {
+    // A branch forked at a DV'd snapshot, then main compacts past it: the
+    // branch's dirs still carry its BASE segments (no longer current main).
+    // Validating those as "staged" — with NO delete vectors — resurrects the
+    // MOR-deleted violating row into a spurious refusal (ADVICE r12, medium).
+    // staged-only must mean dirs MINUS THE REF'S OWN BASE snapshot segments.
+    root
+    sql("DROP TABLE IF EXISTS gck.ns.t11")
+    sql("""CREATE TABLE gck.ns.t11 (k BIGINT, amt BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gck.ns.t11 VALUES (1, 10), (2, -5)")
+    // MOR delete of the would-be violator: delete VECTOR, segment untouched
+    sql("CALL gck.system.delete_where('ns.t11', 'amt < 0')")
+    sql("CALL gck.system.create_branch('ns.t11', 'lag')")
+    // main moves past the fork: compact materializes the DV into NEW
+    // segments, so the branch's base segments are no longer in current main
+    sql("CALL gck.system.compact('ns.t11', 134217728)")
+    // the constraint every LIVE row satisfies must land — the deleted -5 row
+    // lives only in the branch's base residue, which is not staged state
+    sql("ALTER TABLE gck.ns.t11 SET TBLPROPERTIES('graft.check.pos' = 'amt > 0')")
+    val e = intercept[Exception](sql("INSERT INTO gck.ns.t11 VALUES (3, -1)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CHECK constraint 'pos'")))
+    // and the lagging branch can never publish anyway — the reason its base
+    // residue needs no validation
+    val ff = intercept[Exception](sql("CALL gck.system.fast_forward('ns.t11', 'lag')"))
+    assert(msgs(ff).exists(_.contains("main moved")))
+    sql("CALL gck.system.drop_branch('ns.t11', 'lag')")
+    assert(count("t11") === 1)
+  }
+
+  test("ADD CONSTRAINT still validates TRUE staged appends on a base-lagging branch") {
+    // the subtraction is per-ref BASE segments, not "skip lagging branches":
+    // a violating row genuinely STAGED on a lagging branch must still refuse
+    import spark.implicits._
+    root
+    sql("DROP TABLE IF EXISTS gck.ns.t12")
+    sql("""CREATE TABLE gck.ns.t12 (k BIGINT, amt BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gck.ns.t12 VALUES (1, 10), (2, -5)")
+    sql("CALL gck.system.delete_where('ns.t12', 'amt < 0')")
+    sql("CALL gck.system.create_branch('ns.t12', 'lag')")
+    Seq((7L, -3L)).toDF("k", "amt").write.format("parquet")
+      .option("graft.branch", "lag").mode("append").saveAsTable("gck.ns.t12")
+    sql("CALL gck.system.compact('ns.t12', 134217728)")
+    val e = intercept[Exception](
+      sql("ALTER TABLE gck.ns.t12 SET TBLPROPERTIES('graft.check.pos' = 'amt > 0')"))
+    assert(e.getMessage.contains("WAP branch"), e.getMessage)
+    // exactly ONE violation — the staged append; the base residue's deleted
+    // -5 row is not double-counted
+    assert(e.getMessage.contains("1 row(s) staged"), e.getMessage)
+    sql("CALL gck.system.drop_branch('ns.t12', 'lag')")
+  }
 }

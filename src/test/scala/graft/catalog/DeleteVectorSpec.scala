@@ -785,4 +785,40 @@ class DeleteVectorSpec extends SparkSpec {
     // render → parse identity via a fresh read (the CAS file round trip)
     assert(GraftMeta.read(dir).dvs === meta.dvs)
   }
+
+  test("rewrite_deletes sizes output files by target bytes, not 1 file per suffix") {
+    // ADVICE r12 (medium): a hardcoded 1 slot per suffix serialized a large
+    // unpartitioned MOR rewrite into ONE task writing ONE unbounded file.
+    // Slots must size like compact: ceil(dirty-group bytes / target).
+    import spark.implicits._
+    root
+    sql("DROP TABLE IF EXISTS gdv.ns.t13")
+    sql("""CREATE TABLE gdv.ns.t13 (k BIGINT, pad STRING) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    (1L to 5000L).map(k => (k, ("x" * 64) + k)).toDF("k", "pad")
+      .coalesce(1).write.mode("append").saveAsTable("gdv.ns.t13")
+    sql("CALL gdv.system.delete_where('ns.t13', 'k <= 10')")
+    val dir = tableDir("ns.t13")
+    val dirtyBytes = {
+      val meta = GraftMeta.read(dir)
+      meta.snapshots(meta.current).map(dir.resolve).flatMap(s =>
+        GraftMeta.listDir(s).filter(_.getFileName.toString.endsWith(".parquet")))
+        .map(Files.size).sum
+    }
+    assert(dirtyBytes > 16384, s"fixture too small: $dirtyBytes bytes")
+    // target far below the dirty bytes -> multiple size-targeted files
+    sql("CALL gdv.system.rewrite_deletes('ns.t13', 16384)").collect()
+    val meta = GraftMeta.read(dir)
+    val files = meta.snapshots(meta.current).map(dir.resolve).flatMap(s =>
+      GraftMeta.listDir(s).filter(_.getFileName.toString.endsWith(".parquet")))
+    assert(files.size >= 2,
+      s"expected >=2 size-targeted files, got ${files.size} ($dirtyBytes dirty bytes, target 16384)")
+    // rows intact minus the deleted prefix, vectors gone
+    assert(sql("SELECT count(*) c FROM gdv.ns.t13").collect().head.getLong(0) === 4990L)
+    assert(meta.dvs.getOrElse(meta.current, Map.empty).isEmpty)
+    // default target still applies when omitted (back-compat call shape)
+    sql("CALL gdv.system.delete_where('ns.t13', 'k = 11')")
+    sql("CALL gdv.system.rewrite_deletes('ns.t13')").collect()
+    assert(sql("SELECT count(*) c FROM gdv.ns.t13").collect().head.getLong(0) === 4989L)
+  }
 }

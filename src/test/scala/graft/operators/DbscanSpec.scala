@@ -75,4 +75,58 @@ class DbscanSpec extends SparkSpec {
     assert(reps.size === 2 && labels(1L) != labels(11L),
       s"expected two clusters, got $labels")
   }
+
+  test("stacked coordinates pre-collapse: k duplicates cost O(k), not O(k^2) candidates") {
+    // 1000 points on ONE coordinate + two stragglers: candidate generation
+    // runs over the 3 collapsed reps, so the pair count is independent of
+    // the stack multiplicity — exactly 2 ordered pairs ((5,5)<->(6,5)),
+    // where the un-collapsed form would have produced ~10^6
+    val stack = (1L to 1000L).map(i => (i, 5L, 5L))
+    val pts = (stack ++ Seq((2001L, 6L, 5L), (2002L, 100L, 100L)))
+      .toDF("id", "x", "y")
+    val reps = Dbscan.collapse(pts)
+    val repRows = reps.collect().map(r =>
+      (r.getLong(1), r.getLong(2)) -> (r.getLong(0), r.getLong(3))).toMap
+    assert(repRows.size === 3)
+    assert(repRows((5L, 5L)) === (1L, 1000L), "rep id = min id, weight = multiplicity")
+    assert(Dbscan.repCandidates(reps, eps = 2L).count() === 2L,
+      "candidate pairs scale with DISTINCT coordinates only")
+    // end-to-end labels stay exact: the whole stack + its ε-neighbor form
+    // one cluster labeled by the stack's min id; the straggler is noise
+    // at min_samples=2 (neighborhood of 1 < 2)
+    val labels = Dbscan.label(pts, eps = 2L, minSamples = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 1000L).forall(labels(_) == 1L))
+    assert(labels(2001L) === 1L)
+    assert(labels(2002L) === -1L)
+  }
+
+  test("multiplicity feeds the min_samples count: weighted core, border adoption") {
+    // stack of 5 at (0,0); singles at (2,0) and (0,2); eps=2, min_samples=7.
+    // Stack neighborhood = 5 (self-stack) + 1 + 1 = 7 -> core. Each single's
+    // neighborhood = 1 + 5 = 6 (the two singles are 8 > eps^2 apart) -> not
+    // core, but ε-adjacent to a core point -> border, adopting the stack's
+    // cluster label (its min id, 1).
+    val pts = (1L to 5L).map(i => (i, 0L, 0L)) ++ Seq((6L, 2L, 0L), (7L, 0L, 2L))
+    val labels = run(pts, eps = 2L, minSamples = 7)
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 1L))
+    // at min_samples=8 nothing reaches the threshold: all noise
+    val labels8 = run(pts, eps = 2L, minSamples = 8)
+    assert(labels8.values.toSet === Set(-1L))
+  }
+
+  test("coordinate bounds are validated, not silently overflowed") {
+    val bad = Seq((1L, -3L, 0L), (2L, 1L, 1L))
+    intercept[IllegalArgumentException] {
+      Dbscan.label(bad.toDF("id", "x", "y"), eps = 2L, minSamples = 1).collect()
+    }
+    val huge = Seq((1L, (1L << 31) + 5L, 0L), (2L, 1L, 1L))
+    intercept[IllegalArgumentException] {
+      Dbscan.label(huge.toDF("id", "x", "y"), eps = 2L, minSamples = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Dbscan.label(bad.toDF("id", "x", "y"), eps = (1L << 31), minSamples = 1)
+    }
+  }
 }
