@@ -269,7 +269,16 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // so only the true staged appends — which carry no DVs by construction,
       // branch DML being refused — need checking.
       val stagedSegs = GraftRefs.all(pre).valuesIterator.flatMap { ref =>
-        val baseSegs = pre.snapshots.getOrElse(ref.base, Nil).toSet
+        // a ref whose base snapshot vanished from metadata would make the
+        // WHOLE dir list look staged and re-validate base residue without its
+        // delete vectors (the exact spurious-refusal bug the base-subtraction
+        // fixes) — expire_snapshots protects ref bases, so absence is
+        // corruption: fail loudly instead of guessing
+        val baseSegs = pre.snapshots.getOrElse(ref.base,
+          throw new IllegalStateException(
+            s"graft catalog: branch ref base snapshot ${ref.base} is missing " +
+              "from table metadata — refusing to validate staged segments " +
+              "against a corrupt ref")).toSet
         ref.dirs.filterNot(baseSegs)
       }.toSeq.distinct.filterNot(mainSegs.contains)
       checkAdds.foreach { case (name, sql) =>

@@ -106,11 +106,14 @@ object Dbscan {
       reps.unpersist()
       return pts.select(col("id"), lit(-1L).as("label"))
     }
-    require(b.getLong(0) >= 0 && b.getLong(1) >= 0 &&
-        b.getLong(2) < CoordBound && b.getLong(3) < CoordBound,
-      s"dbscan: coordinates must lie in [0, 2^30) — got x in [${b.getLong(0)}, " +
-        s"${b.getLong(2)}], y in [${b.getLong(1)}, ${b.getLong(3)}] " +
-        "(squared distances overflow Long beyond that)")
+    if (!(b.getLong(0) >= 0 && b.getLong(1) >= 0 &&
+        b.getLong(2) < CoordBound && b.getLong(3) < CoordBound)) {
+      reps.unpersist() // don't leak the cached frame on the refusal path
+      throw new IllegalArgumentException(
+        s"dbscan: coordinates must lie in [0, 2^30) — got x in [${b.getLong(0)}, " +
+          s"${b.getLong(2)}], y in [${b.getLong(1)}, ${b.getLong(3)}] " +
+          "(squared distances overflow Long beyond that)")
+    }
     val nbrs = repCandidates(reps, eps).cache()
     // core ⇔ |ε-neighborhood incl. self| >= min_samples (sklearn's contract):
     // own multiplicity + weighted neighbor-coordinate sum. The LEFT join
@@ -246,9 +249,12 @@ object Dbscan {
       .select(col("x"), col("y"),
         coalesce(col("core_label"), col("border_label"), lit(-1L)).as("label"))
     // FAN-OUT: every original point inherits its coordinate's label through
-    // ONE equi-join — the O(k) half of the coincident-point contract
-    val out = pts.join(repOut, Seq("x", "y"))
-      .select(col("id"), col("label"))
+    // ONE equi-join — the O(k) half of the coincident-point contract. LEFT
+    // join from pts so every input id appears in the output: NULL-coordinate
+    // rows have no ε-neighborhood (NULL grid keys never equi-match) and
+    // coalesce to noise (-1) instead of silently vanishing on an inner join.
+    val out = pts.join(repOut, Seq("x", "y"), "left")
+      .select(col("id"), coalesce(col("label"), lit(-1L)).as("label"))
       .localCheckpoint(true)
     reps.unpersist()
     nbrs.unpersist()

@@ -116,6 +116,23 @@ class DbscanSpec extends SparkSpec {
     assert(labels8.values.toSet === Set(-1L))
   }
 
+  test("NULL-coordinate rows come back as noise, never silently vanish") {
+    // NULL grid keys never equi-match, so a NULL-coordinate point has no
+    // ε-neighborhood; the fan-out must LEFT-join from the input and label it
+    // -1 rather than drop the id from the output (prior inner-join bug)
+    val pts = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(0L), java.lang.Long.valueOf(0L)),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(1L), java.lang.Long.valueOf(0L)),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(0L)),
+      (java.lang.Long.valueOf(4L), java.lang.Long.valueOf(5L), null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "x", "y")
+    val labels = Dbscan.label(pts, eps = 2L, minSamples = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === Set(1L, 2L, 3L, 4L), "every input id is in the output")
+    assert(labels(1L) === 1L && labels(2L) === 1L)
+    assert(labels(3L) === -1L && labels(4L) === -1L, "NULL coordinates are noise")
+  }
+
   test("coordinate bounds are validated, not silently overflowed") {
     val bad = Seq((1L, -3L, 0L), (2L, 1L, 1L))
     intercept[IllegalArgumentException] {
