@@ -79,7 +79,8 @@ object Registry {
       queries.Round13Queries.defs ++
       queries.Round14Queries.defs ++
       queries.Round15Queries.defs ++
-      queries.Round16Queries.defs
+      queries.Round16Queries.defs ++
+      queries.Round17Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }

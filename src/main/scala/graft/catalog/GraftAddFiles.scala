@@ -94,6 +94,14 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
     require(!meta.props.keys.exists(_.startsWith(GraftGenerate.Prefix)),
       "graft add_files: table declares GENERATED columns — imported rows would " +
         "bypass fill/validation; use INSERT ... SELECT instead")
+    // a RENAMEd table resolves columns BY FIELD ID (GraftFieldIds) and
+    // imported foreign parquet carries no footer ids — its files would
+    // refuse to read; the Iceberg answer is a per-file name mapping, which
+    // this catalog does not claim — refuse at import, not at read
+    require(!GraftFieldIds.resolveById(meta.props),
+      "graft add_files: table has renamed columns and resolves reads by " +
+        "field id; imported files carry no footer ids — load via " +
+        "INSERT ... SELECT instead")
 
     // schema gate, PER FILE: every footer must carry every table column with
     // the same type (order-free); extra source columns are refused (they would
@@ -135,7 +143,7 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
     // same commit-time stats harvest as every write path: zone maps (and
     // blooms/sums if the table opted in) come from footers, no data scan
     val harvested = scala.util.Try(SegmentStats.harvest(
-      spark, segDir.toString, meta.schema,
+      spark, segDir.toString, meta.readSchema,
       SegmentStats.sumCols(meta.props, meta.schema),
       GraftBloom.cols(meta.props, meta.schema),
       SegmentStats.ndvCols(meta.props, meta.schema))).toOption

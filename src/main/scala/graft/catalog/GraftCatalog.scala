@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownR
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetTable, ParquetWrite}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `graft` — a parquet-backed DataSource-v2 catalog with snapshot (MVCC) tables,
@@ -69,6 +69,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     root = Paths.get(Option(options.get("root"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_catalog"))
     Files.createDirectories(root)
+    // parquet field-id stamping on writes + id RESOLUTION on reads — inert
+    // for name-resolved tables (their read schemas carry no ids), required
+    // for tables flipped to id resolution by RENAME COLUMN (GraftFieldIds)
+    GraftFieldIds.enableSessionConfs()
   }
 
   override def name(): String = catalogName
@@ -222,8 +226,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .flatMap(p => Option(properties.get(p)).map(p -> _)).toMap
     val props = kept ++ dmlModes ++ sumsProp ++ ndvProp ++ checkProps ++ genProps ++ bloomProp ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
-       else Map.empty)
-    GraftMeta.write(dir, GraftMeta(schema, current = 0L, snapshots = Map(0L -> Nil),
+       else Map.empty) +
+      (GraftFieldIds.HighWaterProp -> schema.length.toString)
+    // stable column ids from birth (ids 1..n): footers get stamped on every
+    // write, so a later RENAME COLUMN can flip the table to id resolution
+    // without rewriting a single segment (GraftFieldIds)
+    GraftMeta.write(dir, GraftMeta(GraftFieldIds.annotate(schema), current = 0L,
+      snapshots = Map(0L -> Nil),
       props = props, snapshotTimes = Map(0L -> System.currentTimeMillis())))
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
   }
@@ -284,7 +293,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       checkAdds.foreach { case (name, sql) =>
         GraftChecks.resolve(pre.schema, name, sql) // parse + analyze + bind
         if (mainSegs.nonEmpty) {
-          val live = GraftDv.readLive(spark, dir, pre.schema, mainSegs,
+          val live = GraftDv.readLive(spark, dir, pre.readSchema, mainSegs,
             GraftDv.forSegments(pre, pre.current, mainSegs))
           // violation ⇔ definitely FALSE (SQL CHECK: NULL admits)
           val bad = live.where(s"coalesce(($sql), true) = false").count()
@@ -294,7 +303,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               "(delete_where the violations or fix them with update_where)")
         }
         if (stagedSegs.nonEmpty) {
-          val staged = GraftDv.readLive(spark, dir, pre.schema, stagedSegs, Map.empty)
+          val staged = GraftDv.readLive(spark, dir, pre.readSchema, stagedSegs, Map.empty)
           val bad = staged.where(s"coalesce(($sql), true) = false").count()
           require(bad == 0L,
             s"graft catalog: cannot add CHECK constraint '$name' ($sql): " +
@@ -321,8 +330,87 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         .map(_.split(',').toSet).getOrElse(Set.empty[String])
       var setProps = Map.empty[String, String]
       var removedProps = Set.empty[String]
+      var colRenames = List.empty[(String, String)] // old -> new, this ALTER
       val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
         ch match {
+          // RENAME COLUMN — metadata-only, via STABLE FIELD IDS (the Iceberg
+          // v2 mechanism on Spark's native parquet field-id machinery): the
+          // field keeps its id, the table flips to id resolution
+          // (GraftFieldIds.ResolveProp), and pre-rename segments read the old
+          // physical column BY ID with zero data rewritten. Pre-flight proves
+          // every live segment's footers carry ids — a file without them
+          // would refuse at read time, so refuse the DDL instead. (MVs
+          // defined over the renamed column are NOT rewritten: refresh_mv
+          // fails loudly on the stale name, the Iceberg contract.)
+          case ren: TableChange.RenameColumn =>
+            require(ren.fieldNames().length == 1,
+              "graft catalog: nested RENAME COLUMN not supported")
+            val from = ren.fieldNames()(0)
+            val to = ren.newName()
+            val idx = sch.fieldNames.indexOf(from)
+            require(idx >= 0, s"graft catalog: no column '$from' to rename")
+            require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)),
+              s"graft catalog: column '$to' already exists")
+            // zone entries / property lists delimit on ':' ',' — and the
+            // partition path requires this charset too; renames must not
+            // smuggle in a name CREATE would refuse
+            require(to.matches("[A-Za-z0-9_]+"),
+              s"graft catalog: new column name '$to' must match [A-Za-z0-9_]+")
+            require(!dropped.contains(to),
+              s"graft catalog: column '$to' was previously dropped and cannot be reused")
+            require(sch.fields.forall(GraftFieldIds.hasId),
+              "graft catalog: table predates stable column ids — RENAME needs " +
+                "field-id resolution; recreate or CTAS the table")
+            // live segments = every retained snapshot + every branch ref:
+            // time travel and branch reads use the CURRENT schema, so all of
+            // them must survive id resolution
+            val liveSegs = (meta.snapshots.valuesIterator.flatten ++
+              GraftRefs.all(meta).valuesIterator.flatMap(_.dirs)).toSeq.distinct
+            val idless = GraftFieldIds.segmentsWithoutIds(dir, liveSegs)
+            require(idless.isEmpty,
+              s"graft catalog: segments ${idless.mkString(", ")} carry no parquet " +
+                "footer field ids (imported by add_files or written by an " +
+                "engine without id stamping) — id resolution would refuse to " +
+                "read them; compact or rewrite those segments first")
+            // CHECK / GENERATED expressions reference columns BY NAME in
+            // property SQL — renaming underneath them would silently bind
+            // nothing (or the wrong column) at the next write; refuse
+            val parser = SparkSession.active.sessionState.sqlParser
+            def refs(sql: String): Set[String] = scala.util.Try(
+              parser.parseExpression(sql).collect {
+                case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  a.nameParts.head.toLowerCase
+              }.toSet).getOrElse(Set(from.toLowerCase))
+            meta.props.foreach { case (k, v) =>
+              if (k.startsWith(GraftChecks.Prefix))
+                require(!refs(v).contains(from.toLowerCase),
+                  s"graft catalog: CHECK constraint '${k.stripPrefix(GraftChecks.Prefix)}' " +
+                    s"references '$from' — drop and re-add it around the rename")
+              if (k.startsWith(GraftGenerate.Prefix) &&
+                  k != GraftGenerate.Prefix + from)
+                require(!refs(v).contains(from.toLowerCase),
+                  s"graft catalog: generated column '${k.stripPrefix(GraftGenerate.Prefix)}' " +
+                    s"derives from '$from' — drop and re-add it around the rename")
+            }
+            // a GENERATED column renames by re-keying its own property
+            meta.props.get(GraftGenerate.Prefix + from).foreach { genSql =>
+              removedProps += GraftGenerate.Prefix + from
+              setProps += (GraftGenerate.Prefix + to) -> genSql
+            }
+            // name lists in layout/stat/index properties follow the rename
+            Seq(GraftTable.ClusterByProp, GraftTable.OrderByProp,
+                GraftTable.PartitionByProp, SegmentStats.SumsProp,
+                SegmentStats.NdvProp, GraftBloom.Prop).foreach { p =>
+              (setProps.get(p) orElse meta.props.get(p)).foreach { v =>
+                val parts = v.split(',').map(_.trim)
+                if (parts.exists(_.equalsIgnoreCase(from)))
+                  setProps += p -> parts.map(t =>
+                    if (t.equalsIgnoreCase(from)) to else t).mkString(",")
+              }
+            }
+            setProps += GraftFieldIds.ResolveProp -> from
+            colRenames ::= (from -> to)
+            StructType(sch.fields.updated(idx, sch.fields(idx).copy(name = to)))
           // the DELETE/UPDATE implementation is switchable per table:
           // existing delete vectors keep applying either way (mode only
           // selects how FUTURE DML executes)
@@ -408,7 +496,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
             // mapping; refused like renames.
             require(!dropped.contains(field),
               s"graft catalog: column '$field' was previously dropped and cannot be re-added")
-            sch.add(field, add.dataType(), nullable = true)
+            // fresh stable id (never reused — the high-water prop keeps
+            // dropped columns' ids retired)
+            val id = GraftFieldIds.nextId(sch, meta.props)
+            setProps += GraftFieldIds.HighWaterProp -> id.toString
+            StructType(sch.fields :+ GraftFieldIds.withId(
+              StructField(field, add.dataType(), nullable = true), id))
           case del: TableChange.DeleteColumn =>
             require(del.fieldNames().length == 1,
               "graft catalog: nested DROP COLUMN not supported")
@@ -438,7 +531,45 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
         else meta.props +
           (GraftTable.DroppedColumnsProp -> dropped.toSeq.sorted.mkString(","))) --
         removedProps) ++ setProps
-      meta.copy(schema = newSchema, props = newProps)
+      // zone-map entries key per-column stats BY NAME inside the payload:
+      // carry them through the rename (the data didn't change, so the stats
+      // are still exact under the new name — dropping them would silently
+      // cost every pre-rename segment its pruning). Undecodable entries pass
+      // through unchanged (their old-name stats just stop pruning).
+      val newZ =
+        if (colRenames.isEmpty) meta.zstats
+        else meta.zstats.map { case (seg, payload) =>
+          seg -> scala.util.Try {
+            val st = SegmentStats.decode(payload)
+            SegmentStats.encode(st.copy(cols = st.cols.map { case (n, c) =>
+              colRenames.foldLeft(n) { case (nn, (f, t)) =>
+                if (nn == f) t else nn } -> c
+            }))
+          }.getOrElse(payload)
+        }
+      meta.copy(schema = newSchema, props = newProps, zstats = newZ)
+    }
+    // post-commit, best-effort: follow the rename in the per-segment bloom
+    // index FILES (`_bloom_<col>.bf`). A miss is only conservative (the probe
+    // keeps the segment), so failures are ignored — never a failed ALTER.
+    val renamed = changes.collect { case r: TableChange.RenameColumn
+      if r.fieldNames().length == 1 => r.fieldNames()(0) -> r.newName() }
+    if (renamed.nonEmpty) {
+      GraftFieldIds.enableSessionConfs() // id resolution active from here on
+      // the `_cdc` delta cache holds files written under PRE-rename names —
+      // name-resolved reads would silently null-fill the renamed column;
+      // drop the cache (it rematerializes from segments, id-correct, under
+      // the current names on next use)
+      GraftMeta.deleteRecursively(dir.resolve("_cdc"))
+      val m = GraftMeta.read(dir)
+      val segs = (m.snapshots.valuesIterator.flatten ++
+        GraftRefs.all(m).valuesIterator.flatMap(_.dirs)).toSeq.distinct
+      for ((from, to) <- renamed; seg <- segs) {
+        val src = GraftBloom.fileFor(dir.resolve(seg).toString, from)
+        val dst = GraftBloom.fileFor(dir.resolve(seg).toString, to)
+        try if (Files.exists(src) && !Files.exists(dst)) Files.move(src, dst)
+        catch { case _: java.io.IOException => () }
+      }
     }
     loadTable(ident)
   }
@@ -525,6 +656,12 @@ private[catalog] final case class GraftMeta(
     // it). Snapshots absent from the map carry none; a segment leaving a
     // snapshot drops its vectors with it (see dvsAfter).
     dvs: Map[Long, Map[String, Seq[String]]] = Map.empty) {
+
+  /** The schema every FILE READ of this table's data must use: name-resolved
+    * (field ids stripped) until RENAME COLUMN flips the table to id
+    * resolution, id-resolved after (GraftFieldIds). The full `schema` keeps
+    * the ids for WRITE stamping and DDL bookkeeping. */
+  def readSchema: StructType = GraftFieldIds.readSchema(this)
 
   /** The DV associations a successor snapshot with segment list `nextDirs`
     * carries: the CURRENT snapshot's vectors, restricted to segments still
@@ -1021,6 +1158,34 @@ private[catalog] object GraftPartitions {
 
   def encodeTuple(values: Seq[String]): String = values.map(encodeString).mkString("_")
 
+  /** Inverse of [[encodeString]] — `%XX` bytes decoded, `%0N` → None (null).
+    * Introspection-only (the `t.partitions` metadata table); write paths and
+    * suffix matching always compare ENCODED forms. */
+  def decodeString(enc: String): Option[String] =
+    if (enc == "%0N") None
+    else Some {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < enc.length) {
+        val c = enc.charAt(i)
+        if (c == '%' && i + 2 < enc.length) {
+          out.write(Integer.parseInt(enc.substring(i + 1, i + 3), 16)); i += 3
+        } else { out.write(c.toInt); i += 1 }
+      }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  /** Decoded human-readable partition tuple of a spec-qualified suffix:
+    * `1~us_2024` → "us/2024" (nulls render as "null"). */
+  def describeSuffix(suffixStr: String): String = {
+    val i = suffixStr.indexOf('~')
+    val tuple =
+      if (i > 0 && suffixStr.substring(0, i).forall(_.isDigit))
+        suffixStr.substring(i + 1)
+      else suffixStr
+    tuple.split('_').map(p => decodeString(p).getOrElse("null")).mkString("/")
+  }
+
   /** PARTITION EVOLUTION support. Each evolution bumps `graft.partition-spec-id`;
     * segments written under spec N > 0 carry suffix `<N>~<tuple>` — the spec id
     * is part of the suffix string, so segments of DIFFERENT specs can never
@@ -1132,7 +1297,11 @@ private[catalog] final class GraftTable(
   private[catalog] def metaAtLoad: GraftMeta = meta
 
   override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
-  override def schema(): StructType = meta.schema
+  // the EXPOSED schema is the read schema: Spark derives every pruned read
+  // schema from these attributes, so ids must appear here exactly when the
+  // table resolves by id (post-rename) and never before (add_files segments
+  // carry no footer ids and must keep name resolution)
+  override def schema(): StructType = meta.readSchema
   override def properties(): java.util.Map[String, String] = meta.props.asJava
   override def partitioning(): Array[Transform] =
     GraftPartitions.cols(meta.props).map(c =>
@@ -1222,12 +1391,13 @@ private[catalog] final class GraftTable(
       ParquetTable(name(), SparkSession.active, options, dirs,
         Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
     val (segs, dvMap) = visibleWithDvs(options)
+    val rs = meta.readSchema // name- or id-resolved per the table's state
     def pruning(ss: Seq[String], schema: StructType) =
       new GraftPruningScanBuilder(mkInner(schema),
         ss.map(s => s -> tableDir.resolve(s).toString), meta.zstats,
-        tableDir, name(), meta.schema, options)
+        tableDir, name(), rs, options)
     if (dvMap.isEmpty)
-      pruning(segs, meta.schema)
+      pruning(segs, rs)
     else {
       // merge-on-read: clean segments keep the untouched vectorized path;
       // DV'd segments read row-based with the per-file position filter
@@ -1236,9 +1406,9 @@ private[catalog] final class GraftTable(
       val positions = GraftDv.loadPositions(SparkSession.active, tableDir,
         dvMap.valuesIterator.flatten.toSeq.distinct)
       new GraftDvScanBuilder(
-        if (clean.isEmpty) None else Some(pruning(clean, meta.schema)),
-        pruning(dirty, StructType(meta.schema.fields :+ GraftDv.RowIdxField)),
-        positions, tableDir, name(), meta.schema, options)
+        if (clean.isEmpty) None else Some(pruning(clean, rs)),
+        pruning(dirty, StructType(rs.fields :+ GraftDv.RowIdxField)),
+        positions, tableDir, name(), rs, options)
     }
   }
 
@@ -1395,6 +1565,7 @@ private[catalog] final class GraftPruningScanBuilder(
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var inner = mkInner(segments.map(_._2))
+  private var live = segments // post-zone-pruning survivors (build-time stats)
   private var prunedSchema: StructType = null
   private var anyFilterPushed = false
   private var statsAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
@@ -1429,7 +1600,41 @@ private[catalog] final class GraftPruningScanBuilder(
       if (prunedSchema != null)
         inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(prunedSchema)
     }
+    live = surviving
     cat.pushFilters(filters)
+  }
+
+  /** Plan-time EXACT statistics for the surviving segments, from committed
+    * zone stats — zero file IO. Row count is exact when every survivor has
+    * stats; per-column (ndv, nullCount) when additionally every survivor
+    * carries the column's entry (+ an NDV sketch for ndv). Reported through
+    * SupportsReportStatistics so Catalyst's broadcast threshold / CBO see
+    * graft tables truthfully instead of falling back to size heuristics. */
+  private def committedStats(): (Option[Long], Map[String, (Option[Long], Option[Long])]) = {
+    if (live.isEmpty) return (Some(0L), Map.empty)
+    val decoded = live.map { case (n, _) =>
+      zstats.get(n).flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
+    }
+    if (decoded.exists(_.isEmpty)) return (None, Map.empty)
+    val sts = decoded.flatten
+    val rows = Some(sts.map(_.rows).sum)
+    val cols = tableSchema.fields.flatMap { f =>
+      val cs = sts.flatMap(_.cols.get(f.name))
+      if (cs.length != sts.length) None
+      else {
+        val nulls = Some(cs.map(_.nulls).sum)
+        val ndv =
+          if (cs.forall(_.ndv.isDefined)) scala.util.Try {
+            val u = new org.apache.datasketches.hll.Union(12)
+            cs.foreach(c => u.update(org.apache.datasketches.hll.HllSketch.heapify(
+              java.util.Base64.getDecoder.decode(c.ndv.get))))
+            Math.round(u.getEstimate)
+          }.toOption
+          else None
+        if (ndv.isEmpty && nulls.isEmpty) None else Some(f.name -> (ndv, nulls))
+      }
+    }.toMap
+    (rows, cols)
   }
 
   /** Metadata-only COUNT/MIN/MAX from segment zone maps (GraftStatsAgg):
@@ -1461,7 +1666,9 @@ private[catalog] final class GraftPruningScanBuilder(
         new GraftStatsAggScan(aggSchema, row, tableName, segments.size),
         tableDir, tableName, tableSchema, options)
     case None =>
-      new GraftStreamableScan(inner.build(), tableDir, tableName, tableSchema, options)
+      val (exactRows, colStats) = committedStats()
+      new GraftStreamableScan(inner.build(), tableDir, tableName, tableSchema,
+        options, exactRows, colStats)
   }
 }
 
@@ -1475,24 +1682,52 @@ private[catalog] final class GraftPruningScanBuilder(
   * modification times — define "new data". */
 private[catalog] final class GraftStreamableScan(
     inner: Scan, tableDir: Path, tableName: String, tableSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Scan
+    options: CaseInsensitiveStringMap,
+    // commit-harvested EXACT statistics for the segments this scan covers
+    // (zone stats + opt-in NDV sketches) — reported to the planner so the
+    // broadcast threshold and CBO see truth, not size heuristics
+    exactRows: Option[Long] = None,
+    colStats: Map[String, (Option[Long], Option[Long])] = Map.empty) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
-  // statistics pass through to the parquet scan (FileScan reports post-pruning
-  // sizeInBytes): without this the wrapper makes DataSourceV2Relation fall
-  // back to spark.sql.defaultSizeInBytes (= huge), losing STATIC
+  // sizeInBytes passes through to the parquet scan (FileScan reports
+  // post-pruning bytes): without this the wrapper makes DataSourceV2Relation
+  // fall back to spark.sql.defaultSizeInBytes (= huge), losing STATIC
   // broadcast-hash-join planning and size-based DPP heuristics on graft
-  // tables — only AQE's runtime conversion could recover the broadcast
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
+  // tables. numRows/columnStats come from the catalog's committed stats — a
+  // metadata-only upgrade parquet scans can't make themselves.
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val passthrough = inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        Some(s.estimateStatistics())
+      case _ => None
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        passthrough.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        exactRows.map(java.util.OptionalLong.of).orElse(passthrough.map(_.numRows()))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        colStats.foreach { case (name, (ndv, nulls)) =>
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+              override def nullCount(): java.util.OptionalLong =
+                nulls.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+            })
+        }
+        m
       }
     }
+  }
   override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
   override def description(): String = inner.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
@@ -1645,21 +1880,22 @@ private[catalog] final class GroupScan(
     * the batch scan uses; clean groups keep the plain path. */
   private def buildInner(segs: Seq[String]): Scan = {
     val dvMap = GraftDv.forSegments(meta, meta.current, segs)
+    val rs = meta.readSchema
     def one(ss: Seq[String], schema: StructType, prune: Option[StructType]): Scan = {
       val b = mkInner(ss.map(s => tableDir.resolve(s).toString), schema)
       prune.foreach(b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns)
       b.build()
     }
-    if (dvMap.isEmpty) one(segs, meta.schema, prunedSchema)
+    if (dvMap.isEmpty) one(segs, rs, prunedSchema)
     else {
       val dirty = segs.filter(dvMap.contains)
       val clean = segs.filterNot(dvMap.contains)
-      val real = prunedSchema.getOrElse(meta.schema)
+      val real = prunedSchema.getOrElse(rs)
       val positions = GraftDv.loadPositions(SparkSession.active, tableDir,
         dvMap.valuesIterator.flatten.toSeq.distinct)
       new GraftDvScan(
-        if (clean.isEmpty) None else Some(one(clean, meta.schema, Some(real))),
-        one(dirty, StructType(meta.schema.fields :+ GraftDv.RowIdxField),
+        if (clean.isEmpty) None else Some(one(clean, rs, Some(real))),
+        one(dirty, StructType(rs.fields :+ GraftDv.RowIdxField),
           Some(StructType(real.fields :+ GraftDv.RowIdxField))),
         positions, real)
     }
@@ -1711,7 +1947,7 @@ private[catalog] final class GroupScan(
 }
 
 private[catalog] final class GraftWriteBuilder(
-    tableDir: Path, info: LogicalWriteInfo, replaceOnCommit: Boolean,
+    tableDir: Path, info0: LogicalWriteInfo, replaceOnCommit: Boolean,
     fromRowLevelOp: Boolean = false, expectedCurrent: Option[Long] = None,
     // row-level ops under runtime GROUP filtering: the segments the group
     // scan actually read (evaluated at commit time — the runtime filter runs
@@ -1719,6 +1955,12 @@ private[catalog] final class GraftWriteBuilder(
     // swap exactly those; None → replace the whole load-time snapshot.
     groupRemovals: () => Option[Seq[String]] = () => None)
   extends WriteBuilder with SupportsOverwriteV2 with SupportsDynamicOverwrite {
+
+  // the write schema carries the table's stable column ids so every path —
+  // plain append, partitioned, streaming, row-level replacement — stamps
+  // parquet footer field ids (the RENAME COLUMN substrate, GraftFieldIds)
+  private val info: LogicalWriteInfo =
+    GraftFieldIds.overlayInfo(info0, GraftMeta.read(tableDir).schema)
 
   private var replace = replaceOnCommit
   private var dynamicPartitionOverwrite = false
@@ -1860,7 +2102,7 @@ private[catalog] final class GraftWriteBuilder(
         // without stats simply never prune
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
           SparkSession.active, tableDir.resolve(segment).toString,
-          metaAtBuild.schema,
+          metaAtBuild.readSchema,
           SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
           GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
           SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema)))).toOption

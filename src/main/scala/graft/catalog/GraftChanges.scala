@@ -85,7 +85,7 @@ private[catalog] object GraftChanges {
     // explicit schema: segments written before an ADD COLUMN lack the new
     // field in their footers and must null-fill, same as the table scan
     def readSegs(segs: Seq[String], dvs: Map[String, Seq[String]]): DataFrame =
-      GraftDv.readLive(spark, tableDir, meta.schema, segs,
+      GraftDv.readLive(spark, tableDir, meta.readSchema, segs,
         dvs.filter { case (s, _) => segs.contains(s) })
     val removed = readSegs(leftOnly, baseDvs)
     val added = readSegs(rightOnly, curDvs)
@@ -132,7 +132,9 @@ private[catalog] object GraftCdcPlanner {
         if (dirs.isEmpty) Nil
         else {
           val innerSchema = StructType(readSchema.filterNot(f => CdcCols(f.name)))
-          val b = scanOver(tableName, dirs, meta.schema, innerSchema, options)
+          // real segment read: a renamed table resolves these BY ID
+          val b = scanOver(tableName, dirs, meta.readSchema,
+            GraftFieldIds.overlayIds(innerSchema, meta.readSchema), options)
           val factory = b.createReaderFactory()
           b.planInputPartitions().toSeq.map(p => GraftCdcPartition(
             p, factory, innerSchema, readSchema, Some("insert"), v, tsMs))
@@ -142,7 +144,9 @@ private[catalog] object GraftCdcPlanner {
         // a real file column there); version/timestamp stay constants
         val dir = GraftChanges.ensureMaterialized(
           SparkSession.active, tableDir, meta, v)
-        val fileSchema = meta.schema.add(ChangeType, StringType)
+        // `_cdc` cache read: always NAME-resolved (the cache is rewritten
+        // under current names; rename invalidates it)
+        val fileSchema = GraftFieldIds.stripIds(meta.readSchema).add(ChangeType, StringType)
         val innerSchema = StructType(readSchema.filterNot(f =>
           f.name == CommitVersion || f.name == CommitTimestamp))
         val b = scanOver(tableName, Seq(dir.toString), fileSchema, innerSchema, options)
@@ -212,7 +216,10 @@ private[catalog] final class GraftChangesTable(
   override def name(): String =
     (catalog +: ident.namespace() :+ ident.name()).mkString(".")
   override def schema(): StructType =
-    GraftChanges.cdcSchema(GraftMeta.read(tableDir).schema)
+    // always NAME-shaped (no id metadata): the planner re-overlays ids per
+    // arm — segment reads of a renamed table resolve by id, while `_cdc`
+    // delta-cache reads are always name-resolved (their files carry no ids)
+    GraftChanges.cdcSchema(GraftFieldIds.stripIds(GraftMeta.read(tableDir).schema))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 

@@ -224,7 +224,10 @@ private[catalog] final class GraftDeltaWrite(
 
   private val props = metaAtLoad.props
   private val partCols = GraftPartitions.cols(props)
-  private val dataSchema: StructType = info.schema()
+  // carry the table's stable column ids into the appended segments' footers
+  // (the RENAME COLUMN substrate, GraftFieldIds)
+  private val dataSchema: StructType =
+    GraftFieldIds.overlayIds(info.schema(), metaAtLoad.schema)
 
   override def description(): String =
     s"graft-delta-write(partitions=${partCols.mkString(",")})"
@@ -296,7 +299,7 @@ private[catalog] final class GraftDeltaBatchWrite(
         fileNames.foreach(f =>
           Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-          SparkSession.active, segDir.toString, metaAtLoad.schema,
+          SparkSession.active, segDir.toString, metaAtLoad.readSchema,
           SegmentStats.sumCols(metaAtLoad.props, metaAtLoad.schema),
           GraftBloom.cols(metaAtLoad.props, metaAtLoad.schema),
           SegmentStats.ndvCols(metaAtLoad.props, metaAtLoad.schema)))).toOption

@@ -1,0 +1,173 @@
+package graft.catalog
+
+import java.nio.file.Path
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/** Stable COLUMN IDs for the graft catalog — the Iceberg v2 schema-evolution
+  * mechanism (field-id resolution), carried by Spark's own native parquet
+  * field-id machinery instead of a bespoke reader:
+  *
+  *   - every table created by the catalog annotates its schema with
+  *     `parquet.field.id` metadata (ids 1..n at create, max+1 on ADD COLUMN);
+  *     ids persist through `StructType.json` in the meta file and survive
+  *     every schema change — a column's id NEVER changes or is reused;
+  *   - writes stamp the ids into parquet footers
+  *     (`spark.sql.parquet.fieldId.write.enabled`) on every path — appends,
+  *     partitioned/streaming writes, and the DML/compaction rewrite job;
+  *   - reads stay NAME-based (ids stripped from the read schema) until the
+  *     first RENAME COLUMN sets [[ResolveProp]]; from then on read schemas
+  *     keep their ids and `spark.sql.parquet.fieldId.read.enabled` makes
+  *     Spark resolve each footer column BY ID — a renamed column reads the
+  *     old physical column in pre-rename segments with zero data rewritten,
+  *     and a file lacking ids fails loudly (never silent nulls), which is
+  *     why the rename DDL first proves every live segment carries footer ids
+  *     ([[segmentsWithoutIds]]).
+  *
+  * Why not always-on id resolution: `add_files` imports foreign parquet with
+  * no footer ids — under id resolution those files would refuse to read. So
+  * name resolution remains the default, rename flips the table to id
+  * resolution after proving it safe, and add_files refuses on flipped tables
+  * (the Iceberg name-mapping seam, documented at the add_files gate). */
+private[catalog] object GraftFieldIds {
+  /** Spark's native field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  val IdKey = "parquet.field.id"
+
+  /** Table property set by the first RENAME COLUMN: reads resolve by field id
+    * from then on (value records the first renamed column, for operators). */
+  val ResolveProp = "graft.field-id-resolution"
+
+  def hasId(f: StructField): Boolean = f.metadata.contains(IdKey)
+
+  def idOf(f: StructField): Option[Long] =
+    if (hasId(f)) Some(f.metadata.getLong(IdKey)) else None
+
+  def withId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(IdKey, id).build())
+
+  /** Fresh-table annotation: ids 1..n in declaration order, REPLACING any
+    * caller-supplied `parquet.field.id` (user metadata must not collide with
+    * the catalog's id space). Top-level fields only — nested fields resolve
+    * by name inside their (id-matched) group, and the catalog's ALTER surface
+    * is top-level only. */
+  def annotate(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) => withId(f, i + 1L) })
+
+  /** Next id for ADD COLUMN: one past the largest id ever assigned. Dropped
+    * columns keep their ids out of circulation because ids are assigned
+    * monotonically and [[nextId]] also consults the high-water prop. */
+  def nextId(schema: StructType, props: Map[String, String]): Long = {
+    val fromSchema = schema.fields.flatMap(idOf).maxOption.getOrElse(0L)
+    val fromProp = props.get(HighWaterProp).map(_.toLong).getOrElse(0L)
+    math.max(fromSchema, fromProp) + 1L
+  }
+
+  /** High-water mark of assigned ids — keeps a DROPPED column's id retired
+    * even though the field (and its id) left the schema. */
+  val HighWaterProp = "graft.last-column-id"
+
+  /** Drop the id metadata — for read paths that must stay NAME-resolved
+    * (pre-rename tables; the `_cdc` delta cache, which is always written and
+    * read by current names). */
+  def stripIds(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!hasId(f)) f
+      else {
+        val b = new MetadataBuilder().withMetadata(f.metadata)
+        b.remove(IdKey)
+        f.copy(metadata = b.build())
+      }
+    })
+
+  /** The schema every FILE READ of table data must use: name-based (ids
+    * stripped) until the table flipped to id resolution, id-based after. */
+  def readSchema(meta: GraftMeta): StructType =
+    if (meta.props.contains(ResolveProp)) meta.schema else stripIds(meta.schema)
+
+  def resolveById(props: Map[String, String]): Boolean = props.contains(ResolveProp)
+
+  /** Re-apply the table's field-id metadata to a DataFrame about to be
+    * written as segment data by an internal rewrite job (compaction, DML) —
+    * plan transforms do not reliably carry source metadata, and a rewrite
+    * that dropped the ids would strand the segment outside id resolution. */
+  def applyIds(df: DataFrame, tableSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val byName = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    df.select(df.schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      byName.get(f.name.toLowerCase).flatMap(idOf) match {
+        case Some(id) => c.as(f.name, withId(f, id).metadata)
+        case None     => c
+      }
+    }.toSeq: _*)
+  }
+
+  /** Overlay the table's ids onto a WRITE schema by (case-insensitive) name:
+    * the v2 write schema is the query's resolved output, which matches the
+    * table columns by name but does not carry their metadata. Fields the
+    * table doesn't know (e.g. none today) pass through unchanged. */
+  def overlayIds(writeSchema: StructType, tableSchema: StructType): StructType = {
+    val byName = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    StructType(writeSchema.fields.map { f =>
+      byName.get(f.name.toLowerCase).flatMap(idOf) match {
+        case Some(id) => withId(f, id)
+        case None     => f
+      }
+    })
+  }
+
+  /** Wrap a v2 write's LogicalWriteInfo so its schema carries the table's
+    * ids ([[overlayIds]]) — the one seam through which every GraftWriteBuilder
+    * path (plain, partitioned, streaming, row-level replacement) stamps
+    * footers. */
+  def overlayInfo(info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+                  tableSchema: StructType)
+    : org.apache.spark.sql.connector.write.LogicalWriteInfo =
+    new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = info.queryId()
+      override def schema(): StructType = overlayIds(info.schema(), tableSchema)
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        info.options()
+      override def rowIdSchema(): java.util.Optional[StructType] = info.rowIdSchema()
+      override def metadataSchema(): java.util.Optional[StructType] = info.metadataSchema()
+    }
+
+  /** Enable Spark's parquet field-id machinery on the active session — id
+    * stamping on writes always; id RESOLUTION on reads is still gated
+    * per-table by whether the read schema carries ids ([[readSchema]]), so
+    * flipping the session conf on changes nothing for name-resolved tables. */
+  def enableSessionConfs(): Unit =
+    scala.util.Try(SparkSession.active).foreach { s =>
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
+
+  /** Segments among `segs` holding any parquet file WITHOUT footer field ids
+    * — the rename pre-flight: id resolution over such a file fails loudly at
+    * read time, so the DDL refuses up front and names the culprits. One
+    * driver-side footer open per file, metadata IO only (the same class of
+    * cost as the commit-time zone harvest; rename is a rare DDL). */
+  def segmentsWithoutIds(tableDir: Path, segs: Seq[String]): Seq[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    segs.filter { seg =>
+      val hdir = new org.apache.hadoop.fs.Path(tableDir.resolve(seg).toString)
+      scala.util.Try {
+        val fs = hdir.getFileSystem(conf)
+        if (!fs.isDirectory(hdir)) false
+        else fs.listStatus(hdir)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .exists { st =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+            try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .exists(_.getId == null)
+            finally r.close()
+          }
+      }.getOrElse(true) // unreadable ⇒ treat as id-less ⇒ refuse honestly
+    }
+  }
+}

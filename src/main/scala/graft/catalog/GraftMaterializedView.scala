@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.functions.{broadcast, col, count, element_at, lit, split, sum, when}
+import org.apache.spark.sql.functions.{broadcast, col, count, element_at, greatest, least, lit, max, min, split, sum, when}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,8 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * the last refresh), not O(table).
   *
   * An MV is itself an ordinary graft table (snapshot-versioned, time-travels,
-  * compacts) holding `keys..., n_rows, sum_<col>...` plus bookkeeping props:
-  * `graft.mv.source` / `graft.mv.keys` / `graft.mv.sums` and the REFRESH
+  * compacts) holding `keys..., n_rows, sum_<col>..., min_<col>..., max_<col>...`
+  * plus bookkeeping props: `graft.mv.source` / `graft.mv.keys` /
+  * `graft.mv.sums` / `graft.mv.mins` / `graft.mv.maxs` and the REFRESH
   * WATERMARK `graft.mv.version` (the source snapshot the contents equal).
   *
   * `refresh_mv` is pure delta arithmetic over the CDC feed:
@@ -32,9 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * versa: double-application on replay is impossible because the commit is
   * also registered under `mvr-<to-version>` in the exactly-once registry).
   *
-  * Only COUNT/SUM (and therefore AVG downstream) are maintained: they are the
-  * delta-commutative aggregates. MIN/MAX under deletes require a full regroup
-  * of affected groups and are refused at creation, loudly.
+  * COUNT/SUM (and therefore AVG downstream) are delta-commutative and always
+  * maintained arithmetically. MIN/MAX are maintained by the COUNTING
+  * ALGORITHM's bounded fallback: inserts tighten an extremum in place
+  * (`least`/`greatest` — still pure arithmetic), and a group is RE-AGGREGATED
+  * from the source only when a delete could have killed its current extremum
+  * (deleted min ≤ stored min / deleted max ≥ stored max) — one projected
+  * source scan per refresh, aggregating ONLY the endangered groups' rows
+  * (broadcast semi-join on their keys), never a full regroup.
   *
   * Shape derived from the published literature on incremental view
   * maintenance (counting algorithm / DBToaster-style delta processing) —
@@ -43,19 +49,36 @@ private[catalog] object GraftMv {
   val SourceProp = "graft.mv.source"
   val KeysProp = "graft.mv.keys"
   val SumsProp = "graft.mv.sums"
+  val MinsProp = "graft.mv.mins"
+  val MaxsProp = "graft.mv.maxs"
   val VersionProp = "graft.mv.version"
 
   def keyCols(meta: GraftMeta): Seq[String] =
     meta.props(KeysProp).split(',').map(_.trim).filter(_.nonEmpty).toSeq
   def sumCols(meta: GraftMeta): Seq[String] =
     meta.props.get(SumsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  def minCols(meta: GraftMeta): Seq[String] =
+    meta.props.get(MinsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  def maxCols(meta: GraftMeta): Seq[String] =
+    meta.props.get(MaxsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
-  /** The MV aggregate of `rows`: one row per key tuple, counting all rows and
-    * summing each sum column — column names are the MV schema's. */
-  def aggregate(rows: DataFrame, keys: Seq[String], sums: Seq[String]): DataFrame = {
+  /** The MV aggregate of `rows`: one row per key tuple, counting all rows,
+    * summing each sum column, and min/max-ing the extremum columns — column
+    * names are the MV schema's. */
+  def aggregate(rows: DataFrame, keys: Seq[String], sums: Seq[String],
+                mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
-      sums.map(c => sum(col(c)).as(s"sum_$c"))
+      (sums.map(c => sum(col(c)).as(s"sum_$c")) ++
+        mins.map(c => min(col(c)).as(s"min_$c")) ++
+        maxs.map(c => max(col(c)).as(s"max_$c")))
     rows.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Types an extremum column may have: anything with a total order the
+    * engine's MIN/MAX agree on across Spark and the zone layer. */
+  def orderable(t: DataType): Boolean = t match {
+    case _: NumericType | DateType | TimestampType | StringType | BooleanType => true
+    case _ => false
   }
 }
 
@@ -64,13 +87,15 @@ private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
 
   override def name(): String = "create_mv"
   override def description(): String =
-    "materialize a COUNT/SUM group-by over a graft table, incrementally refreshable"
+    "materialize a COUNT/SUM/MIN/MAX group-by over a graft table, incrementally refreshable"
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("mv_table", StringType).build(),
     ProcedureParameter.in("source_table", StringType).build(),
     ProcedureParameter.in("keys", StringType).build(),
-    ProcedureParameter.in("sums", StringType).defaultValue("''").build())
+    ProcedureParameter.in("sums", StringType).defaultValue("''").build(),
+    ProcedureParameter.in("mins", StringType).defaultValue("''").build(),
+    ProcedureParameter.in("maxs", StringType).defaultValue("''").build())
 
   override val outputSchema: StructType = StructType(Seq(
     StructField("mv", StringType, nullable = false),
@@ -81,26 +106,35 @@ private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
     val spark = SparkSession.active
     val mvArg = input.getUTF8String(0).toString
     val srcArg = input.getUTF8String(1).toString
-    val keys = input.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    val sums = input.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    def list(i: Int): Seq[String] =
+      input.getUTF8String(i).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val keys = list(2)
+    val sums = list(3)
+    val mins = list(4)
+    val maxs = list(5)
     require(keys.nonEmpty, "graft create_mv: keys must name at least one column")
     sums.foreach(c => require(!c.contains(":"),
-      s"graft create_mv: '$c' — only plain SUM columns are supported " +
-        "(COUNT is implicit as n_rows; MIN/MAX are not delta-maintainable under deletes)"))
+      s"graft create_mv: '$c' — plain column names only " +
+        "(COUNT is implicit as n_rows; MIN/MAX go in the mins/maxs parameters)"))
     val srcDir = resolveTableDir(srcArg)
     val srcMeta = GraftMeta.read(srcDir)
-    (keys ++ sums).foreach(c => require(srcMeta.schema.fieldNames.contains(c),
+    (keys ++ sums ++ mins ++ maxs).foreach(c => require(srcMeta.schema.fieldNames.contains(c),
       s"graft create_mv: source '$srcArg' has no column '$c'"))
     sums.foreach { c =>
       val t = srcMeta.schema(c).dataType
       require(t.isInstanceOf[NumericType], s"graft create_mv: SUM column '$c' is $t, not numeric")
+    }
+    (mins ++ maxs).foreach { c =>
+      val t = srcMeta.schema(c).dataType
+      require(GraftMv.orderable(t),
+        s"graft create_mv: MIN/MAX column '$c' is $t — not an orderable scalar")
     }
     val v = srcMeta.current
     // aggregate the source PINNED at v — commits racing this build land
     // after the watermark and surface at the first refresh
     val src = spark.read.option("snapshot", v.toString)
       .table(s"${catalog.name()}.$srcArg")
-    val df = GraftMv.aggregate(src, keys, sums)
+    val df = GraftMv.aggregate(src, keys, sums, mins, maxs)
 
     val parts = mvArg.split('.')
     catalog.createTable(Identifier.of(parts.init, parts.last), df.schema,
@@ -114,6 +148,8 @@ private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
       propsUpdate = Map(GraftMv.SourceProp -> srcArg,
         GraftMv.KeysProp -> keys.mkString(","),
         GraftMv.SumsProp -> sums.mkString(","),
+        GraftMv.MinsProp -> mins.mkString(","),
+        GraftMv.MaxsProp -> maxs.mkString(","),
         GraftMv.VersionProp -> v.toString))
     val nGroups = segments.flatMap(_._2)
       .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption) match {
@@ -160,15 +196,27 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
       throw new IllegalArgumentException(s"graft refresh_mv: '$mvArg' is not a materialized view"))
     val keys = GraftMv.keyCols(meta)
     val sums = GraftMv.sumCols(meta)
+    val mins = GraftMv.minCols(meta)
+    val maxs = GraftMv.maxCols(meta)
     val lastV = meta.props(GraftMv.VersionProp).toLong
     val srcDir = resolveTableDir(srcArg)
     val cur = GraftMeta.read(srcDir).current
     if (cur == lastV) return result(lastV, cur, 0L, 0L)
 
     val deltas = GraftCdc.rowDeltas(spark, catalog.name(), srcArg, lastV, Some(cur))
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val aggs = sum(sign).as("__dn") +:
-      sums.map(c => sum(sign * col(c)).as(s"__d_$c"))
+    val isIns = col("_change_type") === "insert"
+    val sign = when(isIns, 1L).otherwise(-1L)
+    val aggs = sum(sign).as("__dn") +: (
+      sums.map(c => sum(sign * col(c)).as(s"__d_$c")) ++
+        // per-group extrema of the INSERTED and DELETED slices — inserts
+        // tighten extrema arithmetically; deleted extrema decide whether a
+        // stored extremum is ENDANGERED (deleted min ≤ stored min can only
+        // happen at equality, since deletes remove rows the watermark state
+        // already covered)
+        mins.map(c => min(when(isIns, col(c))).as(s"__ins_min_$c")) ++
+        mins.map(c => min(when(!isIns, col(c))).as(s"__del_min_$c")) ++
+        maxs.map(c => max(when(isIns, col(c))).as(s"__ins_max_$c")) ++
+        maxs.map(c => max(when(!isIns, col(c))).as(s"__del_max_$c")))
     val grouped = deltas.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
     if (grouped.isEmpty) {
@@ -183,7 +231,7 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
     // surviving groups' new versions, and let n_rows=0 groups die with their
     // vectored positions
     val segs = meta.snapshots(meta.current)
-    val live = GraftDv.readLive(spark, mvDir, meta.schema, segs,
+    val live = GraftDv.readLive(spark, mvDir, meta.readSchema, segs,
       GraftDv.forSegments(meta, meta.current, segs), keepMeta = true)
     val g = broadcast(grouped)
     val joinCond = keys.map(k => live(k) <=> g(k)).reduce(_ && _)
@@ -200,21 +248,69 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // new group states: old (or zero for brand-new groups) + delta
-    val liveSel = live.select(
-      (keys.map(live(_)) ++ (col("n_rows") +: sums.map(c => col(s"sum_$c")))): _*)
+    val stateCols = col("n_rows") +: (sums.map(c => col(s"sum_$c")) ++
+      mins.map(c => col(s"min_$c")) ++ maxs.map(c => col(s"max_$c")))
+    val liveSel = live.select((keys.map(live(_)) ++ stateCols): _*)
     val joined = g.join(liveSel, keys.map(k => liveSel(k) <=> g(k)).reduce(_ && _), "left")
     val coalesceF = org.apache.spark.sql.functions.coalesce _
-    val newState = joined.select(
+    // ENDANGERED ⇔ a delete reached the stored extremum: the value might
+    // survive as a duplicate, so the group re-aggregates from the source —
+    // the counting algorithm's bounded fallback. Inserts alone never
+    // endanger (they only tighten), so pure-append refreshes stay
+    // arithmetic-only with NO source rescan.
+    val endangered = (
+      mins.map(c => col(s"__del_min_$c").isNotNull && col(s"min_$c").isNotNull &&
+        col(s"__del_min_$c") <= col(s"min_$c")) ++
+        maxs.map(c => col(s"__del_max_$c").isNotNull && col(s"max_$c").isNotNull &&
+          col(s"__del_max_$c") >= col(s"max_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val pre = joined.select(
       keys.map(g(_)) ++
         Seq((coalesceF(Seq(col("n_rows"), lit(0L))) + col("__dn")).as("n_rows"),
-          col("n_rows").isNotNull.as("__existed")) ++
+          col("n_rows").isNotNull.as("__existed"),
+          (col("n_rows").isNotNull && endangered).as("__endangered")) ++
         sums.map { c =>
           val t = meta.schema(s"sum_$c").dataType
           val zero = lit(0).cast(t)
           coalesceF(Seq(
             (coalesceF(Seq(col(s"sum_$c"), zero)) + col(s"__d_$c")).cast(t), zero))
             .as(s"sum_$c")
-        }: _*).cache()
+        } ++
+        // the arithmetic (insert-only) extremum update; endangered groups
+        // override from the rescan below
+        mins.map(c => least(col(s"min_$c"), col(s"__ins_min_$c")).as(s"min_$c")) ++
+        maxs.map(c => greatest(col(s"max_$c"), col(s"__ins_max_$c")).as(s"max_$c")): _*)
+      .cache()
+
+    val newState =
+      if (mins.isEmpty && maxs.isEmpty) pre
+      else {
+        val endKeys = pre.where(col("__endangered")).select(keys.map(col): _*).distinct()
+        // bounded re-aggregation: ONE projected scan of the source at the
+        // target version, semi-joined (broadcast — endangered groups are a
+        // subset of this refresh's touched groups) so only the endangered
+        // groups' rows aggregate
+        val src = spark.read.option("snapshot", cur.toString)
+          .table(s"${catalog.name()}.$srcArg")
+        val rsAggs = mins.map(c => min(col(c)).as(s"__rs_min_$c")) ++
+          maxs.map(c => max(col(c)).as(s"__rs_max_$c"))
+        val rescan = src
+          .join(broadcast(endKeys), keys.map(k => src(k) <=> endKeys(k)).reduce(_ && _),
+            "left_semi")
+          .groupBy(keys.map(src(_)): _*)
+          .agg(rsAggs.head, rsAggs.tail: _*)
+        val rj = pre.join(broadcast(rescan),
+          keys.map(k => pre(k) <=> rescan(k)).reduce(_ && _), "left")
+        rj.select(
+          keys.map(pre(_)) ++
+            Seq(pre("n_rows"), pre("__existed")) ++
+            sums.map(c => pre(s"sum_$c")) ++
+            mins.map(c => when(pre("__endangered"), rescan(s"__rs_min_$c"))
+              .otherwise(pre(s"min_$c")).as(s"min_$c")) ++
+            maxs.map(c => when(pre("__endangered"), rescan(s"__rs_max_$c"))
+              .otherwise(pre(s"max_$c")).as(s"max_$c")): _*)
+      }
+
     val alive = newState.where(col("n_rows") > 0)
       .select(meta.schema.fieldNames.map(col).toSeq: _*)
     val deleted = newState.where(col("__existed") && col("n_rows") <= 0).count()
@@ -225,6 +321,7 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
       case rs if rs.size == newSegments.size => rs.sum
       case _ => alive.count()
     }
+    pre.unpersist()
 
     val propsUpdate = Map(GraftMv.VersionProp -> cur.toString)
     val namedKey = Some(s"mvr-$cur") // replayed refresh to the same version: no-op

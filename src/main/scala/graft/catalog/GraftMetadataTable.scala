@@ -20,7 +20,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * when every segment in scope has them, else null — introspection never
   * triggers a data scan. */
 private[catalog] object GraftMetadataTable {
-  val Kinds: Set[String] = Set("snapshots", "segments", "refs", "tags", "column_stats")
+  val Kinds: Set[String] =
+    Set("snapshots", "segments", "refs", "tags", "column_stats", "partitions")
+
+  /** `t.partitions` (Iceberg convention): per-partition-value rollup of the
+    * CURRENT snapshot from segment suffixes + committed zone stats — the
+    * first question an operator asks a skewed 100 TB table ("which partition
+    * is the fat one?"), answered with zero file IO. One row per distinct
+    * (spec, tuple) suffix; unpartitioned(-era) segments roll into a single
+    * NULL-partition row. */
+  val PartitionsSchema: StructType = StructType(Seq(
+    // decoded tuple ("us/2024", nulls render as "null"); NULL for segments
+    // written while the table was unpartitioned
+    StructField("partition", StringType, nullable = true),
+    StructField("spec_id", LongType, nullable = false),
+    StructField("n_segments", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    // exact, from zone stats; null if any contributing segment lacks them
+    StructField("n_rows", LongType, nullable = true),
+    StructField("n_delete_vectors", IntegerType, nullable = false)))
 
   val ColumnStatsSchema: StructType = StructType(Seq(
     StructField("column", StringType, nullable = false),
@@ -84,6 +103,7 @@ private[catalog] final class GraftMetadataTable(
     case "refs"         => RefsSchema
     case "tags"         => TagsSchema
     case "column_stats" => ColumnStatsSchema
+    case "partitions"   => PartitionsSchema
     case _              => SegmentsSchema
   }
   override def capabilities(): java.util.Set[TableCapability] =
@@ -125,6 +145,27 @@ private[catalog] final class GraftMetadataTable(
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(f.name), segs.size, rows, nulls, ndv)): InternalRow
       }
+    } else if (kind == "partitions") {
+      val segs = meta.snapshots.getOrElse(meta.current, Nil)
+      val dvs = meta.dvs.getOrElse(meta.current, Map.empty)
+      segs.groupBy(s => GraftPartitions.suffixOf(s).getOrElse(""))
+        .toSeq.sortBy(_._1).map { case (sfx, group) =>
+          val files = group.flatMap { seg =>
+            val d = tableDir.resolve(seg)
+            if (Files.isDirectory(d))
+              GraftMeta.listDir(d).filter(_.getFileName.toString.endsWith(".parquet"))
+            else Nil
+          }
+          val n = group.map(segRows(meta, _))
+            .foldLeft(Option(0L)) { case (acc, r) => for (a <- acc; b <- r) yield a + b }
+          val part: Any =
+            if (sfx.isEmpty) null
+            else UTF8String.fromString(GraftPartitions.describeSuffix(sfx))
+          new GenericInternalRow(Array[Any](
+            part, GraftPartitions.specIdOf(sfx), group.size, files.size,
+            files.map(Files.size).sum, n.orNull,
+            group.map(s => dvs.getOrElse(s, Nil).size).sum)): InternalRow
+        }.toArray
     } else if (kind == "tags") {
       GraftRefs.allTags(meta).toSeq.sortBy(_._1).map { case (name, snap) =>
         new GenericInternalRow(Array[Any](

@@ -354,7 +354,7 @@ private[catalog] object GraftDml {
   private def readLive(spark: SparkSession, dir: java.nio.file.Path,
                        meta: GraftMeta, segs: Seq[String],
                        keepMeta: Boolean = false): DataFrame =
-    GraftDv.readLive(spark, dir, meta.schema, segs,
+    GraftDv.readLive(spark, dir, meta.readSchema, segs,
       GraftDv.forSegments(meta, meta.current, segs), keepMeta)
 
   /** The table-owned write layout, applied to a DML rewrite the same way
@@ -390,9 +390,13 @@ private[catalog] object GraftDml {
 
   private def writeOneSegment(dir: java.nio.file.Path, meta: GraftMeta,
                               df: DataFrame, segment: String): (String, Option[String]) = {
-    applyLayout(df, meta.props).write.parquet(dir.resolve(segment).toString)
+    // re-apply the table's column ids: plan transforms do not reliably carry
+    // source metadata, and an id-less rewritten segment would strand the
+    // table outside RENAME's id resolution (GraftFieldIds)
+    GraftFieldIds.applyIds(applyLayout(df, meta.props), meta.schema)
+      .write.parquet(dir.resolve(segment).toString)
     val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-      SparkSession.active, dir.resolve(segment).toString, meta.schema,
+      SparkSession.active, dir.resolve(segment).toString, meta.readSchema,
       SegmentStats.sumCols(meta.props, meta.schema),
         GraftBloom.cols(meta.props, meta.schema),
         SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
@@ -806,7 +810,7 @@ private[catalog] object GraftDml {
     if (segs.isEmpty && src.isEmpty) return (0L, 0L, 0)
     // ONE probe of the live target against the broadcast source finds the
     // positions the upsert supersedes; the table is never shuffled
-    val live = GraftDv.readLive(spark, dir, meta.schema, segs,
+    val live = GraftDv.readLive(spark, dir, meta.readSchema, segs,
       GraftDv.forSegments(meta, meta.current, segs), keepMeta = true)
     val joinCond = resolvedKeys.map(k => live(k) === src(k)).reduce(_ && _)
     val dvName = s"${GraftDv.Prefix}${UUID.randomUUID().toString.take(12)}"

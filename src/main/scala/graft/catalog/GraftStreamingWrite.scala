@@ -89,7 +89,7 @@ private[catalog] final class GraftStreamingWrite(
         fileNames.foreach(f => Files.move(epochStaging.resolve(enc).resolve(f),
           segDir.resolve(f)))
         val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-          SparkSession.active, segDir.toString, metaAtBuild.schema,
+          SparkSession.active, segDir.toString, metaAtBuild.readSchema,
           SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
           GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
           SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema)))).toOption

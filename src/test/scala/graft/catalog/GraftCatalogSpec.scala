@@ -264,9 +264,10 @@ class GraftCatalogSpec extends SparkSpec {
     sql("ALTER TABLE gtest.ns.t9 DROP COLUMN tag")
     val after = sql("SELECT * FROM gtest.ns.t9 ORDER BY k").collect()
     assert(after.head.schema.fieldNames.toSeq === Seq("k", "score"))
-    // renames need column-id mapping; the catalog must refuse, not corrupt
-    val err = intercept[Exception] { sql("ALTER TABLE gtest.ns.t9 RENAME COLUMN score TO s2") }
-    assert(err.getMessage.contains("unsupported ALTER TABLE change"))
+    // renames ride stable field ids since round 14 (RenameColumnSpec pins
+    // the full contract); the DDL that used to refuse now works end to end
+    sql("ALTER TABLE gtest.ns.t9 RENAME COLUMN score TO s2")
+    assert(sql("SELECT s2 FROM gtest.ns.t9 WHERE k = 3").head.getLong(0) === 30L)
   }
 
   test("named segments make appends idempotent (exactly-once replay contract)") {

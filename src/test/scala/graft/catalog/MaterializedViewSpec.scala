@@ -117,6 +117,57 @@ class MaterializedViewSpec extends SparkSpec {
     assert(e1.getMessage.contains("not numeric"))
     val e2 = intercept[Exception](sql(
       "CALL gmv.system.create_mv('ns.mv5b', 'ns.s5', keys => 'b', sums => 'min:amt')"))
-    assert(e2.getMessage.contains("not delta-maintainable"))
+    assert(e2.getMessage.contains("mins/maxs parameters"),
+      "colon specs point at the dedicated mins/maxs parameters now")
+  }
+
+  test("MIN/MAX maintenance: inserts tighten arithmetically, extremum deletes re-aggregate the group") {
+    root
+    sql("DROP TABLE IF EXISTS gmv.ns.s6")
+    sql("CREATE TABLE gmv.ns.s6 (b BIGINT, amt BIGINT) USING parquet")
+    sql("INSERT INTO gmv.ns.s6 VALUES (1, 10), (1, 20), (1, 20), (2, 5), (2, 7)")
+    sql("CALL gmv.system.create_mv('ns.mv6', 'ns.s6', keys => 'b', " +
+      "sums => 'amt', mins => 'amt', maxs => 'amt')")
+    def mv: Map[Long, (Long, Long, Long, Long)] =
+      sql("SELECT b, n_rows, sum_amt, min_amt, max_amt FROM gmv.ns.mv6")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(mv === Map(1L -> (3L, 50L, 10L, 20L), 2L -> (2L, 12L, 5L, 7L)))
+    // insert-only delta: extrema tighten with pure arithmetic (no rescan)
+    sql("INSERT INTO gmv.ns.s6 VALUES (1, 3), (2, 100)")
+    sql("CALL gmv.system.refresh_mv('ns.mv6')")
+    assert(mv === Map(1L -> (4L, 53L, 3L, 20L), 2L -> (3L, 112L, 5L, 100L)))
+    // EXTREMUM DEATH: delete BOTH copies of group 1's max (20) — the stored
+    // extremum is gone, so the group must re-aggregate from the source
+    sql("DELETE FROM gmv.ns.s6 WHERE b = 1 AND amt = 20")
+    sql("CALL gmv.system.refresh_mv('ns.mv6')")
+    assert(mv === Map(1L -> (2L, 13L, 3L, 10L), 2L -> (3L, 112L, 5L, 100L)))
+    // delete a NON-extremum row: arithmetic path, extrema unchanged
+    sql("DELETE FROM gmv.ns.s6 WHERE b = 2 AND amt = 7")
+    sql("CALL gmv.system.refresh_mv('ns.mv6')")
+    assert(mv === Map(1L -> (2L, 13L, 3L, 10L), 2L -> (2L, 105L, 5L, 100L)))
+    // UPDATE that moves the min up (delete+insert of the extremum)
+    sql("UPDATE gmv.ns.s6 SET amt = 50 WHERE b = 2 AND amt = 5")
+    sql("CALL gmv.system.refresh_mv('ns.mv6')")
+    assert(mv === Map(1L -> (2L, 13L, 3L, 10L), 2L -> (2L, 150L, 50L, 100L)))
+    // group death alongside extremum churn
+    sql("DELETE FROM gmv.ns.s6 WHERE b = 1")
+    sql("CALL gmv.system.refresh_mv('ns.mv6')")
+    assert(mv === Map(2L -> (2L, 150L, 50L, 100L)))
+  }
+
+  test("MIN/MAX with duplicate extremum values: deleting one copy keeps the other") {
+    root
+    sql("DROP TABLE IF EXISTS gmv.ns.s7")
+    sql("CREATE TABLE gmv.ns.s7 (b BIGINT, amt BIGINT, tag STRING) USING parquet")
+    sql("INSERT INTO gmv.ns.s7 VALUES (1, 10, 'a'), (1, 10, 'b'), (1, 30, 'c')")
+    sql("CALL gmv.system.create_mv('ns.mv7', 'ns.s7', keys => 'b', mins => 'amt')")
+    // delete ONE of the two min copies: the rescan must find the survivor
+    // (pure arithmetic would have no way to know a duplicate remains)
+    sql("DELETE FROM gmv.ns.s7 WHERE tag = 'a'")
+    sql("CALL gmv.system.refresh_mv('ns.mv7')")
+    val m = sql("SELECT b, n_rows, min_amt FROM gmv.ns.mv7").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(m === Seq((1L, 2L, 10L)))
   }
 }

@@ -1,0 +1,151 @@
+package graft.catalog
+
+import graft.SparkSpec
+
+/** Pins for ALTER TABLE ... RENAME COLUMN via stable field ids
+  * (GraftFieldIds): metadata-only rename, pre-rename segments resolved BY ID
+  * with zero data rewritten, refusals where id resolution cannot be proven
+  * safe, and the property/stat bookkeeping that must follow the new name. */
+class RenameColumnSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ren_spec")
+    spark.conf.set("spark.sql.catalog.gren", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gren.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("rename reads through PRE-rename segments by field id; new writes land under the new name") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r1")
+    sql("CREATE TABLE gren.ns.r1 (k BIGINT, bal BIGINT) USING parquet")
+    sql("INSERT INTO gren.ns.r1 VALUES (1, 100), (2, 200)") // pre-rename segment
+    sql("ALTER TABLE gren.ns.r1 RENAME COLUMN bal TO balance")
+    sql("INSERT INTO gren.ns.r1 VALUES (3, 300)")           // post-rename segment
+    val rows = sql("SELECT k, balance FROM gren.ns.r1 ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 100L), (2L, 200L), (3L, 300L)),
+      "old segments must serve the renamed column by id, not null-fill it")
+    // filter pushdown on the renamed name, value living only in an OLD segment
+    assert(sql("SELECT k FROM gren.ns.r1 WHERE balance = 200").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // aggregates across both segment eras
+    assert(sql("SELECT SUM(balance) FROM gren.ns.r1").collect().head.getLong(0) === 600L)
+  }
+
+  test("time travel reads pre-rename snapshots under the CURRENT (renamed) schema") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r2")
+    sql("CREATE TABLE gren.ns.r2 (k BIGINT, v BIGINT) USING parquet")
+    sql("INSERT INTO gren.ns.r2 VALUES (1, 10)")
+    sql("ALTER TABLE gren.ns.r2 RENAME COLUMN v TO val")
+    sql("INSERT INTO gren.ns.r2 VALUES (2, 20)")
+    val asOf = sql("SELECT k, val FROM gren.ns.r2 VERSION AS OF 1").collect()
+    assert(asOf.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 10L)))
+  }
+
+  test("DML and compaction keep id resolution intact after a rename") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r3")
+    sql("CREATE TABLE gren.ns.r3 (k BIGINT, amt BIGINT) USING parquet")
+    sql("INSERT INTO gren.ns.r3 VALUES (1, 10), (2, 20)")
+    sql("ALTER TABLE gren.ns.r3 RENAME COLUMN amt TO amount")
+    sql("INSERT INTO gren.ns.r3 VALUES (3, 30)")
+    // copy-on-write UPDATE through the renamed name (rewrites segments)
+    sql("UPDATE gren.ns.r3 SET amount = amount + 1 WHERE k = 1")
+    assert(sql("SELECT amount FROM gren.ns.r3 WHERE k = 1").collect()
+      .head.getLong(0) === 11L)
+    // compaction rewrites segments — the rewritten files must carry ids
+    // (GraftFieldIds.applyIds in the rewrite job) so reads keep resolving
+    sql("CALL gren.system.compact('ns.r3')")
+    assert(sql("SELECT SUM(amount) FROM gren.ns.r3").collect().head.getLong(0) === 61L)
+    // a SECOND rename after compaction still passes the footer-id pre-flight
+    sql("ALTER TABLE gren.ns.r3 RENAME COLUMN amount TO amt2")
+    assert(sql("SELECT SUM(amt2) FROM gren.ns.r3").collect().head.getLong(0) === 61L)
+  }
+
+  test("zone-map stats follow the rename (old segments keep pruning)") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r4")
+    sql("CREATE TABLE gren.ns.r4 (k BIGINT, x BIGINT) USING parquet")
+    sql("INSERT INTO gren.ns.r4 VALUES (1, 5)")
+    sql("ALTER TABLE gren.ns.r4 RENAME COLUMN x TO y")
+    val dir = root.resolve("ns").resolve("r4")
+    val meta = GraftMeta.read(dir)
+    val stats = meta.zstats.values.map(SegmentStats.decode)
+    assert(stats.nonEmpty && stats.forall(_.cols.contains("y")),
+      s"zone entries must be re-keyed to the new name, got ${meta.zstats}")
+    assert(stats.forall(!_.cols.contains("x")))
+  }
+
+  test("refusals: duplicate name, CHECK/generated references, unsafe charset") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r5")
+    sql("""CREATE TABLE gren.ns.r5 (k BIGINT, v BIGINT, w BIGINT) USING parquet
+           TBLPROPERTIES ('graft.check.pos' = 'v >= 0')""")
+    sql("INSERT INTO gren.ns.r5 VALUES (1, 1, 1)")
+    intercept[Exception] { sql("ALTER TABLE gren.ns.r5 RENAME COLUMN v TO w") }
+    intercept[Exception] { sql("ALTER TABLE gren.ns.r5 RENAME COLUMN v TO v2") }
+    intercept[Exception] { sql("ALTER TABLE gren.ns.r5 RENAME COLUMN w TO `a:b`") }
+    // an unreferenced column renames fine even with a CHECK present
+    sql("ALTER TABLE gren.ns.r5 RENAME COLUMN w TO w2")
+    assert(sql("SELECT w2 FROM gren.ns.r5").collect().head.getLong(0) === 1L)
+  }
+
+  test("add_files: refused AFTER a rename; id-less imported segments refuse a rename") {
+    root
+    val ext = java.nio.file.Files.createTempDirectory("gren_ext")
+    spark.range(2).selectExpr("id AS k", "id * 10 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(ext.toString)
+    // crud left by spark's committer confuses nothing: add_files links *.parquet
+    sql("DROP TABLE IF EXISTS gren.ns.r6")
+    sql("CREATE TABLE gren.ns.r6 (k BIGINT, v BIGINT) USING parquet")
+    sql(s"CALL gren.system.add_files('ns.r6', '${ext.toString}')")
+    // imported files carry no footer ids -> rename refuses honestly
+    val e = intercept[Exception] {
+      sql("ALTER TABLE gren.ns.r6 RENAME COLUMN v TO v2")
+    }
+    assert(e.getMessage.contains("footer field ids"))
+    // and the mirror gate: a renamed table refuses add_files
+    sql("DROP TABLE IF EXISTS gren.ns.r7")
+    sql("CREATE TABLE gren.ns.r7 (k BIGINT, v BIGINT) USING parquet")
+    sql("INSERT INTO gren.ns.r7 VALUES (1, 1)")
+    sql("ALTER TABLE gren.ns.r7 RENAME COLUMN v TO v2")
+    val e2 = intercept[Exception] {
+      sql(s"CALL gren.system.add_files('ns.r7', '${ext.toString}')")
+    }
+    assert(e2.getMessage.contains("field id"))
+  }
+
+  test("layout properties follow the rename: cluster-by and partition-by") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r8")
+    sql("""CREATE TABLE gren.ns.r8 (k BIGINT, region STRING) USING parquet
+           PARTITIONED BY (region)""")
+    sql("INSERT INTO gren.ns.r8 VALUES (1, 'eu'), (2, 'us')")
+    sql("ALTER TABLE gren.ns.r8 RENAME COLUMN region TO geo")
+    // future writes route by the renamed partition column
+    sql("INSERT INTO gren.ns.r8 VALUES (3, 'eu')")
+    assert(sql("SELECT k FROM gren.ns.r8 WHERE geo = 'eu' ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val meta = GraftMeta.read(root.resolve("ns").resolve("r8"))
+    assert(meta.props(GraftTable.PartitionByProp) === "geo")
+  }
+
+  test("generated column renames by re-keying its property") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r9")
+    sql("""CREATE TABLE gren.ns.r9 (ts TIMESTAMP, day DATE) USING parquet
+           TBLPROPERTIES ('graft.generate.day' = 'CAST(ts AS DATE)')""")
+    sql("INSERT INTO gren.ns.r9 (ts) VALUES (TIMESTAMP '2026-01-02 03:04:05')")
+    sql("ALTER TABLE gren.ns.r9 RENAME COLUMN day TO d")
+    sql("INSERT INTO gren.ns.r9 (ts) VALUES (TIMESTAMP '2026-02-03 04:05:06')")
+    val rows = sql("SELECT CAST(d AS STRING) FROM gren.ns.r9 ORDER BY ts").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("2026-01-02", "2026-02-03"))
+    val meta = GraftMeta.read(root.resolve("ns").resolve("r9"))
+    assert(meta.props.contains(GraftGenerate.Prefix + "d"))
+    assert(!meta.props.contains(GraftGenerate.Prefix + "day"))
+  }
+}
