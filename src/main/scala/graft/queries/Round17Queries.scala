@@ -104,7 +104,64 @@ object Round17Queries {
               COUNT(*) AS n_rows
        FROM eras GROUP BY st ORDER BY st"""
 
+  // --------------------------------------------------------------------------
+  // q276: MATERIALIZED-VIEW MIN/MAX maintenance (GraftMaterializedView) —
+  // q236's incremental-MV contract extended to the non-delta-commutative
+  // aggregates the engine used to refuse. create_mv materializes
+  // COUNT/SUM/MIN/MAX once; a DML wave then appends (extrema tighten with
+  // pure arithmetic — no rescan), DELETEs rows INCLUDING group extrema, and
+  // UPDATEs rows past old maxima; refresh_mv applies CDC deltas and
+  // re-aggregates ONLY the endangered groups (deleted extremum == stored
+  // extremum) from the source via a broadcast semi-join — the counting
+  // algorithm's bounded fallback, never a full regroup. The oracle
+  // recomputes the refreshed MV from a relational replay of the final
+  // source state: the hash gates incremental extrema ≡ full recompute.
+  // --------------------------------------------------------------------------
+  private def q276(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = {
+      val v = s"r17_orders_${sfTag(d)}"
+      T.orders(s, d).createOrReplaceTempView(v)
+      v
+    }
+    val t = s"m276_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_mv")
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, b BIGINT, price_c BIGINT)
+      USING parquet
+      TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read',
+                     'graft.update-mode' = 'merge-on-read')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderkey % 23, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    s.sql(s"CALL graft.system.create_mv('lake.${t}_mv', 'lake.$t', " +
+      "keys => 'b', sums => 'price_c', mins => 'price_c', maxs => 'price_c')")
+    // the wave: appends tighten; the % 14 DELETE reaps rows including group
+    // extrema (endangered-group rescans); the UPDATE moves rows ABOVE old
+    // maxima (delete+insert pairs through CDC)
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderkey % 23, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 1""")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE k % 14 = 0")
+    s.sql(s"UPDATE graft.lake.$t SET price_c = price_c * 3 WHERE k % 19 = 0")
+    s.sql(s"CALL graft.system.refresh_mv('lake.${t}_mv')")
+    s.sql(s"""SELECT b, n_rows, CAST(sum_price_c AS BIGINT) AS sum_price_c,
+                     min_price_c, max_price_c
+              FROM graft.lake.${t}_mv ORDER BY b""")
+  }
+
+  private val q276Sql =
+    """WITH final AS (
+         SELECT o_orderkey % 23 AS b,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                  * CASE WHEN o_orderkey % 19 = 0 THEN 3 ELSE 1 END AS price_c
+         FROM orders WHERE o_orderkey % 14 <> 0)
+       SELECT b, COUNT(*) AS n_rows, CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+              MIN(price_c) AS min_price_c, MAX(price_c) AS max_price_c
+       FROM final GROUP BY b ORDER BY b"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q274_column_rename", q274, Some(q274Sql)),
-    QDef("q275_partitions_metadata", q275, Some(q275Sql)))
+    QDef("q275_partitions_metadata", q275, Some(q275Sql)),
+    QDef("q276_mv_minmax", q276, Some(q276Sql)))
 }
