@@ -93,9 +93,10 @@ private[catalog] final class GraftDeltaScanBuilder(
     options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
-  // default output: full row + row id (the merge write needs both)
+  // default output: full row + row id (the merge write needs both); READ
+  // schema so resolution is by name until the table flips to field ids
   private var required: StructType = StructType(
-    meta.schema.fields ++ Seq(
+    meta.readSchema.fields ++ Seq(
       org.apache.spark.sql.types.StructField(GraftDeltaMerge.SfCol, StringType, nullable = false),
       org.apache.spark.sql.types.StructField(GraftDeltaMerge.PosCol, LongType, nullable = false)))
 
