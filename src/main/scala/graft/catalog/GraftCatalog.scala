@@ -1796,6 +1796,43 @@ private[catalog] final class GraftMicroBatchStream(
       n
     }
 
+  /** `maxBytesPerTrigger` (Delta's analog, the SIZE-based admission control
+    * beside the commit-count one): admit snapshots until their appended
+    * segments' on-disk bytes cross the budget — always at least ONE snapshot,
+    * so a single oversized commit still drains instead of stalling the
+    * stream. Sizing is driver-side file listing of just the candidate
+    * snapshots' new segments (metadata IO, same class as planning). */
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+      n
+    }
+
+  private def segmentBytes(seg: String): Long = {
+    val d = tableDir.resolve(seg)
+    if (!Files.isDirectory(d)) 0L
+    else GraftMeta.listDir(d)
+      .filter(_.getFileName.toString.endsWith(".parquet")).map(Files.size).sum
+  }
+
+  /** Largest admissible end snapshot in (from, cap] under the byte budget. */
+  private def byteCappedEnd(m: GraftMeta, from: Long, cap: Long, budget: Long): Long = {
+    var end = from
+    var spent = 0L
+    var v = from + 1
+    while (v <= cap && (spent == 0L || spent < budget)) {
+      if (m.snapshots.contains(v) && m.snapshots.contains(v - 1)) {
+        val added = m.snapshots(v).filterNot(m.snapshots(v - 1).toSet)
+        spent += added.map(segmentBytes).sum
+        // first snapshot always admits (oversized single commits must drain)
+        if (spent <= budget || end == from) end = v
+      } else end = v // expired history inside the range fails loudly at plan
+      v += 1
+    }
+    end
+  }
+
   // Trigger.AvailableNow contract: pin "now" once at query start; bounded
   // batches then drain UP TO the pin and the query stops — commits landing
   // after the pin wait for the next run
@@ -1807,8 +1844,11 @@ private[catalog] final class GraftMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[Snap].id
-    val cap = availableNowBound.fold(meta.current)(math.min(meta.current, _))
-    Snap(maxPerTrigger.fold(cap)(n => math.min(cap, from + n)))
+    val m = meta
+    val cap = availableNowBound.fold(m.current)(math.min(m.current, _))
+    val countCapped = maxPerTrigger.fold(cap)(n => math.min(cap, from + n))
+    Snap(maxBytesPerTrigger.fold(countCapped)(b =>
+      byteCappedEnd(m, from, countCapped, b)))
   }
 
   override def initialOffset(): Offset =

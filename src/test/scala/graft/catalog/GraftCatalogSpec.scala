@@ -1025,6 +1025,38 @@ class GraftCatalogSpec extends SparkSpec {
       "no row lost or duplicated across the bounded batches and the restart")
   }
 
+  test("streaming source: maxBytesPerTrigger groups commits under a byte budget, oversized commits still drain") {
+    root
+    sql("DROP TABLE IF EXISTS gtest.ns.t38b")
+    sql("CREATE TABLE gtest.ns.t38b (k BIGINT) USING parquet")
+    // 4-commit backlog: two tiny, one large, one tiny
+    spark.range(0, 5).coalesce(1).toDF("k").writeTo("gtest.ns.t38b").append()      // snap 1 (~KB)
+    spark.range(5, 10).coalesce(1).toDF("k").writeTo("gtest.ns.t38b").append()     // snap 2 (~KB)
+    spark.range(10, 100010).coalesce(1).toDF("k").writeTo("gtest.ns.t38b").append() // snap 3 (>>50KB)
+    spark.range(100010, 100015).coalesce(1).toDF("k").writeTo("gtest.ns.t38b").append() // snap 4
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bytes_ckpt").toString
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("maxBytesPerTrigger", 50000)
+      .table("gtest.ns.t38b")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ks = df.collect().map(_.getLong(0))
+        sizes.synchronized { sizes += ks.length.toLong; seen ++= ks }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // snaps 1+2 fit one budget; snap 3 exceeds it ALONE but must still
+    // drain as its own batch (never stall); snap 4 follows separately
+    assert(sizes.toSeq === Seq(10L, 100000L, 5L),
+      s"expected byte-grouped batches [10, 100000, 5], saw $sizes")
+    assert(seen.sorted.toSeq === (0L until 100015L),
+      "no row lost or duplicated under byte-based admission")
+  }
+
   test("CDC row deltas: rewrites yield exact rows, compaction nets to zero") {
     root
     sql("DROP TABLE IF EXISTS gtest.ns.t39")
