@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownR
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetTable, ParquetWrite}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `graft` — a parquet-backed DataSource-v2 catalog with snapshot (MVCC) tables,
@@ -76,6 +76,18 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   override def name(): String = catalogName
+
+  /** Opt into column DEFAULT values in DDL: the analyzer then routes
+    * `CREATE/ALTER ... DEFAULT <lit>` through Column metadata
+    * (CURRENT_DEFAULT for future INSERTs, EXISTS_DEFAULT frozen at ADD time
+    * for pre-existing rows) — Spark's parquet readers fill EXISTS_DEFAULT
+    * for files missing the column, so the evolution stays metadata-only
+    * exactly like plain ADD COLUMN (ExistsDefaultProbeSpec pins the reader
+    * mechanism; zone pruning stays conservative because pre-ADD segments
+    * have no stats entry for the new column at all). */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private[catalog] def tableDirFor(ident: Identifier): Path = tableDir(ident)
 
@@ -485,8 +497,6 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
               s"graft catalog: added column '$field' must be nullable (existing rows null-fill)")
             require(add.position() == null,
               "graft catalog: ADD COLUMN appends at the end (FIRST/AFTER not supported)")
-            require(add.defaultValue() == null,
-              "graft catalog: ADD COLUMN DEFAULT not supported")
             require(!sch.fieldNames.contains(field),
               s"graft catalog: column '$field' already exists")
             // re-adding a dropped name would be an unguarded TYPE change: old
@@ -496,12 +506,44 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
             // mapping; refused like renames.
             require(!dropped.contains(field),
               s"graft catalog: column '$field' was previously dropped and cannot be re-added")
+            // DEFAULT <literal>: CURRENT_DEFAULT governs future INSERTs
+            // (analyzer-filled), EXISTS_DEFAULT is FROZEN NOW and fills the
+            // column for pre-ADD segments at read time (Spark's parquet
+            // readers apply it natively; later SET DEFAULT must not rewrite
+            // history, hence two keys — the Delta/Iceberg contract)
+            val metadata = Option(add.defaultValue()) match {
+              case None => Metadata.empty
+              case Some(dv) =>
+                require(dv.getValue != null,
+                  s"graft catalog: DEFAULT for '$field' must fold to a literal, " +
+                    s"got '${dv.getSql}'")
+                new MetadataBuilder()
+                  .putString("EXISTS_DEFAULT", dv.getSql)
+                  .putString("CURRENT_DEFAULT", dv.getSql).build()
+            }
             // fresh stable id (never reused — the high-water prop keeps
             // dropped columns' ids retired)
             val id = GraftFieldIds.nextId(sch, meta.props)
             setProps += GraftFieldIds.HighWaterProp -> id.toString
             StructType(sch.fields :+ GraftFieldIds.withId(
-              StructField(field, add.dataType(), nullable = true), id))
+              StructField(field, add.dataType(), nullable = true, metadata), id))
+          // SET / DROP DEFAULT: CURRENT_DEFAULT moves (future INSERTs only);
+          // EXISTS_DEFAULT never changes after ADD — rewriting it would
+          // retroactively change what pre-ADD rows read as
+          case upd: TableChange.UpdateColumnDefaultValue =>
+            require(upd.fieldNames().length == 1,
+              "graft catalog: nested ALTER COLUMN not supported")
+            val field = upd.fieldNames()(0)
+            val idx = sch.fieldNames.indexOf(field)
+            require(idx >= 0, s"graft catalog: no column '$field' to alter")
+            val f = sch.fields(idx)
+            val b = new MetadataBuilder().withMetadata(f.metadata)
+            Option(upd.newCurrentDefault()) match {
+              case Some(dv) if dv.getSql != null && dv.getSql.nonEmpty =>
+                b.putString("CURRENT_DEFAULT", dv.getSql)
+              case _ => b.remove("CURRENT_DEFAULT") // DROP DEFAULT
+            }
+            StructType(sch.fields.updated(idx, f.copy(metadata = b.build())))
           case del: TableChange.DeleteColumn =>
             require(del.fieldNames().length == 1,
               "graft catalog: nested DROP COLUMN not supported")

@@ -160,8 +160,61 @@ object Round17Queries {
               MIN(price_c) AS min_price_c, MAX(price_c) AS max_price_c
        FROM final GROUP BY b ORDER BY b"""
 
+  // --------------------------------------------------------------------------
+  // q277: COLUMN DEFAULT VALUES (TableCatalogCapability
+  // .SUPPORT_COLUMN_DEFAULT_VALUE) — the OTHER most common schema change
+  // beside rename: ADD COLUMN ... DEFAULT stays metadata-only (EXISTS_DEFAULT
+  // frozen at ADD fills every pre-ADD segment at read time through Spark's
+  // native parquet default machinery — zero segments rewritten), the
+  // analyzer fills CURRENT_DEFAULT into column-list INSERTs, and SET DEFAULT
+  // moves only future writes. The readout groups a filtered aggregate by the
+  // defaulted column across all three eras (pre-ADD / default-filled /
+  // explicit); the oracle replays the era arithmetic relationally.
+  // --------------------------------------------------------------------------
+  private def q277(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = customerView(s, d)
+    val t = s"r277_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, bal_c BIGINT) USING parquet")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 3 = 0""")                       // pre-ADD era
+    s.sql(s"ALTER TABLE graft.lake.$t ADD COLUMNS (tier BIGINT DEFAULT 3)")
+    s.sql(s"""INSERT INTO graft.lake.$t (k, bal_c)
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 3 = 1""")                       // filled era
+    s.sql(s"ALTER TABLE graft.lake.$t ALTER COLUMN tier SET DEFAULT 9")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT),
+             c_nationkey % 4
+      FROM $src WHERE c_custkey % 3 = 2""")                       // explicit era
+    s.sql(s"""INSERT INTO graft.lake.$t (k, bal_c)
+      SELECT c_custkey + 1000000, 0 FROM $src WHERE c_custkey % 50 = 0""") // new default era
+    s.sql(s"""SELECT tier, COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS total_c
+              FROM graft.lake.$t WHERE bal_c >= 0
+              GROUP BY tier ORDER BY tier""")
+  }
+
+  private val q277Sql =
+    """WITH t AS (
+         SELECT 3 AS tier, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer WHERE c_custkey % 3 = 0
+         UNION ALL
+         SELECT 3, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+         FROM customer WHERE c_custkey % 3 = 1
+         UNION ALL
+         SELECT c_nationkey % 4, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+         FROM customer WHERE c_custkey % 3 = 2
+         UNION ALL
+         SELECT 9, 0 FROM customer WHERE c_custkey % 50 = 0)
+       SELECT tier, COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS total_c
+       FROM t WHERE bal_c >= 0
+       GROUP BY tier ORDER BY tier"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q274_column_rename", q274, Some(q274Sql)),
     QDef("q275_partitions_metadata", q275, Some(q275Sql)),
-    QDef("q276_mv_minmax", q276, Some(q276Sql)))
+    QDef("q276_mv_minmax", q276, Some(q276Sql)),
+    QDef("q277_column_defaults", q277, Some(q277Sql)))
 }
