@@ -1652,15 +1652,18 @@ private[catalog] final class GraftPruningScanBuilder(
     * carries the column's entry (+ an NDV sketch for ndv). Reported through
     * SupportsReportStatistics so Catalyst's broadcast threshold / CBO see
     * graft tables truthfully instead of falling back to size heuristics. */
-  private def committedStats(): (Option[Long], Map[String, (Option[Long], Option[Long])]) = {
-    if (live.isEmpty) return (Some(0L), Map.empty)
+  private def committedStats(): (Option[Long], () => Map[String, (Option[Long], Option[Long])]) = {
+    if (live.isEmpty) return (Some(0L), () => Map.empty)
     val decoded = live.map { case (n, _) =>
       zstats.get(n).flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
     }
-    if (decoded.exists(_.isEmpty)) return (None, Map.empty)
+    if (decoded.exists(_.isEmpty)) return (None, () => Map.empty)
     val sts = decoded.flatten
     val rows = Some(sts.map(_.rows).sum)
-    val cols = tableSchema.fields.flatMap { f =>
+    // per-column work (HLL heapify + union per sketch) deferred behind a
+    // thunk: Spark asks for columnStats only when the planner wants them,
+    // and the common scan-build path must not pay sketch decodes
+    def cols() = tableSchema.fields.flatMap { f =>
       val cs = sts.flatMap(_.cols.get(f.name))
       if (cs.length != sts.length) None
       else {
@@ -1676,7 +1679,7 @@ private[catalog] final class GraftPruningScanBuilder(
         if (ndv.isEmpty && nulls.isEmpty) None else Some(f.name -> (ndv, nulls))
       }
     }.toMap
-    (rows, cols)
+    (rows, () => cols())
   }
 
   /** Metadata-only COUNT/MIN/MAX from segment zone maps (GraftStatsAgg):
@@ -1729,7 +1732,7 @@ private[catalog] final class GraftStreamableScan(
     // (zone stats + opt-in NDV sketches) — reported to the planner so the
     // broadcast threshold and CBO see truth, not size heuristics
     exactRows: Option[Long] = None,
-    colStats: Map[String, (Option[Long], Option[Long])] = Map.empty) extends Scan
+    colStats: () => Map[String, (Option[Long], Option[Long])] = () => Map.empty) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
@@ -1751,13 +1754,14 @@ private[catalog] final class GraftStreamableScan(
       override def numRows(): java.util.OptionalLong =
         exactRows.map(java.util.OptionalLong.of).orElse(passthrough.map(_.numRows()))
           .getOrElse(java.util.OptionalLong.empty())
+      private lazy val memo = colStats() // sketch unions run at most once
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        colStats.foreach { case (name, (ndv, nulls)) =>
+        memo.foreach { case (name, (ndv, nulls)) =>
           m.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
