@@ -343,6 +343,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       var setProps = Map.empty[String, String]
       var removedProps = Set.empty[String]
       var colRenames = List.empty[(String, String)] // old -> new, this ALTER
+      var zstatDayToMicros = List.empty[String] // date->ntz widened columns
       val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
         ch match {
           // RENAME COLUMN — metadata-only, via STABLE FIELD IDS (the Iceberg
@@ -527,6 +528,56 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
             setProps += GraftFieldIds.HighWaterProp -> id.toString
             StructType(sch.fields :+ GraftFieldIds.withId(
               StructField(field, add.dataType(), nullable = true, metadata), id))
+          // ALTER COLUMN ... TYPE: WIDENING-only, metadata-only (the
+          // Delta/Iceberg type-widening contract): the schema type widens,
+          // old segments keep their narrow physical columns, and Spark's
+          // parquet readers upcast natively at read time
+          // (TypeWideningProbeSpec pins the exact set). Narrowing or
+          // repartitioning conversions are refused — they would need a
+          // rewrite this DDL honestly does not run.
+          case upd: TableChange.UpdateColumnType =>
+            require(upd.fieldNames().length == 1,
+              "graft catalog: nested ALTER COLUMN not supported")
+            val field = upd.fieldNames()(0)
+            val idx = sch.fieldNames.indexOf(field)
+            require(idx >= 0, s"graft catalog: no column '$field' to alter")
+            val f = sch.fields(idx)
+            val widens: Boolean = (f.dataType, upd.newDataType()) match {
+              case (a, b) if a == b => true
+              case (org.apache.spark.sql.types.ByteType,
+                    org.apache.spark.sql.types.ShortType |
+                    org.apache.spark.sql.types.IntegerType |
+                    org.apache.spark.sql.types.LongType) => true
+              case (org.apache.spark.sql.types.ShortType,
+                    org.apache.spark.sql.types.IntegerType |
+                    org.apache.spark.sql.types.LongType) => true
+              case (org.apache.spark.sql.types.IntegerType,
+                    org.apache.spark.sql.types.LongType) => true
+              case (org.apache.spark.sql.types.FloatType,
+                    org.apache.spark.sql.types.DoubleType) => true
+              case (org.apache.spark.sql.types.DateType,
+                    org.apache.spark.sql.types.TimestampNTZType) => true
+              case _ => false
+            }
+            require(widens,
+              s"graft catalog: cannot change column '$field' from ${f.dataType.simpleString} " +
+                s"to ${upd.newDataType().simpleString} — only lossless widenings " +
+                "(tinyint<smallint<int<bigint, float->double, date->timestamp_ntz) " +
+                "are metadata-only; anything else needs a rewrite")
+            // a widened PARTITION column must still be a supported partition
+            // type (date->timestamp_ntz would break the value-string contract)
+            if (GraftPartitions.cols(meta.props).exists(_.equalsIgnoreCase(field)))
+              require(GraftPartitions.supportedType(upd.newDataType()),
+                s"graft catalog: '$field' is a partition column and " +
+                  s"${upd.newDataType().simpleString} is not a supported partition type")
+            // date -> timestamp_ntz changes the zone-stat DOMAIN (epoch days
+            // -> micros): rewrite this column's entries exactly
+            // (midnight*86400e6) so pruning stays CORRECT — stale day-domain
+            // bounds compared against micro literals would wrongly prune
+            if (f.dataType == org.apache.spark.sql.types.DateType &&
+                upd.newDataType() == org.apache.spark.sql.types.TimestampNTZType)
+              zstatDayToMicros ::= field
+            StructType(sch.fields.updated(idx, f.copy(dataType = upd.newDataType())))
           // SET / DROP DEFAULT: CURRENT_DEFAULT moves (future INSERTs only);
           // EXISTS_DEFAULT never changes after ADD — rewriting it would
           // retroactively change what pre-ADD rows read as
@@ -579,13 +630,22 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // cost every pre-rename segment its pruning). Undecodable entries pass
       // through unchanged (their old-name stats just stop pruning).
       val newZ =
-        if (colRenames.isEmpty) meta.zstats
+        if (colRenames.isEmpty && zstatDayToMicros.isEmpty) meta.zstats
         else meta.zstats.map { case (seg, payload) =>
           seg -> scala.util.Try {
             val st = SegmentStats.decode(payload)
             SegmentStats.encode(st.copy(cols = st.cols.map { case (n, c) =>
-              colRenames.foldLeft(n) { case (nn, (f, t)) =>
-                if (nn == f) t else nn } -> c
+              val renamed = colRenames.foldLeft(n) { case (nn, (f, t)) =>
+                if (nn == f) t else nn }
+              val conv =
+                if (zstatDayToMicros.contains(n) && c.kind == 'd')
+                  // epoch days -> midnight micros, exact: the widened column
+                  // compares against TIMESTAMP_NTZ micro literals now
+                  c.copy(kind = 't',
+                    min = c.min.map(v => (v.toLong * 86400000000L).toString),
+                    max = c.max.map(v => (v.toLong * 86400000000L).toString))
+                else c
+              renamed -> conv
             }))
           }.getOrElse(payload)
         }

@@ -212,9 +212,51 @@ object Round17Queries {
        FROM t WHERE bal_c >= 0
        GROUP BY tier ORDER BY tier"""
 
+  // --------------------------------------------------------------------------
+  // q278: ALTER COLUMN TYPE WIDENING (the Delta/Iceberg type-widening
+  // contract, metadata-only): an INT money column is widened to BIGINT;
+  // pre-widen segments keep their narrow physical columns and upcast at
+  // read time through Spark's native parquet widening (probe-pinned);
+  // post-widen rows exceed Int.MaxValue (impossible before the widen), and
+  // the readout filters + aggregates across both eras. The oracle replays
+  // with plain casts; a rewrite-based (or broken) widen would hash-diverge.
+  // --------------------------------------------------------------------------
+  private def q278(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = customerView(s, d)
+    val t = s"r278_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, nat BIGINT, bal_c INT) USING parquet")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT c_custkey, c_nationkey, CAST(FLOOR(c_acctbal * 100) AS INT)
+      FROM $src WHERE c_custkey % 2 = 0""")                    // narrow era
+    s.sql(s"ALTER TABLE graft.lake.$t ALTER COLUMN bal_c TYPE BIGINT")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT c_custkey, c_nationkey,
+             CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 5000000000
+      FROM $src WHERE c_custkey % 2 = 1""")                    // wide era (> Int.Max)
+    s.sql(s"""SELECT nat, COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS total_c,
+                     MIN(bal_c) AS min_c, MAX(bal_c) AS max_c
+              FROM graft.lake.$t WHERE bal_c > -99000
+              GROUP BY nat ORDER BY nat""")
+  }
+
+  private val q278Sql =
+    """WITH t AS (
+         SELECT c_nationkey AS nat, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer WHERE c_custkey % 2 = 0
+         UNION ALL
+         SELECT c_nationkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 5000000000
+         FROM customer WHERE c_custkey % 2 = 1)
+       SELECT nat, COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS total_c,
+              MIN(bal_c) AS min_c, MAX(bal_c) AS max_c
+       FROM t WHERE bal_c > -99000
+       GROUP BY nat ORDER BY nat"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q274_column_rename", q274, Some(q274Sql)),
     QDef("q275_partitions_metadata", q275, Some(q275Sql)),
     QDef("q276_mv_minmax", q276, Some(q276Sql)),
-    QDef("q277_column_defaults", q277, Some(q277Sql)))
+    QDef("q277_column_defaults", q277, Some(q277Sql)),
+    QDef("q278_type_widening", q278, Some(q278Sql)))
 }
