@@ -60,7 +60,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.sql.catalog.graft.root = <dir>`; exercised by q152–q154 and
   * GraftCatalogSpec.
   */
-final class GraftCatalog extends TableCatalog with ProcedureCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCatalog {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -197,6 +197,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }.toSeq
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(GraftMeta.FileName))) throw new TableAlreadyExistsException(ident)
+    require(!GraftViews.exists(dir),
+      s"graft catalog: a VIEW named ${ident} already exists — DROP VIEW first")
     Files.createDirectories(dir)
     // persist only the graft-owned properties; Spark adds bookkeeping
     // entries (owner, created-at) that don't belong in the contract
@@ -711,6 +713,85 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
       Identifier.of(Array("system"), "rollback_to_snapshot"),
       Identifier.of(Array("system"), "update_where"),
       Identifier.of(Array("system"), "upsert"))
+
+  // --------------------------------------------------------------------------
+  // ViewCatalog: persisted SQL views (GraftViews) — the stored TEXT re-analyzes
+  // on every read in the creation-time catalog/namespace context, so
+  // underlying table changes flow through and broken dependencies fail the
+  // READ loudly (the standard SQL view contract). Views share the tables'
+  // directory convention; a name serves at most one of table/view.
+  // --------------------------------------------------------------------------
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(root)(_ resolve _)
+    if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace.toArray)
+    GraftMeta.listDir(nsDir)
+      .filter(p => GraftViews.exists(p))
+      .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val dir = tableDir(ident)
+    if (!GraftViews.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    new GraftView(ident, GraftViews.read(dir))
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo): View = {
+    val ident = info.ident()
+    val dir = tableDir(ident)
+    if (Files.exists(dir.resolve(GraftMeta.FileName)))
+      throw new TableAlreadyExistsException(ident) // a TABLE owns this name
+    val d = GraftViews.Def(info.sql(), info.currentCatalog(),
+      info.currentNamespace().toSeq, info.schema(),
+      info.queryColumnNames().toSeq, info.columnAliases().toSeq,
+      info.columnComments().toSeq, info.properties().asScala.toMap)
+    if (!GraftViews.createExclusive(dir, d))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    new GraftView(ident, d)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*): View = {
+    val dir = tableDir(ident)
+    if (!GraftViews.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    dir.toString.intern().synchronized {
+      val d0 = GraftViews.read(dir)
+      val d = changes.foldLeft(d0) { (d, ch) =>
+        ch match {
+          case set: org.apache.spark.sql.connector.catalog.ViewChange.SetProperty =>
+            d.copy(props = d.props + (set.property() -> set.value()))
+          case rm: org.apache.spark.sql.connector.catalog.ViewChange.RemoveProperty =>
+            d.copy(props = d.props - rm.property())
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: unsupported ALTER VIEW change $other")
+        }
+      }
+      GraftViews.overwrite(dir, d)
+      new GraftView(ident, d)
+    }
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!GraftViews.exists(dir)) false
+    else {
+      GraftMeta.deleteRecursively(dir)
+      true
+    }
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val src = tableDir(from)
+    if (!GraftViews.exists(src))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    val dst = tableDir(to)
+    if (Files.exists(dst))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    Files.createDirectories(dst.getParent)
+    src.toString.intern().synchronized { Files.move(src, dst) }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
