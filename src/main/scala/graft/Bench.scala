@@ -22,6 +22,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Uniform planning environment: the band-join rule is session-sticky once a
@@ -30,6 +31,14 @@ object Bench {
     // the same rule set (the rule no-ops on non-band joins).
     graft.plans.GraftExtensions.install(spark)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Second warm-up: the iterative-graph path (q125's shape) at the smallest
+    // SF. The flagship Q1 warm-up covers scan/agg codegen but NOT the
+    // checkpoint/self-join/loop machinery, so the alphabetically-early
+    // iterative queries were paying JIT-under-contention in their first run
+    // and the median absorbed it (r14: q125 median 8.25 s vs min 4.6 s).
+    // Tiny data: this costs ~the fixed per-round overhead, nothing more.
+    try SparkEntry.queries("q125_pagerank")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
 
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -359,7 +359,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           // fails loudly on the stale name, the Iceberg contract.)
           case ren: TableChange.RenameColumn =>
             require(ren.fieldNames().length == 1,
-              "graft catalog: nested RENAME COLUMN not supported")
+              "graft catalog: nested RENAME COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val from = ren.fieldNames()(0)
             val to = ren.newName()
             val idx = sch.fieldNames.indexOf(from)
@@ -494,7 +494,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             sch
           case add: TableChange.AddColumn =>
             require(add.fieldNames().length == 1,
-              "graft catalog: nested ADD COLUMN not supported")
+              "graft catalog: nested ADD COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val field = add.fieldNames()(0)
             require(add.isNullable,
               s"graft catalog: added column '$field' must be nullable (existing rows null-fill)")
@@ -520,8 +520,16 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
                 require(dv.getValue != null,
                   s"graft catalog: DEFAULT for '$field' must fold to a literal, " +
                     s"got '${dv.getSql}'")
+                // EXISTS_DEFAULT stores the SQL of the CONSTANT-FOLDED literal,
+                // not the user's expression text: a foldable-but-non-literal
+                // default (e.g. CURRENT_DATE) re-evaluated at every read would
+                // drift pre-ADD rows over time, violating the frozen-at-ADD
+                // contract. CURRENT_DEFAULT keeps the original text (it governs
+                // future INSERTs, where re-evaluation is the point).
+                val frozen = org.apache.spark.sql.catalyst.expressions.Literal(
+                  dv.getValue.value(), dv.getValue.dataType()).sql
                 new MetadataBuilder()
-                  .putString("EXISTS_DEFAULT", dv.getSql)
+                  .putString("EXISTS_DEFAULT", frozen)
                   .putString("CURRENT_DEFAULT", dv.getSql).build()
             }
             // fresh stable id (never reused — the high-water prop keeps
@@ -539,7 +547,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           // rewrite this DDL honestly does not run.
           case upd: TableChange.UpdateColumnType =>
             require(upd.fieldNames().length == 1,
-              "graft catalog: nested ALTER COLUMN not supported")
+              "graft catalog: nested ALTER COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val field = upd.fieldNames()(0)
             val idx = sch.fieldNames.indexOf(field)
             require(idx >= 0, s"graft catalog: no column '$field' to alter")
@@ -585,7 +593,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           // retroactively change what pre-ADD rows read as
           case upd: TableChange.UpdateColumnDefaultValue =>
             require(upd.fieldNames().length == 1,
-              "graft catalog: nested ALTER COLUMN not supported")
+              "graft catalog: nested ALTER COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val field = upd.fieldNames()(0)
             val idx = sch.fieldNames.indexOf(field)
             require(idx >= 0, s"graft catalog: no column '$field' to alter")
@@ -599,7 +607,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             StructType(sch.fields.updated(idx, f.copy(metadata = b.build())))
           case del: TableChange.DeleteColumn =>
             require(del.fieldNames().length == 1,
-              "graft catalog: nested DROP COLUMN not supported")
+              "graft catalog: nested DROP COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val field = del.fieldNames()(0)
             if (!sch.fieldNames.contains(field)) {
               require(del.ifExists(), s"graft catalog: no column '$field' to drop")
@@ -637,7 +645,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           seg -> scala.util.Try {
             val st = SegmentStats.decode(payload)
             SegmentStats.encode(st.copy(cols = st.cols.map { case (n, c) =>
-              val renamed = colRenames.foldLeft(n) { case (nn, (f, t)) =>
+              // colRenames was built by PREPENDING; fold in DDL order
+              // (reverse) so chained renames in one ALTER (a->b then b->c)
+              // compose to the final name instead of parking on a dead one
+              val renamed = colRenames.reverse.foldLeft(n) { case (nn, (f, t)) =>
                 if (nn == f) t else nn }
               val conv =
                 if (zstatDayToMicros.contains(n) && c.kind == 'd')

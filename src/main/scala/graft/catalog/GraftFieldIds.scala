@@ -139,7 +139,15 @@ private[catalog] object GraftFieldIds {
   /** Enable Spark's parquet field-id machinery on the active session — id
     * stamping on writes always; id RESOLUTION on reads is still gated
     * per-table by whether the read schema carries ids ([[readSchema]]), so
-    * flipping the session conf on changes nothing for name-resolved tables. */
+    * flipping the session conf on changes nothing for name-resolved tables.
+    *
+    * DOCUMENTED SESSION-WIDE SIDE EFFECT: these are session confs (Spark's
+    * parquet paths read SQLConf only — there is no per-relation option for
+    * them), so they also apply to non-graft parquet reads/writes in the same
+    * session. That is observable only where a user-supplied schema itself
+    * carries `parquet.field.id` metadata: such writes get their ids stamped
+    * into footers, and such reads resolve by id instead of name. Plain
+    * (id-less) parquet usage is unaffected in both directions. */
   def enableSessionConfs(): Unit =
     scala.util.Try(SparkSession.active).foreach { s =>
       s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")

@@ -32,8 +32,13 @@ private[catalog] object GraftViews {
       columnAliases: Seq[String], columnComments: Seq[String],
       props: Map[String, String])
 
+  // Unpadded on purpose: property lines are `p.<b64(key)>=<b64(value)>` and
+  // parse splits on the FIRST '='; a padded key (byte length % 3 != 0, e.g.
+  // "note") would end in '=' and the split would land inside the padding,
+  // corrupting the value. The decoder accepts both padded and unpadded input,
+  // so files written before this change still read.
   private def b64(s: String): String =
-    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+    Base64.getEncoder.withoutPadding().encodeToString(s.getBytes(StandardCharsets.UTF_8))
   private def unb64(s: String): String =
     new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
   private def list(xs: Seq[String]): String = xs.map(b64).mkString(",")

@@ -637,8 +637,17 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * "graft.plans.GraftSparkExtensions")` or `.withExtensions(new GraftSparkExtensions)`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectOptimizerRule(_ => IntervalJoinRewrite)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // Persisted-SQL-view DDL + read substitution for graft catalogs. Must be
+    // build-time (the parser interceptor has no runtime registration hook).
+    graft.catalog.GraftViewExtension.install(ext)
+    // IntervalJoinRewrite is deliberately NOT injected here: it registers at
+    // runtime via GraftExtensions.install (experimental.extraOptimizations —
+    // a Once-style user batch). Injecting it as an optimizer rule TOO would
+    // run it twice per plan, and the full-outer band rewrite is not
+    // idempotent under the operator-optimization fixed point (measured:
+    // duplicate null-extended rows in IntervalJoinSpec).
+  }
 }
 
 /** Runtime registration for an already-built session (the driver's Verify/Bench

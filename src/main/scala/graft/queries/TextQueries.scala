@@ -228,55 +228,27 @@ object TextQueries {
        SELECT COUNT(*) AS n_candidate_pairs FROM pairs
        ORDER BY n_candidate_pairs"""
 
-  /** Near-dup CLUSTERS from the LSH candidate pairs: connected components by
-    * iterative min-label propagation — label(v) := min(label(v), min of neighbor
-    * labels) until a full pass changes nothing. This is the step real dedup
+  /** Near-dup CLUSTERS from the LSH candidate pairs: connected components via
+    * the shared hook–compress–contract engine
+    * ([[graft.operators.ConnectedComponents]]) — the same CC implementation
+    * DBSCAN cluster formation uses, replacing this query's former min-label
+    * propagation loop (O(diameter) rounds, stalls on converged plateaus; the
+    * engine's scaladoc records the measurements). This is the step real dedup
     * pipelines run after candidate generation (pick one representative per
-    * duplicate cluster); at 100 TB each iteration is one keyed join + hash agg
-    * (the standard Spark connected-components shape, O(diameter) rounds — the
-    * candidate graph's components are near-cliques, so 2-3 rounds in practice).
-    * Convergence is checked via sum(label), which strictly decreases until the
-    * fixpoint; the driver-side loop carries only that one scalar per round.
+    * duplicate cluster). The LSH candidate edge list is orders of magnitude
+    * smaller than the corpus, so at test scale the engine's bounded local
+    * finish resolves it in one collect + one broadcast-mapped join; at
+    * pathological near-dup density the distributed contraction rounds bound
+    * the work at O(log n) node-sized joins either way.
     * Oracle: DuckDB WITH RECURSIVE transitive closure over the same pairs. */
   private def q81(s: SparkSession, d: String): DataFrame = {
     val pairs = lshPairs(s, d).cache()
-    // Plain cache, deliberately NOT pre-partitioned by the join key: the LSH
-    // candidate edge list is orders of magnitude smaller than the corpus, and
-    // AQE broadcasts it in every iteration's join — an up-front
-    // repartition(dst) measured 25% SLOWER here (4.9 s vs 3.9 s at sf0.1)
-    // because it adds an exchange nothing downstream uses. If the edge list
-    // ever outgrew broadcast range (pathological near-dup density), caching it
-    // hash-partitioned on dst would amortize one exchange per propagation
-    // round — the standard big-graph layout — at the cost of that first
-    // shuffle.
-    val edges = pairs
-      .union(pairs.select(col("d2"), col("d1")))
-      .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var prevSum = Long.MinValue
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 50) {
-      val neighborLabels = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"))
-      val next = labels.union(neighborLabels)
-        .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
-      // sum over an EMPTY frame is null — coalesce so a pair-free corpus
-      // converges immediately instead of NPE-ing on the unbox
-      val sum2 = next.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = sum2 == prevSum
-      prevSum = sum2
-      iter += 1
-    }
-    // truncate lineage + release the loop's cache: localCheckpoint materializes
-    // the final labels (cheap — they are still cached), and its blocks are
-    // reclaimed by the ContextCleaner once the result is consumed, unlike a
-    // CacheManager entry which would leak one cached frame per invocation
-    val finalLabels = labels.localCheckpoint(true)
-    labels.unpersist()
+    // symmetric=false: the generator emits each pair once (d1 < d2); the
+    // engine adds the reverse direction itself
+    val nodes = pairs.select(col("d1").as("node"))
+      .union(pairs.select(col("d2").as("node"))).distinct()
+    val finalLabels = graft.operators.ConnectedComponents.run(
+      nodes, pairs.select(col("d1").as("src"), col("d2").as("dst")))
     val out = finalLabels
       .groupBy(col("label").as("rep"))
       .agg(count(lit(1)).as("n_docs"),
@@ -286,7 +258,8 @@ object TextQueries {
         expr("array_join(transform(array_sort(collect_list(node)), x -> cast(x AS string)), ',')")
           .as("members"))
       .orderBy(col("rep"))
-    edges.unpersist()
+    // finalLabels is checkpointed (materialized) by the engine, so the
+    // candidate cache can be released before the caller consumes `out`
     pairs.unpersist()
     out
   }

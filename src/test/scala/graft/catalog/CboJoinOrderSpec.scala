@@ -1,0 +1,84 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+
+/** CBO CONSUMPTION pin: a 3-table join's ORDER (not just broadcast choice)
+  * provably follows the catalog's committed statistics (numRows + NDV
+  * reported through SupportsReportStatistics / column sketches).
+  *
+  * Requires `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled`
+  * (both default FALSE in Spark 4.1): CostBasedJoinReorder only fires when
+  * every base relation carries a rowCount, which graft tables get from
+  * commit-time zone stats — so the reorder observed here is fed exclusively
+  * by the catalog's own reporting (parquet's fallback reports bytes, not
+  * rows, and the DP reorder would stay off). */
+class CboJoinOrderSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = Files.createTempDirectory("graft_cbo_spec")
+    spark.conf.set("spark.sql.catalog.gcbo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcbo.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("3-table join order follows graft-reported numRows/NDV under CBO") {
+    root
+    sql("DROP TABLE IF EXISTS gcbo.ns.fact")
+    sql("DROP TABLE IF EXISTS gcbo.ns.dima")
+    sql("DROP TABLE IF EXISTS gcbo.ns.dimb")
+    // fact: 10k rows; ka has 2000 distinct values (all matched by dima),
+    // kb has 100 distinct values of which dimb holds only 10 — so
+    // fact⋈dimb estimates ~1k rows (10k·10/max(100,10)) while fact⋈dima
+    // estimates ~10k (10k·2000/max(2000,2000)): the cheap plan joins dimb
+    // FIRST even though the SQL text joins dima first
+    sql("""CREATE TABLE gcbo.ns.fact (ka BIGINT, kb BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('graft.stats.ndv' = '*')""")
+    sql("""INSERT INTO gcbo.ns.fact
+           SELECT id % 2000, id % 100, id FROM range(0, 10000)""")
+    sql("""CREATE TABLE gcbo.ns.dima (a BIGINT, aname STRING) USING parquet
+           TBLPROPERTIES ('graft.stats.ndv' = '*')""")
+    sql("INSERT INTO gcbo.ns.dima SELECT id, concat('a', id) FROM range(0, 2000)")
+    sql("""CREATE TABLE gcbo.ns.dimb (b BIGINT, bname STRING) USING parquet
+           TBLPROPERTIES ('graft.stats.ndv' = '*')""")
+    sql("INSERT INTO gcbo.ns.dimb SELECT id, concat('b', id) FROM range(0, 10)")
+
+    def innermostJoinLeaves(plan: LogicalPlan): Seq[String] = {
+      val inner = plan.collect {
+        case j: Join if !j.children.exists(_.exists(_.isInstanceOf[Join])) => j
+      }
+      assert(inner.nonEmpty, s"no join in:\n$plan")
+      inner.head.collectLeaves().map(_.toString)
+    }
+
+    val q = """SELECT SUM(f.v) AS s
+               FROM gcbo.ns.fact f
+               JOIN gcbo.ns.dima da ON f.ka = da.a
+               JOIN gcbo.ns.dimb db ON f.kb = db.b"""
+
+    val (cboOn, joinReorder) =
+      (spark.conf.get("spark.sql.cbo.enabled"),
+        spark.conf.get("spark.sql.cbo.joinReorder.enabled"))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val optimized = sql(q).queryExecution.optimizedPlan
+      val leaves = innermostJoinLeaves(optimized)
+      assert(leaves.exists(_.contains("dimb")),
+        s"CBO must reorder the selective dimb join innermost; innermost joins " +
+          s"$leaves\nplan:\n$optimized")
+      assert(!leaves.exists(_.contains("dima")),
+        s"dima must join AFTER the selective dimb join, got innermost $leaves")
+      // and the reordered plan still computes the right answer
+      assert(sql(q).collect().head.getLong(0) ===
+        (0L until 10000L).filter(_ % 100 < 10).sum)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboOn)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", joinReorder)
+    }
+  }
+}

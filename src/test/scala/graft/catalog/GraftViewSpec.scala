@@ -64,6 +64,19 @@ class GraftViewSpec extends SparkSpec {
     intercept[Exception] { sql("SELECT k FROM gvw.ns.v3r") }
   }
 
+  test("ALTER VIEW ... AS swaps the definition and recaptures the schema") {
+    root
+    sql("DROP VIEW IF EXISTS gvw.ns.v5")
+    sql("DROP TABLE IF EXISTS gvw.ns.t5")
+    sql("CREATE TABLE gvw.ns.t5 AS SELECT * FROM VALUES (1L, 4L), (2L, 6L) AS v(k, x)")
+    sql("CREATE VIEW gvw.ns.v5 AS SELECT k, x FROM gvw.ns.t5")
+    sql("ALTER VIEW gvw.ns.v5 AS SELECT k, x * 100 AS c FROM gvw.ns.t5 WHERE x > 4")
+    val rows = sql("SELECT k, c FROM gvw.ns.v5").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 600L)))
+    // altering a missing view still errors
+    intercept[Exception] { sql("ALTER VIEW gvw.ns.v5_missing AS SELECT 1 AS one") }
+  }
+
   test("name collisions: a view cannot shadow a table and vice versa; broken deps fail the READ") {
     root
     sql("DROP TABLE IF EXISTS gvw.ns.t4")

@@ -134,6 +134,48 @@ class RenameColumnSpec extends SparkSpec {
     assert(meta.props(GraftTable.PartitionByProp) === "geo")
   }
 
+  test("nested-path ALTERs refuse loudly with the CTAS remediation") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r10")
+    sql("CREATE TABLE gren.ns.r10 (k BIGINT, s STRUCT<a: INT, b: BIGINT>) USING parquet")
+    sql("INSERT INTO gren.ns.r10 VALUES (1, named_struct('a', 1, 'b', 2L))")
+    def refusesNested(ddl: String, op: String): Unit = {
+      val e = intercept[Exception] { sql(ddl) }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains(s"nested $op not supported") && msgs.contains("CTAS"),
+        s"expected a loud nested-$op refusal naming the CTAS remediation, got: $msgs")
+    }
+    refusesNested("ALTER TABLE gren.ns.r10 RENAME COLUMN s.a TO a2", "RENAME COLUMN")
+    refusesNested("ALTER TABLE gren.ns.r10 ALTER COLUMN s.a TYPE BIGINT", "ALTER COLUMN")
+    refusesNested("ALTER TABLE gren.ns.r10 DROP COLUMN s.a", "DROP COLUMN")
+    refusesNested("ALTER TABLE gren.ns.r10 ADD COLUMNS (s.c BIGINT)", "ADD COLUMN")
+    // the table is untouched by the refusals
+    assert(sql("SELECT s.b FROM gren.ns.r10").collect().head.getLong(0) === 2L)
+  }
+
+  test("chained renames in ONE programmatic ALTER compose to the final name in zone stats") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r11")
+    sql("CREATE TABLE gren.ns.r11 (k BIGINT, x BIGINT) USING parquet")
+    sql("INSERT INTO gren.ns.r11 VALUES (1, 5)")
+    // SQL issues one RenameColumn per statement; the v2 API allows several in
+    // one alterTable call — a->y then y->z must carry x's stats to 'z', not
+    // park them on the dead intermediate name
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val cat = new GraftCatalog()
+    cat.initialize("gren_prog", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("root", root.toString)))
+    cat.alterTable(Identifier.of(Array("ns"), "r11"),
+      TableChange.renameColumn(Array("x"), "y"),
+      TableChange.renameColumn(Array("y"), "z"))
+    val meta = GraftMeta.read(root.resolve("ns").resolve("r11"))
+    val stats = meta.zstats.values.map(SegmentStats.decode)
+    assert(stats.nonEmpty && stats.forall(_.cols.contains("z")),
+      s"chained renames must re-key stats to the FINAL name, got ${meta.zstats}")
+    assert(stats.forall(st => !st.cols.contains("x") && !st.cols.contains("y")))
+  }
+
   test("generated column renames by re-keying its property") {
     root
     sql("DROP TABLE IF EXISTS gren.ns.r9")

@@ -46,6 +46,24 @@ class TypeWideningSpec extends SparkSpec {
     intercept[Exception] { sql("ALTER TABLE gwid.ns.w2 ALTER COLUMN x TYPE STRING") }
   }
 
+  test("nested-path widening refuses loudly with the CTAS remediation") {
+    root
+    sql("DROP TABLE IF EXISTS gwid.ns.w5")
+    sql("CREATE TABLE gwid.ns.w5 (k BIGINT, s STRUCT<a: INT, b: BIGINT>) USING parquet")
+    sql("INSERT INTO gwid.ns.w5 VALUES (1, named_struct('a', 1, 'b', 2L))")
+    val e = intercept[Exception] {
+      sql("ALTER TABLE gwid.ns.w5 ALTER COLUMN s.a TYPE BIGINT")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("nested ALTER COLUMN not supported") && msgs.contains("CTAS"),
+      s"expected a loud nested-widen refusal naming the CTAS remediation, got: $msgs")
+    // a WIDENED nested member would be the silent-misread case (old segments'
+    // narrow physical member under id-matched group, name-resolved) — the
+    // refusal keeps the table intact
+    assert(sql("SELECT s.a FROM gwid.ns.w5").collect().head.getInt(0) === 1)
+  }
+
   test("date->timestamp_ntz: zone stats convert domains so pruning stays CORRECT") {
     root
     sql("DROP TABLE IF EXISTS gwid.ns.w3")
