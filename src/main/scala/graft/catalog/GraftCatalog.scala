@@ -346,8 +346,146 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
       var removedProps = Set.empty[String]
       var colRenames = List.empty[(String, String)] // old -> new, this ALTER
       var zstatDayToMicros = List.empty[String] // date->ntz widened columns
+      // lossless metadata-only widenings — shared by the top-level and
+      // nested ALTER COLUMN TYPE arms (old segments keep narrow physical
+      // columns; Spark's parquet readers upcast natively at read time)
+      def widens(from: org.apache.spark.sql.types.DataType,
+                 to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+        case (a, b) if a == b => true
+        case (org.apache.spark.sql.types.ByteType,
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.LongType) => true
+        case (org.apache.spark.sql.types.ShortType,
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.LongType) => true
+        case (org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType) => true
+        case (org.apache.spark.sql.types.FloatType,
+              org.apache.spark.sql.types.DoubleType) => true
+        case (org.apache.spark.sql.types.DateType,
+              org.apache.spark.sql.types.TimestampNTZType) => true
+        case _ => false
+      }
       val newSchema = changes.foldLeft(meta.schema) { (sch, ch) =>
         ch match {
+          // ------------------------------------------------------------------
+          // NESTED-path arms (fieldNames length > 1): struct members carry
+          // their own stable field ids (GraftFieldIds.annotate recurses), so
+          // member rename/widen/add/drop are metadata-only exactly like their
+          // top-level siblings — NestedFieldIdProbeSpec pins the parquet
+          // mechanisms (member rename-by-id, new-member null-fill, member
+          // widening upcast). Paths may only traverse plain struct members;
+          // collection elements stay name-resolved (updateParent refuses).
+          // Nested members are never partition/layout/zone/bloom columns, so
+          // none of the top-level bookkeeping applies.
+          // ------------------------------------------------------------------
+          case ren: TableChange.RenameColumn if ren.fieldNames().length > 1 =>
+            val path = ren.fieldNames().toSeq
+            val pathStr = path.mkString(".")
+            val to = ren.newName()
+            val toPath = (path.init :+ to).mkString(".")
+            require(GraftFieldIds.fieldAt(sch, path).isDefined,
+              s"graft catalog: no column '$pathStr' to rename")
+            require(to.matches("[A-Za-z0-9_]+"),
+              s"graft catalog: new member name '$to' must match [A-Za-z0-9_]+")
+            require(!dropped.contains(toPath),
+              s"graft catalog: member '$toPath' was previously dropped and cannot be reused")
+            require(GraftFieldIds.fullyAnnotated(sch),
+              "graft catalog: table predates recursive column ids — nested RENAME " +
+                "needs field-id resolution at every level; recreate or CTAS the table")
+            val liveSegsN = (meta.snapshots.valuesIterator.flatten ++
+              GraftRefs.all(meta).valuesIterator.flatMap(_.dirs)).toSeq.distinct
+            val idlessN = GraftFieldIds.segmentsWithoutIds(dir, liveSegsN)
+            require(idlessN.isEmpty,
+              s"graft catalog: segments ${idlessN.mkString(", ")} carry no parquet " +
+                "footer field ids at every struct level — id resolution would " +
+                "null-fill the renamed member there; compact or rewrite those " +
+                "segments first")
+            // CHECK / GENERATED expressions referencing the member (or
+            // anything under it) would silently bind nothing after the
+            // rename; refuse. Attribute paths are compared prefix-wise.
+            val parserN = SparkSession.active.sessionState.sqlParser
+            val lowerPath = path.map(_.toLowerCase)
+            def refPaths(sql: String): Seq[Seq[String]] = scala.util.Try(
+              parserN.parseExpression(sql).collect {
+                case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  a.nameParts.map(_.toLowerCase)
+              }).getOrElse(Seq(lowerPath))
+            meta.props.foreach { case (k, v) =>
+              if (k.startsWith(GraftChecks.Prefix) || k.startsWith(GraftGenerate.Prefix))
+                require(!refPaths(v).exists(_.take(lowerPath.length) == lowerPath),
+                  s"graft catalog: property '$k' references '$pathStr' — drop " +
+                    "and re-add it around the rename")
+            }
+            setProps += GraftFieldIds.ResolveProp -> pathStr
+            GraftFieldIds.updateParent(sch, path, parent => {
+              require(!parent.fieldNames.exists(_.equalsIgnoreCase(to)),
+                s"graft catalog: member '$toPath' already exists")
+              StructType(parent.fields.map(f =>
+                if (f.name.equalsIgnoreCase(path.last)) f.copy(name = to) else f))
+            })
+          case add: TableChange.AddColumn if add.fieldNames().length > 1 =>
+            val path = add.fieldNames().toSeq
+            val pathStr = path.mkString(".")
+            val leaf = path.last
+            require(add.isNullable,
+              s"graft catalog: added member '$pathStr' must be nullable (existing rows null-fill)")
+            require(add.position() == null,
+              "graft catalog: ADD COLUMN appends at the end (FIRST/AFTER not supported)")
+            require(add.defaultValue() == null,
+              s"graft catalog: DEFAULT on nested member '$pathStr' not supported — " +
+                "Spark's default-fill machinery is top-level-only")
+            require(leaf.matches("[A-Za-z0-9_]+"),
+              s"graft catalog: new member name '$leaf' must match [A-Za-z0-9_]+")
+            require(!dropped.contains(pathStr),
+              s"graft catalog: member '$pathStr' was previously dropped and cannot be re-added")
+            // fresh ids for the member and (if a struct) its whole subtree;
+            // old files null-fill the new member under name AND id resolution
+            val (annotated, nextFree) = GraftFieldIds.annotateField(
+              StructField(leaf, add.dataType(), nullable = true),
+              GraftFieldIds.nextId(sch, meta.props))
+            setProps += GraftFieldIds.HighWaterProp -> (nextFree - 1).toString
+            GraftFieldIds.updateParent(sch, path, parent => {
+              require(!parent.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+                s"graft catalog: member '$pathStr' already exists")
+              StructType(parent.fields :+ annotated)
+            })
+          case upd: TableChange.UpdateColumnType if upd.fieldNames().length > 1 =>
+            val path = upd.fieldNames().toSeq
+            val pathStr = path.mkString(".")
+            val leafF = GraftFieldIds.fieldAt(sch, path)
+            require(leafF.isDefined, s"graft catalog: no column '$pathStr' to alter")
+            require(widens(leafF.get.dataType, upd.newDataType()),
+              s"graft catalog: cannot change member '$pathStr' from " +
+                s"${leafF.get.dataType.simpleString} to ${upd.newDataType().simpleString} " +
+                "— only lossless widenings (tinyint<smallint<int<bigint, " +
+                "float->double, date->timestamp_ntz) are metadata-only; " +
+                "anything else needs a rewrite")
+            // nested members are never partition columns and carry no zone
+            // entries, so neither the partition-type gate nor the
+            // day->micros zone rewrite applies; parquet widening upcasts the
+            // narrow physical member by name and by id alike (probe-pinned)
+            GraftFieldIds.updateParent(sch, path, parent =>
+              StructType(parent.fields.map(f =>
+                if (f.name.equalsIgnoreCase(path.last))
+                  f.copy(dataType = upd.newDataType())
+                else f)))
+          case del: TableChange.DeleteColumn if del.fieldNames().length > 1 =>
+            val path = del.fieldNames().toSeq
+            val pathStr = path.mkString(".")
+            if (GraftFieldIds.fieldAt(sch, path).isEmpty) {
+              require(del.ifExists(), s"graft catalog: no column '$pathStr' to drop")
+              sch
+            } else {
+              dropped += pathStr
+              GraftFieldIds.updateParent(sch, path, parent => {
+                require(parent.fields.length > 1,
+                  s"graft catalog: cannot drop the last member of " +
+                    s"'${path.init.mkString(".")}' (parquet groups cannot be empty)")
+                StructType(parent.fields.filterNot(_.name.equalsIgnoreCase(path.last)))
+              })
+            }
           // RENAME COLUMN — metadata-only, via STABLE FIELD IDS (the Iceberg
           // v2 mechanism on Spark's native parquet field-id machinery): the
           // field keeps its id, the table flips to id resolution
@@ -358,8 +496,6 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           // defined over the renamed column are NOT rewritten: refresh_mv
           // fails loudly on the stale name, the Iceberg contract.)
           case ren: TableChange.RenameColumn =>
-            require(ren.fieldNames().length == 1,
-              "graft catalog: nested RENAME COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val from = ren.fieldNames()(0)
             val to = ren.newName()
             val idx = sch.fieldNames.indexOf(from)
@@ -493,8 +629,6 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             removedProps += rm.property()
             sch
           case add: TableChange.AddColumn =>
-            require(add.fieldNames().length == 1,
-              "graft catalog: nested ADD COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val field = add.fieldNames()(0)
             require(add.isNullable,
               s"graft catalog: added column '$field' must be nullable (existing rows null-fill)")
@@ -532,12 +666,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
                   .putString("EXISTS_DEFAULT", frozen)
                   .putString("CURRENT_DEFAULT", dv.getSql).build()
             }
-            // fresh stable id (never reused — the high-water prop keeps
-            // dropped columns' ids retired)
-            val id = GraftFieldIds.nextId(sch, meta.props)
-            setProps += GraftFieldIds.HighWaterProp -> id.toString
-            StructType(sch.fields :+ GraftFieldIds.withId(
-              StructField(field, add.dataType(), nullable = true, metadata), id))
+            // fresh stable ids (never reused — the high-water prop keeps
+            // dropped columns' ids retired); a struct-typed new column gets
+            // ids for its whole subtree so its members evolve later too
+            val (annotatedF, nextFree) = GraftFieldIds.annotateField(
+              StructField(field, add.dataType(), nullable = true, metadata),
+              GraftFieldIds.nextId(sch, meta.props))
+            setProps += GraftFieldIds.HighWaterProp -> (nextFree - 1).toString
+            StructType(sch.fields :+ annotatedF)
           // ALTER COLUMN ... TYPE: WIDENING-only, metadata-only (the
           // Delta/Iceberg type-widening contract): the schema type widens,
           // old segments keep their narrow physical columns, and Spark's
@@ -546,30 +682,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           // repartitioning conversions are refused — they would need a
           // rewrite this DDL honestly does not run.
           case upd: TableChange.UpdateColumnType =>
-            require(upd.fieldNames().length == 1,
-              "graft catalog: nested ALTER COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val field = upd.fieldNames()(0)
             val idx = sch.fieldNames.indexOf(field)
             require(idx >= 0, s"graft catalog: no column '$field' to alter")
             val f = sch.fields(idx)
-            val widens: Boolean = (f.dataType, upd.newDataType()) match {
-              case (a, b) if a == b => true
-              case (org.apache.spark.sql.types.ByteType,
-                    org.apache.spark.sql.types.ShortType |
-                    org.apache.spark.sql.types.IntegerType |
-                    org.apache.spark.sql.types.LongType) => true
-              case (org.apache.spark.sql.types.ShortType,
-                    org.apache.spark.sql.types.IntegerType |
-                    org.apache.spark.sql.types.LongType) => true
-              case (org.apache.spark.sql.types.IntegerType,
-                    org.apache.spark.sql.types.LongType) => true
-              case (org.apache.spark.sql.types.FloatType,
-                    org.apache.spark.sql.types.DoubleType) => true
-              case (org.apache.spark.sql.types.DateType,
-                    org.apache.spark.sql.types.TimestampNTZType) => true
-              case _ => false
-            }
-            require(widens,
+            require(widens(f.dataType, upd.newDataType()),
               s"graft catalog: cannot change column '$field' from ${f.dataType.simpleString} " +
                 s"to ${upd.newDataType().simpleString} — only lossless widenings " +
                 "(tinyint<smallint<int<bigint, float->double, date->timestamp_ntz) " +
@@ -593,7 +710,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           // retroactively change what pre-ADD rows read as
           case upd: TableChange.UpdateColumnDefaultValue =>
             require(upd.fieldNames().length == 1,
-              "graft catalog: nested ALTER COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
+              "graft catalog: DEFAULT on a nested member not supported — " +
+                "Spark's default-fill machinery is top-level-only")
             val field = upd.fieldNames()(0)
             val idx = sch.fieldNames.indexOf(field)
             require(idx >= 0, s"graft catalog: no column '$field' to alter")
@@ -606,8 +724,6 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             }
             StructType(sch.fields.updated(idx, f.copy(metadata = b.build())))
           case del: TableChange.DeleteColumn =>
-            require(del.fieldNames().length == 1,
-              "graft catalog: nested DROP COLUMN not supported — field ids are assigned to TOP-LEVEL columns only (GraftFieldIds.annotate; nested members resolve by name inside their id-matched group, so an evolved nested member would silently null-fill or misread old segments). Restructure via CTAS (CREATE TABLE ... AS SELECT rebuilding the struct) instead")
             val field = del.fieldNames()(0)
             if (!sch.fieldNames.contains(field)) {
               require(del.ifExists(), s"graft catalog: no column '$field' to drop")

@@ -12,9 +12,13 @@ import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, Struc
   * field-id machinery instead of a bespoke reader:
   *
   *   - every table created by the catalog annotates its schema with
-  *     `parquet.field.id` metadata (ids 1..n at create, max+1 on ADD COLUMN);
-  *     ids persist through `StructType.json` in the meta file and survive
-  *     every schema change — a column's id NEVER changes or is reused;
+  *     `parquet.field.id` metadata, RECURSIVELY through plain structs
+  *     (depth-first 1..n at create, high-water+1 on ADD COLUMN — top-level
+  *     or nested member); ids persist through `StructType.json` in the meta
+  *     file and survive every schema change — a field's id NEVER changes or
+  *     is reused. Struct members inside arrays/maps stay id-less (Spark's
+  *     per-field fallback resolves them by name; the ALTER surface refuses
+  *     paths through collection types);
   *   - writes stamp the ids into parquet footers
   *     (`spark.sql.parquet.fieldId.write.enabled`) on every path — appends,
   *     partitioned/streaming writes, and the DML/compaction rewrite job;
@@ -49,39 +53,103 @@ private[catalog] object GraftFieldIds {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putLong(IdKey, id).build())
 
-  /** Fresh-table annotation: ids 1..n in declaration order, REPLACING any
-    * caller-supplied `parquet.field.id` (user metadata must not collide with
-    * the catalog's id space). Top-level fields only — nested fields resolve
-    * by name inside their (id-matched) group, and the catalog's ALTER surface
-    * is top-level only. */
-  def annotate(schema: StructType): StructType =
-    StructType(schema.fields.zipWithIndex.map { case (f, i) => withId(f, i + 1L) })
+  /** Fresh-table annotation: ids assigned RECURSIVELY in depth-first
+    * declaration order (Iceberg v2 contract — struct members get their own
+    * stable ids, so nested rename/widen/add/drop are metadata-only too),
+    * REPLACING any caller-supplied `parquet.field.id` (user metadata must not
+    * collide with the catalog's id space). Recursion covers plain structs at
+    * any depth; struct members INSIDE arrays/maps stay id-less — Spark's
+    * per-field fallback resolves them by name, and the catalog's ALTER
+    * surface refuses paths through collection types. */
+  def annotate(schema: StructType): StructType = {
+    var next = 0L
+    def field(f: StructField): StructField = {
+      next += 1L
+      val mine = next
+      withId(f.dataType match {
+        case st: StructType => f.copy(dataType = StructType(st.fields.map(field)))
+        case _ => f
+      }, mine)
+    }
+    StructType(schema.fields.map(field))
+  }
 
-  /** Next id for ADD COLUMN: one past the largest id ever assigned. Dropped
-    * columns keep their ids out of circulation because ids are assigned
-    * monotonically and [[nextId]] also consults the high-water prop. */
+  /** Annotate one NEW field (and, if a struct, its plain-struct subtree)
+    * with consecutive ids starting at `start`; returns the field and the
+    * next unused id — the ADD COLUMN allocation path. Preserves the field's
+    * existing metadata (e.g. DEFAULT keys). */
+  def annotateField(f: StructField, start: Long): (StructField, Long) = {
+    var next = start
+    def go(f: StructField): StructField = {
+      next += 1L
+      val mine = next - 1L
+      withId(f.dataType match {
+        case st: StructType => f.copy(dataType = StructType(st.fields.map(go)))
+        case _ => f
+      }, mine)
+    }
+    val out = go(f)
+    (out, next)
+  }
+
+  /** True iff every plain-struct-reachable field carries an id — the
+    * nested-rename gate (a legacy schema with id-less members would
+    * null-fill them under id resolution). */
+  def fullyAnnotated(schema: StructType): Boolean = {
+    def ok(st: StructType): Boolean = st.fields.forall { f =>
+      hasId(f) && (f.dataType match {
+        case inner: StructType => ok(inner)
+        case _ => true
+      })
+    }
+    ok(schema)
+  }
+
+  /** Largest id anywhere in the schema (recursive over plain structs). */
+  def maxId(schema: StructType): Long = {
+    def walk(st: StructType): Iterator[Long] = st.fields.iterator.flatMap { f =>
+      idOf(f).iterator ++ (f.dataType match {
+        case inner: StructType => walk(inner)
+        case _ => Iterator.empty
+      })
+    }
+    walk(schema).maxOption.getOrElse(0L)
+  }
+
+  /** Next id for ADD COLUMN (top-level or nested member): one past the
+    * largest id ever assigned. Dropped columns keep their ids out of
+    * circulation because ids are assigned monotonically and [[nextId]] also
+    * consults the high-water prop. */
   def nextId(schema: StructType, props: Map[String, String]): Long = {
-    val fromSchema = schema.fields.flatMap(idOf).maxOption.getOrElse(0L)
     val fromProp = props.get(HighWaterProp).map(_.toLong).getOrElse(0L)
-    math.max(fromSchema, fromProp) + 1L
+    math.max(maxId(schema), fromProp) + 1L
   }
 
   /** High-water mark of assigned ids — keeps a DROPPED column's id retired
     * even though the field (and its id) left the schema. */
   val HighWaterProp = "graft.last-column-id"
 
-  /** Drop the id metadata — for read paths that must stay NAME-resolved
-    * (pre-rename tables; the `_cdc` delta cache, which is always written and
-    * read by current names). */
-  def stripIds(schema: StructType): StructType =
-    StructType(schema.fields.map { f =>
-      if (!hasId(f)) f
-      else {
-        val b = new MetadataBuilder().withMetadata(f.metadata)
-        b.remove(IdKey)
-        f.copy(metadata = b.build())
+  /** Drop the id metadata — recursively, for read paths that must stay
+    * NAME-resolved (pre-rename tables; the `_cdc` delta cache, which is
+    * always written and read by current names). Recursion matters: the
+    * fieldId.read session conf is session-wide, so a name-resolved table
+    * whose struct members still carried ids would id-resolve them against
+    * name-written files. */
+  def stripIds(schema: StructType): StructType = {
+    def strip(f: StructField): StructField = {
+      val f2 = f.dataType match {
+        case st: StructType => f.copy(dataType = StructType(st.fields.map(strip)))
+        case _ => f
       }
-    })
+      if (!hasId(f2)) f2
+      else {
+        val b = new MetadataBuilder().withMetadata(f2.metadata)
+        b.remove(IdKey)
+        f2.copy(metadata = b.build())
+      }
+    }
+    StructType(schema.fields.map(strip))
+  }
 
   /** The schema every FILE READ of table data must use: name-based (ids
     * stripped) until the table flipped to id resolution, id-based after. */
@@ -106,16 +174,28 @@ private[catalog] object GraftFieldIds {
     }.toSeq: _*)
   }
 
-  /** Overlay the table's ids onto a WRITE schema by (case-insensitive) name:
-    * the v2 write schema is the query's resolved output, which matches the
-    * table columns by name but does not carry their metadata. Fields the
-    * table doesn't know (e.g. none today) pass through unchanged. */
+  /** Overlay the table's ids onto a WRITE schema by (case-insensitive) name,
+    * RECURSIVELY through plain structs: the v2 write schema is the query's
+    * resolved output, which matches the table columns by name but does not
+    * carry their metadata (and plan transforms reliably lose nested field
+    * metadata). This seam is what makes every written footer carry the
+    * table's nested ids. Fields the table doesn't know pass through
+    * unchanged. */
   def overlayIds(writeSchema: StructType, tableSchema: StructType): StructType = {
     val byName = tableSchema.fields.map(f => f.name.toLowerCase -> f).toMap
     StructType(writeSchema.fields.map { f =>
-      byName.get(f.name.toLowerCase).flatMap(idOf) match {
-        case Some(id) => withId(f, id)
-        case None     => f
+      byName.get(f.name.toLowerCase) match {
+        case Some(tf) =>
+          val f2 = (f.dataType, tf.dataType) match {
+            case (ws: StructType, ts: StructType) =>
+              f.copy(dataType = overlayIds(ws, ts))
+            case _ => f
+          }
+          idOf(tf) match {
+            case Some(id) => withId(f2, id)
+            case None     => f2
+          }
+        case None => f
       }
     })
   }
@@ -161,6 +241,24 @@ private[catalog] object GraftFieldIds {
     * cost as the commit-time zone harvest; rename is a rare DDL). */
   def segmentsWithoutIds(tableDir: Path, segs: Seq[String]): Seq[String] = {
     val conf = new org.apache.hadoop.conf.Configuration()
+    // id resolution reads nested members by id too, so the pre-flight must
+    // prove ids at EVERY named level (a group whose members are id-less
+    // would silently null-fill under id resolution, not error). Lists/maps
+    // interpose unnamed repetition groups — recurse through groups but only
+    // REQUIRE ids where the catalog assigns them: struct members, i.e.
+    // groups not named by the parquet list/map encodings.
+    def idless(t: org.apache.parquet.schema.Type, top: Boolean): Boolean = {
+      val collectionInternals = Set("list", "key_value", "array", "map")
+      val needsId = top || !collectionInternals.contains(t.getName)
+      if (needsId && t.getId == null) true
+      else t match {
+        case g: org.apache.parquet.schema.GroupType
+            if g.getLogicalTypeAnnotation == null =>
+          // plain struct group: members must carry ids
+          g.getFields.asScala.exists(c => idless(c, top = false))
+        case _ => false // primitives ok; list/map subtrees stay name-resolved
+      }
+    }
     segs.filter { seg =>
       val hdir = new org.apache.hadoop.fs.Path(tableDir.resolve(seg).toString)
       scala.util.Try {
@@ -172,10 +270,59 @@ private[catalog] object GraftFieldIds {
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
             try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-              .exists(_.getId == null)
+              .exists(f => idless(f, top = true))
             finally r.close()
           }
       }.getOrElse(true) // unreadable ⇒ treat as id-less ⇒ refuse honestly
     }
+  }
+
+  // ---------------------------------------------------------------------------
+  // Nested-path helpers for the ALTER surface (paths through plain structs
+  // only — a path segment landing in an array/map refuses loudly).
+  // ---------------------------------------------------------------------------
+
+  /** The StructField at `path` (case-insensitive), or None. */
+  def fieldAt(schema: StructType, path: Seq[String]): Option[StructField] =
+    path match {
+      case Seq() => None
+      case head +: rest =>
+        schema.fields.find(_.name.equalsIgnoreCase(head)).flatMap { f =>
+          if (rest.isEmpty) Some(f)
+          else f.dataType match {
+            case st: StructType => fieldAt(st, rest)
+            case _ => None
+          }
+        }
+    }
+
+  /** Rewrite the struct at `path.init` by applying `fn` to its field list
+    * (the leaf is `path.last`; `fn` receives the PARENT struct). Every
+    * intermediate segment must name a plain struct member — anything else
+    * (missing name, array/map element, primitive) throws with the path. */
+  def updateParent(schema: StructType, path: Seq[String],
+                   fn: StructType => StructType): StructType = {
+    require(path.nonEmpty, "empty field path")
+    def walk(st: StructType, prefix: Seq[String], rest: Seq[String]): StructType =
+      rest match {
+        case Seq(_) => fn(st)
+        case head +: tail =>
+          val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
+          require(idx >= 0,
+            s"graft catalog: no column '${(prefix :+ head).mkString(".")}'")
+          val f = st.fields(idx)
+          f.dataType match {
+            case inner: StructType =>
+              StructType(st.fields.updated(idx,
+                f.copy(dataType = walk(inner, prefix :+ head, tail))))
+            case other =>
+              throw new IllegalArgumentException(
+                s"graft catalog: '${(prefix :+ head).mkString(".")}' is " +
+                  s"${other.simpleString}, not a struct — nested ALTER paths " +
+                  "may only traverse plain struct members (collection " +
+                  "elements stay name-resolved; restructure via CTAS)")
+          }
+      }
+    walk(schema, Nil, path)
   }
 }

@@ -134,24 +134,45 @@ class RenameColumnSpec extends SparkSpec {
     assert(meta.props(GraftTable.PartitionByProp) === "geo")
   }
 
-  test("nested-path ALTERs refuse loudly with the CTAS remediation") {
+  test("NESTED member rename/add/drop are metadata-only via recursive field ids") {
     root
     sql("DROP TABLE IF EXISTS gren.ns.r10")
-    sql("CREATE TABLE gren.ns.r10 (k BIGINT, s STRUCT<a: INT, b: BIGINT>) USING parquet")
-    sql("INSERT INTO gren.ns.r10 VALUES (1, named_struct('a', 1, 'b', 2L))")
-    def refusesNested(ddl: String, op: String): Unit = {
-      val e = intercept[Exception] { sql(ddl) }
-      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-      assert(msgs.contains(s"nested $op not supported") && msgs.contains("CTAS"),
-        s"expected a loud nested-$op refusal naming the CTAS remediation, got: $msgs")
-    }
-    refusesNested("ALTER TABLE gren.ns.r10 RENAME COLUMN s.a TO a2", "RENAME COLUMN")
-    refusesNested("ALTER TABLE gren.ns.r10 ALTER COLUMN s.a TYPE BIGINT", "ALTER COLUMN")
-    refusesNested("ALTER TABLE gren.ns.r10 DROP COLUMN s.a", "DROP COLUMN")
-    refusesNested("ALTER TABLE gren.ns.r10 ADD COLUMNS (s.c BIGINT)", "ADD COLUMN")
-    // the table is untouched by the refusals
-    assert(sql("SELECT s.b FROM gren.ns.r10").collect().head.getLong(0) === 2L)
+    sql("CREATE TABLE gren.ns.r10 (k BIGINT, s STRUCT<a: BIGINT, b: BIGINT>) USING parquet")
+    sql("INSERT INTO gren.ns.r10 VALUES (1, named_struct('a', 10L, 'b', 2L))") // pre-rename
+    sql("ALTER TABLE gren.ns.r10 RENAME COLUMN s.a TO alpha")
+    sql("INSERT INTO gren.ns.r10 VALUES (2, named_struct('alpha', 20L, 'b', 3L))")
+    // pre-rename segments serve the member BY ID under the new name
+    val vals = sql("SELECT s.alpha FROM gren.ns.r10 ORDER BY k").collect().map(_.getLong(0))
+    assert(vals.toSeq === Seq(10L, 20L),
+      "old segments must serve the renamed nested member by id, not null-fill it")
+    // filter on the renamed member with the hit living in the OLD segment
+    assert(sql("SELECT k FROM gren.ns.r10 WHERE s.alpha = 10").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L))
+    // nested ADD: old rows null-fill the new member
+    sql("ALTER TABLE gren.ns.r10 ADD COLUMNS (s.c BIGINT)")
+    sql("INSERT INTO gren.ns.r10 VALUES (3, named_struct('alpha', 30L, 'b', 4L, 'c', 7L))")
+    val cRows = sql("SELECT k, s.c FROM gren.ns.r10 ORDER BY k").collect()
+    assert(cRows.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq === Seq(-1L, -1L, 7L))
+    // nested DROP: the member leaves the schema; its path can never be re-added
+    sql("ALTER TABLE gren.ns.r10 DROP COLUMN s.b")
+    assert(!sql("SELECT s.* FROM gren.ns.r10").schema.fieldNames.contains("b"))
+    intercept[Exception] { sql("ALTER TABLE gren.ns.r10 ADD COLUMNS (s.b BIGINT)") }
+    // total content across all three eras still correct
+    assert(sql("SELECT SUM(s.alpha) FROM gren.ns.r10").collect().head.getLong(0) === 60L)
+  }
+
+  test("nested refusals: paths through collections, nested member DEFAULT") {
+    root
+    sql("DROP TABLE IF EXISTS gren.ns.r12")
+    sql("""CREATE TABLE gren.ns.r12
+           (k BIGINT, arr ARRAY<STRUCT<x: BIGINT>>, s STRUCT<a: BIGINT>) USING parquet""")
+    sql("INSERT INTO gren.ns.r12 VALUES (1, array(named_struct('x', 1L)), named_struct('a', 2L))")
+    // collection elements stay name-resolved — the ALTER surface refuses them
+    intercept[Exception] { sql("ALTER TABLE gren.ns.r12 RENAME COLUMN arr.x TO y") }
+    intercept[Exception] { sql("ALTER TABLE gren.ns.r12 ADD COLUMNS (arr.y BIGINT)") }
+    // DEFAULT is top-level-only machinery
+    intercept[Exception] { sql("ALTER TABLE gren.ns.r12 ADD COLUMNS (s.d BIGINT DEFAULT 3)") }
+    assert(sql("SELECT s.a FROM gren.ns.r12").collect().head.getLong(0) === 2L)
   }
 
   test("chained renames in ONE programmatic ALTER compose to the final name in zone stats") {

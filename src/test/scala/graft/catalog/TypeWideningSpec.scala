@@ -46,22 +46,22 @@ class TypeWideningSpec extends SparkSpec {
     intercept[Exception] { sql("ALTER TABLE gwid.ns.w2 ALTER COLUMN x TYPE STRING") }
   }
 
-  test("nested-path widening refuses loudly with the CTAS remediation") {
+  test("NESTED member widening is metadata-only; narrowing still refuses") {
     root
     sql("DROP TABLE IF EXISTS gwid.ns.w5")
     sql("CREATE TABLE gwid.ns.w5 (k BIGINT, s STRUCT<a: INT, b: BIGINT>) USING parquet")
-    sql("INSERT INTO gwid.ns.w5 VALUES (1, named_struct('a', 1, 'b', 2L))")
-    val e = intercept[Exception] {
-      sql("ALTER TABLE gwid.ns.w5 ALTER COLUMN s.a TYPE BIGINT")
-    }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.contains("nested ALTER COLUMN not supported") && msgs.contains("CTAS"),
-      s"expected a loud nested-widen refusal naming the CTAS remediation, got: $msgs")
-    // a WIDENED nested member would be the silent-misread case (old segments'
-    // narrow physical member under id-matched group, name-resolved) — the
-    // refusal keeps the table intact
-    assert(sql("SELECT s.a FROM gwid.ns.w5").collect().head.getInt(0) === 1)
+    sql("INSERT INTO gwid.ns.w5 VALUES (1, named_struct('a', 5, 'b', 2L))") // narrow era
+    sql("ALTER TABLE gwid.ns.w5 ALTER COLUMN s.a TYPE BIGINT")
+    // wide era holds a value impossible before the widen
+    sql("""INSERT INTO gwid.ns.w5
+           VALUES (2, named_struct('a', 5000000000, 'b', 3L))""")
+    val rows = sql("SELECT k, s.a FROM gwid.ns.w5 ORDER BY k").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(5L, 5000000000L),
+      "old segments' narrow physical member must upcast at read time")
+    assert(sql("SELECT SUM(s.a) FROM gwid.ns.w5 WHERE s.a > 0").collect()
+      .head.getLong(0) === 5000000005L)
+    // narrowing a nested member refuses like its top-level sibling
+    intercept[Exception] { sql("ALTER TABLE gwid.ns.w5 ALTER COLUMN s.b TYPE INT") }
   }
 
   test("date->timestamp_ntz: zone stats convert domains so pruning stays CORRECT") {
