@@ -387,6 +387,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             val toPath = (path.init :+ to).mkString(".")
             require(GraftFieldIds.fieldAt(sch, path).isDefined,
               s"graft catalog: no column '$pathStr' to rename")
+            // same v2-reader hole as top-level struct renames: a renamed
+            // GROUP's members null-fill (V2RenameProbeSpec) — leaf members
+            // of any non-struct type rename fine
+            require(!GraftFieldIds.fieldAt(sch, path).get.dataType.isInstanceOf[StructType],
+              s"graft catalog: cannot rename struct-typed member '$pathStr' — " +
+                "Spark's v2 parquet reader does not id-resolve members of a " +
+                "renamed group (V2RenameProbeSpec); CTAS instead")
             require(to.matches("[A-Za-z0-9_]+"),
               s"graft catalog: new member name '$to' must match [A-Za-z0-9_]+")
             require(!dropped.contains(toPath),
@@ -419,6 +426,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
                     "and re-add it around the rename")
             }
             setProps += GraftFieldIds.ResolveProp -> pathStr
+            // nested leaves carry zone entries keyed by dot-path — re-key
+            // them through the rename like a top-level column's
+            colRenames ::= (pathStr -> toPath)
             GraftFieldIds.updateParent(sch, path, parent => {
               require(!parent.fieldNames.exists(_.equalsIgnoreCase(to)),
                 s"graft catalog: member '$toPath' already exists")
@@ -462,10 +472,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
                 "— only lossless widenings (tinyint<smallint<int<bigint, " +
                 "float->double, date->timestamp_ntz) are metadata-only; " +
                 "anything else needs a rewrite")
-            // nested members are never partition columns and carry no zone
-            // entries, so neither the partition-type gate nor the
-            // day->micros zone rewrite applies; parquet widening upcasts the
-            // narrow physical member by name and by id alike (probe-pinned)
+            // nested members are never partition columns (no partition-type
+            // gate), but their LEAVES carry dot-path zone entries — a
+            // date->ntz widen must convert those domains exactly like a
+            // top-level column's; parquet widening upcasts the narrow
+            // physical member by name and by id alike (probe-pinned)
+            if (leafF.get.dataType == org.apache.spark.sql.types.DateType &&
+                upd.newDataType() == org.apache.spark.sql.types.TimestampNTZType)
+              zstatDayToMicros ::= pathStr
             GraftFieldIds.updateParent(sch, path, parent =>
               StructType(parent.fields.map(f =>
                 if (f.name.equalsIgnoreCase(path.last))
@@ -500,6 +514,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             val to = ren.newName()
             val idx = sch.fieldNames.indexOf(from)
             require(idx >= 0, s"graft catalog: no column '$from' to rename")
+            // Spark 4.1's V2 parquet reader does not descend into a RENAMED
+            // group: a struct-typed column renamed by id reads its members
+            // as NULL (V2RenameProbeSpec pins it; primitives and arrays
+            // resolve fine). Refuse rather than silently null-fill;
+            // remediation: CTAS under the new name.
+            require(!sch.fields(idx).dataType.isInstanceOf[StructType],
+              s"graft catalog: cannot rename struct-typed column '$from' — " +
+                "Spark's v2 parquet reader does not id-resolve members of a " +
+                "renamed group (V2RenameProbeSpec); CTAS under the new name instead")
             require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)),
               s"graft catalog: column '$to' already exists")
             // zone entries / property lists delimit on ':' ',' — and the
@@ -763,7 +786,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             SegmentStats.encode(st.copy(cols = st.cols.map { case (n, c) =>
               // colRenames was built by PREPENDING; fold in DDL order
               // (reverse) so chained renames in one ALTER (a->b then b->c)
-              // compose to the final name instead of parking on a dead one
+              // compose to the final name instead of parking on a dead one.
+              // Nested-member renames arrive as full dot-paths and match
+              // exactly; struct renames (which would need a prefix re-key of
+              // member entries) are refused outright — see the v2-reader
+              // guard in the rename arms.
               val renamed = colRenames.reverse.foldLeft(n) { case (nn, (f, t)) =>
                 if (nn == f) t else nn }
               val conv =
@@ -1620,7 +1647,14 @@ private[catalog] final class GraftTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer's
+      // ResolveMergeIntoSchemaEvolution evolves the target through the SAME
+      // alterTable arms ordinary DDL uses (AddColumn incl. nested members,
+      // widening via UpdateColumnType) — so every catalog guard (nullable,
+      // widen-only, dropped-name retirement, field-id assignment) applies
+      // to merge-driven evolution identically
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Segment dirs visible to this read: a pinned snapshot (`VERSION AS OF` /
     * `TIMESTAMP AS OF` / a `snapshot` read option), an incremental CHANGES

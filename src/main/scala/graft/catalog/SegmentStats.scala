@@ -81,6 +81,32 @@ private[catalog] object SegmentStats {
     case _                                             => None
   }
 
+  /** Zone-eligible LEAVES: (dot-path, kind) — top-level primitives plus
+    * primitive members of plain structs at any depth (r15, riding the
+    * recursive-field-id work: `WHERE info.balance_c > x` prunes segments
+    * like a top-level predicate). Collection subtrees are excluded — their
+    * parquet paths interpose repetition groups and their values aren't
+    * one-scalar-per-row, so min/max per segment isn't a row bound. */
+  private[catalog] def eligibleLeaves(schema: StructType): Seq[(String, Char)] = {
+    def walk(st: StructType, prefix: Seq[String]): Seq[(String, Char)] =
+      st.fields.toSeq.flatMap { f =>
+        val p = prefix :+ f.name
+        f.dataType match {
+          case inner: StructType => walk(inner, p)
+          case dt => kindOf(dt).map(k => p.mkString(".") -> k).toSeq
+        }
+      }
+    // the zone-entry encoding delimits on ':' ',' ';' — a leaf whose path
+    // carries one simply goes unharvested (kept conservative) rather than
+    // corrupting the payload
+    walk(schema, Nil).filterNot(_._1.exists(c => c == ':' || c == ',' || c == ';'))
+  }
+
+  /** Column expression for a dot-path: each segment backtick-quoted so names
+    * parse literally and the dots NAVIGATE (struct member access). */
+  private def colAt(path: String): org.apache.spark.sql.Column =
+    col(path.split('.').map(seg => s"`$seg`").mkString("."))
+
   /** Commit-time stats for a freshly written segment. The footers the write
     * just produced already hold per-chunk min/max/null-count, so the common
     * path is pure driver-side metadata IO — zero extra row reads, zero Spark
@@ -155,7 +181,7 @@ private[catalog] object SegmentStats {
   /** One aggregate pass over the segment — the engine-only fallback when
     * footers can't serve ([[harvest]] is the zero-IO primary path). */
   def compute(spark: SparkSession, segmentDir: String, schema: StructType): Stats = {
-    val eligible = schema.fields.flatMap(f => kindOf(f.dataType).map(f.name -> _)).toSeq
+    val eligible = eligibleLeaves(schema)
     val df = spark.read.schema(schema).parquet(segmentDir)
     val aggs = count(lit(1)).as("__rows") +: aggsFor(eligible)
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -164,12 +190,12 @@ private[catalog] object SegmentStats {
 
   private def aggsFor(cols: Seq[(String, Char)]) = cols.flatMap { case (name, kind) =>
     val c = kind match {
-      case 'i' | 's' => col(name)
-      case 'd'       => datediff(col(name), lit("1970-01-01")).cast(LongType)
-      case 't'       => unix_micros(col(name))
+      case 'i' | 's' => colAt(name)
+      case 'd'       => datediff(colAt(name), lit("1970-01-01")).cast(LongType)
+      case 't'       => unix_micros(colAt(name))
     }
     Seq(min(c).as(s"__min_$name"), max(c).as(s"__max_$name"),
-      sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"__nulls_$name"))
+      sum(when(colAt(name).isNull, 1L).otherwise(0L)).as(s"__nulls_$name"))
   }
 
   private def colsFrom(row: org.apache.spark.sql.Row,
@@ -212,7 +238,7 @@ private[catalog] object SegmentStats {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
     import LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
 
-    val eligible = schema.fields.flatMap(f => kindOf(f.dataType).map(f.name -> _)).toSeq
+    val eligible = eligibleLeaves(schema)
     val conf = new org.apache.hadoop.conf.Configuration()
     val hdir = new org.apache.hadoop.fs.Path(segmentDir)
     val fs = hdir.getFileSystem(conf)
@@ -276,8 +302,11 @@ private[catalog] object SegmentStats {
         val footer = reader.getFooter
         footer.getBlocks.asScala.foreach { block =>
           rows += block.getRowCount
+          // keyed by full dot path, so nested struct leaves resolve too
+          // (collection internals like a.list.element never match an
+          // eligible path and fall through harmlessly)
           val byName = block.getColumns.asScala
-            .filter(_.getPath.size == 1).map(c => c.getPath.toDotString -> c).toMap
+            .map(c => c.getPath.toDotString -> c).toMap
           eligible.foreach { case (name, kind) =>
             val acc = accs(name)
             if (!acc.failed) byName.get(name) match {
@@ -387,10 +416,15 @@ private[catalog] object SegmentStats {
 
   /** Could a row of this segment satisfy `e`? Unknown shapes/columns → true. */
   def mayMatch(stats: Stats, e: Expression): Boolean = {
-    def colOf(ex: Expression): Option[(String, Col)] = ex match {
-      case a: AttributeReference => stats.cols.get(a.name).map(a.name -> _)
+    // nested predicates arrive as GetStructField chains over an attribute;
+    // resolve to the same dot-path the harvest keys entries by
+    def pathOf(ex: Expression): Option[String] = ex match {
+      case a: AttributeReference => Some(a.name)
+      case g: GetStructField     => pathOf(g.child).map(p => p + "." + g.extractFieldName)
       case _                     => None
     }
+    def colOf(ex: Expression): Option[(String, Col)] =
+      pathOf(ex).flatMap(p => stats.cols.get(p).map(p -> _))
     def stringSafe(c: Col): Boolean =
       c.kind != 's' || (c.min.forall(_.forall(_ < 128)) && c.max.forall(_.forall(_ < 128)))
     def range(c: Col, v: Any)(keep: (Int, Int) => Boolean): Boolean =

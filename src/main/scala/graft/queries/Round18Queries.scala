@@ -118,7 +118,120 @@ object Round18Queries {
        FROM t WHERE balance_c > -99000
        GROUP BY COALESCE(tier, -1) ORDER BY tier"""
 
+  // --------------------------------------------------------------------------
+  // q281: MERGE WITH SCHEMA EVOLUTION (TableCapability
+  // .AUTOMATIC_SCHEMA_EVOLUTION): an upsert source carrying a column the
+  // target never declared evolves the target MID-MERGE through the
+  // catalog's own AddColumn arm — pre-merge rows null-fill the new column,
+  // matched rows update through it, unmatched rows insert with it, all in
+  // the ONE group-based merge pass. The readout aggregates by the evolved
+  // column across the pre-merge / updated / inserted populations; the
+  // oracle replays the upsert relationally.
+  // --------------------------------------------------------------------------
+  private def q281(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = customerView(s, d)
+    val t = s"r281_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, bal_c BIGINT) USING parquet")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 3 <> 0""")                  // pre-merge population
+    val v = s"r281_src_${sfTag(d)}"
+    s.sql(s"""SELECT c_custkey AS k,
+                     CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 1000000 AS bal_c,
+                     c_nationkey % 5 AS tier
+              FROM $src WHERE c_custkey % 2 = 0""").createOrReplaceTempView(v)
+    s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.lake.$t t USING $v s ON t.k = s.k
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+    s.sql(s"""SELECT COALESCE(tier, -1) AS tier, COUNT(*) AS n,
+                     CAST(SUM(bal_c) AS BIGINT) AS total_c,
+                     MIN(bal_c) AS min_c, MAX(bal_c) AS max_c
+              FROM graft.lake.$t WHERE bal_c > -99000000
+              GROUP BY COALESCE(tier, -1) ORDER BY tier""")
+  }
+
+  private val q281Sql =
+    """WITH pre AS (
+         SELECT c_custkey AS k, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+         FROM customer WHERE c_custkey % 3 <> 0),
+       src AS (
+         SELECT c_custkey AS k,
+                CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 1000000 AS bal_c,
+                c_nationkey % 5 AS tier
+         FROM customer WHERE c_custkey % 2 = 0),
+       merged AS (
+         SELECT p.k,
+                COALESCE(s.bal_c, p.bal_c) AS bal_c,
+                s.tier AS tier
+         FROM pre p LEFT JOIN src s ON p.k = s.k
+         UNION ALL
+         SELECT s.k, s.bal_c, s.tier FROM src s
+         WHERE s.k NOT IN (SELECT k FROM pre))
+       SELECT COALESCE(tier, -1) AS tier, COUNT(*) AS n,
+              CAST(SUM(bal_c) AS BIGINT) AS total_c,
+              MIN(bal_c) AS min_c, MAX(bal_c) AS max_c
+       FROM merged WHERE bal_c > -99000000
+       GROUP BY COALESCE(tier, -1) ORDER BY tier"""
+
+  // --------------------------------------------------------------------------
+  // q282: NESTED data skipping (dot-path zone maps, r15): struct-member
+  // leaves harvest per-segment min/max at commit, and predicates on
+  // `meta.k` / `meta.st` — GetStructField chains, not top-level columns —
+  // prune whole segments at plan time exactly like q164's flat form. The
+  // fixture appends four key-range-ordered batches (four segments with
+  // disjoint nested zones); both readout predicates land inside one
+  // segment's zone, so the scan plans 1/4 of the files with zero IO on the
+  // rest (NestedZoneStatsSpec pins the planned-segment count; this query
+  // hash-gates the values and benches the shape).
+  // --------------------------------------------------------------------------
+  private def q282(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = ordersView(s, d)
+    val t = s"r282_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t
+              (meta STRUCT<k: BIGINT, st: STRING>, price_c BIGINT)
+              USING parquet TBLPROPERTIES ('write.order-by'='price_c')""")
+    (0 until 4).foreach { q =>
+      s.sql(s"""INSERT INTO graft.lake.$t
+        SELECT named_struct('k', o_orderkey, 'st', o_orderstatus),
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM $src
+        WHERE o_orderkey * 4 >= (SELECT MAX(o_orderkey) FROM $src) * $q
+          AND o_orderkey * 4 <  (SELECT MAX(o_orderkey) FROM $src) * ${q + 1}
+           OR ($q = 3 AND o_orderkey = (SELECT MAX(o_orderkey) FROM $src))""")
+    }
+    s.sql(s"""SELECT 'point' AS kind, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+              FROM graft.lake.$t WHERE meta.k = 32
+              UNION ALL
+              SELECT 'range' AS kind, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+              FROM graft.lake.$t WHERE meta.k BETWEEN 100 AND 999 AND meta.st <> 'Z'
+              ORDER BY kind""")
+  }
+
+  private def ordersView(s: SparkSession, d: String): String = {
+    val v = s"r18_orders_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(v)
+    v
+  }
+
+  private val q282Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+         FROM orders)
+       SELECT 'point' AS kind, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       FROM base WHERE k = 32
+       UNION ALL
+       SELECT 'range' AS kind, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS total_c
+       FROM base WHERE k BETWEEN 100 AND 999 AND st <> 'Z'
+       ORDER BY kind"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q279_sql_views", q279, Some(q279Sql)),
-    QDef("q280_nested_evolution", q280, Some(q280Sql)))
+    QDef("q280_nested_evolution", q280, Some(q280Sql)),
+    QDef("q281_merge_evolution", q281, Some(q281Sql)),
+    QDef("q282_nested_skipping", q282, Some(q282Sql)))
 }
