@@ -85,6 +85,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     * exactly like plain ADD COLUMN (ExistsDefaultProbeSpec pins the reader
     * mechanism; zone pruning stays conservative because pre-ADD segments
     * have no stats entry for the new column at all). */
+  // SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS is deliberately NOT declared:
+  // probing showed Spark then accepts the DDL but the default createTable
+  // conversion drops the IdentityColumnSpec and inserts fill NULL — a silent
+  // lie. Until the catalog implements allocation (high-water tracking across
+  // every append/merge/streaming seam), CREATE ... AS IDENTITY refuses loudly.
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
