@@ -94,6 +94,9 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
     require(!meta.props.keys.exists(_.startsWith(GraftGenerate.Prefix)),
       "graft add_files: table declares GENERATED columns — imported rows would " +
         "bypass fill/validation; use INSERT ... SELECT instead")
+    require(!GraftIdentity.isIdentityTable(meta.props),
+      "graft add_files: table declares IDENTITY columns — imported rows would " +
+        "carry ids outside the allocator; use INSERT ... SELECT instead")
     // a RENAMEd table resolves columns BY FIELD ID (GraftFieldIds) and
     // imported foreign parquet carries no footer ids — its files would
     // refuse to read; the Iceberg answer is a per-file name mapping, which

@@ -85,14 +85,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     * exactly like plain ADD COLUMN (ExistsDefaultProbeSpec pins the reader
     * mechanism; zone pruning stays conservative because pre-ADD segments
     * have no stats entry for the new column at all). */
-  // SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS is deliberately NOT declared:
-  // probing showed Spark then accepts the DDL but the default createTable
-  // conversion drops the IdentityColumnSpec and inserts fill NULL — a silent
-  // lie. Until the catalog implements allocation (high-water tracking across
-  // every append/merge/streaming seam), CREATE ... AS IDENTITY refuses loudly.
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // identity columns: the Column[] createTable override captures the
+      // spec (the default conversion drops it silently) and GraftIdentity
+      // allocates at write with commit-time high-water CAS
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private[catalog] def tableDirFor(ident: Identifier): Path = tableDir(ident)
 
@@ -174,6 +173,42 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(candidates.max))
   }
 
+  // the Column[] variant is overridden too: the default conversion DROPS
+  // IdentityColumnSpec silently, so identity columns are captured here as
+  // graft.identity props before delegating through the same conversion
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val idProps = columns.toSeq.flatMap { c =>
+      Option(c.identityColumnSpec()).toSeq.flatMap { spec =>
+        GraftIdentity.validateCreate(c.name(), c.dataType(), c.nullable(),
+          spec.isAllowExplicitInsert, spec.getStep)
+        Seq(GraftIdentity.Prefix + c.name() -> s"${spec.getStart},${spec.getStep}",
+          GraftIdentity.NextPrefix + c.name() -> spec.getStart.toString)
+      }
+    }
+    val withId = new java.util.HashMap[String, String](properties)
+    idProps.foreach { case (k, v) => withId.put(k, v) }
+    // replicate the default Column[]->StructType conversion (CatalogV2Util is
+    // private[sql]): metadata JSON + comment + the default-value keys, with
+    // EXISTS_DEFAULT frozen to the FOLDED literal (the same convention the
+    // ADD COLUMN arm uses — the raw text would re-evaluate over time)
+    val schema = StructType(columns.toSeq.map { c =>
+      val b = new MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        b.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.comment()).foreach(b.putString("comment", _))
+      Option(c.defaultValue()).foreach { d =>
+        b.putString("CURRENT_DEFAULT", d.getSql)
+        if (d.getValue != null)
+          b.putString("EXISTS_DEFAULT", org.apache.spark.sql.catalyst.expressions.Literal(
+            d.getValue.value(), d.getValue.dataType()).sql)
+      }
+      StructField(c.name(), c.dataType(), c.nullable(), b.build())
+    })
+    createTable(ident, schema, partitions, withId)
+  }
+
   // the StructType variant is the root of TableCatalog's default-method chain
   // (TableInfo → Column[] → here), so one override covers every call site
   override def createTable(ident: Identifier, schema: StructType,
@@ -243,14 +278,34 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     // integral/string columns are ever harvested)
     val bloomProp = Seq(GraftBloom.Prop, GraftBloom.FppProp)
       .flatMap(p => Option(properties.get(p)).map(p -> _)).toMap
-    val props = kept ++ dmlModes ++ sumsProp ++ ndvProp ++ checkProps ++ genProps ++ bloomProp ++
+    // IDENTITY columns (captured by the Column[] override, or user-supplied
+    // props): validated NOW — columns exist and are nullable BIGINT, and the
+    // surfaces allocation cannot ride are refused at the door
+    val identityProps = properties.asScala
+      .filter(_._1.startsWith(GraftIdentity.Prefix)).toMap
+    if (identityProps.nonEmpty) {
+      GraftIdentity.of(identityProps, schema).foreach { s =>
+        val f = schema.fields(s.ordinal)
+        GraftIdentity.validateCreate(s.col, f.dataType, f.nullable,
+          allowExplicitInsert = false, s.step)
+      }
+      require(partCols.isEmpty,
+        "graft catalog: identity columns on PARTITIONED tables are not " +
+          "supported (the partitioned writer has no allocation transaction)")
+      require(!dmlModes.values.exists(_ == GraftDv.ModeMor),
+        "graft catalog: identity columns with merge-on-read DML are not " +
+          "supported (MOR upserts would insert rows outside the allocator)")
+    }
+    val annotated = GraftFieldIds.annotate(schema)
+    val props = kept ++ dmlModes ++ sumsProp ++ ndvProp ++ checkProps ++ genProps ++
+      bloomProp ++ identityProps ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty) +
-      (GraftFieldIds.HighWaterProp -> schema.length.toString)
-    // stable column ids from birth (ids 1..n): footers get stamped on every
-    // write, so a later RENAME COLUMN can flip the table to id resolution
-    // without rewriting a single segment (GraftFieldIds)
-    GraftMeta.write(dir, GraftMeta(GraftFieldIds.annotate(schema), current = 0L,
+      (GraftFieldIds.HighWaterProp -> GraftFieldIds.maxId(annotated).toString)
+    // stable column ids from birth (depth-first through plain structs):
+    // footers get stamped on every write, so a later RENAME COLUMN can flip
+    // the table to id resolution without rewriting a single segment
+    GraftMeta.write(dir, GraftMeta(annotated, current = 0L,
       snapshots = Map(0L -> Nil),
       props = props, snapshotTimes = Map(0L -> System.currentTimeMillis())))
     new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
@@ -344,6 +399,44 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           throw new GraftConcurrentCommitException(
             "graft catalog: branch refs changed while ADD CONSTRAINT was " +
               "validating staged segments; retry")
+      }
+      // identity columns are structurally load-bearing (allocation state keys
+      // on the name; the type carries the domain) — evolution on them, manual
+      // tampering with their props, and mode flips allocation can't ride are
+      // refused up front
+      val identityCols = meta.props.keys
+        .filter(k => k.startsWith(GraftIdentity.Prefix) &&
+          !k.startsWith(GraftIdentity.NextPrefix))
+        .map(_.stripPrefix(GraftIdentity.Prefix).toLowerCase).toSet
+      changes.foreach {
+        case r: TableChange.RenameColumn
+            if r.fieldNames().length == 1 && identityCols(r.fieldNames()(0).toLowerCase) =>
+          throw new IllegalArgumentException(
+            s"graft catalog: cannot rename identity column '${r.fieldNames()(0)}'")
+        case d: TableChange.DeleteColumn
+            if d.fieldNames().length == 1 && identityCols(d.fieldNames()(0).toLowerCase) =>
+          throw new IllegalArgumentException(
+            s"graft catalog: cannot drop identity column '${d.fieldNames()(0)}'")
+        case u: TableChange.UpdateColumnType
+            if u.fieldNames().length == 1 && identityCols(u.fieldNames()(0).toLowerCase) =>
+          throw new IllegalArgumentException(
+            s"graft catalog: cannot retype identity column '${u.fieldNames()(0)}'")
+        case s: TableChange.SetProperty if s.property().startsWith(GraftIdentity.Prefix) =>
+          throw new IllegalArgumentException(
+            s"graft catalog: '${s.property()}' is engine-owned allocation state")
+        case rm: TableChange.RemoveProperty if rm.property().startsWith(GraftIdentity.Prefix) =>
+          throw new IllegalArgumentException(
+            s"graft catalog: '${rm.property()}' is engine-owned allocation state")
+        case s: TableChange.SetProperty
+            if identityCols.nonEmpty && GraftDv.ModeProps(s.property()) &&
+              s.value() == GraftDv.ModeMor =>
+          throw new IllegalArgumentException(
+            "graft catalog: identity columns with merge-on-read DML are not supported")
+        case s: TableChange.SetProperty
+            if identityCols.nonEmpty && s.property() == GraftTable.PartitionByProp =>
+          throw new IllegalArgumentException(
+            "graft catalog: identity columns on partitioned tables are not supported")
+        case _ => ()
       }
       var dropped = meta.props.get(GraftTable.DroppedColumnsProp)
         .map(_.split(',').toSet).getOrElse(Set.empty[String])
@@ -1228,7 +1321,8 @@ private[catalog] object GraftMeta {
 
   def commit(tableDir: Path, newSegment: String, replace: Boolean,
              stats: Option[String] = None, expectedCurrent: Option[Long] = None,
-             named: Boolean = false): Unit = {
+             named: Boolean = false,
+             propCas: Seq[(String, String, String)] = Nil): Unit = {
     touchSegment(tableDir, newSegment)
     mutate(tableDir) { meta =>
       // optimistic concurrency for read-modify-write commits: a REPLACE built
@@ -1245,10 +1339,21 @@ private[catalog] object GraftMeta {
       if (!replace && (baseDirs.contains(newSegment) ||
           meta.committedNamed.contains(newSegment))) meta
       else {
+        // property CAS riders (identity high-water advancement): each entry
+        // requires the prop to still hold the value the write allocated
+        // from — a concurrent allocator fails THIS commit loudly instead of
+        // letting two writes land overlapping id ranges
+        propCas.foreach { case (k, expected, _) =>
+          require(meta.props.get(k).contains(expected),
+            s"graft: concurrent allocation detected on '$k' (allocated from " +
+              s"$expected, committed value is ${meta.props.getOrElse(k, "<absent>")}); " +
+              "retry the write")
+        }
         val next = meta.current + 1
         val dirs = if (replace) Seq(newSegment) else baseDirs :+ newSegment
         meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
           zstats = meta.zstats ++ stats.map(newSegment -> _),
+          props = meta.props ++ propCas.map(t => t._1 -> t._3),
           committedNamed =
             if (named) meta.committedNamed + (newSegment -> next) else meta.committedNamed,
           snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
@@ -2464,12 +2569,21 @@ private[catalog] final class GraftWriteBuilder(
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!replace && !dynamicPartitionOverwrite && branch.isEmpty && !fromRowLevelOp,
         "graft: streaming writes are plain appends")
+      require(!GraftIdentity.isIdentityTable(props),
+        "graft: streaming appends to identity tables are not supported " +
+          "(per-epoch allocation would need its own high-water transaction)")
       new GraftStreamingWrite(tableDir, info, Nil, metaAtBuild)
     }
 
     override def toBatch: BatchWrite =
       if (alreadyCommitted) new NoopBatchWrite(segment) else new BatchWrite {
       private val delegate = inner.toBatch
+      // identity allocation: specs carry the build-time high-water; the
+      // commit CAS-advances it and fails loudly on a concurrent allocator
+      private val identitySpecs = GraftIdentity.of(props, info.schema())
+      if (identitySpecs.nonEmpty) require(branch.isEmpty,
+        "graft: branch (WAP) appends to identity tables are not supported " +
+          "(staged allocation would dangle if the branch is dropped)")
       override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
         // CHECK constraints gate every row entering the segment; wrapped
         // INSIDE the op-stripping layer so checks always see plain data rows
@@ -2485,10 +2599,19 @@ private[catalog] final class GraftWriteBuilder(
         // writing task, which does NOT apply the row projection (Spark's own
         // DataAndMetadataWritingSparkTask likewise pins the op column at
         // ordinal 0) — so the op column is stripped here, at the writer.
-        if (fromRowLevelOp) new OpStrippingWriterFactory(f, info.schema()) else f
+        if (fromRowLevelOp)
+          new OpStrippingWriterFactory(
+            // existing rows carry ids; a NULL can only be a MERGE INSERT —
+            // refused (allocation can't ride the group rewrite)
+            GraftIdentity.nullRejectWrap(f, identitySpecs, segment), info.schema())
+        else
+          // identity fills OUTSIDE generation/checks so both see final values
+          GraftIdentity.wrap(f, identitySpecs, info.schema(),
+            pInfo.numPartitions(), segment)
       }
       override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      override def commit(rawMessages: Array[WriterCommitMessage]): Unit = {
+        val (messages, identityMaxes) = GraftIdentity.unwrap(rawMessages)
         delegate.commit(messages) // files are now live in the segment dir
         // zone maps harvested from the just-written parquet footers (no
         // second read); a stats failure must never fail the write — segments
@@ -2511,11 +2634,12 @@ private[catalog] final class GraftWriteBuilder(
           case _ =>
             GraftMeta.commit(tableDir, segment, replace, stats,
               if (fromRowLevelOp) expectedCurrent else None, // atomic snapshot swap
-              named = named.isDefined)
+              named = named.isDefined,
+              propCas = GraftIdentity.propCas(identitySpecs, identityMaxes))
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
-        delegate.abort(messages) // segment never becomes visible: meta untouched
+        delegate.abort(GraftIdentity.unwrap(messages)._1) // meta untouched
     }
   }
 }

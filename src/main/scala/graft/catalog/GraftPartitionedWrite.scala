@@ -58,6 +58,12 @@ private[catalog] final class GraftPartitionedWrite(
   private val metaAtBuild = GraftMeta.read(tableDir)
   private val props = metaAtBuild.props
 
+  // CREATE and partition evolution both refuse the combination, so this is
+  // unreachable belt-and-suspenders — but a silent NULL-id write would be
+  // data corruption, so the writer re-checks
+  require(!GraftIdentity.isIdentityTable(props),
+    "graft: identity columns on partitioned tables are not supported")
+
   private val named = Option(info.options.get("graft.segment"))
   named.foreach(n => require(n.matches("[A-Za-z0-9_.\\-]+"),
     s"graft.segment must be [A-Za-z0-9_.-]+, got '$n'"))

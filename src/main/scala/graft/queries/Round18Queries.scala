@@ -229,9 +229,56 @@ object Round18Queries {
        FROM base WHERE k BETWEEN 100 AND 999 AND st <> 'Z'
        ORDER BY kind"""
 
+  // --------------------------------------------------------------------------
+  // q283: IDENTITY COLUMNS (`GENERATED ALWAYS AS IDENTITY`, GraftIdentity):
+  // two append commits against an identity table allocate surrogate keys
+  // with NO coordination (round-robin interleaving per task) — so the raw
+  // ids are partitioning-dependent, and the readout gates the CONTRACT
+  // instead: per-era row counts, id uniqueness (count distinct == count),
+  // grid membership (every id on the start+k*step lattice), and commit
+  // monotonicity (era 2's minimum id above era 1's maximum — the high-water
+  // CAS advanced). Each of those aggregates is deterministic under any task
+  // layout, so the DuckDB oracle replays them exactly. IdentityColumnsSpec
+  // pins the dense single-partition values, refusals, and COW id carry.
+  // --------------------------------------------------------------------------
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = customerView(s, d)
+    val t = s"r283_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t
+              (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 2),
+               k BIGINT, bal_c BIGINT) USING parquet""")
+    s.sql(s"""INSERT INTO graft.lake.$t (k, bal_c)
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 2 = 0""")                    // era 0 commit
+    s.sql(s"""INSERT INTO graft.lake.$t (k, bal_c)
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 2 = 1""")                    // era 1 commit
+    s.sql(s"""WITH g AS (SELECT id, k % 2 AS era, bal_c FROM graft.lake.$t),
+         b AS (SELECT era, COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids,
+                      SUM(CASE WHEN id >= 1000 AND (id - 1000) % 2 = 0
+                               THEN 1 ELSE 0 END) AS on_grid,
+                      CAST(SUM(bal_c) AS BIGINT) AS total_c,
+                      MIN(id) AS mn, MAX(id) AS mx
+               FROM g GROUP BY era)
+       SELECT era, n, n_ids, on_grid, total_c,
+              CASE WHEN era = 1 THEN mn > (SELECT mx FROM b WHERE era = 0)
+                   ELSE TRUE END AS monotone
+       FROM b ORDER BY era""")
+  }
+
+  private val q283Sql =
+    """SELECT c_custkey % 2 AS era, COUNT(*) AS n, COUNT(*) AS n_ids,
+              COUNT(*) AS on_grid,
+              CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_c,
+              TRUE AS monotone
+       FROM customer GROUP BY c_custkey % 2 ORDER BY era"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q279_sql_views", q279, Some(q279Sql)),
     QDef("q280_nested_evolution", q280, Some(q280Sql)),
     QDef("q281_merge_evolution", q281, Some(q281Sql)),
-    QDef("q282_nested_skipping", q282, Some(q282Sql)))
+    QDef("q282_nested_skipping", q282, Some(q282Sql)),
+    QDef("q283_identity_columns", q283, Some(q283Sql)))
 }
