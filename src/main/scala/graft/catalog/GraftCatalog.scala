@@ -1849,7 +1849,10 @@ private[catalog] final class GraftTable(
     def pruning(ss: Seq[String], schema: StructType) =
       new GraftPruningScanBuilder(mkInner(schema),
         ss.map(s => s -> tableDir.resolve(s).toString), meta.zstats,
-        tableDir, name(), rs, options)
+        tableDir, name(), rs, options,
+        spjCols = GraftPartitions.cols(meta.props)
+          .flatMap(c => rs.fields.find(_.name.equalsIgnoreCase(c))),
+        spjSpecId = GraftPartitions.specId(meta.props))
     if (dvMap.isEmpty)
       pruning(segs, rs)
     else {
@@ -2012,7 +2015,10 @@ private[catalog] final class GraftPruningScanBuilder(
     segments: Seq[(String, String)], // (segment name, absolute dir)
     zstats: Map[String, String],
     tableDir: Path, tableName: String, tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    // identity partition columns + current spec id (storage-partitioned
+    // joins, GraftSpj); empty on unpartitioned tables and DV composites
+    spjCols: Seq[StructField] = Nil, spjSpecId: Long = 0L)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -2124,8 +2130,10 @@ private[catalog] final class GraftPruningScanBuilder(
         tableDir, tableName, tableSchema, options)
     case None =>
       val (exactRows, colStats) = committedStats()
-      new GraftStreamableScan(inner.build(), tableDir, tableName, tableSchema,
-        options, exactRows, colStats)
+      val scan = inner.build()
+      new GraftStreamableScan(scan, tableDir, tableName, tableSchema,
+        options, exactRows, colStats,
+        GraftSpj.plan(spjCols, spjSpecId, live, scan.readSchema()))
   }
 }
 
@@ -2144,10 +2152,32 @@ private[catalog] final class GraftStreamableScan(
     // (zone stats + opt-in NDV sketches) — reported to the planner so the
     // broadcast threshold and CBO see truth, not size heuristics
     exactRows: Option[Long] = None,
-    colStats: () => Map[String, (Option[Long], Option[Long])] = () => Map.empty) extends Scan
+    colStats: () => Map[String, (Option[Long], Option[Long])] = () => Map.empty,
+    // storage-partitioned-join plan (GraftSpj): present iff every visible
+    // segment's partition key is plan-time-known and no key column was pruned
+    spj: Option[GraftSpj.Info] = None) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = inner.readSchema()
+
+  /** Opt-in via Spark's own SPJ switch: reporting a grouped layout also makes
+    * BatchScanExec coalesce same-key splits into one task, so it must engage
+    * only when the session asked Spark to exploit v2 partitioning. */
+  private def spjActive: Option[GraftSpj.Info] = spj.filter(_ =>
+    scala.util.Try(SparkSession.active.conf
+      .get("spark.sql.sources.v2.bucketing.enabled").toBoolean).getOrElse(false))
+
+  override def outputPartitioning()
+    : org.apache.spark.sql.connector.read.partitioning.Partitioning = spjActive match {
+    case Some(info) =>
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        info.cols.map(f => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(f.name): org.apache.spark.sql.connector.expressions.Expression).toArray,
+        info.numKeys)
+    case None =>
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
   // sizeInBytes passes through to the parquet scan (FileScan reports
   // post-pruning bytes): without this the wrapper makes DataSourceV2Relation
   // fall back to spark.sql.defaultSizeInBytes (= huge), losing STATIC
@@ -2186,7 +2216,10 @@ private[catalog] final class GraftStreamableScan(
       }
     }
   }
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = spjActive match {
+    case Some(info) => GraftSpj.wrapBatch(inner.toBatch, info)
+    case None       => inner.toBatch
+  }
   override def description(): String = inner.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
   override def supportedCustomMetrics() = inner.supportedCustomMetrics()

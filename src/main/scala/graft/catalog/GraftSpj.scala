@@ -1,0 +1,135 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STORAGE-PARTITIONED JOINS (SPARK-37377 / the Iceberg SPJ recipe) for graft
+  * identity-partitioned tables — the single biggest shuffle eliminator at
+  * 100 TB: a join (or aggregation) keyed on the partition columns of two
+  * co-partitioned graft tables runs with ZERO exchange on either side.
+  *
+  * How it rides the existing layout, with no new metadata:
+  *
+  *   - `GraftPartitionedWrite` commits PARTITION-PURE segments whose names
+  *     carry the encoded partition tuple (`<uuid>@<spec>~<tuple>`,
+  *     GraftPartitions) — so every file's partition key is known at PLAN time
+  *     from its segment directory name, with zero file IO;
+  *   - the scan reports `KeyGroupedPartitioning(identity(partCols), nKeys)`
+  *     through `SupportsReportPartitioning`, and tags every planned file
+  *     split with its key via `HasPartitionKey`; Spark groups splits by key,
+  *     recognizes both sides as co-partitioned, and drops the exchanges
+  *     (`spark.sql.sources.v2.bucketing.enabled`; with pushPartValues Spark
+  *     aligns mismatched partition-value SETS by planning empty splits);
+  *   - reporting is exactness-gated and degrades to UnknownPartitioning —
+  *     never wrong, at most un-grouped: every visible segment must carry a
+  *     current-spec suffix (mixed-layout tables after partition evolution,
+  *     pre-partitioning segments, and foreign add_files imports all bail),
+  *     and every partition column must survive column pruning (Spark resolves
+  *     the reported transforms against the scan output, so a projected-away
+  *     key cannot be reported).
+  *
+  * The key rows hold Catalyst values decoded from the canonical tuple strings
+  * (the exact inverse of `GraftPartitions.internalExtractor`), so both sides
+  * of a join materialize identical `InternalRow` keys for equal values. */
+private[catalog] object GraftSpj {
+
+  /** SPJ plan for one scan: partition columns (schema-cased, in declaration
+    * order), each visible segment's key (by segment name), and the distinct
+    * key count (the reported partition count). */
+  final case class Info(
+      cols: Seq[StructField],
+      keysBySegment: Map[String, (String, InternalRow)], // name -> (enc, key)
+      numKeys: Int)
+
+  /** Canonical partition-value string -> Catalyst value; inverse of
+    * `GraftPartitions.internalExtractor` for every supported identity type. */
+  private def toCatalyst(dt: DataType, s: String): Any = dt match {
+    case StringType     => UTF8String.fromString(s)
+    case BooleanType    => s.toBoolean
+    case ByteType       => s.toByte
+    case ShortType      => s.toShort
+    case IntegerType    => s.toInt
+    case LongType       => s.toLong
+    case DateType       => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case d: DecimalType => Decimal(BigDecimal(new java.math.BigDecimal(s)), d.precision, d.scale)
+    case other => throw new IllegalArgumentException(s"graft spj: unsupported $other")
+  }
+
+  /** The encoded tuple of a current-spec segment name, or None (no suffix /
+    * foreign spec id — a mixed-layout table cannot report grouping). */
+  private def tupleOf(segment: String, specId: Long): Option[String] =
+    GraftPartitions.suffixOf(segment).flatMap { sfx =>
+      if (GraftPartitions.specIdOf(sfx) != specId) None
+      else {
+        val i = sfx.indexOf('~')
+        Some(if (i > 0 && sfx.substring(0, i).forall(_.isDigit)) sfx.substring(i + 1) else sfx)
+      }
+    }
+
+  /** Exactness gate: Some(Info) iff the table is partitioned, every partition
+    * column survived pruning, and EVERY live segment's key decodes. */
+  def plan(cols: Seq[StructField], specId: Long,
+           live: Seq[(String, String)], readSchema: StructType): Option[Info] = {
+    if (cols.isEmpty) return None
+    if (!cols.forall(c => readSchema.fieldNames.exists(_.equalsIgnoreCase(c.name)))) return None
+    val keyed = live.map { case (name, _) =>
+      tupleOf(name, specId).flatMap { enc =>
+        val parts = enc.split("_", -1)
+        if (parts.length != cols.length) None
+        else scala.util.Try {
+          val vals = parts.zip(cols).map { case (p, f) =>
+            GraftPartitions.decodeString(p) match {
+              case None    => null
+              case Some(s) => toCatalyst(f.dataType, s)
+            }
+          }
+          name -> (enc, new GenericInternalRow(vals.toArray[Any]): InternalRow)
+        }.toOption
+      }
+    }
+    if (keyed.exists(_.isEmpty)) None
+    else {
+      val m = keyed.flatten.toMap
+      Some(Info(cols, m, m.values.map(_._1).toSet.size))
+    }
+  }
+
+  /** A parquet file split tagged with its partition key. Extends Spark's own
+    * FilePartition so the delegated parquet PartitionReaderFactory reads it
+    * unchanged; HasPartitionKey is what BatchScanExec groups by. */
+  private final class KeyedFilePartition(
+      index: Int, files: Array[PartitionedFile], key: InternalRow)
+    extends FilePartition(index, files) with HasPartitionKey {
+    override def partitionKey(): InternalRow = key
+  }
+
+  /** Re-tag the delegated parquet batch's splits with partition keys. Bins
+    * that mix segments split per segment (the parquet scan packs files by
+    * size across segment dirs); any file that cannot be attributed falls back
+    * to the ORIGINAL untagged splits — Spark then simply plans no grouping. */
+  def wrapBatch(b: Batch, info: Info): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val parts = b.planInputPartitions()
+      val out = Array.newBuilder[InputPartition]
+      var n = 0
+      parts.foreach {
+        case fp: FilePartition =>
+          fp.files.groupBy(_.filePath.toPath.getParent.getName).foreach {
+            case (seg, files) =>
+              info.keysBySegment.get(seg) match {
+                case Some((_, key)) =>
+                  out += new KeyedFilePartition(n, files, key); n += 1
+                case None => return parts
+              }
+          }
+        case _ => return parts
+      }
+      out.result()
+    }
+    override def createReaderFactory(): PartitionReaderFactory = b.createReaderFactory()
+  }
+}

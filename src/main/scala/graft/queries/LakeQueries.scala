@@ -30,6 +30,15 @@ object LakeQueries {
         s"graft_lake_p${ProcessHandle.current().pid()}").getAbsolutePath
       s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.root", root)
+      // storage-partitioned joins (GraftSpj): let Spark exploit the
+      // KeyGroupedPartitioning graft's partition-pure scans report — joins
+      // and aggregations keyed on partition columns then plan with ZERO
+      // exchange; pushPartValues aligns mismatched partition-value sets
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // a join clustered on (bucket, key) must co-partition on the SUBSET the
+      // layout groups by (the Iceberg SPJ recommendation) — q285's shape
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     }
 
   private def sfTag(sfDir: String): String = Integer.toHexString(sfDir.hashCode)

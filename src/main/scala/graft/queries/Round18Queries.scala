@@ -275,10 +275,97 @@ object Round18Queries {
               TRUE AS monotone
        FROM customer GROUP BY c_custkey % 2 ORDER BY era"""
 
+  // --------------------------------------------------------------------------
+  // q284: STORAGE-PARTITIONED JOIN (GraftSpj): two graft tables identity-
+  // partitioned by nation are joined AND aggregated on the partition key —
+  // the scans report KeyGroupedPartitioning from the partition-pure segment
+  // layout, so the whole pipeline plans with ZERO hash exchange on either
+  // side (PlanSpec pins the exchange-free plan; StoragePartitionedJoinSpec
+  // pins value alignment, NULL keys, and the fallbacks). The readout is a
+  // per-nation fanout join (customers x suppliers within a nation) whose
+  // aggregate hash-matches a relational replay — grouped execution must
+  // produce exactly the shuffled plan's answer.
+  // --------------------------------------------------------------------------
+  private def q284(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val cust = customerView(s, d)
+    val supp = s"r18_supplier_${sfTag(d)}"
+    T.supplier(s, d).createOrReplaceTempView(supp)
+    val t = s"r284_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_c")
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_s")
+    s.sql(s"""CREATE TABLE graft.lake.${t}_c (cust BIGINT, bal_c BIGINT, nat BIGINT)
+              USING parquet PARTITIONED BY (nat)""")
+    s.sql(s"""CREATE TABLE graft.lake.${t}_s (supp BIGINT, acct_c BIGINT, nat BIGINT)
+              USING parquet PARTITIONED BY (nat)""")
+    s.sql(s"""INSERT INTO graft.lake.${t}_c
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT), c_nationkey FROM $cust""")
+    s.sql(s"""INSERT INTO graft.lake.${t}_s
+      SELECT s_suppkey, CAST(FLOOR(s_acctbal * 100) AS BIGINT), s_nationkey FROM $supp""")
+    s.sql(s"""SELECT c.nat, COUNT(*) AS n,
+                     CAST(SUM(c.bal_c + s.acct_c) AS BIGINT) AS total_c
+              FROM graft.lake.${t}_c c JOIN graft.lake.${t}_s s ON c.nat = s.nat
+              GROUP BY c.nat ORDER BY c.nat""")
+  }
+
+  private val q284Sql =
+    """SELECT c.c_nationkey AS nat, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT) +
+                       CAST(FLOOR(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_c
+       FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+       GROUP BY c.c_nationkey ORDER BY nat"""
+
+  // --------------------------------------------------------------------------
+  // q285: BUCKETED storage-partitioned join — the HIGH-CARDINALITY completion
+  // of q284. The orderkey join key is far too wide to identity-partition, so
+  // both fact tables partition by the derived bucket column
+  // bkt = pmod(xxhash64(k), 16) (the explicit-column rendering of Iceberg's
+  // bucket(16, k) transform) and the join carries the bucket conjunct
+  // (equal k implies equal bkt, so it never changes the result). The scans
+  // report KeyGroupedPartitioning(bkt); with co-partitioning allowed on the
+  // clustering SUBSET, the orders x lineitem join plans with ZERO hash
+  // exchange on either side — the 100 TB fact-fact shape. The oracle replays
+  // the plain k-join; buckets must be invisible in the answer.
+  // --------------------------------------------------------------------------
+  private def q285(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val ord = ordersView(s, d)
+    val li = s"r18_lineitem_${sfTag(d)}"
+    T.lineitem(s, d).createOrReplaceTempView(li)
+    val t = s"r285_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_o")
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_l")
+    s.sql(s"""CREATE TABLE graft.lake.${t}_o (k BIGINT, price_c BIGINT, bkt INT)
+              USING parquet PARTITIONED BY (bkt)""")
+    s.sql(s"""CREATE TABLE graft.lake.${t}_l (k BIGINT, flag STRING, ext_c BIGINT, bkt INT)
+              USING parquet PARTITIONED BY (bkt)""")
+    s.sql(s"""INSERT INTO graft.lake.${t}_o
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+             CAST(pmod(xxhash64(o_orderkey), 16) AS INT) FROM $ord""")
+    s.sql(s"""INSERT INTO graft.lake.${t}_l
+      SELECT l_orderkey, l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT),
+             CAST(pmod(xxhash64(l_orderkey), 16) AS INT) FROM $li""")
+    s.sql(s"""SELECT l.flag, COUNT(*) AS n,
+                     CAST(SUM(l.ext_c) AS BIGINT) AS ext_total_c,
+                     CAST(SUM(o.price_c) AS BIGINT) AS price_total_c
+              FROM graft.lake.${t}_o o JOIN graft.lake.${t}_l l
+                ON o.bkt = l.bkt AND o.k = l.k
+              GROUP BY l.flag ORDER BY l.flag""")
+  }
+
+  private val q285Sql =
+    """SELECT l.l_returnflag AS flag, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_total_c,
+              CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_total_c
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY l.l_returnflag ORDER BY flag"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q279_sql_views", q279, Some(q279Sql)),
     QDef("q280_nested_evolution", q280, Some(q280Sql)),
     QDef("q281_merge_evolution", q281, Some(q281Sql)),
     QDef("q282_nested_skipping", q282, Some(q282Sql)),
-    QDef("q283_identity_columns", q283, Some(q283Sql)))
+    QDef("q283_identity_columns", q283, Some(q283Sql)),
+    QDef("q284_storage_partitioned_join", q284, Some(q284Sql)),
+    QDef("q285_bucketed_spj", q285, Some(q285Sql)))
 }

@@ -182,6 +182,37 @@ class PlanSpec extends SparkSpec {
       s"only the mktsegment agg may shuffle (join must ride the buckets):\n$p")
   }
 
+  test("q284 pin: storage-partitioned join + agg plan ZERO hash exchanges") {
+    // both graft tables are identity-partitioned by nat: the scans report
+    // KeyGroupedPartitioning (GraftSpj), so the nat-keyed join AND the
+    // nat-keyed aggregation both plan without any exchange — the only
+    // shuffle in the query is the final ORDER BY's range partitioning.
+    // Broadcast is disabled so the pin proves the GROUPED join (at sf0.001
+    // the tiny dim would otherwise broadcast and hide the SPJ evidence).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = finalPlan("q284_storage_partitioned_join")
+      assert(hashExchanges(p) == 0,
+        s"SPJ must eliminate every hash exchange (join and agg):\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"the grouped join must not degrade to a broadcast:\n${p.take(600)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q285 pin: bucketed SPJ joins shuffle-free; only the rollup exchanges") {
+    // the orders x lineitem join rides the derived-bucket KeyGroupedPartitioning
+    // (join keys (bkt, k) ⊇ partition key bkt, co-partition on the subset) —
+    // the single hash exchange is the returnflag rollup, a different key
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = finalPlan("q285_bucketed_spj")
+      assert(hashExchanges(p) == 1,
+        s"only the flag rollup may shuffle (the fact-fact join must ride the buckets):\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"the grouped join must not degrade to a broadcast:\n${p.take(600)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q96 pin: sessionization windows and session agg share ONE hash exchange") {
     // lag-window, running-sum window, and (user_id, session_id) agg all cluster
     // by user_id: EnsureRequirements must satisfy the agg with the windows'
