@@ -2158,8 +2158,25 @@ private[catalog] final class GraftStreamableScan(
     spj: Option[GraftSpj.Info] = None) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = inner.readSchema()
+
+  /** With SPJ active, every planned split holds rows of exactly ONE partition
+    * tuple (GraftSpj.wrapBatch splits bins per segment), so "sorted by the
+    * partition keys" is trivially true per partition — reporting it lets the
+    * sort-merge join over co-partitioned tables drop BOTH sides' Sort nodes.
+    * Spark itself re-validates the claim against grouping (it drops the
+    * ordering unless each key group holds at most one split). */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    spjActive match {
+      case Some(info) if scala.util.Try(SparkSession.active.conf
+          .get("spark.sql.sources.v2.bucketing.sorting.enabled").toBoolean).getOrElse(false) =>
+        info.cols.map(f => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.identity(f.name),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+      case _ => Array.empty
+    }
 
   /** Opt-in via Spark's own SPJ switch: reporting a grouped layout also makes
     * BatchScanExec coalesce same-key splits into one task, so it must engage

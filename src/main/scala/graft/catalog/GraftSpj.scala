@@ -107,28 +107,34 @@ private[catalog] object GraftSpj {
     override def partitionKey(): InternalRow = key
   }
 
-  /** Re-tag the delegated parquet batch's splits with partition keys. Bins
-    * that mix segments split per segment (the parquet scan packs files by
-    * size across segment dirs); any file that cannot be attributed falls back
-    * to the ORIGINAL untagged splits — Spark then simply plans no grouping. */
+  /** Re-plan the delegated parquet batch's splits as ONE split per partition
+    * VALUE (all of the value's files, across segments and bins). Spark's
+    * grouping would coalesce same-key splits into one task anyway; emitting
+    * them pre-merged additionally satisfies its ordering guard (a reported
+    * sort survives only when each key group is a single split), so the SMJ
+    * sorts drop too. Any file that cannot be attributed to a live segment
+    * falls back to the ORIGINAL untagged splits — Spark then plans no
+    * grouping and no ordering (defensive; planInputPartitions only ever
+    * plans files under the live segment dirs the Info covers). */
   def wrapBatch(b: Batch, info: Info): Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val parts = b.planInputPartitions()
-      val out = Array.newBuilder[InputPartition]
-      var n = 0
+      val files = Array.newBuilder[PartitionedFile]
       parts.foreach {
-        case fp: FilePartition =>
-          fp.files.groupBy(_.filePath.toPath.getParent.getName).foreach {
-            case (seg, files) =>
-              info.keysBySegment.get(seg) match {
-                case Some((_, key)) =>
-                  out += new KeyedFilePartition(n, files, key); n += 1
-                case None => return parts
-              }
-          }
-        case _ => return parts
+        case fp: FilePartition => files ++= fp.files
+        case _                 => return parts
       }
-      out.result()
+      val byValue = files.result().groupBy { f =>
+        info.keysBySegment.get(f.filePath.toPath.getParent.getName) match {
+          case Some((enc, _)) => enc
+          case None           => return parts
+        }
+      }
+      byValue.toSeq.sortBy(_._1).zipWithIndex.map { case ((enc, fs), i) =>
+        val key = info.keysBySegment.valuesIterator
+          .collectFirst { case (e, k) if e == enc => k }.get
+        new KeyedFilePartition(i, fs, key): InputPartition
+      }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = b.createReaderFactory()
   }

@@ -39,6 +39,10 @@ object LakeQueries {
       // a join clustered on (bucket, key) must co-partition on the SUBSET the
       // layout groups by (the Iceberg SPJ recommendation) — q285's shape
       s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // one split per partition value + the scan-reported partition-key sort
+      // order drop the SMJ Sort nodes as well (GraftStreamableScan
+      // .outputOrdering; Spark re-validates against its own grouping)
+      s.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
     }
 
   private def sfTag(sfDir: String): String = Integer.toHexString(sfDir.hashCode)

@@ -174,6 +174,22 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("reported partition-key ordering drops the SMJ sorts too") {
+    fixture
+    withBucketing(on = true) {
+      spark.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+      val df = sql(
+        """SELECT a.geo, COUNT(*) AS n
+           FROM gspj.ns.a a JOIN gspj.ns.b b ON a.geo = b.geo GROUP BY a.geo""")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), s"grouped join should be SMJ here:\n${p.take(400)}")
+      assert("\\bSort \\[".r.findAllIn(p).isEmpty,
+        s"single-key splits are trivially key-sorted — no Sort may plan:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty)
+    }
+  }
+
   test("compaction preserves the grouped layout (suffixes carry through)") {
     root
     sql("CREATE TABLE gspj.ns.cp (k BIGINT, v BIGINT, geo STRING) USING parquet PARTITIONED BY (geo)")
