@@ -60,7 +60,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `spark.sql.catalog.graft.root = <dir>`; exercised by q152–q154 and
   * GraftCatalogSpec.
   */
-final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var root: Path = _
 
@@ -128,7 +129,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         return new GraftChangesTable(catalogName, ident, parent)
       throw new NoSuchTableException(ident)
     }
-    new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
+    val t = new GraftTable(catalogName, ident, dir, pinnedSnapshot = None)
+    // a staged CTAS's table is INVISIBLE until commitStagedChanges clears
+    // the marker — atomic CREATE means no reader ever observes the half
+    if (GraftStaging.isStaged(t.metaAtLoad.props)) throw new NoSuchTableException(ident)
+    t
   }
 
   /** `VERSION AS OF <n>` time travel — a metadata lookup, not a restore.
@@ -179,40 +184,23 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    val idProps = columns.toSeq.flatMap { c =>
-      Option(c.identityColumnSpec()).toSeq.flatMap { spec =>
-        GraftIdentity.validateCreate(c.name(), c.dataType(), c.nullable(),
-          spec.isAllowExplicitInsert, spec.getStep)
-        Seq(GraftIdentity.Prefix + c.name() -> s"${spec.getStart},${spec.getStep}",
-          GraftIdentity.NextPrefix + c.name() -> spec.getStart.toString)
-      }
-    }
-    val withId = new java.util.HashMap[String, String](properties)
-    idProps.foreach { case (k, v) => withId.put(k, v) }
-    // replicate the default Column[]->StructType conversion (CatalogV2Util is
-    // private[sql]): metadata JSON + comment + the default-value keys, with
-    // EXISTS_DEFAULT frozen to the FOLDED literal (the same convention the
-    // ADD COLUMN arm uses — the raw text would re-evaluate over time)
-    val schema = StructType(columns.toSeq.map { c =>
-      val b = new MetadataBuilder()
-      Option(c.metadataInJSON()).foreach(j =>
-        b.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
-      Option(c.comment()).foreach(b.putString("comment", _))
-      Option(c.defaultValue()).foreach { d =>
-        b.putString("CURRENT_DEFAULT", d.getSql)
-        if (d.getValue != null)
-          b.putString("EXISTS_DEFAULT", org.apache.spark.sql.catalyst.expressions.Literal(
-            d.getValue.value(), d.getValue.dataType()).sql)
-      }
-      StructField(c.name(), c.dataType(), c.nullable(), b.build())
-    })
+    val (schema, withId) = GraftCatalog.captureColumns(columns, properties)
     createTable(ident, schema, partitions, withId)
   }
 
   // the StructType variant is the root of TableCatalog's default-method chain
   // (TableInfo → Column[] → here), so one override covers every call site
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
+    createAt(tableDir(ident), ident, schema, partitions, properties, stagedAtMs = None)
+
+  /** The CREATE core, parameterized by target directory so atomic staged
+    * CTAS/RTAS (StagingTableCatalog) can build a full graft table in a
+    * staging location with identical validation. `stagedAtMs` marks the meta
+    * as staged-invisible (loadTable refuses it until commitStagedChanges). */
+  private def createAt(dir: Path, ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String],
+      stagedAtMs: Option[Long]): GraftTable = {
     // identity partitioning only: `PARTITIONED BY (col)`. Bucket/temporal
     // transforms stay refused — the write.cluster-by property covers the
     // bucketing use case, and temporal partitioning is a derived column away.
@@ -235,8 +223,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         s"graft catalog: partition column name '${field.name}' must match [A-Za-z0-9_.-]+")
       field.name
     }.toSeq
-    val dir = tableDir(ident)
-    if (Files.exists(dir.resolve(GraftMeta.FileName))) throw new TableAlreadyExistsException(ident)
+    if (Files.exists(dir.resolve(GraftMeta.FileName))) {
+      // a crashed staged CTAS must not squat on the name forever: residue
+      // older than the staging grace period is reclaimed (an ACTIVE staging
+      // job is hours younger than this)
+      if (!GraftStaging.reclaimIfStale(dir)) throw new TableAlreadyExistsException(ident)
+    }
     require(!GraftViews.exists(dir),
       s"graft catalog: a VIEW named ${ident} already exists — DROP VIEW first")
     Files.createDirectories(dir)
@@ -299,6 +291,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     val annotated = GraftFieldIds.annotate(schema)
     val props = kept ++ dmlModes ++ sumsProp ++ ndvProp ++ checkProps ++ genProps ++
       bloomProp ++ identityProps ++
+      stagedAtMs.map(t => GraftStaging.StagedProp -> t.toString) ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty) +
       (GraftFieldIds.HighWaterProp -> GraftFieldIds.maxId(annotated).toString)
@@ -1068,6 +1061,104 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
       Files.move(src, dst)
     }
   }
+
+  // ---------------------------------------------------------------------
+  // StagingTableCatalog — atomic CTAS / CREATE OR REPLACE TABLE AS SELECT
+  // (GraftStaging). The TableInfo variants are the roots of the default-
+  // method chains, so these three overrides cover every call site.
+  // ---------------------------------------------------------------------
+
+  private def stagedSchemaAndProps(info: org.apache.spark.sql.connector.catalog.TableInfo)
+    : (StructType, java.util.Map[String, String]) =
+    GraftCatalog.captureColumns(info.columns(), info.properties())
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+    : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (schema, props) = stagedSchemaAndProps(info)
+    val dir = tableDir(ident)
+    // createAt enforces the exists/view collisions (reclaiming stale staged
+    // residue); the staged marker keeps the table invisible until commit
+    val t = createAt(dir, ident, schema, info.partitions(), props,
+      stagedAtMs = Some(System.currentTimeMillis()))
+    GraftStaging.stagedCreate(t, dir)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+    : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val live = tableDir(ident)
+    if (!Files.exists(live.resolve(GraftMeta.FileName)) ||
+        GraftStaging.isStaged(GraftMeta.read(live).props))
+      throw new NoSuchTableException(ident)
+    stageReplaceAt(ident, live, info)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+    : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val live = tableDir(ident)
+    if (Files.exists(live.resolve(GraftMeta.FileName)) &&
+        !GraftStaging.isStaged(GraftMeta.read(live).props))
+      stageReplaceAt(ident, live, info)
+    else stageCreate(ident, info)
+  }
+
+  /** Replace path: the new table builds COMPLETELY in a sibling staging dir
+    * (readers keep serving the live table), commitStagedChanges moves the
+    * staged segments in (inert until referenced) and swaps schema+snapshot
+    * in ONE meta mutate. REPLACE discards prior history — old snapshots,
+    * refs, tags and delete vectors do not survive a table redefinition
+    * (VERSION AS OF a pre-replace id fails loudly); the dead segment dirs
+    * become orphans for expire_snapshots' aged sweep. */
+  private def stageReplaceAt(ident: Identifier, live: Path,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+    : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (schema, props) = stagedSchemaAndProps(info)
+    val staging = live.resolveSibling(
+      live.getFileName.toString + GraftStaging.Suffix +
+        java.util.UUID.randomUUID().toString.take(8))
+    val t = createAt(staging, ident, schema, info.partitions(), props,
+      stagedAtMs = Some(System.currentTimeMillis()))
+    GraftStaging.stagedReplace(t, live, staging)
+  }
+}
+
+private[catalog] object GraftCatalog {
+  /** Replicates the default Column[]→StructType conversion (CatalogV2Util is
+    * private[sql]): metadata JSON + comment + the default-value keys, with
+    * EXISTS_DEFAULT frozen to the FOLDED literal (the raw text would
+    * re-evaluate over time) — and CAPTURES IdentityColumnSpec (the default
+    * conversion drops it silently) as graft.identity props. */
+  private[catalog] def captureColumns(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      properties: java.util.Map[String, String])
+    : (StructType, java.util.Map[String, String]) = {
+    val idProps = columns.toSeq.flatMap { c =>
+      Option(c.identityColumnSpec()).toSeq.flatMap { spec =>
+        GraftIdentity.validateCreate(c.name(), c.dataType(), c.nullable(),
+          spec.isAllowExplicitInsert, spec.getStep)
+        Seq(GraftIdentity.Prefix + c.name() -> s"${spec.getStart},${spec.getStep}",
+          GraftIdentity.NextPrefix + c.name() -> spec.getStart.toString)
+      }
+    }
+    val withId = new java.util.HashMap[String, String](properties)
+    idProps.foreach { case (k, v) => withId.put(k, v) }
+    val schema = StructType(columns.toSeq.map { c =>
+      val b = new MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        b.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.comment()).foreach(b.putString("comment", _))
+      Option(c.defaultValue()).foreach { d =>
+        b.putString("CURRENT_DEFAULT", d.getSql)
+        if (d.getValue != null)
+          b.putString("EXISTS_DEFAULT", org.apache.spark.sql.catalyst.expressions.Literal(
+            d.getValue.value(), d.getValue.dataType()).sql)
+      }
+      StructField(c.name(), c.dataType(), c.nullable(), b.build())
+    })
+    (schema, withId)
+  }
 }
 
 /** Table metadata: schema + snapshot id → visible segment dirs. Persisted as a
@@ -1314,7 +1405,7 @@ private[catalog] object GraftMeta {
     * judges in-flight writes by mtime, which otherwise reflects job START — a
     * write running longer than the orphan retention would see its own
     * about-to-be-committed segment swept by a concurrent expire_snapshots. */
-  private def touchSegment(tableDir: Path, segment: String): Unit =
+  private[catalog] def touchSegment(tableDir: Path, segment: String): Unit =
     try Files.setLastModifiedTime(tableDir.resolve(segment),
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     catch { case _: java.io.IOException => () } // advisory only — never fail a commit

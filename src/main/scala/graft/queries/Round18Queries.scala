@@ -360,6 +360,47 @@ object Round18Queries {
        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
        GROUP BY l.l_returnflag ORDER BY flag"""
 
+  // --------------------------------------------------------------------------
+  // q286: ATOMIC CTAS + CREATE OR REPLACE TABLE AS SELECT (GraftStaging,
+  // StagingTableCatalog). A table is CTAS'd from customers and grows a second
+  // commit; then RTAS atomically redefines it — different schema, different
+  // source — while the old definition keeps serving until the single-mutate
+  // swap. The readout aggregates the POST-replace state; the hash only
+  // matches if the replacement fully displaced both pre-replace commits
+  // (schema and rows) and the RTAS write went through the normal gated path.
+  // StagedTableSpec pins failure atomicity, invisibility, and reclaim.
+  // --------------------------------------------------------------------------
+  private def q286(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val cust = customerView(s, d)
+    val supp = s"r18_supplier2_${sfTag(d)}"
+    T.supplier(s, d).createOrReplaceTempView(supp)
+    val t = s"r286_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t USING parquet AS
+      SELECT c_custkey AS k, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM $cust WHERE c_custkey % 2 = 0""")                     // CTAS era 1
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $cust WHERE c_custkey % 2 = 1""")                     // era 2
+    s.sql(s"""CREATE OR REPLACE TABLE graft.lake.$t USING parquet AS
+      SELECT s_nationkey AS nat, COUNT(*) AS n_supp,
+             CAST(SUM(CAST(FLOOR(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_total_c
+      FROM $supp GROUP BY s_nationkey""")                        // atomic redefinition
+    s.sql(s"""SELECT nat, n_supp, acct_total_c,
+                     CAST(n_supp * 1000000 + nat AS BIGINT) AS order_probe
+              FROM graft.lake.$t ORDER BY nat""")
+  }
+
+  private val q286Sql =
+    """WITH r AS (
+         SELECT s_nationkey AS nat, COUNT(*) AS n_supp,
+                CAST(SUM(CAST(FLOOR(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acct_total_c
+         FROM supplier GROUP BY s_nationkey)
+       SELECT nat, n_supp, acct_total_c,
+              CAST(n_supp * 1000000 + nat AS BIGINT) AS order_probe
+       FROM r ORDER BY nat"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q279_sql_views", q279, Some(q279Sql)),
     QDef("q280_nested_evolution", q280, Some(q280Sql)),
@@ -367,5 +408,6 @@ object Round18Queries {
     QDef("q282_nested_skipping", q282, Some(q282Sql)),
     QDef("q283_identity_columns", q283, Some(q283Sql)),
     QDef("q284_storage_partitioned_join", q284, Some(q284Sql)),
-    QDef("q285_bucketed_spj", q285, Some(q285Sql)))
+    QDef("q285_bucketed_spj", q285, Some(q285Sql)),
+    QDef("q286_atomic_replace_table", q286, Some(q286Sql)))
 }
