@@ -855,6 +855,34 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
               dropped += field
               StructType(sch.filterNot(_.name == field))
             }
+          // COMMENT ON TABLE — Spark routes it as SetProperty("comment")
+          // (IS NULL arrives as SetProperty("")). Pure documentation metadata.
+          case set: TableChange.SetProperty if set.property() == "comment" =>
+            if (Option(set.value()).exists(_.nonEmpty)) setProps += set.property() -> set.value()
+            else removedProps += set.property()
+            sch
+          case rm: TableChange.RemoveProperty if rm.property() == "comment" =>
+            removedProps += rm.property()
+            sch
+          // ALTER COLUMN ... COMMENT — documentation metadata on the field
+          // (top-level or nested member); resolution is untouched, so this
+          // is always metadata-only
+          case upd: TableChange.UpdateColumnComment =>
+            val path = upd.fieldNames().toSeq
+            require(GraftFieldIds.fieldAt(sch, path).isDefined,
+              s"graft catalog: no column '${path.mkString(".")}' to comment")
+            GraftFieldIds.updateParent(sch, path, parent =>
+              StructType(parent.fields.map { f =>
+                if (!f.name.equalsIgnoreCase(path.last)) f
+                else {
+                  val b = new MetadataBuilder().withMetadata(f.metadata)
+                  Option(upd.newComment()).filter(_.nonEmpty) match {
+                    case Some(c) => b.putString("comment", c)
+                    case None    => b.remove("comment")
+                  }
+                  f.copy(metadata = b.build())
+                }
+              }))
           case other =>
             throw new UnsupportedOperationException(
               s"graft catalog: unsupported ALTER TABLE change $other")
