@@ -401,6 +401,49 @@ object Round18Queries {
               CAST(n_supp * 1000000 + nat AS BIGINT) AS order_probe
        FROM r ORDER BY nat"""
 
+  // --------------------------------------------------------------------------
+  // q287: SQL SCRIPTING (Spark 4's BEGIN..END procedural surface, the third
+  // leg beside session variables q219 and EXECUTE IMMEDIATE q220) driving
+  // ENGINE DML: a WHILE loop lands one graft commit per customer shard, an
+  // IF gate skips one shard entirely, and scripted variables thread the loop
+  // state — the backfill-driver shape operators actually write. The script's
+  // final SELECT aggregates the table; the oracle replays the three admitted
+  // shards relationally (a wrong loop count, a mis-gated IF, or a lost
+  // commit all miss the hash).
+  // --------------------------------------------------------------------------
+  private def q287(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    val cust = customerView(s, d)
+    val t = s"r287_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, nat BIGINT, bal_c BIGINT) USING parquet")
+    s.sql(
+      s"""BEGIN
+         |  DECLARE shard INT DEFAULT 0;
+         |  DECLARE landed BIGINT DEFAULT 0;
+         |  WHILE shard < 4 DO
+         |    IF shard <> 2 THEN
+         |      INSERT INTO graft.lake.$t
+         |      SELECT c_custkey, c_nationkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+         |      FROM $cust WHERE c_custkey % 4 = shard;
+         |      SET landed = landed + 1;
+         |    END IF;
+         |    SET shard = shard + 1;
+         |  END WHILE;
+         |  SELECT nat, COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS total_c,
+         |         landed AS commits
+         |  FROM graft.lake.$t GROUP BY nat ORDER BY nat;
+         |END""".stripMargin)
+  }
+
+  private val q287Sql =
+    """SELECT c_nationkey AS nat, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_c,
+              CAST(3 AS BIGINT) AS commits
+       FROM customer WHERE c_custkey % 4 <> 2
+       GROUP BY c_nationkey ORDER BY nat"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q279_sql_views", q279, Some(q279Sql)),
     QDef("q280_nested_evolution", q280, Some(q280Sql)),
@@ -409,5 +452,6 @@ object Round18Queries {
     QDef("q283_identity_columns", q283, Some(q283Sql)),
     QDef("q284_storage_partitioned_join", q284, Some(q284Sql)),
     QDef("q285_bucketed_spj", q285, Some(q285Sql)),
-    QDef("q286_atomic_replace_table", q286, Some(q286Sql)))
+    QDef("q286_atomic_replace_table", q286, Some(q286Sql)),
+    QDef("q287_sql_scripting_driver", q287, Some(q287Sql)))
 }
