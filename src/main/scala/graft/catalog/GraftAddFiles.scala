@@ -85,6 +85,9 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
 
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
+    require(GraftBucket.of(meta.props).isEmpty,
+      "graft add_files: table is bucket-partitioned — imported files would " +
+        "break the bucket-pure layout; use INSERT ... SELECT instead")
     require(GraftPartitions.cols(meta.props).isEmpty,
       "graft add_files: table is identity-partitioned — imported files are not " +
         "partition-pure; use INSERT ... SELECT instead")

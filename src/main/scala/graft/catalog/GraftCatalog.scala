@@ -61,7 +61,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * GraftCatalogSpec.
   */
 final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCatalog
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** FunctionCatalog: the engine-owned `bucket` function. Spark's SPJ
+    * machinery resolves a scan-reported `bucket(n, col)` transform by
+    * loading the function from the relation's catalog, so exposing it here
+    * is what makes bucket-partitioned scans' KeyGroupedPartitioning
+    * plannable; it is also directly callable (`SELECT <cat>.bucket(16, k)`). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucket.BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
   private var catalogName: String = _
   private var root: Path = _
 
@@ -201,13 +214,37 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
   private def createAt(dir: Path, ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String],
       stagedAtMs: Option[Long]): GraftTable = {
-    // identity partitioning only: `PARTITIONED BY (col)`. Bucket/temporal
-    // transforms stay refused — the write.cluster-by property covers the
-    // bucketing use case, and temporal partitioning is a derived column away.
-    val partCols = partitions.map { t =>
+    // identity partitioning (`PARTITIONED BY (col)`) or ONE hash-bucket
+    // transform (`PARTITIONED BY (bucket(n, col))`, GraftBucket) — temporal
+    // transforms stay refused (a derived day/hour column away).
+    val bucketSpec: Option[GraftBucket.Spec] = partitions.collectFirst {
+      case t if t.name() == "bucket" =>
+        require(partitions.length == 1,
+          "graft catalog: bucket partitioning does not combine with other " +
+            "partition transforms")
+        val col = t.references()(0).fieldNames() match {
+          case Array(c) => c
+          case p => throw new IllegalArgumentException(
+            s"graft catalog: bucket over nested path '${p.mkString(".")}' not supported")
+        }
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: bucket transform carries no bucket count: $t"))
+        require(n > 0 && n <= (1 << 20), s"graft catalog: bucket count $n out of range")
+        val field = schema.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+          throw new IllegalArgumentException(s"graft catalog: unknown bucket column '$col'"))
+        require(GraftBucket.supportedType(field.dataType),
+          s"graft catalog: bucket column '$col' has unsupported type " +
+            s"${field.dataType.simpleString} (integral/string/date only)")
+        GraftBucket.Spec(field.name, n)
+    }
+    val partCols = partitions.filter(_ => bucketSpec.isEmpty).map { t =>
       require(t.name() == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1,
-        s"graft catalog: only identity PARTITIONED BY (col) is supported, got $t")
+        s"graft catalog: only identity PARTITIONED BY (col) or bucket(n, col) " +
+          s"is supported, got $t")
       val c = t.references()(0).fieldNames()(0)
       val field = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"graft catalog: unknown partition column '$c'"))
@@ -281,17 +318,24 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         GraftIdentity.validateCreate(s.col, f.dataType, f.nullable,
           allowExplicitInsert = false, s.step)
       }
-      require(partCols.isEmpty,
+      require(partCols.isEmpty && bucketSpec.isEmpty,
         "graft catalog: identity columns on PARTITIONED tables are not " +
           "supported (the partitioned writer has no allocation transaction)")
       require(!dmlModes.values.exists(_ == GraftDv.ModeMor),
         "graft catalog: identity columns with merge-on-read DML are not " +
           "supported (MOR upserts would insert rows outside the allocator)")
     }
+    // bucket tables refuse merge-on-read DML: MOR deltas append suffix-less
+    // segments, breaking the bucket-pure layout SPJ depends on
+    bucketSpec.foreach { _ =>
+      require(!dmlModes.values.exists(_ == GraftDv.ModeMor),
+        "graft catalog: bucket partitioning with merge-on-read DML is not supported")
+    }
     val annotated = GraftFieldIds.annotate(schema)
     val props = kept ++ dmlModes ++ sumsProp ++ ndvProp ++ checkProps ++ genProps ++
       bloomProp ++ identityProps ++
       stagedAtMs.map(t => GraftStaging.StagedProp -> t.toString) ++
+      bucketSpec.map(b => GraftBucket.Prop -> s"${b.col},${b.n}") ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionByProp -> partCols.mkString(","))
        else Map.empty) +
       (GraftFieldIds.HighWaterProp -> GraftFieldIds.maxId(annotated).toString)
@@ -430,6 +474,51 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           throw new IllegalArgumentException(
             "graft catalog: identity columns on partitioned tables are not supported")
         case _ => ()
+      }
+      // bucket tables: the bucket SOURCE column is structurally load-bearing
+      // (its values hashed into the layout) — renaming it breaks the stored
+      // transform reference, retyping changes hash inputs (beyond the
+      // long-promoted integral widens), dropping it orphans the layout; the
+      // bucket spec itself and partition evolution are engine-owned/refused
+      GraftBucket.of(meta.props).foreach { b =>
+        changes.foreach {
+          case r: TableChange.RenameColumn
+              if r.fieldNames().sameElements(Array(b.col)) =>
+            throw new IllegalArgumentException(
+              s"graft catalog: cannot rename bucket source column '${b.col}'")
+          case d: TableChange.DeleteColumn
+              if d.fieldNames().sameElements(Array(b.col)) =>
+            throw new IllegalArgumentException(
+              s"graft catalog: cannot drop bucket source column '${b.col}'")
+          case u: TableChange.UpdateColumnType
+              if u.fieldNames().sameElements(Array(b.col)) &&
+                !(Seq(org.apache.spark.sql.types.ByteType,
+                    org.apache.spark.sql.types.ShortType,
+                    org.apache.spark.sql.types.IntegerType)
+                  .contains(meta.schema.fields(
+                    meta.schema.fieldNames.indexWhere(_.equalsIgnoreCase(b.col))).dataType) &&
+                  Seq(org.apache.spark.sql.types.ShortType,
+                    org.apache.spark.sql.types.IntegerType,
+                    org.apache.spark.sql.types.LongType).contains(u.newDataType())) =>
+            throw new IllegalArgumentException(
+              s"graft catalog: cannot retype bucket source column '${b.col}' " +
+                "beyond integral widening (the hash promotes integrals to LONG, " +
+                "so only those preserve the bucket layout)")
+          case s: TableChange.SetProperty
+              if s.property() == GraftBucket.Prop ||
+                s.property() == GraftTable.PartitionByProp =>
+            throw new IllegalArgumentException(
+              s"graft catalog: '${s.property()}' is engine-owned bucket layout " +
+                "(partition evolution of bucket tables is not supported)")
+          case rm: TableChange.RemoveProperty if rm.property() == GraftBucket.Prop =>
+            throw new IllegalArgumentException(
+              s"graft catalog: '${rm.property()}' is engine-owned bucket layout")
+          case s: TableChange.SetProperty
+              if GraftDv.ModeProps(s.property()) && s.value() == GraftDv.ModeMor =>
+            throw new IllegalArgumentException(
+              "graft catalog: bucket partitioning with merge-on-read DML is not supported")
+          case _ => ()
+        }
       }
       var dropped = meta.props.get(GraftTable.DroppedColumnsProp)
         .map(_.split(',').toSet).getOrElse(Set.empty[String])
@@ -1694,6 +1783,36 @@ private[catalog] object GraftPartitions {
   def cols(props: Map[String, String]): Seq[String] =
     props.get(GraftTable.PartitionByProp).toSeq.flatMap(_.split(',')).map(_.trim)
 
+  /** One routed partition dimension: an identity column, or a hash bucket
+    * over `source` (bucketN = Some(n), GraftBucket). The shared currency of
+    * every partition-pure writer. */
+  final case class PartField(source: String, bucketN: Option[Int])
+
+  /** The table's partition routing: identity columns XOR one bucket spec
+    * (CREATE enforces the exclusivity). */
+  def routedFields(props: Map[String, String]): Seq[PartField] =
+    GraftBucket.of(props) match {
+      case Some(b) => Seq(PartField(b.col, Some(b.n)))
+      case None    => cols(props).map(PartField(_, None))
+    }
+
+  /** Per-row canonical partition-value string for one routed dimension. */
+  def routeExtractor(dt: DataType, ordinal: Int, bucketN: Option[Int])
+    : InternalRow => String = bucketN match {
+    case None => internalExtractor(dt, ordinal)
+    case Some(n) =>
+      val get: InternalRow => Any = dt match {
+        case ByteType               => r => r.getByte(ordinal)
+        case ShortType              => r => r.getShort(ordinal)
+        case IntegerType | DateType => r => r.getInt(ordinal)
+        case LongType               => r => r.getLong(ordinal)
+        case StringType             => r => r.getUTF8String(ordinal)
+        case other => throw new IllegalArgumentException(
+          s"graft bucket: unsupported bucket column type $other")
+      }
+      r => GraftBucket.bucketOf(if (r.isNullAt(ordinal)) null else get(r), n).toString
+  }
+
   def suffixOf(segment: String): Option[String] = {
     val i = segment.indexOf(Marker)
     if (i < 0) None else Some(segment.substring(i + 1))
@@ -1870,8 +1989,12 @@ private[catalog] final class GraftTable(
   override def schema(): StructType = meta.readSchema
   override def properties(): java.util.Map[String, String] = meta.props.asJava
   override def partitioning(): Array[Transform] =
-    GraftPartitions.cols(meta.props).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    GraftBucket.of(meta.props) match {
+      case Some(b) => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(b.n, b.col))
+      case None => GraftPartitions.cols(meta.props).map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
@@ -1969,8 +2092,7 @@ private[catalog] final class GraftTable(
       new GraftPruningScanBuilder(mkInner(schema),
         ss.map(s => s -> tableDir.resolve(s).toString), meta.zstats,
         tableDir, name(), rs, options,
-        spjCols = GraftPartitions.cols(meta.props)
-          .flatMap(c => rs.fields.find(_.name.equalsIgnoreCase(c))),
+        spjFields = GraftPartitions.routedFields(meta.props),
         spjSpecId = GraftPartitions.specId(meta.props))
     if (dvMap.isEmpty)
       pruning(segs, rs)
@@ -2137,7 +2259,7 @@ private[catalog] final class GraftPruningScanBuilder(
     options: CaseInsensitiveStringMap,
     // identity partition columns + current spec id (storage-partitioned
     // joins, GraftSpj); empty on unpartitioned tables and DV composites
-    spjCols: Seq[StructField] = Nil, spjSpecId: Long = 0L)
+    spjFields: Seq[GraftPartitions.PartField] = Nil, spjSpecId: Long = 0L)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
@@ -2252,7 +2374,7 @@ private[catalog] final class GraftPruningScanBuilder(
       val scan = inner.build()
       new GraftStreamableScan(scan, tableDir, tableName, tableSchema,
         options, exactRows, colStats,
-        GraftSpj.plan(spjCols, spjSpecId, live, scan.readSchema()))
+        GraftSpj.plan(spjFields, spjSpecId, live, scan.readSchema()))
   }
 }
 
@@ -2291,8 +2413,8 @@ private[catalog] final class GraftStreamableScan(
     spjActive match {
       case Some(info) if scala.util.Try(SparkSession.active.conf
           .get("spark.sql.sources.v2.bucketing.sorting.enabled").toBoolean).getOrElse(false) =>
-        info.cols.map(f => org.apache.spark.sql.connector.expressions.Expressions.sort(
-          org.apache.spark.sql.connector.expressions.Expressions.identity(f.name),
+        info.dims.map(d => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          d.transform,
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       case _ => Array.empty
     }
@@ -2308,9 +2430,7 @@ private[catalog] final class GraftStreamableScan(
     : org.apache.spark.sql.connector.read.partitioning.Partitioning = spjActive match {
     case Some(info) =>
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        info.cols.map(f => org.apache.spark.sql.connector.expressions.Expressions
-          .identity(f.name): org.apache.spark.sql.connector.expressions.Expression).toArray,
-        info.numKeys)
+        info.transforms, info.numKeys)
     case None =>
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   }
@@ -2656,14 +2776,20 @@ private[catalog] final class GraftWriteBuilder(
   }
 
   override def build(): Write = {
-    val partCols = GraftPartitions.cols(GraftMeta.read(tableDir).props)
-    if (partCols.nonEmpty)
-      new GraftPartitionedWrite(tableDir, info, partCols,
+    val routed = GraftPartitions.routedFields(GraftMeta.read(tableDir).props)
+    if (routed.nonEmpty) {
+      // dynamic overwrite on a BUCKET table would replace whole hash buckets
+      // based on which keys happen to appear in the batch — a data-dependent
+      // blast radius no user intends; identity partitions keep the feature
+      require(!dynamicPartitionOverwrite || routed.forall(_.bucketN.isEmpty),
+        "graft: dynamic partition overwrite is not supported on " +
+          "bucket-partitioned tables (a batch would replace whole hash buckets)")
+      new GraftPartitionedWrite(tableDir, info, routed,
         replaceAll = replace && !dynamicPartitionOverwrite,
         dynamicOverwrite = dynamicPartitionOverwrite,
         fromRowLevelOp = fromRowLevelOp, expectedCurrent = expectedCurrent,
         groupRemovals = groupRemovals)
-    else buildUnpartitioned()
+    } else buildUnpartitioned()
   }
 
   private def buildUnpartitioned(): Write = new Write with RequiresDistributionAndOrdering {

@@ -49,11 +49,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * at build time (no IO) or, if it raced, at the commit CAS (the freshly
   * moved segments are deleted). */
 private[catalog] final class GraftPartitionedWrite(
-    tableDir: Path, info: LogicalWriteInfo, partCols: Seq[String],
+    tableDir: Path, info: LogicalWriteInfo, routed: Seq[GraftPartitions.PartField],
     replaceAll: Boolean, dynamicOverwrite: Boolean,
     fromRowLevelOp: Boolean, expectedCurrent: Option[Long],
     groupRemovals: () => Option[Seq[String]] = () => None)
   extends Write with RequiresDistributionAndOrdering {
+
+  /** Source columns of the routed dimensions (identity cols, or the bucket
+    * transform's hash input). */
+  private val partCols: Seq[String] = routed.map(_.source)
 
   private val metaAtBuild = GraftMeta.read(tableDir)
   private val props = metaAtBuild.props
@@ -112,10 +116,10 @@ private[catalog] final class GraftPartitionedWrite(
   // partition columns resolved against the DATA schema (row-level-op rows
   // carry a leading __row_operation column the writer strips before lookup)
   private val dataSchema: StructType = info.schema()
-  private val partFields: Seq[(Int, DataType)] = partCols.map { c =>
-    val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-    require(i >= 0, s"graft: partition column '$c' missing from write schema $dataSchema")
-    (i, dataSchema.fields(i).dataType)
+  private val partFields: Seq[(Int, DataType, Option[Int])] = routed.map { pf =>
+    val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(pf.source))
+    require(i >= 0, s"graft: partition column '${pf.source}' missing from write schema $dataSchema")
+    (i, dataSchema.fields(i).dataType, pf.bucketN)
   }
 
   /** Partition-first clustering: rows shuffle on (partition cols ++ any
@@ -142,7 +146,7 @@ private[catalog] final class GraftPartitionedWrite(
     require(!replaceAll && !dynamicOverwrite && branch.isEmpty &&
         !fromRowLevelOp && named.isEmpty,
       "graft: streaming writes are plain unnamed appends")
-    new GraftStreamingWrite(tableDir, info, partCols, metaAtBuild)
+    new GraftStreamingWrite(tableDir, info, routed, metaAtBuild)
   }
 
   override def toBatch: BatchWrite =
@@ -253,7 +257,7 @@ private[catalog] final case class GraftPartitionFilesMessage(
 private[catalog] final class GraftPartitionedWriterFactory(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
-    partFields: Seq[(Int, DataType)], fromRowLevelOp: Boolean,
+    partFields: Seq[(Int, DataType, Option[Int])], fromRowLevelOp: Boolean,
     specId: Long)
   extends DataWriterFactory {
 
@@ -262,8 +266,8 @@ private[catalog] final class GraftPartitionedWriterFactory(
       private val ctx = new TaskAttemptContextImpl(conf.value,
         new TaskAttemptID("graft", 0, TaskType.MAP, partitionId, (taskId & 0x7fffffff).toInt))
       private val ext = owf.getFileExtension(ctx)
-      private val extractors = partFields.map { case (i, dt) =>
-        GraftPartitions.internalExtractor(dt, i)
+      private val extractors = partFields.map { case (i, dt, bucketN) =>
+        GraftPartitions.routeExtractor(dt, i, bucketN)
       }
       private val opStrip =
         if (fromRowLevelOp)

@@ -471,8 +471,9 @@ private[catalog] object GraftDml {
     * a rewritten partition keeps a byte-identical suffix. */
   private[catalog] def writeSegments(dir: java.nio.file.Path, meta: GraftMeta,
                                      df: DataFrame): Seq[(String, Option[String])] = {
-    val partCols = GraftPartitions.cols(meta.props)
-    if (partCols.isEmpty)
+    val routed = GraftPartitions.routedFields(meta.props)
+    val partCols = routed.map(_.source)
+    if (routed.isEmpty)
       return Seq(writeOneSegment(dir, meta, df,
         s"seg-${UUID.randomUUID().toString.take(12)}"))
     val spark = df.sparkSession
@@ -489,9 +490,9 @@ private[catalog] object GraftDml {
     // pin column order to the table schema so the factory's extractor
     // ordinals line up (projection preserves the shuffle's distribution)
     val prepared = ordered.select(schema.fieldNames.map(col).toSeq: _*)
-    val partFields = partCols.map { c =>
-      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-      (i, schema.fields(i).dataType)
+    val partFields = routed.map { pf =>
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(pf.source))
+      (i, schema.fields(i).dataType, pf.bucketN)
     }
     val writeId = UUID.randomUUID().toString.take(12)
     val staging = dir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")

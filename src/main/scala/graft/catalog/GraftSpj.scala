@@ -2,14 +2,15 @@ package graft.catalog
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** STORAGE-PARTITIONED JOINS (SPARK-37377 / the Iceberg SPJ recipe) for graft
-  * identity-partitioned tables — the single biggest shuffle eliminator at
-  * 100 TB: a join (or aggregation) keyed on the partition columns of two
+  * partitioned tables — the single biggest shuffle eliminator at 100 TB: a
+  * join (or aggregation) keyed on the partition dimensions of two
   * co-partitioned graft tables runs with ZERO exchange on either side.
   *
   * How it rides the existing layout, with no new metadata:
@@ -17,33 +18,37 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `GraftPartitionedWrite` commits PARTITION-PURE segments whose names
   *     carry the encoded partition tuple (`<uuid>@<spec>~<tuple>`,
   *     GraftPartitions) — so every file's partition key is known at PLAN time
-  *     from its segment directory name, with zero file IO;
-  *   - the scan reports `KeyGroupedPartitioning(identity(partCols), nKeys)`
-  *     through `SupportsReportPartitioning`, and tags every planned file
-  *     split with its key via `HasPartitionKey`; Spark groups splits by key,
-  *     recognizes both sides as co-partitioned, and drops the exchanges
-  *     (`spark.sql.sources.v2.bucketing.enabled`; with pushPartValues Spark
-  *     aligns mismatched partition-value SETS by planning empty splits);
+  *     from its segment directory name, with zero file IO. Identity
+  *     dimensions encode the column's canonical value; BUCKET dimensions
+  *     (GraftBucket) encode the bucket id, and the catalog's FunctionCatalog
+  *     exposes the bucket function so Spark resolves the reported transform;
+  *   - the scan reports `KeyGroupedPartitioning(transforms, nKeys)` through
+  *     `SupportsReportPartitioning` and plans ONE `HasPartitionKey`-tagged
+  *     split per partition value; Spark groups and aligns both sides
+  *     (`spark.sql.sources.v2.bucketing.enabled`; pushPartValues plans empty
+  *     splits for mismatched value sets), and with the sorting conf the
+  *     reported key ordering drops the SMJ sorts too (single-key splits are
+  *     trivially sorted);
   *   - reporting is exactness-gated and degrades to UnknownPartitioning —
   *     never wrong, at most un-grouped: every visible segment must carry a
   *     current-spec suffix (mixed-layout tables after partition evolution,
   *     pre-partitioning segments, and foreign add_files imports all bail),
-  *     and every partition column must survive column pruning (Spark resolves
-  *     the reported transforms against the scan output, so a projected-away
-  *     key cannot be reported).
-  *
-  * The key rows hold Catalyst values decoded from the canonical tuple strings
-  * (the exact inverse of `GraftPartitions.internalExtractor`), so both sides
-  * of a join materialize identical `InternalRow` keys for equal values. */
+  *     and every partition SOURCE column must survive column pruning (Spark
+  *     resolves the reported transforms against the scan output). */
 private[catalog] object GraftSpj {
 
-  /** SPJ plan for one scan: partition columns (schema-cased, in declaration
-    * order), each visible segment's key (by segment name), and the distinct
-    * key count (the reported partition count). */
+  /** One reported partition dimension: its v2 transform (identity(col) or
+    * bucket(n, col)) and the key row's value type at that position. */
+  final case class Dim(transform: Transform, valueType: DataType)
+
+  /** SPJ plan for one scan: the reported dimensions, each visible segment's
+    * key (by segment name), and the distinct key count. */
   final case class Info(
-      cols: Seq[StructField],
+      dims: Seq[Dim],
       keysBySegment: Map[String, (String, InternalRow)], // name -> (enc, key)
-      numKeys: Int)
+      numKeys: Int) {
+    def transforms: Array[V2Expression] = dims.map(_.transform: V2Expression).toArray
+  }
 
   /** Canonical partition-value string -> Catalyst value; inverse of
     * `GraftPartitions.internalExtractor` for every supported identity type. */
@@ -70,21 +75,32 @@ private[catalog] object GraftSpj {
       }
     }
 
-  /** Exactness gate: Some(Info) iff the table is partitioned, every partition
-    * column survived pruning, and EVERY live segment's key decodes. */
-  def plan(cols: Seq[StructField], specId: Long,
+  /** Exactness gate: Some(Info) iff the table is partitioned, every routed
+    * dimension's SOURCE column survived pruning, and EVERY live segment's
+    * key decodes. Bucket dimensions report `bucket(n, col)` with an INT key
+    * (the bucket id the writer routed by); a NULL identity value or the
+    * bucket's null-sentinel id (-1) both key as themselves consistently. */
+  def plan(routed: Seq[GraftPartitions.PartField], specId: Long,
            live: Seq[(String, String)], readSchema: StructType): Option[Info] = {
-    if (cols.isEmpty) return None
-    if (!cols.forall(c => readSchema.fieldNames.exists(_.equalsIgnoreCase(c.name)))) return None
+    if (routed.isEmpty) return None
+    val dims = routed.map { pf =>
+      readSchema.fields.find(_.name.equalsIgnoreCase(pf.source)) match {
+        case None => return None // source column pruned away — cannot report
+        case Some(f) => pf.bucketN match {
+          case Some(n) => Dim(Expressions.bucket(n, f.name), IntegerType)
+          case None    => Dim(Expressions.identity(f.name), f.dataType)
+        }
+      }
+    }
     val keyed = live.map { case (name, _) =>
       tupleOf(name, specId).flatMap { enc =>
         val parts = enc.split("_", -1)
-        if (parts.length != cols.length) None
+        if (parts.length != dims.length) None
         else scala.util.Try {
-          val vals = parts.zip(cols).map { case (p, f) =>
+          val vals = parts.zip(dims).map { case (p, d) =>
             GraftPartitions.decodeString(p) match {
               case None    => null
-              case Some(s) => toCatalyst(f.dataType, s)
+              case Some(s) => toCatalyst(d.valueType, s)
             }
           }
           name -> (enc, new GenericInternalRow(vals.toArray[Any]): InternalRow)
@@ -94,7 +110,7 @@ private[catalog] object GraftSpj {
     if (keyed.exists(_.isEmpty)) None
     else {
       val m = keyed.flatten.toMap
-      Some(Info(cols, m, m.values.map(_._1).toSet.size))
+      Some(Info(dims, m, m.values.map(_._1).toSet.size))
     }
   }
 

@@ -35,15 +35,16 @@ import org.apache.spark.sql.types.StructType
   * writer exactly as on the batch path. Append-mode only: streaming
   * truncate/overwrite has no graft semantics and is refused at build. */
 private[catalog] final class GraftStreamingWrite(
-    tableDir: Path, info: LogicalWriteInfo, partCols: Seq[String],
+    tableDir: Path, info: LogicalWriteInfo, routed: Seq[GraftPartitions.PartField],
     metaAtBuild: GraftMeta) extends StreamingWrite {
 
   private val dataSchema: StructType = info.schema()
-  private val partFields: Seq[(Int, org.apache.spark.sql.types.DataType)] = partCols.map { c =>
-    val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-    require(i >= 0, s"graft: partition column '$c' missing from stream schema $dataSchema")
-    (i, dataSchema.fields(i).dataType)
-  }
+  private val partFields: Seq[(Int, org.apache.spark.sql.types.DataType, Option[Int])] =
+    routed.map { pf =>
+      val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(pf.source))
+      require(i >= 0, s"graft: partition column '${pf.source}' missing from stream schema $dataSchema")
+      (i, dataSchema.fields(i).dataType, pf.bucketN)
+    }
   // queryId is stable across restarts from the same checkpoint — exactly the
   // identity the exactly-once epoch names need
   private val queryKey = {
@@ -83,7 +84,7 @@ private[catalog] final class GraftStreamingWrite(
       val byPart = manifest.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       if (byPart.isEmpty) return // empty epoch: nothing to publish
       val segments = byPart.toSeq.sortBy(_._1).map { case (enc, fileNames) =>
-        val seg = if (partCols.isEmpty) base else s"$base${GraftPartitions.Marker}$enc"
+        val seg = if (routed.isEmpty) base else s"$base${GraftPartitions.Marker}$enc"
         val segDir = tableDir.resolve(seg)
         Files.createDirectories(segDir)
         fileNames.foreach(f => Files.move(epochStaging.resolve(enc).resolve(f),
@@ -107,7 +108,7 @@ private[catalog] final class GraftStreamingWrite(
     GraftMeta.deleteRecursively(staging.resolve(epochId.toString))
 
   override def toString: String =
-    s"graft-streaming-write($queryKey, partitions=${partCols.mkString(",")})"
+    s"graft-streaming-write($queryKey, partitions=${routed.map(_.source).mkString(",")})"
 }
 
 /** Per-epoch parquet writer: files land under `<staging>/<epoch>/<partition
@@ -118,7 +119,7 @@ private[catalog] final class GraftStreamingWrite(
 private[catalog] final class GraftStreamingWriterFactory(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
-    partFields: Seq[(Int, org.apache.spark.sql.types.DataType)],
+    partFields: Seq[(Int, org.apache.spark.sql.types.DataType, Option[Int])],
     checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)],
     table: String, specId: Long)
   extends StreamingDataWriterFactory {
@@ -130,8 +131,8 @@ private[catalog] final class GraftStreamingWriterFactory(
         new TaskAttemptID("graft-stream", 0, TaskType.MAP, partitionId,
           (taskId & 0x7fffffff).toInt))
       private val ext = owf.getFileExtension(ctx)
-      private val extractors = partFields.map { case (i, dt) =>
-        GraftPartitions.internalExtractor(dt, i)
+      private val extractors = partFields.map { case (i, dt, bucketN) =>
+        GraftPartitions.routeExtractor(dt, i, bucketN)
       }
       private val violated = checks.map { case (n, sql, e) =>
         (n, sql, Predicate.create(EqualNullSafe(e, Literal(false, e.dataType))))

@@ -444,6 +444,46 @@ object Round18Queries {
        FROM customer WHERE c_custkey % 4 <> 2
        GROUP BY c_nationkey ORDER BY nat"""
 
+  // --------------------------------------------------------------------------
+  // q288: NATIVE BUCKET PARTITIONING (`PARTITIONED BY (bucket(16, k))`,
+  // GraftBucket + FunctionCatalog) — q285's recipe promoted to first-class
+  // DDL: the writer routes rows by the engine-owned bucket function into
+  // bucket-pure segments, the scans report the bucket(16, k) transform
+  // (resolved through the catalog's own FunctionCatalog), and the
+  // orders x lineitem join needs ONLY `ON o.k = l.k` — no derived column,
+  // no bucket conjunct — to plan with zero exchange on either fact side.
+  // The oracle replays the plain k-join; buckets are invisible in the answer.
+  // --------------------------------------------------------------------------
+  private def q288(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val ord = ordersView(s, d)
+    val li = s"r18_lineitem2_${sfTag(d)}"
+    T.lineitem(s, d).createOrReplaceTempView(li)
+    val t = s"r288_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_o")
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_l")
+    s.sql(s"""CREATE TABLE graft.lake.${t}_o (k BIGINT, status STRING, price_c BIGINT)
+              USING parquet PARTITIONED BY (bucket(16, k))""")
+    s.sql(s"""CREATE TABLE graft.lake.${t}_l (k BIGINT, qty BIGINT, ext_c BIGINT)
+              USING parquet PARTITIONED BY (bucket(16, k))""")
+    s.sql(s"""INSERT INTO graft.lake.${t}_o
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM $ord""")
+    s.sql(s"""INSERT INTO graft.lake.${t}_l
+      SELECT l_orderkey, CAST(l_quantity AS BIGINT),
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) FROM $li""")
+    s.sql(s"""SELECT o.status, COUNT(*) AS n, CAST(SUM(l.qty) AS BIGINT) AS qty_total,
+                     CAST(SUM(l.ext_c) AS BIGINT) AS ext_total_c
+              FROM graft.lake.${t}_o o JOIN graft.lake.${t}_l l ON o.k = l.k
+              GROUP BY o.status ORDER BY o.status""")
+  }
+
+  private val q288Sql =
+    """SELECT o.o_orderstatus AS status, COUNT(*) AS n,
+              CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+              CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ext_total_c
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderstatus ORDER BY status"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q279_sql_views", q279, Some(q279Sql)),
     QDef("q280_nested_evolution", q280, Some(q280Sql)),
@@ -453,5 +493,6 @@ object Round18Queries {
     QDef("q284_storage_partitioned_join", q284, Some(q284Sql)),
     QDef("q285_bucketed_spj", q285, Some(q285Sql)),
     QDef("q286_atomic_replace_table", q286, Some(q286Sql)),
-    QDef("q287_sql_scripting_driver", q287, Some(q287Sql)))
+    QDef("q287_sql_scripting_driver", q287, Some(q287Sql)),
+    QDef("q288_native_bucket_join", q288, Some(q288Sql)))
 }

@@ -213,6 +213,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q288 pin: native bucket tables join on k alone with ONE exchange (the rollup)") {
+    // both fact scans report bucket(16, k) resolved through the catalog's
+    // FunctionCatalog — the k-only join co-partitions with no exchange; the
+    // single hash exchange is the status rollup, a different key
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = finalPlan("q288_native_bucket_join")
+      assert(hashExchanges(p) == 1,
+        s"only the status rollup may shuffle (the k-join must ride the buckets):\n$p")
+      assert(!p.contains("BroadcastExchange"),
+        s"the grouped join must not degrade to a broadcast:\n${p.take(600)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q96 pin: sessionization windows and session agg share ONE hash exchange") {
     // lag-window, running-sum window, and (user_id, session_id) agg all cluster
     // by user_id: EnsureRequirements must satisfy the agg with the windows'

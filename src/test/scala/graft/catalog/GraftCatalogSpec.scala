@@ -1401,10 +1401,16 @@ class GraftCatalogSpec extends SparkSpec {
       sql("CREATE TABLE gtest.ns.p8a (k BIGINT, ts TIMESTAMP) USING parquet PARTITIONED BY (ts)")
     }
     assert(e1.getMessage.contains("unsupported type"), e1.getMessage)
+    // bucket(n, col) is first-class since r15 (BucketPartitionSpec) — the
+    // guard now rejects temporal transforms and un-hashable bucket sources
     val e2 = intercept[Exception] {
-      sql("CREATE TABLE gtest.ns.p8b (k BIGINT, v DOUBLE) USING parquet PARTITIONED BY (bucket(4, k))")
+      sql("CREATE TABLE gtest.ns.p8b (k BIGINT, ts TIMESTAMP) USING parquet PARTITIONED BY (days(ts))")
     }
-    assert(e2.getMessage.contains("identity"), e2.getMessage)
+    assert(e2.getMessage.contains("identity") || e2.getMessage.contains("bucket"), e2.getMessage)
+    val e2b = intercept[Exception] {
+      sql("CREATE TABLE gtest.ns.p8c (k BIGINT, v DOUBLE) USING parquet PARTITIONED BY (bucket(4, v))")
+    }
+    assert(e2b.getMessage.contains("unsupported type"), e2b.getMessage)
     sql("DROP TABLE IF EXISTS gtest.ns.p8")
     sql("CREATE TABLE gtest.ns.p8 (k BIGINT, day STRING) USING parquet PARTITIONED BY (day)")
     val e3 = intercept[Exception] { sql("ALTER TABLE gtest.ns.p8 DROP COLUMN day") }
