@@ -91,6 +91,29 @@ class BucketPartitionSpec extends SparkSpec {
       GraftBucket.bucketOf(org.apache.spark.unsafe.types.UTF8String.fromString("hello"), 16))
   }
 
+  test("one-side shuffle: a plain view hashes INTO the bucket layout via the function") {
+    fixture
+    // v2.bucketing.shuffle re-partitions ONLY the unreported side, evaluating
+    // the catalog's bound bucket function inside Spark's exchange — the
+    // strongest end-to-end proof the function IS the layout
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.range(700).selectExpr("id AS k", "id * 11 AS z").createOrReplaceTempView("plainb")
+      val df = sql(
+        """SELECT COUNT(*) AS n, SUM(f1.v + p.z) AS s
+           FROM gbkt.ns.f1 f1 JOIN plainb p ON f1.k = p.k""")
+      assert(df.collect().head.getLong(0) === 700L)
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert("Exchange keygroupedpartitioning".r.findAllIn(plan).size === 1,
+        s"the plain side must hash INTO the bucket grid (one keygrouped exchange):\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"neither side may plan an ordinary join shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("COW UPDATE re-routes a changed key to its new bucket; purity holds") {
     root
     sql("CREATE TABLE gbkt.ns.u1 (k BIGINT, v BIGINT) USING parquet PARTITIONED BY (bucket(4, k))")
