@@ -135,6 +135,33 @@ class BucketPartitionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("streaming appends land bucket-pure epochs; SPJ engages on the streamed table") {
+    root
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    sql("CREATE TABLE gbkt.ns.s1 (k BIGINT, v BIGINT) USING parquet PARTITIONED BY (bucket(4, k))")
+    val stream = MemoryStream[(Long, Long)]
+    stream.addData((0L until 300L).map(i => (i, i * 2)): _*)
+    val q = stream.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gbkt_ck").toString)
+      .trigger(Trigger.AvailableNow()).toTable("gbkt.ns.s1")
+    q.awaitTermination(60000)
+    assert(sql("SELECT COUNT(*) FROM gbkt.ns.s1").collect().head.getLong(0) === 300L)
+    assertPure("gbkt.ns.s1", "s1", 4)
+    // the streamed layout is a first-class SPJ side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      sql("CREATE TABLE gbkt.ns.s2 (k BIGINT, w BIGINT) USING parquet PARTITIONED BY (bucket(4, k))")
+      sql("INSERT INTO gbkt.ns.s2 SELECT id, id FROM range(200)")
+      val df = sql("SELECT COUNT(*) AS n FROM gbkt.ns.s1 a JOIN gbkt.ns.s2 b ON a.k = b.k")
+      assert(shuffles(df) === 0)
+      assert(df.collect().head.getLong(0) === 200L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("refusal matrix: evolution, source-column DDL, MOR, add_files, dynamic overwrite") {
     fixture
     intercept[Exception] { sql("ALTER TABLE gbkt.ns.f1 RENAME COLUMN k TO key") }
