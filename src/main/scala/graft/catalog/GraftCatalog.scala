@@ -155,6 +155,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
+    // a staged CTAS's table is invisible on EVERY read path until commit
+    if (GraftStaging.isStaged(GraftMeta.read(dir).props)) throw new NoSuchTableException(ident)
     if (version.nonEmpty && version.forall(_.isDigit))
       new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(version.toLong))
     else {
@@ -183,6 +185,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
     val meta = GraftMeta.read(dir)
+    // a staged CTAS's table is invisible on EVERY read path until commit
+    if (GraftStaging.isStaged(meta.props)) throw new NoSuchTableException(ident)
     val tsMs = Math.floorDiv(timestampMicros, 1000L)
     val candidates = meta.snapshotTimes.filter(_._2 <= tsMs).keys
     require(candidates.nonEmpty,

@@ -119,5 +119,7 @@ class StagedTableSpec extends SparkSpec {
     intercept[Exception] {
       sql("CREATE TABLE gstg.ns.fresh1 USING parquet AS SELECT id AS v FROM range(4)")
     }
+    // invisibility covers EVERY read path, time travel included
+    intercept[Exception] { sql("SELECT * FROM gstg.ns.fresh1 VERSION AS OF 0").collect() }
   }
 }
