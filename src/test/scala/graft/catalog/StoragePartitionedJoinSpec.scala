@@ -190,6 +190,24 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("fallback: delete vectors switch the scan off grouping, results exact") {
+    root
+    sql("""CREATE TABLE gspj.ns.dv1 (k BIGINT, v BIGINT, geo STRING) USING parquet
+           PARTITIONED BY (geo) TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gspj.ns.dv1 SELECT id, id, CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END FROM range(400)")
+    withBucketing(on = true) {
+      val before = sql("SELECT geo, COUNT(*) AS n FROM gspj.ns.dv1 GROUP BY geo")
+      assert(shuffles(before) === 0, "pre-delete the clean scan reports grouping")
+      // a MOR delete lands vectors: the composite DV scan honestly reports
+      // nothing — plans shuffle again, but the merged rows must be exact
+      sql("DELETE FROM gspj.ns.dv1 WHERE v < 100")
+      val after = sql("SELECT geo, COUNT(*) AS n FROM gspj.ns.dv1 GROUP BY geo ORDER BY geo")
+      assert(after.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        === Seq(("eu", 150L), ("us", 150L)),
+        "DV-merged reads under the bucketing conf must serve exact rows")
+    }
+  }
+
   test("compaction preserves the grouped layout (suffixes carry through)") {
     root
     sql("CREATE TABLE gspj.ns.cp (k BIGINT, v BIGINT, geo STRING) USING parquet PARTITIONED BY (geo)")
