@@ -49,6 +49,11 @@ private[catalog] object GraftBucket {
     * promote to LONG before hashing, so type widening preserves buckets.
     * NULL rows land in bucket -1 (a real id is never negative). */
   def bucketOf(v: Any, n: Int): Int = v match {
+    // the SQL-callable face reaches here with a runtime n the writer's
+    // create-time range check never saw — pmod(_, 0) would be a task-failure
+    // ArithmeticException and a negative n would collide with the -1 sentinel
+    case _ if n <= 0 =>
+      throw new IllegalArgumentException(s"graft bucket: numBuckets must be positive, got $n")
     case null             => -1
     case b: Byte          => ofLong(b.toLong, n)
     case s: Short         => ofLong(s.toLong, n)

@@ -122,6 +122,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(namespace)
     GraftMeta.listDir(nsDir)
       .filter(p => Files.exists(p.resolve(GraftMeta.FileName)))
+      // staged-invisible tables (in-flight CTAS) and REPLACE staging siblings
+      // (`<t>.__staged__<id>`) are not tables: listing them would surface
+      // names loadTable refuses and DROP cannot resolve
+      .filterNot(p => p.getFileName.toString.contains(GraftStaging.Suffix))
+      .filterNot(p => scala.util.Try(
+        GraftStaging.isStaged(GraftMeta.read(p).props)).getOrElse(true))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
   }
@@ -133,12 +139,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
       // table's name appended to the data table's identifier (Iceberg's
       // convention): serve it from the parent if THAT is a table
       val parent = dir.getParent
-      if (GraftMetadataTable.Kinds.contains(ident.name()) && parent != null &&
-          Files.exists(parent.resolve(GraftMeta.FileName)))
+      // staged invisibility covers the introspection faces too: a half-built
+      // CTAS must not leak through t.segments / t.snapshots / t.changes
+      def parentServes: Boolean = parent != null &&
+        Files.exists(parent.resolve(GraftMeta.FileName)) &&
+        !GraftStaging.isStaged(GraftMeta.read(parent).props)
+      if (GraftMetadataTable.Kinds.contains(ident.name()) && parentServes)
         return new GraftMetadataTable(catalogName, ident, parent, ident.name())
       // `t.changes`: the row-level change feed (batch + streaming CDC read)
-      if (ident.name() == GraftChanges.Name && parent != null &&
-          Files.exists(parent.resolve(GraftMeta.FileName)))
+      if (ident.name() == GraftChanges.Name && parentServes)
         return new GraftChangesTable(catalogName, ident, parent)
       throw new NoSuchTableException(ident)
     }
@@ -155,14 +164,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) throw new NoSuchTableException(ident)
+    val meta = GraftMeta.read(dir) // read once: staged check + ref lookups
     // a staged CTAS's table is invisible on EVERY read path until commit
-    if (GraftStaging.isStaged(GraftMeta.read(dir).props)) throw new NoSuchTableException(ident)
+    if (GraftStaging.isStaged(meta.props)) throw new NoSuchTableException(ident)
     if (version.nonEmpty && version.forall(_.isDigit))
       new GraftTable(catalogName, ident, dir, pinnedSnapshot = Some(version.toLong))
     else {
       // named refs share one namespace (create_* procedures enforce it):
       // a branch resolves to base+staged, a TAG to its pinned snapshot
-      val meta = GraftMeta.read(dir)
       GraftRefs.getTag(meta, version) match {
         case Some(snap) =>
           require(meta.snapshots.contains(snap),
@@ -242,6 +251,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         require(GraftBucket.supportedType(field.dataType),
           s"graft catalog: bucket column '$col' has unsupported type " +
             s"${field.dataType.simpleString} (integral/string/date only)")
+        // the name is persisted in the 'col,n' graft.bucket-by property — a
+        // comma (or other unsafe byte) would corrupt the split; same charset
+        // rule as identity partition columns
+        require(field.name.matches("[A-Za-z0-9_.\\-]+"),
+          s"graft catalog: bucket column name '${field.name}' must match [A-Za-z0-9_.-]+")
         GraftBucket.Spec(field.name, n)
     }
     val partCols = partitions.filter(_ => bucketSpec.isEmpty).map { t =>
@@ -1236,6 +1250,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
       info: org.apache.spark.sql.connector.catalog.TableInfo)
     : org.apache.spark.sql.connector.catalog.StagedTable = {
     val (schema, props) = stagedSchemaAndProps(info)
+    // crashed earlier RTAS attempts left full staged copies in sibling dirs
+    // no maintenance path ever visits — sweep the aged ones NOW (an active
+    // staging job is minutes old and survives the grace check)
+    GraftStaging.reclaimStaleSiblings(live)
     val staging = live.resolveSibling(
       live.getFileName.toString + GraftStaging.Suffix +
         java.util.UUID.randomUUID().toString.take(8))
@@ -2910,7 +2928,7 @@ private[catalog] final class GraftWriteBuilder(
       }
       override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
       override def commit(rawMessages: Array[WriterCommitMessage]): Unit = {
-        val (messages, identityMaxes) = GraftIdentity.unwrap(rawMessages)
+        val (messages, identityMaxes) = GraftIdentity.unwrap(rawMessages, identitySpecs)
         delegate.commit(messages) // files are now live in the segment dir
         // zone maps harvested from the just-written parquet footers (no
         // second read); a stats failure must never fail the write — segments
@@ -2938,7 +2956,7 @@ private[catalog] final class GraftWriteBuilder(
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
-        delegate.abort(GraftIdentity.unwrap(messages)._1) // meta untouched
+        delegate.abort(GraftIdentity.unwrap(messages, identitySpecs)._1) // meta untouched
     }
   }
 }

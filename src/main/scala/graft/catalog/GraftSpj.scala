@@ -146,10 +146,10 @@ private[catalog] object GraftSpj {
           case None           => return parts
         }
       }
+      val keyByEnc: Map[String, InternalRow] =
+        info.keysBySegment.valuesIterator.map { case (e, k) => e -> k }.toMap
       byValue.toSeq.sortBy(_._1).zipWithIndex.map { case ((enc, fs), i) =>
-        val key = info.keysBySegment.valuesIterator
-          .collectFirst { case (e, k) if e == enc => k }.get
-        new KeyedFilePartition(i, fs, key): InputPartition
+        new KeyedFilePartition(i, fs, keyByEnc(enc)): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = b.createReaderFactory()

@@ -57,6 +57,18 @@ private[catalog] object GraftStaging {
     }
   }
 
+  /** Sweep aged `<table>.__staged__*` sibling residue of crashed REPLACE
+    * attempts (they sit OUTSIDE the table dir, so expire_snapshots never
+    * sees them); called by the next stageReplace of the same table. */
+  def reclaimStaleSiblings(live: Path): Unit = {
+    val parent = live.getParent
+    val prefix = live.getFileName.toString + Suffix
+    if (parent != null && Files.isDirectory(parent))
+      GraftMeta.listDir(parent)
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach(reclaimIfStale)
+  }
+
   /** Staged CREATE: inner table lives at its final path, marker-invisible. */
   def stagedCreate(inner: GraftTable, dir: Path): StagedTable =
     new StagedGraftTable(inner,
