@@ -162,6 +162,17 @@ class BucketPartitionSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("SHOW CREATE TABLE renders the bucket transform; the DDL round-trips") {
+    fixture
+    val ddl = sql("SHOW CREATE TABLE gbkt.ns.f1").collect().head.getString(0)
+    assert(ddl.toLowerCase.contains("bucket(8, k)"),
+      s"the reported transform must render in the DDL:\n$ddl")
+    val roundTrip = ddl.replace("gbkt.ns.f1", "gbkt.ns.f1rt")
+    sql(roundTrip)
+    sql("INSERT INTO gbkt.ns.f1rt SELECT id, id FROM range(40)")
+    assertPure("gbkt.ns.f1rt", "f1rt", 8)
+  }
+
   test("refusal matrix: evolution, source-column DDL, MOR, add_files, dynamic overwrite") {
     fixture
     intercept[Exception] { sql("ALTER TABLE gbkt.ns.f1 RENAME COLUMN k TO key") }
