@@ -223,6 +223,27 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("multi-column partition tuples group; the two-key join is exchange-free") {
+    root
+    sql("CREATE TABLE gspj.ns.m1 (k BIGINT, geo STRING, tier BIGINT) USING parquet PARTITIONED BY (geo, tier)")
+    sql("CREATE TABLE gspj.ns.m2 (w BIGINT, geo STRING, tier BIGINT) USING parquet PARTITIONED BY (geo, tier)")
+    sql("""INSERT INTO gspj.ns.m1 SELECT id, CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END, id % 3 FROM range(600)""")
+    sql("""INSERT INTO gspj.ns.m2 SELECT id, CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END, id % 2 FROM range(400)""")
+    withBucketing(on = true) {
+      val df = sql(
+        """SELECT a.geo, a.tier, COUNT(*) AS n
+           FROM gspj.ns.m1 a JOIN gspj.ns.m2 b ON a.geo = b.geo AND a.tier = b.tier
+           GROUP BY a.geo, a.tier""")
+      assert(shuffles(df) === 0,
+        "a join clustered on the FULL partition tuple must plan no exchange")
+      val expect = withBucketing(on = false)(sql(
+        """SELECT a.geo, a.tier, COUNT(*) AS n
+           FROM gspj.ns.m1 a JOIN gspj.ns.m2 b ON a.geo = b.geo AND a.tier = b.tier
+           GROUP BY a.geo, a.tier""").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet === expect)
+    }
+  }
+
   test("date-typed partition keys group (canonical-string round trip)") {
     root
     sql("CREATE TABLE gspj.ns.d1 (k BIGINT, day DATE) USING parquet PARTITIONED BY (day)")
