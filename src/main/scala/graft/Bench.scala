@@ -59,10 +59,17 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
+    // Variance-prone fixtures get extra runs so the median converges: q231
+    // forks an external process per task (fork latency under a busy JVM is
+    // bimodal — measured 0.54 s isolated vs 1.54 s min mid-suite in r15) and
+    // q128's XML parse stalls on one-off JIT deopt. More runs cost ~4 s
+    // total and stop environment noise masquerading as plan regressions.
+    val extraRuns = Set("q231_script_transform", "q128_xml_functions")
     val results = selected.map { case (name, fn) =>
-      val times = Seq.fill(runs)(timeOnce(name, fn))
+      val nRuns = if (extraRuns.contains(name)) math.max(runs, 5) else runs
+      val times = Seq.fill(nRuns)(timeOnce(name, fn))
       // any failed run poisons the query: report the (negative) failure time
-      val median = times.find(_ < 0).getOrElse(times.sorted.apply(runs / 2))
+      val median = times.find(_ < 0).getOrElse(times.sorted.apply(nRuns / 2))
       // min rides along so a one-off environment stall is self-diagnosing in
       // the artifact: median >> min flags noise, median ≈ min flags the plan.
       // Only SUCCESSFUL runs count toward min — a failed run's (negative)

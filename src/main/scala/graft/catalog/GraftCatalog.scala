@@ -83,10 +83,16 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     root = Paths.get(Option(options.get("root"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_catalog"))
     Files.createDirectories(root)
-    // parquet field-id stamping on writes + id RESOLUTION on reads — inert
-    // for name-resolved tables (their read schemas carry no ids), required
-    // for tables flipped to id resolution by RENAME COLUMN (GraftFieldIds)
-    GraftFieldIds.enableSessionConfs()
+    // WRITE-side id stamping stays session-wide from init: every graft
+    // segment must carry footer field ids from its very first write, or a
+    // LATER RENAME COLUMN would find id-less segments and refuse (the
+    // rename pre-flight, GraftFieldIds.segmentsWithoutIds). The READ-side
+    // conf — the one that switches resolution semantics — engages lazily,
+    // only when this session first touches a table actually flipped to id
+    // resolution (GraftFieldIds.enableIfResolved at table load / RENAME):
+    // sessions that never touch a renamed table keep virgin parquet READ
+    // semantics for their non-graft reads (FieldIdScopeSpec pins this).
+    GraftFieldIds.enableWriteConf()
   }
 
   override def name(): String = catalogName
@@ -333,8 +339,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     if (identityProps.nonEmpty) {
       GraftIdentity.of(identityProps, schema).foreach { s =>
         val f = schema.fields(s.ordinal)
-        GraftIdentity.validateCreate(s.col, f.dataType, f.nullable,
-          allowExplicitInsert = false, s.step)
+        GraftIdentity.validateCreate(s.col, f.dataType, f.nullable, s.step)
       }
       require(partCols.isEmpty && bucketSpec.isEmpty,
         "graft catalog: identity columns on PARTITIONED tables are not " +
@@ -1275,9 +1280,9 @@ private[catalog] object GraftCatalog {
     : (StructType, java.util.Map[String, String]) = {
     val idProps = columns.toSeq.flatMap { c =>
       Option(c.identityColumnSpec()).toSeq.flatMap { spec =>
-        GraftIdentity.validateCreate(c.name(), c.dataType(), c.nullable(),
-          spec.isAllowExplicitInsert, spec.getStep)
-        Seq(GraftIdentity.Prefix + c.name() -> s"${spec.getStart},${spec.getStep}",
+        GraftIdentity.validateCreate(c.name(), c.dataType(), c.nullable(), spec.getStep)
+        val mode = if (spec.isAllowExplicitInsert) ",default" else ""
+        Seq(GraftIdentity.Prefix + c.name() -> s"${spec.getStart},${spec.getStep}$mode",
           GraftIdentity.NextPrefix + c.name() -> spec.getStart.toString)
       }
     }
@@ -1723,7 +1728,8 @@ private[catalog] object GraftMeta {
   def commitMany(tableDir: Path, segments: Seq[(String, Option[String])],
                  replaceAll: Boolean, removeSuffixes: Set[String],
                  expectedCurrent: Option[Long], namedKey: Option[String],
-                 propsUpdate: Map[String, String] = Map.empty): Boolean = {
+                 propsUpdate: Map[String, String] = Map.empty,
+                 propCas: Seq[(String, String, String)] = Nil): Boolean = {
     segments.foreach { case (s, _) => touchSegment(tableDir, s) }
     var applied = true
     mutate(tableDir) { meta =>
@@ -1733,6 +1739,15 @@ private[catalog] object GraftMeta {
           throw new GraftConcurrentCommitException(
             s"graft: concurrent commit detected (write based on snapshot $base, " +
               s"current is ${meta.current}); retry the operation"))
+        // property CAS riders (identity high-water advancement, see `commit`):
+        // checked AFTER the named-replay gate — a replayed epoch is a no-op,
+        // never a spurious allocation conflict
+        propCas.foreach { case (k, expected, _) =>
+          require(meta.props.get(k).contains(expected),
+            s"graft: concurrent allocation detected on '$k' (allocated from " +
+              s"$expected, committed value is ${meta.props.getOrElse(k, "<absent>")}); " +
+              "retry the write")
+        }
         applied = true
         val base = meta.snapshots.getOrElse(meta.current, Nil)
         if (removeSuffixes.nonEmpty) {
@@ -1763,7 +1778,7 @@ private[catalog] object GraftMeta {
             meta.committedNamed + (k -> next)),
           snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
           dvs = meta.dvs + (next -> meta.dvsAfter(dirs)),
-          props = meta.props ++ propsUpdate)
+          props = meta.props ++ propsUpdate ++ propCas.map(t => t._1 -> t._3))
       }
     }
     applied
@@ -1998,6 +2013,9 @@ private[catalog] final class GraftTable(
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private val meta = GraftMeta.read(tableDir)
+  // id-resolved (post-RENAME) table entering the session: its reads, writes,
+  // and maintenance jobs need the parquet fieldId session confs from here on
+  GraftFieldIds.enableIfResolved(meta.props)
 
   private[catalog] def dir: Path = tableDir
   private[catalog] def currentSnapshot: Long = meta.current
@@ -2123,12 +2141,10 @@ private[catalog] final class GraftTable(
       // DV'd segments read row-based with the per-file position filter
       val dirty = segs.filter(dvMap.contains)
       val clean = segs.filterNot(dvMap.contains)
-      val positions = GraftDv.loadPositions(SparkSession.active, tableDir,
-        dvMap.valuesIterator.flatten.toSeq.distinct)
       new GraftDvScanBuilder(
         if (clean.isEmpty) None else Some(pruning(clean, rs)),
         pruning(dirty, StructType(rs.fields :+ GraftDv.RowIdxField)),
-        positions, tableDir, name(), rs, options)
+        dvMap.valuesIterator.flatten.toSeq.distinct, tableDir, name(), rs, options)
     }
   }
 
@@ -2425,21 +2441,26 @@ private[catalog] final class GraftStreamableScan(
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   override def readSchema(): StructType = inner.readSchema()
 
-  /** With SPJ active, every planned split holds rows of exactly ONE partition
-    * tuple (GraftSpj.wrapBatch splits bins per segment), so "sorted by the
+  /** In single-split mode (GraftSpj.SingleSplitKey, opt-in) every planned
+    * split holds rows of exactly ONE partition tuple, so "sorted by the
     * partition keys" is trivially true per partition — reporting it lets the
     * sort-merge join over co-partitioned tables drop BOTH sides' Sort nodes.
-    * Spark itself re-validates the claim against grouping (it drops the
-    * ordering unless each key group holds at most one split). */
+    * The claim is made ONLY under that opt-in: in the default file-sized-split
+    * mode Spark's own guard would drop it anyway (a reported sort survives
+    * only when each key group holds at most one split), and plain scans keep
+    * their parallelism instead of paying for an order most queries never use. */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     spjActive match {
-      case Some(info) if scala.util.Try(SparkSession.active.conf
+      case Some(info) if spjSingleSplit && scala.util.Try(SparkSession.active.conf
           .get("spark.sql.sources.v2.bucketing.sorting.enabled").toBoolean).getOrElse(false) =>
         info.dims.map(d => org.apache.spark.sql.connector.expressions.Expressions.sort(
           d.transform,
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       case _ => Array.empty
     }
+
+  private def spjSingleSplit: Boolean = scala.util.Try(
+    SparkSession.active.conf.get(GraftSpj.SingleSplitKey).toBoolean).getOrElse(false)
 
   /** Opt-in via Spark's own SPJ switch: reporting a grouped layout also makes
     * BatchScanExec coalesce same-key splits into one task, so it must engage
@@ -2495,7 +2516,7 @@ private[catalog] final class GraftStreamableScan(
     }
   }
   override def toBatch: org.apache.spark.sql.connector.read.Batch = spjActive match {
-    case Some(info) => GraftSpj.wrapBatch(inner.toBatch, info)
+    case Some(info) => GraftSpj.wrapBatch(inner.toBatch, info, spjSingleSplit)
     case None       => inner.toBatch
   }
   override def description(): String = inner.description()
@@ -2700,13 +2721,11 @@ private[catalog] final class GroupScan(
       val dirty = segs.filter(dvMap.contains)
       val clean = segs.filterNot(dvMap.contains)
       val real = prunedSchema.getOrElse(rs)
-      val positions = GraftDv.loadPositions(SparkSession.active, tableDir,
-        dvMap.valuesIterator.flatten.toSeq.distinct)
       new GraftDvScan(
         if (clean.isEmpty) None else Some(one(clean, rs, Some(real))),
         one(dirty, StructType(rs.fields :+ GraftDv.RowIdxField),
           Some(StructType(real.fields :+ GraftDv.RowIdxField))),
-        positions, real)
+        GraftDv.listDvFiles(tableDir, dvMap.valuesIterator.flatten.toSeq.distinct), real)
     }
   }
 
@@ -2886,9 +2905,8 @@ private[catalog] final class GraftWriteBuilder(
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!replace && !dynamicPartitionOverwrite && branch.isEmpty && !fromRowLevelOp,
         "graft: streaming writes are plain appends")
-      require(!GraftIdentity.isIdentityTable(props),
-        "graft: streaming appends to identity tables are not supported " +
-          "(per-epoch allocation would need its own high-water transaction)")
+      // identity tables stream fine: allocation rides the per-epoch factory
+      // (fresh high-water per micro-batch) and the epoch commit's prop CAS
       new GraftStreamingWrite(tableDir, info, Nil, metaAtBuild)
     }
 

@@ -221,18 +221,44 @@ private[catalog] object GraftFieldIds {
     * per-table by whether the read schema carries ids ([[readSchema]]), so
     * flipping the session conf on changes nothing for name-resolved tables.
     *
-    * DOCUMENTED SESSION-WIDE SIDE EFFECT: these are session confs (Spark's
-    * parquet paths read SQLConf only — there is no per-relation option for
-    * them), so they also apply to non-graft parquet reads/writes in the same
-    * session. That is observable only where a user-supplied schema itself
-    * carries `parquet.field.id` metadata: such writes get their ids stamped
-    * into footers, and such reads resolve by id instead of name. Plain
-    * (id-less) parquet usage is unaffected in both directions. */
+    * SCOPE: these are session confs, and on stock Spark 4.1 parquet paths
+    * they are the ONLY lever — a per-relation data source option is
+    * silently ignored (measured: `spark.createDataFrame(rows, idSchema)
+    * .write.option("spark.sql.parquet.fieldId.write.enabled","true")` with
+    * the session conf off produces a footer with NO field ids; both v1 and
+    * v2 parquet paths copy the flag from SQLConf into the hadoop conf with
+    * an unconditional set AFTER the options merge, clobbering any option).
+    * So the engine scopes the next-best way: the confs engage LAZILY, only
+    * when the session first touches a table actually flipped to id
+    * resolution ([[enableIfResolved]], called at GraftTable load and by
+    * RENAME COLUMN DDL). A session that never touches a renamed table —
+    * including any session merely having the catalog configured — keeps
+    * virgin parquet semantics for its non-graft reads/writes (pinned by
+    * FieldIdScopeSpec). Once a renamed table IS in play the flags stay on
+    * for the session (reads, DML rewrites, and maintenance jobs on that
+    * table all run through stock Spark scans that consult SQLConf), and the
+    * residual side effect is the previously documented one: non-graft
+    * parquet whose USER schema itself carries `parquet.field.id` metadata
+    * then stamps/resolves by id. Plain (id-less) parquet usage is
+    * unaffected in both directions, always. */
   def enableSessionConfs(): Unit =
     scala.util.Try(SparkSession.active).foreach { s =>
       s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
       s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }
+
+  /** WRITE-side stamping alone (catalog init): graft segments must carry
+    * footer ids from their first write so RENAME COLUMN stays available
+    * later; stamping changes no read semantics anywhere. */
+  def enableWriteConf(): Unit =
+    scala.util.Try(SparkSession.active).foreach { s =>
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    }
+
+  /** Lazy engagement gate: flip the session confs only for tables that were
+    * actually renamed into id resolution. */
+  def enableIfResolved(props: Map[String, String]): Unit =
+    if (props.contains(ResolveProp)) enableSessionConfs()
 
   /** Segments among `segs` holding any parquet file WITHOUT footer field ids
     * — the rename pre-flight: id resolution over such a file fails loudly at

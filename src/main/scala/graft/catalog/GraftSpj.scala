@@ -37,6 +37,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     resolves the reported transforms against the scan output). */
 private[catalog] object GraftSpj {
 
+  /** Session conf (default false): plan ONE split per partition value and
+    * report the partition-key sort order, trading plain-scan parallelism for
+    * sort-free SMJs. Off, splits stay file-sized and only group for joins. */
+  val SingleSplitKey = "spark.graft.spj.singleSplitPerValue"
+
+  /** Session conf (default true): strip unused key-grouping from plain scans
+    * after EnsureRequirements ([[DisableUnnecessaryKeyGrouping]]) so a scan
+    * nobody joins/aggregates on keeps file-level parallelism. */
+  val UngroupKey = "spark.graft.spj.ungroupPlainScans"
+
   /** One reported partition dimension: its v2 transform (identity(col) or
     * bucket(n, col)) and the key row's value type at that position. */
   final case class Dim(transform: Transform, valueType: DataType)
@@ -123,32 +133,54 @@ private[catalog] object GraftSpj {
     override def partitionKey(): InternalRow = key
   }
 
-  /** Re-plan the delegated parquet batch's splits as ONE split per partition
-    * VALUE (all of the value's files, across segments and bins). Spark's
-    * grouping would coalesce same-key splits into one task anyway; emitting
-    * them pre-merged additionally satisfies its ordering guard (a reported
-    * sort survives only when each key group is a single split), so the SMJ
-    * sorts drop too. Any file that cannot be attributed to a live segment
-    * falls back to the ORIGINAL untagged splits — Spark then plans no
-    * grouping and no ordering (defensive; planInputPartitions only ever
-    * plans files under the live segment dirs the Info covers). */
-  def wrapBatch(b: Batch, info: Info): Batch = new Batch {
+  /** Re-plan the delegated parquet batch's splits as `HasPartitionKey`-tagged
+    * splits so Spark's key-grouping (and so SPJ) can fire. Two granularities:
+    *
+    *   - DEFAULT (`singleSplit = false`): keep the parquet scan's own
+    *     bin-packing and only slice each bin by partition value (segments are
+    *     partition-pure, so a slice is per-(bin, value) and usually ≈ the
+    *     original bin). Split count stays proportional to data volume — a
+    *     plain scan of a partitioned table keeps file-level parallelism
+    *     instead of collapsing to the partition-value count;
+    *   - OPT-IN (`singleSplit = true`, session conf [[SingleSplitKey]]): ONE
+    *     split per partition value. Spark keeps a scan-reported sort order
+    *     only when each key group holds at most one split, so this mode (and
+    *     only it) also drops the SMJ sorts — the right trade when the join IS
+    *     the query; the wrong default for scans that never use the order.
+    *
+    * Any file that cannot be attributed to a live segment falls back to the
+    * ORIGINAL untagged splits — Spark then plans no grouping and no ordering
+    * (defensive; planInputPartitions only ever plans files under the live
+    * segment dirs the Info covers). */
+  def wrapBatch(b: Batch, info: Info, singleSplit: Boolean): Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val parts = b.planInputPartitions()
-      val files = Array.newBuilder[PartitionedFile]
+      val bins = Array.newBuilder[Array[PartitionedFile]]
       parts.foreach {
-        case fp: FilePartition => files ++= fp.files
+        case fp: FilePartition => bins += fp.files
         case _                 => return parts
-      }
-      val byValue = files.result().groupBy { f =>
-        info.keysBySegment.get(f.filePath.toPath.getParent.getName) match {
-          case Some((enc, _)) => enc
-          case None           => return parts
-        }
       }
       val keyByEnc: Map[String, InternalRow] =
         info.keysBySegment.valuesIterator.map { case (e, k) => e -> k }.toMap
-      byValue.toSeq.sortBy(_._1).zipWithIndex.map { case ((enc, fs), i) =>
+      def encOf(f: PartitionedFile): String =
+        info.keysBySegment.get(f.filePath.toPath.getParent.getName) match {
+          case Some((enc, _)) => enc
+          case None           => null
+        }
+      val sliced: Seq[(String, Array[PartitionedFile])] =
+        if (singleSplit) {
+          val all = bins.result().flatten
+          if (all.exists(f => encOf(f) == null)) return parts
+          all.groupBy(encOf).toSeq
+        } else {
+          val out = Seq.newBuilder[(String, Array[PartitionedFile])]
+          for (bin <- bins.result(); (enc, fs) <- bin.groupBy(encOf)) {
+            if (enc == null) return parts
+            out += enc -> fs
+          }
+          out.result()
+        }
+      sliced.sortBy(_._1).zipWithIndex.map { case ((enc, fs), i) =>
         new KeyedFilePartition(i, fs, keyByEnc(enc)): InputPartition
       }.toArray
     }

@@ -55,29 +55,44 @@ private[catalog] final class GraftStreamingWrite(
   }
   private val staging = tableDir.resolve(s"seg-staging@$queryKey")
 
+  // Identity allocation per EPOCH: the factory is created once per
+  // micro-batch, so the specs (and their high-water) are re-read from the
+  // COMMITTED meta here — epoch N allocates from the value epoch N-1's
+  // commit advanced, and the epoch commit CAS-advances it again (riding the
+  // same commitMany that registers the epoch name, so a replayed epoch is a
+  // no-op for the high-water too). Volatile hand-off factory→commit: the
+  // micro-batch loop is single-threaded per query, commit(e) always follows
+  // its own factory creation.
+  @volatile private var identitySpecs: Seq[GraftIdentity.Spec] = Nil
+
   override def createStreamingWriterFactory(
       pInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
-    GraftGenerate.wrapStreaming(
-      new GraftStreamingWriterFactory(owf,
-        new SerializableHadoopConf(job.getConfiguration), staging.toString,
-        dataSchema, partFields,
-        GraftChecks.boundChecks(dataSchema, metaAtBuild.props),
-        tableDir.getFileName.toString,
-        GraftPartitions.specId(metaAtBuild.props)),
-      dataSchema, metaAtBuild.props, tableDir.getFileName.toString)
+    identitySpecs = GraftIdentity.of(GraftMeta.read(tableDir).props, dataSchema)
+    GraftIdentity.wrapStreaming(
+      GraftGenerate.wrapStreaming(
+        new GraftStreamingWriterFactory(owf,
+          new SerializableHadoopConf(job.getConfiguration), staging.toString,
+          dataSchema, partFields,
+          GraftChecks.boundChecks(dataSchema, metaAtBuild.props),
+          tableDir.getFileName.toString,
+          GraftPartitions.specId(metaAtBuild.props)),
+        dataSchema, metaAtBuild.props, tableDir.getFileName.toString),
+      identitySpecs, dataSchema, pInfo.numPartitions(), tableDir.getFileName.toString)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val epochStaging = staging.resolve(epochId.toString)
     val base = s"seg-$queryKey-e$epochId"
+    val specs = identitySpecs
     try {
       // the registry pre-check is advisory (cheap skip for the common replay);
       // the commitMany CAS re-checks under the lock and is authoritative
       if (GraftMeta.read(tableDir).committedNamed.contains(base)) return
-      val manifest = messages.flatMap {
+      val (innerMessages, identityMaxes) = GraftIdentity.unwrap(messages, specs)
+      val manifest = innerMessages.flatMap {
         case m: GraftPartitionFilesMessage => m.files
         case _ => Nil
       }
@@ -97,7 +112,8 @@ private[catalog] final class GraftStreamingWrite(
         (seg, stats)
       }
       val applied = GraftMeta.commitMany(tableDir, segments, replaceAll = false,
-        removeSuffixes = Set.empty, expectedCurrent = None, namedKey = Some(base))
+        removeSuffixes = Set.empty, expectedCurrent = None, namedKey = Some(base),
+        propCas = GraftIdentity.propCas(specs, identityMaxes))
       // lost to a racing replay of this very epoch: drop the duplicate copies
       if (!applied)
         segments.foreach { case (s, _) => GraftMeta.deleteRecursively(tableDir.resolve(s)) }

@@ -641,6 +641,15 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // Persisted-SQL-view DDL + read substitution for graft catalogs. Must be
     // build-time (the parser interceptor has no runtime registration hook).
     graft.catalog.GraftViewExtension.install(ext)
+    // Plain-scan parallelism under SPJ reporting: strip KeyGroupedPartitioning
+    // from graft scans whose grouping no operator consumes (the v2 twin of
+    // Spark's DisableUnnecessaryBucketedScan; runs after EnsureRequirements,
+    // so every zero-exchange SPJ plan is left intact).
+    ext.injectQueryStagePrepRule(session =>
+      new graft.catalog.DisableUnnecessaryKeyGrouping(session))
+    // ... and again as a columnar pre-transition: scan-only plans carry no
+    // exchange, skip AQE entirely, and so never see queryStagePrepRules.
+    ext.injectColumnar(session => new graft.catalog.GraftUngroupColumnarRule(session))
     // IntervalJoinRewrite is deliberately NOT injected here: it registers at
     // runtime via GraftExtensions.install (experimental.extraOptimizations —
     // a Once-style user batch). Injecting it as an optimizer rule TOO would

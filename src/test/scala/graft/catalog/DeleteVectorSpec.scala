@@ -54,6 +54,50 @@ class DeleteVectorSpec extends SparkSpec {
   private val fixture: Seq[(Long, String, Long)] =
     (1L to 20L).map(k => (k, if (k % 2 == 0) "even" else "odd", k * 10))
 
+  test("DV positions load PER TASK: planning a multi-segment DV read runs no driver job") {
+    root
+    mkMor("lazy1", fixture, batches = 3) // 3 segments
+    sql("DELETE FROM gdv.ns.lazy1 WHERE k IN (2, 9, 15)")  // dv commit 1
+    sql("DELETE FROM gdv.ns.lazy1 WHERE k IN (4, 18)")     // dv commit 2
+    // plan the scan's batch THROUGH the catalog: no positions map exists on
+    // the driver (GraftDvPartition carries only its seg/file key + the dv
+    // FILE LIST), and neither scan build nor split planning may run a job —
+    // the old implementation collected every (seg,file,pos) here
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val parts = try {
+      val cat = spark.sessionState.catalogManager.catalog("gdv")
+        .asInstanceOf[GraftCatalog]
+      val tbl = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "lazy1"))
+      val scan = tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build()
+      val p = scan.toBatch.planInputPartitions()
+      Thread.sleep(300)
+      p
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() === 0,
+      "scan build + split planning must be metadata-only (no positions collect)")
+    val dvParts = parts.collect { case p: GraftDvPartition => p }
+    assert(dvParts.nonEmpty, "the DV'd segments must plan lazy DV partitions")
+    assert(dvParts.forall(_.dvFiles.nonEmpty), "each task carries the dv file list")
+    assert(dvParts.map(_.key).distinct.length === dvParts.length,
+      "one partition per dirty file")
+    // the executor-side loader finds exactly each file's deleted positions:
+    // summed across files it must equal the 5 deleted rows
+    val total = dvParts.map(p => GraftDv.positionsFor(p.dvFiles, p.key).length).sum
+    assert(total === 5, s"per-task loads must cover exactly the 5 deleted rows, got $total")
+    // and the merged read is exact
+    assert(sql("SELECT COUNT(*) AS n, SUM(amt) AS s FROM gdv.ns.lazy1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+      === ((15L, fixture.map(_._3).sum - (2 + 9 + 15 + 4 + 18) * 10L)))
+  }
+
   test("MOR delete: content correct, no segment rewritten, vector on disk") {
     root
     mkMor("t1", fixture)

@@ -93,12 +93,8 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(sql("SELECT * FROM gidn.ns.t4").schema.fieldNames.toSeq === Seq("id", "val"))
   }
 
-  test("unsupported surfaces refuse at the door: BY DEFAULT, partitioned, MOR") {
+  test("unsupported surfaces refuse at the door: partitioned, MOR") {
     root
-    intercept[Exception] {
-      sql("""CREATE TABLE gidn.ns.t5
-             (id BIGINT GENERATED BY DEFAULT AS IDENTITY, v BIGINT) USING parquet""")
-    }
     intercept[Exception] {
       sql("""CREATE TABLE gidn.ns.t6
              (id BIGINT GENERATED ALWAYS AS IDENTITY, geo STRING) USING parquet
@@ -109,6 +105,92 @@ class IdentityColumnsSpec extends SparkSpec {
              (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING parquet
              TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
     }
+  }
+
+  test("BY DEFAULT: mixed explicit + allocated inserts are unique; explicit advances the high-water") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.bd1")
+    sql("""CREATE TABLE gidn.ns.bd1
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 10 INCREMENT BY 10),
+            v BIGINT) USING parquet""")
+    // allocated: 10, 20
+    sql("INSERT INTO gidn.ns.bd1 (v) VALUES (1), (2)")
+    // explicit, BEYOND the high-water (next would be 30): accepted, recorded
+    sql("INSERT INTO gidn.ns.bd1 (id, v) VALUES (55, 3)")
+    // allocation resumes STRICTLY past the explicit value, back ON the grid
+    sql("INSERT INTO gidn.ns.bd1 (v) VALUES (4)")
+    val rows = sql("SELECT id, v FROM gidn.ns.bd1 ORDER BY v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq === Seq((10L, 1L), (20L, 2L), (55L, 3L), (60L, 4L)),
+      "explicit 55 must advance the high-water to the next grid point (60)")
+    assert(rows.map(_._1).distinct.length === 4, "no collision with the explicit id")
+  }
+
+  test("BY DEFAULT: explicit values BEHIND the high-water leave allocation untouched") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.bd2")
+    sql("""CREATE TABLE gidn.ns.bd2
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 100 INCREMENT BY 1),
+            v BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.bd2 (v) VALUES (1), (2), (3)") // 100..102
+    // a backfill carrying an OLD key (the CDC-mirror shape): below high-water
+    sql("INSERT INTO gidn.ns.bd2 (id, v) VALUES (5, 4)")
+    sql("INSERT INTO gidn.ns.bd2 (v) VALUES (5)")
+    val ids = sql("SELECT id FROM gidn.ns.bd2 ORDER BY v").collect().map(_.getLong(0))
+    assert(ids.toSeq === Seq(100L, 101L, 102L, 5L, 103L),
+      "a behind-the-water explicit value must not move the allocator")
+  }
+
+  test("BY DEFAULT: single statement mixing NULL and explicit rows fills only the NULLs") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.bd3")
+    sql("""CREATE TABLE gidn.ns.bd3
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            v BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.bd3 (id, v) VALUES (1000, 1), (NULL, 2), (2000, 3)")
+    val rows = sql("SELECT id, v FROM gidn.ns.bd3 ORDER BY v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows(0) === ((1000L, 1L)) && rows(2) === ((2000L, 3L)), "explicit ids kept")
+    assert(rows(1)._1 >= 1L, "the NULL row allocated")
+    assert(rows.map(_._1).distinct.length === 3)
+    // high-water passed 2000: the next allocation must land beyond it
+    sql("INSERT INTO gidn.ns.bd3 (v) VALUES (4)")
+    assert(sql("SELECT id FROM gidn.ns.bd3 WHERE v = 4").collect().head.getLong(0) > 2000L,
+      "the commit advances past the largest explicit value in the same write")
+  }
+
+  test("BY DEFAULT: descending step tracks the explicit MIN, stays on grid") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.bd4")
+    sql("""CREATE TABLE gidn.ns.bd4
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 0 INCREMENT BY -10),
+            v BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.bd4 (v) VALUES (1)")        // 0
+    sql("INSERT INTO gidn.ns.bd4 (id, v) VALUES (-35, 2)") // explicit, off-grid, beyond
+    sql("INSERT INTO gidn.ns.bd4 (v) VALUES (3)")
+    assert(sql("SELECT id FROM gidn.ns.bd4 ORDER BY v").collect().map(_.getLong(0)).toSeq
+      === Seq(0L, -35L, -40L),
+      "descending: next grid point strictly below the explicit -35 is -40")
+  }
+
+  test("BY DEFAULT: row-level rewrites refuse new at/beyond-water ids loudly") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.bd5")
+    sql("""CREATE TABLE gidn.ns.bd5
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            v BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.bd5 (v) VALUES (1), (2)") // ids 1, 2
+    // UPDATE keeping existing (behind-water) ids: fine
+    sql("UPDATE gidn.ns.bd5 SET v = v + 10 WHERE id = 1")
+    assert(sql("SELECT v FROM gidn.ns.bd5 WHERE id = 1").collect().head.getLong(0) === 11L)
+    // UPDATE hoisting an id past the allocator: the rewrite commit cannot
+    // advance the high-water, so it must fail, not silently break uniqueness
+    val e = intercept[Exception] {
+      sql("UPDATE gidn.ns.bd5 SET id = 999 WHERE v = 2")
+    }
+    assert(e.getMessage != null)
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.bd5 WHERE id = 999").collect()
+      .head.getLong(0) === 0L, "the refused rewrite must not commit")
   }
 
   test("concurrent identity appends: exactly-one-wins CAS, no double allocation") {

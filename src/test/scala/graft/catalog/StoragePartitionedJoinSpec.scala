@@ -174,19 +174,69 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
-  test("reported partition-key ordering drops the SMJ sorts too") {
+  test("reported partition-key ordering drops the SMJ sorts too (single-split opt-in)") {
     fixture
     withBucketing(on = true) {
+      // the ordering claim is tied to the one-split-per-value layout, which
+      // trades plain-scan parallelism for sort-free SMJs — strictly opt-in
       spark.conf.set("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
-      val df = sql(
-        """SELECT a.geo, COUNT(*) AS n
-           FROM gspj.ns.a a JOIN gspj.ns.b b ON a.geo = b.geo GROUP BY a.geo""")
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-      assert(p.contains("SortMergeJoin"), s"grouped join should be SMJ here:\n${p.take(400)}")
-      assert("\\bSort \\[".r.findAllIn(p).isEmpty,
-        s"single-key splits are trivially key-sorted — no Sort may plan:\n$p")
-      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty)
+      spark.conf.set(GraftSpj.SingleSplitKey, "true")
+      try {
+        val df = sql(
+          """SELECT a.geo, COUNT(*) AS n
+             FROM gspj.ns.a a JOIN gspj.ns.b b ON a.geo = b.geo GROUP BY a.geo""")
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        assert(p.contains("SortMergeJoin"), s"grouped join should be SMJ here:\n${p.take(400)}")
+        assert("\\bSort \\[".r.findAllIn(p).isEmpty,
+          s"single-key splits are trivially key-sorted — no Sort may plan:\n$p")
+        assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty)
+      } finally spark.conf.unset(GraftSpj.SingleSplitKey)
+    }
+  }
+
+  test("plain scans keep file-level parallelism; only clustering consumers group") {
+    root
+    sql("CREATE TABLE gspj.ns.par (k BIGINT, v BIGINT, geo STRING) USING parquet PARTITIONED BY (geo)")
+    (0 until 5).foreach { i =>
+      sql(s"INSERT INTO gspj.ns.par SELECT id + ${i * 1000}, id, " +
+        "CASE WHEN id % 4 = 0 THEN 'a' WHEN id % 4 = 1 THEN 'b' WHEN id % 4 = 2 THEN 'c' ELSE 'd' END " +
+        "FROM range(400)")
+    }
+    withBucketing(on = true) {
+      // force many file-sized splits so split-count != partition-count
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+      try {
+        def scanTasks[T](f: => T): Int = {
+          val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val l = new org.apache.spark.scheduler.SparkListener {
+            override def onStageSubmitted(
+                s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+              counts.synchronized { counts += s.stageInfo.numTasks }
+          }
+          spark.sparkContext.addSparkListener(l)
+          try { f; Thread.sleep(300); counts.max }
+          finally spark.sparkContext.removeSparkListener(l)
+        }
+        // 1. a bare SELECT (scan-only, not even AQE) must NOT collapse to the
+        //    4 partition values — the 100 TB full-table-read shape
+        val bare = scanTasks(sql("SELECT * FROM gspj.ns.par WHERE v >= 0").collect())
+        assert(bare > 4, s"plain scan must keep file-level parallelism, got $bare tasks")
+        // 2. an aggregate keyed off the partition column shuffles, so its scan
+        //    stage must also stay file-parallel
+        val nonKey = scanTasks(
+          sql("SELECT v % 10 AS m, COUNT(*) AS n FROM gspj.ns.par GROUP BY 1").collect())
+        assert(nonKey > 4, s"non-key agg scan must stay file-parallel, got $nonKey tasks")
+        // 3. the partition-keyed aggregate still consumes the grouping: zero
+        //    exchanges (and therefore partition-count tasks) — the SPJ promise
+        val keyed = sql("SELECT geo, COUNT(*) AS n FROM gspj.ns.par GROUP BY geo")
+        assert(shuffles(keyed) === 0, "partition-keyed agg keeps the grouped, exchange-free plan")
+        assert(keyed.collect().map(_.getLong(1)).sum === 2000L)
+      } finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
     }
   }
 

@@ -100,6 +100,45 @@ class StreamingSinkSpec extends SparkSpec {
     assert(count("t3") === 0, "failed epoch must publish nothing")
   }
 
+  test("identity streaming appends: epochs allocate disjoint ids, survive restart") {
+    root
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql("DROP TABLE IF EXISTS gss.ns.tid")
+    sql("""CREATE TABLE gss.ns.tid
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3),
+            k BIGINT) USING parquet""")
+    val ckpt = Files.createTempDirectory("gss_ckpt_id").toString
+    val stream = MemoryStream[Long]
+    def drainK(): Unit = {
+      val q = stream.toDS().toDF("k").selectExpr("CAST(NULL AS BIGINT) AS id", "k")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gss.ns.tid")
+      assert(q.awaitTermination(300000), "stream did not drain")
+    }
+    stream.addData(1L, 2L, 3L)
+    drainK() // epoch 0
+    val e0 = sql("SELECT id FROM gss.ns.tid").collect().map(_.getLong(0))
+    assert(e0.length === 3 && e0.distinct.length === 3, "epoch 0 allocates unique ids")
+    assert(e0.forall(id => id >= 100 && (id - 100) % 3 == 0), "ids on the start+k*step grid")
+    // RESTART from the same checkpoint: replayed epoch is a no-op, the new
+    // epoch allocates strictly beyond epoch 0 (high-water survived as a prop)
+    stream.addData(4L, 5L)
+    drainK() // epoch 1 (epoch 0 replay must not double-apply)
+    val all = sql("SELECT id, k FROM gss.ns.tid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length === 5, "replay must not re-append epoch 0")
+    assert(all.map(_._1).distinct.length === 5, "ids unique ACROSS epochs")
+    val e1 = all.filter(t => t._2 >= 4L).map(_._1)
+    assert(e1.min > e0.max,
+      "epoch 1 must allocate beyond epoch 0's maximum (per-epoch high-water)")
+    // the allocation high-water is a committed table prop past every id
+    val meta = GraftMeta.read(root.resolve("ns").resolve("tid"))
+    val hw = meta.props("graft.identity.next.id").toLong
+    assert(hw > all.map(_._1).max, s"high-water $hw must sit beyond all ids")
+  }
+
   test("streamed result equals the equivalent batch append") {
     root
     import spark.implicits._
