@@ -2307,7 +2307,7 @@ private[catalog] final class GraftPruningScanBuilder(
   private var live = segments // post-zone-pruning survivors (build-time stats)
   private var prunedSchema: StructType = null
   private var anyFilterPushed = false
-  private var statsAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var statsAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   private def cat = inner.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
 
@@ -2403,9 +2403,9 @@ private[catalog] final class GraftPruningScanBuilder(
   private[catalog] def buildInner(): Scan = inner.build()
 
   override def build(): Scan = statsAgg match {
-    case Some((aggSchema, row)) =>
+    case Some((aggSchema, rows)) =>
       new GraftStreamableScan(
-        new GraftStatsAggScan(aggSchema, row, tableName, segments.size),
+        new GraftStatsAggScan(aggSchema, rows, tableName, segments.size),
         tableDir, tableName, tableSchema, options)
     case None =>
       val (exactRows, colStats) = committedStats()

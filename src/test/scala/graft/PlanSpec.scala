@@ -524,6 +524,15 @@ class PlanSpec extends SparkSpec {
       s"the audit aggregate must read NO data file:\n$plan")
   }
 
+  test("q290 pin: per-partition rollup serves from zone maps — no parquet scan in the plan") {
+    val df = graft.Registry.byName("q290_partition_rollup_pushdown").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-stats-agg"),
+      s"expected the stats-served grouped aggregate scan:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"the per-partition rollup must read NO data file:\n$plan")
+  }
+
   test("q183 pin: SQL pipe syntax plans the SAME physical tree as the classic form") {
     graft.Tables.lineitem(spark, sf).createOrReplaceTempView("pipe_pin_li")
     val piped = spark.sql(

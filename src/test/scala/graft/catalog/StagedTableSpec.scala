@@ -86,7 +86,9 @@ class StagedTableSpec extends SparkSpec {
            USING parquet PARTITIONED BY (geo)""")
     sql("INSERT INTO gstg.ns.p1 SELECT id, CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END FROM range(40)")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    val df = sql("SELECT geo, COUNT(*) AS n FROM gstg.ns.p1 GROUP BY geo")
+    // AVG needs rows, so this pins the grouped SCAN of the replaced layout
+    // (a COUNT would serve from the r16 zero-IO stats rollup instead)
+    val df = sql("SELECT geo, AVG(k) AS a FROM gstg.ns.p1 GROUP BY geo")
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("Exchange hashpartitioning"),

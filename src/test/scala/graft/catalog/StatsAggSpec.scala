@@ -100,8 +100,10 @@ class StatsAggSpec extends SparkSpec {
       (0L until 20L).sum)
   }
 
-  test("GROUP BY refuses; read-option disables; time travel serves its snapshot") {
+  test("GROUP BY a non-constant column refuses; read-option disables; time travel serves its snapshot") {
     root
+    // a1's segments span k/d RANGES (min != max), so no zone entry can name
+    // a group key — the rollup must read rows
     assert(!planOf("SELECT d, COUNT(*) FROM gsa.ns.a1 GROUP BY d").contains(Marker))
     val disabled = spark.read.option("graft.stats.aggregate-pushdown", "false")
       .table("gsa.ns.a1").groupBy().count()
@@ -152,5 +154,88 @@ class StatsAggSpec extends SparkSpec {
     assert(planOf(q).contains(Marker))
     val r = sql(q).collect().head
     assert(r.getLong(0) === 0L && r.isNullAt(1))
+  }
+
+  test("GROUP BY a partition column serves per-partition rollups from zone maps") {
+    root
+    sql("DROP TABLE IF EXISTS gsa.ns.g1")
+    sql("""CREATE TABLE gsa.ns.g1 (k BIGINT, p STRING, d DATE) USING parquet
+           PARTITIONED BY (p) TBLPROPERTIES ('graft.stats.sums' = 'k')""")
+    // two commits x three partitions + a NULL-partition wave: six value
+    // segments + one null segment, each partition-PURE so every zone entry
+    // is constant in p (min == max == the group key)
+    sql("""INSERT INTO gsa.ns.g1
+           SELECT id, CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END,
+                  DATE'2024-01-01' + CAST(id % 30 AS INT)
+           FROM range(0, 90)""")
+    sql("""INSERT INTO gsa.ns.g1
+           SELECT id, CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END,
+                  DATE'2024-01-01' + CAST(id % 30 AS INT)
+           FROM range(90, 150)""")
+    sql("INSERT INTO gsa.ns.g1 SELECT id, NULL, DATE'2024-02-01' FROM range(150, 160)")
+    val q = "SELECT p, COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx, " +
+      "CAST(SUM(k) AS BIGINT) AS sk FROM gsa.ns.g1 GROUP BY p ORDER BY p NULLS FIRST"
+    val plan = planOf(q)
+    assert(plan.contains(Marker), s"expected stats-served grouped aggregate:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"), s"no file scan expected:\n$plan")
+    val rows = sql(q).collect()
+    val exp = (0L until 150L).groupBy(i => (i % 3) match {
+      case 0 => "a"; case 1 => "b"; case _ => "c"
+    }).map { case (p, ks) => p -> ((ks.size.toLong, ks.min, ks.max, ks.sum)) }
+    assert(rows.length === 4)
+    assert(rows.head.isNullAt(0) && rows.head.getLong(1) === 10L &&
+      rows.head.getLong(2) === 150L && rows.head.getLong(3) === 159L)
+    rows.tail.foreach { r =>
+      val (n, mn, mx, sk) = exp(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((n, mn, mx, sk)))
+    }
+    // grouping by partition value + aggregating the partition column itself
+    val q2 = "SELECT p, MIN(p) AS mp FROM gsa.ns.g1 GROUP BY p"
+    assert(!planOf(q2).contains(Marker), "string MIN stays refused even as a group key")
+  }
+
+  test("GROUP BY serves on any constant-per-segment column, not just declared partitions") {
+    root
+    // an UNPARTITIONED table whose commits happen to be constant in `era`:
+    // the gate is the value-level zone invariant, so this serves too (the
+    // post-partition-evolution / add_files shape)
+    sql("DROP TABLE IF EXISTS gsa.ns.g2")
+    sql("CREATE TABLE gsa.ns.g2 (k BIGINT, era INT) USING parquet")
+    sql("INSERT INTO gsa.ns.g2 SELECT id, 1 FROM range(0, 40)")
+    sql("INSERT INTO gsa.ns.g2 SELECT id, 2 FROM range(40, 100)")
+    sql("INSERT INTO gsa.ns.g2 SELECT id, 1 FROM range(100, 110)")
+    val q = "SELECT era, COUNT(*) AS n, MAX(k) AS mx FROM gsa.ns.g2 GROUP BY era ORDER BY era"
+    val plan = planOf(q)
+    assert(plan.contains(Marker), s"constant-column rollup must serve:\n$plan")
+    val rows = sql(q).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((1, 50L, 109L), (2, 60L, 99L)))
+
+    // a PARTIALLY-null segment can name no group key: refuse
+    sql("INSERT INTO gsa.ns.g2 SELECT id, CASE WHEN id % 2 = 0 THEN 3 ELSE NULL END FROM range(110, 120)")
+    assert(!planOf(q).contains(Marker), "a mixed null/value segment must refuse")
+    // ... and the row-reading plan still answers exactly (ASC = NULLS FIRST)
+    val after = sql(q).collect().map(r =>
+      (if (r.isNullAt(0)) -1 else r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSeq === Seq((-1, 5L, 119L), (1, 50L, 109L), (2, 60L, 99L), (3, 5L, 118L)))
+  }
+
+  test("multi-column GROUP BY and date group keys serve; a non-column group expression refuses") {
+    root
+    sql("DROP TABLE IF EXISTS gsa.ns.g3")
+    sql("""CREATE TABLE gsa.ns.g3 (k BIGINT, p STRING, d DATE) USING parquet
+           PARTITIONED BY (p, d)""")
+    sql("""INSERT INTO gsa.ns.g3
+           SELECT id, CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END,
+                  DATE'2024-03-01' + CAST(id % 2 AS INT)
+           FROM range(0, 40)""")
+    val q = "SELECT p, d, COUNT(*) AS n FROM gsa.ns.g3 GROUP BY p, d ORDER BY p, d"
+    val plan = planOf(q)
+    assert(plan.contains(Marker), s"two-column partition rollup must serve:\n$plan")
+    val rows = sql(q).collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    assert(rows.toSeq === Seq(("x", "2024-03-01", 20L), ("y", "2024-03-02", 20L)))
+    // an EXPRESSION over the partition column is not a plain NamedReference
+    assert(!planOf("SELECT UPPER(p) AS u, COUNT(*) FROM gsa.ns.g3 GROUP BY UPPER(p)")
+      .contains(Marker))
   }
 }

@@ -229,10 +229,17 @@ class StoragePartitionedJoinSpec extends SparkSpec {
           sql("SELECT v % 10 AS m, COUNT(*) AS n FROM gspj.ns.par GROUP BY 1").collect())
         assert(nonKey > 4, s"non-key agg scan must stay file-parallel, got $nonKey tasks")
         // 3. the partition-keyed aggregate still consumes the grouping: zero
-        //    exchanges (and therefore partition-count tasks) — the SPJ promise
-        val keyed = sql("SELECT geo, COUNT(*) AS n FROM gspj.ns.par GROUP BY geo")
+        //    exchanges (and therefore partition-count tasks) — the SPJ promise.
+        //    AVG needs rows (the zero-IO stats rollup refuses it), so this
+        //    exercises the grouped SCAN; the COUNT form upgrades further to
+        //    the stats-agg scan (r16), pinned alongside
+        val keyed = sql("SELECT geo, AVG(v) AS a FROM gspj.ns.par GROUP BY geo")
         assert(shuffles(keyed) === 0, "partition-keyed agg keeps the grouped, exchange-free plan")
-        assert(keyed.collect().map(_.getLong(1)).sum === 2000L)
+        assert(keyed.collect().length === 4)
+        val counted = sql("SELECT geo, COUNT(*) AS n FROM gspj.ns.par GROUP BY geo")
+        assert(counted.queryExecution.executedPlan.toString.contains("graft-stats-agg"),
+          "the partition-keyed COUNT serves from zone maps with zero IO")
+        assert(counted.collect().map(_.getLong(1)).sum === 2000L)
       } finally {
         spark.conf.unset("spark.sql.files.maxPartitionBytes")
         spark.conf.unset("spark.sql.files.openCostInBytes")
@@ -246,7 +253,9 @@ class StoragePartitionedJoinSpec extends SparkSpec {
            PARTITIONED BY (geo) TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
     sql("INSERT INTO gspj.ns.dv1 SELECT id, id, CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END FROM range(400)")
     withBucketing(on = true) {
-      val before = sql("SELECT geo, COUNT(*) AS n FROM gspj.ns.dv1 GROUP BY geo")
+      // AVG needs rows, so this pins the grouped SCAN (a COUNT would serve
+      // from the r16 zero-IO stats rollup and never plan the parquet read)
+      val before = sql("SELECT geo, AVG(v) AS a FROM gspj.ns.dv1 GROUP BY geo")
       assert(shuffles(before) === 0, "pre-delete the clean scan reports grouping")
       // a MOR delete lands vectors: the composite DV scan honestly reports
       // nothing — plans shuffle again, but the merged rows must be exact
