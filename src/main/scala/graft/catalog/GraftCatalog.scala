@@ -1074,6 +1074,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
       case "delete_where"         => new DeleteWhereProcedure(this)
       case "update_where"         => new UpdateWhereProcedure(this)
       case "rewrite_deletes"      => new RewriteDeletesProcedure(this)
+      case "rewrite_clustered"    => new RewriteClusteredProcedure(this)
       case "upsert"               => new UpsertProcedure(this)
       case "rollback_to_snapshot" => new RollbackProcedure(this)
       case "create_branch"        => new CreateBranchProcedure(this)
@@ -1094,6 +1095,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     Array(Identifier.of(Array("system"), "compact"),
       Identifier.of(Array("system"), "delete_where"),
       Identifier.of(Array("system"), "expire_snapshots"),
+      Identifier.of(Array("system"), "rewrite_clustered"),
       Identifier.of(Array("system"), "rewrite_deletes"),
       Identifier.of(Array("system"), "rollback_to_snapshot"),
       Identifier.of(Array("system"), "update_where"),

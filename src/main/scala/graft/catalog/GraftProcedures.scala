@@ -326,6 +326,68 @@ private[catalog] final class UpsertProcedure(catalog: GraftCatalog)
   }
 }
 
+/** `CALL <cat>.system.rewrite_clustered(table, cols[, segments])` — Z-ORDER
+  * clustering: rewrite the current snapshot into `segments` range-partitioned
+  * segments ordered by the INTERLEAVED-BIT key of 2–3 numeric/date/timestamp
+  * columns (Morton order), so each output segment holds a small HYPERCUBE of
+  * the key space and its zone-map bounds are tight on EVERY clustered column
+  * — a selective predicate on ANY of them then prunes ~n^((d-1)/d) of the
+  * table at PLAN time, where lexicographic `write.order-by` only serves its
+  * leading column. The Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite
+  * recipe, expressed on the graft segment layer:
+  *
+  *   - per-column normalization bounds come from the COMMITTED zone stats
+  *     (zero pre-pass IO; bucketing quality needs approximate bounds only —
+  *     row content is identical whatever the key does);
+  *   - ONE distributed job: DV-merged read → range shuffle on the z-key into
+  *     exactly `segments` tasks (explicit width, so AQE cannot coalesce the
+  *     grid) → per-task sort by z-key (parquet row-group bounds inside each
+  *     segment tighten too) → each task lands its own `zc<i>`-suffixed
+  *     segment through the same staging/manifest writer compaction uses;
+  *   - ONE commit swaps the whole snapshot under `expectedCurrent` (a
+  *     concurrent append fails the rewrite loudly, never vanishes), delete
+  *     vectors materialize and drop with the replaced segments, and every
+  *     pre-rewrite snapshot stays readable;
+  *   - compaction preserves the layout afterwards (it groups by FULL suffix,
+  *     so each `zc<i>` cell compacts within itself). Documented seam: a
+  *     later COW delete/update rewrites its touched cells into ONE new
+  *     segment (bounds of that segment widen to the touched cells' union —
+  *     re-run rewrite_clustered to restore the grid).
+  *
+  * Refusals (honest, with remediation named): partitioned/bucketed tables
+  * (clustering across partition values would destroy the purity every pruned
+  * scan and partition-scoped DML depends on — use `write.order-by` within
+  * partitions), non-numeric columns, fewer than 2 / more than 3 columns
+  * (one column is `write.order-by`'s job; >3 dilutes every dimension), and
+  * segments lacking decodable stats for a clustered column. */
+private[catalog] final class RewriteClusteredProcedure(catalog: GraftCatalog)
+  extends GraftProcedure(catalog) {
+
+  override def name(): String = "rewrite_clustered"
+  override def description(): String =
+    "rewrite the current snapshot into z-order-clustered segments (tight multi-column zone bounds)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("cols", StringType).build(),
+    ProcedureParameter.in("segments", IntegerType).defaultValue("16").build())
+
+  override val outputSchema: StructType = StructType(Seq(
+    StructField("segments_before", IntegerType, nullable = false),
+    StructField("segments_after", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val dir = resolveTableDir(input.getUTF8String(0).toString)
+    val cols = input.getUTF8String(1).toString
+    val n = input.getInt(2)
+    require(n >= 2 && n <= 4096,
+      s"graft rewrite_clustered: segments must be in [2, 4096], got $n")
+    val (before, after, rows) = GraftDml.rewriteClustered(dir, cols, n)
+    result(before, after, rows)
+  }
+}
+
 /** The segment-level copy-on-write delete core, shared by the `delete_where`
   * procedure and SQL `DELETE FROM` routed through `SupportsDeleteV2`.
   * Returns (segments_total, segments_rewritten, rows_deleted). */
@@ -570,6 +632,102 @@ private[catalog] object GraftDml {
         new GraftRouteWriterFactory(owf, conf, staging.toString, schema))
       landManifest(dir, meta, staging, writeId, manifest)
     } finally GraftMeta.deleteRecursively(staging)
+  }
+
+  /** Z-order rewrite core (RewriteClusteredProcedure). Returns
+    * (segments_before, segments_after, rows_after). */
+  private[catalog] def rewriteClustered(dir: java.nio.file.Path, colsCsv: String,
+                                        n: Int): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{concat, floor, greatest, least,
+      shiftleft, shiftright, spark_partition_id, unix_date, unix_micros}
+    val spark = SparkSession.active
+    val meta = GraftMeta.read(dir)
+    require(GraftPartitions.routedFields(meta.props).isEmpty,
+      "graft rewrite_clustered: partitioned/bucketed tables are refused — " +
+        "clustering across partition values would destroy the partition " +
+        "purity pruned scans and partition-scoped DML depend on; cluster " +
+        "WITHIN partitions via write.order-by instead")
+    val names = colsCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(names.length >= 2 && names.length <= 3,
+      s"graft rewrite_clustered: z-order takes 2-3 columns, got ${names.length} " +
+        "(one column is write.order-by's job; more than 3 dilutes every dimension)")
+    val schema = meta.schema
+    val fields = names.map(nm => schema.fields.find(_.name.equalsIgnoreCase(nm))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft rewrite_clustered: no column '$nm'")))
+    fields.foreach(f => require(f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
+      case _ => false
+    }, s"graft rewrite_clustered: '${f.name}' is ${f.dataType.simpleString} — " +
+      "z-order normalizes integral/date/timestamp columns only"))
+
+    val segs = meta.snapshots(meta.current)
+    // per-column normalization bounds from the COMMITTED stats — zero IO;
+    // approximate bounds only steer bucket quality, never row content
+    val decoded = segs.map { s =>
+      meta.zstats.get(s).flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
+        .getOrElse(throw new IllegalStateException(
+          s"graft rewrite_clustered: segment '$s' has no decodable stats " +
+            "(add_files import without footer stats?) — compact first"))
+    }
+    val bounds = fields.map { f =>
+      val per = decoded.map(_.cols.get(f.name).getOrElse(
+        throw new IllegalStateException(
+          s"graft rewrite_clustered: segment stats lack column '${f.name}' " +
+            "(written before ADD COLUMN?) — compact first")))
+      val mins = per.flatMap(_.min).map(_.toLong)
+      val maxs = per.flatMap(_.max).map(_.toLong)
+      (f, if (mins.isEmpty) 0L else mins.min, if (maxs.isEmpty) 0L else maxs.max)
+    }
+
+    // the interleaved key: bit b of column j lands at position b*d + j, so
+    // every clustered column contributes equally at every scale of the curve
+    val d = bounds.size
+    val bits = 62 / d // 31 bits/col at d=2, 20 at d=3 — plenty for bucketing
+    val maxNorm = (1L << bits) - 1
+    def asLong(f: StructField): Column = f.dataType match {
+      case DateType      => unix_date(col(f.name)).cast("long")
+      case TimestampType => unix_micros(col(f.name))
+      case _             => col(f.name).cast("long")
+    }
+    val norms = bounds.map { case (f, mn, mx) =>
+      val range = math.max(1L, mx - mn).toDouble
+      // doubles: (v-mn)*maxNorm can exceed 2^53 for i64-wide domains; the
+      // rounding only blurs bucket edges (content is key-independent)
+      coalesce(least(lit(maxNorm), greatest(lit(0L),
+        floor((asLong(f).cast("double") - mn.toDouble) * maxNorm / range).cast("long"))),
+        lit(0L)) // NULLs cluster into the lowest cell
+    }
+    val zkey = (for { (nc, j) <- norms.zipWithIndex; b <- 0 until bits }
+      yield shiftleft(shiftright(nc, b).bitwiseAND(lit(1L)), b * d + j))
+      .reduce(_ + _) // disjoint bit positions: + is OR
+
+    // ONE job: DV-merged read -> range shuffle into exactly n tasks (explicit
+    // width, AQE cannot coalesce the grid) -> in-task sort (row-group bounds
+    // tighten inside each segment) -> per-task zc<i> segment via the same
+    // staging/manifest writer compaction uses
+    val live = readLive(spark, dir, meta, segs)
+    val ranged = live.withColumn("__zc_key", zkey)
+      .repartitionByRange(n, col("__zc_key"))
+      .sortWithinPartitions("__zc_key")
+    val prepared = ranged.select(
+      (concat(lit("zc"), spark_partition_id().cast("string")).as("__g_route") +:
+        lit(0).as("__g_slot") +: schema.fieldNames.map(col).toSeq): _*)
+    val writeId = UUID.randomUUID().toString.take(12)
+    val staging = dir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")
+    val (owf, conf) = parquetWriterFactory(spark, schema)
+    val rewritten = try {
+      landManifest(dir, meta, staging, writeId, runFanOutJob(prepared,
+        new GraftRouteWriterFactory(owf, conf, staging.toString, schema)))
+    } finally GraftMeta.deleteRecursively(staging)
+    cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
+      GraftMeta.commitMany(dir, rewritten, replaceAll = true,
+        removeSuffixes = Set.empty, expectedCurrent = Some(meta.current),
+        namedKey = None)
+    }
+    val rows = rewritten.flatMap(_._2)
+      .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption).sum
+    (segs.size, rewritten.size, rows)
   }
 
   /** `a = expr, b = expr2` split on TOP-LEVEL commas only (parens and quoted

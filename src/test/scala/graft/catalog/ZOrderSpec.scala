@@ -1,0 +1,129 @@
+package graft.catalog
+
+import graft.SparkSpec
+
+/** Pins for `CALL system.rewrite_clustered` (GraftDml.rewriteClustered):
+  * Z-order clustering into range-partitioned segments whose zone-map bounds
+  * are tight on EVERY clustered column — plan-time segment pruning on any of
+  * them — plus the refusal matrix and the DV-materializing rewrite contract. */
+class ZOrderSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = java.nio.file.Files.createTempDirectory("graft_zorder_spec")
+    spark.conf.set("spark.sql.catalog.gzo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gzo.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def plannedSegs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+          case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+            f.files.map(p => java.nio.file.Paths.get(
+              new java.net.URI(p.filePath.toString).getPath).getParent.getFileName.toString)
+          case _ => Nil
+        }
+    }.flatten.distinct
+
+  test("z-order rewrite prunes selective predicates on EITHER clustered column") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.z1")
+    sql("CREATE TABLE gzo.ns.z1 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
+    // both dims pseudo-random: pre-rewrite zone bounds are table-wide, so
+    // NO predicate prunes anything
+    sql("""INSERT INTO gzo.ns.z1
+           SELECT id, (id * 7919) % 1000, (id * 104729) % 1000 FROM range(0, 2000)""")
+    sql("""INSERT INTO gzo.ns.z1
+           SELECT id, (id * 7919) % 1000, (id * 104729) % 1000 FROM range(2000, 4000)""")
+    val before = sql("SELECT * FROM gzo.ns.z1 ORDER BY k").collect()
+    // pruning probes are plain scans (an aggregate's AQE wrapper hides the
+    // BatchScan from collectLeaves before execution)
+    val pa = "SELECT k FROM gzo.ns.z1 WHERE a < 100"
+    val pb = "SELECT k FROM gzo.ns.z1 WHERE b < 100"
+    val qa = "SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s FROM gzo.ns.z1 WHERE a < 100"
+    val qb = "SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s FROM gzo.ns.z1 WHERE b < 100"
+    assert(plannedSegs(sql(pa)).size === 2, "random layout cannot prune")
+    val (na, sa) = { val r = sql(qa).collect().head; (r.getLong(0), r.getLong(1)) }
+    val (nb, sb) = { val r = sql(qb).collect().head; (r.getLong(0), r.getLong(1)) }
+
+    val out = sql("CALL gzo.system.rewrite_clustered('ns.z1', 'a,b', 16)").collect().head
+    assert((out.getInt(0), out.getInt(1), out.getLong(2)) === ((2, 16, 4000L)))
+
+    // content is byte-for-row identical
+    assert(sql("SELECT * FROM gzo.ns.z1 ORDER BY k").collect() === before)
+    // a 10%-of-domain window on EITHER column keeps only the z-cells whose
+    // hypercube overlaps it — a strict subset of the 16 segments (the 4x4
+    // top-bit grid puts ~4 cells in each decile band; lexicographic order-by
+    // could only ever serve its LEADING column)
+    val segsA = plannedSegs(sql(pa))
+    val segsB = plannedSegs(sql(pb))
+    assert(segsA.size <= 8, s"a-window must prune z-cells, planned ${segsA.size}/16")
+    assert(segsB.size <= 8, s"b-window must prune z-cells, planned ${segsB.size}/16")
+    // ... and the answers did not move
+    assert({ val r = sql(qa).collect().head; (r.getLong(0), r.getLong(1)) } === ((na, sa)))
+    assert({ val r = sql(qb).collect().head; (r.getLong(0), r.getLong(1)) } === ((nb, sb)))
+  }
+
+  test("delete vectors materialize through the rewrite; NULL keys cluster") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.z2")
+    sql("""CREATE TABLE gzo.ns.z2 (k BIGINT, a BIGINT, b BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("""INSERT INTO gzo.ns.z2
+           SELECT id, CASE WHEN id % 10 = 0 THEN NULL ELSE (id * 13) % 500 END,
+                  (id * 29) % 500 FROM range(0, 1000)""")
+    sql("DELETE FROM gzo.ns.z2 WHERE k % 4 = 0") // lands a delete vector
+    val liveBefore = sql("SELECT * FROM gzo.ns.z2 ORDER BY k").collect()
+    assert(liveBefore.length === 750)
+    val out = sql("CALL gzo.system.rewrite_clustered('ns.z2', 'a,b', 4)").collect().head
+    assert(out.getLong(2) === 750L, "deleted rows must not resurrect")
+    assert(sql("SELECT * FROM gzo.ns.z2 ORDER BY k").collect() === liveBefore)
+    // vectors dropped with the replaced segments: the zero-IO stats count
+    // serves again (the DV composite never offers aggregate pushdown)
+    val plan = sql("SELECT COUNT(*) FROM gzo.ns.z2").queryExecution.executedPlan.toString
+    assert(plan.contains("graft-stats-agg"),
+      s"post-rewrite snapshot must be vector-free:\n$plan")
+  }
+
+  test("compaction preserves the z-grid (per-cell groups)") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.z3")
+    sql("CREATE TABLE gzo.ns.z3 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
+    sql("INSERT INTO gzo.ns.z3 SELECT id, (id * 7) % 100, (id * 11) % 100 FROM range(0, 1000)")
+    sql("CALL gzo.system.rewrite_clustered('ns.z3', 'a,b', 8)")
+    val pruned = plannedSegs(sql("SELECT k FROM gzo.ns.z3 WHERE a < 10")).size
+    sql("CALL gzo.system.compact('ns.z3')")
+    // compact groups by FULL suffix: the 8 zc cells stay separate segments
+    // and the pruning bound is unchanged
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.z3 WHERE a >= 0")).size === 8)
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.z3 WHERE a < 10")).size === pruned)
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z3").collect().head.getLong(0) === 1000L)
+  }
+
+  test("refusal matrix: partitioned, column count, non-numeric, bad width") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.zp")
+    sql("""CREATE TABLE gzo.ns.zp (k BIGINT, a BIGINT, p STRING) USING parquet
+           PARTITIONED BY (p)""")
+    sql("INSERT INTO gzo.ns.zp SELECT id, id, 'x' FROM range(10)")
+    val e1 = intercept[Exception](
+      sql("CALL gzo.system.rewrite_clustered('ns.zp', 'k,a', 4)").collect())
+    assert(e1.getMessage.contains("partition"), e1.getMessage)
+
+    sql("DROP TABLE IF EXISTS gzo.ns.zs")
+    sql("CREATE TABLE gzo.ns.zs (k BIGINT, s STRING, a BIGINT) USING parquet")
+    sql("INSERT INTO gzo.ns.zs SELECT id, 'v', id FROM range(10)")
+    val e2 = intercept[Exception](
+      sql("CALL gzo.system.rewrite_clustered('ns.zs', 'k', 4)").collect())
+    assert(e2.getMessage.contains("2-3 columns"), e2.getMessage)
+    val e3 = intercept[Exception](
+      sql("CALL gzo.system.rewrite_clustered('ns.zs', 'k,s', 4)").collect())
+    assert(e3.getMessage.contains("z-order normalizes"), e3.getMessage)
+    val e4 = intercept[Exception](
+      sql("CALL gzo.system.rewrite_clustered('ns.zs', 'k,a', 1)").collect())
+    assert(e4.getMessage.contains("[2, 4096]"), e4.getMessage)
+  }
+}
