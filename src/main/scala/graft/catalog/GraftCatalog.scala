@@ -292,6 +292,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     }
     require(!GraftViews.exists(dir),
       s"graft catalog: a VIEW named ${ident} already exists — DROP VIEW first")
+    require(!GraftFunctions.exists(dir),
+      s"graft catalog: a FUNCTION named ${ident} already exists — DROP FUNCTION first")
     Files.createDirectories(dir)
     // persist only the graft-owned properties; Spark adds bookkeeping
     // entries (owner, created-at) that don't belong in the contract
@@ -1129,6 +1131,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     val dir = tableDir(ident)
     if (Files.exists(dir.resolve(GraftMeta.FileName)))
       throw new TableAlreadyExistsException(ident) // a TABLE owns this name
+    require(!GraftFunctions.exists(dir),
+      s"graft catalog: a FUNCTION named ${ident} already exists — DROP FUNCTION first")
     val d = GraftViews.Def(info.sql(), info.currentCatalog(),
       info.currentNamespace().toSeq, info.schema(),
       info.queryColumnNames().toSeq, info.columnAliases().toSeq,

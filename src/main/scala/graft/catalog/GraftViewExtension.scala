@@ -209,6 +209,20 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = rewrite(delegate.parsePlan(sqlText))
 
+  /** Inline persisted graft FUNCTION calls at PARSE time (GraftFunctions):
+    * the analyzer's LookupFunctions sanity check runs before any injected
+    * resolution rule could substitute, so substitution must happen here.
+    * Subquery plans are visited too (scalar/IN subqueries carry their own
+    * trees). Builtins and session functions win one-part names inside
+    * maybeInline, so non-graft calls pass through untouched. */
+  private def inlineCalls(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case p => p.transformExpressionsUp {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          GraftFunctions.maybeInline(session, f).getOrElse(f)
+      }
+    }
+
   // MUST delegate (not inherit the interface default): `spark.sql(text, args)`
   // routes through here, and the default implementation loses the delegate's
   // parameter-binding override — leaving posparameter()s unbound at analysis
@@ -225,7 +239,8 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
             case Some((cat, _, ident)) =>
               CreateGraftViewCommand(cat, ident,
                 c.userSpecifiedColumns, c.comment, c.properties,
-                c.originalText.getOrElse(""), c.query, c.allowExisting, c.replace)
+                c.originalText.getOrElse(""), inlineCalls(c.query),
+                c.allowExisting, c.replace)
             case None => c
           }
         case _ => c
@@ -250,7 +265,7 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
       }.getOrElse(s)
     case a: AlterViewAs =>
       graftViewChild(a.child).map { case (cat, ident) =>
-        AlterGraftViewAsCommand(cat, ident, a.originalText, a.query)
+        AlterGraftViewAsCommand(cat, ident, a.originalText, inlineCalls(a.query))
       }.getOrElse(a)
     case r: RenameTable if r.isView =>
       graftViewChild(r.child).map { case (cat, ident) =>
@@ -265,7 +280,39 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
             ns.multipartIdentifier.tail, sv.pattern, sv.output)
         case _ => sv
       }
-    case other => other
+    // persisted SQL FUNCTIONS (GraftFunctions): CREATE FUNCTION ... RETURN
+    // on a graft identifier — the analyzer's ResolveSessionCatalog would
+    // refuse the v2 catalog exactly like view DDL
+    case c: CreateUserDefinedFunction =>
+      c.child match {
+        case UnresolvedIdentifier(parts, _) =>
+          resolveGraft(session, parts) match {
+            case Some((cat, _, ident)) =>
+              require(!c.isTableFunc,
+                s"graft catalog: RETURNS TABLE functions are not supported " +
+                  s"(persisted views cover the table-valued shape)")
+              require(c.exprText.isDefined && c.queryText.isEmpty,
+                "graft catalog: CREATE FUNCTION requires a scalar RETURN expression")
+              CreateGraftFunctionCommand(cat, ident,
+                c.inputParamText, c.returnTypeText, c.exprText.get,
+                c.isDeterministic.getOrElse(true), c.comment,
+                c.ignoreIfExists, c.replace)
+            case None => c
+          }
+        case _ => c
+      }
+    case d: DropFunction =>
+      d.child match {
+        case fn: org.apache.spark.sql.catalyst.analysis.UnresolvedFunctionName =>
+          resolveGraft(session, fn.multipartIdentifier) match {
+            case Some((cat, g, ident)) if GraftFunctions.exists(g.tableDirFor(ident)) ||
+                fn.multipartIdentifier.length > 1 =>
+              DropGraftFunctionCommand(cat, ident, d.ifExists)
+            case _ => d
+          }
+        case _ => d
+      }
+    case other => inlineCalls(other)
   }
 
   /** ALTER/RENAME child shapes (`UnresolvedView` / `UnresolvedTableOrView`)
