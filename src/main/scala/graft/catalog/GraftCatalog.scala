@@ -69,12 +69,29 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     * loading the function from the relation's catalog, so exposing it here
     * is what makes bucket-partitioned scans' KeyGroupedPartitioning
     * plannable; it is also directly callable (`SELECT <cat>.bucket(16, k)`). */
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    // the bound bucket builtin plus every persisted SQL function in the
+    // namespace (GraftFunctions) — SHOW FUNCTIONS IN <cat>.<ns> lists both
+    val nsDir = namespace.foldLeft(root)(_ resolve _)
+    val persisted =
+      if (!Files.isDirectory(nsDir)) Array.empty[Identifier]
+      else GraftMeta.listDir(nsDir)
+        .filter(GraftFunctions.exists)
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    persisted :+ Identifier.of(namespace, "bucket")
+  }
   override def loadFunction(ident: Identifier)
     : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucket.BucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else {
+      val dir = tableDir(ident)
+      if (GraftFunctions.exists(dir))
+        new GraftFunctions.Described(
+          (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString("."),
+          GraftFunctions.read(dir))
+      else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
   private var catalogName: String = _
   private var root: Path = _
 

@@ -126,6 +126,27 @@ private[catalog] object GraftFunctions {
 
   def drop(dir: Path): Boolean = Files.deleteIfExists(dir.resolve(FileName))
 
+  /** The connector-facing UnboundFunction loadFunction serves: it makes the
+    * function VISIBLE to SHOW FUNCTIONS / DESCRIBE FUNCTION and the
+    * analyzer's existence checks, with the stored signature and body in its
+    * description. SQL call sites never reach bind() (they inline at parse —
+    * the whole point); a non-SQL path that does binds loudly with the
+    * remediation named. */
+  final class Described(fq: String, d: Def)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    override def name(): String = fq
+    override def description(): String = {
+      val sig = d.params.fields.map(p => s"${p.name} ${p.dataType.sql}").mkString(", ")
+      s"$fq($sig) RETURNS ${d.returnType.sql} RETURN ${d.exprSql}" +
+        d.comment.map(c => s"\n    comment: $c").getOrElse("")
+    }
+    override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction =
+      throw new UnsupportedOperationException(
+        s"graft function $fq is a SQL function: calls inline during SQL " +
+          "parsing — invoke it from a spark.sql(...) statement")
+  }
+
   // -------------------------------------------------------------------------
   // Call-site inlining (GraftViewSubstitution's expression pass).
   // -------------------------------------------------------------------------
@@ -279,6 +300,46 @@ case class CreateGraftFunctionCommand(
         Option.empty[Throwable])
     }
     Nil
+  }
+}
+
+/** SHOW FUNCTIONS IN cat.ns [LIKE pattern] — the catalog's persisted SQL
+  * functions plus the bound `bucket` builtin, via FunctionCatalog. */
+case class ShowGraftFunctionsCommand(
+    catalogName: String, namespace: Seq[String], pattern: Option[String],
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+  extends LeafRunnableCommand {
+  import GraftViewExtension._
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val g = graftCatalog(sparkSession, catalogName).get
+    val re = pattern.map(p => java.util.regex.Pattern.compile(
+      p.replace("*", ".*"), java.util.regex.Pattern.CASE_INSENSITIVE))
+    g.listFunctions(namespace.toArray).toSeq
+      .filter(id => re.forall(_.matcher(id.name()).matches()))
+      .map(id => fqName(catalogName, id)).sorted
+      .map(Row(_))
+  }
+}
+
+/** DESCRIBE FUNCTION cat.ns.f — the stored signature and body. (The parsed
+  * node's output is attached only at RESOLUTION, so this command declares
+  * its own `function_desc` column — the session-catalog shape.) */
+case class DescribeGraftFunctionCommand(
+    catalogName: String, ident: Identifier) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "function_desc", org.apache.spark.sql.types.StringType, nullable = false)())
+  import GraftViewExtension._
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val g = graftCatalog(sparkSession, catalogName).get
+    val d = GraftFunctions.read(g.tableDirFor(ident))
+    val sig = d.params.fields.map(p => s"${p.name} ${p.dataType.sql}").mkString(", ")
+    Seq(
+      Row(s"Function: ${fqName(catalogName, ident)}"),
+      Row(s"Signature: ($sig) RETURNS ${d.returnType.sql}"),
+      Row(s"Body: ${d.exprSql}"),
+      Row(s"Deterministic: ${d.deterministic}")) ++
+      d.comment.map(c => Row(s"Comment: $c"))
   }
 }
 

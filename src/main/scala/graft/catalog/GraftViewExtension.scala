@@ -312,6 +312,27 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
           }
         case _ => d
       }
+    // SHOW/DESCRIBE FUNCTION on graft identifiers: Spark 4.1's v1-era
+    // resolution refuses v2 function catalogs outright, so both ride here
+    case sf: ShowFunctions =>
+      sf.namespace match {
+        case ns: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace
+            if ns.multipartIdentifier.nonEmpty &&
+               graftCatalog(session, ns.multipartIdentifier.head).isDefined =>
+          ShowGraftFunctionsCommand(ns.multipartIdentifier.head,
+            ns.multipartIdentifier.tail, sf.pattern, sf.output)
+        case _ => sf
+      }
+    case df: DescribeFunction =>
+      df.child match {
+        case fn: org.apache.spark.sql.catalyst.analysis.UnresolvedFunctionName =>
+          resolveGraft(session, fn.multipartIdentifier) match {
+            case Some((cat, g, ident)) if GraftFunctions.exists(g.tableDirFor(ident)) =>
+              DescribeGraftFunctionCommand(cat, ident)
+            case _ => df
+          }
+        case _ => df
+      }
     case other => inlineCalls(other)
   }
 

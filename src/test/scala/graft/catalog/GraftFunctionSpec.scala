@@ -118,6 +118,16 @@ class GraftFunctionSpec extends SparkSpec {
     assert(e5.getMessage.contains("RETURNS TABLE"), e5.getMessage)
   }
 
+  test("SHOW FUNCTIONS lists persisted functions; DESCRIBE FUNCTION prints the signature") {
+    root
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.show_probe(x BIGINT) RETURNS BIGINT RETURN x * 3")
+    val listed = sql("SHOW FUNCTIONS IN gfn.ns").collect().map(_.getString(0))
+    assert(listed.exists(_.endsWith("show_probe")), listed.mkString(", "))
+    assert(listed.exists(_.endsWith("bucket")), "the bound bucket builtin lists too")
+    val desc = sql("DESCRIBE FUNCTION gfn.ns.show_probe").collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("show_probe") && desc.contains("x * 3"), desc)
+  }
+
   test("functions work inside persisted views (abstractions compose)") {
     root
     sql("CREATE OR REPLACE FUNCTION gfn.ns.sq(x BIGINT) RETURNS BIGINT RETURN x * x")
