@@ -187,7 +187,10 @@ private[catalog] object GraftStatsAgg {
             }
           }
         }
-      case _ => return None // AVG/COUNT DISTINCT/UDAFs need rows
+      // AVG never arrives here: Spark's partial-pushdown rewrite decomposes
+      // it into Sum + Count, so AVG over a sums-opted table serves zero-IO
+      // through the two cases above (StatsAggSpec pins it)
+      case _ => return None // COUNT DISTINCT/UDAFs need rows
     }
 
     val evaluators = evals.result()

@@ -156,6 +156,26 @@ class StatsAggSpec extends SparkSpec {
     assert(r.getLong(0) === 0L && r.isNullAt(1))
   }
 
+  test("AVG serves zero-IO on sums-opted tables (Spark decomposes it to Sum+Count)") {
+    root
+    sql("DROP TABLE IF EXISTS gsa.ns.av1")
+    sql("""CREATE TABLE gsa.ns.av1 (k BIGINT, p STRING) USING parquet
+           PARTITIONED BY (p) TBLPROPERTIES ('graft.stats.sums' = 'k')""")
+    sql("""INSERT INTO gsa.ns.av1
+           SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(0, 100)""")
+    val q = "SELECT p, AVG(k) AS a FROM gsa.ns.av1 GROUP BY p ORDER BY p"
+    val plan = planOf(q)
+    assert(plan.contains(Marker),
+      s"AVG must decompose to pushed Sum+Count and serve from stats:\n$plan")
+    val rows = sql(q).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq === Seq(("a", 49.0), ("b", 50.0)))
+    // without the sums opt-in the Sum half refuses and AVG reads rows
+    sql("DROP TABLE IF EXISTS gsa.ns.av2")
+    sql("CREATE TABLE gsa.ns.av2 (k BIGINT) USING parquet")
+    sql("INSERT INTO gsa.ns.av2 SELECT id FROM range(10)")
+    assert(!planOf("SELECT AVG(k) AS a FROM gsa.ns.av2").contains(Marker))
+  }
+
   test("GROUP BY a partition column serves per-partition rollups from zone maps") {
     root
     sql("DROP TABLE IF EXISTS gsa.ns.g1")
