@@ -103,6 +103,32 @@ class ZOrderSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) FROM gzo.ns.z3").collect().head.getLong(0) === 1000L)
   }
 
+  test("a concurrent append fails the rewrite commit loudly; nothing is lost") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.z4")
+    sql("CREATE TABLE gzo.ns.z4 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
+    sql("INSERT INTO gzo.ns.z4 SELECT id, id % 50, (id * 3) % 50 FROM range(0, 500)")
+    // wedge an append between the rewrite's snapshot pin and its commit by
+    // racing the rewrite against an insert from another thread; whichever
+    // interleaving occurs, the committed state must hold EVERY row exactly
+    // once — the expectedCurrent CAS refuses the stale swap rather than
+    // silently dropping the concurrent rows
+    val insert = new Thread(() =>
+      sql("INSERT INTO gzo.ns.z4 SELECT id, id % 50, (id * 3) % 50 FROM range(500, 600)"))
+    insert.start()
+    val rewriteFailed =
+      try { sql("CALL gzo.system.rewrite_clustered('ns.z4', 'a,b', 4)").collect(); false }
+      catch { case _: Exception => true }
+    insert.join()
+    val n = sql("SELECT COUNT(*) FROM gzo.ns.z4").collect().head.getLong(0)
+    assert(n === 600L,
+      s"every row must survive the race (rewriteFailed=$rewriteFailed), got $n")
+    assert(sql("SELECT COUNT(DISTINCT k) FROM gzo.ns.z4").collect().head.getLong(0) === 600L)
+    // a clean retry always lands
+    sql("CALL gzo.system.rewrite_clustered('ns.z4', 'a,b', 4)")
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z4").collect().head.getLong(0) === 600L)
+  }
+
   test("refusal matrix: partitioned, column count, non-numeric, bad width") {
     root
     sql("DROP TABLE IF EXISTS gzo.ns.zp")
