@@ -9,9 +9,10 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, LateralSubquery}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{LateralJoin, LocalRelation, LogicalPlan, OneRowRelation, Project, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -49,10 +50,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
 private[catalog] object GraftFunctions {
   val FileName = "_graft_function"
 
+  /** `isTable` (r17): a `RETURNS TABLE` function — `exprSql` holds the body
+    * QUERY text, `returnType` the declared output StructType, and `bodyCols`
+    * the body's analyzed output column names (captured at CREATE exactly
+    * like a view's queryColumnNames, so the call-site projection can re-cast
+    * each body column to its declared name/type). */
   final case class Def(
       params: StructType, returnType: DataType, exprSql: String,
       currentCatalog: String, currentNamespace: Seq[String],
-      deterministic: Boolean, comment: Option[String])
+      deterministic: Boolean, comment: Option[String],
+      isTable: Boolean = false, bodyCols: Seq[String] = Nil)
 
   private def b64(s: String): String =
     Base64.getEncoder.withoutPadding().encodeToString(s.getBytes(StandardCharsets.UTF_8))
@@ -71,6 +78,10 @@ private[catalog] object GraftFunctions {
     b ++= s"namespace=${list(d.currentNamespace)}\n"
     b ++= s"deterministic=${d.deterministic}\n"
     d.comment.foreach(c => b ++= s"comment=${b64(c)}\n")
+    if (d.isTable) {
+      b ++= "table=true\n"
+      b ++= s"bodycols=${list(d.bodyCols)}\n"
+    }
     b.toString
   }
 
@@ -78,6 +89,7 @@ private[catalog] object GraftFunctions {
     var expr = ""; var params = new StructType(); var ret: DataType = new StructType()
     var cat = ""; var ns: Seq[String] = Nil; var det = true
     var comment: Option[String] = None
+    var isTable = false; var bodyCols: Seq[String] = Nil
     lines.foreach {
       case l if l.startsWith("expr=")    => expr = unb64(l.stripPrefix("expr="))
       case l if l.startsWith("params=")  =>
@@ -89,9 +101,11 @@ private[catalog] object GraftFunctions {
       case l if l.startsWith("deterministic=") =>
         det = l.stripPrefix("deterministic=").toBoolean
       case l if l.startsWith("comment=") => comment = Some(unb64(l.stripPrefix("comment=")))
+      case l if l.startsWith("table=")   => isTable = l.stripPrefix("table=").toBoolean
+      case l if l.startsWith("bodycols=") => bodyCols = unlist(l.stripPrefix("bodycols="))
       case _ => ()
     }
-    Def(params, ret, expr, cat, ns, det, comment)
+    Def(params, ret, expr, cat, ns, det, comment, isTable, bodyCols)
   }
 
   def read(dir: Path): Def =
@@ -126,6 +140,63 @@ private[catalog] object GraftFunctions {
 
   def drop(dir: Path): Boolean = Files.deleteIfExists(dir.resolve(FileName))
 
+  // ---------------------------------------------------------------------------
+  // Parse-time fast path: "does ANY persisted function exist?"
+  //
+  // The inline walk (GraftViewParser.inlineCalls) runs on EVERY parsed
+  // statement, so an engine session pays its cost whether or not it ever
+  // created a function (measured ~240 us/statement of pure interceptor tax
+  // on a moderately complex SELECT — 2.3x the delegate's parse time). The
+  // gate below makes the no-function case (the overwhelmingly common one) a
+  // map lookup: catalog roots register at initialize, the first gate hit per
+  // root pays one directory walk that stops at the first _graft_function
+  // found, CREATE FUNCTION flips the bit durably, and DROP FUNCTION clears
+  // it so the next statement re-probes. A cached "none" expires after 10 s
+  // as a cross-process backstop (a function created by ANOTHER process shows
+  // up within the TTL; multi-part call names bypass the cache entirely via
+  // the parser's pre-scan, so qualified calls are never stale).
+  // ---------------------------------------------------------------------------
+  private val FalseProbeTtlMs = 10000L
+  private val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  // value: Long.MaxValue = "has functions" (durable until drop); anything
+  // else = the wall-clock ms of a none-found probe (expires after the TTL)
+  private val anyByRoot = new java.util.concurrent.ConcurrentHashMap[Path, java.lang.Long]()
+
+  def registerRoot(root: Path): Unit = roots.add(root)
+
+  /** True iff any initialized graft catalog root holds >= 1 persisted
+    * function. The parse-time gate for the per-statement inline walk. */
+  def anyPersisted: Boolean = {
+    val it = roots.iterator()
+    while (it.hasNext) if (anyUnder(it.next())) return true
+    false
+  }
+
+  private def anyUnder(root: Path): Boolean = {
+    val cached = anyByRoot.get(root)
+    val now = System.currentTimeMillis()
+    if (cached != null) {
+      if (cached.longValue() == java.lang.Long.MAX_VALUE) return true
+      if (now - cached.longValue() < FalseProbeTtlMs) return false
+    }
+    val found =
+      Files.isDirectory(root) && {
+        val s = Files.walk(root)
+        try s.anyMatch { p =>
+          val n = p.getFileName
+          n != null && n.toString == FileName
+        } finally s.close()
+      }
+    anyByRoot.put(root, if (found) java.lang.Long.MAX_VALUE else java.lang.Long.valueOf(now))
+    found
+  }
+
+  def noteCreated(root: Path): Unit =
+    anyByRoot.put(root, java.lang.Long.valueOf(java.lang.Long.MAX_VALUE))
+  /** A drop invalidates rather than asserting "none": other functions may
+    * remain under the root — the next gate hit re-probes. */
+  def noteDropped(root: Path): Unit = anyByRoot.remove(root)
+
   /** The connector-facing UnboundFunction loadFunction serves: it makes the
     * function VISIBLE to SHOW FUNCTIONS / DESCRIBE FUNCTION and the
     * analyzer's existence checks, with the stored signature and body in its
@@ -137,7 +208,13 @@ private[catalog] object GraftFunctions {
     override def name(): String = fq
     override def description(): String = {
       val sig = d.params.fields.map(p => s"${p.name} ${p.dataType.sql}").mkString(", ")
-      s"$fq($sig) RETURNS ${d.returnType.sql} RETURN ${d.exprSql}" +
+      val returns =
+        if (d.isTable) {
+          val cols = d.returnType.asInstanceOf[StructType].fields
+            .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+          s"TABLE ($cols)"
+        } else d.returnType.sql
+      s"$fq($sig) RETURNS $returns RETURN ${d.exprSql}" +
         d.comment.map(c => s"\n    comment: $c").getOrElse("")
     }
     override def bind(inputType: StructType)
@@ -164,13 +241,28 @@ private[catalog] object GraftFunctions {
     }
   }
 
-  private def sessionResolvable(session: SparkSession, name: String): Boolean =
-    try {
-      val ss = GraftViewExtension.classic(session).sessionState
-      ss.functionRegistry.functionExists(FunctionIdentifier(name)) ||
-        ss.tableFunctionRegistry.functionExists(FunctionIdentifier(name)) ||
-        ss.catalog.functionExists(FunctionIdentifier(name))
-    } catch { case NonFatal(_) => false }
+  private def sessionResolvable(session: SparkSession, name: String): Boolean = {
+    val id = FunctionIdentifier(name.toLowerCase(java.util.Locale.ROOT))
+    // the STATIC builtin registries first: no session state touched, so a
+    // builtin-named call (the overwhelming majority) costs two set lookups
+    if (org.apache.spark.sql.catalyst.analysis.FunctionRegistry.functionSet.contains(id) ||
+        org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.functionSet.contains(id))
+      return true
+    val ss = GraftViewExtension.classic(session).sessionState
+    val rawId = FunctionIdentifier(name)
+    ss.functionRegistry.functionExists(rawId) ||
+      ss.tableFunctionRegistry.functionExists(rawId) || {
+        // the session-catalog probe throws NoSuchDatabaseException when the
+        // v1 current database was dropped out from under the session — that
+        // just means "not resolvable here". Anything else is infrastructure
+        // failure and MUST propagate: a swallowed probe error would silently
+        // route a session-owned name into graft inlining.
+        try ss.catalog.functionExists(rawId)
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException => false
+        }
+      }
+  }
 
   private def inline(session: SparkSession, catalogName: String, g: GraftCatalog,
                      ident: Identifier, f: UnresolvedFunction,
@@ -185,6 +277,9 @@ private[catalog] object GraftFunctions {
     require(!f.isDistinct && f.filter.isEmpty && f.orderingWithinGroup.isEmpty,
       s"graft function $fq is scalar: DISTINCT/FILTER/WITHIN GROUP do not apply")
     val d = read(g.tableDirFor(ident))
+    require(!d.isTable,
+      s"graft function $fq RETURNS TABLE — call it in the FROM clause " +
+        s"(SELECT ... FROM $fq(...)), not as a scalar expression")
     require(f.arguments.length == d.params.length,
       s"graft function $fq takes ${d.params.length} argument(s) " +
         s"(${d.params.fieldNames.mkString(", ")}), got ${f.arguments.length}")
@@ -206,6 +301,136 @@ private[catalog] object GraftFunctions {
         expandNested(session, d.currentCatalog, d.currentNamespace, nested, seen + fq)
     }
     Cast(substituted, d.returnType)
+  }
+
+  // -------------------------------------------------------------------------
+  // RETURNS TABLE call-site inlining (r17): `FROM fn(args)` parses to
+  // UnresolvedTableValuedFunction; built-in TVF resolution throws on unknown
+  // names during the resolution fixed point (before an injected rule could
+  // substitute), so — exactly like scalar calls — substitution happens at
+  // PARSE time in GraftViewParser.inlineCalls. The inlined shape is
+  //
+  //   SubqueryAlias(fn,
+  //     Project(cast(bodyCol_i AS declType_i) AS declName_i, ...
+  //       LateralJoin(params-as-one-row, LateralSubquery(body), Inner)))
+  //
+  // i.e. the arguments become a ONE-ROW relation on the lateral's left and
+  // the stored body query runs correlated against it: parameter references
+  // inside the body resolve through the lateral OUTER scope, so a body table
+  // column with the same name SHADOWS the parameter (the SQL-standard
+  // innermost-scope rule, and what Spark's session-catalog SQL UDFs do). The
+  // final projection re-casts the body's captured output columns to the
+  // declared RETURNS TABLE schema and drops the parameter columns.
+  // -------------------------------------------------------------------------
+
+  /** Inline `tvf` iff it names a persisted graft TABLE function; one-part
+    * names defer to builtin/session table functions (range, explode, ...). */
+  def maybeInlineTable(session: SparkSession,
+      tvf: UnresolvedTableValuedFunction): Option[LogicalPlan] = {
+    if (tvf.name.isEmpty) return None
+    if (tvf.name.length == 1 && tableResolvable(session, tvf.name.head)) return None
+    GraftViewExtension.resolveGraft(session, tvf.name).flatMap { case (cat, g, ident) =>
+      val dir = g.tableDirFor(ident)
+      if (!exists(dir)) None
+      else Some(inlineTable(session, cat, g, ident, tvf.functionArgs, Set.empty))
+    }
+  }
+
+  private def tableResolvable(session: SparkSession, name: String): Boolean = {
+    val id = FunctionIdentifier(name.toLowerCase(java.util.Locale.ROOT))
+    if (org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry.functionSet.contains(id))
+      return true
+    val ss = GraftViewExtension.classic(session).sessionState
+    ss.tableFunctionRegistry.functionExists(FunctionIdentifier(name))
+  }
+
+  private def inlineTable(session: SparkSession, catalogName: String, g: GraftCatalog,
+                          ident: Identifier, args: Seq[Expression],
+                          seen: Set[String]): LogicalPlan = {
+    val fq = GraftViewExtension.fqName(catalogName, ident)
+    if (seen.contains(fq)) {
+      throw new AnalysisException("RECURSIVE_VIEW",
+        Map("viewIdent" -> s"table function $fq",
+          "newPath" -> (seen + fq).mkString(" -> ")),
+        Option.empty[Throwable])
+    }
+    val d = read(g.tableDirFor(ident))
+    require(d.isTable,
+      s"graft function $fq is scalar — call it in an expression, not FROM")
+    require(args.length == d.params.length,
+      s"graft table function $fq takes ${d.params.length} argument(s) " +
+        s"(${d.params.fieldNames.mkString(", ")}), got ${args.length}")
+    val declared = d.returnType.asInstanceOf[StructType]
+
+    // the DELEGATE parser on purpose: the interceptor's own inlineCalls would
+    // restart cycle tracking from an empty seen set — nested graft calls are
+    // expanded HERE instead, threading `seen`
+    val parsed = GraftViewExtension.classic(session).sessionState.sqlParser match {
+      case p: GraftViewParser => p.delegateParsePlan(d.exprSql)
+      case p => p.parsePlan(d.exprSql)
+    }
+    val qualified = qualifyTables(parsed, d.currentCatalog, d.currentNamespace)
+    // nested graft calls expand depth-first with the host's own namespace as
+    // the default qualifier, cycle-guarded by `seen`
+    val expanded = qualified.transformUpWithSubqueries {
+      case tvf: UnresolvedTableValuedFunction =>
+        expandNestedTable(session, d.currentCatalog, d.currentNamespace, tvf, seen + fq)
+      case p => p.transformExpressionsUp {
+        case nested: UnresolvedFunction =>
+          expandNested(session, d.currentCatalog, d.currentNamespace, nested, seen + fq)
+      }
+    }
+
+    // arguments → a one-row relation; the declared-parameter-type cast is the
+    // SQL UDF calling convention (TVF args are constant expressions)
+    val paramRow = Project(
+      d.params.fields.toSeq.zip(args).map { case (p, a) =>
+        Alias(Cast(a, p.dataType), p.name)()
+      },
+      OneRowRelation())
+    val lateral = LateralJoin(
+      SubqueryAlias("__graft_fn_params_" + ident.name(), paramRow),
+      LateralSubquery(expanded), Inner, None)
+    val projected = Project(
+      d.bodyCols.zip(declared.fields).map { case (bc, f) =>
+        Alias(Cast(UnresolvedAttribute.quoted(bc), f.dataType), f.name)()
+      },
+      lateral)
+    SubqueryAlias(ident.name(), projected)
+  }
+
+  /** Qualify a body's free one-part table names with the function's own
+    * catalog/namespace (schema-object resolution — the same rule nested
+    * scalar calls follow), leaving CTE names bound inside the body alone. */
+  private[catalog] def qualifyTables(plan: LogicalPlan, cat: String,
+                                     ns: Seq[String]): LogicalPlan = {
+    val cteNames = plan.collect {
+      case w: UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    plan.transformUp {
+      case u: UnresolvedRelation
+          if !u.isStreaming && u.multipartIdentifier.length == 1 &&
+            !cteNames.contains(u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
+        u.copy(multipartIdentifier = cat +: ns :+ u.multipartIdentifier.head)
+    }
+  }
+
+  private[catalog] def expandNestedTable(session: SparkSession, hostCatalog: String,
+      hostNamespace: Seq[String], tvf: UnresolvedTableValuedFunction,
+      seen: Set[String]): LogicalPlan = {
+    if (tvf.name.length == 1 && tableResolvable(session, tvf.name.head)) return tvf
+    val candidates: Seq[Seq[String]] =
+      if (tvf.name.length == 1)
+        Seq(hostCatalog +: hostNamespace :+ tvf.name.head, tvf.name)
+      else Seq(tvf.name)
+    candidates.view.flatMap { parts =>
+      GraftViewExtension.resolveGraft(session, parts).filter { case (_, g2, i2) =>
+        exists(g2.tableDirFor(i2))
+      }.map { case (c2, g2, i2) =>
+        inlineTable(session, c2, g2, i2, tvf.functionArgs, seen)
+      }
+    }.headOption.getOrElse(tvf)
   }
 
   private[catalog] def expandNested(session: SparkSession, hostCatalog: String,
@@ -294,11 +519,140 @@ case class CreateGraftFunctionCommand(
     if (already && ignoreIfExists) return Nil
     if (already && replace) GraftFunctions.overwrite(dir, d)
     else if (!GraftFunctions.createExclusive(dir, d)) {
-      if (!ignoreIfExists) throw new AnalysisException("ROUTINE_ALREADY_EXISTS",
+      // lost a concurrent-create race after the exists() read (TOCTOU):
+      // OR REPLACE still wins by overwriting — replace=true must never
+      // throw ROUTINE_ALREADY_EXISTS; plain CREATE refuses
+      if (replace) GraftFunctions.overwrite(dir, d)
+      else if (!ignoreIfExists) throw new AnalysisException("ROUTINE_ALREADY_EXISTS",
         Map("routineName" -> fq, "newRoutineType" -> "routine",
           "existingRoutineType" -> "routine"),
         Option.empty[Throwable])
     }
+    GraftFunctions.noteCreated(g.rootDir)
+    Nil
+  }
+}
+
+/** CREATE [OR REPLACE] FUNCTION cat.ns.f(params) RETURNS TABLE (cols) RETURN
+  * <query> — the table-valued sibling (r17). Validation mirrors the scalar
+  * command where it can and the VIEW command where it must:
+  *   - the body QUERY analyzes at CREATE inside the same lateral shape call
+  *     sites inline (params as a one-row outer scope), so stray names fail
+  *     here and the body's output column names are captured for the
+  *     call-site re-cast projection;
+  *   - every body output column must CAST to its declared column (arity
+  *     checked positionally, the CREATE VIEW column-list contract);
+  *   - parameter names must not collide with declared output names or body
+  *     output names (the final projection would be ambiguous between the
+  *     param scope and the body scope);
+  *   - one-part table names inside the body resolve in the function's OWN
+  *     catalog/namespace, frozen at CREATE (schema-object resolution). */
+case class CreateGraftTableFunctionCommand(
+    catalogName: String, ident: Identifier,
+    inputParamText: Option[String], returnTypeText: String, queryText: String,
+    isDeterministicFn: Boolean, comment: Option[String],
+    ignoreIfExists: Boolean, replace: Boolean) extends LeafRunnableCommand {
+  import GraftViewExtension._
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val cs = classic(sparkSession)
+    val g = graftCatalog(sparkSession, catalogName).getOrElse(
+      throw new IllegalStateException(s"catalog '$catalogName' is no longer a graft catalog"))
+    val fq = fqName(catalogName, ident)
+    val parser = cs.sessionState.sqlParser
+    val params: StructType =
+      inputParamText.map(parser.parseRoutineParam).getOrElse(new StructType())
+    val dup = params.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+      .groupBy(identity).collectFirst { case (n, vs) if vs.length > 1 => n }
+    require(dup.isEmpty, s"graft table function $fq: duplicate parameter '${dup.get}'")
+    val declared: StructType =
+      try parser.parseTableSchema(returnTypeText)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"graft table function $fq: cannot parse RETURNS TABLE columns " +
+            s"from '$returnTypeText' — declare them explicitly " +
+            "(RETURNS TABLE (name type, ...))", e)
+      }
+    require(declared.nonEmpty,
+      s"graft table function $fq: RETURNS TABLE needs an explicit column list")
+    val dupOut = declared.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT))
+      .groupBy(identity).collectFirst { case (n, vs) if vs.length > 1 => n }
+    require(dupOut.isEmpty,
+      s"graft table function $fq: duplicate output column '${dupOut.get}'")
+    params.fieldNames.find(p => declared.fieldNames.exists(_.equalsIgnoreCase(p)))
+      .foreach(p => throw new IllegalArgumentException(
+        s"graft table function $fq: parameter '$p' collides with a declared " +
+          "output column — the call-site projection would be ambiguous"))
+
+    // analyze the body in the exact lateral shape call sites inline: params
+    // as a one-row OUTER scope (body table columns shadow them), one-part
+    // table names qualified with the function's own namespace
+    val attrs = params.fields.toSeq.map(p =>
+      AttributeReference(p.name, p.dataType, nullable = true)())
+    // nested graft calls (scalar and table) expand HERE with the function's
+    // OWN namespace as the default qualifier — the ambient current catalog
+    // must not influence what the persisted body means (a self-reference
+    // cannot exist yet, so CREATE-time cycles are impossible; an OR REPLACE
+    // into self-reference expands the OLD body and fails at the call site,
+    // the scalar convention)
+    val hostNs = ident.namespace().toSeq
+    val body = GraftFunctions.qualifyTables(parser.parsePlan(queryText),
+        catalogName, hostNs)
+      .transformUpWithSubqueries {
+        case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction =>
+          GraftFunctions.expandNestedTable(sparkSession, catalogName, hostNs, tvf, Set.empty)
+        case p => p.transformExpressionsUp {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+            GraftFunctions.expandNested(sparkSession, catalogName, hostNs, f, Set.empty)
+        }
+      }
+    val lateral = LateralJoin(
+      SubqueryAlias("__graft_fn_params_" + ident.name(),
+        Project(attrs.map(a => Alias(a, a.name)()), LocalRelation(attrs))),
+      LateralSubquery(body), Inner, None)
+    val analyzed = cs.sessionState.executePlan(lateral).analyzed
+    val bodyOut = analyzed.output.drop(attrs.length)
+    require(bodyOut.length == declared.length,
+      s"graft table function $fq: the body yields ${bodyOut.length} column(s) " +
+        s"(${bodyOut.map(_.name).mkString(", ")}) but RETURNS TABLE declares " +
+        s"${declared.length}")
+    val dupBody = bodyOut.map(_.name.toLowerCase(java.util.Locale.ROOT))
+      .groupBy(identity).collectFirst { case (n, vs) if vs.length > 1 => n }
+    require(dupBody.isEmpty,
+      s"graft table function $fq: the body yields duplicate column name " +
+        s"'${dupBody.get}' — alias the outputs distinctly")
+    bodyOut.map(_.name).find(bc => params.fieldNames.exists(_.equalsIgnoreCase(bc)))
+      .foreach(bc => throw new IllegalArgumentException(
+        s"graft table function $fq: body output column '$bc' collides with a " +
+          "parameter name — alias it so the call-site projection stays unambiguous"))
+    // castability probe, positional (the CREATE VIEW column-list contract)
+    val probe = Project(bodyOut.zip(declared.fields).map { case (a, f) =>
+      Alias(Cast(a, f.dataType), f.name)()
+    }, analyzed)
+    cs.sessionState.executePlan(probe).assertAnalyzed()
+
+    val dir = g.tableDirFor(ident)
+    if (g.tableExists(ident) || GraftViews.exists(dir)) {
+      throw new AnalysisException("ROUTINE_ALREADY_EXISTS",
+        Map("routineName" -> fq, "newRoutineType" -> "routine",
+          "existingRoutineType" -> "routine"),
+        Option.empty[Throwable])
+    }
+    val d = GraftFunctions.Def(params, declared, queryText,
+      catalogName, ident.namespace().toSeq, isDeterministicFn, comment,
+      isTable = true, bodyCols = bodyOut.map(_.name))
+    val already = GraftFunctions.exists(dir)
+    if (already && ignoreIfExists) return Nil
+    if (already && replace) GraftFunctions.overwrite(dir, d)
+    else if (!GraftFunctions.createExclusive(dir, d)) {
+      // same TOCTOU fallback as the scalar command: OR REPLACE never throws
+      if (replace) GraftFunctions.overwrite(dir, d)
+      else if (!ignoreIfExists) throw new AnalysisException("ROUTINE_ALREADY_EXISTS",
+        Map("routineName" -> fq, "newRoutineType" -> "routine",
+          "existingRoutineType" -> "routine"),
+        Option.empty[Throwable])
+    }
+    GraftFunctions.noteCreated(g.rootDir)
     Nil
   }
 }
@@ -312,10 +666,10 @@ case class ShowGraftFunctionsCommand(
   import GraftViewExtension._
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val g = graftCatalog(sparkSession, catalogName).get
-    val re = pattern.map(p => java.util.regex.Pattern.compile(
-      p.replace("*", ".*"), java.util.regex.Pattern.CASE_INSENSITIVE))
+    val keep = pattern.map(GraftViewExtension.likeMatcher)
+      .getOrElse((_: String) => true)
     g.listFunctions(namespace.toArray).toSeq
-      .filter(id => re.forall(_.matcher(id.name()).matches()))
+      .filter(id => keep(id.name()))
       .map(id => fqName(catalogName, id)).sorted
       .map(Row(_))
   }
@@ -334,9 +688,15 @@ case class DescribeGraftFunctionCommand(
     val g = graftCatalog(sparkSession, catalogName).get
     val d = GraftFunctions.read(g.tableDirFor(ident))
     val sig = d.params.fields.map(p => s"${p.name} ${p.dataType.sql}").mkString(", ")
+    val returns =
+      if (d.isTable) {
+        val cols = d.returnType.asInstanceOf[StructType].fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        s"TABLE ($cols)"
+      } else d.returnType.sql
     Seq(
       Row(s"Function: ${fqName(catalogName, ident)}"),
-      Row(s"Signature: ($sig) RETURNS ${d.returnType.sql}"),
+      Row(s"Signature: ($sig) RETURNS $returns"),
       Row(s"Body: ${d.exprSql}"),
       Row(s"Deterministic: ${d.deterministic}")) ++
       d.comment.map(c => Row(s"Comment: $c"))
@@ -349,7 +709,9 @@ case class DropGraftFunctionCommand(
   import GraftViewExtension._
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val g = graftCatalog(sparkSession, catalogName).get
-    if (!GraftFunctions.drop(g.tableDirFor(ident)) && !ifExists) {
+    val dropped = GraftFunctions.drop(g.tableDirFor(ident))
+    if (dropped) GraftFunctions.noteDropped(g.rootDir)
+    else if (!ifExists) {
       throw new AnalysisException("ROUTINE_NOT_FOUND",
         Map("routineName" -> fqName(catalogName, ident)),
         Option.empty[Throwable])

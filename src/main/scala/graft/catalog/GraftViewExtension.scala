@@ -96,6 +96,20 @@ object GraftViewExtension {
 
   private[catalog] def fqName(catalogName: String, ident: Identifier): String =
     (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+
+  /** SHOW ... LIKE pattern semantics (Spark's `StringUtils.filterPattern`):
+    * '|'-separated alternatives, '*' matches any sequence, and everything
+    * else is a LITERAL — regex metacharacters in the pattern ('fn_+', 'a(b')
+    * are quoted, not compiled, so they match themselves instead of throwing
+    * PatternSyntaxException. Case-insensitive throughout. */
+  private[catalog] def likeMatcher(pattern: String): String => Boolean = {
+    val alternatives = pattern.trim.split("\\|").toSeq.map { alt =>
+      val quoted = alt.split("\\*", -1).map(seg =>
+        if (seg.isEmpty) "" else java.util.regex.Pattern.quote(seg)).mkString(".*")
+      java.util.regex.Pattern.compile(quoted, java.util.regex.Pattern.CASE_INSENSITIVE)
+    }
+    name => alternatives.exists(_.matcher(name).matches())
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -214,13 +228,49 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
     * resolution rule could substitute, so substitution must happen here.
     * Subquery plans are visited too (scalar/IN subqueries carry their own
     * trees). Builtins and session functions win one-part names inside
-    * maybeInline, so non-graft calls pass through untouched. */
+    * maybeInline, so non-graft calls pass through untouched.
+    *
+    * FAST PATH: the walk runs on EVERY parsed statement, so when no graft
+    * function exists anywhere (GraftFunctions.anyPersisted — a map lookup)
+    * the statement passes through untouched. Multi-part call names get a
+    * read-only pre-scan instead of trusting the gate: a qualified call can
+    * name a catalog this session has not instantiated yet (so its root was
+    * never registered), and the full walk's resolveGraft is what
+    * instantiates it — correctness over the gate for exactly those names. */
   private def inlineCalls(plan: LogicalPlan): LogicalPlan =
-    plan.transformUpWithSubqueries {
+    if (!GraftFunctions.anyPersisted && !hasMultipartCall(plan)) plan
+    else plan.transformUpWithSubqueries {
+      // RETURNS TABLE calls (`FROM fn(args)`, r17): the args may themselves
+      // call scalar graft functions — inline those first, then the table
+      // function itself expands to its stored body as a lateral subquery
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction =>
+        val argsInlined = tvf.transformExpressionsUp {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+            GraftFunctions.maybeInline(session, f).getOrElse(f)
+        }.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction]
+        GraftFunctions.maybeInlineTable(session, argsInlined).getOrElse(argsInlined)
       case p => p.transformExpressionsUp {
         case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
           GraftFunctions.maybeInline(session, f).getOrElse(f)
       }
+    }
+
+  /** Read-only scan (no tree rebuilding): does any expression — including
+    * inside subquery plans — call a MULTI-PART function name (scalar or
+    * table-valued)? One-part names can only be graft functions via the
+    * current catalog, whose root is registered by the time it is current,
+    * so the gate covers them. */
+  private def hasMultipartCall(plan: LogicalPlan): Boolean =
+    plan.exists {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction =>
+        t.name.length > 1
+      case node => node.expressions.exists(_.exists {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          f.nameParts.length > 1
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          hasMultipartCall(s.plan)
+        case _ => false
+      })
     }
 
   // MUST delegate (not inherit the interface default): `spark.sql(text, args)`
@@ -287,10 +337,17 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
       c.child match {
         case UnresolvedIdentifier(parts, _) =>
           resolveGraft(session, parts) match {
+            case Some((cat, _, ident)) if c.isTableFunc =>
+              // RETURNS TABLE (r17): the body is a QUERY, persisted and
+              // inlined at call sites as a lateral subquery (GraftFunctions)
+              require(c.queryText.isDefined && c.exprText.isEmpty,
+                "graft catalog: CREATE FUNCTION ... RETURNS TABLE requires " +
+                  "a query body (RETURN SELECT ...)")
+              CreateGraftTableFunctionCommand(cat, ident,
+                c.inputParamText, c.returnTypeText, c.queryText.get,
+                c.isDeterministic.getOrElse(true), c.comment,
+                c.ignoreIfExists, c.replace)
             case Some((cat, _, ident)) =>
-              require(!c.isTableFunc,
-                s"graft catalog: RETURNS TABLE functions are not supported " +
-                  s"(persisted views cover the table-valued shape)")
               require(c.exprText.isDefined && c.queryText.isEmpty,
                 "graft catalog: CREATE FUNCTION requires a scalar RETURN expression")
               CreateGraftFunctionCommand(cat, ident,
@@ -346,6 +403,12 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
     }
     parts.flatMap(p => resolveGraft(session, p).map { case (cat, _, ident) => (cat, ident) })
   }
+
+  /** The delegate's raw parse, for callers that must keep the interceptor
+    * out of a re-entrant parse (table-function body expansion threads its
+    * OWN cycle-tracking seen set through the inline walk). */
+  private[catalog] def delegateParsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText)
 
   // -- pure delegation below --
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
@@ -505,10 +568,10 @@ case class ShowGraftViewsCommand(
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val g = graftCatalog(sparkSession, catalogName).get
     val ids = g.listViews(namespace: _*)
-    val re = pattern.map(p =>
-      java.util.regex.Pattern.compile(p.replace("*", ".*"), java.util.regex.Pattern.CASE_INSENSITIVE))
+    val keep = pattern.map(GraftViewExtension.likeMatcher)
+      .getOrElse((_: String) => true)
     ids.toSeq
-      .filter(id => re.forall(_.matcher(id.name()).matches()))
+      .filter(id => keep(id.name()))
       .sortBy(_.name())
       .map(id => Row(id.namespace().mkString("."), id.name(), false))
   }

@@ -112,10 +112,12 @@ class GraftFunctionSpec extends SparkSpec {
     assert(e3.getMessage.contains("FUNCTION"), e3.getMessage)
     val e4 = intercept[Exception](sql("CREATE VIEW gfn.ns.fcol AS SELECT 1 AS one"))
     assert(e4.getMessage.contains("FUNCTION"), e4.getMessage)
-    // RETURNS TABLE refuses honestly
-    val e5 = intercept[Exception](
-      sql("CREATE FUNCTION gfn.ns.tf() RETURNS TABLE (a BIGINT) RETURN SELECT 1"))
-    assert(e5.getMessage.contains("RETURNS TABLE"), e5.getMessage)
+    // RETURNS TABLE is supported since r17 (shares the routine namespace)
+    sql("DROP FUNCTION IF EXISTS gfn.ns.tf")
+    sql("CREATE FUNCTION gfn.ns.tf() RETURNS TABLE (a BIGINT) RETURN SELECT 1 AS a")
+    val e5 = intercept[Exception](sql("CREATE TABLE gfn.ns.tf (k BIGINT) USING parquet"))
+    assert(e5.getMessage.contains("FUNCTION"), e5.getMessage)
+    sql("DROP FUNCTION gfn.ns.tf")
   }
 
   test("SHOW FUNCTIONS lists persisted functions; DESCRIBE FUNCTION prints the signature") {
@@ -126,6 +128,158 @@ class GraftFunctionSpec extends SparkSpec {
     assert(listed.exists(_.endsWith("bucket")), "the bound bucket builtin lists too")
     val desc = sql("DESCRIBE FUNCTION gfn.ns.show_probe").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("show_probe") && desc.contains("x * 3"), desc)
+  }
+
+  test("CREATE OR REPLACE never throws ROUTINE_ALREADY_EXISTS under a concurrent-create race") {
+    root
+    // Two threads CREATE OR REPLACE the same brand-new name concurrently:
+    // whichever loses the createExclusive race must fall back to overwrite
+    // (the TOCTOU between exists() and createExclusive() — ADVICE r16),
+    // never throw. Repeated with fresh names to actually hit the race.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    (1 to 10).foreach { i =>
+      val ddl = s"CREATE OR REPLACE FUNCTION gfn.ns.race_$i(x BIGINT) RETURNS BIGINT RETURN x + $i"
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val fs = (1 to 2).map { _ =>
+        Future { gate.await(); spark.sql(ddl).collect() }
+      }
+      gate.countDown()
+      fs.foreach(Await.result(_, 60.seconds)) // either attempt throwing fails the test
+      assert(sql(s"SELECT gfn.ns.race_$i(0) AS r").collect().head.getLong(0) === i.toLong)
+      sql(s"DROP FUNCTION gfn.ns.race_$i")
+    }
+  }
+
+  test("SHOW FUNCTIONS/VIEWS LIKE treats regex metacharacters literally (filterPattern semantics)") {
+    root
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.like_probe(x BIGINT) RETURNS BIGINT RETURN x")
+    // metacharacters must not throw PatternSyntaxException nor mis-match
+    assert(sql("SHOW FUNCTIONS IN gfn.ns LIKE 'fn_+'").collect().isEmpty)
+    assert(sql("SHOW FUNCTIONS IN gfn.ns LIKE 'a(b'").collect().isEmpty)
+    // '*' expands, everything else is literal; '|' separates alternatives
+    val starred = sql("SHOW FUNCTIONS IN gfn.ns LIKE 'like*'").collect().map(_.getString(0))
+    assert(starred.exists(_.endsWith("like_probe")), starred.mkString(", "))
+    val alts = sql("SHOW FUNCTIONS IN gfn.ns LIKE 'nope|like_probe'").collect().map(_.getString(0))
+    assert(alts.exists(_.endsWith("like_probe")), alts.mkString(", "))
+    // the view twin shares the matcher
+    sql("DROP VIEW IF EXISTS gfn.ns.vlike")
+    sql("CREATE VIEW gfn.ns.vlike AS SELECT 1 AS one")
+    assert(sql("SHOW VIEWS IN gfn.ns LIKE 'v(l'").collect().isEmpty)
+    assert(sql("SHOW VIEWS IN gfn.ns LIKE 'vl*|zz'").collect().map(_.getString(1)).contains("vlike"))
+    sql("DROP VIEW gfn.ns.vlike")
+    sql("DROP FUNCTION gfn.ns.like_probe")
+  }
+
+  test("a broken v1 current database does not block graft inlining (narrow probe catch)") {
+    root
+    // sessionResolvable probes the v1 session catalog for one-part names;
+    // that probe throwing NoSuchDatabaseException (current db dropped out
+    // from under the session) must read as "not resolvable here" — the graft
+    // inline proceeds — while any other probe failure would propagate.
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.ncp(x BIGINT) RETURNS BIGINT RETURN x + 1")
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val prevCat = spark.catalog.currentCatalog()
+    val prevDb = cs.sessionState.catalog.getCurrentDatabase
+    sql("CREATE DATABASE IF NOT EXISTS doomed_db")
+    cs.sessionState.catalog.setCurrentDatabase("doomed_db")
+    cs.sessionState.catalog.dropDatabase("doomed_db", ignoreIfNotExists = false, cascade = true)
+    try {
+      sql("USE gfn.ns")
+      assert(sql("SELECT ncp(41) AS r").collect().head.getLong(0) === 42L)
+    } finally {
+      cs.sessionState.catalog.setCurrentDatabase(prevDb)
+      sql(s"USE $prevCat")
+    }
+    sql("DROP FUNCTION gfn.ns.ncp")
+  }
+
+  // Spark's parser REFUSES qualified table-valued-function names in FROM
+  // (INVALID_TABLE_VALUED_FUNC_NAME, AstBuilder.visitTableValuedFunction), so
+  // graft table functions are callable by their ONE-PART name under
+  // `USE <cat>.<ns>` — the same reach-it-by-current-catalog rule one-part
+  // scalar names follow; builtin TVFs (range, explode) always win the name.
+  private def inNs[A](body: => A): A = {
+    val prevCat = spark.catalog.currentCatalog()
+    try { sql("USE gfn.ns"); body } finally sql(s"USE $prevCat")
+  }
+
+  test("RETURNS TABLE: create, call in FROM, params in WHERE, join of inlined twins") {
+    root
+    sql("DROP TABLE IF EXISTS gfn.ns.tf_base")
+    sql("CREATE TABLE gfn.ns.tf_base USING parquet AS SELECT id AS k, id * 10 AS v FROM range(20)")
+    // one-part table name in the body: resolves in the function's OWN namespace
+    sql("""CREATE OR REPLACE FUNCTION gfn.ns.top_v(lo BIGINT)
+           RETURNS TABLE (k BIGINT, v BIGINT)
+           RETURN SELECT k, v FROM tf_base WHERE k >= lo""")
+    inNs {
+      val rows = sql("SELECT k, v FROM top_v(17) ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === Seq((17L, 170L), (18L, 180L), (19L, 190L)))
+      // two inlined instances join like any relations
+      val j = sql("""SELECT a.k AS k, b.v AS v2 FROM top_v(15) a
+                     JOIN top_v(18) b ON a.k = b.k ORDER BY a.k""").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(j.toSeq === Seq((18L, 180L), (19L, 190L)))
+      // a builtin TVF name always wins: range() stays Spark's
+      assert(sql("SELECT COUNT(*) FROM range(5)").collect().head.getLong(0) === 5L)
+    }
+    // zero-parameter form
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.tf0() RETURNS TABLE (one BIGINT) RETURN SELECT 1 AS one")
+    inNs { assert(sql("SELECT one FROM tf0()").collect().head.getLong(0) === 1L) }
+    // composition: the body calls a persisted SCALAR function
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.sc2(x BIGINT) RETURNS BIGINT RETURN x * 2")
+    sql("""CREATE OR REPLACE FUNCTION gfn.ns.tf2(n BIGINT) RETURNS TABLE (kk BIGINT)
+           RETURN SELECT sc2(k) AS kk FROM tf_base WHERE k < n""")
+    inNs {
+      assert(sql("SELECT kk FROM tf2(3) ORDER BY kk").collect().map(_.getLong(0)).toSeq
+        === Seq(0L, 2L, 4L))
+    }
+    // SHOW/DESCRIBE carry the table form
+    val desc = sql("DESCRIBE FUNCTION gfn.ns.top_v").collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("TABLE") && desc.contains("top_v"), desc)
+  }
+
+  test("RETURNS TABLE: shadowing, cycle refusal, cross-call and validation refusals") {
+    root
+    sql("DROP TABLE IF EXISTS gfn.ns.tf_base2")
+    sql("CREATE TABLE gfn.ns.tf_base2 USING parquet AS SELECT id AS k FROM range(20)")
+    // a body table column SHADOWS a same-named parameter (innermost scope —
+    // the SQL-standard rule; params live in the lateral OUTER scope)
+    sql("""CREATE OR REPLACE FUNCTION gfn.ns.tf_shadow(k BIGINT)
+           RETURNS TABLE (r BIGINT) RETURN SELECT MAX(k) AS r FROM tf_base2""")
+    inNs {
+      assert(sql("SELECT r FROM tf_shadow(1000)").collect().head.getLong(0) === 19L,
+        "the body's k must bind the TABLE column, not the parameter")
+    }
+    // OR REPLACE into self-reference: the cycle fails the CALL with the chain
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.tfr(n BIGINT) RETURNS TABLE (a BIGINT) RETURN SELECT 1 AS a")
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.tfr(n BIGINT) RETURNS TABLE (a BIGINT) RETURN SELECT a FROM tfr(n)")
+    inNs {
+      val e = intercept[Exception](sql("SELECT * FROM tfr(1)").collect())
+      assert(e.getMessage.contains("tfr"), e.getMessage)
+    }
+    // a table function is not a scalar; a scalar is not a table
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.sc3(x BIGINT) RETURNS BIGINT RETURN x")
+    val e2 = intercept[Exception](sql("SELECT gfn.ns.tf_shadow(1)").collect())
+    assert(e2.getMessage.contains("FROM"), e2.getMessage)
+    inNs {
+      val e3 = intercept[Exception](sql("SELECT * FROM sc3(1)").collect())
+      assert(e3.getMessage.contains("scalar"), e3.getMessage)
+    }
+    // arity mismatch between the body and the declared columns fails at CREATE
+    val e4 = intercept[Exception](sql(
+      "CREATE FUNCTION gfn.ns.tf_bad(n BIGINT) RETURNS TABLE (a BIGINT, b BIGINT) RETURN SELECT 1 AS a"))
+    assert(e4.getMessage.contains("declares"), e4.getMessage)
+    // a parameter colliding with a declared output column fails at CREATE
+    val e5 = intercept[Exception](sql(
+      "CREATE FUNCTION gfn.ns.tf_bad2(a BIGINT) RETURNS TABLE (a BIGINT) RETURN SELECT 1 AS a"))
+    assert(e5.getMessage.contains("collides"), e5.getMessage)
+    // a stray column in the body fails at CREATE (real scopes, loud failure)
+    intercept[Exception](sql(
+      "CREATE FUNCTION gfn.ns.tf_bad3(n BIGINT) RETURNS TABLE (a BIGINT) RETURN SELECT stray FROM tf_base2"))
   }
 
   test("functions work inside persisted views (abstractions compose)") {
