@@ -100,6 +100,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     root = Paths.get(Option(options.get("root"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_catalog"))
     Files.createDirectories(root)
+    // parse-time inline fast path: register the root so the per-statement
+    // "any persisted function?" gate (GraftFunctions.anyPersisted) sees it
+    GraftFunctions.registerRoot(root)
     // WRITE-side id stamping stays session-wide from init: every graft
     // segment must carry footer field ids from its very first write, or a
     // LATER RENAME COLUMN would find id-less segments and refuse (the
@@ -131,6 +134,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
       org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private[catalog] def tableDirFor(ident: Identifier): Path = tableDir(ident)
+
+  private[catalog] def rootDir: Path = root
 
   private def tableDir(ident: Identifier): Path =
     (ident.namespace() :+ ident.name()).foldLeft(root) { (p, part) =>
@@ -360,9 +365,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         val f = schema.fields(s.ordinal)
         GraftIdentity.validateCreate(s.col, f.dataType, f.nullable, s.step)
       }
-      require(partCols.isEmpty && bucketSpec.isEmpty,
-        "graft catalog: identity columns on PARTITIONED tables are not " +
-          "supported (the partitioned writer has no allocation transaction)")
+      // partitioned (and bucketed) identity tables are supported since r17:
+      // allocation wraps outside GraftPartitionedWrite's fan-out router and
+      // the high-water CAS rides commitMany (IdentityColumnsSpec + q297)
       require(!dmlModes.values.exists(_ == GraftDv.ModeMor),
         "graft catalog: identity columns with merge-on-read DML are not " +
           "supported (MOR upserts would insert rows outside the allocator)")
@@ -511,10 +516,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
               s.value() == GraftDv.ModeMor =>
           throw new IllegalArgumentException(
             "graft catalog: identity columns with merge-on-read DML are not supported")
-        case s: TableChange.SetProperty
-            if identityCols.nonEmpty && s.property() == GraftTable.PartitionByProp =>
-          throw new IllegalArgumentException(
-            "graft catalog: identity columns on partitioned tables are not supported")
+        // partition evolution on identity tables is fine since r17: the
+        // partitioned writer allocates exactly like the plain one
         case _ => ()
       }
       // bucket tables: the bucket SOURCE column is structurally load-bearing

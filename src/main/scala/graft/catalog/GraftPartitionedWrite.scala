@@ -62,11 +62,12 @@ private[catalog] final class GraftPartitionedWrite(
   private val metaAtBuild = GraftMeta.read(tableDir)
   private val props = metaAtBuild.props
 
-  // CREATE and partition evolution both refuse the combination, so this is
-  // unreachable belt-and-suspenders — but a silent NULL-id write would be
-  // data corruption, so the writer re-checks
-  require(!GraftIdentity.isIdentityTable(props),
-    "graft: identity columns on partitioned tables are not supported")
+  // IDENTITY columns (r17): the round-robin allocator is partition-agnostic
+  // (`next + (rowIdx*numPartitions + partitionId)*step` doesn't care where a
+  // row routes), so allocation simply wraps OUTSIDE the partition router —
+  // rows reach the fan-out with their ids already filled — and the
+  // high-water CAS rides the same commitMany that publishes the segments.
+  private val identitySpecs = GraftIdentity.of(props, info.schema())
 
   private val named = Option(info.options.get("graft.segment"))
   named.foreach(n => require(n.matches("[A-Za-z0-9_.\\-]+"),
@@ -82,6 +83,11 @@ private[catalog] final class GraftPartitionedWrite(
       "graft: branch writes are plain unnamed appends (no overwrite/DML on a branch)")
     require(GraftRefs.get(metaAtBuild, b).isDefined,
       s"graft: no branch '$b' — CALL create_branch first")
+    // same contract as the unpartitioned path: staged allocation would
+    // dangle if the branch is dropped
+    require(identitySpecs.isEmpty,
+      "graft: branch (WAP) appends to identity tables are not supported " +
+        "(staged allocation would dangle if the branch is dropped)")
   }
   // a crashed earlier attempt of a NAMED job can leave final segment dirs
   // (moved before the meta CAS ran); a retry must not merge new files into
@@ -172,8 +178,19 @@ private[catalog] final class GraftPartitionedWrite(
         // row-level-op path carries a leading op column the projection
         // cannot rebuild generically — group-rewrite rows are already
         // filled, the documented seam is partitioned MERGE INSERT clauses
-        if (fromRowLevelOp) checked
-        else GraftGenerate.wrap(checked, dataSchema, props, writeId)
+        if (fromRowLevelOp)
+          // existing rows carry their ids; a NULL can only be a MERGE INSERT
+          // (refused — allocation can't ride the group rewrite). Rows here
+          // still carry the leading __row_operation column (the router strips
+          // it), so the specs' ordinals shift by one, like the checks'.
+          GraftIdentity.nullRejectWrap(checked,
+            identitySpecs.map(s => s.copy(ordinal = s.ordinal + 1)), writeId)
+        else
+          // identity fills OUTERMOST (before generation/checks/routing) so
+          // derived columns, constraints, and the partition router all see
+          // the final id — an identity PARTITION column routes correctly
+          GraftIdentity.wrap(GraftGenerate.wrap(checked, dataSchema, props, writeId),
+            identitySpecs, dataSchema, pInfo.numPartitions(), writeId)
       }
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -187,7 +204,9 @@ private[catalog] final class GraftPartitionedWrite(
       }
 
       private def doCommit(messages: Array[WriterCommitMessage]): Unit = {
-        val manifest = messages.flatMap {
+        val (innerMessages, identityExtremes) =
+          GraftIdentity.unwrap(messages, identitySpecs)
+        val manifest = innerMessages.flatMap {
           case m: GraftPartitionFilesMessage => m.files
           case _ => Nil
         }
@@ -228,7 +247,11 @@ private[catalog] final class GraftPartitionedWrite(
                   replaceAll = replaceAll,
                   removeSuffixes =
                     if (dynamicOverwrite) byPart.keySet.toSet else Set.empty[String],
-                  expectedCurrent = guard, namedKey = namedKey)
+                  expectedCurrent = guard, namedKey = namedKey,
+                  // identity high-water: CAS-advances with the data, fails
+                  // loudly on a concurrent allocator (the unpartitioned
+                  // path's contract, unchanged)
+                  propCas = GraftIdentity.propCas(identitySpecs, identityExtremes))
                 // a replayed named job that raced past the build-time check
                 // loses at the CAS: its rows are already in the table — drop
                 // the copies

@@ -93,18 +93,61 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(sql("SELECT * FROM gidn.ns.t4").schema.fieldNames.toSeq === Seq("id", "val"))
   }
 
-  test("unsupported surfaces refuse at the door: partitioned, MOR") {
+  test("unsupported surfaces refuse at the door: MOR") {
     root
-    intercept[Exception] {
-      sql("""CREATE TABLE gidn.ns.t6
-             (id BIGINT GENERATED ALWAYS AS IDENTITY, geo STRING) USING parquet
-             PARTITIONED BY (geo)""")
-    }
     intercept[Exception] {
       sql("""CREATE TABLE gidn.ns.t7
              (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING parquet
              TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
     }
+  }
+
+  test("partitioned tables allocate (r17): per-partition fan-out, global uniqueness, CAS advance") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.pt1")
+    sql("""CREATE TABLE gidn.ns.pt1
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3),
+            geo STRING, v BIGINT) USING parquet PARTITIONED BY (geo)""")
+    // two append waves across three partition values each
+    sql("""INSERT INTO gidn.ns.pt1 (geo, v)
+           SELECT CASE id % 3 WHEN 0 THEN 'eu' WHEN 1 THEN 'us' ELSE 'ap' END, id
+           FROM range(30)""")
+    sql("""INSERT INTO gidn.ns.pt1 (geo, v)
+           SELECT CASE id % 3 WHEN 0 THEN 'eu' WHEN 1 THEN 'us' ELSE 'ap' END, 100 + id
+           FROM range(30)""")
+    val ids = sql("SELECT id FROM gidn.ns.pt1").collect().map(_.getLong(0))
+    assert(ids.length === 60 && ids.distinct.length === 60,
+      "ids must be globally unique across partitions and waves")
+    assert(ids.forall(i => i >= 100L && (i - 100L) % 3L == 0L),
+      "every id sits on the start+k*step grid")
+    // wave 2 allocates strictly beyond wave 1 (the high-water CAS advanced)
+    val w1max = sql("SELECT MAX(id) FROM gidn.ns.pt1 WHERE v < 100").collect().head.getLong(0)
+    val w2min = sql("SELECT MIN(id) FROM gidn.ns.pt1 WHERE v >= 100").collect().head.getLong(0)
+    assert(w2min > w1max, s"wave 2 min $w2min must exceed wave 1 max $w1max")
+    // partition purity survives the identity wrap: one partition value per segment
+    val segs = sql("SELECT DISTINCT geo FROM gidn.ns.pt1 WHERE geo = 'eu'").collect()
+    assert(segs.length === 1)
+    // GENERATED ALWAYS still refuses explicit values on the partitioned path
+    intercept[Exception] {
+      sql("INSERT INTO gidn.ns.pt1 (id, geo, v) VALUES (9999, 'eu', 1)")
+    }
+    // partitioned COW UPDATE keeps ids (nullReject path with op-column offset)
+    sql("UPDATE gidn.ns.pt1 SET v = v + 1000 WHERE geo = 'eu' AND v = 0")
+    assert(sql("SELECT COUNT(DISTINCT id) FROM gidn.ns.pt1").collect()
+      .head.getLong(0) === 60L, "COW rewrite must not mint or lose ids")
+  }
+
+  test("identity column as the partition column routes on the FILLED id") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.pt2")
+    sql("""CREATE TABLE gidn.ns.pt2
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            v BIGINT) USING parquet PARTITIONED BY (id)""")
+    sql("INSERT INTO gidn.ns.pt2 (v) VALUES (10), (20)")
+    val rows = sql("SELECT id, v FROM gidn.ns.pt2 ORDER BY v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).distinct.length === 2, "ids allocated and routed")
+    assert(rows.forall(_._1 >= 1L))
   }
 
   test("BY DEFAULT: mixed explicit + allocated inserts are unique; explicit advances the high-water") {
@@ -191,6 +234,63 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(e.getMessage != null)
     assert(sql("SELECT COUNT(*) FROM gidn.ns.bd5 WHERE id = 999").collect()
       .head.getLong(0) === 0L, "the refused rewrite must not commit")
+  }
+
+  test("BY DEFAULT: a same-statement explicit id inside the allocated range refuses the commit") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.bd6")
+    sql("""CREATE TABLE gidn.ns.bd6
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            v BIGINT) USING parquet""")
+    // next=1: the NULL row allocates 2 (rowIdx 1, one partition) — the same
+    // value the explicit row carries. Pre-r17 this committed a silent
+    // duplicate (the high-water only advances at commit); now the commit
+    // refuses before any metadata moves (ADVICE r16 #1).
+    val e = intercept[Exception] {
+      sql("INSERT INTO gidn.ns.bd6 (id, v) VALUES (2, 1), (NULL, 2)")
+    }
+    assert(e.getMessage.contains("allocated range") ||
+      (e.getCause != null && e.getCause.getMessage.contains("allocated range")),
+      e.getMessage)
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.bd6").collect().head.getLong(0) === 0L,
+      "the refused statement must not commit anything")
+    // the well-separated shape (bd3's contract) still commits: explicit ids
+    // far beyond what the statement allocates cannot collide
+    sql("INSERT INTO gidn.ns.bd6 (id, v) VALUES (1000, 1), (NULL, 2)")
+    val ids = sql("SELECT id FROM gidn.ns.bd6").collect().map(_.getLong(0))
+    assert(ids.distinct.length === 2 && ids.contains(1000L))
+    // explicit ids BEHIND the high-water in an allocating statement are the
+    // backfill shape and commit fine (they can never collide with new ids)
+    sql("INSERT INTO gidn.ns.bd6 (id, v) VALUES (-5, 3), (NULL, 4)")
+    assert(sql("SELECT COUNT(DISTINCT id) FROM gidn.ns.bd6").collect()
+      .head.getLong(0) === 4L)
+  }
+
+  test("overflow guard: ids near Long.MaxValue refuse loudly instead of wrapping") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.bd7")
+    sql("""CREATE TABLE gidn.ns.bd7
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            v BIGINT) USING parquet""")
+    // an explicit id AT Long.MaxValue: the high-water advance (next grid
+    // point strictly beyond) does not exist in BIGINT — the commit must
+    // refuse, not wrap the persisted high-water negative (ADVICE r16 #2)
+    val e = intercept[Exception] {
+      sql(s"INSERT INTO gidn.ns.bd7 (id, v) VALUES (${Long.MaxValue}, 1)")
+    }
+    assert(e.getMessage.contains("overflow") ||
+      (e.getCause != null && e.getCause.getMessage.contains("overflow")), e.getMessage)
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.bd7").collect().head.getLong(0) === 0L)
+    // allocation itself is overflow-checked too: a START at the top of the
+    // domain cannot silently wrap into issued (low) ids
+    sql("DROP TABLE IF EXISTS gidn.ns.bd8")
+    sql(s"""CREATE TABLE gidn.ns.bd8
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH ${Long.MaxValue - 5} INCREMENT BY 10),
+            v BIGINT) USING parquet""")
+    val e2 = intercept[Exception] { sql("INSERT INTO gidn.ns.bd8 (v) VALUES (1), (2)") }
+    assert(e2.getMessage.contains("overflow") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("overflow")), e2.getMessage)
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.bd8").collect().head.getLong(0) === 0L)
   }
 
   test("concurrent identity appends: exactly-one-wins CAS, no double allocation") {
