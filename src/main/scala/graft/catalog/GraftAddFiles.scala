@@ -147,12 +147,15 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
       bytes += Files.size(p)
     }
     // same commit-time stats harvest as every write path: zone maps (and
-    // blooms/sums if the table opted in) come from footers, no data scan
+    // blooms/sums if the table opted in) come from footers, no data scan.
+    // selfWritten=false: a FOREIGN writer may have truncated its binary
+    // statistics, so imported string bounds stay brackets (prune, never
+    // answer MIN/MAX) — the one provenance the exactness flag must not trust
     val harvested = scala.util.Try(SegmentStats.harvest(
       spark, segDir.toString, meta.readSchema,
       SegmentStats.sumCols(meta.props, meta.schema),
       GraftBloom.cols(meta.props, meta.schema),
-      SegmentStats.ndvCols(meta.props, meta.schema))).toOption
+      SegmentStats.ndvCols(meta.props, meta.schema), selfWritten = false)).toOption
     val stats = harvested.flatMap(h => scala.util.Try(SegmentStats.encode(h)).toOption)
     GraftDml.cleanupOnFailedCommit(dir, Seq(segment)) {
       GraftMeta.commitMany(dir, Seq(segment -> stats),

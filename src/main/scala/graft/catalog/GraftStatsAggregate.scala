@@ -37,9 +37,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     entry, zero-row segments excepted),
   *   - any aggregate is not COUNT(*)/COUNT(col)/MIN/MAX (COUNT DISTINCT,
   *     AVG need rows) or an opted-in integral SUM,
-  *   - MIN/MAX targets a non-integral/date/timestamp column (string footer
-  *     bounds are merge-exact here, but truncating writers exist — bounds
-  *     are safe for PRUNING, not for answers),
+  *   - MIN/MAX targets a column outside integral/date/timestamp/string, or
+  *     a STRING column whose bounds are not flagged EXACT (Col.strExact,
+  *     r17): engine-written segments' footer bounds are untruncated by
+  *     construction and answer MIN/MAX zero-IO in UTF8String binary order;
+  *     add_files imports and pre-r17 entries may be writer-truncated
+  *     brackets — safe for PRUNING, refused for answers,
   *   - any visible segment lacks decodable stats for a referenced column
   *     (e.g. segments written before an ADD COLUMN),
   *   - the snapshot carries delete vectors (physical row counts overcount;
@@ -131,6 +134,23 @@ private[catalog] object GraftStatsAgg {
       case _ => false
     }
 
+    /** STRING MIN/MAX (r17): served iff every bound involved is EXACT
+      * (Col.strExact — harvested from an engine-written segment or the
+      * aggregate fallback; add_files imports and pre-r17 entries refuse).
+      * Bounds merge in UTF8String BINARY order — the exact total order
+      * Spark's row-reading min/max uses — NOT java String order, which
+      * disagrees beyond the BMP (a supplementary character sorts above
+      * U+E000..U+FFFF in UTF-8 byte order but below it in UTF-16).
+      * All-null segments (min absent) contribute nothing and need no flag. */
+    def stringBound(per: Seq[SegmentStats.Col], wantMin: Boolean): Option[Any] = {
+      val defined = per.filter(c => if (wantMin) c.min.isDefined else c.max.isDefined)
+      if (defined.exists(!_.strExact)) return None // bracket-only bound: refuse
+      val vs = defined.map(c => UTF8String.fromString(if (wantMin) c.min.get else c.max.get))
+      Some(if (vs.isEmpty) null
+           else vs.reduce((a, b) =>
+             if ((a.compareTo(b) <= 0) == wantMin) a else b))
+    }
+
     // ---- plan the aggregate schema once, values per group ----
     val aggFields = Seq.newBuilder[StructField]
     // one evaluator per aggregate, applied to each group's segment stats;
@@ -147,20 +167,28 @@ private[catalog] object GraftStatsAgg {
           g.zip(per).map { case (s, col) => s.rows - col.nulls }.sum))
       case m: Min =>
         val f = colOf(m.column()).getOrElse(return None)
-        if (!minMaxType(f.dataType)) return None
-        aggFields += StructField(s"min(${f.name})", f.dataType, nullable = true)
-        evals += (g => colStats(g, f.name).map { per =>
-          val mins = per.flatMap(_.min).map(_.toLong)
-          if (mins.isEmpty) null else physical(f.dataType, mins.min.toString)
-        })
+        if (f.dataType == StringType) {
+          aggFields += StructField(s"min(${f.name})", StringType, nullable = true)
+          evals += (g => colStats(g, f.name).flatMap(stringBound(_, wantMin = true)))
+        } else if (minMaxType(f.dataType)) {
+          aggFields += StructField(s"min(${f.name})", f.dataType, nullable = true)
+          evals += (g => colStats(g, f.name).map { per =>
+            val mins = per.flatMap(_.min).map(_.toLong)
+            if (mins.isEmpty) null else physical(f.dataType, mins.min.toString)
+          })
+        } else return None
       case m: Max =>
         val f = colOf(m.column()).getOrElse(return None)
-        if (!minMaxType(f.dataType)) return None
-        aggFields += StructField(s"max(${f.name})", f.dataType, nullable = true)
-        evals += (g => colStats(g, f.name).map { per =>
-          val maxes = per.flatMap(_.max).map(_.toLong)
-          if (maxes.isEmpty) null else physical(f.dataType, maxes.max.toString)
-        })
+        if (f.dataType == StringType) {
+          aggFields += StructField(s"max(${f.name})", StringType, nullable = true)
+          evals += (g => colStats(g, f.name).flatMap(stringBound(_, wantMin = false)))
+        } else if (minMaxType(f.dataType)) {
+          aggFields += StructField(s"max(${f.name})", f.dataType, nullable = true)
+          evals += (g => colStats(g, f.name).map { per =>
+            val maxes = per.flatMap(_.max).map(_.toLong)
+            if (maxes.isEmpty) null else physical(f.dataType, maxes.max.toString)
+          })
+        } else return None
       case sm: Sum if !sm.isDistinct =>
         // served only when the table opted into commit-time SUM harvest
         // (graft.stats.sums) AND every visible segment carries the sum for

@@ -32,6 +32,16 @@ private[catalog] object SegmentStats {
     * Domains by kind: 'i' integral → Long, 'd' date → epoch days Long,
     * 't' timestamp → micros Long, 's' string → String.
     *
+    * `strExact` (string columns only, r17): TRUE iff the bounds are known to
+    * be actual row values, not writer-truncated brackets — harvested from a
+    * segment THIS engine wrote (Spark's parquet writer stores binary stats
+    * untruncated or not at all) or re-derived by the aggregate fallback.
+    * Exact bounds can ANSWER `MIN(col)`/`MAX(col)` zero-IO (GraftStatsAgg);
+    * non-exact bounds stay safe for pruning and group-key constancy only (a
+    * truncated bound is a wrong answer but a correct bracket: truncation
+    * rounds min down, max up). add_files imports and pre-r17 entries decode
+    * as non-exact, so foreign or legacy bounds can never leak into answers.
+    *
     * `sum` is the column's exact per-segment SUM of non-null values ("0" for
     * an all-null segment — SUM's null-ness is derived from `nulls` == rows at
     * merge time). Present only for integral columns of tables that OPT IN via
@@ -42,7 +52,7 @@ private[catalog] object SegmentStats {
     * every table's zero-read commit path. */
   final case class Col(kind: Char, min: Option[String], max: Option[String],
                        nulls: Long, sum: Option[String] = None,
-                       ndv: Option[String] = None)
+                       ndv: Option[String] = None, strExact: Boolean = false)
 
   final case class Stats(rows: Long, cols: Map[String, Col])
 
@@ -117,8 +127,15 @@ private[catalog] object SegmentStats {
     * the bulk of the re-read. */
   def harvest(spark: SparkSession, segmentDir: String, schema: StructType,
               sums: Seq[String] = Nil, blooms: Seq[String] = Nil,
-              ndvs: Seq[String] = Nil): Stats = {
-    val base = fromFooters(segmentDir, schema) match {
+              ndvs: Seq[String] = Nil, selfWritten: Boolean = true): Stats = {
+    // footer string bounds are EXACT only for segments this engine wrote AND
+    // only while the writer's statistics truncation stays at its default
+    // (off) — a user-configured truncate length demotes bounds to brackets
+    val exactStrings = selfWritten && scala.util.Try {
+      val v = spark.sessionState.newHadoopConf().get("parquet.statistics.truncate.length")
+      v == null || v.toInt == Integer.MAX_VALUE
+    }.getOrElse(false)
+    val base = fromFooters(segmentDir, schema, exactStrings) match {
       case Some((rows, ok, failed)) if failed.isEmpty => Stats(rows, ok)
       case Some((rows, ok, failed)) =>
         val patched = computeCols(spark, segmentDir, schema, failed)
@@ -203,7 +220,9 @@ private[catalog] object SegmentStats {
     cols.map { case (name, kind) =>
       val mn = Option(row.getAs[Any](s"__min_$name")).map(_.toString)
       val mx = Option(row.getAs[Any](s"__max_$name")).map(_.toString)
-      name -> Col(kind, mn, mx, row.getAs[Long](s"__nulls_$name"))
+      // aggregate-derived bounds are actual row values by construction
+      name -> Col(kind, mn, mx, row.getAs[Long](s"__nulls_$name"),
+        strExact = kind == 's')
     }.toMap
 
   /** Aggregate scan restricted to `subset` — the per-column fallback arm of
@@ -230,7 +249,8 @@ private[catalog] object SegmentStats {
     *   - string bounds merge by unsigned UTF-8 byte order, the same total
     *     order Spark's min/max on UTF8String uses, so harvested bounds are
     *     bit-identical to the aggregate's. */
-  private[catalog] def fromFooters(segmentDir: String, schema: StructType)
+  private[catalog] def fromFooters(segmentDir: String, schema: StructType,
+                                   exactStrings: Boolean = false)
     : Option[(Long, Map[String, Col], Seq[(String, Char)])] = try {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -340,7 +360,8 @@ private[catalog] object SegmentStats {
     }
     val ok = eligible.collect { case (n, k) if !accs(n).failed =>
       val a = accs(n)
-      n -> Col(k, Option(a.mn).map(render(k, _)), Option(a.mx).map(render(k, _)), a.nulls)
+      n -> Col(k, Option(a.mn).map(render(k, _)), Option(a.mx).map(render(k, _)),
+        a.nulls, strExact = k == 's' && exactStrings)
     }.toMap
     val failed = eligible.filter { case (n, _) => accs(n).failed }
     Some((rows, ok, failed))
@@ -354,10 +375,13 @@ private[catalog] object SegmentStats {
   /** `rows;name:kind:minB64:maxB64:nulls[:sum],...` — base64 keeps arbitrary
     * string bounds clear of the line format's delimiters. '-' marks all-null.
     * The 6th field (per-segment SUM) appears only when harvested, so every
-    * pre-existing 5-field entry still decodes. */
+    * pre-existing 5-field entry still decodes. Kind 'S' (r17) is an EXACT
+    * string column ([[Col.strExact]]) — pre-r17 's' entries decode as
+    * bracket-only, so legacy bounds never answer MIN/MAX. */
   def encode(s: Stats): String = {
     val cols = s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
-      val base = s"$n:${c.kind}:${c.min.map(b64).getOrElse("-")}:${c.max.map(b64).getOrElse("-")}:${c.nulls}"
+      val wireKind = if (c.kind == 's' && c.strExact) 'S' else c.kind
+      val base = s"$n:$wireKind:${c.min.map(b64).getOrElse("-")}:${c.max.map(b64).getOrElse("-")}:${c.nulls}"
       // positional tail: 6 fields = sum only (the pre-NDV on-disk form,
       // still read back); 7 fields = sum-or-dash + ndv sketch
       c.ndv match {
@@ -380,10 +404,11 @@ private[catalog] object SegmentStats {
         val sum =
           if (parts.length >= 6 && parts(5) != "-") Some(parts(5)) else None
         val ndv = if (parts.length == 7) Some(parts(6)) else None
-        n -> Col(k.head,
+        val kind = if (k.head == 'S') 's' else k.head
+        n -> Col(kind,
           if (mn == "-") None else Some(unb64(mn)),
           if (mx == "-") None else Some(unb64(mx)),
-          nulls.toLong, sum, ndv)
+          nulls.toLong, sum, ndv, strExact = k.head == 'S')
       }.toMap
     Stats(rows.toLong, cols)
   }

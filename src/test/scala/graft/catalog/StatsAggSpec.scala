@@ -46,17 +46,72 @@ class StatsAggSpec extends SparkSpec {
     assert(sql(q).collect().head.getLong(0) === 50L)
   }
 
-  test("string MIN/MAX, SUM and COUNT DISTINCT refuse the shortcut") {
+  test("SUM and COUNT DISTINCT refuse the shortcut") {
     root
     // a1 never opted into graft.stats.sums, so SUM has no harvested partials
     for (q <- Seq(
-        "SELECT MIN(s) AS m FROM gsa.ns.a1",
         "SELECT SUM(k) AS m FROM gsa.ns.a1",
         "SELECT COUNT(DISTINCT k) AS m FROM gsa.ns.a1")) {
       assert(!planOf(q).contains(Marker), s"must not serve from stats: $q")
     }
     assert(sql("SELECT SUM(k) FROM gsa.ns.a1").collect().head.getLong(0) ===
       (0L until 250L).sum)
+  }
+
+  test("string MIN/MAX serves zero-IO on engine-written segments (exact bounds, r17)") {
+    root
+    // a1's segments were engine-written, so their string bounds are EXACT
+    val q = "SELECT MIN(s) AS mn, MAX(s) AS mx FROM gsa.ns.a1"
+    val plan = planOf(q)
+    assert(plan.contains(Marker), s"exact string bounds must serve MIN/MAX:\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"), s"no file scan expected:\n$plan")
+    val r = sql(q).collect().head
+    // 'v0'..'v99' in UTF-8 byte order: min 'v0', max 'v99' (the '9' digit
+    // outranks every shorter prefix continuation here)
+    assert((r.getString(0), r.getString(1)) === (("v0", "v99")))
+  }
+
+  test("string MIN/MAX merges in UTF8String binary order, not java String order") {
+    root
+    sql("DROP TABLE IF EXISTS gsa.ns.a8")
+    sql("CREATE TABLE gsa.ns.a8 (s STRING) USING parquet")
+    // U+1F600 (😀, a surrogate PAIR in UTF-16) vs U+FFFD: java String
+    // compareTo puts the surrogate (0xD83D) BELOW 0xFFFD; UTF-8 byte order —
+    // Spark's actual string order — puts the supplementary char ABOVE it.
+    // Two segments so the answer comes from a cross-segment MERGE.
+    sql("INSERT INTO gsa.ns.a8 VALUES ('😀'), ('apple')")
+    sql("INSERT INTO gsa.ns.a8 VALUES ('�'), ('zebra')")
+    val q = "SELECT MAX(s) AS mx, MIN(s) AS mn FROM gsa.ns.a8"
+    val plan = planOf(q)
+    assert(plan.contains(Marker), s"expected stats-served aggregate:\n$plan")
+    val r = sql(q).collect().head
+    assert(r.getString(0) === "😀",
+      "max must follow UTF-8 byte order (the row-reading answer), not UTF-16")
+    assert(r.getString(1) === "apple")
+    // cross-check against the row-reading plan (shortcut disabled per read)
+    val rowRead = spark.read.option("graft.stats.aggregate-pushdown", "false")
+      .table("gsa.ns.a8").agg(org.apache.spark.sql.functions.max("s"))
+    assert(rowRead.collect().head.getString(0) === "😀")
+  }
+
+  test("imported (add_files) string bounds are brackets: MIN/MAX refuses, pruning survives") {
+    root
+    // foreign parquet: written by a plain spark.write OUTSIDE the catalog —
+    // provenance unknown to the engine, so bounds decode non-exact
+    val src = java.nio.file.Files.createTempDirectory("gsa_foreign").toString
+    spark.sql("SELECT 'm' || id AS s, id AS k FROM range(10)")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    sql("DROP TABLE IF EXISTS gsa.ns.a9")
+    sql("CREATE TABLE gsa.ns.a9 (s STRING, k BIGINT) USING parquet")
+    sql(s"CALL gsa.system.add_files('ns.a9', '$src')")
+    val q = "SELECT MIN(s) AS mn FROM gsa.ns.a9"
+    assert(!planOf(q).contains(Marker),
+      "imported string bounds must refuse the MIN/MAX shortcut")
+    assert(sql(q).collect().head.getString(0) === "m0")
+    // numeric MIN/MAX and COUNT(*) still serve — truncation is a string risk
+    val qn = "SELECT COUNT(*) AS n, MAX(k) AS mx FROM gsa.ns.a9"
+    assert(planOf(qn).contains(Marker), "numeric aggregates still serve on imports")
+    assert(sql(qn).collect().head.getLong(1) === 9L)
   }
 
   test("SUM serves from zone maps when the table opts into commit-time sum harvest") {
@@ -210,9 +265,13 @@ class StatsAggSpec extends SparkSpec {
       assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
         ((n, mn, mx, sk)))
     }
-    // grouping by partition value + aggregating the partition column itself
-    val q2 = "SELECT p, MIN(p) AS mp FROM gsa.ns.g1 GROUP BY p"
-    assert(!planOf(q2).contains(Marker), "string MIN stays refused even as a group key")
+    // grouping by the partition value + aggregating the partition column
+    // itself serves too since r17 (exact engine-written string bounds)
+    val q2 = "SELECT p, MIN(p) AS mp FROM gsa.ns.g1 GROUP BY p ORDER BY p NULLS FIRST"
+    assert(planOf(q2).contains(Marker), "exact string bounds serve MIN even as a group key")
+    val r2 = sql(q2).collect()
+    assert(r2.head.isNullAt(1), "the NULL partition's MIN(p) is NULL")
+    assert(r2.tail.map(_.getString(1)).toSeq === Seq("a", "b", "c"))
   }
 
   test("GROUP BY serves on any constant-per-segment column, not just declared partitions") {
