@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.{QDef, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-20 operators (r17 build round): IDENTITY columns on PARTITIONED
+  * tables (the r16 verdict's missing surface — allocation wraps outside
+  * GraftPartitionedWrite's fan-out router, the high-water CAS rides
+  * commitMany; IdentityColumnsSpec pins fan-out uniqueness, the
+  * identity-as-partition-column route, and COW id preservation), zero-IO
+  * string MIN/MAX from zone maps (exact-bounds gating), and persisted
+  * `RETURNS TABLE` SQL functions (parse-time subquery inlining, the
+  * table-valued sibling of q294's scalar inline).
+  *
+  * Oracle strategy unchanged (SURVEY.md §2b): deterministic relational
+  * replays in DuckDB over the same parquet inputs, integer-cents money,
+  * trailing total-order sorts. */
+object Round20Queries {
+
+  private def sfTag(sfDir: String): String = Integer.toHexString(sfDir.hashCode)
+
+  // --------------------------------------------------------------------------
+  // q297: IDENTITY ON A PARTITIONED TABLE — two append waves fan out across
+  // the mktsegment partitions of one identity table; the readout gates the
+  // whole allocation contract with layout-deterministic aggregates (raw ids
+  // depend on task routing, so — like q283/q289 — the query checks the
+  // INVARIANTS, not the values): per-partition row counts equal distinct-id
+  // counts (uniqueness inside every partition segment), every id sits on the
+  // start+k*step grid, the global distinct count equals the table count
+  // (uniqueness ACROSS partitions — the fan-out writer allocates from one
+  // round-robin sequence, no per-partition restart), and wave 2's minimum id
+  // strictly exceeds wave 1's maximum (the commit-time high-water CAS
+  // advanced between statements). At 100 TB this is the "ingest with
+  // engine-assigned surrogate keys into a date/source-partitioned table"
+  // shape — one job, no shuffle added by allocation, no coordination beyond
+  // the one CAS at commit.
+  // --------------------------------------------------------------------------
+  private def q297(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_customer_${sfTag(d)}"
+    T.customer(s, d).createOrReplaceTempView(src)
+    val t = s"r297_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t
+              (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 500 INCREMENT BY 7),
+               seg STRING, k BIGINT, bal_c BIGINT) USING parquet
+              PARTITIONED BY (seg)""")
+    s.sql(s"""INSERT INTO graft.lake.$t (seg, k, bal_c)
+      SELECT c_mktsegment, c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 2 = 0""")                    // wave 0
+    s.sql(s"""INSERT INTO graft.lake.$t (seg, k, bal_c)
+      SELECT c_mktsegment, c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 2 = 1""")                    // wave 1
+    s.sql(s"""WITH g AS (SELECT id, seg, k % 2 AS wave, bal_c FROM graft.lake.$t),
+         w AS (SELECT MAX(CASE WHEN wave = 0 THEN id END) AS w0max,
+                      MIN(CASE WHEN wave = 1 THEN id END) AS w1min FROM g)
+       SELECT seg, COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids,
+              SUM(CASE WHEN id >= 500 AND (id - 500) % 7 = 0 THEN 1 ELSE 0 END) AS on_grid,
+              CAST(SUM(bal_c) AS BIGINT) AS total_c,
+              (SELECT COUNT(DISTINCT id) FROM g) AS all_distinct,
+              (SELECT w1min > w0max FROM w) AS wave_monotone
+       FROM g GROUP BY seg ORDER BY seg""")
+  }
+
+  private val q297Sql =
+    """SELECT c_mktsegment AS seg, COUNT(*) AS n, COUNT(*) AS n_ids,
+              COUNT(*) AS on_grid,
+              CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_c,
+              (SELECT COUNT(*) FROM customer) AS all_distinct,
+              TRUE AS wave_monotone
+       FROM customer GROUP BY 1 ORDER BY seg"""
+
+  // --------------------------------------------------------------------------
+  // q298: ZERO-IO STRING MIN/MAX from zone maps (r17) — the string sibling of
+  // q221/q290's scan-less audits. Engine-written segments carry EXACT string
+  // bounds (parquet-mr stores binary statistics untruncated or not at all, so
+  // a bound harvested from a self-written footer IS a row value — flagged
+  // 'S' at harvest; add_files imports stay bracket-only and refuse), and the
+  // stats-agg merges them in UTF8String BINARY order, the same total order
+  // the row-reading plan uses. The query groups by the partition column (the
+  // partition-pure constancy gate) and answers MIN/MAX over a derived string
+  // and the key — per group AND with planted NULLs — entirely from metadata:
+  // on a 100 TB table this is "lexicographic id range per source" with zero
+  // tasks reading data. StatsAggSpec pins the plan shape (graft-stats-agg, no
+  // parquet scan), the UTF-8-vs-UTF-16 merge-order trap, and the
+  // imported-bounds refusal; this query pins VALUES against the relational
+  // replay.
+  // --------------------------------------------------------------------------
+  private def q298(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_orders_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r298_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, pri STRING, tag STRING)
+              USING parquet PARTITIONED BY (pri)""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderpriority,
+             o_orderstatus || '-' || CAST(o_orderkey % 97 AS STRING)
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE o_orderpriority END,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderstatus || '-' || CAST(o_orderkey % 97 AS STRING) END
+      FROM $src WHERE o_orderkey % 2 = 1""")
+    s.sql(s"""SELECT pri, COUNT(*) AS n, COUNT(tag) AS n_tags,
+                     MIN(tag) AS min_tag, MAX(tag) AS max_tag,
+                     MIN(k) AS min_k, MAX(k) AS max_k
+              FROM graft.lake.$t GROUP BY pri ORDER BY pri NULLS FIRST""")
+  }
+
+  private val q298Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k,
+                CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 19 = 0 THEN NULL
+                     ELSE o_orderpriority END AS pri,
+                CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 7 = 0 THEN NULL
+                     ELSE o_orderstatus || '-' || CAST(o_orderkey % 97 AS VARCHAR) END AS tag
+         FROM orders)
+       SELECT pri, COUNT(*) AS n, COUNT(tag) AS n_tags,
+              MIN(tag) AS min_tag, MAX(tag) AS max_tag,
+              MIN(k) AS min_k, MAX(k) AS max_k
+       FROM base GROUP BY pri ORDER BY pri NULLS FIRST"""
+
+  // --------------------------------------------------------------------------
+  // q299: persisted RETURNS TABLE functions (r17) — the table-valued sibling
+  // of q294's scalar inline. A parameterized table function over the lineitem
+  // mirror (`big_items(minq)`: the rows at/above a quantity floor, with a
+  // persisted SCALAR function composed inside its body) is called TWICE with
+  // different arguments and the two inlined instances JOIN on the line key —
+  // proving each call site expands to an independent lateral subquery that
+  // Catalyst plans like any relation (filter pushdown, join reorder, codegen
+  // — zero interpretation overhead, the whole point of inlining). Spark's
+  // parser refuses catalog-qualified TVF names, so calls ride the one-part
+  // name under USE (restored after planning). The readout re-aggregates the
+  // join (intersection = the higher floor) and the DuckDB oracle replays it
+  // relationally from the source parquet.
+  // --------------------------------------------------------------------------
+  private def q299(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_lineitem_${sfTag(d)}"
+    T.lineitem(s, d).createOrReplaceTempView(src)
+    val t = s"r299_li_${sfTag(d)}"
+    val fn = s"big_items_${sfTag(d)}"
+    val qb = s"qbucket_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    // the synthetic lineitem's (orderkey, linenumber) is NOT unique, so the
+    // mirror dedupes to unique tuples carrying their multiplicity — the twin
+    // join then keys on the full tuple (a genuine row identity)
+    s.sql(s"""CREATE TABLE graft.lake.$t USING parquet AS
+      SELECT l_orderkey AS k, l_linenumber AS ln,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_c,
+             COUNT(*) AS cnt
+      FROM $src GROUP BY 1, 2, 3, 4""")
+    s.sql(s"CREATE OR REPLACE FUNCTION graft.lake.$qb(x BIGINT) RETURNS BIGINT RETURN x DIV 10")
+    // the body composes the scalar function and names its table ONE-PART —
+    // resolved in the function's own namespace, frozen at CREATE
+    s.sql(s"""CREATE OR REPLACE FUNCTION graft.lake.$fn(minq BIGINT)
+      RETURNS TABLE (k BIGINT, ln BIGINT, qb BIGINT, qty BIGINT, price_c BIGINT, cnt BIGINT)
+      RETURN SELECT k, ln, $qb(qty) AS qb, qty, price_c, cnt FROM $t WHERE qty >= minq""")
+    val prevCat = s.catalog.currentCatalog()
+    try {
+      s.sql("USE graft.lake")
+      s.sql(s"""SELECT qb, qty, CAST(SUM(cnt) AS BIGINT) AS n,
+                       CAST(SUM(price_c * cnt) AS BIGINT) AS tot_c
+        FROM (SELECT a.qb AS qb, a.qty AS qty, a.price_c AS price_c, a.cnt AS cnt
+              FROM $fn(40) a JOIN $fn(45) b
+                ON a.k = b.k AND a.ln = b.ln AND a.qty = b.qty AND a.price_c = b.price_c)
+        GROUP BY qb, qty ORDER BY qty""")
+    } finally s.sql(s"USE $prevCat")
+  }
+
+  private val q299Sql =
+    """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+                          CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_c
+                   FROM lineitem)
+       SELECT qty // 10 AS qb, qty, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS tot_c
+       FROM li WHERE qty >= 45 GROUP BY qty ORDER BY qty"""
+
+  val defs: Seq[QDef] = Seq(
+    QDef("q297_identity_partitioned", q297, Some(q297Sql)),
+    QDef("q298_string_minmax_zero_io", q298, Some(q298Sql)),
+    QDef("q299_table_function_inline", q299, Some(q299Sql)),
+  )
+}
