@@ -568,6 +568,48 @@ private[catalog] object GraftDml {
     } finally GraftMeta.deleteRecursively(staging)
   }
 
+  /** Does this COW rewrite qualify for CELL-PRESERVING routing (r17)? True
+    * when the table is unpartitioned and EVERY touched segment carries a
+    * `zc<i>` suffix — the grid rewrite_clustered laid down. Mixed snapshots
+    * (a plain append after clustering) fall back to the one-segment rewrite
+    * for the plain segments' sake; re-run rewrite_clustered to restore. */
+  private def zcellPreserving(meta: GraftMeta, touched: Set[String]): Boolean =
+    GraftPartitions.routedFields(meta.props).isEmpty && touched.nonEmpty &&
+      touched.forall(s => GraftPartitions.suffixOf(s).exists(_.startsWith("zc")))
+
+  /** Cell-preserving COW rewrite for Z-ORDERED tables: surviving rows route
+    * BACK through their source `zc<i>` cell (the suffix-carry contract
+    * compaction follows), so row-level DML keeps the clustering grid — cell
+    * count and untouched dimensions' bounds — instead of collapsing the
+    * touched cells into one wide-bounds segment that would cost every later
+    * probe its pruning. An update that moves a row's clustered-column values
+    * leaves it in its OLD cell (that cell's bounds widen; pruning stays
+    * CORRECT, rewrite_clustered restores tightness). In-cell row order is
+    * not re-derived (the zkey function is not persisted) — cell-level zone
+    * bounds are what plan-time pruning reads. `transform` sees the DV-merged
+    * rows WITH their `__g_route` column and must keep it. */
+  private def rewritePreservingCells(dir: java.nio.file.Path, meta: GraftMeta,
+      touched: Seq[String], transform: DataFrame => DataFrame)
+    : Seq[(String, Option[String])] = {
+    val spark = SparkSession.active
+    val schema = meta.schema
+    val routeOf = org.apache.spark.sql.functions.udf((fp: String) =>
+      GraftPartitions.suffixOf(segName(fp)).getOrElse(""))
+    val live = readLive(spark, dir, meta, touched, keepMeta = true)
+    val transformed = transform(live.withColumn("__g_route", routeOf(col("__g_fp"))))
+    val prepared = transformed
+      .select((col("__g_route") +: lit(0).as("__g_slot") +:
+        schema.fieldNames.map(col).toSeq): _*)
+      .repartition(col("__g_route"))
+    val writeId = UUID.randomUUID().toString.take(12)
+    val staging = dir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")
+    val (owf, conf) = parquetWriterFactory(spark, schema)
+    try {
+      landManifest(dir, meta, staging, writeId, runFanOutJob(prepared,
+        new GraftRouteWriterFactory(owf, conf, staging.toString, schema)))
+    } finally GraftMeta.deleteRecursively(staging)
+  }
+
   /** Compaction's ONE-job rewrite of the whole current snapshot: every row
     * routes back to its SOURCE segment's partition suffix (groups by FULL
     * suffix — each spec generation keeps its own layout byte-identically,
@@ -781,17 +823,16 @@ private[catalog] object GraftDml {
       discoverTouched(readLive(spark, dir, meta, segs, keepMeta = true), matches)
     if (touchedCounts.isEmpty) return (segs.size, 0, 0L)
     val touched = touchedCounts.keySet
-    val projected = readLive(spark, dir, meta, segs.filter(touched))
-      .select(meta.schema.fields.map { f =>
+    // cast INSIDE the branch: CaseWhen coerces both branches to a common
+    // type first, so an outer cast would round-trip non-matching rows'
+    // values through e.g. DOUBLE and corrupt them
+    val projExprs: Seq[Column] = meta.schema.fields.toSeq.map { f =>
       assignedMap.get(f.name) match {
-        // cast INSIDE the branch: CaseWhen coerces both branches to a common
-        // type first, so an outer cast would round-trip non-matching rows'
-        // values through e.g. DOUBLE and corrupt them
         case Some(rhs) =>
           when(matches, expr(rhs).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
-    }.toSeq: _*)
+    }
     // guard the partition invariant: UPDATE must not move a row across
     // partitions (the rewrite would silently create a new partition while the
     // row's old partition still lists it under the swapped-out segment only) —
@@ -800,7 +841,13 @@ private[catalog] object GraftDml {
       !assignedMap.keys.exists(_.equalsIgnoreCase(pc)),
       s"graft update_where: partition column '$pc' cannot be assigned " +
         "(delete + insert to move rows across partitions)"))
-    val segments = writeSegments(dir, meta, projected)
+    val segments =
+      // z-ordered grid: rewritten rows route back through their source cell
+      if (zcellPreserving(meta, touched))
+        rewritePreservingCells(dir, meta, segs.filter(touched),
+          live => live.select((col("__g_route") +: projExprs): _*))
+      else writeSegments(dir, meta,
+        readLive(spark, dir, meta, segs.filter(touched)).select(projExprs: _*))
     cleanupOnFailedCommit(dir, segments.map(_._1)) {
       GraftMeta.commitReplaceSegments(dir, segments, touched,
         expectedCurrent = Some(meta.current))
@@ -840,9 +887,13 @@ private[catalog] object GraftDml {
     val touched = touchedCounts.keySet
     // 2. rewrite only the touched segments (one pure segment per partition
     // value on a partitioned table — a partition whose rows all die simply
-    // produces no rewrite segment and vanishes from the snapshot)
-    val segments = writeSegments(dir, meta,
-      readLive(spark, dir, meta, segs.filter(touched)).where(not(matches)))
+    // produces no rewrite segment and vanishes from the snapshot; a z-order
+    // CELL likewise: survivors route back through their source cell)
+    val segments =
+      if (zcellPreserving(meta, touched))
+        rewritePreservingCells(dir, meta, segs.filter(touched), _.where(not(matches)))
+      else writeSegments(dir, meta,
+        readLive(spark, dir, meta, segs.filter(touched)).where(not(matches)))
     // 3. swap exactly the touched segments; fail on any concurrent commit —
     // applying `removed` to a changed base would resurrect deleted rows or
     // duplicate survivors — and delete the loser's segments instead of leaking

@@ -766,14 +766,16 @@ class GraftCatalogSpec extends SparkSpec {
     // fromFooters has no SparkSession parameter, so a clean harvest is
     // STRUCTURALLY incapable of re-reading the segment's rows
     val (rows, ok, failed) =
-      SegmentStats.fromFooters(dir.resolve(seg).toString, meta.schema).get
+      SegmentStats.fromFooters(dir.resolve(seg).toString, meta.schema,
+        exactStrings = true).get
     assert(failed.isEmpty, s"footer harvest must cover int/string/date, missed $failed")
     assert(rows === 100L)
     // bit-identical to the aggregate-scan fallback (the round-5 implementation)
     val agg = SegmentStats.compute(spark, dir.resolve(seg).toString, meta.schema)
     assert(SegmentStats.Stats(rows, ok) === agg,
       "footer-harvested bounds must equal the aggregate scan's")
-    // and the COMMITTED stats are the harvested ones (same encode round-trip)
+    // and the COMMITTED stats are the harvested ones (same encode round-trip,
+    // string exactness included — this segment was engine-written)
     assert(SegmentStats.decode(meta.zstats(seg)) === agg)
     assert(ok("tag").nulls === 34L) // ids 0,3,...,99
     assert(ok("k").min.contains("0") && ok("k").max.contains("99"))

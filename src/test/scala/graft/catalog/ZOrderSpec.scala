@@ -103,6 +103,73 @@ class ZOrderSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) FROM gzo.ns.z3").collect().head.getLong(0) === 1000L)
   }
 
+  test("COW DML preserves the z-grid: touched rows route back through their cell (r17)") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.z6")
+    sql("CREATE TABLE gzo.ns.z6 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
+    sql("INSERT INTO gzo.ns.z6 SELECT id, (id * 7919) % 1000, (id * 104729) % 1000 FROM range(0, 2000)")
+    sql("CALL gzo.system.rewrite_clustered('ns.z6', 'a,b', 8)")
+    val preSegs = plannedSegs(sql("SELECT k FROM gzo.ns.z6 WHERE a >= 0")).size
+    val prePruned = plannedSegs(sql("SELECT k FROM gzo.ns.z6 WHERE a < 100")).size
+    assert(preSegs === 8 && prePruned < 8)
+    // an UPDATE touching rows across SEVERAL cells (a-range spans the grid):
+    // pre-r17 the touched cells collapsed into one wide-bounds segment
+    val out = sql(
+      "CALL gzo.system.update_where('ns.z6', 'b % 97 = 3', 'k = k + 1000000')").collect().head
+    assert(out.getInt(1) >= 2, s"fixture must touch >= 2 cells, touched ${out.getInt(1)}")
+    // the grid SURVIVES: same segment count, and the one-dimension probe
+    // still plans no more than it did before the update
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.z6 WHERE a >= 0")).size === preSegs,
+      "touched cells must be rewritten in place, not collapsed")
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.z6 WHERE a < 100")).size <= prePruned,
+      "a clustered-column probe must keep its pre-update pruning bound")
+    // values are the update's (hash the moved keys)
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z6 WHERE k >= 1000000").collect().head.getLong(0)
+      === sql("SELECT COUNT(*) FROM gzo.ns.z6 WHERE b % 97 = 3").collect().head.getLong(0))
+    // DELETE likewise: survivors stay in their cells, and a cell whose rows
+    // all die vanishes instead of forcing a merged rewrite
+    val preCount = sql("SELECT COUNT(*) FROM gzo.ns.z6").collect().head.getLong(0)
+    val del = sql("CALL gzo.system.delete_where('ns.z6', 'a % 11 = 5')").collect().head
+    assert(del.getInt(1) >= 2)
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.z6 WHERE a >= 0")).size <= preSegs)
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.z6 WHERE a < 100")).size <= prePruned)
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z6").collect().head.getLong(0) ===
+      preCount - del.getLong(2))
+    // updating a CLUSTERED column keeps the row in its OLD cell (bounds
+    // widen there; pruning stays correct — verified by value, not by plan)
+    val moved = sql("SELECT COUNT(*) FROM gzo.ns.z6 WHERE a < 50").collect().head.getLong(0)
+    sql("CALL gzo.system.update_where('ns.z6', 'a >= 950', 'a = a - 940')")
+    val after = sql("SELECT COUNT(*) FROM gzo.ns.z6 WHERE a < 50").collect().head.getLong(0)
+    assert(after > moved, "re-assigned clustered values must be visible")
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.z6 WHERE a >= 0")).size <= preSegs)
+  }
+
+  test("the SQL row-level path's grid degradation is visible in t.partitions") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.z7")
+    sql("CREATE TABLE gzo.ns.z7 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
+    sql("INSERT INTO gzo.ns.z7 SELECT id, (id * 7) % 100, (id * 11) % 100 FROM range(0, 1000)")
+    sql("CALL gzo.system.rewrite_clustered('ns.z7', 'a,b', 4)")
+    // every current segment is a zc cell: t.partitions shows 4 cell rows,
+    // no NULL-partition (unsuffixed) row
+    val cells = sql("SELECT partition FROM gzo.ns.z7.partitions").collect()
+    assert(cells.length === 4 && cells.forall(!_.isNullAt(0)))
+    // SQL UPDATE rides Spark's group-based row-level rewrite (one replacement
+    // segment) — the touched cells collapse, and the mixed state is VISIBLE:
+    // an unsuffixed NULL-partition row appears beside the surviving cells,
+    // the operator's signal to re-run rewrite_clustered
+    sql("UPDATE gzo.ns.z7 SET k = k + 5000 WHERE b % 13 = 1")
+    val after = sql("SELECT partition FROM gzo.ns.z7.partitions").collect()
+    assert(after.exists(_.isNullAt(0)),
+      "the collapsed rewrite must surface as an unsuffixed partition row")
+    // rewrite_clustered restores the full grid
+    sql("CALL gzo.system.rewrite_clustered('ns.z7', 'a,b', 4)")
+    val restored = sql("SELECT partition FROM gzo.ns.z7.partitions").collect()
+    assert(restored.length === 4 && restored.forall(!_.isNullAt(0)))
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z7 WHERE k >= 5000").collect().head.getLong(0)
+      === sql("SELECT COUNT(*) FROM gzo.ns.z7 WHERE b % 13 = 1").collect().head.getLong(0))
+  }
+
   test("a concurrent append fails the rewrite commit loudly; nothing is lost") {
     root
     sql("DROP TABLE IF EXISTS gzo.ns.z4")
