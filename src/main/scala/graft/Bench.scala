@@ -61,10 +61,16 @@ object Bench {
       .filter { case (n, _) => filter.forall(_.findFirstIn(n).isDefined) }
     // Variance-prone fixtures get extra runs so the median converges: q231
     // forks an external process per task (fork latency under a busy JVM is
-    // bimodal — measured 0.54 s isolated vs 1.54 s min mid-suite in r15) and
-    // q128's XML parse stalls on one-off JIT deopt. More runs cost ~4 s
-    // total and stop environment noise masquerading as plan regressions.
-    val extraRuns = Set("q231_script_transform", "q128_xml_functions")
+    // bimodal — measured 0.54 s isolated vs 1.54 s min mid-suite in r15),
+    // q128's XML parse stalls on one-off JIT deopt, and the iterative-graph
+    // / Expand fixtures (q125/q132/q242 — r16 medians 1.3-2.1x their mins
+    // from JIT-under-contention in the loop machinery) plus q202 (r16's
+    // false regression: suite min 0.42 s vs isolated 0.163 s) converge the
+    // same way. More runs cost ~20 s total and stop environment noise
+    // masquerading as plan regressions.
+    val extraRuns = Set("q231_script_transform", "q128_xml_functions",
+      "q125_pagerank", "q132_triangle_count", "q242_column_profiler",
+      "q202_string_surgery")
     val results = selected.map { case (name, fn) =>
       val nRuns = if (extraRuns.contains(name)) math.max(runs, 5) else runs
       val times = Seq.fill(nRuns)(timeOnce(name, fn))

@@ -155,7 +155,8 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
       spark, segDir.toString, meta.readSchema,
       SegmentStats.sumCols(meta.props, meta.schema),
       GraftBloom.cols(meta.props, meta.schema),
-      SegmentStats.ndvCols(meta.props, meta.schema), selfWritten = false)).toOption
+      SegmentStats.ndvCols(meta.props, meta.schema), selfWritten = false,
+      klls = SegmentStats.kllCols(meta.props, meta.schema))).toOption
     val stats = harvested.flatMap(h => scala.util.Try(SegmentStats.encode(h)).toOption)
     GraftDml.cleanupOnFailedCommit(dir, Seq(segment)) {
       GraftMeta.commitMany(dir, Seq(segment -> stats),

@@ -340,6 +340,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     // commit-time NDV-sketch harvest opt-in (same lazy per-schema validation)
     val ndvProp = Option(properties.get(SegmentStats.NdvProp))
       .map(v => SegmentStats.NdvProp -> v).toMap
+    // commit-time KLL quantile-sketch harvest opt-in (same lazy validation)
+    val kllProp = Option(properties.get(SegmentStats.KllProp))
+      .map(v => SegmentStats.KllProp -> v).toMap
     // CHECK constraints: validated NOW (parse + analyze against the schema)
     // so a broken check can never become a property the writers then fail on
     val checkProps = properties.asScala.filter(_._1.startsWith(GraftChecks.Prefix)).toMap
@@ -379,7 +382,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         "graft catalog: bucket partitioning with merge-on-read DML is not supported")
     }
     val annotated = GraftFieldIds.annotate(schema)
-    val props = kept ++ dmlModes ++ sumsProp ++ ndvProp ++ checkProps ++ genProps ++
+    val props = kept ++ dmlModes ++ sumsProp ++ ndvProp ++ kllProp ++ checkProps ++ genProps ++
       bloomProp ++ identityProps ++
       stagedAtMs.map(t => GraftStaging.StagedProp -> t.toString) ++
       bucketSpec.map(b => GraftBucket.Prop -> s"${b.col},${b.n}") ++
@@ -799,7 +802,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             // name lists in layout/stat/index properties follow the rename
             Seq(GraftTable.ClusterByProp, GraftTable.OrderByProp,
                 GraftTable.PartitionByProp, SegmentStats.SumsProp,
-                SegmentStats.NdvProp, GraftBloom.Prop).foreach { p =>
+                SegmentStats.NdvProp, SegmentStats.KllProp,
+                GraftBloom.Prop).foreach { p =>
               (setProps.get(p) orElse meta.props.get(p)).foreach { v =>
                 val parts = v.split(',').map(_.trim)
                 if (parts.exists(_.equalsIgnoreCase(from)))
@@ -825,12 +829,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           // the corresponding pushdown/report refused
           case set: TableChange.SetProperty
               if set.property() == SegmentStats.SumsProp ||
-                set.property() == SegmentStats.NdvProp =>
+                set.property() == SegmentStats.NdvProp ||
+                set.property() == SegmentStats.KllProp =>
             setProps += set.property() -> set.value()
             sch
           case rm: TableChange.RemoveProperty
               if rm.property() == SegmentStats.SumsProp ||
-                rm.property() == SegmentStats.NdvProp =>
+                rm.property() == SegmentStats.NdvProp ||
+                rm.property() == SegmentStats.KllProp =>
             removedProps += rm.property()
             sch
           // PARTITION EVOLUTION: the new spec governs FUTURE writes only —
@@ -2982,7 +2988,8 @@ private[catalog] final class GraftWriteBuilder(
           metaAtBuild.readSchema,
           SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
           GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
-          SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
+          SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema),
+          klls = SegmentStats.kllCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
         (branch, groupRemovals()) match {
           case (Some(b), _) =>
             // WAP: extend the ref's staged list; main's current never moves

@@ -303,7 +303,8 @@ private[catalog] final class GraftDeltaBatchWrite(
           SparkSession.active, segDir.toString, metaAtLoad.readSchema,
           SegmentStats.sumCols(metaAtLoad.props, metaAtLoad.schema),
           GraftBloom.cols(metaAtLoad.props, metaAtLoad.schema),
-          SegmentStats.ndvCols(metaAtLoad.props, metaAtLoad.schema)))).toOption
+          SegmentStats.ndvCols(metaAtLoad.props, metaAtLoad.schema),
+          klls = SegmentStats.kllCols(metaAtLoad.props, metaAtLoad.schema)))).toOption
         (seg, stats)
       }
       if (allPositions.isEmpty && segments.isEmpty) return

@@ -50,7 +50,14 @@ private[catalog] object GraftMetadataTable {
     // distinct-count estimate from UNIONED per-segment HLL sketches
     // (graft.stats.ndv opt-in); null unless EVERY current segment carries a
     // sketch for the column — a partial union would silently under-count
-    StructField("ndv_estimate", LongType, nullable = true)))
+    StructField("ndv_estimate", LongType, nullable = true),
+    // approximate quantiles from MERGED per-segment KLL sketches
+    // (graft.stats.kll opt-in, k=200 ≈ 1.65% rank error); same every-segment
+    // coverage rule. Date columns report epoch days, timestamps micros —
+    // the zone-entry domains.
+    StructField("p50_estimate", DoubleType, nullable = true),
+    StructField("p90_estimate", DoubleType, nullable = true),
+    StructField("p99_estimate", DoubleType, nullable = true)))
 
   val TagsSchema: StructType = StructType(Seq(
     StructField("tag", StringType, nullable = false),
@@ -142,8 +149,23 @@ private[catalog] final class GraftMetadataTable(
               Long.box(Math.round(u.getEstimate))
             }.getOrElse(null)
           } else null
+        // merge the per-segment KLL quantile sketches; same coverage rule.
+        // An all-values-null table merges to an EMPTY sketch → null quantiles.
+        val quantiles: Array[Any] =
+          if (segs.nonEmpty && covered && cols.length == segs.length &&
+              cols.forall(_.kll.isDefined)) {
+            scala.util.Try {
+              val u = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+              cols.foreach(c => u.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                org.apache.datasketches.memory.Memory.wrap(
+                  java.util.Base64.getDecoder.decode(c.kll.get)))))
+              if (u.isEmpty) Array[Any](null, null, null)
+              else Array[Any](Double.box(u.getQuantile(0.5)),
+                Double.box(u.getQuantile(0.9)), Double.box(u.getQuantile(0.99)))
+            }.getOrElse(Array[Any](null, null, null))
+          } else Array[Any](null, null, null)
         new GenericInternalRow(Array[Any](
-          UTF8String.fromString(f.name), segs.size, rows, nulls, ndv)): InternalRow
+          UTF8String.fromString(f.name), segs.size, rows, nulls, ndv) ++ quantiles): InternalRow
       }
     } else if (kind == "partitions") {
       val segs = meta.snapshots.getOrElse(meta.current, Nil)

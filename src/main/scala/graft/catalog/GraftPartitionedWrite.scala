@@ -222,7 +222,8 @@ private[catalog] final class GraftPartitionedWrite(
             SparkSession.active, segDir.toString, metaAtBuild.readSchema,
             SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
             GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
-            SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
+            SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema),
+            klls = SegmentStats.kllCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
           (seg, stats)
         }
         try {

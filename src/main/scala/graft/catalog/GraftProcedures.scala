@@ -461,7 +461,8 @@ private[catalog] object GraftDml {
       SparkSession.active, dir.resolve(segment).toString, meta.readSchema,
       SegmentStats.sumCols(meta.props, meta.schema),
         GraftBloom.cols(meta.props, meta.schema),
-        SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
+        SegmentStats.ndvCols(meta.props, meta.schema),
+        klls = SegmentStats.kllCols(meta.props, meta.schema)))).toOption
     (segment, stats)
   }
 
@@ -505,7 +506,8 @@ private[catalog] object GraftDml {
           spark, segDir.toString, meta.schema,
           SegmentStats.sumCols(meta.props, meta.schema),
           GraftBloom.cols(meta.props, meta.schema),
-          SegmentStats.ndvCols(meta.props, meta.schema)))).toOption
+          SegmentStats.ndvCols(meta.props, meta.schema),
+          klls = SegmentStats.kllCols(meta.props, meta.schema)))).toOption
         (seg, stats)
       }
   }

@@ -108,7 +108,8 @@ private[catalog] final class GraftStreamingWrite(
           SparkSession.active, segDir.toString, metaAtBuild.readSchema,
           SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
           GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
-          SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
+          SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema),
+          klls = SegmentStats.kllCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
         (seg, stats)
       }
       val applied = GraftMeta.commitMany(tableDir, segments, replaceAll = false,

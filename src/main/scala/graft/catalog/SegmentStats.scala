@@ -52,7 +52,8 @@ private[catalog] object SegmentStats {
     * every table's zero-read commit path. */
   final case class Col(kind: Char, min: Option[String], max: Option[String],
                        nulls: Long, sum: Option[String] = None,
-                       ndv: Option[String] = None, strExact: Boolean = false)
+                       ndv: Option[String] = None, strExact: Boolean = false,
+                       kll: Option[String] = None)
 
   final case class Stats(rows: Long, cols: Map[String, Col])
 
@@ -72,6 +73,26 @@ private[catalog] object SegmentStats {
   def ndvCols(props: Map[String, String], schema: StructType): Seq[String] =
     props.get(NdvProp).toSeq.flatMap { spec =>
       val eligible = schema.fields.filter(f => kindOf(f.dataType).isDefined).map(_.name)
+      if (spec.trim == "*") eligible.toSeq
+      else spec.split(',').map(_.trim).flatMap(c => eligible.find(_.equalsIgnoreCase(c))).toSeq
+    }
+
+  /** Table property naming the columns to harvest commit-time QUANTILE
+    * SKETCHES for ('*' = every integral/date/timestamp column): a
+    * per-segment DataSketches KLL (k=200, ~1.65% one-sided rank error),
+    * b64'd into the zone entry. Like the NDV sketches, KLLs are MERGEABLE —
+    * `t.column_stats` unions the current snapshot's sketches into
+    * p50/p90/p99 estimates with ZERO file IO, which per-segment exact
+    * medians can never compose into (quantiles do not sum). Monetary values
+    * follow the engine's integer-cents convention, so integral coverage is
+    * the money case too. Same pay-once-at-write trade as sums/ndv. */
+  val KllProp = "graft.stats.kll"
+
+  def kllCols(props: Map[String, String], schema: StructType): Seq[String] =
+    props.get(KllProp).toSeq.flatMap { spec =>
+      val eligible = schema.fields
+        .filter(f => kindOf(f.dataType).exists(k => k == 'i' || k == 'd' || k == 't'))
+        .map(_.name)
       if (spec.trim == "*") eligible.toSeq
       else spec.split(',').map(_.trim).flatMap(c => eligible.find(_.equalsIgnoreCase(c))).toSeq
     }
@@ -127,7 +148,8 @@ private[catalog] object SegmentStats {
     * the bulk of the re-read. */
   def harvest(spark: SparkSession, segmentDir: String, schema: StructType,
               sums: Seq[String] = Nil, blooms: Seq[String] = Nil,
-              ndvs: Seq[String] = Nil, selfWritten: Boolean = true): Stats = {
+              ndvs: Seq[String] = Nil, selfWritten: Boolean = true,
+              klls: Seq[String] = Nil): Stats = {
     // footer string bounds are EXACT only for segments this engine wrote AND
     // only while the writer's statistics truncation stays at its default
     // (off) — a user-configured truncate length demotes bounds to brackets
@@ -147,7 +169,58 @@ private[catalog] object SegmentStats {
     GraftBloom.harvest(spark, segmentDir, schema, blooms, base.rows)
     val summed =
       if (sums.isEmpty) base else withSums(spark, segmentDir, schema, base, sums)
-    if (ndvs.isEmpty) summed else withNdv(spark, segmentDir, schema, summed, ndvs)
+    val sketched =
+      if (ndvs.isEmpty) summed else withNdv(spark, segmentDir, schema, summed, ndvs)
+    if (klls.isEmpty) sketched else withKll(spark, segmentDir, schema, sketched, klls)
+  }
+
+  /** Opt-in commit-time KLL quantile-sketch harvest: ONE projected pass over
+    * the named columns via mapPartitions — a sketch per column per task,
+    * merged driver-side, exactly the merge tree KLL's error bound is proven
+    * for. Date/timestamp columns sketch their long domain (epoch days /
+    * micros — the same domain their zone bounds use). An all-null segment
+    * stores an EMPTY sketch ("this segment contributes zero values" is
+    * information; absence would read as "not covered"). Failures degrade to
+    * sketch-less stats, never lost zone maps. */
+  private def withKll(spark: SparkSession, segmentDir: String, schema: StructType,
+                      base: Stats, klls: Seq[String]): Stats = {
+    val targets: Seq[(String, Char)] = klls.flatMap(c =>
+      base.cols.get(c).map(_.kind).filter(k => k == 'i' || k == 'd' || k == 't')
+        .map(c -> _))
+    if (targets.isEmpty) return base
+    scala.util.Try {
+      import org.apache.datasketches.kll.KllDoublesSketch
+      val df = spark.read.schema(schema).parquet(segmentDir)
+      val proj = df.select(targets.map { case (c, kind) =>
+        (kind match {
+          case 'd' => datediff(colAt(c), lit("1970-01-01"))
+          case 't' => unix_micros(colAt(c))
+          case _   => colAt(c)
+        }).cast("double")
+      }: _*)
+      val n = targets.length
+      val parts = proj.rdd.mapPartitions { it =>
+        val sks = Array.fill(n)(KllDoublesSketch.newHeapInstance(200))
+        it.foreach { r =>
+          var i = 0
+          while (i < n) {
+            if (!r.isNullAt(i)) sks(i).update(r.getDouble(i))
+            i += 1
+          }
+        }
+        Iterator.single(sks.map(_.toByteArray))
+      }.collect()
+      val merged = (0 until n).map { i =>
+        val u = KllDoublesSketch.newHeapInstance(200)
+        parts.foreach(p => u.merge(KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(p(i)))))
+        Base64.getEncoder.encodeToString(u.toByteArray)
+      }
+      val patched = targets.map(_._1).zip(merged).flatMap { case (c, b) =>
+        base.cols.get(c).map(col0 => c -> col0.copy(kll = Some(b)))
+      }
+      base.copy(cols = base.cols ++ patched)
+    }.getOrElse(base)
   }
 
   /** Opt-in commit-time NDV-sketch harvest: one aggregate scan projected to
@@ -383,10 +456,13 @@ private[catalog] object SegmentStats {
       val wireKind = if (c.kind == 's' && c.strExact) 'S' else c.kind
       val base = s"$n:$wireKind:${c.min.map(b64).getOrElse("-")}:${c.max.map(b64).getOrElse("-")}:${c.nulls}"
       // positional tail: 6 fields = sum only (the pre-NDV on-disk form,
-      // still read back); 7 fields = sum-or-dash + ndv sketch
-      c.ndv match {
-        case Some(h) => s"$base:${c.sum.getOrElse("-")}:$h"
-        case None    => c.sum.fold(base)(v => s"$base:$v")
+      // still read back); 7 fields = sum-or-dash + ndv sketch; 8 fields =
+      // sum-or-dash + ndv-or-dash + kll quantile sketch
+      (c.ndv, c.kll) match {
+        case (_, Some(q)) =>
+          s"$base:${c.sum.getOrElse("-")}:${c.ndv.getOrElse("-")}:$q"
+        case (Some(h), None) => s"$base:${c.sum.getOrElse("-")}:$h"
+        case (None, None)    => c.sum.fold(base)(v => s"$base:$v")
       }
     }
     s"${s.rows};${cols.mkString(",")}"
@@ -398,17 +474,19 @@ private[catalog] object SegmentStats {
       if (rest.isEmpty) Map.empty[String, Col]
       else rest.split(',').map { rec =>
         val parts = rec.split(':')
-        require(parts.length >= 5 && parts.length <= 7,
+        require(parts.length >= 5 && parts.length <= 8,
           s"graft: malformed zone entry '$rec'")
         val Array(n, k, mn, mx, nulls) = parts.take(5)
         val sum =
           if (parts.length >= 6 && parts(5) != "-") Some(parts(5)) else None
-        val ndv = if (parts.length == 7) Some(parts(6)) else None
+        val ndv =
+          if (parts.length >= 7 && parts(6) != "-") Some(parts(6)) else None
+        val kll = if (parts.length == 8) Some(parts(7)) else None
         val kind = if (k.head == 'S') 's' else k.head
         n -> Col(kind,
           if (mn == "-") None else Some(unb64(mn)),
           if (mx == "-") None else Some(unb64(mx)),
-          nulls.toLong, sum, ndv, strExact = k.head == 'S')
+          nulls.toLong, sum, ndv, strExact = k.head == 'S', kll = kll)
       }.toMap
     Stats(rows.toLong, cols)
   }

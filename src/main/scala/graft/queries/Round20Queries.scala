@@ -179,9 +179,59 @@ object Round20Queries {
        SELECT qty // 10 AS qb, qty, COUNT(*) AS n, CAST(SUM(price_c) AS BIGINT) AS tot_c
        FROM li WHERE qty >= 45 GROUP BY qty ORDER BY qty"""
 
+  // --------------------------------------------------------------------------
+  // q300: KLL QUANTILE SKETCH STATS (`graft.stats.kll` + `t.column_stats`,
+  // r17 — the quantile sibling of q262's NDV sketches): per-segment KLL
+  // sketches (k=200) harvested at commit and MERGED zero-IO in
+  // `t.column_stats` — per-segment exact medians can never compose
+  // (quantiles do not sum), mergeable sketches are the only structure that
+  // answers "p50/p90/p99 of a 100 TB column" without a scan. The gate is
+  // q262's rank-check shape: the estimate's RANK (count of values at/below
+  // it, computed relationally over the table) must sit within KLL's
+  // published rank-error bound of the target rank — a property the DuckDB
+  // oracle replays as the expected-TRUE row alongside exact counts, so the
+  // hash pins the sketch to its contract, not to its internal layout.
+  // --------------------------------------------------------------------------
+  private def q300(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_orders2_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r300_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, cents BIGINT) USING parquet
+              TBLPROPERTIES ('graft.stats.kll' = '*')""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 0""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 2 = 1""")
+    s.sql(s"SELECT * FROM graft.lake.$t.column_stats").createOrReplaceTempView(s"${t}_cs")
+    s.sql(s"""
+      WITH est AS (SELECT p50_estimate AS p50, p90_estimate AS p90,
+                          p99_estimate AS p99
+                   FROM ${t}_cs WHERE `column` = 'cents'),
+           r AS (SELECT (SELECT COUNT(*) FROM graft.lake.$t) AS n,
+                        (SELECT COUNT(*) FROM graft.lake.$t
+                         WHERE cents <= (SELECT p50 FROM est)) AS le50,
+                        (SELECT COUNT(*) FROM graft.lake.$t
+                         WHERE cents <= (SELECT p90 FROM est)) AS le90,
+                        (SELECT COUNT(*) FROM graft.lake.$t
+                         WHERE cents <= (SELECT p99 FROM est)) AS le99)
+      SELECT n,
+             CAST(le50 BETWEEN CAST(0.47 * n AS BIGINT) AND CAST(0.53 * n AS BIGINT) AS INT) AS p50_ok,
+             CAST(le90 BETWEEN CAST(0.87 * n AS BIGINT) AND CAST(0.93 * n AS BIGINT) AS INT) AS p90_ok,
+             CAST(le99 >= CAST(0.96 * n AS BIGINT) AS INT) AS p99_ok
+      FROM r""")
+  }
+
+  private val q300Sql =
+    """SELECT COUNT(*) AS n, 1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok FROM orders"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q297_identity_partitioned", q297, Some(q297Sql)),
     QDef("q298_string_minmax_zero_io", q298, Some(q298Sql)),
     QDef("q299_table_function_inline", q299, Some(q299Sql)),
+    QDef("q300_kll_quantile_stats", q300, Some(q300Sql)),
   )
 }
