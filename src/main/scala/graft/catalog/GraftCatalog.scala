@@ -514,6 +514,15 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         case rm: TableChange.RemoveProperty if rm.property().startsWith(GraftIdentity.Prefix) =>
           throw new IllegalArgumentException(
             s"graft catalog: '${rm.property()}' is engine-owned allocation state")
+        // the persisted z-order routing spec is engine-owned too: a planted
+        // or deleted spec would misroute every later write
+        case s: TableChange.SetProperty if s.property().startsWith("graft.zorder.") =>
+          throw new IllegalArgumentException(
+            s"graft catalog: '${s.property()}' is engine-owned clustering state " +
+              "(rewrite_clustered maintains it)")
+        case rm: TableChange.RemoveProperty if rm.property().startsWith("graft.zorder.") =>
+          throw new IllegalArgumentException(
+            s"graft catalog: '${rm.property()}' is engine-owned clustering state")
         case s: TableChange.SetProperty
             if identityCols.nonEmpty && GraftDv.ModeProps(s.property()) &&
               s.value() == GraftDv.ModeMor =>
@@ -565,6 +574,33 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
               if GraftDv.ModeProps(s.property()) && s.value() == GraftDv.ModeMor =>
             throw new IllegalArgumentException(
               "graft catalog: bucket partitioning with merge-on-read DML is not supported")
+          case _ => ()
+        }
+      }
+      // z-order ROUTING columns (GraftZOrder): their values feed the
+      // persisted normalization bounds + split points, so dropping one or
+      // widening date->timestamp_ntz (a DOMAIN change: days -> micros)
+      // breaks routing for every later write — refuse with the remediation;
+      // integral widenings keep the long domain and renames re-key the
+      // props through the name-list follow below
+      GraftZOrder.of(meta.props).foreach { z =>
+        changes.foreach {
+          case dl: TableChange.DeleteColumn
+              if dl.fieldNames().length == 1 &&
+                z.cols.exists(_.equalsIgnoreCase(dl.fieldNames()(0))) =>
+            throw new IllegalArgumentException(
+              s"graft catalog: cannot drop z-order routing column " +
+                s"'${dl.fieldNames()(0)}' — re-run rewrite_clustered with " +
+                "different columns first")
+          case u: TableChange.UpdateColumnType
+              if u.fieldNames().length == 1 &&
+                z.cols.exists(_.equalsIgnoreCase(u.fieldNames()(0))) &&
+                u.newDataType() == org.apache.spark.sql.types.TimestampNTZType =>
+            throw new IllegalArgumentException(
+              s"graft catalog: cannot widen z-order routing column " +
+                s"'${u.fieldNames()(0)}' to timestamp_ntz — the persisted " +
+                "routing bounds are in the date domain; re-run " +
+                "rewrite_clustered first")
           case _ => ()
         }
       }
@@ -803,7 +839,7 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
             Seq(GraftTable.ClusterByProp, GraftTable.OrderByProp,
                 GraftTable.PartitionByProp, SegmentStats.SumsProp,
                 SegmentStats.NdvProp, SegmentStats.KllProp,
-                GraftBloom.Prop).foreach { p =>
+                GraftZOrder.ColsProp, GraftBloom.Prop).foreach { p =>
               (setProps.get(p) orElse meta.props.get(p)).foreach { v =>
                 val parts = v.split(',').map(_.trim)
                 if (parts.exists(_.equalsIgnoreCase(from)))
@@ -2849,7 +2885,8 @@ private[catalog] final class GraftWriteBuilder(
   }
 
   override def build(): Write = {
-    val routed = GraftPartitions.routedFields(GraftMeta.read(tableDir).props)
+    val propsAtBuild = GraftMeta.read(tableDir).props
+    val routed = GraftPartitions.routedFields(propsAtBuild)
     if (routed.nonEmpty) {
       // dynamic overwrite on a BUCKET table would replace whole hash buckets
       // based on which keys happen to appear in the batch — a data-dependent
@@ -2862,7 +2899,18 @@ private[catalog] final class GraftWriteBuilder(
         dynamicOverwrite = dynamicPartitionOverwrite,
         fromRowLevelOp = fromRowLevelOp, expectedCurrent = expectedCurrent,
         groupRemovals = groupRemovals)
-    } else buildUnpartitioned()
+    } else GraftZOrder.of(propsAtBuild) match {
+      // z-order-routed table (rewrite_clustered persisted its routing spec):
+      // every batch write — append, overwrite, row-level COW replacement —
+      // lands per-cell segments, so the grid survives ongoing ingest and DML
+      // (on an unpartitioned table dynamic overwrite means truncate, as below)
+      case Some(spec) =>
+        new GraftClusteredWrite(tableDir, info, spec,
+          replaceAll = replace || dynamicPartitionOverwrite,
+          fromRowLevelOp = fromRowLevelOp, expectedCurrent = expectedCurrent,
+          groupRemovals = groupRemovals)
+      case None => buildUnpartitioned()
+    }
   }
 
   private def buildUnpartitioned(): Write = new Write with RequiresDistributionAndOrdering {

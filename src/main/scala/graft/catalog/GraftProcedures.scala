@@ -683,7 +683,7 @@ private[catalog] object GraftDml {
   private[catalog] def rewriteClustered(dir: java.nio.file.Path, colsCsv: String,
                                         n: Int): (Int, Int, Long) = {
     import org.apache.spark.sql.functions.{concat, floor, greatest, least,
-      shiftleft, shiftright, spark_partition_id, unix_date, unix_micros}
+      shiftleft, shiftright, udf, unix_date, unix_micros}
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
     require(GraftPartitions.routedFields(meta.props).isEmpty,
@@ -746,16 +746,29 @@ private[catalog] object GraftDml {
       yield shiftleft(shiftright(nc, b).bitwiseAND(lit(1L)), b * d + j))
       .reduce(_ + _) // disjoint bit positions: + is OR
 
-    // ONE job: DV-merged read -> range shuffle into exactly n tasks (explicit
-    // width, AQE cannot coalesce the grid) -> in-task sort (row-group bounds
-    // tighten inside each segment) -> per-task zc<i> segment via the same
-    // staging/manifest writer compaction uses
+    // ONE rewrite job over the DV-merged read. The grid is DEFINED by
+    // explicit split points (approx-quantiles of the zkey, r17 — previously
+    // an unrecoverable repartitionByRange sampling) and PERSISTED with the
+    // per-column bounds (GraftZOrder), so every LATER batch write routes its
+    // rows through the same function and the table STAYS clustered under
+    // ingest and SQL row-level DML (GraftClusteredWrite — the steady-state
+    // rung; compaction folds each cell's append generations back to one
+    // segment). The quantile pass costs one extra scan at rewrite time;
+    // rows then shuffle on their cell (explicit width n so AQE cannot
+    // coalesce the grid) and z-sort in-task so row-group bounds tighten.
     val live = readLive(spark, dir, meta, segs)
-    val ranged = live.withColumn("__zc_key", zkey)
-      .repartitionByRange(n, col("__zc_key"))
+    val keyed = live.withColumn("__zc_key", zkey)
+    val splits =
+      keyed.stat.approxQuantile("__zc_key",
+        (1 until n).map(_.toDouble / n).toArray, 0.001).map(_.toLong)
+    val specOut = GraftZOrder.Spec(fields.map(_.name),
+      bounds.map { case (_, mn, mx) => (mn, mx) }, splits)
+    val cellOf = udf((z: Long) => specOut.cellOf(z))
+    val ranged = keyed.withColumn("__zc_cell", cellOf(col("__zc_key")))
+      .repartition(n, col("__zc_cell"))
       .sortWithinPartitions("__zc_key")
     val prepared = ranged.select(
-      (concat(lit("zc"), spark_partition_id().cast("string")).as("__g_route") +:
+      (concat(lit("zc"), col("__zc_cell").cast("string")).as("__g_route") +:
         lit(0).as("__g_slot") +: schema.fieldNames.map(col).toSeq): _*)
     val writeId = UUID.randomUUID().toString.take(12)
     val staging = dir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")
@@ -767,7 +780,7 @@ private[catalog] object GraftDml {
     cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
       GraftMeta.commitMany(dir, rewritten, replaceAll = true,
         removeSuffixes = Set.empty, expectedCurrent = Some(meta.current),
-        namedKey = None)
+        namedKey = None, propsUpdate = GraftZOrder.render(specOut))
     }
     val rows = rewritten.flatMap(_._2)
       .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption).sum

@@ -1,0 +1,335 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriter
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+
+/** PERSISTED Z-ORDER ROUTING (r17) — the steady-state rung above
+  * `rewrite_clustered`'s one-shot grid: the rewrite persists its routing
+  * function (clustered columns, normalization bounds, and the n-1 zkey SPLIT
+  * POINTS that define the cells), and every subsequent batch write routes its
+  * rows through that function into `zc<i>`-suffixed segments. The table then
+  * STAYS clustered under ongoing ingest and row-level DML — the
+  * Delta-liquid-clustering shape, re-derived on the graft segment layer:
+  *
+  *   - INSERT INTO appends land per-cell segments (several small generations
+  *     per cell over time; compaction already groups by FULL suffix, so
+  *     `CALL compact` folds each cell back to one segment — ingest + compact
+  *     is the maintenance loop, never a full re-cluster);
+  *   - INSERT OVERWRITE rewrites the whole table under the grid;
+  *   - SQL UPDATE/DELETE/MERGE (group-based row-level COW) rewrite their
+  *     touched rows INTO CELLS — including rows whose clustered-column
+  *     values changed, which re-route to their now-correct cell (tighter
+  *     than the suffix-carry the procedure DML path uses);
+  *   - a NEW row's cell assignment only needs the persisted spec: no reread,
+  *     no coordination, pure per-row arithmetic in the writer.
+  *
+  * The split points come from approx-quantiles of the zkey at rewrite time,
+  * so cells stay mass-balanced for the distribution the rewrite saw; drift
+  * (new data outside the old bounds) degrades BALANCE, never correctness —
+  * zone bounds are harvested from actual file contents, so pruning follows
+  * the data wherever the router puts it. Re-running rewrite_clustered
+  * refreshes the spec. The spec's columns are evolution-guarded like bucket
+  * sources (no drop/retype-beyond-widening; renames re-key the props). */
+private[catalog] object GraftZOrder {
+  val ColsProp = "graft.zorder.cols"     // clustered columns, canonical csv
+  val BoundsProp = "graft.zorder.bounds" // per-col "min:max" csv, long domain
+  val SplitsProp = "graft.zorder.splits" // n-1 ascending zkey split points, csv
+
+  final case class Spec(cols: Seq[String], bounds: Seq[(Long, Long)],
+                        splits: Array[Long]) {
+    val d: Int = cols.length
+    val bits: Int = 62 / d
+    val maxNorm: Long = (1L << bits) - 1
+
+    /** The interleaved Morton key of one row's extracted long values (null →
+      * 0, the lowest cell — the rewrite's convention). SAME arithmetic as
+      * the rewrite's SQL expression ((v-mn)*maxNorm/range in double), so the
+      * two paths assign rows identically up to double rounding — which only
+      * blurs cell edges, never content (bounds are harvested from files). */
+    def zkeyOf(vals: Array[java.lang.Long]): Long = {
+      var key = 0L
+      var j = 0
+      while (j < d) {
+        val (mn, mx) = bounds(j)
+        val range = math.max(1L, mx - mn).toDouble
+        val v = vals(j)
+        val norm =
+          if (v == null) 0L
+          else math.min(maxNorm, math.max(0L,
+            math.floor((v.longValue - mn).toDouble * maxNorm / range).toLong))
+        var b = 0
+        while (b < bits) {
+          key |= ((norm >> b) & 1L) << (b * d + j)
+          b += 1
+        }
+        j += 1
+      }
+      key
+    }
+
+    /** Cell index: count of split points at/below the key (cell 0 = below
+      * the first split). Duplicate splits just leave empty cells. */
+    def cellOf(zkey: Long): Int = {
+      var lo = 0
+      var hi = splits.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (splits(mid) <= zkey) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    def cellCount: Int = splits.length + 1
+  }
+
+  def of(props: Map[String, String]): Option[Spec] =
+    for {
+      cols <- props.get(ColsProp).map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
+      if cols.nonEmpty
+      boundsRaw <- props.get(BoundsProp)
+      splitsRaw <- props.get(SplitsProp)
+      bounds <- scala.util.Try(boundsRaw.split(',').toSeq.map { b =>
+        val Array(mn, mx) = b.split(':'); (mn.toLong, mx.toLong)
+      }).toOption
+      if bounds.length == cols.length
+      splits <- scala.util.Try(
+        if (splitsRaw.isEmpty) Array.empty[Long]
+        else splitsRaw.split(',').map(_.toLong)).toOption
+    } yield Spec(cols, bounds, splits)
+
+  def render(spec: Spec): Map[String, String] = Map(
+    ColsProp -> spec.cols.mkString(","),
+    BoundsProp -> spec.bounds.map { case (mn, mx) => s"$mn:$mx" }.mkString(","),
+    SplitsProp -> spec.splits.mkString(","))
+
+  /** Long-domain extractor for one routed column (the zone-entry domains:
+    * dates epoch days, timestamps micros). */
+  def extractor(dt: DataType, ordinal: Int): InternalRow => java.lang.Long = dt match {
+    case ByteType      => r => if (r.isNullAt(ordinal)) null else Long.box(r.getByte(ordinal).toLong)
+    case ShortType     => r => if (r.isNullAt(ordinal)) null else Long.box(r.getShort(ordinal).toLong)
+    case IntegerType | DateType =>
+      r => if (r.isNullAt(ordinal)) null else Long.box(r.getInt(ordinal).toLong)
+    case LongType | TimestampType =>
+      r => if (r.isNullAt(ordinal)) null else Long.box(r.getLong(ordinal))
+    case other => throw new IllegalArgumentException(
+      s"graft z-order: unsupported routed column type $other")
+  }
+}
+
+/** The batch write for z-order-routed tables: identical commit machinery to
+  * [[GraftPartitionedWrite]] (staging + manifest + one-snapshot commitMany /
+  * commitReplaceSegments), with the row's CELL — computed from the persisted
+  * spec — as the routing suffix instead of a partition value. */
+private[catalog] final class GraftClusteredWrite(
+    tableDir: Path, info: LogicalWriteInfo, spec: GraftZOrder.Spec,
+    replaceAll: Boolean, fromRowLevelOp: Boolean, expectedCurrent: Option[Long],
+    groupRemovals: () => Option[Seq[String]] = () => None)
+  extends Write {
+
+  private val metaAtBuild = GraftMeta.read(tableDir)
+  private val props = metaAtBuild.props
+  private val identitySpecs = GraftIdentity.of(props, info.schema())
+
+  private val named = Option(info.options.get("graft.segment"))
+  named.foreach(n => require(n.matches("[A-Za-z0-9_.\\-]+"),
+    s"graft.segment must be [A-Za-z0-9_.-]+, got '$n'"))
+  private val namedKey = named.map("seg-" + _)
+
+  private val branch = Option(info.options.get("graft.branch"))
+  branch.foreach { b =>
+    require(!replaceAll && !fromRowLevelOp && named.isEmpty,
+      "graft: branch writes are plain unnamed appends (no overwrite/DML on a branch)")
+    require(GraftRefs.get(metaAtBuild, b).isDefined,
+      s"graft: no branch '$b' — CALL create_branch first")
+    require(identitySpecs.isEmpty,
+      "graft: branch (WAP) appends to identity tables are not supported " +
+        "(staged allocation would dangle if the branch is dropped)")
+  }
+
+  // named-retry sweep: same contract as the partitioned writer (a crashed
+  // attempt's moved-but-uncommitted cell dirs must not double rows)
+  private val alreadyCommitted = namedKey.exists { k =>
+    metaAtBuild.committedNamed.contains(k) ||
+      tableDir.toString.intern().synchronized {
+        if (GraftMeta.read(tableDir).committedNamed.contains(k)) true
+        else {
+          val prefix = s"$k${GraftPartitions.Marker}"
+          GraftMeta.listDir(tableDir)
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+            .foreach(GraftMeta.deleteRecursively)
+          false
+        }
+      }
+  }
+
+  private val writeId = named.getOrElse(UUID.randomUUID().toString.take(12))
+  private val staging = tableDir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")
+
+  private val dataSchema: StructType = info.schema()
+  // spec columns resolved against the DATA schema (row-level rows carry the
+  // leading __row_operation column; the writer strips it before extraction)
+  private val routedFields: Seq[(Int, DataType)] = spec.cols.map { c =>
+    val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+    require(i >= 0, s"graft z-order: routed column '$c' missing from write schema $dataSchema")
+    (i, dataSchema.fields(i).dataType)
+  }
+
+  override def description(): String =
+    s"graft-clustered-write($writeId, cells=${spec.cellCount}, " +
+      s"cols=${spec.cols.mkString(",")}, replaceAll=$replaceAll)"
+
+  /** Streaming appends stay UNROUTED (plain epoch segments): the per-epoch
+    * micro-batches are small and the mixed state is visible in t.partitions;
+    * compaction or rewrite_clustered folds them into the grid. */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!replaceAll && branch.isEmpty && !fromRowLevelOp && named.isEmpty,
+      "graft: streaming writes are plain unnamed appends")
+    new GraftStreamingWrite(tableDir, info, Nil, metaAtBuild)
+  }
+
+  override def toBatch: BatchWrite =
+    if (alreadyCommitted) new NoopBatchWrite(namedKey.get)
+    else new BatchWrite {
+      override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
+        val spark = SparkSession.active
+        val job = Job.getInstance(spark.sessionState.newHadoopConf())
+        val owf = new ParquetFileFormat()
+          .prepareWrite(spark, job, Map.empty[String, String], dataSchema)
+        val checked = GraftChecks.wrap(
+          new GraftZCellWriterFactory(owf,
+            new SerializableHadoopConf(job.getConfiguration),
+            staging.toString, dataSchema, spec, routedFields, fromRowLevelOp),
+          dataSchema, props, writeId,
+          ordinalOffset = if (fromRowLevelOp) 1 else 0)
+        if (fromRowLevelOp)
+          GraftIdentity.nullRejectWrap(checked,
+            identitySpecs.map(s => s.copy(ordinal = s.ordinal + 1)), writeId)
+        else
+          GraftIdentity.wrap(GraftGenerate.wrap(checked, dataSchema, props, writeId),
+            identitySpecs, dataSchema, pInfo.numPartitions(), writeId)
+      }
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        if (namedKey.isDefined)
+          tableDir.toString.intern().synchronized(doCommit(messages))
+        else doCommit(messages)
+      }
+
+      private def doCommit(messages: Array[WriterCommitMessage]): Unit = {
+        val (innerMessages, identityExtremes) =
+          GraftIdentity.unwrap(messages, identitySpecs)
+        val manifest = innerMessages.flatMap {
+          case m: GraftPartitionFilesMessage => m.files
+          case _ => Nil
+        }
+        val byCell: Map[String, Seq[String]] =
+          manifest.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        val segments = byCell.toSeq.sortBy(_._1).map { case (enc, fileNames) =>
+          val seg = s"seg-$writeId${GraftPartitions.Marker}$enc"
+          val segDir = tableDir.resolve(seg)
+          Files.createDirectories(segDir)
+          fileNames.foreach(f =>
+            Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
+          val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
+            SparkSession.active, segDir.toString, metaAtBuild.readSchema,
+            SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
+            GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
+            SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema),
+            klls = SegmentStats.kllCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
+          (seg, stats)
+        }
+        try {
+          val removedByGroupFilter =
+            if (fromRowLevelOp) groupRemovals() else None
+          if (branch.isDefined) {
+            if (segments.nonEmpty) GraftRefs.commitToBranch(tableDir, branch.get, segments)
+          } else if (segments.nonEmpty || replaceAll || namedKey.isDefined ||
+              removedByGroupFilter.exists(_.nonEmpty)) {
+            removedByGroupFilter match {
+              case Some(removed) =>
+                GraftMeta.commitReplaceSegments(tableDir, segments,
+                  removed.toSet, expectedCurrent)
+              case None =>
+                val applied = GraftMeta.commitMany(tableDir, segments,
+                  replaceAll = replaceAll, removeSuffixes = Set.empty,
+                  expectedCurrent = expectedCurrent, namedKey = namedKey,
+                  propCas = GraftIdentity.propCas(identitySpecs, identityExtremes))
+                if (!applied)
+                  segments.foreach { case (s, _) =>
+                    GraftMeta.deleteRecursively(tableDir.resolve(s)) }
+            }
+          }
+        } catch {
+          case e: Throwable =>
+            segments.foreach { case (s, _) =>
+              scala.util.Try(GraftMeta.deleteRecursively(tableDir.resolve(s))) }
+            throw e
+        } finally GraftMeta.deleteRecursively(staging)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        GraftMeta.deleteRecursively(staging)
+    }
+}
+
+/** Per-task fan-out writer routing each row to its z-cell ("zc<i>"): same
+  * staging/manifest protocol as the partitioned writer factory. */
+private[catalog] final class GraftZCellWriterFactory(
+    owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
+    spec: GraftZOrder.Spec, routedFields: Seq[(Int, DataType)],
+    fromRowLevelOp: Boolean)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID("graft", 0, TaskType.MAP, partitionId, (taskId & 0x7fffffff).toInt))
+      private val ext = owf.getFileExtension(ctx)
+      private val extractors = routedFields.map { case (i, dt) =>
+        GraftZOrder.extractor(dt, i)
+      }.toArray
+      private val vals = new Array[java.lang.Long](extractors.length)
+      private val opStrip =
+        if (fromRowLevelOp)
+          Some(new ProjectingInternalRow(dataSchema, (1 to dataSchema.length).toIndexedSeq))
+        else None
+      private val writers = scala.collection.mutable.HashMap.empty[String, OutputWriter]
+      private val manifest = Seq.newBuilder[(String, String)]
+
+      override def write(row: InternalRow): Unit = {
+        val data = opStrip match {
+          case Some(p) => p.project(row); p
+          case None    => row
+        }
+        var i = 0
+        while (i < extractors.length) { vals(i) = extractors(i)(data); i += 1 }
+        val enc = "zc" + spec.cellOf(spec.zkeyOf(vals))
+        writers.getOrElseUpdate(enc, {
+          val file = s"part-$partitionId-$taskId$ext"
+          manifest += enc -> file
+          owf.newInstance(s"$staging/$enc/$file", dataSchema, ctx)
+        }).write(data)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_.close())
+        writers.clear()
+        GraftPartitionFilesMessage(manifest.result())
+      }
+
+      override def abort(): Unit =
+        writers.values.foreach(w => scala.util.Try(w.close()))
+
+      override def close(): Unit = ()
+    }
+}

@@ -222,11 +222,11 @@ object Round20Queries {
              CAST(le50 BETWEEN CAST(0.47 * n AS BIGINT) AND CAST(0.53 * n AS BIGINT) AS INT) AS p50_ok,
              CAST(le90 BETWEEN CAST(0.87 * n AS BIGINT) AND CAST(0.93 * n AS BIGINT) AS INT) AS p90_ok,
              CAST(le99 >= CAST(0.96 * n AS BIGINT) AS INT) AS p99_ok
-      FROM r""")
+      FROM r ORDER BY n""")
   }
 
   private val q300Sql =
-    """SELECT COUNT(*) AS n, 1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok FROM orders"""
+    """SELECT COUNT(*) AS n, 1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok FROM orders ORDER BY n"""
 
   val defs: Seq[QDef] = Seq(
     QDef("q297_identity_partitioned", q297, Some(q297Sql)),

@@ -229,6 +229,11 @@ class GraftFunctionSpec extends SparkSpec {
     // zero-parameter form
     sql("CREATE OR REPLACE FUNCTION gfn.ns.tf0() RETURNS TABLE (one BIGINT) RETURN SELECT 1 AS one")
     inNs { assert(sql("SELECT one FROM tf0()").collect().head.getLong(0) === 1L) }
+    // table + column aliases at the call site survive the inline
+    inNs {
+      assert(sql("SELECT t.x FROM tf0() AS t(x)").collect().head.getLong(0) === 1L)
+      assert(sql("SELECT t.one FROM tf0() t").collect().head.getLong(0) === 1L)
+    }
     // composition: the body calls a persisted SCALAR function
     sql("CREATE OR REPLACE FUNCTION gfn.ns.sc2(x BIGINT) RETURNS BIGINT RETURN x * 2")
     sql("""CREATE OR REPLACE FUNCTION gfn.ns.tf2(n BIGINT) RETURNS TABLE (kk BIGINT)

@@ -144,7 +144,7 @@ class ZOrderSpec extends SparkSpec {
     assert(plannedSegs(sql("SELECT k FROM gzo.ns.z6 WHERE a >= 0")).size <= preSegs)
   }
 
-  test("the SQL row-level path's grid degradation is visible in t.partitions") {
+  test("SQL row-level DML routes through the persisted spec: the grid SURVIVES (r17)") {
     root
     sql("DROP TABLE IF EXISTS gzo.ns.z7")
     sql("CREATE TABLE gzo.ns.z7 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
@@ -154,20 +154,56 @@ class ZOrderSpec extends SparkSpec {
     // no NULL-partition (unsuffixed) row
     val cells = sql("SELECT partition FROM gzo.ns.z7.partitions").collect()
     assert(cells.length === 4 && cells.forall(!_.isNullAt(0)))
-    // SQL UPDATE rides Spark's group-based row-level rewrite (one replacement
-    // segment) — the touched cells collapse, and the mixed state is VISIBLE:
-    // an unsuffixed NULL-partition row appears beside the surviving cells,
-    // the operator's signal to re-run rewrite_clustered
+    // SQL UPDATE rides Spark's group-based row-level rewrite; the
+    // replacement write routes every surviving row through the PERSISTED
+    // routing spec (GraftClusteredWrite), so no unsuffixed segment appears
+    // and the cell count holds
     sql("UPDATE gzo.ns.z7 SET k = k + 5000 WHERE b % 13 = 1")
     val after = sql("SELECT partition FROM gzo.ns.z7.partitions").collect()
-    assert(after.exists(_.isNullAt(0)),
-      "the collapsed rewrite must surface as an unsuffixed partition row")
-    // rewrite_clustered restores the full grid
-    sql("CALL gzo.system.rewrite_clustered('ns.z7', 'a,b', 4)")
-    val restored = sql("SELECT partition FROM gzo.ns.z7.partitions").collect()
-    assert(restored.length === 4 && restored.forall(!_.isNullAt(0)))
+    assert(after.forall(!_.isNullAt(0)),
+      "the row-level replacement must land per-cell segments, not a merged one")
+    assert(after.length === 4, s"cell count must hold, got ${after.length}")
     assert(sql("SELECT COUNT(*) FROM gzo.ns.z7 WHERE k >= 5000").collect().head.getLong(0)
       === sql("SELECT COUNT(*) FROM gzo.ns.z7 WHERE b % 13 = 1").collect().head.getLong(0))
+    // SQL DELETE likewise stays in-grid
+    sql("DELETE FROM gzo.ns.z7 WHERE a % 9 = 2")
+    assert(sql("SELECT partition FROM gzo.ns.z7.partitions").collect().forall(!_.isNullAt(0)))
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z7 WHERE a % 9 = 2").collect().head.getLong(0) === 0L)
+  }
+
+  test("appends route through the persisted spec; compact folds cell generations (r17)") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.z8")
+    sql("CREATE TABLE gzo.ns.z8 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
+    sql("INSERT INTO gzo.ns.z8 SELECT id, (id * 7919) % 1000, (id * 104729) % 1000 FROM range(0, 2000)")
+    sql("CALL gzo.system.rewrite_clustered('ns.z8', 'a,b', 8)")
+    val prePruned = plannedSegs(sql("SELECT k FROM gzo.ns.z8 WHERE a < 100")).size
+    assert(prePruned < 8)
+    // INGEST AFTER CLUSTERING: the append fans out into per-cell segments
+    // (no unsuffixed segment), so pruning on the new rows works immediately
+    sql("INSERT INTO gzo.ns.z8 SELECT id, (id * 7919) % 1000, (id * 104729) % 1000 FROM range(2000, 4000)")
+    val segsAfter = plannedSegs(sql("SELECT k FROM gzo.ns.z8 WHERE a >= 0"))
+    assert(segsAfter.forall(_.contains("@zc")),
+      s"appended rows must land in zc cells, got ${segsAfter.mkString(", ")}")
+    // selective probes still prune: the appended generation is cell-pure,
+    // so the planned segment set stays a strict subset
+    val prunedAfter = plannedSegs(sql("SELECT k FROM gzo.ns.z8 WHERE a < 100"))
+    assert(prunedAfter.size < segsAfter.size,
+      s"probe must keep pruning: ${prunedAfter.size}/${segsAfter.size}")
+    // answers cover BOTH generations
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z8").collect().head.getLong(0) === 4000L)
+    val n100 = sql("SELECT COUNT(*) FROM gzo.ns.z8 WHERE a < 100").collect().head.getLong(0)
+    assert(n100 === (0L until 4000L).count(i => (i * 7919) % 1000 < 100))
+    // compact folds each cell's generations back to ONE segment — the
+    // ingest-then-compact maintenance loop, never a full re-cluster
+    sql("CALL gzo.system.compact('ns.z8')")
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.z8 WHERE a >= 0")).size === 8)
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z8 WHERE a < 100").collect().head.getLong(0) === n100)
+    // the spec is engine-owned state
+    intercept[Exception] {
+      sql("ALTER TABLE gzo.ns.z8 SET TBLPROPERTIES ('graft.zorder.cols' = 'k')")
+    }
+    intercept[Exception] { sql("ALTER TABLE gzo.ns.z8 DROP COLUMN a") }
   }
 
   test("a concurrent append fails the rewrite commit loudly; nothing is lost") {
