@@ -228,10 +228,61 @@ object Round20Queries {
   private val q300Sql =
     """SELECT COUNT(*) AS n, 1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok FROM orders ORDER BY n"""
 
+  // --------------------------------------------------------------------------
+  // q301: STEADY-STATE CLUSTERING (GraftZOrder + GraftClusteredWrite, r17) —
+  // the lifecycle the persisted routing spec exists for, hash-gated end to
+  // end: cluster wave 0 (rewrite_clustered persists the split points), THEN
+  // ingest wave 1 (the append fans out into cells through the spec), THEN a
+  // SQL UPDATE (the group-based row-level COW rewrite routes survivors into
+  // cells — including rows the update moved in key space), THEN ingest wave
+  // 2. Every row of every wave flowed through GraftClusteredWrite at least
+  // once, so the readout's per-band rollup + global distinct-count gates the
+  // router's CONTENT preservation against a relational DuckDB replay (the
+  // grid's physical properties — per-cell segments, pruning, compact folding
+  // — are ZOrderSpec's pins; this query pins that no row was lost, doubled,
+  // or mis-valued on the way through the cells).
+  // --------------------------------------------------------------------------
+  private def q301(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_orders3_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r301_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, a BIGINT, b BIGINT, cents BIGINT) USING parquet")
+    def wave(m: Int): String =
+      s"""SELECT o_orderkey, o_custkey % 1000, o_orderkey % 997,
+                 CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+          FROM $src WHERE o_orderkey % 3 = $m"""
+    s.sql(s"INSERT INTO graft.lake.$t ${wave(0)}")
+    s.sql(s"CALL graft.system.rewrite_clustered('lake.$t', 'a,b', 8)")
+    s.sql(s"INSERT INTO graft.lake.$t ${wave(1)}")               // routed append
+    s.sql(s"UPDATE graft.lake.$t SET cents = cents + 100 WHERE k % 10 = 0") // routed COW
+    s.sql(s"INSERT INTO graft.lake.$t ${wave(2)}")               // routed append
+    s.sql(s"""SELECT CAST(a DIV 100 AS BIGINT) AS band, COUNT(*) AS n,
+                     COUNT(DISTINCT k) AS n_keys,
+                     CAST(SUM(cents) AS BIGINT) AS total_c,
+                     MIN(b) AS min_b, MAX(b) AS max_b
+              FROM graft.lake.$t GROUP BY 1 ORDER BY band""")
+  }
+
+  private val q301Sql =
+    """WITH g AS (
+         SELECT o_orderkey AS k, o_custkey % 1000 AS a, o_orderkey % 997 AS b,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) +
+                  CASE WHEN o_orderkey % 3 <> 2 AND o_orderkey % 10 = 0
+                       THEN 100 ELSE 0 END AS cents
+         FROM orders)
+       SELECT CAST(a // 100 AS BIGINT) AS band, COUNT(*) AS n,
+              COUNT(DISTINCT k) AS n_keys,
+              CAST(SUM(cents) AS BIGINT) AS total_c,
+              MIN(b) AS min_b, MAX(b) AS max_b
+       FROM g GROUP BY 1 ORDER BY band"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q297_identity_partitioned", q297, Some(q297Sql)),
     QDef("q298_string_minmax_zero_io", q298, Some(q298Sql)),
     QDef("q299_table_function_inline", q299, Some(q299Sql)),
     QDef("q300_kll_quantile_stats", q300, Some(q300Sql)),
+    QDef("q301_clustered_steady_state", q301, Some(q301Sql)),
   )
 }
