@@ -79,11 +79,12 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         .filter(GraftFunctions.exists)
         .map(p => Identifier.of(namespace, p.getFileName.toString))
         .toArray
-    persisted :+ Identifier.of(namespace, "bucket")
+    persisted :+ Identifier.of(namespace, "bucket") :+ Identifier.of(namespace, "zcell")
   }
   override def loadFunction(ident: Identifier)
     : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucket.BucketFunction
+    else if (ident.name().equalsIgnoreCase("zcell")) GraftZOrder.ZCellFunction
     else {
       val dir = tableDir(ident)
       if (GraftFunctions.exists(dir))

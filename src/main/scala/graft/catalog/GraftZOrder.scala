@@ -111,6 +111,67 @@ private[catalog] object GraftZOrder {
     BoundsProp -> spec.bounds.map { case (mn, mx) => s"$mn:$mx" }.mkString(","),
     SplitsProp -> spec.splits.mkString(","))
 
+  private[catalog] def parseBounds(csv: String): Seq[(Long, Long)] =
+    csv.split(',').toSeq.map { b => val Array(mn, mx) = b.split(':'); (mn.toLong, mx.toLong) }
+  private[catalog] def parseSplits(csv: String): Array[Long] =
+    if (csv.isEmpty) Array.empty[Long] else csv.split(',').map(_.toLong)
+
+  /** The FunctionCatalog face (like GraftBucket.BucketFunction):
+    * `zcell(splitsCsv, boundsCsv, cols...)` — the routing function AS a v2
+    * catalog function, so [[GraftClusteredWrite]] can DECLARE
+    * `clustered(zcell(...))` as its required distribution and Spark shuffles
+    * each cell to ONE task before the write. Without it every task fans
+    * across every cell it sees — cellCount × tasks files per append on a
+    * 1000-executor job; with it, one writer stream per cell. The spec rides
+    * the call as two STRING LITERALS (the persisted csv forms), parsed once
+    * per task. */
+  object ZCellFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    override def name(): String = "zcell"
+    override def description(): String =
+      "zcell(splits, bounds, cols...) -> z-order cell id; the graft clustering router"
+    override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.length >= 3,
+        s"graft zcell(splits, bounds, col...) takes >= 3 arguments, got ${inputType.length}")
+      require(inputType.fields(0).dataType == StringType &&
+        inputType.fields(1).dataType == StringType,
+        "graft zcell: the first two arguments are the csv split points and bounds")
+      val colTypes = inputType.fields.drop(2).map(_.dataType)
+      colTypes.foreach(dt => require(dt match {
+        case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
+        case _ => false
+      }, s"graft zcell: unsupported routed column type ${dt.simpleString}"))
+      new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Int] {
+        override def inputTypes(): Array[DataType] = inputType.fields.map(_.dataType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "zcell"
+        override def canonicalName(): String =
+          s"graft.zcell(${colTypes.map(_.catalogString).mkString(",")})"
+        override def isResultNullable: Boolean = false
+        // parsed once per task from the constant literal args
+        private var spec: Spec = _
+        private var extractors: Array[InternalRow => java.lang.Long] = _
+        override def produceResult(input: InternalRow): Int = {
+          if (spec == null) {
+            val splits = parseSplits(input.getUTF8String(0).toString)
+            val bounds = parseBounds(input.getUTF8String(1).toString)
+            require(bounds.length == colTypes.length,
+              s"graft zcell: ${bounds.length} bounds for ${colTypes.length} columns")
+            spec = Spec(Seq.fill(colTypes.length)("_"), bounds, splits)
+            extractors = colTypes.zipWithIndex.map { case (dt, i) =>
+              extractor(dt, i + 2)
+            }
+          }
+          val vals = new Array[java.lang.Long](extractors.length)
+          var i = 0
+          while (i < extractors.length) { vals(i) = extractors(i)(input); i += 1 }
+          spec.cellOf(spec.zkeyOf(vals))
+        }
+      }
+    }
+  }
+
   /** Long-domain extractor for one routed column (the zone-entry domains:
     * dates epoch days, timestamps micros). */
   def extractor(dt: DataType, ordinal: Int): InternalRow => java.lang.Long = dt match {
@@ -133,7 +194,33 @@ private[catalog] final class GraftClusteredWrite(
     tableDir: Path, info: LogicalWriteInfo, spec: GraftZOrder.Spec,
     replaceAll: Boolean, fromRowLevelOp: Boolean, expectedCurrent: Option[Long],
     groupRemovals: () => Option[Seq[String]] = () => None)
-  extends Write {
+  extends Write with RequiresDistributionAndOrdering {
+
+  /** Cluster on the CELL (the zcell catalog function, resolved against this
+    * table's FunctionCatalog exactly like the bucket transform): each cell's
+    * rows shuffle to one task, so an append writes one stream per cell
+    * instead of cellCount files from every task — the layout a
+    * 1000-executor ingest needs. Row-level replacement rows carry the
+    * leading __row_operation column, whose ordinal shift the plain column
+    * references below cannot express — those writes stay undistributed
+    * (their row volume is the touched groups', not the table's). */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (fromRowLevelOp)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      val args: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+        Seq(Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+              spec.splits.mkString(","))),
+            Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+              spec.bounds.map { case (mn, mx) => s"$mn:$mx" }.mkString(",")))) ++
+          spec.cols.map(Expressions.column)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(Expressions.apply("zcell", args: _*)))
+    }
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   private val metaAtBuild = GraftMeta.read(tableDir)
   private val props = metaAtBuild.props

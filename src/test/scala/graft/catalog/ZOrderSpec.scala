@@ -181,7 +181,27 @@ class ZOrderSpec extends SparkSpec {
     assert(prePruned < 8)
     // INGEST AFTER CLUSTERING: the append fans out into per-cell segments
     // (no unsuffixed segment), so pruning on the new rows works immediately
+    def parquetFiles(): Int = {
+      val dir = root.resolve("ns").resolve("z8")
+      val s = java.nio.file.Files.walk(dir)
+      try {
+        var c = 0
+        val it = s.iterator()
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".parquet")) c += 1
+        }
+        c
+      } finally s.close()
+    }
+    val filesBefore = parquetFiles()
     sql("INSERT INTO gzo.ns.z8 SELECT id, (id * 7919) % 1000, (id * 104729) % 1000 FROM range(2000, 4000)")
+    // the write DECLARES clustered(zcell(...)) — resolved through the
+    // catalog's zcell function like the bucket transform — so Spark shuffles
+    // each cell's rows to ONE task before the writers open: the append adds
+    // at most one file per cell, not cells x source-partitions files (the
+    // 4-partition range source would otherwise write up to 32)
+    assert(parquetFiles() - filesBefore <= 8,
+      s"expected <= 8 appended files (one per cell), got ${parquetFiles() - filesBefore}")
     val segsAfter = plannedSegs(sql("SELECT k FROM gzo.ns.z8 WHERE a >= 0"))
     assert(segsAfter.forall(_.contains("@zc")),
       s"appended rows must land in zc cells, got ${segsAfter.mkString(", ")}")
