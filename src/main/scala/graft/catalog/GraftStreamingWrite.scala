@@ -45,6 +45,21 @@ private[catalog] final class GraftStreamingWrite(
       require(i >= 0, s"graft: partition column '${pf.source}' missing from stream schema $dataSchema")
       (i, dataSchema.fields(i).dataType, pf.bucketN)
     }
+  // z-order-routed tables (r17): streaming epochs land per-CELL segments
+  // through the persisted spec, exactly like batch appends — the grid
+  // survives continuous ingest, and compact folds each cell's epoch
+  // generations. Cell routing only applies when the table is unpartitioned
+  // (a clustered table is by construction).
+  private val zroute: Option[(GraftZOrder.Spec, Seq[(Int, org.apache.spark.sql.types.DataType)])] =
+    if (routed.nonEmpty) None
+    else GraftZOrder.of(metaAtBuild.props).map { spec =>
+      spec -> spec.cols.map { c =>
+        val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        require(i >= 0,
+          s"graft: z-order routing column '$c' missing from stream schema $dataSchema")
+        (i, dataSchema.fields(i).dataType)
+      }
+    }
   // queryId is stable across restarts from the same checkpoint — exactly the
   // identity the exactly-once epoch names need
   private val queryKey = {
@@ -78,7 +93,7 @@ private[catalog] final class GraftStreamingWrite(
           dataSchema, partFields,
           GraftChecks.boundChecks(dataSchema, metaAtBuild.props),
           tableDir.getFileName.toString,
-          GraftPartitions.specId(metaAtBuild.props)),
+          GraftPartitions.specId(metaAtBuild.props), zroute),
         dataSchema, metaAtBuild.props, tableDir.getFileName.toString),
       identitySpecs, dataSchema, pInfo.numPartitions(), tableDir.getFileName.toString)
   }
@@ -99,7 +114,7 @@ private[catalog] final class GraftStreamingWrite(
       val byPart = manifest.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       if (byPart.isEmpty) return // empty epoch: nothing to publish
       val segments = byPart.toSeq.sortBy(_._1).map { case (enc, fileNames) =>
-        val seg = if (routed.isEmpty) base else s"$base${GraftPartitions.Marker}$enc"
+        val seg = if (enc.isEmpty) base else s"$base${GraftPartitions.Marker}$enc"
         val segDir = tableDir.resolve(seg)
         Files.createDirectories(segDir)
         fileNames.foreach(f => Files.move(epochStaging.resolve(enc).resolve(f),
@@ -138,7 +153,8 @@ private[catalog] final class GraftStreamingWriterFactory(
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
     partFields: Seq[(Int, org.apache.spark.sql.types.DataType, Option[Int])],
     checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)],
-    table: String, specId: Long)
+    table: String, specId: Long,
+    zroute: Option[(GraftZOrder.Spec, Seq[(Int, org.apache.spark.sql.types.DataType)])] = None)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -150,6 +166,21 @@ private[catalog] final class GraftStreamingWriterFactory(
       private val ext = owf.getFileExtension(ctx)
       private val extractors = partFields.map { case (i, dt, bucketN) =>
         GraftPartitions.routeExtractor(dt, i, bucketN)
+      }
+      // z-cell routing (per-CELL epoch segments, r17); an unrouted
+      // unpartitioned table keeps the empty suffix regardless of a
+      // departitioned table's surviving spec id
+      private val zextract = zroute.map { case (spec, fields) =>
+        (spec, fields.map { case (i, dt) => GraftZOrder.extractor(dt, i) }.toArray)
+      }
+      private def encOf(row: InternalRow): String = zextract match {
+        case Some((spec, ex)) =>
+          val vals = new Array[java.lang.Long](ex.length)
+          var i = 0
+          while (i < ex.length) { vals(i) = ex(i)(row); i += 1 }
+          "zc" + spec.cellOf(spec.zkeyOf(vals))
+        case None if extractors.isEmpty => ""
+        case None => GraftPartitions.suffix(extractors.map(_(row)), specId)
       }
       private val violated = checks.map { case (n, sql, e) =>
         (n, sql, Predicate.create(EqualNullSafe(e, Literal(false, e.dataType))))
@@ -163,7 +194,7 @@ private[catalog] final class GraftStreamingWriterFactory(
           if (p.eval(row)) throw new IllegalArgumentException(
             s"graft: CHECK constraint '$n' ($sql) violated on a row streamed to $table")
         }
-        val enc = GraftPartitions.suffix(extractors.map(_(row)), specId)
+        val enc = encOf(row)
         writers.getOrElseUpdate(enc, {
           val file = s"part-$partitionId-$taskId$ext"
           manifest += enc -> file

@@ -29,6 +29,8 @@ import org.apache.spark.sql.types._
   *     touched rows INTO CELLS — including rows whose clustered-column
   *     values changed, which re-route to their now-correct cell (tighter
   *     than the suffix-carry the procedure DML path uses);
+  *   - STREAMING epochs route through the spec too (GraftStreamingWrite),
+  *     landing per-cell epoch segments — continuous ingest stays in-grid;
   *   - a NEW row's cell assignment only needs the persisted spec: no reread,
   *     no coordination, pure per-row arithmetic in the writer.
   *
@@ -274,9 +276,10 @@ private[catalog] final class GraftClusteredWrite(
     s"graft-clustered-write($writeId, cells=${spec.cellCount}, " +
       s"cols=${spec.cols.mkString(",")}, replaceAll=$replaceAll)"
 
-  /** Streaming appends stay UNROUTED (plain epoch segments): the per-epoch
-    * micro-batches are small and the mixed state is visible in t.partitions;
-    * compaction or rewrite_clustered folds them into the grid. */
+  /** Streaming appends route through the spec too (GraftStreamingWrite
+    * derives the cell router from the table props): every epoch lands
+    * per-cell segments, so continuous ingest stays in-grid and compact
+    * folds each cell's epoch generations. */
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!replaceAll && branch.isEmpty && !fromRowLevelOp && named.isEmpty,
       "graft: streaming writes are plain unnamed appends")

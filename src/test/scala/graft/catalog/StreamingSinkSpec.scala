@@ -157,4 +157,35 @@ class StreamingSinkSpec extends SparkSpec {
     val b = sql("SELECT * FROM gss.ns.t4b ORDER BY k").collect().toSeq
     assert(a === b)
   }
+
+  test("streaming into a z-ordered table routes epochs through cells (r17)") {
+    root
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    sql("DROP TABLE IF EXISTS gss.ns.t5z")
+    sql("CREATE TABLE gss.ns.t5z (k BIGINT, tag STRING, amt BIGINT) USING parquet")
+    sql("INSERT INTO gss.ns.t5z SELECT id, 'x', (id * 13) % 500 FROM range(0, 1000)")
+    // cluster on (k, amt): persists the routing spec
+    sql("CALL gss.system.rewrite_clustered('ns.t5z', 'k,amt', 4)")
+    val ckpt = Files.createTempDirectory("gss_ckpt5z").toString
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData((2000L, "s", 100L), (2001L, "s", 400L), (2002L, "s", 499L))
+    drain(stream, "t5z", ckpt)
+    assert(count("t5z") === 1003)
+    // the epoch landed per-CELL segments: every current segment carries a zc
+    // suffix — continuous ingest keeps the grid, no unsuffixed epoch segment
+    val meta = GraftMeta.read(root.resolve("ns").resolve("t5z"))
+    val segs = meta.snapshots(meta.current)
+    assert(segs.forall(_.contains(s"${GraftPartitions.Marker}zc")),
+      s"epoch segments must be cell-suffixed, got ${segs.mkString(", ")}")
+    // replay stays a no-op on the routed shape too
+    drain(stream, "t5z", ckpt)
+    assert(count("t5z") === 1003)
+    // compact folds the epoch generations into the grid's 4 cells
+    sql("CALL gss.system.compact('ns.t5z')")
+    assert(GraftMeta.read(root.resolve("ns").resolve("t5z"))
+      .snapshots.maxBy(_._1)._2.size <= 4)
+    assert(sql("SELECT SUM(amt) FROM gss.ns.t5z WHERE k >= 2000").collect()
+      .head.getLong(0) === 999L)
+  }
 }
