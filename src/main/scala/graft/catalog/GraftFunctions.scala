@@ -54,12 +54,22 @@ private[catalog] object GraftFunctions {
     * QUERY text, `returnType` the declared output StructType, and `bodyCols`
     * the body's analyzed output column names (captured at CREATE exactly
     * like a view's queryColumnNames, so the call-site projection can re-cast
-    * each body column to its declared name/type). */
+    * each body column to its declared name/type).
+    *
+    * `substParams`: the params proven SAFE for DIRECT substitution at CREATE
+    * — no name anywhere inside the analyzed body (node outputs, lambda
+    * variables) shadows them. When EVERY param is safe, call sites
+    * substitute the literal arguments straight into the body instead of the
+    * lateral shape, so `WHERE col >= param` becomes `WHERE col >= 40` and
+    * PUSHES into the scan — the difference between pruning a 100 TB table
+    * and scanning it under a join. Any shadowed param falls back to the
+    * lateral (innermost-scope semantics preserved). */
   final case class Def(
       params: StructType, returnType: DataType, exprSql: String,
       currentCatalog: String, currentNamespace: Seq[String],
       deterministic: Boolean, comment: Option[String],
-      isTable: Boolean = false, bodyCols: Seq[String] = Nil)
+      isTable: Boolean = false, bodyCols: Seq[String] = Nil,
+      substParams: Seq[String] = Nil)
 
   private def b64(s: String): String =
     Base64.getEncoder.withoutPadding().encodeToString(s.getBytes(StandardCharsets.UTF_8))
@@ -81,6 +91,7 @@ private[catalog] object GraftFunctions {
     if (d.isTable) {
       b ++= "table=true\n"
       b ++= s"bodycols=${list(d.bodyCols)}\n"
+      b ++= s"subst=${list(d.substParams)}\n"
     }
     b.toString
   }
@@ -90,6 +101,7 @@ private[catalog] object GraftFunctions {
     var cat = ""; var ns: Seq[String] = Nil; var det = true
     var comment: Option[String] = None
     var isTable = false; var bodyCols: Seq[String] = Nil
+    var substParams: Seq[String] = Nil
     lines.foreach {
       case l if l.startsWith("expr=")    => expr = unb64(l.stripPrefix("expr="))
       case l if l.startsWith("params=")  =>
@@ -103,9 +115,10 @@ private[catalog] object GraftFunctions {
       case l if l.startsWith("comment=") => comment = Some(unb64(l.stripPrefix("comment=")))
       case l if l.startsWith("table=")   => isTable = l.stripPrefix("table=").toBoolean
       case l if l.startsWith("bodycols=") => bodyCols = unlist(l.stripPrefix("bodycols="))
+      case l if l.startsWith("subst=")   => substParams = unlist(l.stripPrefix("subst="))
       case _ => ()
     }
-    Def(params, ret, expr, cat, ns, det, comment, isTable, bodyCols)
+    Def(params, ret, expr, cat, ns, det, comment, isTable, bodyCols, substParams)
   }
 
   def read(dir: Path): Def =
@@ -381,21 +394,42 @@ private[catalog] object GraftFunctions {
       }
     }
 
-    // arguments → a one-row relation; the declared-parameter-type cast is the
-    // SQL UDF calling convention (TVF args are constant expressions)
-    val paramRow = Project(
-      d.params.fields.toSeq.zip(args).map { case (p, a) =>
-        Alias(Cast(a, p.dataType), p.name)()
-      },
-      OneRowRelation())
-    val lateral = LateralJoin(
-      SubqueryAlias("__graft_fn_params_" + ident.name(), paramRow),
-      LateralSubquery(expanded), Inner, None)
+    // Calling convention (declared-parameter-type casts either way):
+    //  - every param proven shadow-free at CREATE → DIRECT substitution of
+    //    the (constant) arguments into the body, so param predicates
+    //    constant-fold and PUSH into the scans;
+    //  - otherwise the lateral shape: args as a one-row outer relation,
+    //    body names shadow params (innermost-scope semantics).
+    val allSubstitutable = d.params.fields.forall(p =>
+      d.substParams.exists(_.equalsIgnoreCase(p.name)))
+    val inlined: LogicalPlan =
+      if (allSubstitutable) {
+        val byName = d.params.fields.zipWithIndex.map {
+          case (p, i) => p.name.toLowerCase(java.util.Locale.ROOT) -> i
+        }.toMap
+        expanded.transformUpWithSubqueries {
+          case p => p.transformExpressionsUp {
+            case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+                byName.contains(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+              val i = byName(a.nameParts.head.toLowerCase(java.util.Locale.ROOT))
+              Cast(args(i), d.params.fields(i).dataType)
+          }
+        }
+      } else {
+        val paramRow = Project(
+          d.params.fields.toSeq.zip(args).map { case (p, a) =>
+            Alias(Cast(a, p.dataType), p.name)()
+          },
+          OneRowRelation())
+        LateralJoin(
+          SubqueryAlias("__graft_fn_params_" + ident.name(), paramRow),
+          LateralSubquery(expanded), Inner, None)
+      }
     val projected = Project(
       d.bodyCols.zip(declared.fields).map { case (bc, f) =>
         Alias(Cast(UnresolvedAttribute.quoted(bc), f.dataType), f.name)()
       },
-      lateral)
+      inlined)
     SubqueryAlias(ident.name(), projected)
   }
 
@@ -631,6 +665,29 @@ case class CreateGraftTableFunctionCommand(
     }, analyzed)
     cs.sessionState.executePlan(probe).assertAnalyzed()
 
+    // direct-substitution safety: a param is SAFE iff nothing inside the
+    // analyzed body binds its name — no node output attribute (tables,
+    // projections, CTEs) and no lambda variable. Safe params let call sites
+    // inline the literal arguments straight into the body (predicates push
+    // into scans); any shadowed param keeps the lateral at every call site.
+    val bodyPlan: LogicalPlan = analyzed match {
+      case lj: LateralJoin => lj.right.plan
+      case other => other
+    }
+    val innerNames: Set[String] = {
+      val outs = bodyPlan.collect { case p => p.output.map(_.name) }.flatten
+      val lambdas = bodyPlan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable => l.name
+          case u: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable =>
+            u.nameParts.mkString(".")
+        })
+      }.flatten
+      (outs ++ lambdas).map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    }
+    val substSafe = params.fields.toSeq.map(_.name)
+      .filterNot(p => innerNames.contains(p.toLowerCase(java.util.Locale.ROOT)))
+
     val dir = g.tableDirFor(ident)
     if (g.tableExists(ident) || GraftViews.exists(dir)) {
       throw new AnalysisException("ROUTINE_ALREADY_EXISTS",
@@ -640,7 +697,7 @@ case class CreateGraftTableFunctionCommand(
     }
     val d = GraftFunctions.Def(params, declared, queryText,
       catalogName, ident.namespace().toSeq, isDeterministicFn, comment,
-      isTable = true, bodyCols = bodyOut.map(_.name))
+      isTable = true, bodyCols = bodyOut.map(_.name), substParams = substSafe)
     val already = GraftFunctions.exists(dir)
     if (already && ignoreIfExists) return Nil
     if (already && replace) GraftFunctions.overwrite(dir, d)

@@ -225,6 +225,12 @@ class GraftFunctionSpec extends SparkSpec {
       assert(j.toSeq === Seq((18L, 180L), (19L, 190L)))
       // a builtin TVF name always wins: range() stays Spark's
       assert(sql("SELECT COUNT(*) FROM range(5)").collect().head.getLong(0) === 5L)
+      // shadow-free params substitute DIRECTLY (recorded at CREATE), so the
+      // param predicate constant-folds and PUSHES into the parquet scan —
+      // at 100 TB the call prunes instead of scanning under a join
+      val plan = sql("SELECT k FROM top_v(17)").queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(k,17)"),
+        s"the param filter must reach PushedFilters:\n${plan.take(900)}")
     }
     // zero-parameter form
     sql("CREATE OR REPLACE FUNCTION gfn.ns.tf0() RETURNS TABLE (one BIGINT) RETURN SELECT 1 AS one")
