@@ -10,7 +10,7 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedTableValuedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, LateralSubquery}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, CommonExpressionDef, CommonExpressionRef, Expression, LateralSubquery, Literal, SubqueryExpression, With}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{LateralJoin, LocalRelation, LogicalPlan, OneRowRelation, Project, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.connector.catalog.Identifier
@@ -47,6 +47,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - table functions (`RETURNS TABLE`) are refused honestly;
   *   - names share the tables/views namespace (collisions refuse both ways).
   */
+/** Typed shim for a call-by-value With-binding (r18): `With`'s
+  * withNewChildrenInternal re-reads each binding's dataType/nullable on EVERY
+  * tree transform, which explodes while the bound argument is still
+  * unresolved mid-analysis. The shim pins both to the declared parameter
+  * type (nullable, like every SQL UDF parameter) and rewrites itself to the
+  * real Cast at optimization (ReplaceExpressions runs in the first optimizer
+  * batch, before RewriteWithExpression materializes the binding). */
+case class GraftParamBinding(child: Expression, override val dataType: DataType)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override def nullable: Boolean = true
+  override lazy val replacement: Expression = Cast(child, dataType)
+  override protected def withNewChildInternal(newChild: Expression): GraftParamBinding =
+    copy(child = newChild)
+}
+
 private[catalog] object GraftFunctions {
   val FileName = "_graft_function"
 
@@ -192,13 +208,29 @@ private[catalog] object GraftFunctions {
       if (cached.longValue() == java.lang.Long.MAX_VALUE) return true
       if (now - cached.longValue() < FalseProbeTtlMs) return false
     }
+    // bounded walk (r18, ADVICE): function files live directly in table
+    // dirs; segment dirs (seg-*, incl. seg-staging@) hold the DATA — on a
+    // large catalog the unbounded walk paid a full data-tree scan every TTL
+    // expiry precisely in the no-function case it exists to make cheap.
     val found =
       Files.isDirectory(root) && {
-        val s = Files.walk(root)
-        try s.anyMatch { p =>
-          val n = p.getFileName
-          n != null && n.toString == FileName
-        } finally s.close()
+        var hit = false
+        Files.walkFileTree(root, new java.nio.file.SimpleFileVisitor[Path] {
+          import java.nio.file.FileVisitResult
+          override def preVisitDirectory(dir: Path,
+              attrs: java.nio.file.attribute.BasicFileAttributes): FileVisitResult = {
+            val n = dir.getFileName
+            if (n != null && n.toString.startsWith("seg-")) FileVisitResult.SKIP_SUBTREE
+            else FileVisitResult.CONTINUE
+          }
+          override def visitFile(file: Path,
+              attrs: java.nio.file.attribute.BasicFileAttributes): FileVisitResult =
+            if (file.getFileName.toString == FileName) { hit = true; FileVisitResult.TERMINATE }
+            else FileVisitResult.CONTINUE
+          override def visitFileFailed(file: Path,
+              exc: java.io.IOException): FileVisitResult = FileVisitResult.CONTINUE
+        })
+        hit
       }
     anyByRoot.put(root, if (found) java.lang.Long.MAX_VALUE else java.lang.Long.valueOf(now))
     found
@@ -240,6 +272,53 @@ private[catalog] object GraftFunctions {
   // -------------------------------------------------------------------------
   // Call-site inlining (GraftViewSubstitution's expression pass).
   // -------------------------------------------------------------------------
+
+  /** Class-level probe of a one-part builtin function name: instantiate with
+    * null-literal placeholders of the call's arity so node-LOCAL properties
+    * (the Nondeterministic trait, class foldability) can be read at parse
+    * time without touching unresolved children. Builders that validate
+    * argument values/arity throw → None (conservative). */
+  private def builtinClassProbe(name: String, arity: Int): Option[Expression] =
+    try Some(org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .lookupFunction(FunctionIdentifier(name.toLowerCase(java.util.Locale.ROOT)),
+        Seq.fill(arity)(Literal(null))))
+    catch { case NonFatal(_) => None }
+
+  /** Parse-time determinism proof for a call ARGUMENT (the call-by-value
+    * gate, r18). Substituting an argument expression at every parameter
+    * occurrence is call-by-name; SQL UDF semantics are call-by-value — so
+    * substitution is only legal when duplication provably cannot change the
+    * result. Two strictness levels share the walk:
+    *
+    *   - `allowAttrs = true` (scalar calls): column references and
+    *     deterministic builtin trees over them are safe to DUPLICATE within
+    *     one row's projection — same slots, same values. Subqueries and
+    *     anything not provably deterministic (session UDFs, unknown names,
+    *     nondeterministic builtins like rand/uuid) fail the proof.
+    *   - `allowAttrs = false` (table-function direct substitution): the
+    *     argument must additionally be CLASS-FOLDABLE constant material —
+    *     literals and foldable deterministic builtins of them — because the
+    *     body is a whole plan: a context-dependent-but-"deterministic" leaf
+    *     (input_file_name) would change meaning when moved from the call
+    *     scope into the body's scan scope.
+    *
+    * Unresolvable nodes prove nothing and fail closed: the caller falls back
+    * to the evaluate-once shape (With-binding / the lateral), never to a
+    * semantics change. */
+  private[catalog] def provenDeterministic(e: Expression, allowAttrs: Boolean): Boolean =
+    e match {
+      case _: Literal => true
+      case _: UnresolvedAttribute => allowAttrs
+      case _: SubqueryExpression => false
+      case u: UnresolvedFunction =>
+        !u.isDistinct && u.filter.isEmpty && u.orderingWithinGroup.isEmpty &&
+          u.nameParts.length == 1 &&
+          builtinClassProbe(u.nameParts.head, u.arguments.length).exists { probe =>
+            probe.deterministic && (allowAttrs || probe.foldable)
+          } && u.arguments.forall(provenDeterministic(_, allowAttrs))
+      case other =>
+        other.children.nonEmpty && other.children.forall(provenDeterministic(_, allowAttrs))
+    }
 
   /** Inline `f` iff it names a persisted graft function; None passes the call
     * through to Spark's own resolution. One-part names defer to builtins and
@@ -301,19 +380,49 @@ private[catalog] object GraftFunctions {
     }.toMap
     val parser = GraftViewExtension.classic(session).sessionState.sqlParser
     val body = parser.parseExpression(d.exprSql)
+    // Call-by-value gate (r18): per-occurrence substitution is call-by-name.
+    // An argument that is provably deterministic may be duplicated freely
+    // (same value every evaluation); otherwise a parameter used >= 2 times
+    // binds ONCE through a Catalyst With/common-expression — the optimizer
+    // (RewriteWithExpression) materializes it in a Project below, still
+    // inside whole-stage codegen — so `f(rand())` with body `x * x` squares
+    // ONE sample instead of multiplying two. A parameter used <= 1 time
+    // substitutes directly either way (<= one evaluation preserves CBV; an
+    // UNUSED argument is simply dropped — its side effects were never
+    // observable in the result).
+    val occurrences = new Array[Int](d.params.length)
+    body.foreach {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+          byName.contains(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+        occurrences(byName(a.nameParts.head.toLowerCase(java.util.Locale.ROOT))) += 1
+      case _ => ()
+    }
+    val bindings: Map[Int, CommonExpressionDef] =
+      d.params.fields.indices.collect {
+        case i if occurrences(i) >= 2 &&
+            !provenDeterministic(f.arguments(i), allowAttrs = true) =>
+          i -> CommonExpressionDef(
+            GraftParamBinding(f.arguments(i), d.params.fields(i).dataType))
+      }.toMap
     val substituted = body.transformUp {
       case a: UnresolvedAttribute if a.nameParts.length == 1 &&
           byName.contains(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
         val i = byName(a.nameParts.head.toLowerCase(java.util.Locale.ROOT))
-        // the declared-parameter-type cast is the SQL UDF calling convention
-        Cast(f.arguments(i), d.params.fields(i).dataType)
+        bindings.get(i) match {
+          case Some(dd) =>
+            CommonExpressionRef(dd.id, d.params.fields(i).dataType, nullable = true)
+          case None =>
+            // the declared-parameter-type cast is the SQL UDF calling convention
+            Cast(f.arguments(i), d.params.fields(i).dataType)
+        }
       // composition: nested calls expand depth-first with the host
       // function's OWN namespace as the default qualifier (SQL-standard
       // schema-object resolution), cycle-guarded by `seen`
       case nested: UnresolvedFunction =>
         expandNested(session, d.currentCatalog, d.currentNamespace, nested, seen + fq)
     }
-    Cast(substituted, d.returnType)
+    val casted = Cast(substituted, d.returnType)
+    if (bindings.isEmpty) casted else With(casted, bindings.values.toSeq)
   }
 
   // -------------------------------------------------------------------------
@@ -385,7 +494,7 @@ private[catalog] object GraftFunctions {
     val qualified = qualifyTables(parsed, d.currentCatalog, d.currentNamespace)
     // nested graft calls expand depth-first with the host's own namespace as
     // the default qualifier, cycle-guarded by `seen`
-    val expanded = qualified.transformUpWithSubqueries {
+    val expanded = transformBody(qualified) {
       case tvf: UnresolvedTableValuedFunction =>
         expandNestedTable(session, d.currentCatalog, d.currentNamespace, tvf, seen + fq)
       case p => p.transformExpressionsUp {
@@ -395,19 +504,25 @@ private[catalog] object GraftFunctions {
     }
 
     // Calling convention (declared-parameter-type casts either way):
-    //  - every param proven shadow-free at CREATE → DIRECT substitution of
-    //    the (constant) arguments into the body, so param predicates
-    //    constant-fold and PUSH into the scans;
-    //  - otherwise the lateral shape: args as a one-row outer relation,
-    //    body names shadow params (innermost-scope semantics).
+    //  - every param proven shadow-free at CREATE AND every argument proven
+    //    deterministic constant material (r18 — the call-by-value gate:
+    //    substitution re-evaluates the argument per occurrence and moves it
+    //    into the body's scope, so `fn(rand())` or `fn((SELECT ...))` must
+    //    never take this branch) → DIRECT substitution of the arguments
+    //    into the body, so param predicates constant-fold and PUSH into the
+    //    scans;
+    //  - otherwise the lateral shape: args as a one-row outer relation
+    //    (each argument evaluated exactly ONCE — SQL's call-by-value
+    //    contract), body names shadow params (innermost-scope semantics).
     val allSubstitutable = d.params.fields.forall(p =>
-      d.substParams.exists(_.equalsIgnoreCase(p.name)))
+      d.substParams.exists(_.equalsIgnoreCase(p.name))) &&
+      args.forall(provenDeterministic(_, allowAttrs = false))
     val inlined: LogicalPlan =
       if (allSubstitutable) {
         val byName = d.params.fields.zipWithIndex.map {
           case (p, i) => p.name.toLowerCase(java.util.Locale.ROOT) -> i
         }.toMap
-        expanded.transformUpWithSubqueries {
+        transformBody(expanded) {
           case p => p.transformExpressionsUp {
             case a: UnresolvedAttribute if a.nameParts.length == 1 &&
                 byName.contains(a.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
@@ -433,21 +548,63 @@ private[catalog] object GraftFunctions {
     SubqueryAlias(ident.name(), projected)
   }
 
+  /** Bottom-up plan transform that ALSO descends into
+    * `UnresolvedWith.cteRelations` (CTE definitions are innerChildren on a
+    * PARSED plan — invisible to every TreeNode transform, so a plain
+    * `transformUp`/`transformUpWithSubqueries` body rewrite would silently
+    * skip them) and into subquery-expression plans. Every body rewrite here
+    * (qualification, nested-call expansion, direct substitution) must use
+    * this traversal or CTE-bearing function bodies go half-rewritten. */
+  private[catalog] def transformBody(plan: LogicalPlan)(
+      f: LogicalPlan => LogicalPlan): LogicalPlan = {
+    def go(p: LogicalPlan): LogicalPlan = {
+      val kids = p match {
+        case w: UnresolvedWith =>
+          w.copy(child = go(w.child),
+            cteRelations = w.cteRelations.map { case (n, r, m) =>
+              (n, go(r).asInstanceOf[SubqueryAlias], m)
+            })
+        case other => other.mapChildren(go)
+      }
+      val withSubqueries = kids.transformExpressionsUp {
+        case se: SubqueryExpression => se.withNewPlan(go(se.plan))
+      }
+      f(withSubqueries)
+    }
+    go(plan)
+  }
+
   /** Qualify a body's free one-part table names with the function's own
     * catalog/namespace (schema-object resolution — the same rule nested
-    * scalar calls follow), leaving CTE names bound inside the body alone. */
+    * scalar calls follow), leaving CTE names alone only WHERE THEY ARE IN
+    * SCOPE (r18, ADVICE: a CTE defined in a sibling subquery must not
+    * suppress qualification elsewhere — SQL names bind innermost-scope, not
+    * whole-statement). Each CTE definition sees the CTEs defined before it
+    * in the same WITH (plus its own name under WITH RECURSIVE); the main
+    * query sees them all; outer scopes flow into subqueries. */
   private[catalog] def qualifyTables(plan: LogicalPlan, cat: String,
                                      ns: Seq[String]): LogicalPlan = {
-    val cteNames = plan.collect {
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def go(p: LogicalPlan, scope: Set[String]): LogicalPlan = p match {
       case w: UnresolvedWith =>
-        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
-    }.flatten.toSet
-    plan.transformUp {
+        var s = scope
+        val newCtes = w.cteRelations.map { case (name, rel, mrd) =>
+          val defScope = if (w.allowRecursion) s + lower(name) else s
+          val rel2 = go(rel, defScope).asInstanceOf[SubqueryAlias]
+          s = s + lower(name)
+          (name, rel2, mrd)
+        }
+        w.copy(child = go(w.child, s), cteRelations = newCtes)
       case u: UnresolvedRelation
           if !u.isStreaming && u.multipartIdentifier.length == 1 &&
-            !cteNames.contains(u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT)) =>
+            !scope.contains(lower(u.multipartIdentifier.head)) =>
         u.copy(multipartIdentifier = cat +: ns :+ u.multipartIdentifier.head)
+      case other =>
+        other.transformExpressionsUp {
+          case se: SubqueryExpression => se.withNewPlan(go(se.plan, scope))
+        }.mapChildren(go(_, scope))
     }
+    go(plan, Set.empty)
   }
 
   private[catalog] def expandNestedTable(session: SparkSession, hostCatalog: String,
@@ -630,9 +787,8 @@ case class CreateGraftTableFunctionCommand(
     // into self-reference expands the OLD body and fails at the call site,
     // the scalar convention)
     val hostNs = ident.namespace().toSeq
-    val body = GraftFunctions.qualifyTables(parser.parsePlan(queryText),
-        catalogName, hostNs)
-      .transformUpWithSubqueries {
+    val body = GraftFunctions.transformBody(
+      GraftFunctions.qualifyTables(parser.parsePlan(queryText), catalogName, hostNs)) {
         case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction =>
           GraftFunctions.expandNestedTable(sparkSession, catalogName, hostNs, tvf, Set.empty)
         case p => p.transformExpressionsUp {

@@ -2,6 +2,13 @@ package graft.catalog
 
 import graft.SparkSpec
 
+/** Shared executor-visible counter for the call-by-value pins: a Scala
+  * object deserializes to the JVM-singleton in local mode, so task closures
+  * increment the same AtomicLong the assertions read. */
+object FnProbeCounter {
+  val n = new java.util.concurrent.atomic.AtomicLong()
+}
+
 /** Pins for persisted SQL FUNCTIONS (GraftFunctions + the view extension's
   * DDL/resolution wiring): create/call/compose/drop, the inline calling
   * convention (param/return casts, codegen survival), and the refusal
@@ -291,6 +298,95 @@ class GraftFunctionSpec extends SparkSpec {
     // a stray column in the body fails at CREATE (real scopes, loud failure)
     intercept[Exception](sql(
       "CREATE FUNCTION gfn.ns.tf_bad3(n BIGINT) RETURNS TABLE (a BIGINT) RETURN SELECT stray FROM tf_base2"))
+  }
+
+  test("call-by-value: a non-deterministic scalar argument evaluates ONCE per row") {
+    root
+    import org.apache.spark.sql.functions.udf
+    spark.udf.register("gfn_probe",
+      udf((x: Double) => { FnProbeCounter.n.incrementAndGet(); x }).asNondeterministic())
+    sql("CREATE OR REPLACE FUNCTION gfn.ns.sqcbv(x DOUBLE) RETURNS DOUBLE RETURN x * x")
+    FnProbeCounter.n.set(0)
+    val rows = sql(
+      "SELECT gfn.ns.sqcbv(gfn_probe(CAST(id AS DOUBLE) + 1.0)) AS r FROM range(64)")
+      .collect().map(_.getDouble(0))
+    assert(FnProbeCounter.n.get === 64L,
+      "substitution is call-by-name; the gate must bind the argument ONCE per row")
+    assert(rows.sorted.toSeq === (1 to 64).map(i => (i.toDouble * i)).sorted)
+    // rand(): the body must square ONE sample (x*x ~ uniform^2, mean 1/3),
+    // not multiply two independent draws (mean 1/4) — 1000 samples puts the
+    // two means ~8 sigma apart
+    val mean = sql(
+      "SELECT AVG(r) AS m FROM (SELECT gfn.ns.sqcbv(rand(7)) AS r FROM range(1000))")
+      .collect().head.getDouble(0)
+    assert(mean > 0.30 && mean < 0.37,
+      s"mean $mean: f(rand()) must evaluate rand() once per row (E[u^2]=1/3), " +
+        "not per occurrence (E[u1*u2]=1/4)")
+    // a deterministic expensive-looking argument (scalar subquery) also
+    // binds once and still computes correctly through the With shape
+    assert(sql("SELECT gfn.ns.sqcbv((SELECT 3.0)) AS r").collect().head.getDouble(0) === 9.0)
+    // deterministic arguments keep the plain substitution: still codegen
+    val df = sql("SELECT SUM(gfn.ns.sqcbv(CAST(id AS DOUBLE))) AS s FROM range(10)")
+    assert(df.collect().head.getDouble(0) === (0 until 10).map(i => i.toDouble * i).sum)
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("call-by-value: a non-deterministic table-function argument keeps the lateral (ONE evaluation)") {
+    root
+    import org.apache.spark.sql.functions.udf
+    sql("DROP TABLE IF EXISTS gfn.ns.tf_cbv_base")
+    sql("CREATE TABLE gfn.ns.tf_cbv_base USING parquet AS SELECT id AS k FROM range(20)")
+    sql("""CREATE OR REPLACE FUNCTION gfn.ns.tf_cbv(lo BIGINT)
+           RETURNS TABLE (k BIGINT) RETURN SELECT k FROM tf_cbv_base WHERE k >= lo""")
+    spark.udf.register("gfn_probe2",
+      udf((x: Long) => { FnProbeCounter.n.incrementAndGet(); x }).asNondeterministic())
+    inNs {
+      FnProbeCounter.n.set(0)
+      val rows = sql("SELECT k FROM tf_cbv(gfn_probe2(17)) ORDER BY k")
+        .collect().map(_.getLong(0))
+      assert(rows.toSeq === Seq(17L, 18L, 19L))
+      assert(FnProbeCounter.n.get === 1L,
+        "direct substitution would re-evaluate the argument per body reference; " +
+          "a non-deterministic argument must ride the one-row lateral")
+      // a deterministic scalar-subquery argument also refuses direct
+      // substitution (it would re-execute inside the body's scope)
+      val sq = sql("SELECT k FROM tf_cbv((SELECT MAX(k) FROM tf_cbv_base))")
+        .collect().map(_.getLong(0))
+      assert(sq.toSeq === Seq(19L))
+      // literal arguments still take the direct path: the param predicate
+      // constant-folds and reaches the parquet scan's PushedFilters
+      val plan = sql("SELECT k FROM tf_cbv(17)").queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(k,17)"), plan.take(900))
+    }
+  }
+
+  test("CTE names suppress qualification only in their own scope; CTE bodies rewrite too") {
+    root
+    sql("DROP TABLE IF EXISTS gfn.ns.cte_base")
+    sql("CREATE TABLE gfn.ns.cte_base USING parquet AS SELECT id AS k FROM range(10)")
+    // one-part table names INSIDE a CTE definition must resolve in the
+    // function's own namespace (CTE defs are innerChildren on a parsed plan —
+    // a plain transform misses them entirely)
+    sql("""CREATE OR REPLACE FUNCTION gfn.ns.tf_cte(lo BIGINT)
+           RETURNS TABLE (n BIGINT)
+           RETURN WITH big AS (SELECT k FROM cte_base WHERE k >= lo)
+                  SELECT COUNT(*) AS n FROM big""")
+    inNs {
+      assert(sql("SELECT n FROM tf_cte(7)").collect().head.getLong(0) === 3L)
+    }
+    // a CTE name in one scope must not suppress qualification of the same
+    // name used as a real table elsewhere: `cte_base` here is BOTH a CTE
+    // (inside the subquery) and the real table (outer) — the outer reference
+    // must still qualify to the function's namespace
+    sql("""CREATE OR REPLACE FUNCTION gfn.ns.tf_cte2()
+           RETURNS TABLE (total BIGINT, sub BIGINT)
+           RETURN SELECT (SELECT COUNT(*) FROM cte_base) AS total,
+                         (WITH cte_base AS (SELECT 1 AS one) SELECT COUNT(*) FROM cte_base) AS sub""")
+    inNs {
+      val r = sql("SELECT total, sub FROM tf_cte2()").collect().head
+      assert(r.getLong(0) === 10L, "the real table reference must qualify despite a sibling CTE of the same name")
+      assert(r.getLong(1) === 1L, "the in-scope CTE name must NOT qualify")
+    }
   }
 
   test("functions work inside persisted views (abstractions compose)") {
