@@ -1676,17 +1676,28 @@ private[catalog] object GraftMeta {
     * resurrect deleted rows or duplicate survivors. */
   def commitReplaceSegments(tableDir: Path, newSegments: Seq[(String, Option[String])],
                             removed: Set[String],
-                            expectedCurrent: Option[Long] = None): Unit = {
+                            expectedCurrent: Option[Long] = None,
+                            propCas: Seq[(String, String, String)] = Nil): Unit = {
     newSegments.foreach { case (s, _) => touchSegment(tableDir, s) }
     mutate(tableDir) { meta =>
       expectedCurrent.foreach(base => require(meta.current == base,
         s"graft: concurrent commit detected (rewrite based on snapshot $base, " +
           s"current is ${meta.current}); retry the operation"))
+      // property CAS riders (identity high-water advancement for ids minted
+      // by MERGE INSERT clauses inside the rewrite — same contract as the
+      // append commit's riders)
+      propCas.foreach { case (k, expected, _) =>
+        require(meta.props.get(k).contains(expected),
+          s"graft: concurrent allocation detected on '$k' (allocated from " +
+            s"$expected, committed value is ${meta.props.getOrElse(k, "<absent>")}); " +
+            "retry the write")
+      }
       val next = meta.current + 1
       val dirs = meta.snapshots.getOrElse(meta.current, Nil).filterNot(removed) ++
         newSegments.map(_._1)
       meta.copy(current = next, snapshots = meta.snapshots + (next -> dirs),
         zstats = meta.zstats ++ newSegments.collect { case (s, Some(z)) => s -> z },
+        props = meta.props ++ propCas.map(t => t._1 -> t._3),
         snapshotTimes = meta.snapshotTimes + (next -> System.currentTimeMillis()),
         dvs = meta.dvs + (next -> meta.dvsAfter(dirs)))
     }
@@ -3017,9 +3028,11 @@ private[catalog] final class GraftWriteBuilder(
         // ordinal 0) — so the op column is stripped here, at the writer.
         if (fromRowLevelOp)
           new OpStrippingWriterFactory(
-            // existing rows carry ids; a NULL can only be a MERGE INSERT —
-            // refused (allocation can't ride the group rewrite)
-            GraftIdentity.nullRejectWrap(f, identitySpecs, segment), info.schema())
+            // existing rows carry ids; NULLs are MERGE-INSERT-minted rows —
+            // allocated here, high-water advanced in the rewrite commit's
+            // propCas rider (r18)
+            GraftIdentity.rowLevelWrap(f, identitySpecs, info.schema(),
+              pInfo.numPartitions(), segment), info.schema())
         else
           // identity fills OUTSIDE generation/checks so both see final values
           GraftIdentity.wrap(f, identitySpecs, info.schema(),
@@ -3045,9 +3058,12 @@ private[catalog] final class GraftWriteBuilder(
             GraftRefs.commitToBranch(tableDir, b, Seq(segment -> stats))
           case (None, Some(removed)) if fromRowLevelOp =>
             // runtime group filtering ran: the replacement rows cover exactly
-            // the scanned segments — swap those, carry the rest by reference
+            // the scanned segments — swap those, carry the rest by reference;
+            // MERGE-INSERT-minted identity ids advance the high-water in the
+            // same CAS
             GraftMeta.commitReplaceSegments(tableDir, Seq(segment -> stats),
-              removed.toSet, expectedCurrent)
+              removed.toSet, expectedCurrent,
+              propCas = GraftIdentity.propCas(identitySpecs, identityMaxes))
           case _ =>
             GraftMeta.commit(tableDir, segment, replace, stats,
               if (fromRowLevelOp) expectedCurrent else None, // atomic snapshot swap

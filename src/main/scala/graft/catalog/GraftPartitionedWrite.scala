@@ -179,12 +179,13 @@ private[catalog] final class GraftPartitionedWrite(
         // cannot rebuild generically — group-rewrite rows are already
         // filled, the documented seam is partitioned MERGE INSERT clauses
         if (fromRowLevelOp)
-          // existing rows carry their ids; a NULL can only be a MERGE INSERT
-          // (refused — allocation can't ride the group rewrite). Rows here
-          // still carry the leading __row_operation column (the router strips
-          // it), so the specs' ordinals shift by one, like the checks'.
-          GraftIdentity.nullRejectWrap(checked,
-            identitySpecs.map(s => s.copy(ordinal = s.ordinal + 1)), writeId)
+          // existing rows carry their ids; NULLs are MERGE-INSERT-minted rows
+          // — allocated here (r18), the high-water advancing in the rewrite
+          // commit's propCas rider. Rows here still carry the leading
+          // __row_operation column (the router strips it), so the allocator
+          // shifts its ordinals by one, like the checks'.
+          GraftIdentity.rowLevelWrap(checked, identitySpecs, dataSchema,
+            pInfo.numPartitions(), writeId, ordinalOffset = 1)
         else
           // identity fills OUTERMOST (before generation/checks/routing) so
           // derived columns, constraints, and the partition router all see
@@ -242,7 +243,8 @@ private[catalog] final class GraftPartitionedWrite(
                 // those (a DELETE emptying a partition removes its segment
                 // with nothing added), untouched partitions carry by reference
                 GraftMeta.commitReplaceSegments(tableDir, segments,
-                  removed.toSet, guard)
+                  removed.toSet, guard,
+                  propCas = GraftIdentity.propCas(identitySpecs, identityExtremes))
               case None =>
                 val applied = GraftMeta.commitMany(tableDir, segments,
                   replaceAll = replaceAll,

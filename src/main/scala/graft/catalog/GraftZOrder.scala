@@ -301,8 +301,10 @@ private[catalog] final class GraftClusteredWrite(
           dataSchema, props, writeId,
           ordinalOffset = if (fromRowLevelOp) 1 else 0)
         if (fromRowLevelOp)
-          GraftIdentity.nullRejectWrap(checked,
-            identitySpecs.map(s => s.copy(ordinal = s.ordinal + 1)), writeId)
+          // NULLs are MERGE-INSERT-minted rows — allocated here (r18), the
+          // high-water advancing in the rewrite commit's propCas rider
+          GraftIdentity.rowLevelWrap(checked, identitySpecs, dataSchema,
+            pInfo.numPartitions(), writeId, ordinalOffset = 1)
         else
           GraftIdentity.wrap(GraftGenerate.wrap(checked, dataSchema, props, writeId),
             identitySpecs, dataSchema, pInfo.numPartitions(), writeId)
@@ -347,7 +349,8 @@ private[catalog] final class GraftClusteredWrite(
             removedByGroupFilter match {
               case Some(removed) =>
                 GraftMeta.commitReplaceSegments(tableDir, segments,
-                  removed.toSet, expectedCurrent)
+                  removed.toSet, expectedCurrent,
+                  propCas = GraftIdentity.propCas(identitySpecs, identityExtremes))
               case None =>
                 val applied = GraftMeta.commitMany(tableDir, segments,
                   replaceAll = replaceAll, removeSuffixes = Set.empty,

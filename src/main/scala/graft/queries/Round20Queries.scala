@@ -278,11 +278,73 @@ object Round20Queries {
               MIN(b) AS min_b, MAX(b) AS max_b
        FROM g GROUP BY 1 ORDER BY band"""
 
+  // --------------------------------------------------------------------------
+  // q302: MERGE INSERT MINTS IDENTITY IDS (r18) — the canonical CDC
+  // surrogate-key dimension load: wave 0 seeds two thirds of the customers
+  // into an identity table, then ONE MERGE updates every matched row and
+  // INSERTS the missing third with the identity column omitted — the engine
+  // allocates inside the group rewrite and advances the high-water in the
+  // SAME commitReplaceSegments CAS that swaps the segments
+  // (GraftIdentity.rowLevelWrap). Like q297, the readout gates the
+  // INVARIANTS, not raw ids (ids depend on task routing): per-segment
+  // uniqueness, grid membership, global distinct = row count, the minted
+  // ids' minimum strictly above wave 0's maximum (allocation started at the
+  // high-water), and a post-merge sentinel insert strictly above everything
+  // (the merge's propCas really advanced the water). At 100 TB this is the
+  // nightly CDC upsert into a billion-row dimension — O(touched groups)
+  // write volume, key minting with zero extra coordination.
+  // --------------------------------------------------------------------------
+  private def q302(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_customer2_${sfTag(d)}"
+    T.customer(s, d).createOrReplaceTempView(src)
+    val t = s"r302_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t
+              (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3),
+               k BIGINT, seg STRING, bal_c BIGINT) USING parquet""")
+    s.sql(s"""INSERT INTO graft.lake.$t (k, seg, bal_c)
+      SELECT c_custkey, c_mktsegment, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 3 <> 0""")                     // wave 0
+    s.sql(s"""MERGE INTO graft.lake.$t tt
+      USING (SELECT c_custkey AS k, c_mktsegment AS seg,
+                    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c FROM $src) ss
+      ON tt.k = ss.k
+      WHEN MATCHED THEN UPDATE SET bal_c = ss.bal_c + 11
+      WHEN NOT MATCHED THEN INSERT (k, seg, bal_c) VALUES (ss.k, ss.seg, ss.bal_c)""")
+    s.sql(s"INSERT INTO graft.lake.$t (k, seg, bal_c) VALUES (-1, 'S', 0), (-2, 'S', 0)")
+    s.sql(s"""WITH g AS (SELECT id, k, seg, bal_c FROM graft.lake.$t),
+         m AS (SELECT MAX(CASE WHEN k >= 0 THEN id END) AS data_max,
+                      MIN(CASE WHEN k < 0 THEN id END) AS sent_min,
+                      MAX(CASE WHEN k >= 0 AND k % 3 <> 0 THEN id END) AS wave0_max,
+                      MIN(CASE WHEN k >= 0 AND k % 3 = 0 THEN id END) AS minted_min
+               FROM g)
+       SELECT seg, COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids,
+              SUM(CASE WHEN id >= 100 AND (id - 100) % 3 = 0 THEN 1 ELSE 0 END) AS on_grid,
+              CAST(SUM(bal_c) AS BIGINT) AS total_c,
+              (SELECT COUNT(DISTINCT id) FROM g) AS all_distinct,
+              (SELECT minted_min > wave0_max FROM m) AS minted_monotone,
+              (SELECT sent_min > data_max FROM m) AS post_monotone
+       FROM g WHERE k >= 0 GROUP BY seg ORDER BY seg""")
+  }
+
+  private val q302Sql =
+    """SELECT c_mktsegment AS seg, COUNT(*) AS n, COUNT(*) AS n_ids,
+              COUNT(*) AS on_grid,
+              CAST(SUM(CASE WHEN c_custkey % 3 <> 0
+                            THEN CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 11
+                            ELSE CAST(FLOOR(c_acctbal * 100) AS BIGINT) END)
+                   AS BIGINT) AS total_c,
+              (SELECT COUNT(*) + 2 FROM customer) AS all_distinct,
+              TRUE AS minted_monotone, TRUE AS post_monotone
+       FROM customer GROUP BY 1 ORDER BY seg"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q297_identity_partitioned", q297, Some(q297Sql)),
     QDef("q298_string_minmax_zero_io", q298, Some(q298Sql)),
     QDef("q299_table_function_inline", q299, Some(q299Sql)),
     QDef("q300_kll_quantile_stats", q300, Some(q300Sql)),
     QDef("q301_clustered_steady_state", q301, Some(q301Sql)),
+    QDef("q302_merge_identity_minting", q302, Some(q302Sql)),
   )
 }

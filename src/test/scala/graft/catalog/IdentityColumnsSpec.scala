@@ -216,7 +216,7 @@ class IdentityColumnsSpec extends SparkSpec {
       "descending: next grid point strictly below the explicit -35 is -40")
   }
 
-  test("BY DEFAULT: row-level rewrites refuse new at/beyond-water ids loudly") {
+  test("BY DEFAULT: row-level rewrites advance the high-water past hoisted ids (r18)") {
     root
     sql("DROP TABLE IF EXISTS gidn.ns.bd5")
     sql("""CREATE TABLE gidn.ns.bd5
@@ -226,14 +226,88 @@ class IdentityColumnsSpec extends SparkSpec {
     // UPDATE keeping existing (behind-water) ids: fine
     sql("UPDATE gidn.ns.bd5 SET v = v + 10 WHERE id = 1")
     assert(sql("SELECT v FROM gidn.ns.bd5 WHERE id = 1").collect().head.getLong(0) === 11L)
-    // UPDATE hoisting an id past the allocator: the rewrite commit cannot
-    // advance the high-water, so it must fail, not silently break uniqueness
+    // UPDATE hoisting an id past the allocator: pre-r18 this refused (the
+    // rewrite commit had no high-water transaction); the rewrite commit now
+    // carries the same propCas rider as appends, so the explicit id lands
+    // AND the high-water advances past it — a later allocation cannot collide
+    sql("UPDATE gidn.ns.bd5 SET id = 999 WHERE v = 2")
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.bd5 WHERE id = 999").collect()
+      .head.getLong(0) === 1L)
+    sql("INSERT INTO gidn.ns.bd5 (v) VALUES (3)")
+    val ids = sql("SELECT id FROM gidn.ns.bd5").collect().map(_.getLong(0))
+    assert(ids.distinct.length === 3, s"ids must stay unique, got ${ids.sorted.toSeq}")
+    assert(ids.max === 1000L,
+      s"the next allocation must sit on the grid past the hoisted 999, got ${ids.sorted.toSeq}")
+  }
+
+  test("MERGE INSERT mints identity ids (r18): allocation + high-water CAS ride the rewrite commit") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.m1")
+    sql("""CREATE TABLE gidn.ns.m1
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+            k BIGINT, v BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.m1 (k, v) SELECT id, id * 10 FROM range(5)") // ids 10..18
+    // the canonical CDC surrogate-key load: matched rows update, not-matched
+    // rows INSERT with the identity column omitted — the engine mints ids
+    sql("""MERGE INTO gidn.ns.m1 t
+           USING (SELECT 1L AS k, 111L AS v UNION ALL SELECT 3L, 333L
+                  UNION ALL SELECT 100L, 1000L UNION ALL SELECT 101L, 1010L) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val rows = sql("SELECT id, k, v FROM gidn.ns.m1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 7)
+    val ids = rows.map(_._1)
+    assert(ids.distinct.length === 7, s"minted ids must be globally unique, got ${ids.sorted.toSeq}")
+    assert(ids.forall(i => i >= 10 && (i - 10) % 2 == 0),
+      s"every id must sit on the start+k*step grid, got ${ids.sorted.toSeq}")
+    // matched rows keep their ids; updated values landed
+    assert(rows.filter(_._2 == 1L).map(_._3).toSeq === Seq(111L))
+    val minted = rows.filter(r => r._2 >= 100L).map(_._1)
+    assert(minted.forall(_ >= 20L),
+      s"minted ids allocate from the high-water (20), got ${minted.toSeq}")
+    // the same commit advanced the high-water: a later INSERT cannot collide
+    sql("INSERT INTO gidn.ns.m1 (k, v) VALUES (200, 2000)")
+    val all = sql("SELECT id FROM gidn.ns.m1").collect().map(_.getLong(0))
+    assert(all.distinct.length === 8, s"post-merge insert must not collide, got ${all.sorted.toSeq}")
+    assert(all.max > minted.max, "the merge's propCas must have advanced the high-water")
+    // ALWAYS still refuses an explicit id at/beyond the high-water inside a
+    // rewrite (only an explicit MERGE INSERT / UPDATE SET can put one there)
     val e = intercept[Exception] {
-      sql("UPDATE gidn.ns.bd5 SET id = 999 WHERE v = 2")
+      sql("""MERGE INTO gidn.ns.m1 t USING (SELECT 300L AS k, 1L AS v) s ON t.k = s.k
+             WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (99999, s.k, s.v)""")
     }
     assert(e.getMessage != null)
-    assert(sql("SELECT COUNT(*) FROM gidn.ns.bd5 WHERE id = 999").collect()
-      .head.getLong(0) === 0L, "the refused rewrite must not commit")
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.m1 WHERE k = 300").collect()
+      .head.getLong(0) === 0L, "the refused merge must publish nothing")
+  }
+
+  test("MERGE INSERT mints ids on PARTITIONED identity tables (r18)") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.m2")
+    sql("""CREATE TABLE gidn.ns.m2
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            geo STRING, k BIGINT, v BIGINT) USING parquet PARTITIONED BY (geo)""")
+    sql("""INSERT INTO gidn.ns.m2 (geo, k, v)
+           SELECT CASE id % 2 WHEN 0 THEN 'eu' ELSE 'us' END, id, id * 10 FROM range(10)""")
+    sql("""MERGE INTO gidn.ns.m2 t
+           USING (SELECT 'eu' AS geo, 0L AS k, 999L AS v
+                  UNION ALL SELECT 'ap', 100L, 1000L
+                  UNION ALL SELECT 'eu', 102L, 1020L) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (geo, k, v) VALUES (s.geo, s.k, s.v)""")
+    val rows = sql("SELECT id, geo, k FROM gidn.ns.m2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 12)
+    assert(rows.map(_._1).distinct.length === 12,
+      s"ids unique across partitions, got ${rows.map(_._1).sorted.toSeq}")
+    // the minted 'ap' row landed partition-pure (a brand-new partition value
+    // minted INSIDE the rewrite routes like any insert)
+    assert(rows.count(_._2 == "ap") === 1)
+    val ids2 = sql("SELECT id FROM gidn.ns.m2 WHERE k >= 100").collect().map(_.getLong(0))
+    assert(ids2.forall(_ >= 11L), s"minted ids allocate from the high-water, got ${ids2.toSeq}")
   }
 
   test("BY DEFAULT: a same-statement explicit id inside the allocated range refuses the commit") {
