@@ -1847,7 +1847,11 @@ private[catalog] object GraftMeta {
         val kept =
           if (replaceAll) Nil
           else if (removeSuffixes.nonEmpty)
-            base.filterNot(s => GraftPartitions.suffixOf(s).exists(removeSuffixes))
+            // match on the PARTITION part of the suffix: an overwritten
+            // partition's clustered (`<part>~zc<i>`) segments must swap out
+            // with its plain ones, or the overwrite would silently double rows
+            base.filterNot(s => GraftPartitions.suffixOf(s)
+              .exists(sfx => removeSuffixes(GraftPartitions.baseSuffix(sfx))))
           else base
         val next = meta.current + 1
         val dirs = kept ++ segments.map(_._1)
@@ -1934,6 +1938,27 @@ private[catalog] object GraftPartitions {
     val i = segment.indexOf(Marker)
     if (i < 0) None else Some(segment.substring(i + 1))
   }
+
+  /** Strip a trailing per-partition z-order CELL tail (`~zc<i>`, r18): a
+    * partitioned `rewrite_clustered` lands segments suffixed
+    * `[specId~]<tuple>~zc<i>` — partition-value operations (dynamic
+    * overwrite removal) must match on the PARTITION part. `~` cannot appear
+    * inside an encoded tuple (%7E-escaped), so a trailing `~zc<digits>` is
+    * unambiguous. Unpartitioned cell suffixes (`zc<i>`, no `~`) and plain
+    * partition suffixes pass through unchanged. */
+  def baseSuffix(sfx: String): String = {
+    val i = sfx.lastIndexOf('~')
+    if (i > 0 && sfx.length > i + 3 && sfx.charAt(i + 1) == 'z' &&
+        sfx.charAt(i + 2) == 'c' && sfx.substring(i + 3).forall(_.isDigit))
+      sfx.substring(0, i)
+    else sfx
+  }
+
+  /** Does this suffix carry a z-order cell (either the unpartitioned `zc<i>`
+    * form or a partitioned `...~zc<i>` tail)? The cell-preserving COW gate. */
+  def hasCellTail(sfx: String): Boolean =
+    (sfx.startsWith("zc") && sfx.length > 2 && sfx.substring(2).forall(_.isDigit)) ||
+      baseSuffix(sfx) != sfx
 
   /** Identity partition columns may be any type whose canonical string form
     * is stable across the write paths; floating point (ill-defined equality)

@@ -570,14 +570,18 @@ private[catalog] object GraftDml {
     } finally GraftMeta.deleteRecursively(staging)
   }
 
-  /** Does this COW rewrite qualify for CELL-PRESERVING routing (r17)? True
-    * when the table is unpartitioned and EVERY touched segment carries a
-    * `zc<i>` suffix — the grid rewrite_clustered laid down. Mixed snapshots
-    * (a plain append after clustering) fall back to the one-segment rewrite
-    * for the plain segments' sake; re-run rewrite_clustered to restore. */
+  /** Does this COW rewrite qualify for CELL-PRESERVING routing (r17; r18
+    * extends it to per-partition grids)? True when EVERY touched segment
+    * carries a z-order CELL suffix — the unpartitioned `zc<i>` form or the
+    * partitioned `<part>~zc<i>` form rewrite_clustered laid down. Rows route
+    * back through their source suffix, so both the cell grid AND partition
+    * purity survive (updateWhere refuses partition-column assignment, so no
+    * row can need to move). Mixed snapshots (a plain append after
+    * clustering) fall back to the value-routed rewrite for the plain
+    * segments' sake; re-run rewrite_clustered to restore. */
   private def zcellPreserving(meta: GraftMeta, touched: Set[String]): Boolean =
-    GraftPartitions.routedFields(meta.props).isEmpty && touched.nonEmpty &&
-      touched.forall(s => GraftPartitions.suffixOf(s).exists(_.startsWith("zc")))
+    touched.nonEmpty &&
+      touched.forall(s => GraftPartitions.suffixOf(s).exists(GraftPartitions.hasCellTail))
 
   /** Cell-preserving COW rewrite for Z-ORDERED tables: surviving rows route
     * BACK through their source `zc<i>` cell (the suffix-carry contract
@@ -682,19 +686,33 @@ private[catalog] object GraftDml {
     * (segments_before, segments_after, rows_after). */
   private[catalog] def rewriteClustered(dir: java.nio.file.Path, colsCsv: String,
                                         n: Int): (Int, Int, Long) = {
-    import org.apache.spark.sql.functions.{concat, floor, greatest, least,
-      shiftleft, shiftright, udf, unix_date, unix_micros}
+    import org.apache.spark.sql.functions.{concat, concat_ws, floor, greatest,
+      least, shiftleft, shiftright, udf, unix_date, unix_micros}
     val spark = SparkSession.active
     val meta = GraftMeta.read(dir)
-    require(GraftPartitions.routedFields(meta.props).isEmpty,
-      "graft rewrite_clustered: partitioned/bucketed tables are refused — " +
-        "clustering across partition values would destroy the partition " +
-        "purity pruned scans and partition-scoped DML depend on; cluster " +
-        "WITHIN partitions via write.order-by instead")
+    // Partitioned tables cluster WITHIN each partition (r18): rows never
+    // cross partition values — each output segment is suffixed
+    // `<part>~zc<i>`, so partition purity (pruned scans, partition-scoped
+    // DML, dynamic overwrite via baseSuffix matching) is preserved while
+    // every partition gains a cell grid with tight multi-column bounds —
+    // the Iceberg sort-order-within-partition shape. Bucketed tables still
+    // refuse (hash buckets already pin the key's co-location; clustering
+    // within a bucket serves no pruning the bucket id doesn't).
+    val routed = GraftPartitions.routedFields(meta.props)
+    require(routed.forall(_.bucketN.isEmpty),
+      "graft rewrite_clustered: bucket-partitioned tables are refused — " +
+        "hash buckets already co-locate the key; cluster a copy without " +
+        "bucketing, or order within buckets via write.order-by")
+    val partCols = routed.map(_.source)
     val names = colsCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     require(names.length >= 2 && names.length <= 3,
       s"graft rewrite_clustered: z-order takes 2-3 columns, got ${names.length} " +
         "(one column is write.order-by's job; more than 3 dilutes every dimension)")
+    names.find(nm => partCols.exists(_.equalsIgnoreCase(nm))).foreach(nm =>
+      throw new IllegalArgumentException(
+        s"graft rewrite_clustered: '$nm' is a partition column — constant " +
+          "within each partition, so it cannot contribute a z-order " +
+          "dimension; cluster on non-partition columns"))
     val schema = meta.schema
     val fields = names.map(nm => schema.fields.find(_.name.equalsIgnoreCase(nm))
       .getOrElse(throw new IllegalArgumentException(
@@ -764,11 +782,38 @@ private[catalog] object GraftDml {
     val specOut = GraftZOrder.Spec(fields.map(_.name),
       bounds.map { case (_, mn, mx) => (mn, mx) }, splits)
     val cellOf = udf((z: Long) => specOut.cellOf(z))
+    // route = `[<part>~]zc<i>`: partitioned tables cluster WITHIN each
+    // partition value — the route string prepends the row's spec-qualified
+    // partition suffix (canonical CAST-AS-STRING form, %-encoded — the
+    // byte-identical convention every partition-pure writer shares), so each
+    // output segment stays partition-pure AND cell-pure. Shared bounds +
+    // split points across partitions: cells are mass-balanced GLOBALLY (a
+    // skewed partition fills its hot cells; pruning reads per-segment zone
+    // bounds either way).
+    val routeCol =
+      if (partCols.isEmpty)
+        concat(lit("zc"), col("__zc_cell").cast("string"))
+      else {
+        val sid = GraftPartitions.specId(meta.props)
+        val encode = udf((s: String) => GraftPartitions.encodeString(s))
+        val tuple = concat_ws("_", partCols.map(c => encode(col(c).cast("string"))): _*)
+        val part = if (sid == 0L) tuple else concat(lit(s"$sid~"), tuple)
+        concat(part, lit("~zc"), col("__zc_cell").cast("string"))
+      }
+    // explicit shuffle width = the full grid (cells x touched partitions,
+    // capped) so AQE cannot fold the rewrite into too few sorted streams;
+    // the route-keyed fan-out writer lands one file per (partition, cell)
+    // whatever the task count
+    val partCount = math.max(1,
+      segs.flatMap(GraftPartitions.suffixOf).map(GraftPartitions.baseSuffix).distinct.size)
+    val width = math.min(n.toLong * (if (partCols.isEmpty) 1L else partCount.toLong),
+      4096L).toInt
     val ranged = keyed.withColumn("__zc_cell", cellOf(col("__zc_key")))
-      .repartition(n, col("__zc_cell"))
-      .sortWithinPartitions("__zc_key")
+      .withColumn("__g_route", routeCol)
+      .repartition(width, col("__g_route"))
+      .sortWithinPartitions("__g_route", "__zc_key")
     val prepared = ranged.select(
-      (concat(lit("zc"), col("__zc_cell").cast("string")).as("__g_route") +:
+      (col("__g_route") +:
         lit(0).as("__g_slot") +: schema.fieldNames.map(col).toSeq): _*)
     val writeId = UUID.randomUUID().toString.take(12)
     val staging = dir.resolve(s"seg-staging@${UUID.randomUUID().toString.take(12)}")
@@ -778,9 +823,16 @@ private[catalog] object GraftDml {
         new GraftRouteWriterFactory(owf, conf, staging.toString, schema)))
     } finally GraftMeta.deleteRecursively(staging)
     cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
+      // the routing spec persists ONLY for unpartitioned tables (the
+      // steady-state write path, GraftClusteredWrite); partitioned grids are
+      // one-shot — later appends land plain partition segments alongside the
+      // cells (value-based reads and compaction handle the mix), re-run
+      // rewrite_clustered to restore. Documented seam, honest either way.
       GraftMeta.commitMany(dir, rewritten, replaceAll = true,
         removeSuffixes = Set.empty, expectedCurrent = Some(meta.current),
-        namedKey = None, propsUpdate = GraftZOrder.render(specOut))
+        namedKey = None,
+        propsUpdate =
+          if (partCols.isEmpty) GraftZOrder.render(specOut) else Map.empty)
     }
     val rows = rewritten.flatMap(_._2)
       .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption).sum

@@ -75,9 +75,14 @@ private[catalog] object GraftSpj {
   }
 
   /** The encoded tuple of a current-spec segment name, or None (no suffix /
-    * foreign spec id — a mixed-layout table cannot report grouping). */
+    * foreign spec id — a mixed-layout table cannot report grouping). A
+    * per-partition z-order CELL tail (`~zc<i>`, r18) strips off first: the
+    * cells of one partition value share one key, so KeyGroupedPartitioning
+    * groups them back together (reporting the raw celled suffix as the key
+    * would split one value across keys and silently skip the final
+    * aggregation/join shuffle). */
   private def tupleOf(segment: String, specId: Long): Option[String] =
-    GraftPartitions.suffixOf(segment).flatMap { sfx =>
+    GraftPartitions.suffixOf(segment).map(GraftPartitions.baseSuffix).flatMap { sfx =>
       if (GraftPartitions.specIdOf(sfx) != specId) None
       else {
         val i = sfx.indexOf('~')

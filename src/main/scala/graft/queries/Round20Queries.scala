@@ -339,6 +339,54 @@ object Round20Queries {
               TRUE AS minted_monotone, TRUE AS post_monotone
        FROM customer GROUP BY 1 ORDER BY seg"""
 
+  // --------------------------------------------------------------------------
+  // q303: PER-PARTITION Z-ORDER (r18) — rewrite_clustered on a PARTITIONED
+  // table lands `<part>~zc<i>` segments: every partition keeps its purity
+  // (pruned scans, partition-scoped DML, dynamic overwrite via baseSuffix
+  // matching) while gaining a cell grid with tight bounds on BOTH clustered
+  // columns — the Iceberg sort-order-within-partition shape, expressed on
+  // the graft segment layer. A SQL DELETE then rides the cell-preserving COW
+  // path (survivors route back through their (partition, cell) suffix). The
+  // per-(partition, band) rollup hash-gates content preservation through the
+  // whole lifecycle; the physical grid properties (purity, either-dimension
+  // pruning within a partition, per-(partition,cell) compaction, overwrite
+  // swap) are ZOrderSpec's pins. At 100 TB: a date-partitioned corpus whose
+  // every day prunes on two more dimensions at plan time.
+  // --------------------------------------------------------------------------
+  private def q303(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_orders4_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r303_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t
+              (k BIGINT, a BIGINT, b BIGINT, cents BIGINT, pri STRING)
+              USING parquet PARTITIONED BY (pri)""")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_custkey % 1000, o_orderkey % 997,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT), o_orderpriority
+      FROM $src""")
+    s.sql(s"CALL graft.system.rewrite_clustered('lake.$t', 'a,b', 4)")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE k % 11 = 7") // cell-preserving COW
+    s.sql(s"""SELECT pri, CAST(a DIV 100 AS BIGINT) AS band, COUNT(*) AS n,
+                     COUNT(DISTINCT k) AS n_keys,
+                     CAST(SUM(cents) AS BIGINT) AS total_c,
+                     MIN(b) AS min_b, MAX(b) AS max_b
+              FROM graft.lake.$t GROUP BY 1, 2 ORDER BY pri, band""")
+  }
+
+  private val q303Sql =
+    """WITH g AS (
+         SELECT o_orderkey AS k, o_custkey % 1000 AS a, o_orderkey % 997 AS b,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+                o_orderpriority AS pri
+         FROM orders WHERE o_orderkey % 11 <> 7)
+       SELECT pri, CAST(a // 100 AS BIGINT) AS band, COUNT(*) AS n,
+              COUNT(DISTINCT k) AS n_keys,
+              CAST(SUM(cents) AS BIGINT) AS total_c,
+              MIN(b) AS min_b, MAX(b) AS max_b
+       FROM g GROUP BY 1, 2 ORDER BY pri, band"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q297_identity_partitioned", q297, Some(q297Sql)),
     QDef("q298_string_minmax_zero_io", q298, Some(q298Sql)),
@@ -346,5 +394,6 @@ object Round20Queries {
     QDef("q300_kll_quantile_stats", q300, Some(q300Sql)),
     QDef("q301_clustered_steady_state", q301, Some(q301Sql)),
     QDef("q302_merge_identity_minting", q302, Some(q302Sql)),
+    QDef("q303_partitioned_zorder", q303, Some(q303Sql)),
   )
 }

@@ -252,15 +252,84 @@ class ZOrderSpec extends SparkSpec {
     assert(sql("SELECT COUNT(*) FROM gzo.ns.z4").collect().head.getLong(0) === 600L)
   }
 
-  test("refusal matrix: partitioned, column count, non-numeric, bad width") {
+  test("partitioned tables cluster WITHIN partitions (r18): purity, either-dim pruning, DML, compact, dynamic overwrite") {
     root
+    sql("DROP TABLE IF EXISTS gzo.ns.zp2")
+    sql("""CREATE TABLE gzo.ns.zp2 (k BIGINT, a BIGINT, b BIGINT, p STRING)
+           USING parquet PARTITIONED BY (p)""")
+    def wave(lo: Int, hi: Int): String =
+      s"""SELECT id, (id * 7919) % 1000, (id * 104729) % 1000,
+                 CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END
+          FROM range($lo, $hi)"""
+    sql(s"INSERT INTO gzo.ns.zp2 ${wave(0, 2000)}")
+    sql(s"INSERT INTO gzo.ns.zp2 ${wave(2000, 4000)}")
+    val before = sql("SELECT * FROM gzo.ns.zp2 ORDER BY k").collect()
+    val out = sql("CALL gzo.system.rewrite_clustered('ns.zp2', 'a,b', 4)").collect().head
+    // 2 partitions x 4 cells, every row carried
+    assert((out.getInt(1), out.getLong(2)) === ((8, 4000L)), out.toString)
+    assert(sql("SELECT * FROM gzo.ns.zp2 ORDER BY k").collect() === before)
+    // PARTITION PURITY: a partition predicate plans exactly that partition's
+    // cell segments, each suffixed <part>~zc<i>
+    val segsEu = plannedSegs(sql("SELECT k FROM gzo.ns.zp2 WHERE p = 'eu'"))
+    assert(segsEu.size === 4 && segsEu.forall(s => s.contains("eu~zc")),
+      s"eu probe must plan eu's 4 cells, got ${segsEu.mkString(", ")}")
+    // EITHER-dimension pruning WITHIN the partition
+    val segsA = plannedSegs(sql("SELECT k FROM gzo.ns.zp2 WHERE p = 'eu' AND a < 100"))
+    val segsB = plannedSegs(sql("SELECT k FROM gzo.ns.zp2 WHERE p = 'eu' AND b < 100"))
+    assert(segsA.size < 4, s"a-window must prune cells inside eu, planned ${segsA.size}/4")
+    assert(segsB.size < 4, s"b-window must prune cells inside eu, planned ${segsB.size}/4")
+    // COW DML preserves (partition, cell): survivors route back through
+    // their source suffix — no merged segment, purity intact
+    val del = sql("CALL gzo.system.delete_where('ns.zp2', 'k % 7 = 3')").collect().head
+    assert(del.getLong(2) > 0)
+    val segsAfterDel = plannedSegs(sql("SELECT k FROM gzo.ns.zp2 WHERE p = 'eu'"))
+    assert(segsAfterDel.forall(_.contains("eu~zc")),
+      s"survivors must stay in their (partition, cell), got ${segsAfterDel.mkString(", ")}")
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.zp2 WHERE k % 7 = 3").collect()
+      .head.getLong(0) === 0L)
+    // a plain append after clustering lands partition-pure (uncelled)
+    // segments alongside; compact groups by FULL suffix, so cells fold
+    // within themselves and stay separate from the plain generation
+    sql(s"INSERT INTO gzo.ns.zp2 ${wave(4000, 4400)}")
+    sql("CALL gzo.system.compact('ns.zp2')")
+    val segsMixed = plannedSegs(sql("SELECT k FROM gzo.ns.zp2 WHERE p = 'eu'"))
+    assert(segsMixed.count(_.contains("eu~zc")) === 4 &&
+      segsMixed.size === 5,
+      s"compact must fold per (partition, cell), got ${segsMixed.mkString(", ")}")
+    val expectEu = (0L until 4400L).count(i => i % 2 == 0 && !(i % 7 == 3 && i < 4000))
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.zp2 WHERE p = 'eu'").collect()
+      .head.getLong(0) === expectEu.toLong)
+    // DYNAMIC OVERWRITE of one partition must swap out its CELL segments too
+    // (baseSuffix matching) — or the overwrite would silently double rows
+    val usCount = sql("SELECT COUNT(*) FROM gzo.ns.zp2 WHERE p = 'us'").collect().head.getLong(0)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE gzo.ns.zp2 SELECT id, id % 10, id % 10, 'eu' FROM range(100)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.zp2 WHERE p = 'eu'").collect()
+      .head.getLong(0) === 100L,
+      "the overwritten partition's clustered segments must swap out completely")
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.zp2 WHERE p = 'us'").collect()
+      .head.getLong(0) === usCount, "untouched partitions carry by reference")
+  }
+
+  test("refusal matrix: bucketed/partition-dimension, column count, non-numeric, bad width") {
+    root
+    // a clustering column that IS a partition column is a wasted dimension
     sql("DROP TABLE IF EXISTS gzo.ns.zp")
-    sql("""CREATE TABLE gzo.ns.zp (k BIGINT, a BIGINT, p STRING) USING parquet
+    sql("""CREATE TABLE gzo.ns.zp (k BIGINT, a BIGINT, p BIGINT) USING parquet
            PARTITIONED BY (p)""")
-    sql("INSERT INTO gzo.ns.zp SELECT id, id, 'x' FROM range(10)")
+    sql("INSERT INTO gzo.ns.zp SELECT id, id, id % 2 FROM range(10)")
     val e1 = intercept[Exception](
-      sql("CALL gzo.system.rewrite_clustered('ns.zp', 'k,a', 4)").collect())
-    assert(e1.getMessage.contains("partition"), e1.getMessage)
+      sql("CALL gzo.system.rewrite_clustered('ns.zp', 'p,a', 4)").collect())
+    assert(e1.getMessage.contains("partition column"), e1.getMessage)
+    // bucket-partitioned tables refuse
+    sql("DROP TABLE IF EXISTS gzo.ns.zb")
+    sql("""CREATE TABLE gzo.ns.zb (k BIGINT, a BIGINT, b BIGINT) USING parquet
+           PARTITIONED BY (bucket(4, k))""")
+    sql("INSERT INTO gzo.ns.zb SELECT id, id, id FROM range(10)")
+    val e0 = intercept[Exception](
+      sql("CALL gzo.system.rewrite_clustered('ns.zb', 'a,b', 4)").collect())
+    assert(e0.getMessage.contains("bucket"), e0.getMessage)
 
     sql("DROP TABLE IF EXISTS gzo.ns.zs")
     sql("CREATE TABLE gzo.ns.zs (k BIGINT, s STRING, a BIGINT) USING parquet")
