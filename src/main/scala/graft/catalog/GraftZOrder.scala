@@ -144,33 +144,96 @@ private[catalog] object GraftZOrder {
         case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
         case _ => false
       }, s"graft zcell: unsupported routed column type ${dt.simpleString}"))
-      new org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Int] {
-        override def inputTypes(): Array[DataType] = inputType.fields.map(_.dataType)
-        override def resultType(): DataType = IntegerType
-        override def name(): String = "zcell"
-        override def canonicalName(): String =
-          s"graft.zcell(${colTypes.map(_.catalogString).mkString(",")})"
-        override def isResultNullable: Boolean = false
-        // parsed once per task from the constant literal args
-        private var spec: Spec = _
-        private var extractors: Array[InternalRow => java.lang.Long] = _
-        override def produceResult(input: InternalRow): Int = {
-          if (spec == null) {
-            val splits = parseSplits(input.getUTF8String(0).toString)
-            val bounds = parseBounds(input.getUTF8String(1).toString)
-            require(bounds.length == colTypes.length,
-              s"graft zcell: ${bounds.length} bounds for ${colTypes.length} columns")
-            spec = Spec(Seq.fill(colTypes.length)("_"), bounds, splits)
-            extractors = colTypes.zipWithIndex.map { case (dt, i) =>
-              extractor(dt, i + 2)
-            }
-          }
-          val vals = new Array[java.lang.Long](extractors.length)
-          var i = 0
-          while (i < extractors.length) { vals(i) = extractors(i)(input); i += 1 }
-          spec.cellOf(spec.zkeyOf(vals))
-        }
+      new ZCellScalar(colTypes)
+    }
+  }
+
+  /** The bound zcell router. Codegen contract (r18): the `invoke` magic
+    * method overloads below cover every int/long-physical routed-column
+    * shape (int/date -> int, long/timestamp -> long; d = 2 or 3), so the v2
+    * function resolution plans a codegen'd `Invoke` instead of the row-boxed
+    * `ApplyFunctionExpression` — the append's distribution shuffle hashes
+    * the cell without building an InternalRow per row. byte/short routed
+    * columns (rare) fall back to [[produceResult]].
+    *
+    * Null caveat, documented: the magic path is resolved with
+    * propagateNull=false, so a NULL routed value reaches `invoke` as the
+    * primitive default (0) where [[produceResult]] (and the WRITER's own
+    * router, which always recomputes from the real row) maps NULL to the
+    * lowest cell. The cell id only picks the SHUFFLE TARGET — file contents
+    * are decided by the writer — so a null-bearing row may add one extra
+    * file to its cell, never a wrong row.
+    *
+    * `spec`/`extractors` parse lazily from the constant literal args;
+    * volatile (ADVICE r17): a shared deserialized instance evaluated from
+    * two threads must never observe a half-initialized spec. */
+  private[catalog] final class ZCellScalar(colTypes: Array[DataType])
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Int] {
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def inputTypes(): Array[DataType] =
+      (StringType +: StringType +: colTypes.toSeq).toArray
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "zcell"
+    override def canonicalName(): String =
+      s"graft.zcell(${colTypes.map(_.catalogString).mkString(",")})"
+    override def isResultNullable: Boolean = false
+
+    @volatile private var spec: Spec = _
+    @volatile private var extractors: Array[InternalRow => java.lang.Long] = _
+
+    private def ensureSpec(splits: UTF8String, bounds: UTF8String): Spec = {
+      var s = spec
+      if (s == null) {
+        val sp = parseSplits(splits.toString)
+        val bd = parseBounds(bounds.toString)
+        require(bd.length == colTypes.length,
+          s"graft zcell: ${bd.length} bounds for ${colTypes.length} columns")
+        s = Spec(Seq.fill(colTypes.length)("_"), bd, sp)
+        spec = s
       }
+      s
+    }
+
+    private def cell2(sp: UTF8String, bd: UTF8String, a: Long, b: Long): Int = {
+      val s = ensureSpec(sp, bd)
+      val vals = new Array[java.lang.Long](2)
+      vals(0) = Long.box(a); vals(1) = Long.box(b)
+      s.cellOf(s.zkeyOf(vals))
+    }
+    private def cell3(sp: UTF8String, bd: UTF8String, a: Long, b: Long, c: Long): Int = {
+      val s = ensureSpec(sp, bd)
+      val vals = new Array[java.lang.Long](3)
+      vals(0) = Long.box(a); vals(1) = Long.box(b); vals(2) = Long.box(c)
+      s.cellOf(s.zkeyOf(vals))
+    }
+
+    // the magic-method overload set: every int/long physical combination
+    def invoke(sp: UTF8String, bd: UTF8String, a: Long, b: Long): Int = cell2(sp, bd, a, b)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Long, b: Int): Int = cell2(sp, bd, a, b.toLong)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Int, b: Long): Int = cell2(sp, bd, a.toLong, b)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Int, b: Int): Int = cell2(sp, bd, a.toLong, b.toLong)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Long, b: Long, c: Long): Int = cell3(sp, bd, a, b, c)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Long, b: Long, c: Int): Int = cell3(sp, bd, a, b, c.toLong)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Long, b: Int, c: Long): Int = cell3(sp, bd, a, b.toLong, c)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Long, b: Int, c: Int): Int = cell3(sp, bd, a, b.toLong, c.toLong)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Int, b: Long, c: Long): Int = cell3(sp, bd, a.toLong, b, c)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Int, b: Long, c: Int): Int = cell3(sp, bd, a.toLong, b, c.toLong)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Int, b: Int, c: Long): Int = cell3(sp, bd, a.toLong, b.toLong, c)
+    def invoke(sp: UTF8String, bd: UTF8String, a: Int, b: Int, c: Int): Int = cell3(sp, bd, a.toLong, b.toLong, c.toLong)
+
+    override def produceResult(input: InternalRow): Int = {
+      var ex = extractors
+      if (ex == null) {
+        ensureSpec(input.getUTF8String(0), input.getUTF8String(1))
+        ex = colTypes.zipWithIndex.map { case (dt, i) => extractor(dt, i + 2) }
+        extractors = ex
+      }
+      val s = spec
+      val vals = new Array[java.lang.Long](ex.length)
+      var i = 0
+      while (i < ex.length) { vals(i) = ex(i)(input); i += 1 }
+      s.cellOf(s.zkeyOf(vals))
     }
   }
 
@@ -202,14 +265,13 @@ private[catalog] final class GraftClusteredWrite(
     * table's FunctionCatalog exactly like the bucket transform): each cell's
     * rows shuffle to one task, so an append writes one stream per cell
     * instead of cellCount files from every task — the layout a
-    * 1000-executor ingest needs. Row-level replacement rows carry the
-    * leading __row_operation column, whose ordinal shift the plain column
-    * references below cannot express — those writes stay undistributed
-    * (their row volume is the touched groups', not the table's). */
-  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    if (fromRowLevelOp)
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    else {
+    * 1000-executor ingest needs. Row-level replacement writes (r18) declare
+    * the SAME distribution: the column references resolve BY NAME against
+    * the replacement query's output (which carries the data columns beside
+    * the leading __row_operation), so a whole-table UPDATE on a clustered
+    * table shuffles once and writes ~one file per cell instead of
+    * cells x tasks. */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
       import org.apache.spark.sql.connector.expressions.Expressions
       val args: Seq[org.apache.spark.sql.connector.expressions.Expression] =
         Seq(Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString(

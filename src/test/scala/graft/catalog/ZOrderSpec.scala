@@ -226,6 +226,65 @@ class ZOrderSpec extends SparkSpec {
     intercept[Exception] { sql("ALTER TABLE gzo.ns.z8 DROP COLUMN a") }
   }
 
+  test("a whole-table UPDATE on a clustered table writes ~one file per cell (r18)") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.z9")
+    sql("CREATE TABLE gzo.ns.z9 (k BIGINT, a BIGINT, b BIGINT) USING parquet")
+    // a many-partition source so an undistributed replacement write would fan
+    // cells x tasks files
+    sql("""INSERT INTO gzo.ns.z9
+           SELECT id, (id * 7919) % 1000, (id * 104729) % 1000
+           FROM range(0, 4000, 1, 8)""")
+    sql("CALL gzo.system.rewrite_clustered('ns.z9', 'a,b', 8)")
+    // whole-table UPDATE: the replacement write declares the SAME
+    // clustered(zcell(...)) distribution as appends, so the rewrite shuffles
+    // once and each cell's rows reach one task — ~one file per cell, not
+    // cells x tasks
+    sql("UPDATE gzo.ns.z9 SET k = k + 100000 WHERE k >= 0")
+    val segs = plannedSegs(sql("SELECT k FROM gzo.ns.z9 WHERE a >= 0"))
+    assert(segs.size === 8 && segs.forall(_.contains("@zc")), segs.mkString(", "))
+    val tableDir = root.resolve("ns").resolve("z9")
+    val files = segs.map { seg =>
+      val s = java.nio.file.Files.list(tableDir.resolve(seg))
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }.sum
+    assert(files <= 9,
+      s"a distributed replacement writes ~one file per cell, got $files for 8 cells")
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.z9 WHERE k >= 100000").collect()
+      .head.getLong(0) === 4000L)
+  }
+
+  test("zcell codegen contract: the invoke magic overloads exist and agree with produceResult (r18)") {
+    // the v2 resolver looks up `invoke` by the EXACT physical signature of
+    // inputTypes(); a drifted signature silently degrades every routed
+    // append's shuffle hash to the row-boxed path — pin the lookups Spark
+    // performs for the long/long (bigint,bigint) and int/int (date,date)
+    // shapes, plus a d=3 shape
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{IntegerType => IT, LongType => LT}
+    val u = classOf[UTF8String]
+    val fn2 = new GraftZOrder.ZCellScalar(Array(LT, LT))
+    Seq[(Array[Class[_]], Unit)](
+      (Array[Class[_]](u, u, java.lang.Long.TYPE, java.lang.Long.TYPE), ()),
+      (Array[Class[_]](u, u, java.lang.Integer.TYPE, java.lang.Integer.TYPE), ()),
+      (Array[Class[_]](u, u, java.lang.Long.TYPE, java.lang.Integer.TYPE, java.lang.Long.TYPE), ())
+    ).foreach { case (sig, _) =>
+      assert(fn2.getClass.getMethod("invoke", sig: _*) != null)
+    }
+    // invoke and produceResult assign identical cells
+    val splits = UTF8String.fromString("100,200,300")
+    val bounds = UTF8String.fromString("0:1000,0:1000")
+    val probe = Seq((0L, 0L), (999L, 999L), (17L, 948L), (500L, 3L), (250L, 750L))
+    probe.foreach { case (a, b) =>
+      val viaInvoke = fn2.invoke(splits, bounds, a, b)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](splits, bounds, a, b))
+      val fresh = new GraftZOrder.ZCellScalar(Array(LT, LT))
+      assert(viaInvoke === fresh.produceResult(row), s"cell mismatch for ($a, $b)")
+    }
+  }
+
   test("a concurrent append fails the rewrite commit loudly; nothing is lost") {
     root
     sql("DROP TABLE IF EXISTS gzo.ns.z4")
