@@ -217,10 +217,17 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
         mins.map(c => min(when(!isIns, col(c))).as(s"__del_min_$c")) ++
         maxs.map(c => max(when(isIns, col(c))).as(s"__ins_max_$c")) ++
         maxs.map(c => max(when(!isIns, col(c))).as(s"__del_max_$c")))
-    val grouped = deltas.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // CACHED (r18): the delta aggregate is group-delta-sized (bounded by
+    // touched groups), but its UPSTREAM is the CDC scan over the refresh
+    // range — and three separate actions consume it (the emptiness probe,
+    // the DV position write, and the new-state materialization). Uncached,
+    // the refresh paid the CDC scan three times (measured: the bulk of
+    // q276's 4.9 s steady-state refresh).
+    val grouped = deltas.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*).cache()
 
     if (grouped.isEmpty) {
       // net-zero range (pure compaction/maintenance): advance the watermark
+      grouped.unpersist()
       GraftMeta.mutate(mvDir)(m => m.copy(props = m.props + (GraftMv.VersionProp -> cur.toString)))
       return result(lastV, cur, 0L, 0L)
     }
@@ -233,11 +240,14 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
     val segs = meta.snapshots(meta.current)
     val live = GraftDv.readLive(spark, mvDir, meta.readSchema, segs,
       GraftDv.forSegments(meta, meta.current, segs), keepMeta = true)
-    val g = broadcast(grouped)
+    val g = grouped
     val joinCond = keys.map(k => live(k) <=> g(k)).reduce(_ && _)
 
     val dvName = s"${GraftDv.Prefix}${UUID.randomUUID().toString.take(12)}"
-    live.join(g, joinCond, "left_semi")
+    // semi-join probe: build-right broadcast is legal here (unlike the outer
+    // state join below, whose preserved delta side CANNOT be the broadcast
+    // build — Spark drops such a hint with a warning and shuffles anyway)
+    live.join(broadcast(g), joinCond, "left_semi")
       .select(
         element_at(split(col("__g_fp"), "/"), -2).as("seg"),
         element_at(split(col("__g_fp"), "/"), -1).as("file"),
@@ -251,6 +261,10 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
     val stateCols = col("n_rows") +: (sums.map(c => col(s"sum_$c")) ++
       mins.map(c => col(s"min_$c")) ++ maxs.map(c => col(s"max_$c")))
     val liveSel = live.select((keys.map(live(_)) ++ stateCols): _*)
+    // no broadcast hint: the DELTA side is the outer join's preserved side
+    // (a broadcast build there is unsupported — the old hint was silently
+    // dropped), and at scale a big MV joined to a small delta belongs on a
+    // key shuffle; AQE still broadcasts the MV side when it is small enough
     val joined = g.join(liveSel, keys.map(k => liveSel(k) <=> g(k)).reduce(_ && _), "left")
     val coalesceF = org.apache.spark.sql.functions.coalesce _
     // ENDANGERED ⇔ a delete reached the stored extremum: the value might
@@ -282,7 +296,7 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
         maxs.map(c => greatest(col(s"max_$c"), col(s"__ins_max_$c")).as(s"max_$c")): _*)
       .cache()
 
-    val newState =
+    val newState: org.apache.spark.sql.DataFrame =
       if (mins.isEmpty && maxs.isEmpty) pre
       else {
         val endKeys = pre.where(col("__endangered")).select(keys.map(col): _*).distinct()
@@ -301,6 +315,10 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
           .agg(rsAggs.head, rsAggs.tail: _*)
         val rj = pre.join(broadcast(rescan),
           keys.map(k => pre(k) <=> rescan(k)).reduce(_ && _), "left")
+        // CACHED (r18): two actions read newState (the surviving-group write
+        // and the deleted-group count) and its upstream holds the FULL
+        // source rescan of endangered groups — uncached, that projected
+        // table scan ran twice per refresh
         rj.select(
           keys.map(pre(_)) ++
             Seq(pre("n_rows"), pre("__existed")) ++
@@ -308,7 +326,7 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
             mins.map(c => when(pre("__endangered"), rescan(s"__rs_min_$c"))
               .otherwise(pre(s"min_$c")).as(s"min_$c")) ++
             maxs.map(c => when(pre("__endangered"), rescan(s"__rs_max_$c"))
-              .otherwise(pre(s"max_$c")).as(s"max_$c")): _*)
+              .otherwise(pre(s"max_$c")).as(s"max_$c")): _*).cache()
       }
 
     val alive = newState.where(col("n_rows") > 0)
@@ -321,7 +339,9 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
       case rs if rs.size == newSegments.size => rs.sum
       case _ => alive.count()
     }
+    if (!(newState eq pre)) newState.unpersist()
     pre.unpersist()
+    grouped.unpersist()
 
     val propsUpdate = Map(GraftMv.VersionProp -> cur.toString)
     val namedKey = Some(s"mvr-$cur") // replayed refresh to the same version: no-op
