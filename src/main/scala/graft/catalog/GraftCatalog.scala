@@ -2454,7 +2454,7 @@ private[catalog] final class GraftPruningScanBuilder(
     * carries the column's entry (+ an NDV sketch for ndv). Reported through
     * SupportsReportStatistics so Catalyst's broadcast threshold / CBO see
     * graft tables truthfully instead of falling back to size heuristics. */
-  private def committedStats(): (Option[Long], () => Map[String, (Option[Long], Option[Long])]) = {
+  private def committedStats(): (Option[Long], () => Map[String, GraftColStats]) = {
     if (live.isEmpty) return (Some(0L), () => Map.empty)
     val decoded = live.map { case (n, _) =>
       zstats.get(n).flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
@@ -2462,9 +2462,9 @@ private[catalog] final class GraftPruningScanBuilder(
     if (decoded.exists(_.isEmpty)) return (None, () => Map.empty)
     val sts = decoded.flatten
     val rows = Some(sts.map(_.rows).sum)
-    // per-column work (HLL heapify + union per sketch) deferred behind a
-    // thunk: Spark asks for columnStats only when the planner wants them,
-    // and the common scan-build path must not pay sketch decodes
+    // per-column work (HLL heapify + union per sketch, KLL merges) deferred
+    // behind a thunk: Spark asks for columnStats only when the planner wants
+    // them, and the common scan-build path must not pay sketch decodes
     def cols() = tableSchema.fields.flatMap { f =>
       val cs = sts.flatMap(_.cols.get(f.name))
       if (cs.length != sts.length) None
@@ -2478,7 +2478,48 @@ private[catalog] final class GraftPruningScanBuilder(
             Math.round(u.getEstimate)
           }.toOption
           else None
-        if (ndv.isEmpty && nulls.isEmpty) None else Some(f.name -> (ndv, nulls))
+        // typed MIN/MAX for the planner's range-selectivity intervals (r18):
+        // zone maps carry them for every numeric/date/timestamp column, so
+        // a range predicate estimates by interval overlap instead of the
+        // blind 1/3 default. Values box to the column's CATALYST-internal
+        // type (date = epoch-day Int, timestamp = micros Long).
+        val kind = cs.head.kind
+        val numeric = kind == 'i' || kind == 'd' || kind == 't'
+        def box(v: Long): AnyRef = f.dataType match {
+          case org.apache.spark.sql.types.ByteType    => Byte.box(v.toByte)
+          case org.apache.spark.sql.types.ShortType   => Short.box(v.toShort)
+          case org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DateType    => Int.box(v.toInt)
+          case _                                      => Long.box(v)
+        }
+        val minsL = if (numeric) cs.flatMap(c => c.min.flatMap(s =>
+          scala.util.Try(s.toLong).toOption)) else Nil
+        val maxsL = if (numeric) cs.flatMap(c => c.max.flatMap(s =>
+          scala.util.Try(s.toLong).toOption)) else Nil
+        val mn = if (minsL.nonEmpty) Some(box(minsL.min)) else None
+        val mx = if (maxsL.nonEmpty) Some(box(maxsL.max)) else None
+        // equi-height HISTOGRAM from the opt-in KLL quantile sketches (r18):
+        // 64 bins at merged-sketch quantile boundaries, so a SKEWED range
+        // predicate estimates by actual mass, not uniform interpolation —
+        // the difference between a join reorder that fires on truth and one
+        // that fires on a fantasy. Per-bin ndv approximates ndv/bins (the
+        // planner uses it for equality inside a bin; ranges use bin mass).
+        val hist =
+          if (numeric && cs.nonEmpty && cs.forall(_.kll.isDefined)) scala.util.Try {
+            val u = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+            cs.foreach(c => u.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+              org.apache.datasketches.memory.Memory.wrap(
+                java.util.Base64.getDecoder.decode(c.kll.get)))))
+            require(!u.isEmpty, "empty sketch")
+            val nBins = 64
+            val qs = (0 to nBins).map(i => u.getQuantile(i.toDouble / nBins))
+            val perBinNdv = ndv.map(v => math.max(1L, v / nBins))
+              .getOrElse(math.max(1L, u.getN / nBins))
+            (u.getN.toDouble / nBins,
+              (0 until nBins).map(i => (qs(i), qs(i + 1), perBinNdv)).toArray)
+          }.toOption
+          else None
+        Some(f.name -> GraftColStats(ndv, nulls, mn, mx, hist))
       }
     }.toMap
     (rows, () => cols())
@@ -2521,6 +2562,15 @@ private[catalog] final class GraftPruningScanBuilder(
   }
 }
 
+/** One column's planner-facing committed statistics (r18): NDV (merged HLL),
+  * null count, typed min/max (zone maps), and an optional equi-height
+  * histogram (merged KLL quantile sketches) — everything
+  * SupportsReportStatistics can carry to the CBO with zero file IO. */
+private[catalog] final case class GraftColStats(
+    ndv: Option[Long], nulls: Option[Long],
+    min: Option[AnyRef], max: Option[AnyRef],
+    histogram: Option[(Double, Array[(Double, Double, Long)])])
+
 /** The Scan every graft read plans: batch delegates straight to the pruned
   * parquet scan; `toMicroBatchStream` makes the SAME table a Structured
   * Streaming SOURCE following the snapshot log (`readStream.table(...)`) —
@@ -2536,7 +2586,7 @@ private[catalog] final class GraftStreamableScan(
     // (zone stats + opt-in NDV sketches) — reported to the planner so the
     // broadcast threshold and CBO see truth, not size heuristics
     exactRows: Option[Long] = None,
-    colStats: () => Map[String, (Option[Long], Option[Long])] = () => Map.empty,
+    colStats: () => Map[String, GraftColStats] = () => Map.empty,
     // storage-partitioned-join plan (GraftSpj): present iff every visible
     // segment's partition key is plan-time-known and no key column was pruned
     spj: Option[GraftSpj.Info] = None) extends Scan
@@ -2607,13 +2657,36 @@ private[catalog] final class GraftStreamableScan(
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        memo.foreach { case (name, (ndv, nulls)) =>
+        memo.foreach { case (name, st) =>
           m.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
-                ndv.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+                st.ndv.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
               override def nullCount(): java.util.OptionalLong =
-                nulls.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+                st.nulls.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                st.min.map(v => java.util.Optional.of(v: Object))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                st.max.map(v => java.util.Optional.of(v: Object))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                st.histogram.map { case (h, bs) =>
+                  java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        bs.map { case (lo0, hi0, ndv0) =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = lo0
+                            override def hi(): Double = hi0
+                            override def ndv(): Long = ndv0
+                          }
+                        }
+                    })
+                }.getOrElse(java.util.Optional.empty())
             })
         }
         m

@@ -26,6 +26,72 @@ class CboJoinOrderSpec extends SparkSpec {
 
   private def sql(q: String) = spark.sql(q)
 
+  test("a skewed range predicate flips the join order only when KLL sketches say so (r18)") {
+    root
+    // dimc.w is SKEWED: 1990 of 2000 rows hold w < 10, ten outliers spread to
+    // 10000. The predicate `w >= 10` keeps 0.5% of dimc.
+    //   - min/max only (uniform interpolation over [0, 10000]): estimated
+    //     selectivity ~99.9% -> filtered dimc ~1998 rows -> joining the
+    //     50-key dimd first is cheaper -> innermost join = dimd;
+    //   - with the KLL histogram: the mass above 10 is ~1 bin of 64 ->
+    //     filtered dimc ~tens of rows -> joining dimc first is cheaper ->
+    //     innermost join = dimc.
+    // Same data, same query — only the sketch flips the order.
+    def build(withKll: Boolean): Unit = {
+      Seq("fact2", "dimc", "dimd").foreach(t => sql(s"DROP TABLE IF EXISTS gcbo.ns.$t"))
+      val kll = if (withKll) ", 'graft.stats.kll' = '*'" else ""
+      sql("""CREATE TABLE gcbo.ns.fact2 (ka BIGINT, kb BIGINT, v BIGINT) USING parquet
+             TBLPROPERTIES ('graft.stats.ndv' = '*')""")
+      sql("INSERT INTO gcbo.ns.fact2 SELECT id % 2000, id % 200, id FROM range(0, 10000)")
+      sql(s"""CREATE TABLE gcbo.ns.dimc (a BIGINT, w BIGINT) USING parquet
+             TBLPROPERTIES ('graft.stats.ndv' = '*'$kll)""")
+      sql("""INSERT INTO gcbo.ns.dimc
+             SELECT id, CASE WHEN id < 1990 THEN id % 10 ELSE (id - 1989) * 1000 END
+             FROM range(0, 2000)""")
+      sql("""CREATE TABLE gcbo.ns.dimd (b BIGINT, u BIGINT) USING parquet
+             TBLPROPERTIES ('graft.stats.ndv' = '*')""")
+      // 50 of fact's 200 kb values, covering the ka >= 1990 rows' kb range
+      // (190..199) so the 3-way join is non-empty
+      sql("INSERT INTO gcbo.ns.dimd SELECT id + 150, id FROM range(0, 50)")
+    }
+    val q = """SELECT SUM(f.v) AS s
+               FROM gcbo.ns.fact2 f
+               JOIN gcbo.ns.dimc dc ON f.ka = dc.a
+               JOIN gcbo.ns.dimd dd ON f.kb = dd.b
+               WHERE dc.w >= 10"""
+    def innermost(plan: LogicalPlan): Seq[String] = {
+      val inner = plan.collect {
+        case j: Join if !j.children.exists(_.exists(_.isInstanceOf[Join])) => j
+      }
+      assert(inner.nonEmpty, s"no join in:\n$plan")
+      inner.head.collectLeaves().map(_.toString)
+    }
+    val expect = (0L until 10000L)
+      .filter(i => i % 200 >= 150)                 // dimd keys
+      .filter(i => i % 2000 >= 1990)               // dimc rows with w >= 10
+      .sum
+    val (cboOn, joinReorder) =
+      (spark.conf.get("spark.sql.cbo.enabled"),
+        spark.conf.get("spark.sql.cbo.joinReorder.enabled"))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      build(withKll = false)
+      val without = innermost(sql(q).queryExecution.optimizedPlan)
+      assert(without.exists(_.contains("dimd")) && !without.exists(_.contains("dimc")),
+        s"without sketches the uniform estimate keeps dimc big -> dimd joins first, got $without")
+      assert(sql(q).collect().head.getLong(0) === expect)
+      build(withKll = true)
+      val withH = innermost(sql(q).queryExecution.optimizedPlan)
+      assert(withH.exists(_.contains("dimc")) && !withH.exists(_.contains("dimd")),
+        s"the KLL histogram must expose the skew -> filtered dimc joins first, got $withH")
+      assert(sql(q).collect().head.getLong(0) === expect)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboOn)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", joinReorder)
+    }
+  }
+
   test("3-table join order follows graft-reported numRows/NDV under CBO") {
     root
     sql("DROP TABLE IF EXISTS gcbo.ns.fact")
