@@ -3104,11 +3104,11 @@ private[catalog] final class GraftWriteBuilder(
       if (alreadyCommitted) new NoopBatchWrite(segment) else new BatchWrite {
       private val delegate = inner.toBatch
       // identity allocation: specs carry the build-time high-water; the
-      // commit CAS-advances it and fails loudly on a concurrent allocator
+      // commit CAS-advances it and fails loudly on a concurrent allocator.
+      // Branch (WAP) appends allocate too (r18): the high-water advances in
+      // the BRANCH commit's propCas rider, so staged and main allocations
+      // stay disjoint; a dropped branch leaves a gap, never a collision.
       private val identitySpecs = GraftIdentity.of(props, info.schema())
-      if (identitySpecs.nonEmpty) require(branch.isEmpty,
-        "graft: branch (WAP) appends to identity tables are not supported " +
-          "(staged allocation would dangle if the branch is dropped)")
       override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
         // CHECK constraints gate every row entering the segment; wrapped
         // INSIDE the op-stripping layer so checks always see plain data rows
@@ -3152,8 +3152,10 @@ private[catalog] final class GraftWriteBuilder(
           klls = SegmentStats.kllCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
         (branch, groupRemovals()) match {
           case (Some(b), _) =>
-            // WAP: extend the ref's staged list; main's current never moves
-            GraftRefs.commitToBranch(tableDir, b, Seq(segment -> stats))
+            // WAP: extend the ref's staged list; main's current never moves.
+            // Identity allocations advance the high-water HERE (stage time)
+            GraftRefs.commitToBranch(tableDir, b, Seq(segment -> stats),
+              propCas = GraftIdentity.propCas(identitySpecs, identityMaxes))
           case (None, Some(removed)) if fromRowLevelOp =>
             // runtime group filtering ran: the replacement rows cover exactly
             // the scanned segments — swap those, carry the rest by reference;

@@ -83,11 +83,10 @@ private[catalog] final class GraftPartitionedWrite(
       "graft: branch writes are plain unnamed appends (no overwrite/DML on a branch)")
     require(GraftRefs.get(metaAtBuild, b).isDefined,
       s"graft: no branch '$b' — CALL create_branch first")
-    // same contract as the unpartitioned path: staged allocation would
-    // dangle if the branch is dropped
-    require(identitySpecs.isEmpty,
-      "graft: branch (WAP) appends to identity tables are not supported " +
-        "(staged allocation would dangle if the branch is dropped)")
+    // identity WAP appends allocate at stage time (r18): the branch commit's
+    // propCas rider advances the main high-water, so staged and main
+    // allocations stay disjoint; a dropped branch leaves a gap, never a
+    // collision (identity promises uniqueness, not density)
   }
   // a crashed earlier attempt of a NAMED job can leave final segment dirs
   // (moved before the meta CAS ran); a retry must not merge new files into
@@ -231,7 +230,8 @@ private[catalog] final class GraftPartitionedWrite(
           val removedByGroupFilter =
             if (fromRowLevelOp) groupRemovals() else None
           if (branch.isDefined) {
-            if (segments.nonEmpty) GraftRefs.commitToBranch(tableDir, branch.get, segments)
+            if (segments.nonEmpty) GraftRefs.commitToBranch(tableDir, branch.get, segments,
+              propCas = GraftIdentity.propCas(identitySpecs, identityExtremes))
           } else if (segments.nonEmpty || replaceAll || namedKey.isDefined ||
               removedByGroupFilter.exists(_.nonEmpty)) {
             val guard = expectedCurrent.orElse(

@@ -91,16 +91,32 @@ private[catalog] object GraftRefs {
     * the ref's segment list and records zone-map stats; snapshots and
     * `current` never move. The branch must exist (checked again under the
     * lock — a concurrent drop_branch between a write's build and its commit
-    * must fail the commit, not resurrect the ref). */
+    * must fail the commit, not resurrect the ref).
+    *
+    * `propCas` (r18): identity high-water riders. A WAP append to an
+    * identity table allocates ids at STAGE time and advances the main
+    * high-water IN THIS COMMIT — so a second staged write (same or another
+    * branch) and concurrent main appends all allocate disjoint ranges, and
+    * fast_forward needs no identity logic at all. A later drop_branch
+    * leaves the staged range as a GAP in the id space — identity promises
+    * uniqueness and monotonic growth, never density (the Delta trade). */
   def commitToBranch(tableDir: java.nio.file.Path, branch: String,
-                     segments: Seq[(String, Option[String])]): Unit =
+                     segments: Seq[(String, Option[String])],
+                     propCas: Seq[(String, String, String)] = Nil): Unit =
     GraftMeta.mutate(tableDir) { meta =>
       val ref = get(meta, branch).getOrElse(throw new IllegalStateException(
         s"graft: no branch '$branch' (create_branch first; a concurrent " +
           "drop_branch also lands here)"))
+      propCas.foreach { case (k, expected, _) =>
+        require(meta.props.get(k).contains(expected),
+          s"graft: concurrent allocation detected on '$k' (allocated from " +
+            s"$expected, committed value is ${meta.props.getOrElse(k, "<absent>")}); " +
+            "retry the write")
+      }
       val fresh = segments.filterNot { case (s, _) => ref.dirs.contains(s) }
       meta.copy(
-        props = meta.props + (key(branch) -> encode(ref.copy(dirs = ref.dirs ++ fresh.map(_._1)))),
+        props = meta.props + (key(branch) -> encode(ref.copy(dirs = ref.dirs ++ fresh.map(_._1)))) ++
+          propCas.map(t => t._1 -> t._3),
         zstats = meta.zstats ++ fresh.collect { case (s, Some(z)) => s -> z })
     }
 }

@@ -301,9 +301,8 @@ private[catalog] final class GraftClusteredWrite(
       "graft: branch writes are plain unnamed appends (no overwrite/DML on a branch)")
     require(GraftRefs.get(metaAtBuild, b).isDefined,
       s"graft: no branch '$b' — CALL create_branch first")
-    require(identitySpecs.isEmpty,
-      "graft: branch (WAP) appends to identity tables are not supported " +
-        "(staged allocation would dangle if the branch is dropped)")
+    // identity WAP appends allocate at stage time (r18): the branch commit's
+    // propCas rider advances the main high-water (see GraftRefs.commitToBranch)
   }
 
   // named-retry sweep: same contract as the partitioned writer (a crashed
@@ -405,7 +404,8 @@ private[catalog] final class GraftClusteredWrite(
           val removedByGroupFilter =
             if (fromRowLevelOp) groupRemovals() else None
           if (branch.isDefined) {
-            if (segments.nonEmpty) GraftRefs.commitToBranch(tableDir, branch.get, segments)
+            if (segments.nonEmpty) GraftRefs.commitToBranch(tableDir, branch.get, segments,
+              propCas = GraftIdentity.propCas(identitySpecs, identityExtremes))
           } else if (segments.nonEmpty || replaceAll || namedKey.isDefined ||
               removedByGroupFilter.exists(_.nonEmpty)) {
             removedByGroupFilter match {

@@ -148,6 +148,67 @@ class BranchSpec extends SparkSpec {
     assert(count("SELECT sum(amt) c FROM gwb.ns.t6") === 150)
   }
 
+  test("WAP appends to identity tables allocate at stage time (r18): main stays disjoint") {
+    root
+    sql("DROP TABLE IF EXISTS gwb.ns.wid")
+    sql("""CREATE TABLE gwb.ns.wid
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            v BIGINT) USING parquet""")
+    sql("INSERT INTO gwb.ns.wid (v) VALUES (1), (2)") // main ids 1, 2
+    sql("CALL gwb.system.create_branch('ns.wid', 'audit')")
+    // staged rows get ids; the branch commit advances the MAIN high-water
+    spark.range(3).selectExpr("CAST(NULL AS BIGINT) AS id", "id + 100 AS v")
+      .write.format("parquet").option("graft.branch", "audit")
+      .mode("append").saveAsTable("gwb.ns.wid")
+    assert(sql("SELECT COUNT(*) FROM gwb.ns.wid").collect().head.getLong(0) === 2L,
+      "main must not move on a branch write")
+    // a MAIN append after staging allocates PAST the staged range (the
+    // stage-time propCas advance) — no collision across branch + main
+    sql("INSERT INTO gwb.ns.wid (v) VALUES (3)")
+    val branchIds = spark.read.option("graft.branch", "audit")
+      .table("gwb.ns.wid").select("id").collect().map(_.getLong(0))
+    val mainIds = sql("SELECT id FROM gwb.ns.wid").collect().map(_.getLong(0))
+    assert(branchIds.length === 5 && branchIds.distinct.length === 5)
+    assert((branchIds ++ mainIds).distinct.length ===
+      (branchIds.toSet ++ mainIds.toSet).size)
+    assert(mainIds.toSet.intersect(branchIds.toSet -- Seq(1L, 2L)).isEmpty,
+      s"staged ids ${branchIds.sorted.toSeq} and main ids ${mainIds.sorted.toSeq} must be disjoint")
+    // main moved -> the publish refuses (the standard WAP divergence rule)
+    val e = intercept[Exception](sql("CALL gwb.system.fast_forward('ns.wid', 'audit')"))
+    assert(e.getMessage.contains("moved"), e.getMessage)
+  }
+
+  test("WAP identity: publish serves unique ids; drop_branch leaves a gap, never a collision") {
+    root
+    sql("DROP TABLE IF EXISTS gwb.ns.wid2")
+    sql("""CREATE TABLE gwb.ns.wid2
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            v BIGINT) USING parquet""")
+    sql("INSERT INTO gwb.ns.wid2 (v) VALUES (1), (2)")
+    sql("CALL gwb.system.create_branch('ns.wid2', 'audit')")
+    spark.range(3).selectExpr("CAST(NULL AS BIGINT) AS id", "id + 100 AS v")
+      .write.format("parquet").option("graft.branch", "audit")
+      .mode("append").saveAsTable("gwb.ns.wid2")
+    // audit read sees staged ids; publish makes them main — all unique
+    sql("CALL gwb.system.fast_forward('ns.wid2', 'audit')")
+    val ids = sql("SELECT id FROM gwb.ns.wid2").collect().map(_.getLong(0))
+    assert(ids.length === 5 && ids.distinct.length === 5, ids.sorted.toSeq.toString)
+    // post-publish appends continue past the staged range
+    sql("INSERT INTO gwb.ns.wid2 (v) VALUES (9)")
+    val all = sql("SELECT id FROM gwb.ns.wid2").collect().map(_.getLong(0))
+    assert(all.distinct.length === 6 && all.max > ids.max)
+    // a DROPPED branch's staged range is a gap, never reissued
+    sql("CALL gwb.system.create_branch('ns.wid2', 'doomed')")
+    spark.range(4).selectExpr("CAST(NULL AS BIGINT) AS id", "id + 500 AS v")
+      .write.format("parquet").option("graft.branch", "doomed")
+      .mode("append").saveAsTable("gwb.ns.wid2")
+    sql("CALL gwb.system.drop_branch('ns.wid2', 'doomed')")
+    sql("INSERT INTO gwb.ns.wid2 (v) VALUES (10), (11)")
+    val after = sql("SELECT id FROM gwb.ns.wid2").collect().map(_.getLong(0))
+    assert(after.distinct.length === 8,
+      s"ids minted after a dropped staged range must not collide, got ${after.sorted.toSeq}")
+  }
+
   test("branch writes refuse overwrite and unknown branches; numeric names refused") {
     root
     mk("t7")
