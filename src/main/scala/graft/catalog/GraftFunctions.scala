@@ -504,7 +504,10 @@ private[catalog] object GraftFunctions {
     }
 
     // Calling convention (declared-parameter-type casts either way):
-    //  - every param proven shadow-free at CREATE AND every argument proven
+    //  - every param proven shadow-free at CREATE, STILL shadow-free against
+    //    the referenced tables' CURRENT schemas (r18, ADVICE: an ADD COLUMN
+    //    named like a param after CREATE must shadow it — innermost scope —
+    //    which only the lateral expresses), AND every argument proven
     //    deterministic constant material (r18 — the call-by-value gate:
     //    substitution re-evaluates the argument per occurrence and moves it
     //    into the body's scope, so `fn(rand())` or `fn((SELECT ...))` must
@@ -516,7 +519,9 @@ private[catalog] object GraftFunctions {
     //    contract), body names shadow params (innermost-scope semantics).
     val allSubstitutable = d.params.fields.forall(p =>
       d.substParams.exists(_.equalsIgnoreCase(p.name))) &&
-      args.forall(provenDeterministic(_, allowAttrs = false))
+      args.forall(provenDeterministic(_, allowAttrs = false)) &&
+      shadowFreeNow(session, expanded,
+        d.params.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
     val inlined: LogicalPlan =
       if (allSubstitutable) {
         val byName = d.params.fields.zipWithIndex.map {
@@ -573,6 +578,32 @@ private[catalog] object GraftFunctions {
     }
     go(plan)
   }
+
+  /** Re-verify shadow-freedom at CALL time (r18, ADVICE): substParams was
+    * derived from the analyzed body AT CREATE; a table referenced by the
+    * body can later gain a column carrying a parameter's name (ADD COLUMN,
+    * `SELECT *` widening), and SQL's innermost-scope rule says the new
+    * COLUMN must shadow the parameter — which only the lateral shape
+    * expresses. Check every referenced base table's CURRENT schema for a
+    * param-named column; explicit-projection CTEs/subqueries cannot gain
+    * columns post-CREATE, and `SELECT *` ones surface exactly the base
+    * columns checked here. ANY failure (dropped table, unreachable catalog)
+    * answers false — the caller falls back to the always-correct lateral,
+    * and the real error surfaces from the plan's own analysis. */
+  private def shadowFreeNow(session: SparkSession, plan: LogicalPlan,
+                            paramsLower: Set[String]): Boolean =
+    try {
+      val rels = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+      transformBody(plan) {
+        case u: UnresolvedRelation => rels += u.multipartIdentifier; u
+        case other => other
+      }
+      rels.distinct.forall { parts =>
+        val name = parts.map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+        session.table(name).schema.fieldNames
+          .forall(n => !paramsLower.contains(n.toLowerCase(java.util.Locale.ROOT)))
+      }
+    } catch { case NonFatal(_) => false }
 
   /** Qualify a body's free one-part table names with the function's own
     * catalog/namespace (schema-object resolution — the same rule nested

@@ -389,6 +389,27 @@ class GraftFunctionSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution re-checks shadow-freedom: a later ADD COLUMN shadows the param (r18)") {
+    root
+    sql("DROP TABLE IF EXISTS gfn.ns.tf_evo")
+    sql("CREATE TABLE gfn.ns.tf_evo USING parquet AS SELECT id AS k FROM range(10)")
+    sql("""CREATE OR REPLACE FUNCTION gfn.ns.tf_ev(lo BIGINT)
+           RETURNS TABLE (n BIGINT) RETURN SELECT COUNT(*) AS n FROM tf_evo WHERE k >= lo""")
+    inNs {
+      assert(sql("SELECT n FROM tf_ev(7)").collect().head.getLong(0) === 3L)
+    }
+    // the table gains a column carrying the PARAM's name: SQL's innermost
+    // scope says the COLUMN now binds inside the body — substParams was
+    // recorded shadow-free at CREATE, so the call-time re-check must drop to
+    // the lateral and read the column (all-NULL -> k >= NULL -> 0 rows), not
+    // keep substituting the stale literal (which would answer 3)
+    sql("ALTER TABLE gfn.ns.tf_evo ADD COLUMN lo BIGINT")
+    inNs {
+      assert(sql("SELECT n FROM tf_ev(7)").collect().head.getLong(0) === 0L,
+        "the new column must shadow the parameter")
+    }
+  }
+
   test("functions work inside persisted views (abstractions compose)") {
     root
     sql("CREATE OR REPLACE FUNCTION gfn.ns.sq(x BIGINT) RETURNS BIGINT RETURN x * x")
