@@ -144,8 +144,25 @@ private[catalog] object GraftZOrder {
         case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
         case _ => false
       }, s"graft zcell: unsupported routed column type ${dt.simpleString}"))
-      new ZCellScalar(colTypes)
+      // measurement hook (tools/ZCellAb): -Dgraft.zcell.nomagic=true binds a
+      // function WITHOUT the invoke overloads, forcing the row-boxed
+      // ApplyFunctionExpression path — the A/B for the codegen claim
+      if (java.lang.Boolean.getBoolean("graft.zcell.nomagic"))
+        new ZCellScalarNoMagic(colTypes)
+      else new ZCellScalar(colTypes)
     }
+  }
+
+  /** produceResult-only twin for the codegen A/B (no magic overloads). */
+  private[catalog] final class ZCellScalarNoMagic(colTypes: Array[DataType])
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Int] {
+    private val inner = new ZCellScalar(colTypes)
+    override def inputTypes(): Array[DataType] = inner.inputTypes()
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "zcell"
+    override def canonicalName(): String = inner.canonicalName()
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Int = inner.produceResult(input)
   }
 
   /** The bound zcell router. Codegen contract (r18): the `invoke` magic
