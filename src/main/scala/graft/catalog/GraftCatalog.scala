@@ -2032,10 +2032,14 @@ private[catalog] object GraftPartitions {
 
   /** Spec id a segment was written under (0 = pre-evolution format). */
   def specIdOf(suffixStr: String): Long = {
-    val i = suffixStr.indexOf('~')
+    // strip a trailing z-cell tail first: "42~zc3" is partition value "42"
+    // of spec 0 with cell 3, not spec 42 (all-digit string partition values
+    // are legal; the sid separator is only ever the FIRST '~' of the base)
+    val s = baseSuffix(suffixStr)
+    val i = s.indexOf('~')
     if (i <= 0) 0L
     else {
-      val head = suffixStr.substring(0, i)
+      val head = s.substring(0, i)
       if (head.forall(_.isDigit)) head.toLong else 0L
     }
   }

@@ -127,13 +127,34 @@ private[catalog] final class GraftPartitionedWrite(
     (i, dataSchema.fields(i).dataType, pf.bucketN)
   }
 
-  /** Partition-first clustering: rows shuffle on (partition cols ++ any
-    * write.cluster-by cols), so each task sees few partition values and each
-    * partition's rows are not scattered across the job. */
+  // STEADY-STATE PER-PARTITION Z-ORDER (r18, closes the one-shot seam): a
+  // partitioned rewrite_clustered persists the same routing spec the
+  // unpartitioned path does, and every later batch write composes it with
+  // the partition router — rows land `<part>~zc<i>` (partition-pure AND
+  // cell-pure), so the grid survives ongoing ingest, INSERT OVERWRITE, and
+  // SQL row-level COW exactly like the unpartitioned steady state, and
+  // `compact` folds per (partition, cell). Spec columns resolved against the
+  // DATA schema (row-level rows carry the leading __row_operation column the
+  // writer strips before extraction). rewrite_clustered refuses bucketed
+  // tables, so a spec never coexists with bucket routing.
+  private val zspec: Option[GraftZOrder.Spec] = GraftZOrder.of(props)
+  private val zFields: Seq[(Int, DataType)] = zspec.toSeq.flatMap(_.cols.map { c =>
+    val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+    require(i >= 0, s"graft z-order: routed column '$c' missing from write schema $dataSchema")
+    (i, dataSchema.fields(i).dataType)
+  })
+
+  /** Partition-first clustering: rows shuffle on (partition cols ++ the
+    * z-cell router when a grid is persisted ++ any write.cluster-by cols),
+    * so each task sees few (partition, cell) pairs and each pair's rows are
+    * not scattered across the job — one writer stream per (partition, cell)
+    * at any executor count. */
   override def requiredDistribution(): Distribution = {
     val cluster = props.get(GraftTable.ClusterByProp).toSeq.flatMap(_.split(',')).map(_.trim)
     Distributions.clustered(
-      (partCols ++ cluster.filterNot(partCols.contains)).map(Expressions.column).toArray[Expression])
+      (partCols.map(Expressions.column) ++
+        zspec.map(GraftZOrder.distributionExpr).toSeq ++
+        cluster.filterNot(partCols.contains).map(Expressions.column)).toArray[Expression])
   }
 
   override def requiredOrdering(): Array[SortOrder] =
@@ -169,7 +190,7 @@ private[catalog] final class GraftPartitionedWrite(
           new GraftPartitionedWriterFactory(owf,
             new SerializableHadoopConf(job.getConfiguration),
             staging.toString, dataSchema, partFields, fromRowLevelOp,
-            GraftPartitions.specId(props)),
+            GraftPartitions.specId(props), zspec, zFields),
           dataSchema, props, writeId,
           ordinalOffset = if (fromRowLevelOp) 1 else 0)
         // generated columns fill BEFORE checks and before the partition
@@ -248,8 +269,14 @@ private[catalog] final class GraftPartitionedWrite(
               case None =>
                 val applied = GraftMeta.commitMany(tableDir, segments,
                   replaceAll = replaceAll,
+                  // dynamic overwrite replaces partition VALUES: strip the
+                  // z-cell tail so `<part>~zc<i>` written segments remove
+                  // every current segment of `<part>` (commitMany matches
+                  // existing suffixes through baseSuffix symmetrically)
                   removeSuffixes =
-                    if (dynamicOverwrite) byPart.keySet.toSet else Set.empty[String],
+                    if (dynamicOverwrite)
+                      byPart.keySet.map(GraftPartitions.baseSuffix)
+                    else Set.empty[String],
                   expectedCurrent = guard, namedKey = namedKey,
                   // identity high-water: CAS-advances with the data, fails
                   // loudly on a concurrent allocator (the unpartitioned
@@ -284,7 +311,8 @@ private[catalog] final class GraftPartitionedWriterFactory(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
     partFields: Seq[(Int, DataType, Option[Int])], fromRowLevelOp: Boolean,
-    specId: Long)
+    specId: Long, zspec: Option[GraftZOrder.Spec] = None,
+    zFields: Seq[(Int, DataType)] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -295,6 +323,11 @@ private[catalog] final class GraftPartitionedWriterFactory(
       private val extractors = partFields.map { case (i, dt, bucketN) =>
         GraftPartitions.routeExtractor(dt, i, bucketN)
       }
+      // composed z-cell tail (steady-state per-partition grid, r18)
+      private val zExtract = zspec.map { spec =>
+        (spec, zFields.map { case (i, dt) => GraftZOrder.extractor(dt, i) }.toArray)
+      }
+      private val zVals = zExtract.map { case (_, ex) => new Array[java.lang.Long](ex.length) }
       private val opStrip =
         if (fromRowLevelOp)
           Some(new ProjectingInternalRow(dataSchema, (1 to dataSchema.length).toIndexedSeq))
@@ -307,7 +340,15 @@ private[catalog] final class GraftPartitionedWriterFactory(
           case Some(p) => p.project(row); p
           case None    => row
         }
-        val enc = GraftPartitions.suffix(extractors.map(_(data)), specId)
+        val part = GraftPartitions.suffix(extractors.map(_(data)), specId)
+        val enc = zExtract match {
+          case Some((spec, ex)) =>
+            val vals = zVals.get
+            var i = 0
+            while (i < ex.length) { vals(i) = ex(i)(data); i += 1 }
+            part + "~zc" + spec.cellOf(spec.zkeyOf(vals))
+          case None => part
+        }
         writers.getOrElseUpdate(enc, {
           val file = s"part-$partitionId-$taskId$ext"
           manifest += enc -> file

@@ -823,16 +823,15 @@ private[catalog] object GraftDml {
         new GraftRouteWriterFactory(owf, conf, staging.toString, schema)))
     } finally GraftMeta.deleteRecursively(staging)
     cleanupOnFailedCommit(dir, rewritten.map(_._1)) {
-      // the routing spec persists ONLY for unpartitioned tables (the
-      // steady-state write path, GraftClusteredWrite); partitioned grids are
-      // one-shot — later appends land plain partition segments alongside the
-      // cells (value-based reads and compaction handle the mix), re-run
-      // rewrite_clustered to restore. Documented seam, honest either way.
+      // the routing spec persists for BOTH layouts (r18 closed the
+      // partitioned seam): unpartitioned tables route later writes through
+      // GraftClusteredWrite, partitioned tables through
+      // GraftPartitionedWrite's composed (partition, cell) router — either
+      // way the grid is steady-state and `compact` folds per full suffix.
       GraftMeta.commitMany(dir, rewritten, replaceAll = true,
         removeSuffixes = Set.empty, expectedCurrent = Some(meta.current),
         namedKey = None,
-        propsUpdate =
-          if (partCols.isEmpty) GraftZOrder.render(specOut) else Map.empty)
+        propsUpdate = GraftZOrder.render(specOut))
     }
     val rows = rewritten.flatMap(_._2)
       .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption).sum

@@ -45,14 +45,13 @@ private[catalog] final class GraftStreamingWrite(
       require(i >= 0, s"graft: partition column '${pf.source}' missing from stream schema $dataSchema")
       (i, dataSchema.fields(i).dataType, pf.bucketN)
     }
-  // z-order-routed tables (r17): streaming epochs land per-CELL segments
-  // through the persisted spec, exactly like batch appends — the grid
-  // survives continuous ingest, and compact folds each cell's epoch
-  // generations. Cell routing only applies when the table is unpartitioned
-  // (a clustered table is by construction).
+  // z-order-routed tables (r17; partitioned grids since r18): streaming
+  // epochs land per-cell segments through the persisted spec, exactly like
+  // batch appends — the grid survives continuous ingest, and compact folds
+  // each (partition,) cell's epoch generations. On a partitioned table the
+  // cell tail composes with the partition suffix (`<part>~zc<i>`).
   private val zroute: Option[(GraftZOrder.Spec, Seq[(Int, org.apache.spark.sql.types.DataType)])] =
-    if (routed.nonEmpty) None
-    else GraftZOrder.of(metaAtBuild.props).map { spec =>
+    GraftZOrder.of(metaAtBuild.props).map { spec =>
       spec -> spec.cols.map { c =>
         val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
         require(i >= 0,
@@ -167,20 +166,26 @@ private[catalog] final class GraftStreamingWriterFactory(
       private val extractors = partFields.map { case (i, dt, bucketN) =>
         GraftPartitions.routeExtractor(dt, i, bucketN)
       }
-      // z-cell routing (per-CELL epoch segments, r17); an unrouted
+      // z-cell routing (per-CELL epoch segments, r17; composed with the
+      // partition suffix on partitioned grids since r18); an unrouted
       // unpartitioned table keeps the empty suffix regardless of a
       // departitioned table's surviving spec id
       private val zextract = zroute.map { case (spec, fields) =>
         (spec, fields.map { case (i, dt) => GraftZOrder.extractor(dt, i) }.toArray)
       }
-      private def encOf(row: InternalRow): String = zextract match {
-        case Some((spec, ex)) =>
-          val vals = new Array[java.lang.Long](ex.length)
-          var i = 0
-          while (i < ex.length) { vals(i) = ex(i)(row); i += 1 }
-          "zc" + spec.cellOf(spec.zkeyOf(vals))
-        case None if extractors.isEmpty => ""
-        case None => GraftPartitions.suffix(extractors.map(_(row)), specId)
+      private def encOf(row: InternalRow): String = {
+        val part =
+          if (extractors.isEmpty) ""
+          else GraftPartitions.suffix(extractors.map(_(row)), specId)
+        zextract match {
+          case Some((spec, ex)) =>
+            val vals = new Array[java.lang.Long](ex.length)
+            var i = 0
+            while (i < ex.length) { vals(i) = ex(i)(row); i += 1 }
+            val cell = "zc" + spec.cellOf(spec.zkeyOf(vals))
+            if (part.isEmpty) cell else part + "~" + cell
+          case None => part
+        }
       }
       private val violated = checks.map { case (n, sql, e) =>
         (n, sql, Predicate.create(EqualNullSafe(e, Literal(false, e.dataType))))

@@ -118,6 +118,21 @@ private[catalog] object GraftZOrder {
   private[catalog] def parseSplits(csv: String): Array[Long] =
     if (csv.isEmpty) Array.empty[Long] else csv.split(',').map(_.toLong)
 
+  /** The `zcell(splits, bounds, cols...)` call as a v2 connector expression —
+    * the distribution both clustered write paths declare (unpartitioned:
+    * alone; partitioned: beside the partition columns), so Spark shuffles
+    * each cell to one task before the writers open. */
+  def distributionExpr(spec: Spec): org.apache.spark.sql.connector.expressions.Expression = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val args: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      Seq(Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+            spec.splits.mkString(","))),
+          Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+            spec.bounds.map { case (mn, mx) => s"$mn:$mx" }.mkString(",")))) ++
+        spec.cols.map(Expressions.column)
+    Expressions.apply("zcell", args: _*)
+  }
+
   /** The FunctionCatalog face (like GraftBucket.BucketFunction):
     * `zcell(splitsCsv, boundsCsv, cols...)` — the routing function AS a v2
     * catalog function, so [[GraftClusteredWrite]] can DECLARE
@@ -288,17 +303,9 @@ private[catalog] final class GraftClusteredWrite(
     * the leading __row_operation), so a whole-table UPDATE on a clustered
     * table shuffles once and writes ~one file per cell instead of
     * cells x tasks. */
-  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution = {
-      import org.apache.spark.sql.connector.expressions.Expressions
-      val args: Seq[org.apache.spark.sql.connector.expressions.Expression] =
-        Seq(Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString(
-              spec.splits.mkString(","))),
-            Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString(
-              spec.bounds.map { case (mn, mx) => s"$mn:$mx" }.mkString(",")))) ++
-          spec.cols.map(Expressions.column)
-      org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        Array(Expressions.apply("zcell", args: _*)))
-    }
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(GraftZOrder.distributionExpr(spec)))
 
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     Array.empty

@@ -346,14 +346,18 @@ class ZOrderSpec extends SparkSpec {
       s"survivors must stay in their (partition, cell), got ${segsAfterDel.mkString(", ")}")
     assert(sql("SELECT COUNT(*) FROM gzo.ns.zp2 WHERE k % 7 = 3").collect()
       .head.getLong(0) === 0L)
-    // a plain append after clustering lands partition-pure (uncelled)
-    // segments alongside; compact groups by FULL suffix, so cells fold
-    // within themselves and stay separate from the plain generation
+    // STEADY STATE (r18): a plain append after clustering routes through the
+    // persisted spec — per-(partition, cell) generations, NOT plain partition
+    // segments — and compact folds each (partition, cell) back to one
+    // segment, so the grid survives ongoing ingest without a re-cluster
     sql(s"INSERT INTO gzo.ns.zp2 ${wave(4000, 4400)}")
+    val segsAppended = plannedSegs(sql("SELECT k FROM gzo.ns.zp2 WHERE p = 'eu'"))
+    assert(segsAppended.forall(_.contains("eu~zc")),
+      s"appends must stay in the grid, got ${segsAppended.mkString(", ")}")
     sql("CALL gzo.system.compact('ns.zp2')")
     val segsMixed = plannedSegs(sql("SELECT k FROM gzo.ns.zp2 WHERE p = 'eu'"))
-    assert(segsMixed.count(_.contains("eu~zc")) === 4 &&
-      segsMixed.size === 5,
+    assert(segsMixed.count(_.contains("eu~zc")) === segsMixed.size &&
+      segsMixed.size <= 4,
       s"compact must fold per (partition, cell), got ${segsMixed.mkString(", ")}")
     val expectEu = (0L until 4400L).count(i => i % 2 == 0 && !(i % 7 == 3 && i < 4000))
     assert(sql("SELECT COUNT(*) FROM gzo.ns.zp2 WHERE p = 'eu'").collect()
@@ -369,6 +373,64 @@ class ZOrderSpec extends SparkSpec {
       "the overwritten partition's clustered segments must swap out completely")
     assert(sql("SELECT COUNT(*) FROM gzo.ns.zp2 WHERE p = 'us'").collect()
       .head.getLong(0) === usCount, "untouched partitions carry by reference")
+  }
+
+  test("partitioned grids are STEADY-STATE (r18): appends and SQL COW declare the composed distribution") {
+    root
+    sql("DROP TABLE IF EXISTS gzo.ns.zp3")
+    sql("""CREATE TABLE gzo.ns.zp3 (k BIGINT, a BIGINT, b BIGINT, p STRING)
+           USING parquet PARTITIONED BY (p)""")
+    sql("""INSERT INTO gzo.ns.zp3
+           SELECT id, (id * 7919) % 1000, (id * 104729) % 1000,
+                  CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END
+           FROM range(0, 4000, 1, 8)""")
+    sql("CALL gzo.system.rewrite_clustered('ns.zp3', 'a,b', 4)")
+    def parquetFiles(): Int = {
+      val dir = root.resolve("ns").resolve("zp3")
+      val s = java.nio.file.Files.walk(dir)
+      try {
+        var c = 0
+        val it = s.iterator()
+        while (it.hasNext) {
+          if (it.next().getFileName.toString.endsWith(".parquet")) c += 1
+        }
+        c
+      } finally s.close()
+    }
+    // an 8-task append into the 2x4 (partition, cell) grid: the write
+    // declares clustered(partCols ++ zcell(...)), so each (partition, cell)
+    // shuffles to one task — at most one file per pair, not pairs x tasks
+    val filesBefore = parquetFiles()
+    sql("""INSERT INTO gzo.ns.zp3
+           SELECT id, (id * 7919) % 1000, (id * 104729) % 1000,
+                  CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END
+           FROM range(4000, 8000, 1, 8)""")
+    assert(parquetFiles() - filesBefore <= 8,
+      s"expected <= 8 appended files (one per (partition, cell)), " +
+        s"got ${parquetFiles() - filesBefore}")
+    // every appended segment is partition-pure AND cell-pure, and a
+    // one-dimension probe still prunes inside the partition
+    val segsEu = plannedSegs(sql("SELECT k FROM gzo.ns.zp3 WHERE p = 'eu'"))
+    assert(segsEu.forall(_.contains("eu~zc")), segsEu.mkString(", "))
+    assert(plannedSegs(sql("SELECT k FROM gzo.ns.zp3 WHERE p = 'eu' AND a < 100")).size <
+      segsEu.size, "appended generations must keep pruning")
+    // SQL row-level COW routes replacements through (partition, cell): a
+    // whole-table UPDATE from a multi-task scan writes ~one file per pair
+    sql("UPDATE gzo.ns.zp3 SET k = k + 100000 WHERE k >= 0")
+    val segsAll = plannedSegs(sql("SELECT k FROM gzo.ns.zp3 WHERE a >= 0"))
+    assert(segsAll.forall(s => s.contains("eu~zc") || s.contains("us~zc")),
+      segsAll.mkString(", "))
+    val tableDir = root.resolve("ns").resolve("zp3")
+    val files = segsAll.map { seg =>
+      val s = java.nio.file.Files.list(tableDir.resolve(seg))
+      try s.filter(_.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }.sum
+    assert(files <= 10,
+      s"a distributed replacement writes ~one file per (partition, cell), " +
+        s"got $files for <= 8 pairs")
+    assert(sql("SELECT COUNT(*) FROM gzo.ns.zp3 WHERE k >= 100000").collect()
+      .head.getLong(0) === 8000L)
   }
 
   test("refusal matrix: bucketed/partition-dimension, column count, non-numeric, bad width") {
