@@ -1251,6 +1251,22 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     val dir = tableDir(ident)
     if (!Files.exists(dir.resolve(GraftMeta.FileName))) false
     else {
+      // a dropped MATERIALIZED VIEW deregisters from its source's rewrite
+      // candidates (best-effort: the source may itself be gone already)
+      val props = scala.util.Try(GraftMeta.read(dir).props).getOrElse(Map.empty)
+      for {
+        src <- props.get(GraftMv.SourceProp)
+        parts = src.split('.').toSeq.filter(_.nonEmpty) if parts.nonEmpty
+        srcDir = tableDir(Identifier.of(parts.init.toArray, parts.last))
+        if Files.exists(srcDir.resolve(GraftMeta.FileName))
+      } scala.util.Try(GraftMeta.mutate(srcDir) { m =>
+        val mvName = (ident.namespace() :+ ident.name()).mkString(".")
+        val kept = m.props.get(GraftMvRewrite.MvsProp).toSeq
+          .flatMap(_.split(',')).map(_.trim)
+          .filter(n => n.nonEmpty && n != mvName)
+        if (kept.isEmpty) m.copy(props = m.props - GraftMvRewrite.MvsProp)
+        else m.copy(props = m.props + (GraftMvRewrite.MvsProp -> kept.mkString(",")))
+      })
       GraftMeta.deleteRecursively(dir)
       true
     }
@@ -2129,6 +2145,9 @@ private[catalog] final class GraftTable(
   private[catalog] def dir: Path = tableDir
   private[catalog] def currentSnapshot: Long = meta.current
   private[catalog] def metaAtLoad: GraftMeta = meta
+  /** Time-travel / branch reads address snapshots other than current — the
+    * MV rewrite (and any other current-state-only serving layer) must skip. */
+  private[catalog] def pinned: Boolean = pinnedSnapshot.isDefined || pinnedRef.isDefined
 
   override def name(): String = (catalog +: ident.namespace() :+ ident.name()).mkString(".")
   // the EXPOSED schema is the read schema: Spark derives every pruned read

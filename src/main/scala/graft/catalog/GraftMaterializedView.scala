@@ -156,6 +156,15 @@ private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
       case rs if rs.size == segments.size => rs.sum
       case _ => spark.read.parquet(segments.map(s => mvDir.resolve(s._1).toString): _*).count()
     }
+    // register on the SOURCE so the transparent rewrite (GraftMvRewrite) can
+    // discover this MV from the scanned table's own props
+    GraftMeta.mutate(srcDir) { m =>
+      val existing = m.props.get(GraftMvRewrite.MvsProp).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      if (existing.contains(mvArg)) m
+      else m.copy(props = m.props +
+        (GraftMvRewrite.MvsProp -> (existing :+ mvArg).mkString(",")))
+    }
     result(UTF8String.fromString(mvArg), v, nGroups)
   }
 }

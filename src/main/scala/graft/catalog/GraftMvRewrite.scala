@@ -1,0 +1,194 @@
+package graft.catalog
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** TRANSPARENT MATERIALIZED-VIEW REWRITE — the serving half of the MV
+  * subsystem (GraftMaterializedView owns creation + incremental refresh):
+  * an aggregate query over a graft table is answered FROM a registered MV
+  * when the MV provably holds the same answer, without the query changing.
+  *
+  * A query
+  * {{{ SELECT k..., COUNT(*), SUM(c), MIN(m), MAX(x) FROM t [WHERE p(keys)]
+  *     GROUP BY k... }}}
+  * rewrites to an aggregate over the MV (`CALL create_mv(mv, t, keys, ...)`)
+  * when ALL of:
+  *
+  *   - FRESH: the MV's refresh watermark (`graft.mv.version`) equals the
+  *     snapshot the query's relation pinned at load — equal versions mean
+  *     the MV is exactly `aggregate(t@version)` by the refresh contract, so
+  *     the rewrite is an identity on results, not an approximation. A stale
+  *     MV never serves (run `refresh_mv` first); there is no "allowed
+  *     staleness" knob because a silently stale answer is a wrong answer.
+  *   - COVERED: grouping columns ⊆ MV keys (grouping by a SUBSET re-rolls
+  *     the MV: COUNT(*) → SUM(n_rows), SUM(c) → SUM(sum_c), MIN/MAX →
+  *     MIN(min_c)/MAX(max_c) — the rollup property of distributive
+  *     aggregates); every aggregate is one of those four over a registered
+  *     column; any WHERE references KEY columns only (a key predicate
+  *     commutes with GROUP BY, so it applies verbatim to the MV's key
+  *     columns). DISTINCT aggregates, FILTER clauses, COUNT(col), AVG, and
+  *     non-key predicates all refuse — unservable from these summaries.
+  *   - CURRENT-STATE READ: no time travel, branch, or CDC options on the
+  *     relation (those address snapshots other than the watermark).
+  *
+  * At 100 TB this is the difference between a dashboard GROUP BY costing a
+  * full fact-table scan and costing a scan of |groups| rows: create the MV
+  * once, `refresh_mv` per ingest batch (O(changed rows)), and every matching
+  * query — issued by users who do not know the MV exists — pays O(groups).
+  *
+  * Registration: `create_mv` records its MVs on the SOURCE table
+  * (`graft.mvs`); the rule reads candidates from the scanned table's own
+  * props, then back-checks each candidate's `graft.mv.source` resolves to
+  * the same table directory (a CLONE copies props — the back-check keeps a
+  * clone's queries off the original's MVs). `DROP TABLE mv` deregisters.
+  * Off switch: `SET spark.graft.mv.rewrite=false` (the MV specs use it to
+  * keep their MV-vs-direct-aggregate probes non-circular).
+  *
+  * Plan-time gate, snapshot-isolated execution: the rewritten plan scans the
+  * MV's own pinned relation, so a source commit racing query execution
+  * flips neither half — same read semantics as any graft scan. */
+private[graft] final class GraftMvRewrite(session: SparkSession)
+  extends Rule[LogicalPlan] {
+
+  /** Local bail-out: any unservable shape aborts the candidate cleanly. */
+  private final class Unservable extends RuntimeException(null, null, false, false)
+
+  private def enabled: Boolean =
+    session.conf.get("spark.graft.mv.rewrite", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUpWithSubqueries {
+      case agg: Aggregate => rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** Peel [Filter] / attribute-only [Project] layers down to a servable v2
+    * relation, collecting predicates. */
+  private def peel(plan: LogicalPlan, conds: Seq[Expression])
+    : Option[(DataSourceV2Relation, GraftTable, Seq[Expression])] = plan match {
+    case Filter(cond, child) => peel(child, conds :+ cond)
+    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      peel(child, conds)
+    case rel @ DataSourceV2Relation(t: GraftTable, _, Some(_: GraftCatalog), Some(_), opts, tt)
+        if opts.isEmpty && tt.isEmpty && !t.pinned =>
+      Some((rel, t, conds))
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[Aggregate] = {
+    val (rel, table, conds) = peel(agg.child, Nil).getOrElse(return None)
+    val mvNames = table.metaAtLoad.props.get(GraftMvRewrite.MvsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    if (mvNames.isEmpty) return None
+    if (conds.exists(!_.deterministic)) return None
+    val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val catalog = rel.catalog.get.asInstanceOf[GraftCatalog]
+    mvNames.iterator
+      .flatMap(n => serveFrom(agg, table, catalog, n, groupAttrs, conds))
+      .nextOption()
+  }
+
+  private def identOf(name: String): Option[Identifier] = {
+    val parts = name.split('.').toSeq.filter(_.nonEmpty)
+    if (parts.isEmpty) None
+    else Some(Identifier.of(parts.init.toArray, parts.last))
+  }
+
+  private def serveFrom(agg: Aggregate, table: GraftTable, catalog: GraftCatalog,
+                        mvName: String, groupAttrs: Seq[AttributeReference],
+                        conds: Seq[Expression]): Option[Aggregate] = try {
+    def bail(): Nothing = throw new Unservable
+    val ident = identOf(mvName).getOrElse(bail())
+    val mvTable = (try catalog.loadTable(ident)
+      catch { case NonFatal(_) => bail() }) match {
+      case g: GraftTable => g
+      case _ => bail()
+    }
+    val mvMeta = mvTable.metaAtLoad
+
+    // back-check: this MV was built over THIS table (clones copy props)
+    val srcOk = mvMeta.props.get(GraftMv.SourceProp).flatMap(identOf).exists(si =>
+      try catalog.tableDirFor(si) == table.dir catch { case NonFatal(_) => false })
+    if (!srcOk) bail()
+
+    // FRESHNESS: the MV holds aggregate(source @ watermark); the query's
+    // relation reads the snapshot pinned at load — serve only on equality
+    val fresh = mvMeta.props.get(GraftMv.VersionProp)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .contains(table.currentSnapshot)
+    if (!fresh) bail()
+
+    val keys = GraftMv.keyCols(mvMeta).map(_.toLowerCase).toSet
+    val sums = GraftMv.sumCols(mvMeta).map(_.toLowerCase).toSet
+    val mins = GraftMv.minCols(mvMeta).map(_.toLowerCase).toSet
+    val maxs = GraftMv.maxCols(mvMeta).map(_.toLowerCase).toSet
+    if (!groupAttrs.forall(a => keys.contains(a.name.toLowerCase))) bail()
+    if (!conds.flatMap(_.references.toSeq)
+          .forall(a => keys.contains(a.name.toLowerCase))) bail()
+
+    val mvRel = DataSourceV2Relation.create(mvTable, Some(catalog), Some(ident))
+    def mvAttr(name: String): Attribute =
+      mvRel.output.find(_.name.equalsIgnoreCase(name)).getOrElse(bail())
+    def aggOf(fn: AggregateFunction): AggregateExpression =
+      AggregateExpression(fn, Complete, isDistinct = false)
+
+    val groupMap: Map[ExprId, Attribute] =
+      groupAttrs.map(a => a.exprId -> mvAttr(a.name)).toMap
+
+    val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        Alias(groupMap.getOrElse(a.exprId, bail()), a.name)(exprId = a.exprId)
+      case al @ Alias(a: AttributeReference, name) =>
+        Alias(groupMap.getOrElse(a.exprId, bail()), name)(exprId = al.exprId)
+      case al @ Alias(l: Literal, name) => Alias(l, name)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+        val rewritten: Expression = fn match {
+          case Count(Seq(Literal(v, _))) if v != null =>
+            // COUNT(*)/COUNT(1): sum the per-group row counts; an EMPTY
+            // global aggregate must still answer 0, not NULL
+            Coalesce(Seq(aggOf(Sum(mvAttr("n_rows"))), Literal(0L)))
+          case Sum(c: AttributeReference, mode) if sums.contains(c.name.toLowerCase) =>
+            // keep the query's eval mode (ANSI/TRY overflow semantics);
+            // re-summing widened MV sums may need a cast back down
+            val re = aggOf(Sum(mvAttr(s"sum_${c.name}"), mode))
+            if (re.dataType == fn.dataType) re
+            else Cast(re, fn.dataType, Some(conf.sessionLocalTimeZone))
+          case Min(c: AttributeReference) if mins.contains(c.name.toLowerCase) =>
+            aggOf(Min(mvAttr(s"min_${c.name}")))
+          case Max(c: AttributeReference) if maxs.contains(c.name.toLowerCase) =>
+            aggOf(Max(mvAttr(s"max_${c.name}")))
+          case _ => bail()
+        }
+        Alias(rewritten, name)(exprId = al.exprId)
+      case _ => bail()
+    }
+
+    // key predicates apply verbatim to the MV's key columns (same names);
+    // rebind their attribute references onto the MV relation's output
+    val newConds = conds.map(_.transformUp {
+      case a: AttributeReference => mvAttr(a.name)
+    })
+    val newChild =
+      if (newConds.isEmpty) mvRel
+      else Filter(newConds.reduce(And), mvRel)
+    logInfo(s"graft: serving aggregate over ${table.name()} from materialized " +
+      s"view $mvName (watermark = snapshot ${table.currentSnapshot})")
+    Some(Aggregate(groupAttrs.map(a => groupMap(a.exprId)), newAggExprs, newChild))
+  } catch { case _: Unservable => None }
+}
+
+private[catalog] object GraftMvRewrite {
+  /** csv of MV table names registered on their SOURCE table's props. */
+  val MvsProp = "graft.mvs"
+}

@@ -647,6 +647,12 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // so every zero-exchange SPJ plan is left intact).
     ext.injectQueryStagePrepRule(session =>
       new graft.catalog.DisableUnnecessaryKeyGrouping(session))
+    // Transparent materialized-view serving: a COUNT/SUM/MIN/MAX GROUP BY
+    // over a graft table with a registered, provably-FRESH MV is answered
+    // from the MV (O(groups) instead of O(table)); stale or uncovered
+    // queries pass through untouched. Operator-optimization rule: runs
+    // before V2 scan pushdown, so the relation is still matchable.
+    ext.injectOptimizerRule(session => new graft.catalog.GraftMvRewrite(session))
     // ... and again as a columnar pre-transition: scan-only plans carry no
     // exchange, skip AQE entirely, and so never see queryStagePrepRules.
     ext.injectColumnar(session => new graft.catalog.GraftUngroupColumnarRule(session))

@@ -387,6 +387,75 @@ object Round20Queries {
               MIN(b) AS min_b, MAX(b) AS max_b
        FROM g GROUP BY 1, 2 ORDER BY pri, band"""
 
+  // --------------------------------------------------------------------------
+  // q304: TRANSPARENT MATERIALIZED-VIEW SERVING (GraftMvRewrite) — the
+  // serving half of q236/q276's incremental-MV machinery: a COUNT/SUM/MIN/MAX
+  // GROUP BY over the SOURCE table is answered FROM a registered fresh MV by
+  // a Catalyst rewrite the query never mentions. The lifecycle gates the
+  // FRESHNESS rule with content: create table → create_mv → a DML wave
+  // (append + DELETE + UPDATE) makes the MV STALE → the 'pre_refresh' era
+  // aggregates the source and MUST reflect the wave (a rewrite that served
+  // the stale MV would hash-mismatch here — this era is materialized before
+  // refresh runs) → refresh_mv advances the watermark → the 'post_refresh'
+  // era runs the SAME aggregate, now served from the MV (plan pinned in
+  // MvRewriteSpec; values necessarily identical). Both eras replay
+  // relationally in DuckDB. At 100 TB: dashboards GROUP BY the fact table
+  // and pay O(groups), without knowing the MV exists.
+  // --------------------------------------------------------------------------
+  private def q304(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_orders_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r304_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_mv")
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, b BIGINT, m BIGINT, cents BIGINT) USING parquet")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_custkey % 17, o_orderkey % 5,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 3 <> 0""")
+    s.sql(s"CALL graft.system.create_mv('lake.${t}_mv', 'lake.$t', " +
+      "keys => 'b,m', sums => 'cents', mins => 'cents', maxs => 'cents')")
+    // the wave: the MV is now STALE until refresh_mv
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_custkey % 17, o_orderkey % 5,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 3 = 0""")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE k % 13 = 0")
+    s.sql(s"UPDATE graft.lake.$t SET cents = cents * 2 WHERE k % 29 = 0")
+    val agg =
+      s"""SELECT b, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_c,
+                 MIN(cents) AS min_c, MAX(cents) AS max_c
+          FROM graft.lake.$t WHERE m = 2 GROUP BY b"""
+    // materialize the stale-era readout NOW (collect — group-count-sized):
+    // the freshness gate must route it to the SOURCE, so it reflects the wave
+    import s.implicits._
+    val pre = s.sql(agg).collect().toSeq
+      .map(r => ("pre_refresh", r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toDF("era", "b", "n", "total_c", "min_c", "max_c")
+    s.sql(s"CALL graft.system.refresh_mv('lake.${t}_mv')")
+    val post = s.sql(s"SELECT 'post_refresh' AS era, * FROM ($agg)")
+    pre.unionByName(post).orderBy("era", "b")
+  }
+
+  private val q304Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey % 17 AS b, o_orderkey % 5 AS m,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+       final AS (
+         SELECT b, m, CASE WHEN k % 29 = 0 THEN cents * 2 ELSE cents END AS cents
+         FROM base WHERE k % 13 <> 0),
+       agg AS (
+         SELECT b, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_c,
+                MIN(cents) AS min_c, MAX(cents) AS max_c
+         FROM final WHERE m = 2 GROUP BY b)
+       SELECT eras.era, a.b, a.n, a.total_c, a.min_c, a.max_c
+       FROM (SELECT 'pre_refresh' AS era UNION ALL SELECT 'post_refresh') eras
+       CROSS JOIN agg a
+       ORDER BY eras.era, a.b"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q297_identity_partitioned", q297, Some(q297Sql)),
     QDef("q298_string_minmax_zero_io", q298, Some(q298Sql)),
@@ -395,5 +464,6 @@ object Round20Queries {
     QDef("q301_clustered_steady_state", q301, Some(q301Sql)),
     QDef("q302_merge_identity_minting", q302, Some(q302Sql)),
     QDef("q303_partitioned_zorder", q303, Some(q303Sql)),
+    QDef("q304_transparent_mv_rewrite", q304, Some(q304Sql)),
   )
 }

@@ -17,7 +17,17 @@ class MaterializedViewSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft_mv_spec")
     spark.conf.set("spark.sql.catalog.gmv", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.gmv.root", d.toString)
+    // this suite's invariant is "MV == full recompute of the SOURCE"; the
+    // transparent rewrite (GraftMvRewrite, its own spec) would serve the
+    // recompute FROM the MV and make every comparison circular
+    spark.conf.set("spark.graft.mv.rewrite", "false")
     d
+  }
+
+  override def afterAll(): Unit = {
+    // the session is JVM-shared across suites — restore the default
+    spark.conf.unset("spark.graft.mv.rewrite")
+    super.afterAll()
   }
 
   private def sql(q: String) = spark.sql(q)

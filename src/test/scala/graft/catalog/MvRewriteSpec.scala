@@ -1,0 +1,149 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Pins for the TRANSPARENT materialized-view rewrite (GraftMvRewrite): a
+  * COUNT/SUM/MIN/MAX GROUP BY over a graft table with a registered FRESH MV
+  * is served from the MV — same answer, O(groups) scan — and every
+  * staleness / coverage / addressing hazard refuses the rewrite instead of
+  * serving a wrong answer. */
+class MvRewriteSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = Files.createTempDirectory("graft_mvr_spec")
+    spark.conf.set("spark.sql.catalog.gmr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmr.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  /** Does the executed plan scan table `t`? (plan-string match — AQE wraps
+    * the BatchScan away from collectLeaves before execution) */
+  private def scans(df: org.apache.spark.sql.DataFrame, t: String): Boolean =
+    df.queryExecution.executedPlan.toString.contains(s"gmr.ns.$t[")
+
+  private def rows(q: String): Seq[Seq[Any]] =
+    sql(q).collect().toSeq.map(_.toSeq)
+
+  /** The control: same query with the rewrite off. */
+  private def control(q: String): Seq[Seq[Any]] = {
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try rows(q) finally spark.conf.set("spark.graft.mv.rewrite", "true")
+  }
+
+  private def mk(): Unit = {
+    root
+    sql("DROP TABLE IF EXISTS gmr.ns.mv1")
+    sql("DROP TABLE IF EXISTS gmr.ns.s1")
+    sql("CREATE TABLE gmr.ns.s1 (k BIGINT, b BIGINT, m BIGINT, amt BIGINT) USING parquet")
+    sql("""INSERT INTO gmr.ns.s1
+           SELECT id, id % 5, id % 3, id * 10 FROM range(0, 300)""")
+    sql("""CALL gmr.system.create_mv('ns.mv1', 'ns.s1', keys => 'b,m',
+           sums => 'amt', mins => 'amt', maxs => 'amt')""")
+  }
+
+  test("a fresh covered aggregate is served FROM the MV; answers identical") {
+    mk()
+    val q = """SELECT b, m, COUNT(*) AS n, SUM(amt) AS s, MIN(amt) AS mn, MAX(amt) AS mx
+               FROM gmr.ns.s1 GROUP BY b, m ORDER BY b, m"""
+    val df = sql(q)
+    assert(scans(df, "mv1"), "fresh + covered must serve from the MV:\n" +
+      df.queryExecution.executedPlan)
+    assert(!scans(df, "s1"), "the source must not be scanned")
+    assert(rows(q) === control(q))
+  }
+
+  test("rollup to a KEY SUBSET with a key predicate re-aggregates the MV") {
+    mk()
+    val q = """SELECT b, COUNT(*) AS n, SUM(amt) AS s, MAX(amt) AS mx
+               FROM gmr.ns.s1 WHERE m = 1 GROUP BY b ORDER BY b"""
+    val df = sql(q)
+    assert(scans(df, "mv1") && !scans(df, "s1"),
+      s"subset rollup must serve from the MV:\n${df.queryExecution.executedPlan}")
+    assert(rows(q) === control(q))
+    // global (no GROUP BY) over a key filter too
+    val g = "SELECT COUNT(*) AS n, MIN(amt) AS mn FROM gmr.ns.s1 WHERE b = 2"
+    assert(scans(sql(g), "mv1"))
+    assert(rows(g) === control(g))
+  }
+
+  test("an empty global COUNT answers 0 through the MV, never NULL") {
+    root
+    sql("DROP TABLE IF EXISTS gmr.ns.mve")
+    sql("DROP TABLE IF EXISTS gmr.ns.se")
+    sql("CREATE TABLE gmr.ns.se (k BIGINT, b BIGINT, amt BIGINT) USING parquet")
+    sql("CALL gmr.system.create_mv('ns.mve', 'ns.se', keys => 'b', sums => 'amt')")
+    val q = "SELECT COUNT(*) AS n FROM gmr.ns.se"
+    val df = sql(q)
+    assert(scans(df, "mve"), df.queryExecution.executedPlan.toString)
+    assert(df.collect().head.getLong(0) === 0L)
+  }
+
+  test("STALENESS gates: DML un-serves, refresh_mv re-serves") {
+    mk()
+    val q = "SELECT b, m, COUNT(*) AS n, SUM(amt) AS s FROM gmr.ns.s1 GROUP BY b, m ORDER BY b, m"
+    assert(scans(sql(q), "mv1"))
+    sql("INSERT INTO gmr.ns.s1 VALUES (1000, 1, 1, 77)")
+    val stale = sql(q)
+    assert(scans(stale, "s1") && !scans(stale, "mv1"),
+      "a stale MV must NEVER serve")
+    assert(rows(q) === control(q)) // and the source answer includes the new row
+    sql("CALL gmr.system.refresh_mv('ns.mv1')")
+    assert(scans(sql(q), "mv1"), "refresh restores serving")
+    assert(rows(q) === control(q))
+  }
+
+  test("coverage refusals: non-key predicate, COUNT(col), DISTINCT, AVG, unregistered column") {
+    mk()
+    def notServed(q: String): Unit = {
+      val df = sql(q)
+      assert(scans(df, "s1") && !scans(df, "mv1"),
+        s"must not serve: $q\n${df.queryExecution.executedPlan}")
+      assert(rows(q) === control(q))
+    }
+    notServed("SELECT b, COUNT(*) n FROM gmr.ns.s1 WHERE amt > 50 GROUP BY b ORDER BY b")
+    notServed("SELECT b, COUNT(amt) n FROM gmr.ns.s1 GROUP BY b ORDER BY b")
+    notServed("SELECT b, COUNT(DISTINCT m) n FROM gmr.ns.s1 GROUP BY b ORDER BY b")
+    notServed("SELECT b, AVG(amt) a FROM gmr.ns.s1 GROUP BY b ORDER BY b")
+    notServed("SELECT b, SUM(k) s FROM gmr.ns.s1 GROUP BY b ORDER BY b")
+    notServed("SELECT k, COUNT(*) n FROM gmr.ns.s1 GROUP BY k ORDER BY k LIMIT 1")
+  }
+
+  test("addressing refusals: time travel and clones never serve from the original's MV") {
+    mk()
+    // time travel: a pinned read addresses its own snapshot, not "current" —
+    // even when the numbers coincide the rewrite conservatively refuses
+    val tt = sql("SELECT b, COUNT(*) n FROM gmr.ns.s1 VERSION AS OF 1 GROUP BY b")
+    assert(!scans(tt, "mv1"), "time travel must not serve from the MV")
+    // a zero-copy clone carries the source's props (incl. the MV registry);
+    // the back-check (mv.source resolves to the CLONE's dir? no) refuses
+    sql("DROP TABLE IF EXISTS gmr.ns.s1c")
+    sql("CALL gmr.system.clone_table('ns.s1', 'ns.s1c')")
+    val qc = "SELECT b, m, COUNT(*) AS n FROM gmr.ns.s1c GROUP BY b, m ORDER BY b, m"
+    val dfc = sql(qc)
+    assert(scans(dfc, "s1c") && !scans(dfc, "mv1"),
+      s"a clone must not serve from the original's MV:\n${dfc.queryExecution.executedPlan}")
+    assert(rows(qc) === control(qc))
+  }
+
+  test("DROP TABLE of the MV deregisters; the conf kill-switch works") {
+    mk()
+    val q = "SELECT b, m, COUNT(*) AS n FROM gmr.ns.s1 GROUP BY b, m ORDER BY b, m"
+    assert(scans(sql(q), "mv1"))
+    // kill switch
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(scans(sql(q), "s1") && !scans(sql(q), "mv1"))
+    finally spark.conf.set("spark.graft.mv.rewrite", "true")
+    // drop deregisters (prop removed from the source) and the query still runs
+    sql("DROP TABLE gmr.ns.mv1")
+    val after = sql(q)
+    assert(scans(after, "s1"))
+    assert(after.collect().nonEmpty)
+    val props = GraftMeta.read(root.resolve("ns").resolve("s1")).props
+    assert(!props.contains(GraftMvRewrite.MvsProp),
+      s"drop must deregister, got ${props.get(GraftMvRewrite.MvsProp)}")
+  }
+}
