@@ -2435,6 +2435,7 @@ private[catalog] final class GraftPruningScanBuilder(
   private var live = segments // post-zone-pruning survivors (build-time stats)
   private var prunedSchema: StructType = null
   private var anyFilterPushed = false
+  private var lastPushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
   private var statsAgg: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   private def cat = inner.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
@@ -2468,6 +2469,7 @@ private[catalog] final class GraftPruningScanBuilder(
         inner.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(prunedSchema)
     }
     live = surviving
+    lastPushed = filters
     cat.pushFilters(filters)
   }
 
@@ -2579,9 +2581,27 @@ private[catalog] final class GraftPruningScanBuilder(
     case None =>
       val (exactRows, colStats) = committedStats()
       val scan = inner.build()
+      // runtime (join-driven) segment pruning: re-plan the SAME pruned
+      // parquet scan (schema + pushed filters replayed) over the segments a
+      // runtime IN predicate proves live — see GraftRuntimePrune
+      val pushedNow = lastPushed
+      val schemaNow = prunedSchema
+      val rebuild: Seq[String] => Scan = dirs => {
+        val b = mkInner(dirs)
+        if (schemaNow != null)
+          b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(schemaNow)
+        if (pushedNow.nonEmpty)
+          b.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+            .pushFilters(pushedNow)
+        b.build()
+      }
       new GraftStreamableScan(scan, tableDir, tableName, tableSchema,
         options, exactRows, colStats,
-        GraftSpj.plan(spjFields, spjSpecId, live, scan.readSchema()))
+        GraftSpj.plan(spjFields, spjSpecId, live, scan.readSchema()),
+        // advertisement is bounded by the scan's READ schema: Spark resolves
+        // filterAttributes against the scan output, and a pruned-away column
+        // can never be a join key anyway
+        runtime = Some(new GraftRuntimePrune(rebuild, live, zstats, scan.readSchema())))
   }
 }
 
@@ -2612,7 +2632,9 @@ private[catalog] final class GraftStreamableScan(
     colStats: () => Map[String, GraftColStats] = () => Map.empty,
     // storage-partitioned-join plan (GraftSpj): present iff every visible
     // segment's partition key is plan-time-known and no key column was pruned
-    spj: Option[GraftSpj.Info] = None) extends Scan
+    spj: Option[GraftSpj.Info] = None,
+    // runtime (DPP-style) SEGMENT pruning state — see GraftRuntimePrune
+    runtime: Option[GraftRuntimePrune] = None) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2718,22 +2740,33 @@ private[catalog] final class GraftStreamableScan(
   }
   override def toBatch: org.apache.spark.sql.connector.read.Batch = spjActive match {
     case Some(info) => GraftSpj.wrapBatch(inner.toBatch, info, spjSingleSplit)
-    case None       => inner.toBatch
+    // BatchScanExec re-calls toBatch after filter(): serve the
+    // runtime-pruned re-plan when segment pruning fired
+    case None       => runtime.flatMap(_.current).getOrElse(inner).toBatch
   }
   override def description(): String = inner.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode = inner.columnarSupportMode()
   override def supportedCustomMetrics() = inner.supportedCustomMetrics()
-  // runtime (DPP-style) filtering passes through to the parquet scan — the
-  // wrapper must not cost the table the runtime file-skipping batch scans had
+  // runtime (DPP-style) filtering: SEGMENT-level pruning via committed zone
+  // maps + bloom indexes (GraftRuntimePrune), except under an active
+  // storage-partitioned-join plan (Spark requires a KeyGroupedPartitioning
+  // scan to preserve its partitioning across filter()); the parquet scan
+  // itself has no hive layout to prune, so there is nothing to pass through
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    inner match {
-      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering => f.filterAttributes()
-      case _ => Array.empty
+    runtime match {
+      case Some(r) if spjActive.isEmpty => r.prunableColumns
+      case _ => inner match {
+        case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering => f.filterAttributes()
+        case _ => Array.empty
+      }
     }
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    inner match {
-      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering => f.filter(predicates)
-      case _ => ()
+    runtime match {
+      case Some(r) if spjActive.isEmpty => r.filter(predicates)
+      case _ => inner match {
+        case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering => f.filter(predicates)
+        case _ => ()
+      }
     }
   override def toMicroBatchStream(checkpointLocation: String)
     : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

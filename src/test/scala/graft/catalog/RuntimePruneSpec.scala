@@ -1,0 +1,92 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Pins for runtime (join-driven) SEGMENT pruning (GraftRuntimePrune via
+  * SupportsRuntimeV2Filtering): a selective dimension filter becomes a
+  * fact-side IN predicate at execution time, and the fact scan re-plans over
+  * only the segments whose committed zone bounds admit the surviving keys —
+  * dynamic partition pruning for the graft segment layout. */
+class RuntimePruneSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = Files.createTempDirectory("graft_rtp_spec")
+    spark.conf.set("spark.sql.catalog.grt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grt.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  /** Rows actually read by the scan of `t` (post-execution AQE-final plan;
+    * the traversal descends into adaptive + query-stage wrappers, which hide
+    * their subtrees from plain collect). */
+  private def scanRows(df: org.apache.spark.sql.DataFrame, t: String): Long = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def all(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => all(q.plan)
+      case other => other.children.flatMap(all)
+    }) :+ p
+    val scans = all(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.toString.contains(s"grt.ns.$t[") =>
+        b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+    }
+    scans.headOption.getOrElse(-1L)
+  }
+
+  private def mk(): Unit = {
+    root
+    sql("DROP TABLE IF EXISTS grt.ns.fact")
+    sql("DROP TABLE IF EXISTS grt.ns.dim")
+    sql("CREATE TABLE grt.ns.fact (k BIGINT, d BIGINT, v BIGINT) USING parquet")
+    // 8 segments, each a distinct d value: zone bounds are min = max = d
+    (0 until 8).foreach { d =>
+      sql(s"INSERT INTO grt.ns.fact SELECT id, $d, id % 100 FROM range(${d * 1000}, ${d * 1000 + 1000})")
+    }
+    sql("CREATE TABLE grt.ns.dim (d BIGINT, name STRING) USING parquet")
+    sql("""INSERT INTO grt.ns.dim VALUES (0,'a'),(1,'b'),(2,'x'),(3,'c'),
+           (4,'d'),(5,'x'),(6,'e'),(7,'f')""")
+  }
+
+  test("a selective dim filter runtime-prunes fact SEGMENTS through zone bounds") {
+    mk()
+    val q = """SELECT CAST(SUM(f.v) AS BIGINT) AS s, COUNT(*) AS n
+               FROM grt.ns.fact f JOIN grt.ns.dim m ON f.d = m.d
+               WHERE m.name = 'x'"""
+    val df = sql(q)
+    val expected = df.collect().toSeq.map(_.toSeq)
+    val read = scanRows(sql(q), "fact")
+    assert(read === 2000L,
+      s"runtime pruning must read only the 2 matching segments' 2000 rows, read $read\n" +
+        sql(q).queryExecution.executedPlan)
+    // the plan carries the dynamic-pruning subquery on the fact scan
+    val planStr = { val d2 = sql(q); d2.collect(); d2.queryExecution.executedPlan.toString }
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic pruning filter on the fact scan:\n$planStr")
+    // answers identical with the whole DPP machinery off
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try {
+      val off = sql(q)
+      assert(off.collect().toSeq.map(_.toSeq) === expected)
+      assert(scanRows(sql(q), "fact") === 8000L, "without DPP the scan reads everything")
+    } finally
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+  }
+
+  test("an unprunable runtime predicate keeps every segment (no false pruning)") {
+    mk()
+    // every segment contains v values across the full range — zone bounds on
+    // v cannot exclude anything; the join must still answer correctly
+    val q = """SELECT COUNT(*) AS n
+               FROM grt.ns.fact f JOIN (SELECT DISTINCT v FROM grt.ns.fact WHERE v < 3) s
+               ON f.v = s.v"""
+    val n = sql(q).collect().head.getLong(0)
+    assert(n === 8 * 10 * 3, s"got $n") // 3 v-values x 10 hits per 1000-row wave x 8 waves
+  }
+}
