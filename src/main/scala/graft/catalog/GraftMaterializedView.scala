@@ -63,14 +63,18 @@ private[catalog] object GraftMv {
     meta.props.get(MaxsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   /** The MV aggregate of `rows`: one row per key tuple, counting all rows,
-    * summing each sum column, and min/max-ing the extremum columns — column
-    * names are the MV schema's. */
+    * summing each sum column, min/max-ing the extremum columns, and (r18)
+    * counting each sum column's NON-NULL rows (`nn_<c>`, appended last so
+    * pre-r18 column ordinals are stable) — `nn` is what makes COUNT(col) and
+    * AVG(col) servable from the summary (AVG = sum/nn, exactly SQL's
+    * null-skipping semantics; n_rows counts all rows and cannot serve it). */
   def aggregate(rows: DataFrame, keys: Seq[String], sums: Seq[String],
                 mins: Seq[String] = Nil, maxs: Seq[String] = Nil): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +:
       (sums.map(c => sum(col(c)).as(s"sum_$c")) ++
         mins.map(c => min(col(c)).as(s"min_$c")) ++
-        maxs.map(c => max(col(c)).as(s"max_$c")))
+        maxs.map(c => max(col(c)).as(s"max_$c")) ++
+        sums.map(c => count(col(c)).as(s"nn_$c")))
     rows.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -207,6 +211,9 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
     val sums = GraftMv.sumCols(meta)
     val mins = GraftMv.minCols(meta)
     val maxs = GraftMv.maxCols(meta)
+    // non-null counts ride refresh only where the MV's schema has them
+    // (pre-r18 MVs keep refreshing without nn_ columns)
+    val nns = sums.filter(c => meta.schema.fieldNames.contains(s"nn_$c"))
     val lastV = meta.props(GraftMv.VersionProp).toLong
     val srcDir = resolveTableDir(srcArg)
     val cur = GraftMeta.read(srcDir).current
@@ -217,6 +224,7 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
     val sign = when(isIns, 1L).otherwise(-1L)
     val aggs = sum(sign).as("__dn") +: (
       sums.map(c => sum(sign * col(c)).as(s"__d_$c")) ++
+        nns.map(c => sum(when(col(c).isNotNull, sign).otherwise(0L)).as(s"__dnn_$c")) ++
         // per-group extrema of the INSERTED and DELETED slices — inserts
         // tighten extrema arithmetically; deleted extrema decide whether a
         // stored extremum is ENDANGERED (deleted min ≤ stored min can only
@@ -268,7 +276,8 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
 
     // new group states: old (or zero for brand-new groups) + delta
     val stateCols = col("n_rows") +: (sums.map(c => col(s"sum_$c")) ++
-      mins.map(c => col(s"min_$c")) ++ maxs.map(c => col(s"max_$c")))
+      mins.map(c => col(s"min_$c")) ++ maxs.map(c => col(s"max_$c")) ++
+      nns.map(c => col(s"nn_$c")))
     val liveSel = live.select((keys.map(live(_)) ++ stateCols): _*)
     // no broadcast hint: the DELTA side is the outer join's preserved side
     // (a broadcast build there is unsupported — the old hint was silently
@@ -295,14 +304,23 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
         sums.map { c =>
           val t = meta.schema(s"sum_$c").dataType
           val zero = lit(0).cast(t)
-          coalesceF(Seq(
-            (coalesceF(Seq(col(s"sum_$c"), zero)) + col(s"__d_$c")).cast(t), zero))
-            .as(s"sum_$c")
+          // an all-NULL delta sums to NULL — that means "no numeric change",
+          // never "zero the group" (caught by the r18 AVG/nn spec)
+          val combined = (coalesceF(Seq(col(s"sum_$c"), zero)) +
+            coalesceF(Seq(col(s"__d_$c"), zero))).cast(t)
+          if (nns.contains(c))
+            // exact NULL semantics (r18): a group's SUM is NULL iff no
+            // non-null rows remain — the maintained nn count decides
+            when(coalesceF(Seq(col(s"nn_$c"), lit(0L))) + col(s"__dnn_$c") > 0,
+              combined).otherwise(lit(null).cast(t)).as(s"sum_$c")
+          else coalesceF(Seq(combined, zero)).as(s"sum_$c") // pre-r18 MV shape
         } ++
         // the arithmetic (insert-only) extremum update; endangered groups
         // override from the rescan below
         mins.map(c => least(col(s"min_$c"), col(s"__ins_min_$c")).as(s"min_$c")) ++
-        maxs.map(c => greatest(col(s"max_$c"), col(s"__ins_max_$c")).as(s"max_$c")): _*)
+        maxs.map(c => greatest(col(s"max_$c"), col(s"__ins_max_$c")).as(s"max_$c")) ++
+        nns.map(c =>
+          (coalesceF(Seq(col(s"nn_$c"), lit(0L))) + col(s"__dnn_$c")).as(s"nn_$c")): _*)
       .cache()
 
     val newState: org.apache.spark.sql.DataFrame =
@@ -335,7 +353,8 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
             mins.map(c => when(pre("__endangered"), rescan(s"__rs_min_$c"))
               .otherwise(pre(s"min_$c")).as(s"min_$c")) ++
             maxs.map(c => when(pre("__endangered"), rescan(s"__rs_max_$c"))
-              .otherwise(pre(s"max_$c")).as(s"max_$c")): _*).cache()
+              .otherwise(pre(s"max_$c")).as(s"max_$c")) ++
+            nns.map(c => pre(s"nn_$c")): _*).cache()
       }
 
     val alive = newState.where(col("n_rows") > 0)

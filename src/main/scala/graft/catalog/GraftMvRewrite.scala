@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPl
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.DoubleType
 
 /** TRANSPARENT MATERIALIZED-VIEW REWRITE — the serving half of the MV
   * subsystem (GraftMaterializedView owns creation + incremental refresh):
@@ -16,8 +17,8 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * when the MV provably holds the same answer, without the query changing.
   *
   * A query
-  * {{{ SELECT k..., COUNT(*), SUM(c), MIN(m), MAX(x) FROM t [WHERE p(keys)]
-  *     GROUP BY k... }}}
+  * {{{ SELECT k..., COUNT(*), COUNT(c), SUM(c), AVG(c), MIN(m), MAX(x)
+  *     FROM t [WHERE p(keys)] GROUP BY k... }}}
   * rewrites to an aggregate over the MV (`CALL create_mv(mv, t, keys, ...)`)
   * when ALL of:
   *
@@ -29,12 +30,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   *     staleness" knob because a silently stale answer is a wrong answer.
   *   - COVERED: grouping columns ⊆ MV keys (grouping by a SUBSET re-rolls
   *     the MV: COUNT(*) → SUM(n_rows), SUM(c) → SUM(sum_c), MIN/MAX →
-  *     MIN(min_c)/MAX(max_c) — the rollup property of distributive
-  *     aggregates); every aggregate is one of those four over a registered
-  *     column; any WHERE references KEY columns only (a key predicate
-  *     commutes with GROUP BY, so it applies verbatim to the MV's key
-  *     columns). DISTINCT aggregates, FILTER clauses, COUNT(col), AVG, and
-  *     non-key predicates all refuse — unservable from these summaries.
+  *     MIN(min_c)/MAX(max_c), COUNT(c) → SUM(nn_c), AVG(c) →
+  *     SUM(sum_c)/SUM(nn_c) — the rollup property of distributive
+  *     aggregates plus the r18 non-null counts); every aggregate is one of
+  *     those six over a registered column; any WHERE references KEY columns
+  *     only (a key predicate commutes with GROUP BY, so it applies verbatim
+  *     to the MV's key columns). DISTINCT aggregates, FILTER clauses,
+  *     decimal AVG, and non-key predicates all refuse — unservable from
+  *     these summaries.
   *   - CURRENT-STATE READ: no time travel, branch, or CDC options on the
   *     relation (those address snapshots other than the watermark).
   *
@@ -146,31 +149,56 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     val groupMap: Map[ExprId, Attribute] =
       groupAttrs.map(a => a.exprId -> mvAttr(a.name)).toMap
 
+    def rewriteFn(fn: AggregateFunction): Expression = fn match {
+      case Count(Seq(Literal(v, _))) if v != null =>
+        // COUNT(*)/COUNT(1): sum the per-group row counts; an EMPTY
+        // global aggregate must still answer 0, not NULL
+        Coalesce(Seq(aggOf(Sum(mvAttr("n_rows"))), Literal(0L)))
+      case Count(Seq(c: AttributeReference)) if sums.contains(c.name.toLowerCase) =>
+        // COUNT(col) = non-null count: served from nn_<col> (r18 MVs;
+        // a pre-r18 MV lacks the column and bails to the source)
+        Coalesce(Seq(aggOf(Sum(mvAttr(s"nn_${c.name}"))), Literal(0L)))
+      case Average(c: AttributeReference, _)
+          if sums.contains(c.name.toLowerCase) && fn.dataType == DoubleType =>
+        // AVG(col) = SUM(sum_c)/SUM(nn_c) — exactly SQL's null-skipping
+        // average (n_rows cannot serve it); double-typed averages only
+        // (integral/float sources — decimal AVG precision rules differ)
+        Divide(
+          Cast(aggOf(Sum(mvAttr(s"sum_${c.name}"))), DoubleType,
+            Some(conf.sessionLocalTimeZone)),
+          Cast(aggOf(Sum(mvAttr(s"nn_${c.name}"))), DoubleType,
+            Some(conf.sessionLocalTimeZone)))
+      case Sum(c: AttributeReference, mode) if sums.contains(c.name.toLowerCase) =>
+        // keep the query's eval mode (ANSI/TRY overflow semantics);
+        // re-summing widened MV sums may need a cast back down
+        val re = aggOf(Sum(mvAttr(s"sum_${c.name}"), mode))
+        if (re.dataType == fn.dataType) re
+        else Cast(re, fn.dataType, Some(conf.sessionLocalTimeZone))
+      case Min(c: AttributeReference) if mins.contains(c.name.toLowerCase) =>
+        aggOf(Min(mvAttr(s"min_${c.name}")))
+      case Max(c: AttributeReference) if maxs.contains(c.name.toLowerCase) =>
+        aggOf(Max(mvAttr(s"max_${c.name}")))
+      case _ => bail()
+    }
+
+    /** Projection expressions may wrap aggregates in scalar work —
+      * `ROUND(AVG(x), 2)`, `CAST(SUM(x) AS BIGINT)`, `SUM(a)/COUNT(*)` —
+      * rewrite every embedded servable aggregate and rebind grouping
+      * attributes; anything else (a non-grouping raw column, a
+      * non-deterministic call, an unservable aggregate) bails. */
+    def rw(e: Expression): Expression = e match {
+      case AggregateExpression(fn, Complete, false, None, _) => rewriteFn(fn)
+      case a: AttributeReference => groupMap.getOrElse(a.exprId, bail())
+      case l: Literal => l
+      case other if other.deterministic =>
+        other.withNewChildren(other.children.map(rw))
+      case _ => bail()
+    }
+
     val newAggExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference =>
         Alias(groupMap.getOrElse(a.exprId, bail()), a.name)(exprId = a.exprId)
-      case al @ Alias(a: AttributeReference, name) =>
-        Alias(groupMap.getOrElse(a.exprId, bail()), name)(exprId = al.exprId)
-      case al @ Alias(l: Literal, name) => Alias(l, name)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-        val rewritten: Expression = fn match {
-          case Count(Seq(Literal(v, _))) if v != null =>
-            // COUNT(*)/COUNT(1): sum the per-group row counts; an EMPTY
-            // global aggregate must still answer 0, not NULL
-            Coalesce(Seq(aggOf(Sum(mvAttr("n_rows"))), Literal(0L)))
-          case Sum(c: AttributeReference, mode) if sums.contains(c.name.toLowerCase) =>
-            // keep the query's eval mode (ANSI/TRY overflow semantics);
-            // re-summing widened MV sums may need a cast back down
-            val re = aggOf(Sum(mvAttr(s"sum_${c.name}"), mode))
-            if (re.dataType == fn.dataType) re
-            else Cast(re, fn.dataType, Some(conf.sessionLocalTimeZone))
-          case Min(c: AttributeReference) if mins.contains(c.name.toLowerCase) =>
-            aggOf(Min(mvAttr(s"min_${c.name}")))
-          case Max(c: AttributeReference) if maxs.contains(c.name.toLowerCase) =>
-            aggOf(Max(mvAttr(s"max_${c.name}")))
-          case _ => bail()
-        }
-        Alias(rewritten, name)(exprId = al.exprId)
+      case al @ Alias(expr, name) => Alias(rw(expr), name)(exprId = al.exprId)
       case _ => bail()
     }
 

@@ -424,7 +424,9 @@ object Round20Queries {
     s.sql(s"DELETE FROM graft.lake.$t WHERE k % 13 = 0")
     s.sql(s"UPDATE graft.lake.$t SET cents = cents * 2 WHERE k % 29 = 0")
     val agg =
-      s"""SELECT b, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_c,
+      s"""SELECT b, COUNT(*) AS n, COUNT(cents) AS nn,
+                 CAST(SUM(cents) AS BIGINT) AS total_c,
+                 ROUND(AVG(cents), 2) AS avg_c,
                  MIN(cents) AS min_c, MAX(cents) AS max_c
           FROM graft.lake.$t WHERE m = 2 GROUP BY b"""
     // materialize the stale-era readout NOW (collect — group-count-sized):
@@ -432,8 +434,8 @@ object Round20Queries {
     import s.implicits._
     val pre = s.sql(agg).collect().toSeq
       .map(r => ("pre_refresh", r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
-      .toDF("era", "b", "n", "total_c", "min_c", "max_c")
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+      .toDF("era", "b", "n", "nn", "total_c", "avg_c", "min_c", "max_c")
     s.sql(s"CALL graft.system.refresh_mv('lake.${t}_mv')")
     val post = s.sql(s"SELECT 'post_refresh' AS era, * FROM ($agg)")
     pre.unionByName(post).orderBy("era", "b")
@@ -448,10 +450,12 @@ object Round20Queries {
          SELECT b, m, CASE WHEN k % 29 = 0 THEN cents * 2 ELSE cents END AS cents
          FROM base WHERE k % 13 <> 0),
        agg AS (
-         SELECT b, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_c,
+         SELECT b, COUNT(*) AS n, COUNT(cents) AS nn,
+                CAST(SUM(cents) AS BIGINT) AS total_c,
+                ROUND(AVG(cents), 2) AS avg_c,
                 MIN(cents) AS min_c, MAX(cents) AS max_c
          FROM final WHERE m = 2 GROUP BY b)
-       SELECT eras.era, a.b, a.n, a.total_c, a.min_c, a.max_c
+       SELECT eras.era, a.b, a.n, a.nn, a.total_c, a.avg_c, a.min_c, a.max_c
        FROM (SELECT 'pre_refresh' AS era UNION ALL SELECT 'post_refresh') eras
        CROSS JOIN agg a
        ORDER BY eras.era, a.b"""

@@ -96,7 +96,31 @@ class MvRewriteSpec extends SparkSpec {
     assert(rows(q) === control(q))
   }
 
-  test("coverage refusals: non-key predicate, COUNT(col), DISTINCT, AVG, unregistered column") {
+  test("COUNT(col) and AVG(col) serve through the non-null counts — null semantics exact") {
+    root
+    sql("DROP TABLE IF EXISTS gmr.ns.mvn")
+    sql("DROP TABLE IF EXISTS gmr.ns.sn")
+    sql("CREATE TABLE gmr.ns.sn (k BIGINT, b BIGINT, amt BIGINT) USING parquet")
+    // every third amt is NULL: AVG/COUNT(col) must skip them, n_rows cannot
+    sql("""INSERT INTO gmr.ns.sn
+           SELECT id, id % 4, CASE WHEN id % 3 = 0 THEN NULL ELSE id * 10 END
+           FROM range(0, 200)""")
+    sql("CALL gmr.system.create_mv('ns.mvn', 'ns.sn', keys => 'b', sums => 'amt')")
+    val q = """SELECT b, COUNT(*) AS n, COUNT(amt) AS nn, ROUND(AVG(amt), 2) AS a
+               FROM gmr.ns.sn GROUP BY b ORDER BY b"""
+    def served = sql(q)
+    assert(served.queryExecution.executedPlan.toString.contains("gmr.ns.mvn["),
+      served.queryExecution.executedPlan.toString)
+    assert(rows(q) === control(q))
+    // nn maintenance through a refresh: insert nulls + non-nulls, delete both kinds
+    sql("INSERT INTO gmr.ns.sn VALUES (1000, 1, NULL), (1001, 1, 333), (1002, 2, NULL)")
+    sql("DELETE FROM gmr.ns.sn WHERE k IN (3, 4)") // k=3 null amt, k=4 non-null
+    sql("CALL gmr.system.refresh_mv('ns.mvn')")
+    assert(served.queryExecution.executedPlan.toString.contains("gmr.ns.mvn["))
+    assert(rows(q) === control(q))
+  }
+
+  test("coverage refusals: non-key predicate, DISTINCT, unregistered column, grouped expression") {
     mk()
     def notServed(q: String): Unit = {
       val df = sql(q)
@@ -105,11 +129,10 @@ class MvRewriteSpec extends SparkSpec {
       assert(rows(q) === control(q))
     }
     notServed("SELECT b, COUNT(*) n FROM gmr.ns.s1 WHERE amt > 50 GROUP BY b ORDER BY b")
-    notServed("SELECT b, COUNT(amt) n FROM gmr.ns.s1 GROUP BY b ORDER BY b")
     notServed("SELECT b, COUNT(DISTINCT m) n FROM gmr.ns.s1 GROUP BY b ORDER BY b")
-    notServed("SELECT b, AVG(amt) a FROM gmr.ns.s1 GROUP BY b ORDER BY b")
     notServed("SELECT b, SUM(k) s FROM gmr.ns.s1 GROUP BY b ORDER BY b")
     notServed("SELECT k, COUNT(*) n FROM gmr.ns.s1 GROUP BY k ORDER BY k LIMIT 1")
+    notServed("SELECT b + 1 AS b1, COUNT(*) n FROM gmr.ns.s1 GROUP BY b + 1 ORDER BY b1")
   }
 
   test("addressing refusals: time travel and clones never serve from the original's MV") {
