@@ -653,6 +653,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // queries pass through untouched. Operator-optimization rule: runs
     // before V2 scan pushdown, so the relation is still matchable.
     ext.injectOptimizerRule(session => new graft.catalog.GraftMvRewrite(session))
+    // Top-k segment pruning: ORDER BY x DESC LIMIT k over a graft table
+    // derives a sound threshold from committed zone stats (>= k non-null
+    // values provably >= tau) and injects x >= tau, so zone pruning skips
+    // every segment that cannot reach the top k.
+    ext.injectOptimizerRule(session => new graft.catalog.GraftTopKPrune(session))
     // ... and again as a columnar pre-transition: scan-only plans carry no
     // exchange, skip AQE entirely, and so never see queryStagePrepRules.
     ext.injectColumnar(session => new graft.catalog.GraftUngroupColumnarRule(session))

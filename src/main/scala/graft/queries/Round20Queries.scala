@@ -460,6 +460,36 @@ object Round20Queries {
        CROSS JOIN agg a
        ORDER BY eras.era, a.b"""
 
+  // --------------------------------------------------------------------------
+  // q305: TOP-K SEGMENT PRUNING (GraftTopKPrune) — `ORDER BY score DESC
+  // LIMIT k` over a graft table derives a sound threshold from committed
+  // zone stats (>= k non-null values provably >= tau) and injects
+  // `score >= tau`, so zone pruning skips every segment that cannot reach
+  // the top k — the "k best-scoring documents" curation query at plan time,
+  // zero IO. Content is rewrite-independent by construction (the filter
+  // keeps a superset of the top k); the hash gate proves the injected
+  // threshold never cuts a top-k row, TopKPruneSpec pins the plan (one
+  // segment planned for a stacked layout; DV/ASC/WHERE gates fall back).
+  // --------------------------------------------------------------------------
+  private def q305(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r20_orders_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r305_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, cents BIGINT) USING parquet")
+    (0 until 3).foreach { w =>
+      s.sql(s"""INSERT INTO graft.lake.$t
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM $src WHERE o_orderkey % 3 = $w""")
+    }
+    s.sql(s"SELECT k, cents FROM graft.lake.$t ORDER BY cents DESC, k LIMIT 100")
+  }
+
+  private val q305Sql =
+    """SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+       FROM orders ORDER BY cents DESC, k LIMIT 100"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q297_identity_partitioned", q297, Some(q297Sql)),
     QDef("q298_string_minmax_zero_io", q298, Some(q298Sql)),
@@ -469,5 +499,6 @@ object Round20Queries {
     QDef("q302_merge_identity_minting", q302, Some(q302Sql)),
     QDef("q303_partitioned_zorder", q303, Some(q303Sql)),
     QDef("q304_transparent_mv_rewrite", q304, Some(q304Sql)),
+    QDef("q305_topk_segment_pruning", q305, Some(q305Sql)),
   )
 }

@@ -1,0 +1,87 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Pins for top-k segment pruning (GraftTopKPrune): `ORDER BY x DESC
+  * LIMIT k` reads only the segments whose zone range can reach the top k,
+  * via a sound zone-stat threshold — and every soundness gate (delete
+  * vectors, ascending order, statless guarantees, under-k tables) falls back
+  * to the full scan instead of risking a wrong answer. */
+class TopKPruneSpec extends SparkSpec {
+
+  private lazy val root = {
+    val d = Files.createTempDirectory("graft_topk_spec")
+    spark.conf.set("spark.sql.catalog.gtk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtk.root", d.toString)
+    d
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def plannedSegs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+          case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+            f.files.map(p => java.nio.file.Paths.get(
+              new java.net.URI(p.filePath.toString).getPath).getParent.getFileName.toString)
+          case _ => Nil
+        }
+    }.flatten.distinct
+
+  private def mk(table: String, withNulls: Boolean = false): Unit = {
+    root
+    sql(s"DROP TABLE IF EXISTS gtk.ns.$table")
+    sql(s"CREATE TABLE gtk.ns.$table (k BIGINT, score BIGINT) USING parquet")
+    // 8 segments with stacked score ranges: [0,1000), [1000,2000), ...
+    (0 until 8).foreach { w =>
+      val nullCase =
+        if (withNulls) s"CASE WHEN id % 5 = 0 THEN NULL ELSE id END" else "id"
+      sql(s"""INSERT INTO gtk.ns.$table
+              SELECT id, $nullCase FROM range(${w * 1000}, ${w * 1000 + 1000})""")
+    }
+  }
+
+  test("ORDER BY score DESC LIMIT k plans only the segments that can reach the top k") {
+    mk("t1")
+    val q = "SELECT k, score FROM gtk.ns.t1 ORDER BY score DESC LIMIT 5"
+    val df = sql(q)
+    assert(plannedSegs(df).size === 1,
+      s"top-5 must plan ONE segment (the top range), got ${plannedSegs(df)}")
+    assert(df.collect().map(_.getLong(1)).toSeq === (7995L to 7999L).reverse)
+    // a LIMIT spanning two segments keeps exactly two
+    val q2 = "SELECT score FROM gtk.ns.t1 ORDER BY score DESC LIMIT 1500"
+    assert(plannedSegs(sql(q2)).size === 2, plannedSegs(sql(q2)).toString)
+    assert(sql(q2).count() === 1500L)
+    // NULLS LAST is the desc default: nulls can never displace the cut
+    mk("tn", withNulls = true)
+    val qn = "SELECT score FROM gtk.ns.tn ORDER BY score DESC LIMIT 5"
+    assert(plannedSegs(sql(qn)).size === 1)
+    assert(sql(qn).collect().map(_.getLong(0)).toSeq ===
+      (7000L until 8000L).filter(_ % 5 != 0).sorted.reverse.take(5))
+  }
+
+  test("soundness gates fall back to the full scan") {
+    mk("t2")
+    // ASC (NULLS FIRST default) is refused
+    assert(plannedSegs(sql("SELECT score FROM gtk.ns.t2 ORDER BY score ASC LIMIT 5")).size === 8)
+    // a user WHERE invalidates the row-count guarantee
+    assert(plannedSegs(sql(
+      "SELECT score FROM gtk.ns.t2 WHERE k % 2 = 0 ORDER BY score DESC LIMIT 5")).size === 8)
+    // k larger than the table keeps everything (and stays correct)
+    assert(sql("SELECT score FROM gtk.ns.t2 ORDER BY score DESC LIMIT 100000").count() === 8000L)
+    // DELETE VECTORS void the guarantees: the top segment's rows may be gone
+    sql("DROP TABLE IF EXISTS gtk.ns.t3")
+    sql("""CREATE TABLE gtk.ns.t3 (k BIGINT, score BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    (0 until 4).foreach { w =>
+      sql(s"INSERT INTO gtk.ns.t3 SELECT id, id FROM range(${w * 1000}, ${w * 1000 + 1000})")
+    }
+    sql("DELETE FROM gtk.ns.t3 WHERE score >= 3005") // guts the top segment
+    val top = sql("SELECT score FROM gtk.ns.t3 ORDER BY score DESC LIMIT 10")
+    assert(top.collect().map(_.getLong(0)).toSeq === (2995L to 3004L).reverse,
+      "with DVs the rule must not prune — the answer crosses segments")
+  }
+}
