@@ -2581,27 +2581,33 @@ private[catalog] final class GraftPruningScanBuilder(
     case None =>
       val (exactRows, colStats) = committedStats()
       val scan = inner.build()
-      // runtime (join-driven) segment pruning: re-plan the SAME pruned
-      // parquet scan (schema + pushed filters replayed) over the segments a
-      // runtime IN predicate proves live — see GraftRuntimePrune
-      val pushedNow = lastPushed
-      val schemaNow = prunedSchema
-      val rebuild: Seq[String] => Scan = dirs => {
-        val b = mkInner(dirs)
-        if (schemaNow != null)
-          b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(schemaNow)
-        if (pushedNow.nonEmpty)
-          b.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
-            .pushFilters(pushedNow)
-        b.build()
-      }
       new GraftStreamableScan(scan, tableDir, tableName, tableSchema,
         options, exactRows, colStats,
         GraftSpj.plan(spjFields, spjSpecId, live, scan.readSchema()),
-        // advertisement is bounded by the scan's READ schema: Spark resolves
-        // filterAttributes against the scan output, and a pruned-away column
-        // can never be a join key anyway
-        runtime = Some(new GraftRuntimePrune(rebuild, live, zstats, scan.readSchema())))
+        runtime = Some(runtimePrune(scan.readSchema())))
+  }
+
+  /** Runtime (join-driven) segment pruning state: re-plans the SAME pruned
+    * parquet scan (schema + pushed filters replayed) over the segments a
+    * runtime IN predicate proves live — see GraftRuntimePrune. Also used by
+    * the DV composite builder for its clean and dirty sides (zone/bloom
+    * over-approximate LIVE rows, so segment-level runtime pruning stays
+    * sound under delete vectors). Advertisement is bounded by `readSchema`:
+    * Spark resolves filterAttributes against the scan output, and a
+    * pruned-away column can never be a join key anyway. */
+  private[catalog] def runtimePrune(readSchema: StructType): GraftRuntimePrune = {
+    val pushedNow = lastPushed
+    val schemaNow = prunedSchema
+    val rebuild: Seq[String] => Scan = dirs => {
+      val b = mkInner(dirs)
+      if (schemaNow != null)
+        b.asInstanceOf[SupportsPushDownRequiredColumns].pruneColumns(schemaNow)
+      if (pushedNow.nonEmpty)
+        b.asInstanceOf[org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+          .pushFilters(pushedNow)
+      b.build()
+    }
+    new GraftRuntimePrune(rebuild, live, zstats, readSchema)
   }
 }
 

@@ -269,9 +269,16 @@ private[catalog] final class GraftDvScanBuilder(
 
   override def build(): Scan = {
     val realSchema = if (pruned != null) pruned else tableSchema
+    // runtime segment pruning composes with delete vectors: zone bounds and
+    // blooms OVER-approximate the live rows (deletion only removes), so a
+    // segment excluded by a runtime IN value set has no matching live rows
+    // either — both sides re-plan over survivors, and dv-file entries of
+    // pruned-away segments are never probed (positions load per planned key)
     new GraftStreamableScan(
       new GraftDvScan(clean.map(_.buildInner()), dirty.buildInner(),
-        GraftDv.listDvFiles(tableDir, dvDirs), realSchema),
+        GraftDv.listDvFiles(tableDir, dvDirs), realSchema,
+        clean.map(_.runtimePrune(realSchema)),
+        Some(dirty.runtimePrune(realSchema))),
       tableDir, tableName, tableSchema, options)
   }
 }
@@ -282,7 +289,9 @@ private[catalog] final class GraftDvScanBuilder(
   * the dirty side carries internally. */
 private[catalog] final class GraftDvScan(
     cleanScan: Option[Scan], dirtyScan: Scan,
-    dvFiles: Array[String], realSchema: StructType)
+    dvFiles: Array[String], realSchema: StructType,
+    cleanRt: Option[GraftRuntimePrune] = None,
+    dirtyRt: Option[GraftRuntimePrune] = None)
   extends Scan with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -315,21 +324,24 @@ private[catalog] final class GraftDvScan(
     }
   }
 
-  // runtime (DPP-style) file filtering forwards to both sides
+  // runtime (DPP-style) SEGMENT pruning (r18): both sides re-check their
+  // committed zone bounds + blooms against the runtime values and re-plan
+  // over the survivors — sound under DVs because the stats over-approximate
+  // the live rows
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    dirtyScan match {
-      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering => f.filterAttributes()
-      case _ => Array.empty
-    }
-  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    (cleanScan.toSeq :+ dirtyScan).foreach {
-      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering => f.filter(predicates)
-      case _ => ()
-    }
+    (cleanRt.toSeq ++ dirtyRt.toSeq).flatMap(_.prunableColumns)
+      .distinct.toArray
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    cleanRt.foreach(_.filter(predicates))
+    dirtyRt.foreach(_.filter(predicates))
+  }
 
-  override def toBatch: Batch =
-    new GraftDvBatch(cleanScan.map(_.toBatch), dirtyScan.toBatch,
-      dirtyScan.readSchema(), dvFiles, realSchema)
+  override def toBatch: Batch = {
+    val c = cleanRt.flatMap(_.current).orElse(cleanScan)
+    val d = dirtyRt.flatMap(_.current).getOrElse(dirtyScan)
+    new GraftDvBatch(c.map(_.toBatch), d.toBatch,
+      d.readSchema(), dvFiles, realSchema)
+  }
 }
 
 /** One InputPartition of a DV'd file: all this partition's slices belong to

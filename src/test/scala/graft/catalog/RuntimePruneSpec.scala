@@ -15,7 +15,15 @@ class RuntimePruneSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft_rtp_spec")
     spark.conf.set("spark.sql.catalog.grt", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.grt.root", d.toString)
+    // the size gate (default 1M committed rows) would keep these toy
+    // fixtures from advertising — the pins exercise the machinery itself
+    spark.conf.set("spark.graft.runtime.prune.minRows", "0")
     d
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.runtime.prune.minRows")
+    super.afterAll()
   }
 
   private def sql(q: String) = spark.sql(q)
@@ -34,7 +42,7 @@ class RuntimePruneSpec extends SparkSpec {
     }) :+ p
     val scans = all(df.queryExecution.executedPlan).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-          if b.toString.contains(s"grt.ns.$t[") =>
+          if b.toString.contains(s"grt.ns.$t") =>
         b.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
     }
     scans.headOption.getOrElse(-1L)
@@ -77,6 +85,43 @@ class RuntimePruneSpec extends SparkSpec {
       assert(scanRows(sql(q), "fact") === 8000L, "without DPP the scan reads everything")
     } finally
       spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // the SIZE GATE: below minRows committed rows nothing advertises — the
+    // subquery tax is not worth a toy-scale skip
+    spark.conf.set("spark.graft.runtime.prune.minRows", "1000000000")
+    try assert(scanRows(sql(q), "fact") === 8000L, "size-gated tables must not advertise")
+    finally spark.conf.set("spark.graft.runtime.prune.minRows", "0")
+  }
+
+  test("an EMPTY build side prunes every segment; the zero-dir re-plan answers 0 rows") {
+    mk()
+    val q = """SELECT COUNT(*) AS n
+               FROM grt.ns.fact f JOIN grt.ns.dim m ON f.d = m.d
+               WHERE m.name = 'no_such_name'"""
+    assert(sql(q).collect().head.getLong(0) === 0L)
+    assert(scanRows(sql(q), "fact") <= 0L,
+      "an empty IN-list must drop every fact segment")
+  }
+
+  test("runtime pruning composes with delete vectors: MOR live rows of matching segments only") {
+    root
+    sql("DROP TABLE IF EXISTS grt.ns.factm")
+    sql("""CREATE TABLE grt.ns.factm (k BIGINT, d BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    (0 until 8).foreach { d =>
+      sql(s"INSERT INTO grt.ns.factm SELECT id, $d, id % 100 FROM range(${d * 1000}, ${d * 1000 + 1000})")
+    }
+    sql("DELETE FROM grt.ns.factm WHERE k % 10 = 0") // a DV on every segment
+    sql("DROP TABLE IF EXISTS grt.ns.dimm")
+    sql("CREATE TABLE grt.ns.dimm (d BIGINT, name STRING) USING parquet")
+    sql("""INSERT INTO grt.ns.dimm VALUES (0,'a'),(1,'b'),(2,'x'),(3,'c'),
+           (4,'d'),(5,'x'),(6,'e'),(7,'f')""")
+    val q = """SELECT COUNT(*) AS n
+               FROM grt.ns.factm f JOIN grt.ns.dimm m ON f.d = m.d
+               WHERE m.name = 'x'"""
+    assert(sql(q).collect().head.getLong(0) === 1800L) // 2 segments x 900 live
+    val read = scanRows(sql(q), "factm")
+    assert(read === 1800L,
+      s"DV runtime pruning must read only the 2 matching segments' live rows, read $read")
   }
 
   test("an unprunable runtime predicate keeps every segment (no false pruning)") {
