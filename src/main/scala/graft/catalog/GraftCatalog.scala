@@ -2581,10 +2581,16 @@ private[catalog] final class GraftPruningScanBuilder(
     case None =>
       val (exactRows, colStats) = committedStats()
       val scan = inner.build()
+      // segment-pinned reads (the CDC row-delta primitive) and branch reads
+      // never advertise runtime pruning: they already name their exact
+      // segment set, so a planted DPP subquery is pure tax (measured +24%
+      // on the per-commit CDC query at sf1 before this gate)
+      val special = options.containsKey("graft.segments") ||
+        options.containsKey("graft.branch")
       new GraftStreamableScan(scan, tableDir, tableName, tableSchema,
         options, exactRows, colStats,
         GraftSpj.plan(spjFields, spjSpecId, live, scan.readSchema()),
-        runtime = Some(runtimePrune(scan.readSchema())))
+        runtime = if (special) None else Some(runtimePrune(scan.readSchema())))
   }
 
   /** Runtime (join-driven) segment pruning state: re-plans the SAME pruned

@@ -75,13 +75,21 @@ private[catalog] final class GraftRuntimePrune(
     * could skip (measured: +30-80% on sf0.1 CDC pipelines), while at the
     * scales the skip matters the tax is noise. */
   lazy val prunableColumns: Array[NamedReference] = {
-    val minRows = scala.util.Try(org.apache.spark.sql.SparkSession.active
-      .conf.get("spark.graft.runtime.prune.minRows").toLong).getOrElse(1000000L)
+    def confLong(key: String, dflt: Long): Long =
+      scala.util.Try(org.apache.spark.sql.SparkSession.active
+        .conf.get(key).toLong).getOrElse(dflt)
+    val minRows = confLong("spark.graft.runtime.prune.minRows", 1000000L)
+    // the tax (planted subquery + probe + scan re-plan) is O(1) per join;
+    // the win is O(segments skipped) — a handful of segments cannot repay
+    // it even at large row counts (measured +24% on a 6M-row CDC pipeline
+    // with ~8 segments), thousands of segments at 100 TB repay it richly
+    val minSegments = confLong("spark.graft.runtime.prune.minSegments", 32L)
     val decoded = liveNow.flatMap { case (n, dir) =>
       zstats.get(n).flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
         .map(dir -> _)
     }
-    if (decoded.isEmpty || decoded.map(_._2.rows).sum < minRows) Array.empty
+    if (decoded.isEmpty || liveNow.size < minSegments ||
+        decoded.map(_._2.rows).sum < minRows) Array.empty
     else {
       val separated = schema.fields.filter(f => longDomain(f.dataType)).filter { f =>
         val entries = decoded.flatMap(_._2.cols.get(f.name))

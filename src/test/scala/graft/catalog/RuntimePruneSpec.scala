@@ -15,14 +15,16 @@ class RuntimePruneSpec extends SparkSpec {
     val d = Files.createTempDirectory("graft_rtp_spec")
     spark.conf.set("spark.sql.catalog.grt", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.grt.root", d.toString)
-    // the size gate (default 1M committed rows) would keep these toy
-    // fixtures from advertising — the pins exercise the machinery itself
+    // the size gates (default 1M committed rows / 32 segments) would keep
+    // these toy fixtures from advertising — the pins exercise the machinery
     spark.conf.set("spark.graft.runtime.prune.minRows", "0")
+    spark.conf.set("spark.graft.runtime.prune.minSegments", "0")
     d
   }
 
   override def afterAll(): Unit = {
     spark.conf.unset("spark.graft.runtime.prune.minRows")
+    spark.conf.unset("spark.graft.runtime.prune.minSegments")
     super.afterAll()
   }
 
