@@ -27,9 +27,18 @@ import org.apache.spark.sql.types._
   *     flat top-level link would silently skip the nested files, and a
   *     partition-dir export keeps its partition values in directory names
   *     that a flat import would drop.
-  *   - PARTITIONED tables are refused: imported files are not partition-pure,
-  *     and faking a suffix would poison pruning and partition-scoped DML.
-  *     Route through INSERT ... SELECT for partitioned targets.
+  *   - PARTITIONED tables refuse BY DEFAULT: imported files are not known
+  *     partition-pure, and faking a suffix would poison pruning and
+  *     partition-scoped DML. `validate_partitions => true` (r19) buys the
+  *     layout with ONE check scan projected to the partition columns: every
+  *     file must hold exactly one partition tuple (an impure file refuses BY
+  *     NAME), pure files group into one correctly-suffixed segment per
+  *     tuple (the same canonical CAST-AS-STRING %-encoding every
+  *     partition-pure writer shares), and the import commits them all as
+  *     one snapshot — the onboarding path for a migrating lakehouse whose
+  *     exports are per-tenant/per-day files. The scan reads ONLY the
+  *     partition columns (columnar projection), the deliberate opt-in cost;
+  *     unvalidated flat imports stay zero-read.
   *   - Tables with CHECK constraints are refused: imported rows would bypass
   *     the write gate (validating them requires the full read the procedure
   *     exists to avoid).
@@ -45,7 +54,10 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType).build(),
-    ProcedureParameter.in("path", StringType).build())
+    ProcedureParameter.in("path", StringType).build(),
+    // opt-in partition-purity check scan for identity-partitioned targets
+    ProcedureParameter.in("validate_partitions", BooleanType)
+      .defaultValue("false").build())
 
   override val outputSchema: StructType = StructType(Seq(
     StructField("segment", StringType, nullable = false),
@@ -88,9 +100,13 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
     require(GraftBucket.of(meta.props).isEmpty,
       "graft add_files: table is bucket-partitioned — imported files would " +
         "break the bucket-pure layout; use INSERT ... SELECT instead")
-    require(GraftPartitions.cols(meta.props).isEmpty,
+    val validate = !input.isNullAt(2) && input.getBoolean(2)
+    val partCols = GraftPartitions.cols(meta.props)
+    require(partCols.isEmpty || validate,
       "graft add_files: table is identity-partitioned — imported files are not " +
-        "partition-pure; use INSERT ... SELECT instead")
+        "known partition-pure; pass validate_partitions => true for a one-scan " +
+        "purity check (each file must hold one partition tuple), or use " +
+        "INSERT ... SELECT")
     require(!meta.props.keys.exists(_.startsWith(GraftChecks.Prefix)),
       "graft add_files: table declares CHECK constraints — imported rows would " +
         "bypass the write gate; use INSERT ... SELECT instead")
@@ -135,35 +151,77 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
           "them away and INSERT")
     }
 
-    val segment = s"seg-add-${UUID.randomUUID().toString.take(12)}"
-    val segDir = dir.resolve(segment)
-    Files.createDirectories(segDir)
+    // file groups: the whole directory as one segment (unpartitioned), or —
+    // under validate_partitions — one group per proven partition tuple
+    val groups: Seq[(String, Seq[Path])] =
+      if (partCols.isEmpty) Seq(("", files))
+      else {
+        // ONE check scan, projected to the partition columns: distinct
+        // (file, tuple) pairs are file-count-sized on a pure export
+        import org.apache.spark.sql.functions.col
+        val pairs = spark.read.parquet(files.map(_.toString): _*)
+          .select(col("_metadata.file_path").as("__g_fp") +:
+            partCols.map(c => col(c).cast("string").as(c)): _*)
+          .distinct().collect()
+        val byFile = pairs.groupBy(r => java.nio.file.Paths.get(
+          java.net.URI.create(r.getString(0)).getPath).getFileName.toString)
+        byFile.find(_._2.length > 1).foreach { case (f, ts) =>
+          throw new IllegalArgumentException(
+            s"graft add_files: file '$f' holds ${ts.length} distinct partition " +
+              s"tuples over (${partCols.mkString(", ")}) — not partition-pure; " +
+              "split it by partition value (or load via INSERT ... SELECT)")
+        }
+        val sid = GraftPartitions.specId(meta.props)
+        files.map { p =>
+          val row = byFile.getOrElse(p.getFileName.toString, throw
+            new IllegalArgumentException(
+              s"graft add_files: file '${p.getFileName}' is empty — an empty " +
+                "file proves no partition value; drop it from the import")).head
+          val values = partCols.indices.map(i =>
+            if (row.isNullAt(i + 1)) null else row.getString(i + 1))
+          (GraftPartitions.suffix(values, sid), p)
+        }.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, fs) => (s, fs.map(_._2)) }
+      }
+
     var bytes = 0L
-    files.foreach { p =>
-      val t = segDir.resolve(p.getFileName.toString)
-      try Files.createLink(t, p)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        Files.copy(p, t) }
-      bytes += Files.size(p)
+    var totalRows = 0L
+    var anyRowsUnknown = false
+    val segments: Seq[(String, Option[String])] = groups.map { case (sfx, fs) =>
+      val segment = s"seg-add-${UUID.randomUUID().toString.take(12)}" +
+        (if (sfx.isEmpty) "" else s"${GraftPartitions.Marker}$sfx")
+      val segDir = dir.resolve(segment)
+      Files.createDirectories(segDir)
+      fs.foreach { p =>
+        val t = segDir.resolve(p.getFileName.toString)
+        try Files.createLink(t, p)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, t) }
+        bytes += Files.size(p)
+      }
+      // same commit-time stats harvest as every write path: zone maps (and
+      // blooms/sums if the table opted in) come from footers, no data scan.
+      // selfWritten=false: a FOREIGN writer may have truncated its binary
+      // statistics, so imported string bounds stay brackets (prune, never
+      // answer MIN/MAX) — the one provenance the exactness flag must not trust
+      val harvested = scala.util.Try(SegmentStats.harvest(
+        spark, segDir.toString, meta.readSchema,
+        SegmentStats.sumCols(meta.props, meta.schema),
+        GraftBloom.cols(meta.props, meta.schema),
+        SegmentStats.ndvCols(meta.props, meta.schema), selfWritten = false,
+        klls = SegmentStats.kllCols(meta.props, meta.schema))).toOption
+      harvested match {
+        case Some(h) => totalRows += h.rows
+        case None    => anyRowsUnknown = true
+      }
+      segment -> harvested.flatMap(h => scala.util.Try(SegmentStats.encode(h)).toOption)
     }
-    // same commit-time stats harvest as every write path: zone maps (and
-    // blooms/sums if the table opted in) come from footers, no data scan.
-    // selfWritten=false: a FOREIGN writer may have truncated its binary
-    // statistics, so imported string bounds stay brackets (prune, never
-    // answer MIN/MAX) — the one provenance the exactness flag must not trust
-    val harvested = scala.util.Try(SegmentStats.harvest(
-      spark, segDir.toString, meta.readSchema,
-      SegmentStats.sumCols(meta.props, meta.schema),
-      GraftBloom.cols(meta.props, meta.schema),
-      SegmentStats.ndvCols(meta.props, meta.schema), selfWritten = false,
-      klls = SegmentStats.kllCols(meta.props, meta.schema))).toOption
-    val stats = harvested.flatMap(h => scala.util.Try(SegmentStats.encode(h)).toOption)
-    GraftDml.cleanupOnFailedCommit(dir, Seq(segment)) {
-      GraftMeta.commitMany(dir, Seq(segment -> stats),
+    GraftDml.cleanupOnFailedCommit(dir, segments.map(_._1)) {
+      GraftMeta.commitMany(dir, segments,
         replaceAll = false, removeSuffixes = Set.empty, expectedCurrent = None,
         namedKey = None)
     }
-    result(org.apache.spark.unsafe.types.UTF8String.fromString(segment),
-      files.size, bytes, harvested.map(h => Long.box(h.rows)).orNull)
+    result(org.apache.spark.unsafe.types.UTF8String.fromString(
+        segments.map(_._1).mkString(",")),
+      files.size, bytes, if (anyRowsUnknown) null else Long.box(totalRows))
   }
 }

@@ -371,10 +371,17 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
       }
       // partitioned (and bucketed) identity tables are supported since r17:
       // allocation wraps outside GraftPartitionedWrite's fan-out router and
-      // the high-water CAS rides commitMany (IdentityColumnsSpec + q297)
-      require(!dmlModes.values.exists(_ == GraftDv.ModeMor),
-        "graft catalog: identity columns with merge-on-read DML are not " +
-          "supported (MOR upserts would insert rows outside the allocator)")
+      // the high-water CAS rides commitMany (IdentityColumnsSpec + q297).
+      // MERGE-ON-READ DELETE mode is supported since r19: MOR deletes append
+      // no rows and the MOR upsert mints for NULL ids with a propCas rider
+      // on its vector+append commit (GraftIdentity.fillDataFrame). MOR
+      // UPDATE mode still refuses — MERGE would take the position-delta
+      // path (GraftDeltaMerge), whose insert writer has no allocator.
+      require(dmlModes.get(GraftDv.UpdateModeProp).forall(_ != GraftDv.ModeMor),
+        "graft catalog: identity columns with merge-on-read UPDATE mode are " +
+          "not supported (the MERGE position-delta writer does not allocate); " +
+          "keep update-mode copy-on-write — merge-on-read delete-mode and the " +
+          "upsert procedure both allocate")
     }
     // bucket tables refuse merge-on-read DML: MOR deltas append suffix-less
     // segments, breaking the bucket-pure layout SPJ depends on
@@ -525,10 +532,13 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
           throw new IllegalArgumentException(
             s"graft catalog: '${rm.property()}' is engine-owned clustering state")
         case s: TableChange.SetProperty
-            if identityCols.nonEmpty && GraftDv.ModeProps(s.property()) &&
+            if identityCols.nonEmpty && s.property() == GraftDv.UpdateModeProp &&
               s.value() == GraftDv.ModeMor =>
           throw new IllegalArgumentException(
-            "graft catalog: identity columns with merge-on-read DML are not supported")
+            "graft catalog: identity columns with merge-on-read UPDATE mode " +
+              "are not supported (the MERGE position-delta writer does not " +
+              "allocate); merge-on-read delete-mode and the upsert procedure " +
+              "both allocate")
         // partition evolution on identity tables is fine since r17: the
         // partitioned writer allocates exactly like the plain one
         case _ => ()
@@ -1765,7 +1775,8 @@ private[catalog] object GraftMeta {
                                 newSegments: Seq[(String, Option[String])],
                                 namedKey: Option[String] = None,
                                 expectedCurrent: Option[Long] = None,
-                                propsUpdate: Map[String, String] = Map.empty): Boolean = {
+                                propsUpdate: Map[String, String] = Map.empty,
+                                propCas: Seq[(String, String, String)] = Nil): Boolean = {
     touchSegment(tableDir, dvName) // mtime = commit time, for the orphan sweep
     newSegments.foreach { case (s, _) => touchSegment(tableDir, s) }
     var applied = true
@@ -1777,6 +1788,14 @@ private[catalog] object GraftMeta {
           throw new GraftConcurrentCommitException(
             s"graft: concurrent commit detected (write based on snapshot $base, " +
               s"current is ${meta.current}); retry the operation"))
+        // property CAS riders (identity high-water advancement) — same
+        // contract as commitMany's: checked after the named-replay gate
+        propCas.foreach { case (k, expected, _) =>
+          require(meta.props.get(k).contains(expected),
+            s"graft: concurrent allocation detected on '$k' (allocated from " +
+              s"$expected, committed value is ${meta.props.getOrElse(k, "<absent>")}); " +
+              "retry the write")
+        }
         val dirs = meta.snapshots.getOrElse(meta.current, Nil)
         val cur = meta.dvs.getOrElse(meta.current, Map.empty)
         touched.foreach { s =>
@@ -1799,8 +1818,9 @@ private[catalog] object GraftMeta {
             meta.committedNamed + (k -> next)),
           dvs = meta.dvs + (next -> nextDvs),
           // rides the same CAS: a caller whose bookkeeping must advance
-          // WITH its data (the MV refresh watermark) stays atomic
-          props = meta.props ++ propsUpdate)
+          // WITH its data (the MV refresh watermark, the identity
+          // high-water) stays atomic
+          props = meta.props ++ propsUpdate ++ propCas.map(t => t._1 -> t._3))
       }
     }
     applied
@@ -1994,10 +2014,22 @@ private[catalog] object GraftPartitions {
 
   def encodeString(s: String): String =
     if (s == null) "%0N"
-    else s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
-      val ub = b & 0xff
-      if (safeByte(ub)) ub.toChar.toString else f"%%$ub%02X"
-    }.mkString
+    else {
+      val enc = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map { b =>
+        val ub = b & 0xff
+        if (safeByte(ub)) ub.toChar.toString else f"%%$ub%02X"
+      }.mkString
+      // a value encoding to LITERALLY `zc<digits>` would collide with the
+      // z-order cell-tail marker: `42~zc3` (spec-42 partition value "zc3")
+      // would baseSuffix-strip to "42" and decode as spec 0, and a spec-0
+      // suffix "zc3" would read as an unpartitioned cell tail. Escaping the
+      // 'z' (%7A — decodeString inverts it like any %XX byte) keeps every
+      // writer/matcher consistent (all go through here) and makes a real
+      // cell tail the ONLY thing that can look like one.
+      if (enc.length > 2 && enc.startsWith("zc") && enc.substring(2).forall(_.isDigit))
+        "%7A" + enc.substring(1)
+      else enc
+    }
 
   def encodeTuple(values: Seq[String]): String = values.map(encodeString).mkString("_")
 
@@ -2579,7 +2611,8 @@ private[catalog] final class GraftPruningScanBuilder(
         new GraftStatsAggScan(aggSchema, rows, tableName, segments.size),
         tableDir, tableName, tableSchema, options)
     case None =>
-      val (exactRows, colStats) = committedStats()
+      val (committedRows, colStats) = committedStats()
+      val exactRows = stringRangeRefined(committedRows)
       val scan = inner.build()
       // segment-pinned reads (the CDC row-delta primitive) and branch reads
       // never advertise runtime pruning: they already name their exact
@@ -2591,6 +2624,83 @@ private[catalog] final class GraftPruningScanBuilder(
         options, exactRows, colStats,
         GraftSpj.plan(spjFields, spjSpecId, live, scan.readSchema()),
         runtime = if (special) None else Some(runtimePrune(scan.readSchema())))
+  }
+
+  /** r19 (CBO string selectivity): Spark's FilterEstimation cannot price a
+    * RANGE predicate on a STRING column (its Range model is numeric-only),
+    * so a pushed string range refines the SCAN's reported row count here
+    * instead: per surviving segment, the committed EXACT string bounds give
+    * the fraction of the segment's byte-prefix interval the predicate
+    * overlaps (SegmentStats.prefix56 — prefix order embeds string order).
+    * Only exactness-flagged ASCII bounds participate; any other segment
+    * contributes its full rows (conservative over-estimate). EQUALITY
+    * predicates are deliberately NOT refined — the Filter node above prices
+    * them at 1/ndv from the reported distinctCount, and refining both
+    * layers would double-count the selectivity. */
+  private def stringRangeRefined(exact: Option[Long]): Option[Long] = {
+    if (exact.isEmpty || lastPushed.isEmpty) return exact
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // fold conjuncts into one [lo, hi] string interval per column (bound
+    // inclusivity is irrelevant to an estimate)
+    var ivs = Map.empty[String, (Option[UTF8String], Option[UTF8String])]
+    def note(a: Expression, lo: Option[UTF8String], hi: Option[UTF8String]): Unit =
+      a match {
+        case ar: AttributeReference if ar.dataType == StringType =>
+          val (l0, h0) = ivs.getOrElse(ar.name, (None, None))
+          val l = (l0.toSeq ++ lo.toSeq)
+            .reduceOption((x, y) => if (x.compareTo(y) >= 0) x else y)
+          val h = (h0.toSeq ++ hi.toSeq)
+            .reduceOption((x, y) => if (x.compareTo(y) <= 0) x else y)
+          ivs += ar.name -> (l, h)
+        case _ => ()
+      }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    lastPushed.flatMap(conjuncts).foreach {
+      case GreaterThan(a, Literal(v: UTF8String, StringType))        => note(a, Some(v), None)
+      case GreaterThanOrEqual(a, Literal(v: UTF8String, StringType)) => note(a, Some(v), None)
+      case LessThan(Literal(v: UTF8String, StringType), a)           => note(a, Some(v), None)
+      case LessThanOrEqual(Literal(v: UTF8String, StringType), a)    => note(a, Some(v), None)
+      case LessThan(a, Literal(v: UTF8String, StringType))           => note(a, None, Some(v))
+      case LessThanOrEqual(a, Literal(v: UTF8String, StringType))    => note(a, None, Some(v))
+      case GreaterThan(Literal(v: UTF8String, StringType), a)        => note(a, None, Some(v))
+      case GreaterThanOrEqual(Literal(v: UTF8String, StringType), a) => note(a, None, Some(v))
+      case _ => ()
+    }
+    if (ivs.isEmpty) return exact
+    val sts = live.flatMap { case (n, _) =>
+      zstats.get(n).flatMap(z => scala.util.Try(SegmentStats.decode(z)).toOption)
+    }
+    if (sts.size != live.size) return exact // committedStats said exact ⇒ unreachable
+    def pf(u: UTF8String): Double = SegmentStats.prefix56(u.toString).toDouble
+    val est = sts.map { st =>
+      var frac = 1.0
+      ivs.foreach { case (colName, (lo, hi)) =>
+        st.cols.get(colName).foreach { c =>
+          val ok = c.kind == 's' && c.strExact &&
+            c.min.exists(_.forall(_ < 128)) && c.max.exists(_.forall(_ < 128))
+          if (ok) {
+            val mn = SegmentStats.prefix56(c.min.get).toDouble
+            val mx = SegmentStats.prefix56(c.max.get).toDouble
+            if (mx > mn) {
+              val l = lo.map(pf).getOrElse(mn)
+              val h = hi.map(pf).getOrElse(mx)
+              val ov = math.max(0.0, math.min(h, mx) - math.max(l, mn)) / (mx - mn)
+              // floor at one row: the segment survived zone pruning, so the
+              // predicate admits SOMETHING here — never report it empty
+              frac = math.min(frac,
+                math.max(ov, 1.0 / math.max(1L, st.rows).toDouble))
+            }
+          }
+        }
+      }
+      st.rows * frac
+    }.sum
+    Some(math.max(1L, math.round(est)))
   }
 
   /** Runtime (join-driven) segment pruning state: re-plans the SAME pruned

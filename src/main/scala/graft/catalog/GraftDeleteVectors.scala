@@ -273,12 +273,17 @@ private[catalog] final class GraftDvScanBuilder(
     // blooms OVER-approximate the live rows (deletion only removes), so a
     // segment excluded by a runtime IN value set has no matching live rows
     // either — both sides re-plan over survivors, and dv-file entries of
-    // pruned-away segments are never probed (positions load per planned key)
+    // pruned-away segments are never probed (positions load per planned key).
+    // Segment-pinned (graft.segments) and branch reads never advertise —
+    // the SAME gate as GraftPruningScanBuilder.build: they already name
+    // their exact segment set, so a planted DPP subquery is pure tax.
+    val special = options.containsKey("graft.segments") ||
+      options.containsKey("graft.branch")
     new GraftStreamableScan(
       new GraftDvScan(clean.map(_.buildInner()), dirty.buildInner(),
         GraftDv.listDvFiles(tableDir, dvDirs), realSchema,
-        clean.map(_.runtimePrune(realSchema)),
-        Some(dirty.runtimePrune(realSchema))),
+        if (special) None else clean.map(_.runtimePrune(realSchema)),
+        if (special) None else Some(dirty.runtimePrune(realSchema))),
       tableDir, tableName, tableSchema, options)
   }
 }

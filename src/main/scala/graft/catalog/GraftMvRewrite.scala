@@ -5,7 +5,8 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -40,6 +41,20 @@ import org.apache.spark.sql.types.DoubleType
   *     these summaries.
   *   - CURRENT-STATE READ: no time travel, branch, or CDC options on the
   *     relation (those address snapshots other than the watermark).
+  *
+  * STAR SHAPE (r19): `SELECT d.attr, agg(fact.c)... FROM fact JOIN dim ON
+  * fact.k = dim.x GROUP BY ...` — the canonical dashboard rollup — serves
+  * from a FACT-side MV when additionally the join is INNER, every fact-side
+  * join column is an MV key, every fact-side grouping column is an MV key
+  * (dim-side grouping columns pass through), and every aggregate reads fact
+  * columns only. Soundness: rows of one MV group share the key tuple, hence
+  * the join-key values, hence ONE join multiplicity m_g — joining the MV row
+  * in their place scales the additive summaries (n_rows/sum_c/nn_c) by
+  * exactly m_g, as the real join scales the raw rows; AVG's Σm·sum/Σm·nn
+  * cancels it per group; MIN/MAX never see multiplicity (MV groups are
+  * non-empty — refresh kills n_rows=0 groups). Dim-side aggregates refuse
+  * (their values repeat per fact row; the summary cannot reproduce that),
+  * as do outer joins (null-padded multiplicities) and non-equi conditions.
   *
   * At 100 TB this is the difference between a dashboard GROUP BY costing a
   * full fact-table scan and costing a scan of |groups| rows: create the MV
@@ -86,19 +101,89 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     case _ => None
   }
 
+  /** Attribute-only Projects above a Join are transparent to the rewrite. */
+  private def peelProjects(plan: LogicalPlan): LogicalPlan = plan match {
+    case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
+      peelProjects(child)
+    case other => other
+  }
+
   private def rewrite(agg: Aggregate): Option[Aggregate] = {
-    val (rel, table, conds) = peel(agg.child, Nil).getOrElse(return None)
-    val mvNames = table.metaAtLoad.props.get(GraftMvRewrite.MvsProp).toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    if (mvNames.isEmpty) return None
-    if (conds.exists(!_.deterministic)) return None
     val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _ => return None
     }
-    val catalog = rel.catalog.get.asInstanceOf[GraftCatalog]
-    mvNames.iterator
-      .flatMap(n => serveFrom(agg, table, catalog, n, groupAttrs, conds))
+    peelProjects(agg.child) match {
+      // star shape (r19): Aggregate over fact ⋈ dim — try the fact on
+      // either side; the first servable orientation wins
+      case j: Join =>
+        rewriteJoin(agg, j, groupAttrs, factLeft = true)
+          .orElse(rewriteJoin(agg, j, groupAttrs, factLeft = false))
+      case _ =>
+        val (rel, table, conds) = peel(agg.child, Nil).getOrElse(return None)
+        if (conds.exists(!_.deterministic)) return None
+        candidates(rel, table).iterator
+          .flatMap(n => serveFrom(agg, table, rel, n, groupAttrs, conds, None))
+          .nextOption()
+    }
+  }
+
+  /** MV names registered on the scanned table (empty = nothing to try). */
+  private def candidates(rel: DataSourceV2Relation, table: GraftTable): Seq[String] =
+    table.metaAtLoad.props.get(GraftMvRewrite.MvsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** The join-serving context: the untouched dim-side plan, the original
+    * join (for hints/orientation), the fact↔dim equi-join attribute pairs,
+    * and whether the fact sat on the join's left. */
+  private final case class StarShape(join: Join, dimPlan: LogicalPlan,
+                                     pairs: Seq[(AttributeReference, AttributeReference)],
+                                     factLeft: Boolean)
+
+  /** `SELECT d.attr, fact_aggs... FROM fact JOIN dim ON fact.k = dim.x
+    * [WHERE p(fact keys)] GROUP BY keys` serves from a fact MV whose keys
+    * cover the fact-side GROUPING columns AND the fact-side JOIN columns:
+    * every row of an MV group carries the same key tuple, hence the same
+    * join-key values, hence the SAME join multiplicity m_g — so joining the
+    * MV row instead of the group's rows scales each additive summary
+    * (n_rows, sum_c, nn_c) by exactly m_g, which is what the original join
+    * does to the raw rows. COUNT/SUM re-roll as usual; AVG = Σm·sum/Σm·nn
+    * cancels the multiplicity per group; MIN/MAX ignore multiplicity (an MV
+    * group is never empty — refresh kills n_rows=0 groups). Aggregates over
+    * DIM columns refuse (their values repeat n_rows times in the original
+    * join — the summary cannot reproduce that); dim columns may only group.
+    * INNER joins only: outer joins produce null-padded rows whose
+    * multiplicity the MV cannot see. */
+  private def rewriteJoin(agg: Aggregate, join: Join,
+                          groupAttrs: Seq[AttributeReference],
+                          factLeft: Boolean): Option[Aggregate] = {
+    if (join.joinType != Inner) return None
+    val cond = join.condition.getOrElse(return None)
+    val (factPlan, dimPlan) =
+      if (factLeft) (join.left, join.right) else (join.right, join.left)
+    val (rel, table, conds) = peel(factPlan, Nil).getOrElse(return None)
+    if (conds.exists(!_.deterministic)) return None
+    val factOut = factPlan.outputSet
+    val dimOut = dimPlan.outputSet
+    // conjunction of fact-attr = dim-attr equalities, nothing else
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val pairs = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if factOut.contains(a) && dimOut.contains(b) => (a, b)
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if factOut.contains(b) && dimOut.contains(a) => (b, a)
+      case _ => return None
+    }
+    if (pairs.isEmpty) return None
+    // every grouping column must be a fact column (checked against MV keys
+    // inside serveFrom) or come straight from the dim side
+    if (!groupAttrs.forall(a => factOut.contains(a) || dimOut.contains(a))) return None
+    val shape = StarShape(join, dimPlan, pairs, factLeft)
+    candidates(rel, table).iterator
+      .flatMap(n => serveFrom(agg, table, rel, n, groupAttrs, conds, Some(shape)))
       .nextOption()
   }
 
@@ -108,10 +193,15 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     else Some(Identifier.of(parts.init.toArray, parts.last))
   }
 
-  private def serveFrom(agg: Aggregate, table: GraftTable, catalog: GraftCatalog,
+  private def serveFrom(agg: Aggregate, table: GraftTable, rel: DataSourceV2Relation,
                         mvName: String, groupAttrs: Seq[AttributeReference],
-                        conds: Seq[Expression]): Option[Aggregate] = try {
+                        conds: Seq[Expression], star: Option[StarShape])
+    : Option[Aggregate] = try {
     def bail(): Nothing = throw new Unservable
+    val catalog = rel.catalog.get.asInstanceOf[GraftCatalog]
+    // join mode: which attributes belong to the FACT side (the MV's side)
+    val factSet = star.map(_ => rel.outputSet)
+    def isFact(a: AttributeReference): Boolean = factSet.forall(_.contains(a))
     val ident = identOf(mvName).getOrElse(bail())
     val mvTable = (try catalog.loadTable(ident)
       catch { case NonFatal(_) => bail() }) match {
@@ -136,9 +226,17 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     val sums = GraftMv.sumCols(mvMeta).map(_.toLowerCase).toSet
     val mins = GraftMv.minCols(mvMeta).map(_.toLowerCase).toSet
     val maxs = GraftMv.maxCols(mvMeta).map(_.toLowerCase).toSet
-    if (!groupAttrs.forall(a => keys.contains(a.name.toLowerCase))) bail()
+    // fact-side grouping columns must be MV keys; dim-side grouping columns
+    // (join mode) ride through untouched
+    if (!groupAttrs.forall(a =>
+      (star.isDefined && !isFact(a)) || keys.contains(a.name.toLowerCase))) bail()
     if (!conds.flatMap(_.references.toSeq)
           .forall(a => keys.contains(a.name.toLowerCase))) bail()
+    // join mode: every fact-side JOIN column must be an MV key — that is
+    // what makes the per-group join multiplicity uniform
+    star.foreach { s =>
+      if (!s.pairs.forall { case (f, _) => keys.contains(f.name.toLowerCase) }) bail()
+    }
 
     val mvRel = DataSourceV2Relation.create(mvTable, Some(catalog), Some(ident))
     def mvAttr(name: String): Attribute =
@@ -147,19 +245,19 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
       AggregateExpression(fn, Complete, isDistinct = false)
 
     val groupMap: Map[ExprId, Attribute] =
-      groupAttrs.map(a => a.exprId -> mvAttr(a.name)).toMap
+      groupAttrs.map(a => a.exprId -> (if (isFact(a)) mvAttr(a.name) else (a: Attribute))).toMap
 
     def rewriteFn(fn: AggregateFunction): Expression = fn match {
       case Count(Seq(Literal(v, _))) if v != null =>
         // COUNT(*)/COUNT(1): sum the per-group row counts; an EMPTY
         // global aggregate must still answer 0, not NULL
         Coalesce(Seq(aggOf(Sum(mvAttr("n_rows"))), Literal(0L)))
-      case Count(Seq(c: AttributeReference)) if sums.contains(c.name.toLowerCase) =>
+      case Count(Seq(c: AttributeReference)) if isFact(c) && sums.contains(c.name.toLowerCase) =>
         // COUNT(col) = non-null count: served from nn_<col> (r18 MVs;
         // a pre-r18 MV lacks the column and bails to the source)
         Coalesce(Seq(aggOf(Sum(mvAttr(s"nn_${c.name}"))), Literal(0L)))
       case Average(c: AttributeReference, _)
-          if sums.contains(c.name.toLowerCase) && fn.dataType == DoubleType =>
+          if isFact(c) && sums.contains(c.name.toLowerCase) && fn.dataType == DoubleType =>
         // AVG(col) = SUM(sum_c)/SUM(nn_c) — exactly SQL's null-skipping
         // average (n_rows cannot serve it); double-typed averages only
         // (integral/float sources — decimal AVG precision rules differ)
@@ -168,15 +266,15 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
             Some(conf.sessionLocalTimeZone)),
           Cast(aggOf(Sum(mvAttr(s"nn_${c.name}"))), DoubleType,
             Some(conf.sessionLocalTimeZone)))
-      case Sum(c: AttributeReference, mode) if sums.contains(c.name.toLowerCase) =>
+      case Sum(c: AttributeReference, mode) if isFact(c) && sums.contains(c.name.toLowerCase) =>
         // keep the query's eval mode (ANSI/TRY overflow semantics);
         // re-summing widened MV sums may need a cast back down
         val re = aggOf(Sum(mvAttr(s"sum_${c.name}"), mode))
         if (re.dataType == fn.dataType) re
         else Cast(re, fn.dataType, Some(conf.sessionLocalTimeZone))
-      case Min(c: AttributeReference) if mins.contains(c.name.toLowerCase) =>
+      case Min(c: AttributeReference) if isFact(c) && mins.contains(c.name.toLowerCase) =>
         aggOf(Min(mvAttr(s"min_${c.name}")))
-      case Max(c: AttributeReference) if maxs.contains(c.name.toLowerCase) =>
+      case Max(c: AttributeReference) if isFact(c) && maxs.contains(c.name.toLowerCase) =>
         aggOf(Max(mvAttr(s"max_${c.name}")))
       case _ => bail()
     }
@@ -188,6 +286,14 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
       * non-deterministic call, an unservable aggregate) bails. */
     def rw(e: Expression): Expression = e match {
       case AggregateExpression(fn, Complete, false, None, _) => rewriteFn(fn)
+      // any OTHER aggregate shape — FILTER clause, DISTINCT, partial modes,
+      // or a bare AggregateFunction child — must refuse HERE: the generic
+      // deterministic branch below would recurse into it and rebind its
+      // children onto MV rows, silently answering a per-source-row
+      // aggregate (e.g. COUNT(*) FILTER (WHERE k = 1)) with a per-GROUP
+      // count. Unservable shapes bail the whole candidate.
+      case _: AggregateExpression => bail()
+      case _: AggregateFunction => bail()
       case a: AttributeReference => groupMap.getOrElse(a.exprId, bail())
       case l: Literal => l
       case other if other.deterministic =>
@@ -207,11 +313,23 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     val newConds = conds.map(_.transformUp {
       case a: AttributeReference => mvAttr(a.name)
     })
-    val newChild =
+    val factChild =
       if (newConds.isEmpty) mvRel
       else Filter(newConds.reduce(And), mvRel)
+    // join mode: the dim side and the join node (type/hints) are kept
+    // verbatim — only the fact side swaps for the (filtered) MV, with the
+    // fact join keys rebound to the MV's key columns
+    val newChild: LogicalPlan = star match {
+      case None => factChild
+      case Some(s) =>
+        val jc = s.pairs.map { case (f, d) => EqualTo(mvAttr(f.name), d): Expression }
+          .reduce(And)
+        if (s.factLeft) s.join.copy(left = factChild, condition = Some(jc))
+        else s.join.copy(right = factChild, condition = Some(jc))
+    }
     logInfo(s"graft: serving aggregate over ${table.name()} from materialized " +
-      s"view $mvName (watermark = snapshot ${table.currentSnapshot})")
+      s"view $mvName (watermark = snapshot ${table.currentSnapshot}" +
+      star.map(_ => ", re-rolled through the join").getOrElse("") + ")")
     Some(Aggregate(groupAttrs.map(a => groupMap(a.exprId)), newAggExprs, newChild))
   } catch { case _: Unservable => None }
 }

@@ -1070,7 +1070,7 @@ private[catalog] object GraftDml {
     // project the source to the TARGET schema by name (case-insensitive),
     // casting each column — a CDC feed's source often arrives with wider
     // types (int where the table says bigint)
-    val src = raw.select(meta.schema.fields.map { f =>
+    val src0 = raw.select(meta.schema.fields.map { f =>
       val c = raw.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
         throw new IllegalArgumentException(
           s"graft upsert: source '$sourceName' lacks column '${f.name}'"))
@@ -1078,12 +1078,22 @@ private[catalog] object GraftDml {
     }.toSeq: _*)
     // MERGE cardinality rule: one source row per key, or the batch is
     // ambiguous (which version of the key should survive?)
-    val dupes = src.groupBy(resolvedKeys.map(col): _*).count()
+    val dupes = src0.groupBy(resolvedKeys.map(col): _*).count()
       .where(col("count") > 1).limit(1).collect()
     require(dupes.isEmpty,
       s"graft upsert: source '$sourceName' has duplicate keys " +
         s"(${resolvedKeys.mkString(",")}) — e.g. ${dupes.headOption.getOrElse("")}")
-    if (segs.isEmpty && src.isEmpty) return (0L, 0L, 0)
+    if (segs.isEmpty && src0.isEmpty) return (0L, 0L, 0)
+    // IDENTITY minting on the MOR path (r19): NULL identity values in the
+    // source allocate off the committed high-water before the probe/write,
+    // and the returned propCas riders advance the high-water in the SAME
+    // serializable commit that publishes vector+append — a concurrent
+    // allocator loses the CAS and this attempt re-probes with fresh ids
+    // (the upsertMor retry loop), never double-issuing
+    val idSpecs = GraftIdentity.of(meta.props, meta.schema)
+    val (src, idRiders, idCleanup) =
+      GraftIdentity.fillDataFrame(src0, idSpecs, dir.getFileName.toString)
+    try {
     // ONE probe of the live target against the broadcast source finds the
     // positions the upsert supersedes; the table is never shuffled
     val live = GraftDv.readLive(spark, dir, meta.readSchema, segs,
@@ -1132,12 +1142,12 @@ private[catalog] object GraftDml {
         // pure insert: no vector to publish
         GraftMeta.commitMany(dir, newSegments, replaceAll = false,
           removeSuffixes = Set.empty, expectedCurrent = Some(meta.current),
-          namedKey = namedKey)
+          namedKey = namedKey, propCas = idRiders)
       else
         GraftMeta.commitAddDeletesAndAppend(dir, dvName, perSeg.keySet,
           baseDvs = GraftDv.forSegments(meta, meta.current, segs),
           newSegments = newSegments, namedKey = namedKey,
-          expectedCurrent = Some(meta.current))
+          expectedCurrent = Some(meta.current), propCas = idRiders)
     }
     if (updatedCount == 0) GraftMeta.deleteRecursively(dir.resolve(dvName))
     if (!applied) {
@@ -1151,6 +1161,7 @@ private[catalog] object GraftDml {
     // duplicate-keyed target vectors >1 position per key), rows_inserted =
     // source keys with no live match — never negative
     (matchedKeys, srcCount - matchedKeys, newSegments.size)
+    } finally idCleanup()
   }
 
   /** MERGE-ON-READ delete: record the matching rows' POSITIONS (parquet file

@@ -32,7 +32,11 @@ import org.apache.spark.sql.types._
   *     z-order cells and time-correlated ingest are tight; a shuffled fact
   *     column covers ~everything → dropped), or
   *   - it carries an opt-in BLOOM index (point-lookup pruning works
-  *     regardless of ranges).
+  *     regardless of ranges), or
+  *   - (r19) it is a STRING column whose every live segment carries
+  *     exactness-flagged ASCII bounds and whose byte-wise ranges pass the
+  *     same separation test — identity-partitioned and clustered string
+  *     keys prune on equality probes without opting into blooms.
   *
   * Probe cost is bounded: ≤ 256 runtime values probe zone bounds per value
   * (≤ 64 also probe blooms); larger value sets collapse to ONE range check
@@ -104,12 +108,37 @@ private[catalog] final class GraftRuntimePrune(
           avgCoverage <= 0.5
         }
       }.map(_.name)
+      // r19: STRING columns advertise through their byte-wise zone bounds —
+      // the SAME separation test, computed on a 56-bit big-endian prefix of
+      // the UTF-8 bounds (prefix order embeds string order, so prefix
+      // coverage measures how much of the global range each segment spans).
+      // Gated on every live segment carrying EXACTNESS-FLAGGED, ASCII-safe
+      // bounds (r17's strExact): truncated brackets stay SOUND for the probe
+      // (mayMatch brackets conservatively), but foreign/legacy bounds are
+      // exactly the layouts whose separation the flag can't vouch for — the
+      // advertisement tax needs a layout the engine itself laid down.
+      val stringSeparated = schema.fields.filter(_.dataType == StringType).filter { f =>
+        val entries = decoded.flatMap(_._2.cols.get(f.name))
+        entries.length >= 2 &&
+          entries.forall(e => e.strExact &&
+            e.min.forall(_.forall(_ < 128)) && e.max.forall(_.forall(_ < 128))) && {
+            val ranges = entries.flatMap(e =>
+              for { mn <- e.min; mx <- e.max }
+                yield (SegmentStats.prefix56(mn), SegmentStats.prefix56(mx)))
+            ranges.length >= 2 && {
+              val span = math.max(1L, ranges.map(_._2).max - ranges.map(_._1).min).toDouble
+              val avgCoverage =
+                ranges.map(r => (r._2 - r._1).toDouble / span).sum / ranges.length
+              avgCoverage <= 0.5
+            }
+          }
+      }.map(_.name)
       val bloomed = schema.fieldNames.filter { f =>
         decoded.exists { case (dir, _) =>
           java.nio.file.Files.exists(GraftBloom.fileFor(dir, f))
         }
       }
-      (separated ++ bloomed).distinct.map(Expressions.column)
+      (separated ++ stringSeparated ++ bloomed).distinct.map(Expressions.column)
     }
   }
 

@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types._
 
-/** TOP-K SEGMENT PRUNING — `ORDER BY x DESC LIMIT k` over a graft table
-  * reads only the segments that can possibly contain the top k rows:
+/** TOP-K SEGMENT PRUNING — `ORDER BY x DESC LIMIT k` (and its ASC NULLS
+  * LAST mirror) over a graft table reads only the segments that can
+  * possibly contain the top (bottom) k rows:
   *
   * Every committed segment publishes exact zone stats (rows, per-column
   * min/max/nulls). For the sort column x, a segment with min m and n
@@ -17,7 +18,22 @@ import org.apache.spark.sql.types._
   * sound threshold τ: at least k values in the table are ≥ τ, so the k-th
   * largest value is ≥ τ and NO row with x < τ can be in the top k. The rule
   * injects `x >= τ` under the Sort; the ordinary pushdown then zone-prunes
-  * every segment whose max < τ — plan-time, zero IO.
+  * every segment whose max < τ — plan-time, zero IO. The ASC NULLS LAST
+  * mirror runs the same construction on MAX bounds: a segment with max M
+  * and n non-null rows guarantees n values ≤ M; accumulating maxes
+  * ascending gives τ with ≥ k values ≤ τ, injecting `x <= τ`.
+  *
+  * WHERE composition (r19): a WHERE whose every conjunct is a range
+  * predicate on the SORT COLUMN itself (or `IsNotNull(x)`) tightens rather
+  * than voids the guarantee. The conjuncts fold to one inclusive interval
+  * [lo, hi]; a segment whose whole value range lies INSIDE the interval
+  * keeps every non-null row through the filter, so its (bound, n)
+  * guarantee holds for the SURVIVING rows. τ accumulates over those
+  * fully-contained segments only, and the injected bound composes with the
+  * user filter (which stays in place untouched). "Best k since date X" /
+  * "cheapest k above floor Y" prune like plain top-k. A filter touching
+  * any OTHER column still falls back — it changes row counts the guarantee
+  * can't see.
   *
   * At 100 TB this is "give me the k best-scoring documents" — the daily
   * training-data curation query — reading the handful of segments whose
@@ -25,19 +41,20 @@ import org.apache.spark.sql.types._
   * z-ordered/clustered score column the cut is a few cells.
   *
   * Soundness gates (all conservative — when in doubt, scan everything):
-  *   - DESCENDING order with NULLS LAST only (Spark's DESC default): nulls
-  *     can never be in the top k when ≥ k non-null values exist, which τ's
-  *     construction proves, so dropping them with the filter is safe.
-  *     (ASC's default is NULLS FIRST — nulls belong at the top; refused.)
+  *   - NULLS LAST only (DESC's default; ASC must spell it explicitly —
+  *     ASC's NULLS FIRST default puts nulls at the top, where τ cannot
+  *     speak for them): once ≥ k non-null values provably make the cut,
+  *     nulls can never displace them, so the injected filter dropping
+  *     nulls is safe;
   *   - the accumulated non-null guarantee must reach k, else no rewrite;
   *   - statless segments contribute nothing to τ (they can only make it
-  *     smaller) and are never pruned by the injected filter;
+  *     weaker) and are never zone-pruned by the injected filter;
   *   - DELETE VECTORS void the row-count guarantees (stats count vectored
   *     rows) — any DV on the current snapshot disables the rule;
   *   - integral/date/timestamp sort columns only (the zone long domain);
-  *   - the sort child must be the bare relation (or an attribute-only
-  *     Project): a user WHERE may invalidate row counts the same way DVs
-  *     do, so filtered top-k keeps the plain plan. */
+  *   - the derived bound must STRICTLY tighten the interval, so the
+  *     fixed-point optimizer converges after one injection (re-deriving τ
+  *     under its own filter reproduces τ, which is not an improvement). */
 private[graft] final class GraftTopKPrune(session: SparkSession)
   extends Rule[LogicalPlan] {
 
@@ -49,25 +66,84 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
       }
   }
 
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case b: Byte  => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int   => Some(i.toLong)
+    case j: Long  => Some(j)
+    case _        => None
+  }
+
+  /** Fold filter conjuncts into one inclusive long interval over `attr`;
+    * None = some conjunct is not a range predicate on attr (fall back). */
+  private def interval(conds: Seq[Expression], attr: AttributeReference)
+    : Option[(Long, Long)] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    conds.flatMap(conjuncts).foreach {
+      case IsNotNull(a: AttributeReference) if a.exprId == attr.exprId =>
+      // nulls are excluded from the guarantee (rows - nulls) already
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
+        lo = math.max(lo, litLong(l).getOrElse(return None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
+        lo = math.max(lo, litLong(l).getOrElse(return None))
+      case GreaterThan(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
+        val v = litLong(l).getOrElse(return None)
+        if (v == Long.MaxValue) return None
+        lo = math.max(lo, v + 1)
+      case LessThan(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
+        val v = litLong(l).getOrElse(return None)
+        if (v == Long.MaxValue) return None
+        lo = math.max(lo, v + 1)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
+        hi = math.min(hi, litLong(l).getOrElse(return None))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
+        hi = math.min(hi, litLong(l).getOrElse(return None))
+      case LessThan(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
+        val v = litLong(l).getOrElse(return None)
+        if (v == Long.MinValue) return None
+        hi = math.min(hi, v - 1)
+      case GreaterThan(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
+        val v = litLong(l).getOrElse(return None)
+        if (v == Long.MinValue) return None
+        hi = math.min(hi, v - 1)
+      case EqualTo(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
+        val v = litLong(l).getOrElse(return None)
+        lo = math.max(lo, v); hi = math.min(hi, v)
+      case EqualTo(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
+        val v = litLong(l).getOrElse(return None)
+        lo = math.max(lo, v); hi = math.min(hi, v)
+      case _ => return None
+    }
+    Some((lo, hi))
+  }
+
   private def rewrite(k: Int, order: Seq[SortOrder],
                       child: LogicalPlan): Option[LogicalPlan] = {
-    val leading = order.headOption match {
-      case Some(SortOrder(a: AttributeReference, Descending, NullsLast, _)) => a
+    val (leading, descending) = order.headOption match {
+      case Some(SortOrder(a: AttributeReference, Descending, NullsLast, _)) => (a, true)
+      // ASC's default is NULLS FIRST (nulls belong at the top, out of τ's
+      // reach) — only an EXPLICIT NULLS LAST opts into the mirror
+      case Some(SortOrder(a: AttributeReference, Ascending, NullsLast, _)) => (a, false)
       case _ => return None
     }
-    // bare relation or attribute-only Project; anything else (Filter, join,
-    // aggregate) changes the row counts the guarantee is built from
-    val (rel, table, project) = child match {
+    // peel attribute-only Projects and Filters down to the relation,
+    // collecting filter predicates (validated against the sort column below)
+    def peel(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(DataSourceV2Relation, GraftTable, Seq[Expression])] = p match {
+      case Filter(cond, c) => peel(c, conds :+ cond)
+      case Project(list, c) if list.forall(_.isInstanceOf[AttributeReference]) =>
+        peel(c, conds)
       case rel @ DataSourceV2Relation(t: GraftTable, _, Some(_: GraftCatalog), Some(_), opts, tt)
           if opts.isEmpty && tt.isEmpty && !t.pinned =>
-        (rel, t, None)
-      case p @ Project(list, rel @ DataSourceV2Relation(t: GraftTable, _,
-          Some(_: GraftCatalog), Some(_), opts, tt))
-          if list.forall(_.isInstanceOf[AttributeReference]) &&
-            opts.isEmpty && tt.isEmpty && !t.pinned =>
-        (rel, t, Some(p))
-      case _ => return None
+        Some((rel, t, conds))
+      case _ => None
     }
+    val (rel, table, conds) = peel(child, Nil).getOrElse(return None)
     if (!rel.output.exists(_.exprId == leading.exprId)) return None
     val dt = leading.dataType
     val integral = dt match {
@@ -75,6 +151,10 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
       case _ => false
     }
     if (!integral) return None
+    // every filter conjunct must be a range predicate on the SORT column
+    // (any other predicate invalidates the row-count guarantees)
+    val (lo, hi) = interval(conds, leading).getOrElse(return None)
+    if (lo > hi) return None // unsatisfiable filter: leave the plan alone
 
     val meta = table.metaAtLoad
     val segs = meta.snapshots.getOrElse(meta.current, Nil)
@@ -82,35 +162,51 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
     // delete vectors void the row-count guarantees (stats include vectored rows)
     if (GraftDv.forSegments(meta, meta.current, segs).nonEmpty) return None
 
-    // (min, guaranteed non-null count) per stats-bearing segment
+    // (min, max, guaranteed non-null count) per stats-bearing segment; only
+    // segments FULLY INSIDE the filter interval keep all their non-null
+    // rows through the filter, so only they may vouch for τ
     val guarantees = segs.flatMap { s =>
       for {
         enc <- meta.zstats.get(s)
         st <- scala.util.Try(SegmentStats.decode(enc)).toOption
         c <- st.cols.get(leading.name)
         mn <- c.min.flatMap(v => scala.util.Try(v.toLong).toOption)
-      } yield (mn, st.rows - c.nulls)
+        mx <- c.max.flatMap(v => scala.util.Try(v.toLong).toOption)
+        if lo <= mn && mx <= hi
+      } yield (mn, mx, st.rows - c.nulls)
     }
+    val ranked =
+      if (descending) guarantees.sortBy(_._1)(Ordering[Long].reverse)
+      else guarantees.sortBy(_._2)
     var cum = 0L
-    var tau = Long.MinValue
-    for ((mn, nn) <- guarantees.sortBy(-_._1) if cum < k) {
+    var tau: Option[Long] = None
+    for ((mn, mx, nn) <- ranked if cum < k) {
       cum += math.max(0L, nn)
-      tau = mn
+      tau = Some(if (descending) mn else mx)
     }
-    if (cum < k || tau == Long.MinValue) return None
+    val t = tau.filter(_ => cum >= k).getOrElse(return None)
+    // strict improvement over the existing interval, or the fixed-point
+    // optimizer would re-derive the same bound forever
+    if (descending && t <= lo) return None
+    if (!descending && t >= hi) return None
 
     val lit = dt match {
-      case ByteType               => Literal(tau.toByte, dt)
-      case ShortType              => Literal(tau.toShort, dt)
-      case IntegerType | DateType => Literal(tau.toInt, dt)
-      case _                      => Literal(tau, dt)
+      case ByteType               => Literal(t.toByte, dt)
+      case ShortType              => Literal(t.toShort, dt)
+      case IntegerType | DateType => Literal(t.toInt, dt)
+      case _                      => Literal(t, dt)
     }
-    logInfo(s"graft: top-$k over ${table.name()} ORDER BY ${leading.name} DESC " +
-      s"prunes to segments reaching >= $tau (zone-stat guarantee)")
-    val filtered = Filter(GreaterThanOrEqual(leading, lit), rel)
-    Some(project match {
-      case Some(p) => p.copy(child = filtered)
-      case None    => filtered
+    val dir = if (descending) "DESC" else "ASC NULLS LAST"
+    val cut = if (descending) ">=" else "<="
+    logInfo(s"graft: top-$k over ${table.name()} ORDER BY ${leading.name} $dir " +
+      s"prunes to segments reaching $cut $t (zone-stat guarantee)")
+    val cmp: Expression =
+      if (descending) GreaterThanOrEqual(leading, lit)
+      else LessThanOrEqual(leading, lit)
+    // inject the bound directly above the relation; the user's own filter
+    // (if any) stays exactly where it was
+    Some(child.transformUp {
+      case r: DataSourceV2Relation if r eq rel => Filter(cmp, rel)
     })
   }
 }

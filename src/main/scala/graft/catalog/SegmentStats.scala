@@ -57,6 +57,19 @@ private[catalog] object SegmentStats {
 
   final case class Stats(rows: Long, cols: Map[String, Col])
 
+  /** 56-bit big-endian prefix of a string's UTF-8 bytes: prefix order embeds
+    * byte-wise string order (7 bytes keep the value non-negative), giving a
+    * numeric proxy for "where in a string range does this value sit" —
+    * runtime-prune advertisement and the CBO's string-range selectivity both
+    * measure interval coverage with it. */
+  def prefix56(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
+    v
+  }
+
   /** Table property naming the integral columns to harvest commit-time SUMs
     * for ('*' = every integral column). */
   val SumsProp = "graft.stats.sums"

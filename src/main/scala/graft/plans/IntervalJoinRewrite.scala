@@ -658,6 +658,14 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // values provably >= tau) and injects x >= tau, so zone pruning skips
     // every segment that cannot reach the top k.
     ext.injectOptimizerRule(session => new graft.catalog.GraftTopKPrune(session))
+    // Analysis-time identity guard: UPDATE/MERGE-UPDATE assigning a literal
+    // NULL to a GENERATED ALWAYS identity column refuses at analysis (the
+    // rewrite would otherwise silently mint a fresh id — re-keying the row).
+    // Two hooks: a resolution rule sees UpdateTable before its rewrite; the
+    // check rule sees MERGE's rewritten ReplaceData(MergeRows) form (no
+    // injected rule ever observes a resolved MergeIntoTable).
+    ext.injectResolutionRule(session => new graft.catalog.GraftIdentityChecks(session))
+    ext.injectCheckRule(_ => plan => graft.catalog.GraftIdentityChecks.check(plan))
     // ... and again as a columnar pre-transition: scan-only plans carry no
     // exchange, skip AQE entirely, and so never see queryStagePrepRules.
     ext.injectColumnar(session => new graft.catalog.GraftUngroupColumnarRule(session))

@@ -944,9 +944,13 @@ object Round15Queries {
   // scenario) is imported by hard-linking the files into a segment: no read,
   // no rewrite, O(#files) metadata, zone maps harvested from footers like
   // any write. The oracle replays the union relationally, so the hash gates
-  // that imported bytes serve queries exactly like inserted ones.
-  // AddFilesSpec pins the physical side (same-inode sharing, schema /
-  // partitioned / CHECK gates, source-deletion independence).
+  // that imported bytes serve queries exactly like inserted ones. r19 adds
+  // the PARTITIONED leg: a flat per-status export (each file partition-pure)
+  // imports onto an identity-partitioned table under
+  // `validate_partitions => true` — one check scan proves purity, each tuple
+  // lands a correctly-suffixed segment, and partition-scoped reads/DML see
+  // the imported layout as native. AddFilesSpec pins the physical side
+  // (same-inode sharing, schema / purity / CHECK gates, suffix layout).
   // --------------------------------------------------------------------------
   private def q256(s: SparkSession, d: String): DataFrame = {
     LakeQueries.ensureCatalog(s)
@@ -963,16 +967,60 @@ object Round15Queries {
              FROM addf_orders WHERE o_orderkey % 5 = 1""")
       .write.mode("overwrite").parquet(raw.toString)
     s.sql(s"CALL graft.system.add_files('lake.$t', '$raw')")
+    // partitioned leg: flat pure-per-file export, validated import
+    val tp = s"m256p_${Integer.toHexString(d.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$tp")
+    s.sql(s"""CREATE TABLE graft.lake.$tp (k BIGINT, st STRING, amt BIGINT)
+              USING parquet PARTITIONED BY (st)""")
+    s.sql(s"""INSERT INTO graft.lake.$tp
+      SELECT o_orderkey, o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM addf_orders WHERE o_orderkey % 5 = 2""")
+    val rawP = java.nio.file.Files.createTempDirectory("graft_q256_rawp")
+    val statuses = s.sql(
+      "SELECT DISTINCT o_orderstatus FROM addf_orders WHERE o_orderkey % 5 = 3")
+      .collect().map(_.getString(0)).sorted
+    statuses.foreach { st =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q256_one")
+      s.sql(s"""SELECT o_orderkey AS k, o_orderstatus AS st,
+                       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS amt
+                FROM addf_orders WHERE o_orderkey % 5 = 3 AND o_orderstatus = '$st'""")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listed = java.nio.file.Files.list(tmp)
+      try {
+        val it = listed.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.move(p, rawP.resolve(s"export_${st}_$i.parquet"))
+            i += 1
+          }
+        }
+      } finally listed.close()
+    }
+    s.sql(s"CALL graft.system.add_files('lake.$tp', '$rawP', validate_partitions => true)")
     s.sql(s"""
-      SELECT st, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS total_c
-      FROM graft.lake.$t GROUP BY st ORDER BY st""")
+      SELECT leg, st, n, total_c FROM (
+        SELECT 'flat' AS leg, st, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS total_c
+        FROM graft.lake.$t GROUP BY st
+        UNION ALL
+        SELECT 'part' AS leg, st, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS total_c
+        FROM graft.lake.$tp GROUP BY st)
+      ORDER BY leg, st""")
   }
 
   private val q256Sql =
-    """SELECT o_orderstatus AS st, COUNT(*) AS n,
-              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
-       FROM orders WHERE o_orderkey % 5 = 0 OR o_orderkey % 5 = 1
-       GROUP BY st ORDER BY st"""
+    """WITH cents AS (
+         SELECT o_orderkey AS k, o_orderstatus AS st,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS amt
+         FROM orders)
+       SELECT leg, st, n, total_c FROM (
+         SELECT 'flat' AS leg, st, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS total_c
+         FROM cents WHERE k % 5 = 0 OR k % 5 = 1 GROUP BY st
+         UNION ALL
+         SELECT 'part' AS leg, st, COUNT(*) AS n, CAST(SUM(amt) AS BIGINT) AS total_c
+         FROM cents WHERE k % 5 = 2 OR k % 5 = 3 GROUP BY st)
+       ORDER BY leg, st"""
 
   // --------------------------------------------------------------------------
   // q257: JARO–WINKLER similarity as a native codegen Expression

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Interleaved A/B for the MV SERVING win (r19, verdict item 6): the q304
+  * aggregate over a FRESH materialized view, timed alternately with the
+  * transparent rewrite ON (answers from the O(groups) MV) and OFF
+  * (`spark.graft.mv.rewrite=false` — full fact-table aggregate), in ONE JVM
+  * so JIT warm-up cannot masquerade as the difference. The q304 bench median
+  * deliberately embeds the whole create+DML+refresh lifecycle; THIS probe
+  * isolates the steady-state serving cost the feature exists for. Prints
+  * per-run seconds, medians, and the ratio. */
+object MvServeAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
+    spark.conf.set("spark.sql.catalog.gmv", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmv.root",
+      java.nio.file.Files.createTempDirectory("mv_ab").toString)
+    graft.Tables.orders(spark, sfDir).createOrReplaceTempView("ab_orders")
+
+    spark.sql("CREATE TABLE gmv.ns.fact (k BIGINT, b BIGINT, m BIGINT, cents BIGINT) USING parquet")
+    spark.sql("""INSERT INTO gmv.ns.fact
+      SELECT o_orderkey, o_custkey % 17, o_orderkey % 5,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM ab_orders""")
+    spark.sql("CALL gmv.system.create_mv('ns.fact_mv', 'ns.fact', " +
+      "keys => 'b,m', sums => 'cents', mins => 'cents', maxs => 'cents')")
+
+    val q = """SELECT b, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_c,
+                      ROUND(AVG(cents), 2) AS avg_c, MIN(cents) AS mn, MAX(cents) AS mx
+               FROM gmv.ns.fact WHERE m = 2 GROUP BY b ORDER BY b"""
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      spark.sql(q).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // sanity: with the rewrite on, the plan must scan the MV, not the fact
+    val plan = spark.sql(q).queryExecution.executedPlan.toString
+    require(plan.contains("gmv.ns.fact_mv["),
+      s"probe invalid — the rewrite did not serve from the MV:\n$plan")
+
+    spark.conf.set("spark.graft.mv.rewrite", "true"); run()   // warm served path
+    spark.conf.set("spark.graft.mv.rewrite", "false"); run()  // warm direct path
+    val served = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val direct = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until 5).foreach { _ =>
+      spark.conf.set("spark.graft.mv.rewrite", "true");  served += run()
+      spark.conf.set("spark.graft.mv.rewrite", "false"); direct += run()
+    }
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    println(f"[mv-ab] served (rewrite on):  ${served.map(t => f"$t%.3f").mkString(", ")}")
+    println(f"[mv-ab] direct (rewrite off): ${direct.map(t => f"$t%.3f").mkString(", ")}")
+    println(f"[mv-ab] medians: served=${med(served.toSeq)}%.4f s, " +
+      f"direct=${med(direct.toSeq)}%.4f s, " +
+      f"ratio=${med(direct.toSeq) / med(served.toSeq)}%.1fx (sf=$sfDir)")
+    spark.stop()
+  }
+}

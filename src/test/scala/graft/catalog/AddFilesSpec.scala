@@ -129,6 +129,74 @@ class AddFilesSpec extends SparkSpec {
     assert(count("SELECT count(*) c FROM gaf.ns.t7") === 0)
   }
 
+  /** A FLAT export whose files are each partition-pure: one file per entry
+    * of `rows` grouped by tag, moved into one directory with unique names. */
+  private def pureExport(name: String, rows: Seq[(String, Long)]): Path = {
+    import spark.implicits._
+    val src = root.resolve(s"raw_$name")
+    Files.createDirectories(src)
+    rows.groupBy(_._1).foreach { case (tag, rs) =>
+      val tmp = Files.createTempDirectory(root, s"exp_$tag")
+      rs.map { case (t, k) => (k, t, k * 10L) }.toDF("k", "tag", "amt")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      GraftMeta.listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, src.resolve(s"part_${tag}_$i.parquet"))
+        }
+    }
+    src
+  }
+
+  test("validate_partitions: pure files land as correctly-suffixed segments (r19)") {
+    root
+    sql("DROP TABLE IF EXISTS gaf.ns.t6")
+    sql("""CREATE TABLE gaf.ns.t6 (k BIGINT, tag STRING, amt BIGINT)
+           USING parquet PARTITIONED BY (tag)""")
+    sql("INSERT INTO gaf.ns.t6 VALUES (100, 'a', 1000)") // seed partition 'a'
+    val src = pureExport("t6", Seq(("a", 1L), ("b", 2L), ("b", 3L)))
+    val out = sql(s"CALL gaf.system.add_files('ns.t6', '$src', validate_partitions => true)")
+      .collect().head
+    assert(out.getAs[Int]("files_added") === 2)
+    assert(out.getAs[Long]("rows") === 3L)
+    // one segment per proven tuple, byte-identical canonical suffixes
+    val meta = GraftMeta.read(root.resolve("ns").resolve("t6"))
+    val segs = meta.snapshots(meta.current).filter(_.startsWith("seg-add-"))
+    assert(segs.size === 2, segs.toString)
+    assert(segs.flatMap(GraftPartitions.suffixOf).toSet === Set("a", "b"))
+    assert(count("SELECT COUNT(*) c FROM gaf.ns.t6") === 4)
+    assert(count("SELECT COUNT(*) c FROM gaf.ns.t6 WHERE tag = 'b'") === 2)
+    assert(count("SELECT CAST(SUM(amt) AS BIGINT) s FROM gaf.ns.t6") === 1000 + 10 + 20 + 30)
+    // the imported layout composes with partition-suffix operations:
+    // dynamic overwrite of 'b' swaps BOTH imported 'b' files' segment out
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE gaf.ns.t6 VALUES (7, 'b', 70)")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(count("SELECT COUNT(*) c FROM gaf.ns.t6 WHERE tag = 'b'") === 1)
+    assert(count("SELECT COUNT(*) c FROM gaf.ns.t6") === 3)
+  }
+
+  test("validate_partitions: an impure file refuses BY NAME; nothing commits (r19)") {
+    root
+    sql("DROP TABLE IF EXISTS gaf.ns.t7")
+    sql("""CREATE TABLE gaf.ns.t7 (k BIGINT, tag STRING, amt BIGINT)
+           USING parquet PARTITIONED BY (tag)""")
+    import spark.implicits._
+    val src = root.resolve("raw_impure")
+    Files.createDirectories(src)
+    // one file holding TWO tag values — the layout no suffix can describe
+    val tmp = Files.createTempDirectory(root, "exp_mixed")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "tag", "amt")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    GraftMeta.listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.move(p, src.resolve("mixed_file.parquet")))
+    val e = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t7', '$src', validate_partitions => true)")
+    }
+    assert(e.getMessage.contains("mixed_file.parquet"), e.getMessage)
+    assert(e.getMessage.contains("not partition-pure"), e.getMessage)
+    assert(count("SELECT COUNT(*) c FROM gaf.ns.t7") === 0)
+  }
+
   test("partitioned and CHECK-constrained targets are refused with remediation") {
     sql("DROP TABLE IF EXISTS gaf.ns.t4")
     sql("CREATE TABLE gaf.ns.t4 (k BIGINT, tag STRING, amt BIGINT) USING parquet PARTITIONED BY (tag)")

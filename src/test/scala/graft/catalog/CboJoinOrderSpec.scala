@@ -92,6 +92,89 @@ class CboJoinOrderSpec extends SparkSpec {
     }
   }
 
+  test("a selective STRING predicate flips the join order only with the stats present (r19)") {
+    root
+    def innermost(plan: LogicalPlan): Seq[String] = {
+      val inner = plan.collect {
+        case j: Join if !j.children.exists(_.exists(_.isInstanceOf[Join])) => j
+      }
+      assert(inner.nonEmpty, s"no join in:\n$plan")
+      inner.head.collectLeaves().map(_.toString)
+    }
+    def build(withNdv: Boolean): Unit = {
+      Seq("facts", "dims", "dimt").foreach(t => sql(s"DROP TABLE IF EXISTS gcbo.ns.$t"))
+      val ndv = if (withNdv) " TBLPROPERTIES ('graft.stats.ndv' = '*')" else ""
+      sql(s"""CREATE TABLE gcbo.ns.facts (ka BIGINT, kb BIGINT, v BIGINT)
+              USING parquet$ndv""")
+      sql("INSERT INTO gcbo.ns.facts SELECT id % 2000, id % 200, id FROM range(0, 10000)")
+      // dims.name: 2000 distinct zero-padded strings
+      sql(s"CREATE TABLE gcbo.ns.dims (a BIGINT, name STRING) USING parquet$ndv")
+      sql("""INSERT INTO gcbo.ns.dims
+             SELECT id, concat('n', lpad(CAST(id AS STRING), 4, '0')) FROM range(0, 2000)""")
+      sql(s"CREATE TABLE gcbo.ns.dimt (b BIGINT, u BIGINT) USING parquet$ndv")
+      sql("INSERT INTO gcbo.ns.dimt SELECT id + 150, id FROM range(0, 50)")
+    }
+    // EQUALITY: priced at 1/ndv THROUGH the reported distinctCount — one
+    // matching dims row => dims joins innermost; without NDV sketches the
+    // predicate is unpriceable (strings carry no numeric range) and the
+    // 50-row dimt stays the cheaper first join
+    val qEq = """SELECT SUM(f.v) AS s
+                 FROM gcbo.ns.facts f
+                 JOIN gcbo.ns.dims ds ON f.ka = ds.a
+                 JOIN gcbo.ns.dimt dt ON f.kb = dt.b
+                 WHERE ds.name = 'n1990'"""
+    val expectEq = (0L until 10000L)
+      .filter(i => i % 200 >= 150).filter(i => i % 2000 == 1990).sum
+    val (cboOn, joinReorder) =
+      (spark.conf.get("spark.sql.cbo.enabled"),
+        spark.conf.get("spark.sql.cbo.joinReorder.enabled"))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      build(withNdv = false)
+      val without = innermost(sql(qEq).queryExecution.optimizedPlan)
+      assert(without.exists(_.contains("dimt")) && !without.exists(_.contains("dims")),
+        s"without NDV the string equality is unpriceable -> dimt first, got $without")
+      assert(sql(qEq).collect().head.getLong(0) === expectEq)
+      build(withNdv = true)
+      val withNdv = innermost(sql(qEq).queryExecution.optimizedPlan)
+      assert(withNdv.exists(_.contains("dims")) && !withNdv.exists(_.contains("dimt")),
+        s"with NDV the equality prices at 1/2000 -> filtered dims first, got $withNdv")
+      assert(sql(qEq).collect().head.getLong(0) === expectEq)
+      // RANGE: strings have no numeric range for FilterEstimation — the
+      // SCAN prices it instead, by exact-bounds byte-prefix overlap
+      // (stringRangeRefined). 'n1990' <= name keeps 10 of 2000 names.
+      val qRange = """SELECT SUM(f.v) AS s
+                      FROM gcbo.ns.facts f
+                      JOIN gcbo.ns.dims ds ON f.ka = ds.a
+                      JOIN gcbo.ns.dimt dt ON f.kb = dt.b
+                      WHERE ds.name >= 'n1990'"""
+      val expectRange = (0L until 10000L)
+        .filter(i => i % 200 >= 150).filter(i => i % 2000 >= 1990).sum
+      val withExact = innermost(sql(qRange).queryExecution.optimizedPlan)
+      assert(withExact.exists(_.contains("dims")) && !withExact.exists(_.contains("dimt")),
+        s"exact string bounds must price the range tiny -> dims first, got $withExact")
+      assert(sql(qRange).collect().head.getLong(0) === expectRange)
+      // the refinement is gated on EXACTNESS: the same rows imported via
+      // add_files carry foreign (non-exact) bounds — no refinement, no flip
+      sql("DROP TABLE IF EXISTS gcbo.ns.dimsf")
+      sql("""CREATE TABLE gcbo.ns.dimsf (a BIGINT, name STRING) USING parquet
+             TBLPROPERTIES ('graft.stats.ndv' = '*')""")
+      val raw = java.nio.file.Files.createTempDirectory(root, "cbo_raw")
+      sql("SELECT a, name FROM gcbo.ns.dims").coalesce(2)
+        .write.mode("overwrite").parquet(raw.toString)
+      sql(s"CALL gcbo.system.add_files('ns.dimsf', '$raw')")
+      val qForeign = qRange.replace("gcbo.ns.dims ", "gcbo.ns.dimsf ")
+      val foreign = innermost(sql(qForeign).queryExecution.optimizedPlan)
+      assert(foreign.exists(_.contains("dimt")) && !foreign.exists(_.contains("dimsf")),
+        s"foreign bounds must not price the range -> dimt stays first, got $foreign")
+      assert(sql(qForeign).collect().head.getLong(0) === expectRange)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboOn)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", joinReorder)
+    }
+  }
+
   test("3-table join order follows graft-reported numRows/NDV under CBO") {
     root
     sql("DROP TABLE IF EXISTS gcbo.ns.fact")

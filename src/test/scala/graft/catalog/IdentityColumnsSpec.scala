@@ -93,13 +93,29 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(sql("SELECT * FROM gidn.ns.t4").schema.fieldNames.toSeq === Seq("id", "val"))
   }
 
-  test("unsupported surfaces refuse at the door: MOR") {
+  test("unsupported surfaces refuse at the door: MOR UPDATE mode (delta MERGE has no allocator)") {
     root
     intercept[Exception] {
       sql("""CREATE TABLE gidn.ns.t7
              (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING parquet
              TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
     }
+    // ALTER refuses the same transition on an existing identity table
+    sql("DROP TABLE IF EXISTS gidn.ns.t7b")
+    sql("""CREATE TABLE gidn.ns.t7b
+           (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING parquet""")
+    intercept[Exception] {
+      sql("ALTER TABLE gidn.ns.t7b SET TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')")
+    }
+    // merge-on-read DELETE mode is supported since r19 (MOR deletes append
+    // nothing; the upsert procedure mints — see the r19 upsert test)
+    sql("DROP TABLE IF EXISTS gidn.ns.t7c")
+    sql("""CREATE TABLE gidn.ns.t7c
+           (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gidn.ns.t7c (v) VALUES (1), (2)")
+    sql("DELETE FROM gidn.ns.t7c WHERE v = 1")
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.t7c").collect().head.getLong(0) === 1L)
   }
 
   test("partitioned tables allocate (r17): per-partition fan-out, global uniqueness, CAS advance") {
@@ -415,5 +431,81 @@ class IdentityColumnsSpec extends SparkSpec {
     // and the allocator still advances past everything ever allocated
     sql("INSERT INTO gidn.ns.t8 (v) VALUES (4)")
     assert(sql("SELECT MAX(id) FROM gidn.ns.t8").collect().head.getLong(0) > ids.max)
+  }
+
+  test("MOR upsert mints identity ids (r19): NULL ids allocate, high-water CAS rides the vector+append commit") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.u1")
+    sql("""CREATE TABLE gidn.ns.u1
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+            k BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gidn.ns.u1 (k, v) SELECT id, id * 10 FROM range(5)") // ids 10..18
+    // CDC batch, id omitted (NULL) everywhere: one updated key + two new keys
+    spark.sql("""SELECT CAST(NULL AS BIGINT) AS id, k, v FROM VALUES
+                 (1L, 111L), (100L, 1000L), (101L, 1010L) AS t(k, v)""")
+      .createOrReplaceTempView("u1_src")
+    val res = sql("CALL gidn.system.upsert('ns.u1', 'u1_src', 'k')").collect().head
+    assert((res.getLong(0), res.getLong(1)) === ((1L, 2L)))
+    val rows = sql("SELECT id, k, v FROM gidn.ns.u1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 7, rows.sorted.toSeq.toString) // key 1's old version vectored
+    val ids = rows.map(_._1)
+    assert(ids.distinct.length === 7, s"minted ids must be unique: ${ids.sorted.toSeq}")
+    assert(ids.forall(i => i >= 10 && (i - 10) % 2 == 0),
+      s"every id must sit on the start+k*step grid: ${ids.sorted.toSeq}")
+    // the matched key's current version is the source row (upsert-as-replace:
+    // a NULL-id source row mints a FRESH id even for a matched key — carry
+    // the id in the source, or use MERGE, to keep surrogate keys stable)
+    assert(rows.filter(_._2 == 1L).map(_._3).toSeq === Seq(111L))
+    assert(rows.filter(r => r._2 == 1L || r._2 >= 100L).forall(_._1 >= 20L),
+      s"batch ids allocate from the high-water (20): ${rows.sorted.toSeq}")
+    // the same commit advanced the high-water: a later INSERT cannot collide
+    sql("INSERT INTO gidn.ns.u1 (k, v) VALUES (200, 2000)")
+    val all = sql("SELECT id FROM gidn.ns.u1").collect().map(_.getLong(0))
+    assert(all.distinct.length === 8, s"post-upsert insert collided: ${all.sorted.toSeq}")
+    // GENERATED ALWAYS: a source row carrying an explicit id refuses the
+    // whole upsert before anything lands
+    spark.sql("SELECT 99999L AS id, 300L AS k, 1L AS v").createOrReplaceTempView("u1_bad")
+    intercept[Exception] { sql("CALL gidn.system.upsert('ns.u1', 'u1_bad', 'k')") }
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.u1 WHERE k = 300").collect()
+      .head.getLong(0) === 0L, "the refused upsert must publish nothing")
+    // exactly-once replay stays a no-op (no re-mint, no re-vector)
+    spark.sql("""SELECT CAST(NULL AS BIGINT) AS id, 400L AS k, 4L AS v""")
+      .createOrReplaceTempView("u1_b2")
+    sql("CALL gidn.system.upsert('ns.u1', 'u1_b2', 'k', batch_id => 'e7')")
+    val replay = sql("CALL gidn.system.upsert('ns.u1', 'u1_b2', 'k', batch_id => 'e7')")
+      .collect().head
+    assert((replay.getLong(0), replay.getLong(1)) === ((0L, 0L)))
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.u1 WHERE k = 400").collect()
+      .head.getLong(0) === 1L)
+  }
+
+  test("UPDATE SET id = NULL on GENERATED ALWAYS refuses at analysis (r19)") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.n1")
+    sql("""CREATE TABLE gidn.ns.n1
+           (id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.n1 (k, v) VALUES (1, 10), (2, 20)")
+    val before = sql("SELECT id FROM gidn.ns.n1 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    val e = intercept[Exception] { sql("UPDATE gidn.ns.n1 SET id = NULL WHERE k = 1") }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // the MERGE UPDATE action refuses the same way
+    val e2 = intercept[Exception] {
+      sql("""MERGE INTO gidn.ns.n1 t USING (SELECT 1L AS k) s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET id = NULL""")
+    }
+    assert(e2.getMessage.contains("GENERATED ALWAYS"), e2.getMessage)
+    assert(sql("SELECT id FROM gidn.ns.n1 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === before, "a refused statement changes nothing")
+    // BY DEFAULT keeps the documented mint-on-NULL behavior (the user owns
+    // the column; re-keying is an expressible intent there)
+    sql("DROP TABLE IF EXISTS gidn.ns.n2")
+    sql("""CREATE TABLE gidn.ns.n2
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY, k BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.n2 (k) VALUES (1)")
+    sql("UPDATE gidn.ns.n2 SET id = NULL WHERE k = 1")
+    assert(sql("SELECT id FROM gidn.ns.n2").collect().head.getLong(0) >= 1L)
   }
 }

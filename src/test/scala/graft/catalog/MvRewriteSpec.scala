@@ -135,6 +135,77 @@ class MvRewriteSpec extends SparkSpec {
     notServed("SELECT b + 1 AS b1, COUNT(*) n FROM gmr.ns.s1 GROUP BY b + 1 ORDER BY b1")
   }
 
+  test("FILTER-clause aggregates refuse — per-source-row counts are unservable from group summaries") {
+    mk()
+    // without the explicit aggregate-shape bail this served COUNT(*) FILTER
+    // (WHERE b = 1) as a count over MV GROUP ROWS (one per key combo)
+    // instead of source rows — silently wrong
+    val q = """SELECT m, COUNT(*) FILTER (WHERE b = 1) AS n
+               FROM gmr.ns.s1 GROUP BY m ORDER BY m"""
+    val df = sql(q)
+    assert(scans(df, "s1") && !scans(df, "mv1"),
+      s"a FILTER-clause aggregate must not serve:\n${df.queryExecution.executedPlan}")
+    assert(rows(q) === control(q))
+    // sanity: per-group counts are 60 source rows each, not 3 key combos
+    assert(rows(q).map(_(1)) === Seq(20L, 20L, 20L))
+  }
+
+  test("star shape: fact ⋈ dim GROUP BY dim attr serves from the fact MV") {
+    mk()
+    sql("DROP TABLE IF EXISTS gmr.ns.dimb")
+    sql("CREATE TABLE gmr.ns.dimb (b BIGINT, name STRING, w BIGINT) USING parquet")
+    sql("""INSERT INTO gmr.ns.dimb
+           SELECT id, concat('seg_', CAST(id AS STRING)), id * 7 FROM range(0, 4)""")
+    // dim keeps only 4 of the 5 b values: the INNER join multiplicity is
+    // what the re-roll must reproduce exactly
+    val q = """SELECT d.name, COUNT(*) AS n, SUM(f.amt) AS s, MIN(f.amt) AS mn
+               FROM gmr.ns.s1 f JOIN gmr.ns.dimb d ON f.b = d.b
+               GROUP BY d.name ORDER BY d.name"""
+    val df = sql(q)
+    assert(scans(df, "mv1") && !scans(df, "s1"),
+      s"join-covered rollup must serve from the MV:\n${df.queryExecution.executedPlan}")
+    assert(rows(q) === control(q))
+    // mixed grouping (dim attr + fact key) and a fact-key WHERE compose
+    val q2 = """SELECT d.name, f.m, COUNT(*) AS n, ROUND(AVG(f.amt), 2) AS a
+                FROM gmr.ns.s1 f JOIN gmr.ns.dimb d ON f.b = d.b
+                WHERE f.m = 1 GROUP BY d.name, f.m ORDER BY d.name"""
+    val df2 = sql(q2)
+    assert(scans(df2, "mv1") && !scans(df2, "s1"),
+      s"mixed grouping + key WHERE must serve:\n${df2.queryExecution.executedPlan}")
+    assert(rows(q2) === control(q2))
+    // a dim row matching MANY fact rows and a dim value appearing twice:
+    // duplicate dim keys multiply fact groups — still exact
+    sql("INSERT INTO gmr.ns.dimb VALUES (2, 'dup_of_2', 14)")
+    val q3 = """SELECT d.name, COUNT(*) AS n, SUM(f.amt) AS s
+                FROM gmr.ns.s1 f JOIN gmr.ns.dimb d ON f.b = d.b
+                GROUP BY d.name ORDER BY d.name"""
+    assert(scans(sql(q3), "mv1"))
+    assert(rows(q3) === control(q3))
+  }
+
+  test("star-shape refusals: non-key join, dim-side aggregate, outer join") {
+    mk()
+    sql("DROP TABLE IF EXISTS gmr.ns.dimr")
+    sql("CREATE TABLE gmr.ns.dimr (b BIGINT, w BIGINT) USING parquet")
+    sql("INSERT INTO gmr.ns.dimr SELECT id, id * 7 FROM range(0, 4)")
+    def notServed(q: String): Unit = {
+      val df = sql(q)
+      assert(scans(df, "s1") && !scans(df, "mv1"),
+        s"must not serve: $q\n${df.queryExecution.executedPlan}")
+      assert(rows(q) === control(q))
+    }
+    // join on a NON-key fact column: group rows have mixed join keys, the
+    // multiplicity argument collapses
+    notServed("""SELECT d.w, COUNT(*) AS n FROM gmr.ns.s1 f
+                 JOIN gmr.ns.dimr d ON f.k = d.b GROUP BY d.w ORDER BY d.w""")
+    // SUM over a DIM column repeats per fact row — unservable
+    notServed("""SELECT f.b, SUM(d.w) AS s FROM gmr.ns.s1 f
+                 JOIN gmr.ns.dimr d ON f.b = d.b GROUP BY f.b ORDER BY f.b""")
+    // outer join: null-padded rows have multiplicities the MV cannot see
+    notServed("""SELECT f.b, COUNT(*) AS n FROM gmr.ns.s1 f
+                 LEFT JOIN gmr.ns.dimr d ON f.b = d.b GROUP BY f.b ORDER BY f.b""")
+  }
+
   test("addressing refusals: time travel and clones never serve from the original's MV") {
     mk()
     // time travel: a pinned read addresses its own snapshot, not "current" —

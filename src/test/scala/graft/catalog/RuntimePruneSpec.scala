@@ -126,6 +126,36 @@ class RuntimePruneSpec extends SparkSpec {
       s"DV runtime pruning must read only the 2 matching segments' live rows, read $read")
   }
 
+  test("a STRING join key prunes through exactness-flagged byte-wise bounds (r19)") {
+    root
+    sql("DROP TABLE IF EXISTS grt.ns.facts")
+    sql("DROP TABLE IF EXISTS grt.ns.dims")
+    sql("CREATE TABLE grt.ns.facts (k BIGINT, region STRING, v BIGINT) USING parquet")
+    // 8 segments, each a distinct region value: string zone bounds are
+    // min = max = the value, exactness-flagged by the self-written harvest
+    (0 until 8).foreach { r =>
+      sql(s"""INSERT INTO grt.ns.facts
+              SELECT id, 'region_$r', id % 100 FROM range(${r * 1000}, ${r * 1000 + 1000})""")
+    }
+    sql("CREATE TABLE grt.ns.dims (region STRING, name STRING) USING parquet")
+    sql("""INSERT INTO grt.ns.dims VALUES ('region_0','a'),('region_1','b'),
+           ('region_2','x'),('region_3','c'),('region_4','d'),('region_5','x'),
+           ('region_6','e'),('region_7','f')""")
+    val q = """SELECT CAST(SUM(f.v) AS BIGINT) AS s, COUNT(*) AS n
+               FROM grt.ns.facts f JOIN grt.ns.dims m ON f.region = m.region
+               WHERE m.name = 'x'"""
+    val df = sql(q)
+    val expected = df.collect().toSeq.map(_.toSeq)
+    val read = scanRows(sql(q), "facts")
+    assert(read === 2000L,
+      s"string runtime pruning must read only the 2 matching segments, read $read\n" +
+        sql(q).queryExecution.executedPlan)
+    // answers identical with the machinery off
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try assert(sql(q).collect().toSeq.map(_.toSeq) === expected)
+    finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+  }
+
   test("an unprunable runtime predicate keeps every segment (no false pruning)") {
     mk()
     // every segment contains v values across the full range — zone bounds on

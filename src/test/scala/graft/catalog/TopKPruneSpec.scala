@@ -63,6 +63,64 @@ class TopKPruneSpec extends SparkSpec {
       (7000L until 8000L).filter(_ % 5 != 0).sorted.reverse.take(5))
   }
 
+  test("ASC NULLS LAST mirror: bottom-k plans only the reachable segments (r19)") {
+    mk("ta")
+    val q = "SELECT k, score FROM gtk.ns.ta ORDER BY score ASC NULLS LAST LIMIT 5"
+    val df = sql(q)
+    assert(plannedSegs(df).size === 1,
+      s"bottom-5 must plan ONE segment (the bottom range), got ${plannedSegs(df)}")
+    assert(df.collect().map(_.getLong(1)).toSeq === (0L to 4L))
+    // spanning two segments keeps exactly two
+    val q2 = "SELECT score FROM gtk.ns.ta ORDER BY score ASC NULLS LAST LIMIT 1500"
+    assert(plannedSegs(sql(q2)).size === 2, plannedSegs(sql(q2)).toString)
+    assert(sql(q2).count() === 1500L)
+    // with nulls: τ's ≥ k non-null guarantee keeps dropping them sound
+    mk("tan", withNulls = true)
+    val qn = "SELECT score FROM gtk.ns.tan ORDER BY score ASC NULLS LAST LIMIT 5"
+    assert(plannedSegs(sql(qn)).size === 1)
+    assert(sql(qn).collect().map(_.getLong(0)).toSeq ===
+      (0L until 1000L).filter(_ % 5 != 0).sorted.take(5))
+  }
+
+  test("a WHERE on the sort column COMPOSES with τ instead of voiding it (r19)") {
+    mk("tw")
+    // floor filter: top-k within [2000, ∞) — τ still cuts to the top segment
+    val q = """SELECT score FROM gtk.ns.tw WHERE score >= 2000
+               ORDER BY score DESC LIMIT 5"""
+    assert(plannedSegs(sql(q)).size === 1, plannedSegs(sql(q)).toString)
+    assert(sql(q).collect().map(_.getLong(0)).toSeq === (7995L to 7999L).reverse)
+    // ceiling filter: only fully-contained segments vouch; τ cuts within
+    // the highest contained band (the filter itself prunes the rest)
+    val q2 = """SELECT score FROM gtk.ns.tw WHERE score < 3000
+                ORDER BY score DESC LIMIT 5"""
+    assert(plannedSegs(sql(q2)).size === 1, plannedSegs(sql(q2)).toString)
+    assert(sql(q2).collect().map(_.getLong(0)).toSeq === (2995L to 2999L).reverse)
+    // bottom-k under a floor composes through the ASC mirror too
+    val q3 = """SELECT score FROM gtk.ns.tw WHERE score > 999
+                ORDER BY score ASC NULLS LAST LIMIT 5"""
+    assert(plannedSegs(sql(q3)).size === 1, plannedSegs(sql(q3)).toString)
+    assert(sql(q3).collect().map(_.getLong(0)).toSeq === (1000L to 1004L))
+  }
+
+  test("Long.MinValue segment min cannot poison τ (r19 regression)") {
+    root
+    sql("DROP TABLE IF EXISTS gtk.ns.tmin")
+    sql("CREATE TABLE gtk.ns.tmin (k BIGINT, score BIGINT) USING parquet")
+    // A: [0,999), B: [1000,1999), C: {MinValue, MinValue+1, 5000} — under
+    // the old negated sort C's min overflowed to the HIGHEST rank and its 3
+    // rows vouched for τ=1000 at k=1002, pruning segment A which holds the
+    // true 1002nd value (999)
+    sql("INSERT INTO gtk.ns.tmin SELECT id, id FROM range(0, 1000)")
+    sql("INSERT INTO gtk.ns.tmin SELECT id, id FROM range(1000, 2000)")
+    sql(s"""INSERT INTO gtk.ns.tmin VALUES
+            (9000, ${Long.MinValue}), (9001, ${Long.MinValue} + 1), (9002, 5000)""")
+    val q = "SELECT score FROM gtk.ns.tmin ORDER BY score DESC LIMIT 1002"
+    val got = sql(q).collect().map(_.getLong(0)).toSeq
+    assert(got.length === 1002)
+    assert(got.last === 999L,
+      s"the 1002nd value must be 999 from the bottom segment, got ${got.last}")
+  }
+
   test("soundness gates fall back to the full scan") {
     mk("t2")
     // ASC (NULLS FIRST default) is refused
