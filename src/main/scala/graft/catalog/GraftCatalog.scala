@@ -372,16 +372,11 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
       // partitioned (and bucketed) identity tables are supported since r17:
       // allocation wraps outside GraftPartitionedWrite's fan-out router and
       // the high-water CAS rides commitMany (IdentityColumnsSpec + q297).
-      // MERGE-ON-READ DELETE mode is supported since r19: MOR deletes append
-      // no rows and the MOR upsert mints for NULL ids with a propCas rider
-      // on its vector+append commit (GraftIdentity.fillDataFrame). MOR
-      // UPDATE mode still refuses — MERGE would take the position-delta
-      // path (GraftDeltaMerge), whose insert writer has no allocator.
-      require(dmlModes.get(GraftDv.UpdateModeProp).forall(_ != GraftDv.ModeMor),
-        "graft catalog: identity columns with merge-on-read UPDATE mode are " +
-          "not supported (the MERGE position-delta writer does not allocate); " +
-          "keep update-mode copy-on-write — merge-on-read delete-mode and the " +
-          "upsert procedure both allocate")
+      // Merge-on-read DML is supported since r19 on BOTH modes: MOR deletes
+      // append no rows, the MOR upsert mints for NULL ids with a propCas
+      // rider on its vector+append commit (GraftIdentity.fillDataFrame),
+      // and the MERGE position-delta writer mints on its insert path
+      // (GraftIdentity.RowAllocator inside GraftDeltaWriter).
     }
     // bucket tables refuse merge-on-read DML: MOR deltas append suffix-less
     // segments, breaking the bucket-pure layout SPJ depends on
@@ -531,14 +526,9 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
         case rm: TableChange.RemoveProperty if rm.property().startsWith("graft.zorder.") =>
           throw new IllegalArgumentException(
             s"graft catalog: '${rm.property()}' is engine-owned clustering state")
-        case s: TableChange.SetProperty
-            if identityCols.nonEmpty && s.property() == GraftDv.UpdateModeProp &&
-              s.value() == GraftDv.ModeMor =>
-          throw new IllegalArgumentException(
-            "graft catalog: identity columns with merge-on-read UPDATE mode " +
-              "are not supported (the MERGE position-delta writer does not " +
-              "allocate); merge-on-read delete-mode and the upsert procedure " +
-              "both allocate")
+        // identity + merge-on-read (either mode) is supported since r19:
+        // the upsert procedure and the MERGE position-delta writer both
+        // allocate for NULL ids with propCas high-water riders
         // partition evolution on identity tables is fine since r17: the
         // partitioned writer allocates exactly like the plain one
         case _ => ()

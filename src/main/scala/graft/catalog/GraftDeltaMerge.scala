@@ -273,6 +273,11 @@ private[catalog] final class GraftDeltaBatchWrite(
     (i, dataSchema.fields(i).dataType)
   }
 
+  // identity columns (r19): the delta writer mints for NULL ids on its
+  // insert path (same fill-indexed allocator contract as rowLevelWrap) and
+  // the commit advances the high-water via propCas on the same CAS
+  private val idSpecs = GraftIdentity.of(metaAtLoad.props, metaAtLoad.schema)
+
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     val job = org.apache.hadoop.mapreduce.Job.getInstance(spark.sessionState.newHadoopConf())
@@ -281,11 +286,16 @@ private[catalog] final class GraftDeltaBatchWrite(
     new GraftDeltaWriterFactory(owf,
       new SerializableHadoopConf(job.getConfiguration),
       staging.toString, dataSchema, partFields,
-      GraftPartitions.specId(metaAtLoad.props))
+      GraftPartitions.specId(metaAtLoad.props),
+      idSpecs, pInfo.numPartitions(), tableDir.getFileName.toString)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val msgs = messages.collect { case m: GraftDeltaMessage => m }
+    // identity (r19): unwrap per-task extremes and build the high-water
+    // propCas riders — the same commit that lands the delta publishes them
+    val (unwrapped, extremes) = GraftIdentity.unwrap(messages, idSpecs)
+    val idRiders = GraftIdentity.propCas(idSpecs, extremes)
+    val msgs = unwrapped.collect { case m: GraftDeltaMessage => m }
     val manifest = msgs.flatMap(_.files)
     val allPositions = msgs.flatMap(_.positions)
     try {
@@ -316,7 +326,8 @@ private[catalog] final class GraftDeltaBatchWrite(
           // insert-only merge: plain append, still serializable
           val applied = GraftMeta.commitMany(tableDir, segments, replaceAll = false,
             removeSuffixes = Set.empty,
-            expectedCurrent = Some(metaAtLoad.current), namedKey = None)
+            expectedCurrent = Some(metaAtLoad.current), namedKey = None,
+            propCas = idRiders)
           if (!applied) cleanup()
         } else {
           // positions -> one dv-* parquet in the existing DV format; the
@@ -341,7 +352,8 @@ private[catalog] final class GraftDeltaBatchWrite(
               baseDvs = GraftDv.forSegments(metaAtLoad, metaAtLoad.current,
                 touched.toSeq),
               newSegments = segments,
-              expectedCurrent = Some(metaAtLoad.current))
+              expectedCurrent = Some(metaAtLoad.current),
+              propCas = idRiders)
           } catch {
             case e: Throwable =>
               scala.util.Try(GraftMeta.deleteRecursively(tableDir.resolve(dvName)))
@@ -362,12 +374,17 @@ private[catalog] final class GraftDeltaWriterFactory(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
     partFields: Seq[(Int, org.apache.spark.sql.types.DataType)],
-    specId: Long)
+    specId: Long,
+    idSpecs: Seq[GraftIdentity.Spec] = Nil, numPartitions: Int = 1,
+    tableName: String = "")
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(owf, conf, staging, dataSchema, partFields, partitionId, taskId,
-      specId)
+      specId,
+      if (idSpecs.isEmpty) None
+      else Some(new GraftIdentity.RowAllocator(
+        idSpecs, dataSchema, numPartitions, partitionId, tableName)))
 }
 
 /** Per-task delta writer. `id` rows are [__graft_sf, __graft_pos] in rowId()
@@ -378,7 +395,9 @@ private[catalog] final class GraftDeltaWriter(
     owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     conf: SerializableHadoopConf, staging: String, dataSchema: StructType,
     partFields: Seq[(Int, org.apache.spark.sql.types.DataType)],
-    partitionId: Int, taskId: Long, specId: Long) extends DeltaWriter[InternalRow] {
+    partitionId: Int, taskId: Long, specId: Long,
+    allocator: Option[GraftIdentity.RowAllocator] = None)
+  extends DeltaWriter[InternalRow] {
 
   import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskType}
   import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -394,7 +413,11 @@ private[catalog] final class GraftDeltaWriter(
   private val manifest = Seq.newBuilder[(String, String)]
   private val positions = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
 
-  override def insert(row: InternalRow): Unit = {
+  override def insert(row0: InternalRow): Unit = {
+    // identity minting (r19): NULL identity values in inserted (and updated)
+    // row versions allocate before partition routing — the filled id is
+    // partition-irrelevant here, but the routing must see the final row
+    val row = allocator.map(_.process(row0)).getOrElse(row0)
     val enc = GraftPartitions.suffix(extractors.map(_(row)), specId)
     writers.getOrElseUpdate(enc, {
       val file = s"part-$partitionId-$taskId$ext"
@@ -414,7 +437,13 @@ private[catalog] final class GraftDeltaWriter(
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
     writers.clear()
-    GraftDeltaMessage(manifest.result(), positions.toArray)
+    val inner = GraftDeltaMessage(manifest.result(), positions.toArray)
+    allocator match {
+      case Some(a) =>
+        val (alloc, far, near) = a.maps
+        GraftIdentity.IdentityCommitMessage(inner, alloc, far, near)
+      case None => inner
+    }
   }
 
   override def abort(): Unit =

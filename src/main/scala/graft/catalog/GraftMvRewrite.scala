@@ -42,12 +42,13 @@ import org.apache.spark.sql.types.DoubleType
   *   - CURRENT-STATE READ: no time travel, branch, or CDC options on the
   *     relation (those address snapshots other than the watermark).
   *
-  * STAR SHAPE (r19): `SELECT d.attr, agg(fact.c)... FROM fact JOIN dim ON
-  * fact.k = dim.x GROUP BY ...` — the canonical dashboard rollup — serves
-  * from a FACT-side MV when additionally the join is INNER, every fact-side
-  * join column is an MV key, every fact-side grouping column is an MV key
-  * (dim-side grouping columns pass through), and every aggregate reads fact
-  * columns only. Soundness: rows of one MV group share the key tuple, hence
+  * STAR SHAPE (r19): `SELECT d.attr, agg(fact.c)... FROM fact JOIN dim1 ON
+  * fact.k1 = dim1.x [JOIN dim2 ...] GROUP BY ...` — the canonical dashboard
+  * rollup, any number of dims (star or snowflake) — serves from a FACT-side
+  * MV when additionally every join on the path to the fact is INNER, every
+  * fact-side join column is an MV key, every fact-side grouping column is
+  * an MV key (dim-side grouping columns pass through), and every aggregate
+  * reads fact columns only. Soundness: rows of one MV group share the key tuple, hence
   * the join-key values, hence ONE join multiplicity m_g — joining the MV row
   * in their place scales the additive summaries (n_rows/sum_c/nn_c) by
   * exactly m_g, as the real join scales the raw rows; AVG's Σm·sum/Σm·nn
@@ -114,11 +115,8 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
       case _ => return None
     }
     peelProjects(agg.child) match {
-      // star shape (r19): Aggregate over fact ⋈ dim — try the fact on
-      // either side; the first servable orientation wins
-      case j: Join =>
-        rewriteJoin(agg, j, groupAttrs, factLeft = true)
-          .orElse(rewriteJoin(agg, j, groupAttrs, factLeft = false))
+      // star shape (r19): Aggregate over a join tree around the fact
+      case j: Join => rewriteStar(agg, j, groupAttrs)
       case _ =>
         val (rel, table, conds) = peel(agg.child, Nil).getOrElse(return None)
         if (conds.exists(!_.deterministic)) return None
@@ -133,55 +131,85 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     table.metaAtLoad.props.get(GraftMvRewrite.MvsProp).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
-  /** The join-serving context: the untouched dim-side plan, the original
-    * join (for hints/orientation), the fact↔dim equi-join attribute pairs,
-    * and whether the fact sat on the join's left. */
-  private final case class StarShape(join: Join, dimPlan: LogicalPlan,
-                                     pairs: Seq[(AttributeReference, AttributeReference)],
-                                     factLeft: Boolean)
+  /** The join-serving context: the fact-side join-key attributes (each must
+    * be an MV key) and the assembler that rebuilds the whole join tree with
+    * the fact subplan replaced by the (filtered) MV relation and every
+    * fact-attr occurrence in join conditions rebound to its MV column. */
+  private final case class StarShape(
+      factJoinAttrs: Seq[AttributeReference],
+      assemble: (LogicalPlan, String => Attribute) => LogicalPlan)
 
-  /** `SELECT d.attr, fact_aggs... FROM fact JOIN dim ON fact.k = dim.x
-    * [WHERE p(fact keys)] GROUP BY keys` serves from a fact MV whose keys
-    * cover the fact-side GROUPING columns AND the fact-side JOIN columns:
-    * every row of an MV group carries the same key tuple, hence the same
-    * join-key values, hence the SAME join multiplicity m_g — so joining the
-    * MV row instead of the group's rows scales each additive summary
+  /** `SELECT d.attr, fact_aggs... FROM fact JOIN dim1 ON fact.k1 = dim1.x
+    * [JOIN dim2 ...] [WHERE p(fact keys)] GROUP BY keys` serves from a fact
+    * MV whose keys cover the fact-side GROUPING columns AND every fact-side
+    * JOIN column, across ANY tree of INNER joins around the fact: every row
+    * of an MV group carries the same key tuple, hence the same join-key
+    * values, hence the SAME dim-side multiplicity m_g (however many dims
+    * there are, and whether they join the fact or each other) — so joining
+    * the MV row instead of the group's rows scales each additive summary
     * (n_rows, sum_c, nn_c) by exactly m_g, which is what the original join
     * does to the raw rows. COUNT/SUM re-roll as usual; AVG = Σm·sum/Σm·nn
     * cancels the multiplicity per group; MIN/MAX ignore multiplicity (an MV
     * group is never empty — refresh kills n_rows=0 groups). Aggregates over
     * DIM columns refuse (their values repeat n_rows times in the original
     * join — the summary cannot reproduce that); dim columns may only group.
-    * INNER joins only: outer joins produce null-padded rows whose
-    * multiplicity the MV cannot see. */
-  private def rewriteJoin(agg: Aggregate, join: Join,
-                          groupAttrs: Seq[AttributeReference],
-                          factLeft: Boolean): Option[Aggregate] = {
-    if (join.joinType != Inner) return None
-    val cond = join.condition.getOrElse(return None)
-    val (factPlan, dimPlan) =
-      if (factLeft) (join.left, join.right) else (join.right, join.left)
-    val (rel, table, conds) = peel(factPlan, Nil).getOrElse(return None)
-    if (conds.exists(!_.deterministic)) return None
-    val factOut = factPlan.outputSet
-    val dimOut = dimPlan.outputSet
-    // conjunction of fact-attr = dim-attr equalities, nothing else
+    * The joins on the PATH to the fact must be INNER with a condition
+    * (outer joins produce null-padded rows whose multiplicity the MV cannot
+    * see); join conditions touching a fact attribute must be plain
+    * fact = dim equalities; dim-internal joins and dim-only conjuncts ride
+    * through untouched. Two MV-bearing relations in one tree refuse
+    * (ambiguous fact). */
+  private def rewriteStar(agg: Aggregate, join: Join,
+                          groupAttrs: Seq[AttributeReference]): Option[Aggregate] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
-    val pairs = conjuncts(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if factOut.contains(a) && dimOut.contains(b) => (a, b)
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if factOut.contains(b) && dimOut.contains(a) => (b, a)
-      case _ => return None
+    // locate the unique MV-bearing fact leaf along a chain of INNER joins
+    // (attribute-only pruning Projects between joins are transparent);
+    // returns it plus its peeled fact-side filters and the tree rebuilder
+    def find(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTable,
+        Seq[Expression], LogicalPlan => LogicalPlan)] = peelProjects(plan) match {
+      case jn @ Join(l, r, Inner, Some(_), _) =>
+        (find(l), find(r)) match {
+          case (Some((rel, t, cs, rb)), None) =>
+            Some((rel, t, cs, nf => jn.copy(left = rb(nf))))
+          case (None, Some((rel, t, cs, rb))) =>
+            Some((rel, t, cs, nf => jn.copy(right = rb(nf))))
+          case _ => None // no fact here, or two MV-bearing relations
+        }
+      case other =>
+        peel(other, Nil).filter { case (rel, t, _) => candidates(rel, t).nonEmpty }
+          .map { case (rel, t, cs) => (rel, t, cs, (nf: LogicalPlan) => nf) }
     }
-    if (pairs.isEmpty) return None
-    // every grouping column must be a fact column (checked against MV keys
-    // inside serveFrom) or come straight from the dim side
-    if (!groupAttrs.forall(a => factOut.contains(a) || dimOut.contains(a))) return None
-    val shape = StarShape(join, dimPlan, pairs, factLeft)
+    val (rel, table, conds, rebuild) = find(join).getOrElse(return None)
+    if (conds.exists(!_.deterministic)) return None
+    val factSet = rel.outputSet
+    // every join-condition conjunct touching a FACT attribute must be a
+    // plain fact-attr = dim-attr equality; anything fact-free (dim-dim
+    // equalities, dim-only residual predicates) rides through untouched
+    var factJoinAttrs = List.empty[AttributeReference]
+    val condsOk = join.collect { case jn: Join => jn }.forall { jn =>
+      jn.condition.forall(c => conjuncts(c).forall {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if factSet.contains(a) && !factSet.contains(b) =>
+          factJoinAttrs ::= a; true
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if factSet.contains(b) && !factSet.contains(a) =>
+          factJoinAttrs ::= b; true
+        case other => other.references.forall(ref => !factSet.contains(ref))
+      })
+    }
+    if (!condsOk || factJoinAttrs.isEmpty) return None
+    // grouping columns resolve from the join output: fact ones are checked
+    // against MV keys inside serveFrom, dim ones ride through
+    if (!groupAttrs.forall(a => join.outputSet.contains(a))) return None
+    val shape = StarShape(factJoinAttrs,
+      (factChild, mvAttr) => rebuild(factChild).transformUp {
+        case jn: Join => jn.copy(condition = jn.condition.map(_.transformUp {
+          case a: AttributeReference if factSet.contains(a) => mvAttr(a.name)
+        }))
+      })
     candidates(rel, table).iterator
       .flatMap(n => serveFrom(agg, table, rel, n, groupAttrs, conds, Some(shape)))
       .nextOption()
@@ -235,7 +263,7 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     // join mode: every fact-side JOIN column must be an MV key — that is
     // what makes the per-group join multiplicity uniform
     star.foreach { s =>
-      if (!s.pairs.forall { case (f, _) => keys.contains(f.name.toLowerCase) }) bail()
+      if (!s.factJoinAttrs.forall(f => keys.contains(f.name.toLowerCase))) bail()
     }
 
     val mvRel = DataSourceV2Relation.create(mvTable, Some(catalog), Some(ident))
@@ -316,16 +344,12 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     val factChild =
       if (newConds.isEmpty) mvRel
       else Filter(newConds.reduce(And), mvRel)
-    // join mode: the dim side and the join node (type/hints) are kept
-    // verbatim — only the fact side swaps for the (filtered) MV, with the
-    // fact join keys rebound to the MV's key columns
+    // join mode: the dim sides and every join node (types/hints/dim-only
+    // conjuncts) are kept verbatim — only the fact subplan swaps for the
+    // (filtered) MV, with fact attrs in join conditions rebound to MV cols
     val newChild: LogicalPlan = star match {
-      case None => factChild
-      case Some(s) =>
-        val jc = s.pairs.map { case (f, d) => EqualTo(mvAttr(f.name), d): Expression }
-          .reduce(And)
-        if (s.factLeft) s.join.copy(left = factChild, condition = Some(jc))
-        else s.join.copy(right = factChild, condition = Some(jc))
+      case None    => factChild
+      case Some(s) => s.assemble(factChild, mvAttr)
     }
     logInfo(s"graft: serving aggregate over ${table.name()} from materialized " +
       s"view $mvName (watermark = snapshot ${table.currentSnapshot}" +

@@ -77,7 +77,7 @@ object Round21Queries {
 
   // --------------------------------------------------------------------------
   // q308: STAR-SCHEMA MV REWRITE (GraftMvRewrite join serving, r19) — the
-  // canonical dashboard rollup `fact ⋈ dim GROUP BY dim.attr` served from a
+  // canonical dashboard rollup `fact ⋈ dim1 ⋈ dim2 GROUP BY dim attrs` served from a
   // FACT-side MV: the fact join key is an MV key, so each MV group row joins
   // with exactly the multiplicity its source rows had and COUNT/SUM/AVG/MIN
   // re-roll exactly (MvRewriteSpec pins the plan scans the MV, not the
@@ -108,19 +108,27 @@ object Round21Queries {
     s.sql(s"DELETE FROM graft.lake.$t WHERE k % 13 = 0")
     s.sql(s"SELECT id AS b, concat('d', CAST(id AS STRING)) AS name FROM range(0, 15)")
       .createOrReplaceTempView(s"r308_dim_${sfTag(d)}")
+    // second dim on the OTHER MV key (4 of 5 m values): the two-dim star is
+    // the real dashboard shape, and the extra INNER multiplicity drop is
+    // part of the gate
+    s.sql(s"SELECT id AS m, concat('lbl', CAST(id AS STRING)) AS label FROM range(0, 4)")
+      .createOrReplaceTempView(s"r308_dim2_${sfTag(d)}")
     val agg =
-      s"""SELECT dd.name, COUNT(*) AS n, CAST(SUM(f.cents) AS BIGINT) AS total_c,
+      s"""SELECT dd.name, d2.label, COUNT(*) AS n,
+                 CAST(SUM(f.cents) AS BIGINT) AS total_c,
                  ROUND(AVG(f.cents), 2) AS avg_c, MIN(f.cents) AS min_c
-          FROM graft.lake.$t f JOIN r308_dim_${sfTag(d)} dd ON f.b = dd.b
-          WHERE f.m = 2 GROUP BY dd.name"""
+          FROM graft.lake.$t f
+          JOIN r308_dim_${sfTag(d)} dd ON f.b = dd.b
+          JOIN r308_dim2_${sfTag(d)} d2 ON f.m = d2.m
+          WHERE f.m >= 2 GROUP BY dd.name, d2.label"""
     import s.implicits._
     val pre = s.sql(agg).collect().toSeq
-      .map(r => ("pre_refresh", r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getLong(4)))
-      .toDF("era", "name", "n", "total_c", "avg_c", "min_c")
+      .map(r => ("pre_refresh", r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toDF("era", "name", "label", "n", "total_c", "avg_c", "min_c")
     s.sql(s"CALL graft.system.refresh_mv('lake.${t}_mv')")
     val post = s.sql(s"SELECT 'post_refresh' AS era, * FROM ($agg)")
-    pre.unionByName(post).orderBy("era", "name")
+    pre.unionByName(post).orderBy("era", "name", "label")
   }
 
   private val q308Sql =
@@ -131,15 +139,18 @@ object Round21Queries {
        final AS (SELECT * FROM base WHERE k % 13 <> 0),
        dim AS (SELECT b, 'd' || CAST(b AS VARCHAR) AS name
                FROM (SELECT UNNEST(RANGE(0, 15)) AS b)),
+       dim2 AS (SELECT m, 'lbl' || CAST(m AS VARCHAR) AS label
+                FROM (SELECT UNNEST(RANGE(0, 4)) AS m)),
        agg AS (
-         SELECT d.name, COUNT(*) AS n, CAST(SUM(f.cents) AS BIGINT) AS total_c,
+         SELECT d.name, d2.label, COUNT(*) AS n,
+                CAST(SUM(f.cents) AS BIGINT) AS total_c,
                 ROUND(AVG(f.cents), 2) AS avg_c, MIN(f.cents) AS min_c
-         FROM final f JOIN dim d ON f.b = d.b
-         WHERE f.m = 2 GROUP BY d.name)
-       SELECT eras.era, a.name, a.n, a.total_c, a.avg_c, a.min_c
+         FROM final f JOIN dim d ON f.b = d.b JOIN dim2 d2 ON f.m = d2.m
+         WHERE f.m >= 2 GROUP BY d.name, d2.label)
+       SELECT eras.era, a.name, a.label, a.n, a.total_c, a.avg_c, a.min_c
        FROM (SELECT 'pre_refresh' AS era UNION ALL SELECT 'post_refresh') eras
        CROSS JOIN agg a
-       ORDER BY eras.era, a.name"""
+       ORDER BY eras.era, a.name, a.label"""
 
   // --------------------------------------------------------------------------
   // q309: MOR UPSERT MINTS IDENTITY IDS (r19) — the continuous CDC-apply
@@ -202,10 +213,69 @@ object Round21Queries {
               TRUE AS batch_monotone, TRUE AS post_monotone
        FROM live GROUP BY 1 ORDER BY seg"""
 
+
+  // --------------------------------------------------------------------------
+  // q310: DELTA MERGE MINTS IDENTITY IDS (r19) — the q302 invariants on the
+  // MERGE-ON-READ UPDATE-MODE path: MERGE routes through the position-delta
+  // writer (GraftDeltaMerge), whose insert path allocates NULL identity ids
+  // (GraftIdentity.RowAllocator) and whose ONE delta commit (vector +
+  // append) advances the high-water via propCas. Updated rows carry their
+  // ids (delete+insert of the same carried value); inserted rows mint from
+  // the high-water; a post-merge sentinel proves the CAS advanced. Same
+  // invariant gating as q302 — uniqueness, grid, monotonicity — but the
+  // write volume is O(rows touched), not O(groups rewritten).
+  // --------------------------------------------------------------------------
+  private def q310(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r21_customer2_${sfTag(d)}"
+    T.customer(s, d).createOrReplaceTempView(src)
+    val t = s"r310_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t
+              (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 3),
+               k BIGINT, seg STRING, bal_c BIGINT) USING parquet
+              TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    s.sql(s"""INSERT INTO graft.lake.$t (k, seg, bal_c)
+      SELECT c_custkey, c_mktsegment, CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+      FROM $src WHERE c_custkey % 3 <> 0""")                     // wave 0
+    s.sql(s"""MERGE INTO graft.lake.$t tt
+      USING (SELECT c_custkey AS k, c_mktsegment AS seg,
+                    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_c FROM $src) ss
+      ON tt.k = ss.k
+      WHEN MATCHED THEN UPDATE SET bal_c = ss.bal_c + 11
+      WHEN NOT MATCHED THEN INSERT (k, seg, bal_c) VALUES (ss.k, ss.seg, ss.bal_c)""")
+    s.sql(s"INSERT INTO graft.lake.$t (k, seg, bal_c) VALUES (-1, 'S', 0), (-2, 'S', 0)")
+    s.sql(s"""WITH g AS (SELECT id, k, seg, bal_c FROM graft.lake.$t),
+         m AS (SELECT MAX(CASE WHEN k >= 0 THEN id END) AS data_max,
+                      MIN(CASE WHEN k < 0 THEN id END) AS sent_min,
+                      MAX(CASE WHEN k >= 0 AND k % 3 <> 0 THEN id END) AS wave0_max,
+                      MIN(CASE WHEN k >= 0 AND k % 3 = 0 THEN id END) AS minted_min
+               FROM g)
+       SELECT seg, COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids,
+              SUM(CASE WHEN id >= 100 AND (id - 100) % 3 = 0 THEN 1 ELSE 0 END) AS on_grid,
+              CAST(SUM(bal_c) AS BIGINT) AS total_c,
+              (SELECT COUNT(DISTINCT id) FROM g) AS all_distinct,
+              (SELECT minted_min > wave0_max FROM m) AS minted_monotone,
+              (SELECT sent_min > data_max FROM m) AS post_monotone
+       FROM g WHERE k >= 0 GROUP BY seg ORDER BY seg""")
+  }
+
+  private val q310Sql =
+    """SELECT c_mktsegment AS seg, COUNT(*) AS n, COUNT(*) AS n_ids,
+              COUNT(*) AS on_grid,
+              CAST(SUM(CASE WHEN c_custkey % 3 <> 0
+                            THEN CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 11
+                            ELSE CAST(FLOOR(c_acctbal * 100) AS BIGINT) END)
+                   AS BIGINT) AS total_c,
+              (SELECT COUNT(*) + 2 FROM customer) AS all_distinct,
+              TRUE AS minted_monotone, TRUE AS post_monotone
+       FROM customer GROUP BY 1 ORDER BY seg"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q306_bottomk_segment_pruning", q306, Some(q306Sql)),
     QDef("q307_filtered_topk_pruning", q307, Some(q307Sql)),
     QDef("q308_mv_join_rewrite", q308, Some(q308Sql)),
     QDef("q309_mor_upsert_identity", q309, Some(q309Sql)),
+    QDef("q310_mor_merge_identity", q310, Some(q310Sql)),
   )
 }

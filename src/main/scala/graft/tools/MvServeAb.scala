@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
 object MvServeAb {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional fact multiplier: lands `waves` offset copies of orders, so
+    // the probe separates O(table) from O(groups) even where one orders
+    // scan is fixed-overhead-dominated (sf0.1 reads ~0.5 s both ways)
+    val waves = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,10 +32,14 @@ object MvServeAb {
     graft.Tables.orders(spark, sfDir).createOrReplaceTempView("ab_orders")
 
     spark.sql("CREATE TABLE gmv.ns.fact (k BIGINT, b BIGINT, m BIGINT, cents BIGINT) USING parquet")
-    spark.sql("""INSERT INTO gmv.ns.fact
-      SELECT o_orderkey, o_custkey % 17, o_orderkey % 5,
-             CAST(FLOOR(o_totalprice * 100) AS BIGINT)
-      FROM ab_orders""")
+    (0 until waves).foreach { w =>
+      spark.sql(s"""INSERT INTO gmv.ns.fact
+        SELECT o_orderkey + ${w * 1000000000L}, o_custkey % 17, o_orderkey % 5,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM ab_orders""")
+    }
+    val factRows = spark.sql("SELECT COUNT(*) FROM gmv.ns.fact").collect().head.getLong(0)
+    println(s"[mv-ab] fact rows: $factRows (waves=$waves), groups: 85 (17x5)")
     spark.sql("CALL gmv.system.create_mv('ns.fact_mv', 'ns.fact', " +
       "keys => 'b,m', sums => 'cents', mins => 'cents', maxs => 'cents')")
 

@@ -93,22 +93,47 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(sql("SELECT * FROM gidn.ns.t4").schema.fieldNames.toSeq === Seq("id", "val"))
   }
 
-  test("unsupported surfaces refuse at the door: MOR UPDATE mode (delta MERGE has no allocator)") {
+  test("merge-on-read surfaces allocate (r19): delta MERGE mints, MOR delete composes") {
     root
-    intercept[Exception] {
-      sql("""CREATE TABLE gidn.ns.t7
-             (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING parquet
-             TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    // update-mode=mor: MERGE takes the position-delta path, whose insert
+    // writer mints for NULL ids and advances the high-water on the same
+    // delta commit (GraftIdentity.RowAllocator inside GraftDeltaWriter)
+    sql("DROP TABLE IF EXISTS gidn.ns.t7")
+    sql("""CREATE TABLE gidn.ns.t7
+           (id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+            k BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gidn.ns.t7 (k, v) SELECT id, id * 10 FROM range(5)") // ids 10..18
+    sql("""MERGE INTO gidn.ns.t7 t
+           USING (SELECT 1L AS k, 111L AS v UNION ALL SELECT 100L, 1000L
+                  UNION ALL SELECT 101L, 1010L) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val rows = sql("SELECT id, k, v FROM gidn.ns.t7").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 7, rows.sorted.toSeq.toString)
+    val ids = rows.map(_._1)
+    assert(ids.distinct.length === 7, s"delta-minted ids must be unique: ${ids.sorted.toSeq}")
+    assert(ids.forall(i => i >= 10 && (i - 10) % 2 == 0), s"grid: ${ids.sorted.toSeq}")
+    // the matched row kept its id (updated IN PLACE via delete+insert of the
+    // same carried id) and took the new value
+    assert(rows.filter(_._2 == 1L).map(_._3).toSeq === Seq(111L))
+    assert(rows.filter(_._2 >= 100L).forall(_._1 >= 20L),
+      s"minted ids allocate from the high-water (20): ${rows.sorted.toSeq}")
+    // same commit advanced the high-water: a later INSERT cannot collide
+    sql("INSERT INTO gidn.ns.t7 (k, v) VALUES (200, 2000)")
+    val all = sql("SELECT id FROM gidn.ns.t7").collect().map(_.getLong(0))
+    assert(all.distinct.length === 8, s"post-merge insert collided: ${all.sorted.toSeq}")
+    // ALWAYS still refuses an explicit at/beyond-water id inside the delta
+    val e = intercept[Exception] {
+      sql("""MERGE INTO gidn.ns.t7 t USING (SELECT 300L AS k, 1L AS v) s ON t.k = s.k
+             WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (99999, s.k, s.v)""")
     }
-    // ALTER refuses the same transition on an existing identity table
-    sql("DROP TABLE IF EXISTS gidn.ns.t7b")
-    sql("""CREATE TABLE gidn.ns.t7b
-           (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING parquet""")
-    intercept[Exception] {
-      sql("ALTER TABLE gidn.ns.t7b SET TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')")
-    }
-    // merge-on-read DELETE mode is supported since r19 (MOR deletes append
-    // nothing; the upsert procedure mints — see the r19 upsert test)
+    assert(e.getMessage != null)
+    assert(sql("SELECT COUNT(*) FROM gidn.ns.t7 WHERE k = 300").collect()
+      .head.getLong(0) === 0L, "the refused delta merge must publish nothing")
+    // delete-mode=mor composes: MOR deletes append nothing
     sql("DROP TABLE IF EXISTS gidn.ns.t7c")
     sql("""CREATE TABLE gidn.ns.t7c
            (id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING parquet
@@ -499,6 +524,18 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(e2.getMessage.contains("GENERATED ALWAYS"), e2.getMessage)
     assert(sql("SELECT id FROM gidn.ns.n1 ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === before, "a refused statement changes nothing")
+    // the DELTA (merge-on-read update-mode) rewrite refuses the same way —
+    // its MergeRows ride under WriteDelta, not ReplaceData
+    sql("DROP TABLE IF EXISTS gidn.ns.n1d")
+    sql("""CREATE TABLE gidn.ns.n1d
+           (id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gidn.ns.n1d (k, v) VALUES (1, 10)")
+    val e3 = intercept[Exception] {
+      sql("""MERGE INTO gidn.ns.n1d t USING (SELECT 1L AS k) s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET id = NULL""")
+    }
+    assert(e3.getMessage.contains("GENERATED ALWAYS"), e3.getMessage)
     // BY DEFAULT keeps the documented mint-on-NULL behavior (the user owns
     // the column; re-keying is an expressible intent there)
     sql("DROP TABLE IF EXISTS gidn.ns.n2")

@@ -183,6 +183,47 @@ class MvRewriteSpec extends SparkSpec {
     assert(rows(q3) === control(q3))
   }
 
+  test("multi-dim star and snowflake serve from the fact MV (r19)") {
+    mk() // s1 with mv1, keys (b, m)
+    sql("DROP TABLE IF EXISTS gmr.ns.dim1")
+    sql("CREATE TABLE gmr.ns.dim1 (b BIGINT, name STRING, w BIGINT) USING parquet")
+    sql("INSERT INTO gmr.ns.dim1 SELECT id, concat('b', CAST(id AS STRING)), id % 3 FROM range(0, 4)")
+    sql("DROP TABLE IF EXISTS gmr.ns.dim2")
+    sql("CREATE TABLE gmr.ns.dim2 (m BIGINT, label STRING) USING parquet")
+    sql("INSERT INTO gmr.ns.dim2 SELECT id, concat('m', CAST(id AS STRING)) FROM range(0, 2)")
+    // star: both fact join keys are MV keys
+    val q = """SELECT d1.name, d2.label, COUNT(*) AS n, SUM(f.amt) AS s
+               FROM gmr.ns.s1 f
+               JOIN gmr.ns.dim1 d1 ON f.b = d1.b
+               JOIN gmr.ns.dim2 d2 ON f.m = d2.m
+               GROUP BY d1.name, d2.label ORDER BY d1.name, d2.label"""
+    val df = sql(q)
+    assert(scans(df, "mv1") && !scans(df, "s1"),
+      s"two-dim star must serve from the MV:\n${df.queryExecution.executedPlan}")
+    assert(rows(q) === control(q))
+    // snowflake: dim2 hangs off dim1 (a dim-dim equality never touches the
+    // fact — it rides through the rewrite untouched)
+    val q2 = """SELECT d2.label, COUNT(*) AS n, SUM(f.amt) AS s
+                FROM gmr.ns.s1 f
+                JOIN gmr.ns.dim1 d1 ON f.b = d1.b
+                JOIN gmr.ns.dim2 d2 ON d1.w = d2.m
+                GROUP BY d2.label ORDER BY d2.label"""
+    val df2 = sql(q2)
+    assert(scans(df2, "mv1") && !scans(df2, "s1"),
+      s"snowflake must serve from the MV:\n${df2.queryExecution.executedPlan}")
+    assert(rows(q2) === control(q2))
+    // one NON-key fact join in the tree refuses the whole candidate
+    val q3 = """SELECT d1.name, COUNT(*) AS n
+                FROM gmr.ns.s1 f
+                JOIN gmr.ns.dim1 d1 ON f.b = d1.b
+                JOIN gmr.ns.dim2 d2 ON f.k = d2.m
+                GROUP BY d1.name ORDER BY d1.name"""
+    val df3 = sql(q3)
+    assert(scans(df3, "s1") && !scans(df3, "mv1"),
+      s"a non-key fact join anywhere must refuse:\n${df3.queryExecution.executedPlan}")
+    assert(rows(q3) === control(q3))
+  }
+
   test("star-shape refusals: non-key join, dim-side aggregate, outer join") {
     mk()
     sql("DROP TABLE IF EXISTS gmr.ns.dimr")
