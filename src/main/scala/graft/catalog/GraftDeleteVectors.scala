@@ -121,6 +121,20 @@ private[catalog] object GraftDv {
       finally s.close()
     }.sorted
 
+  /** Footer-only TOTAL row count across a dv dir's parquet files — no data
+    * pages read, O(files) metadata. The plan-time upper bound top-k pruning
+    * subtracts from the row-count guarantee of every segment the dv
+    * touches. -1 = a file was unreadable (treat the dir as unbounded). */
+  def rowCountUpperBound(tableDir: Path, dvDir: String): Long = try {
+    listDvFiles(tableDir, Seq(dvDir)).map { f =>
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration()))
+      try fr.getRecordCount finally fr.close()
+    }.sum
+  } catch { case scala.util.control.NonFatal(_) => -1L }
+
   /** EXECUTOR-side lazy position load: ONE file's deleted row indexes
     * (`key` = `seg/file`), taken from the dv parquet files read with
     * parquet-mr directly (no SparkSession on executors). This replaces the

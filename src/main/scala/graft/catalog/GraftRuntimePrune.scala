@@ -187,7 +187,24 @@ private[catalog] final class GraftRuntimePrune(
             else Some((f.name, Seq(And(
               GreaterThanOrEqual(attr, nums.minBy(_._1)._2),
               LessThanOrEqual(attr, nums.maxBy(_._1)._2))), false))
-          } else None // huge non-numeric set: keep everything
+          } else if (f.dataType == StringType) {
+            // large STRING set (r19): collapse to the values' byte-wise
+            // [min, max] — mayMatch brackets string zone bounds soundly
+            // (non-ASCII bounds conservatively keep), so one range probe
+            // per segment still prunes layouts that separate string keys
+            val strs = vals.flatMap(lv => lv.value match {
+              case u: org.apache.spark.unsafe.types.UTF8String => Some(u)
+              case _ => None
+            })
+            if (strs.length != vals.length) None
+            else {
+              val ord = Ordering.fromLessThan[org.apache.spark.unsafe.types.UTF8String](
+                (a, b) => a.compareTo(b) < 0)
+              Some((f.name, Seq(And(
+                GreaterThanOrEqual(attr, Literal(strs.min(ord), StringType)),
+                LessThanOrEqual(attr, Literal(strs.max(ord), StringType)))), false))
+            }
+          } else None // huge non-orderable set: keep everything
         }
       }
     if (conds.isEmpty) return

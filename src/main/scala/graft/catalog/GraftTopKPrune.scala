@@ -49,8 +49,11 @@ import org.apache.spark.sql.types._
   *   - the accumulated non-null guarantee must reach k, else no rewrite;
   *   - statless segments contribute nothing to τ (they can only make it
   *     weaker) and are never zone-pruned by the injected filter;
-  *   - DELETE VECTORS void the row-count guarantees (stats count vectored
-  *     rows) — any DV on the current snapshot disables the rule;
+  *   - DELETE VECTORS weaken rather than void (r19): stats count vectored
+  *     rows, so each dv's footer-only TOTAL row count subtracts from every
+  *     segment it touches before the guarantee accumulates — top-k keeps
+  *     pruning on a continuously-updated MOR corpus, with τ conservatively
+  *     shallower; > 16 dv dirs fall back to the full scan;
   *   - integral/date/timestamp sort columns only (the zone long domain);
   *   - the derived bound must STRICTLY tighten the interval, so the
   *     fixed-point optimizer converges after one injection (re-deriving τ
@@ -159,12 +162,27 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
     val meta = table.metaAtLoad
     val segs = meta.snapshots.getOrElse(meta.current, Nil)
     if (segs.isEmpty) return None
-    // delete vectors void the row-count guarantees (stats include vectored rows)
-    if (GraftDv.forSegments(meta, meta.current, segs).nonEmpty) return None
+    // delete vectors WEAKEN the row-count guarantees instead of voiding the
+    // rewrite (r19): each dv dir's TOTAL row count (parquet footers only,
+    // zero data IO) subtracts from EVERY segment it touches — a vector
+    // spanning several segments over-subtracts, which only shrinks τ's
+    // reach, never unsounds it (and nulls among deleted rows likewise).
+    // Bounded: > 16 dv dirs (an uncompacted delete storm) keeps the old
+    // full-scan fallback rather than paying per-plan footer reads.
+    val dvs = GraftDv.forSegments(meta, meta.current, segs)
+    val dvPenalty: Map[String, Long] =
+      if (dvs.isEmpty) Map.empty
+      else {
+        val dirs = dvs.values.flatten.toSeq.distinct
+        if (dirs.size > 16) return None
+        val counts = dirs.map(d => d -> GraftDv.rowCountUpperBound(table.dir, d)).toMap
+        if (counts.values.exists(_ < 0)) return None
+        dvs.map { case (seg, ds) => seg -> ds.map(counts).sum }
+      }
 
-    // (min, max, guaranteed non-null count) per stats-bearing segment; only
-    // segments FULLY INSIDE the filter interval keep all their non-null
-    // rows through the filter, so only they may vouch for τ
+    // (min, max, guaranteed non-null LIVE count) per stats-bearing segment;
+    // only segments FULLY INSIDE the filter interval keep all their
+    // non-null rows through the filter, so only they may vouch for τ
     val guarantees = segs.flatMap { s =>
       for {
         enc <- meta.zstats.get(s)
@@ -173,7 +191,7 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
         mn <- c.min.flatMap(v => scala.util.Try(v.toLong).toOption)
         mx <- c.max.flatMap(v => scala.util.Try(v.toLong).toOption)
         if lo <= mn && mx <= hi
-      } yield (mn, mx, st.rows - c.nulls)
+      } yield (mn, mx, st.rows - c.nulls - dvPenalty.getOrElse(s, 0L))
     }
     val ranked =
       if (descending) guarantees.sortBy(_._1)(Ordering[Long].reverse)

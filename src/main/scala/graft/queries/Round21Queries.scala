@@ -271,11 +271,50 @@ object Round21Queries {
               TRUE AS minted_monotone, TRUE AS post_monotone
        FROM customer GROUP BY 1 ORDER BY seg"""
 
+
+  // --------------------------------------------------------------------------
+  // q311: DV-AWARE TOP-K PRUNING (r19) — `ORDER BY cents DESC LIMIT k` on a
+  // MERGE-ON-READ table AFTER a delete wave: delete vectors now WEAKEN the
+  // zone-stat guarantees (each dv's footer-only row count subtracts from
+  // every segment it touches) instead of disabling the rewrite, so the τ
+  // cut keeps working on a continuously-curated corpus — "the k best
+  // documents, deletions applied" without a full scan. The delete guts the
+  // top price band, so the correct top-k CROSSES segments: the hash gate
+  // proves the weakened τ never cuts a surviving top-k row.
+  // --------------------------------------------------------------------------
+  private def q311(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r21_orders_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r311_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"""CREATE TABLE graft.lake.$t (k BIGINT, cents BIGINT) USING parquet
+              TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    Seq("o_totalprice < 100000",
+        "o_totalprice >= 100000 AND o_totalprice < 300000",
+        "o_totalprice >= 300000").foreach { band =>
+      s.sql(s"""INSERT INTO graft.lake.$t
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM $src WHERE $band""")
+    }
+    // gut most of the top band: the true top-100 now crosses into band 2
+    s.sql(s"DELETE FROM graft.lake.$t WHERE cents >= 31000000 OR k % 7 = 0")
+    s.sql(s"SELECT k, cents FROM graft.lake.$t ORDER BY cents DESC, k LIMIT 100")
+  }
+
+  private val q311Sql =
+    """SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+       FROM orders
+       WHERE NOT (CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= 31000000
+                  OR o_orderkey % 7 = 0)
+       ORDER BY cents DESC, k LIMIT 100"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q306_bottomk_segment_pruning", q306, Some(q306Sql)),
     QDef("q307_filtered_topk_pruning", q307, Some(q307Sql)),
     QDef("q308_mv_join_rewrite", q308, Some(q308Sql)),
     QDef("q309_mor_upsert_identity", q309, Some(q309Sql)),
     QDef("q310_mor_merge_identity", q310, Some(q310Sql)),
+    QDef("q311_topk_under_deletes", q311, Some(q311Sql)),
   )
 }

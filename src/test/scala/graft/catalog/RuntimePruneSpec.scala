@@ -156,6 +156,34 @@ class RuntimePruneSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
   }
 
+  test("a LARGE string build side collapses to one sound range probe (r19)") {
+    root
+    sql("DROP TABLE IF EXISTS grt.ns.factl")
+    sql("DROP TABLE IF EXISTS grt.ns.diml")
+    sql("CREATE TABLE grt.ns.factl (k BIGINT, region STRING, v BIGINT) USING parquet")
+    // 8 segments with zero-padded DISJOINT string ranges r0000.. r7999
+    (0 until 8).foreach { w =>
+      sql(s"""INSERT INTO grt.ns.factl
+              SELECT id, concat('r', lpad(CAST(id AS STRING), 4, '0')), id % 100
+              FROM range(${w * 1000}, ${w * 1000 + 1000})""")
+    }
+    sql("CREATE TABLE grt.ns.diml (region STRING, pad BIGINT) USING parquet")
+    // the SELECTIVE dim filter (pad = 1) still keeps > 256 distinct build
+    // values, all within segments 2 and 3's ranges: the exact-probe budget
+    // overflows, the collapse probes [min,max] per segment instead — still
+    // pruning the other six
+    sql("""INSERT INTO grt.ns.diml
+           SELECT concat('r', lpad(CAST(id AS STRING), 4, '0')),
+                  CASE WHEN id BETWEEN 2500 AND 3499 THEN 1 ELSE 0 END
+           FROM range(0, 8000)""")
+    val q = """SELECT COUNT(*) AS n FROM grt.ns.factl f
+               JOIN grt.ns.diml m ON f.region = m.region WHERE m.pad = 1"""
+    assert(sql(q).collect().head.getLong(0) === 1000L)
+    val read = scanRows(sql(q), "factl")
+    assert(read === 2000L,
+      s"the collapsed string range must keep only segments 2-3, read $read")
+  }
+
   test("an unprunable runtime predicate keeps every segment (no false pruning)") {
     mk()
     // every segment contains v values across the full range — zone bounds on

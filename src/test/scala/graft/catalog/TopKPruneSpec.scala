@@ -130,16 +130,24 @@ class TopKPruneSpec extends SparkSpec {
       "SELECT score FROM gtk.ns.t2 WHERE k % 2 = 0 ORDER BY score DESC LIMIT 5")).size === 8)
     // k larger than the table keeps everything (and stays correct)
     assert(sql("SELECT score FROM gtk.ns.t2 ORDER BY score DESC LIMIT 100000").count() === 8000L)
-    // DELETE VECTORS void the guarantees: the top segment's rows may be gone
+    // DELETE VECTORS weaken the guarantees (r19): the gutted top segment
+    // vouches for only its LIVE rows (rows - footer-counted dv positions),
+    // so τ reaches into the next segment — and the cross-segment answer
+    // stays exact while segments below τ still prune
     sql("DROP TABLE IF EXISTS gtk.ns.t3")
     sql("""CREATE TABLE gtk.ns.t3 (k BIGINT, score BIGINT) USING parquet
            TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
     (0 until 4).foreach { w =>
       sql(s"INSERT INTO gtk.ns.t3 SELECT id, id FROM range(${w * 1000}, ${w * 1000 + 1000})")
     }
-    sql("DELETE FROM gtk.ns.t3 WHERE score >= 3005") // guts the top segment
+    sql("DELETE FROM gtk.ns.t3 WHERE score >= 3005") // guts the top segment: 5 live
     val top = sql("SELECT score FROM gtk.ns.t3 ORDER BY score DESC LIMIT 10")
     assert(top.collect().map(_.getLong(0)).toSeq === (2995L to 3004L).reverse,
-      "with DVs the rule must not prune — the answer crosses segments")
+      "the DV-weakened τ must still produce the exact cross-segment answer")
+    // the weakened τ (top segment vouches 5 of k=10 → τ = seg2's min 2000)
+    // was INJECTED: the optimized plan carries the composed bound
+    val opt = top.queryExecution.optimizedPlan.toString
+    assert(opt.contains(">= 2000"),
+      s"expected the DV-weakened τ=2000 filter in the plan:\n$opt")
   }
 }
