@@ -184,6 +184,38 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     // a staged CTAS's table is INVISIBLE until commitStagedChanges clears
     // the marker — atomic CREATE means no reader ever observes the half
     if (GraftStaging.isStaged(t.metaAtLoad.props)) throw new NoSuchTableException(ident)
+    // LEGACY zc-suffix ambiguity gate (r20): segments written BEFORE the
+    // encodeString zc-escape with a string partition value literally
+    // matching `zc<digits>` keep the raw suffix, which today's parsers read
+    // as a z-order CELL TAIL — partition-scoped reads/DML would permanently
+    // miss them while new writes of the same value land under the escaped
+    // form (%7Ac...), silently diverging. A cell tail is only legitimate on
+    // a table that has clustered (the rewrite persists its routing spec),
+    // so a PARTITIONED, never-clustered table carrying one is exactly the
+    // legacy ambiguity: refuse loudly with the remediation instead of
+    // serving a silently incomplete partition view. Cost: string checks
+    // over the current segment list, only on partitioned tables.
+    {
+      val meta = t.metaAtLoad
+      if (meta.props.contains(GraftTable.PartitionByProp) &&
+          !meta.props.contains(GraftZOrder.ColsProp)) {
+        meta.snapshots.getOrElse(meta.current, Nil)
+          .flatMap(GraftPartitions.suffixOf)
+          .find(GraftPartitions.hasCellTail)
+          .foreach { sfx =>
+            throw new IllegalStateException(
+              s"graft: table ${ident} carries segment suffix '$sfx', which " +
+                "parses as a z-order cell tail, but the table has never been " +
+                "clustered — this is a pre-escape segment whose string " +
+                "partition value literally matches 'zc<digits>' (today's " +
+                "writers escape it as %7Ac...). Partition-scoped reads and " +
+                "DML would silently miss it. Remediate: rename the segment " +
+                "directory to the canonical escaped suffix (zc... -> %7Ac...) " +
+                "and update its name in _graft_commits/<current>, or copy the " +
+                "data out via VERSION AS OF and recreate the table")
+          }
+      }
+    }
     t
   }
 
@@ -1410,7 +1442,17 @@ private[catalog] final case class GraftMeta(
     // per-snapshot DELETE VECTORS: snapshot → (segment → dv dirs applied to
     // it). Snapshots absent from the map carry none; a segment leaving a
     // snapshot drops its vectors with it (see dvsAfter).
-    dvs: Map[Long, Map[String, Seq[String]]] = Map.empty) {
+    dvs: Map[Long, Map[String, Seq[String]]] = Map.empty,
+    // PER-SEGMENT deleted-position counts of each dv dir (r20), recorded at
+    // DV commit time when the writer has them in hand (it always does — the
+    // per-seg grouping feeds the touched set anyway): dv name → segment →
+    // positions deleted there. Top-k pruning subtracts these EXACT counts
+    // from each segment's guarantee instead of the dv's footer TOTAL (which
+    // over-subtracts every touched segment). Advisory only — correctness
+    // never depends on an entry being present; absent/pre-r20 dvs fall back
+    // to the footer bound. Entries whose dv left every snapshot are dropped
+    // at render.
+    dvCounts: Map[String, Map[String, Long]] = Map.empty) {
 
   /** The schema every FILE READ of this table's data must use: name-resolved
     * (field ids stripped) until RENAME COLUMN flips the table to id
@@ -1466,6 +1508,7 @@ private[catalog] object GraftMeta {
     val named = Map.newBuilder[String, Long]
     val times = Map.newBuilder[Long, Long]
     val dvs = Map.newBuilder[Long, Map[String, Seq[String]]]
+    val dvCounts = Map.newBuilder[String, Map[String, Long]]
     lines.foreach {
       case l if l.startsWith("schema=") =>
         schema = DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType]
@@ -1487,13 +1530,20 @@ private[catalog] object GraftMeta {
           l.takeWhile(_ != '=').drop(1).forall(_.isDigit) =>
         val Array(id, enc) = l.split("=", 2)
         dvs += id.drop(1).toLong -> GraftDv.decode(enc)
+      case l if l.startsWith("v.") && l.contains("=") =>
+        // v.<dvName>=seg:count,... — per-segment deleted-position counts
+        val Array(dv, enc) = l.drop(2).split("=", 2)
+        dvCounts += dv -> enc.split(',').filter(_.nonEmpty).map { e =>
+          val i = e.lastIndexOf(':')
+          e.substring(0, i) -> e.substring(i + 1).toLong
+        }.toMap
       case l if l.startsWith("s") && l.contains("=") =>
         val Array(id, dirs) = l.split("=", 2)
         snaps += id.drop(1).toLong -> (if (dirs.isEmpty) Nil else dirs.split(",").toSeq)
       case _ => ()
     }
     GraftMeta(schema, current, snaps.result(), props.result(), zstats.result(),
-      named.result(), times.result(), dvs.result())
+      named.result(), times.result(), dvs.result(), dvCounts.result())
   }
 
   private def render(meta: GraftMeta): String = {
@@ -1515,6 +1565,16 @@ private[catalog] object GraftMeta {
     }
     meta.dvs.toSeq.sortBy(_._1).foreach { case (id, m) =>
       if (m.nonEmpty) body ++= s"d$id=${GraftDv.encode(m)}\n"
+    }
+    // per-segment dv counts: only for dvs some snapshot still references —
+    // expiry/compaction GC'ing a vector drops its counts at the next render
+    if (meta.dvCounts.nonEmpty) {
+      val referenced = meta.dvs.values.iterator.flatMap(_.values).flatten.toSet
+      meta.dvCounts.toSeq.filter(e => referenced(e._1)).sortBy(_._1)
+        .foreach { case (dv, counts) =>
+          val enc = counts.toSeq.sorted.map { case (s, n) => s"$s:$n" }.mkString(",")
+          body ++= s"v.$dv=$enc\n"
+        }
     }
     meta.snapshots.toSeq.sortBy(_._1).foreach { case (id, dirs) =>
       body ++= s"s$id=${dirs.mkString(",")}\n"
@@ -1766,7 +1826,13 @@ private[catalog] object GraftMeta {
                                 namedKey: Option[String] = None,
                                 expectedCurrent: Option[Long] = None,
                                 propsUpdate: Map[String, String] = Map.empty,
-                                propCas: Seq[(String, String, String)] = Nil): Boolean = {
+                                propCas: Seq[(String, String, String)] = Nil,
+                                // per-segment deleted-position counts (r20):
+                                // the writer grouped positions by segment to
+                                // derive `touched` anyway — recording the
+                                // counts keeps top-k pruning's τ exact under
+                                // delete waves (advisory; Map.empty = legal)
+                                dvSegCounts: Map[String, Long] = Map.empty): Boolean = {
     touchSegment(tableDir, dvName) // mtime = commit time, for the orphan sweep
     newSegments.foreach { case (s, _) => touchSegment(tableDir, s) }
     var applied = true
@@ -1779,12 +1845,19 @@ private[catalog] object GraftMeta {
             s"graft: concurrent commit detected (write based on snapshot $base, " +
               s"current is ${meta.current}); retry the operation"))
         // property CAS riders (identity high-water advancement) — same
-        // contract as commitMany's: checked after the named-replay gate
+        // contract as commitMany's: checked after the named-replay gate.
+        // TYPED retryable (r20): this commit path's callers (upsert, MERGE
+        // delta) retry on GraftConcurrentCommitException only — an
+        // IllegalArgumentException here would advertise "retry the write"
+        // to loops that never would (reachable the day a caller passes
+        // expectedCurrent = None, whose stronger check otherwise fires
+        // first).
         propCas.foreach { case (k, expected, _) =>
-          require(meta.props.get(k).contains(expected),
-            s"graft: concurrent allocation detected on '$k' (allocated from " +
-              s"$expected, committed value is ${meta.props.getOrElse(k, "<absent>")}); " +
-              "retry the write")
+          if (!meta.props.get(k).contains(expected))
+            throw new GraftConcurrentCommitException(
+              s"graft: concurrent allocation detected on '$k' (allocated from " +
+                s"$expected, committed value is ${meta.props.getOrElse(k, "<absent>")}); " +
+                "retry the write")
         }
         val dirs = meta.snapshots.getOrElse(meta.current, Nil)
         val cur = meta.dvs.getOrElse(meta.current, Map.empty)
@@ -1807,6 +1880,9 @@ private[catalog] object GraftMeta {
           committedNamed = namedKey.fold(meta.committedNamed)(k =>
             meta.committedNamed + (k -> next)),
           dvs = meta.dvs + (next -> nextDvs),
+          dvCounts =
+            if (dvSegCounts.isEmpty) meta.dvCounts
+            else meta.dvCounts + (dvName -> dvSegCounts),
           // rides the same CAS: a caller whose bookkeeping must advance
           // WITH its data (the MV refresh watermark, the identity
           // high-water) stays atomic
@@ -2602,7 +2678,9 @@ private[catalog] final class GraftPruningScanBuilder(
         tableDir, tableName, tableSchema, options)
     case None =>
       val (committedRows, colStats) = committedStats()
-      val exactRows = stringRangeRefined(committedRows)
+      // EXACT committed rows, unless a pushed string range demoted the
+      // count to the prefix-uniformity ESTIMATE below (hence the name)
+      val reportedRows = stringRangeRefined(committedRows)
       val scan = inner.build()
       // segment-pinned reads (the CDC row-delta primitive) and branch reads
       // never advertise runtime pruning: they already name their exact
@@ -2611,7 +2689,7 @@ private[catalog] final class GraftPruningScanBuilder(
       val special = options.containsKey("graft.segments") ||
         options.containsKey("graft.branch")
       new GraftStreamableScan(scan, tableDir, tableName, tableSchema,
-        options, exactRows, colStats,
+        options, reportedRows, colStats,
         GraftSpj.plan(spjFields, spjSpecId, live, scan.readSchema()),
         runtime = if (special) None else Some(runtimePrune(scan.readSchema())))
   }
@@ -2688,7 +2766,12 @@ private[catalog] final class GraftPruningScanBuilder(
           }
         }
       }
-      st.rows * frac
+      // per-segment CLAMP (r20): the byte-prefix model assumes uniformity —
+      // clustered string data (one hot prefix) can collapse the overlap to
+      // near zero, and an under-estimate flips broadcast/join decisions the
+      // other direction with no recovery. 1/64 of the segment matches the
+      // histogram-bin granularity the CBO's other estimates bottom out at.
+      st.rows * math.max(frac, 1.0 / 64)
     }.sum
     Some(math.max(1L, math.round(est)))
   }
@@ -2737,10 +2820,12 @@ private[catalog] final case class GraftColStats(
 private[catalog] final class GraftStreamableScan(
     inner: Scan, tableDir: Path, tableName: String, tableSchema: StructType,
     options: CaseInsensitiveStringMap,
-    // commit-harvested EXACT statistics for the segments this scan covers
-    // (zone stats + opt-in NDV sketches) — reported to the planner so the
-    // broadcast threshold and CBO see truth, not size heuristics
-    exactRows: Option[Long] = None,
+    // commit-harvested statistics for the segments this scan covers (zone
+    // stats + opt-in NDV sketches) — reported to the planner so the
+    // broadcast threshold and CBO see truth, not size heuristics. EXACT
+    // unless a pushed string range refined the count into an estimate
+    // (stringRangeRefined), hence the honest name (r20).
+    reportedRows: Option[Long] = None,
     colStats: () => Map[String, GraftColStats] = () => Map.empty,
     // storage-partitioned-join plan (GraftSpj): present iff every visible
     // segment's partition key is plan-time-known and no key column was pruned
@@ -2805,7 +2890,7 @@ private[catalog] final class GraftStreamableScan(
       override def sizeInBytes(): java.util.OptionalLong =
         passthrough.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
       override def numRows(): java.util.OptionalLong =
-        exactRows.map(java.util.OptionalLong.of).orElse(passthrough.map(_.numRows()))
+        reportedRows.map(java.util.OptionalLong.of).orElse(passthrough.map(_.numRows()))
           .getOrElse(java.util.OptionalLong.empty())
       private lazy val memo = colStats() // sketch unions run at most once
       override def columnStats(): java.util.Map[

@@ -347,13 +347,15 @@ private[catalog] final class GraftDeltaBatchWrite(
             spark.sparkContext.parallelize(rows, 1), dvSchema)
             .write.parquet(tableDir.resolve(dvName).toString)
           val touched = rows.map(_.getString(0)).toSet
+          val perSeg = rows.groupBy(_.getString(0))
+            .map { case (s, rs) => s -> rs.size.toLong }
           try {
             GraftMeta.commitAddDeletesAndAppend(tableDir, dvName, touched,
               baseDvs = GraftDv.forSegments(metaAtLoad, metaAtLoad.current,
                 touched.toSeq),
               newSegments = segments,
               expectedCurrent = Some(metaAtLoad.current),
-              propCas = idRiders)
+              propCas = idRiders, dvSegCounts = perSeg)
           } catch {
             case e: Throwable =>
               scala.util.Try(GraftMeta.deleteRecursively(tableDir.resolve(dvName)))

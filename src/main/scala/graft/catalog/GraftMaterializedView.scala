@@ -382,7 +382,8 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
         GraftMeta.commitAddDeletesAndAppend(mvDir, dvName, perSeg.keySet,
           baseDvs = GraftDv.forSegments(meta, meta.current, segs),
           newSegments = newSegments, namedKey = namedKey,
-          expectedCurrent = Some(meta.current), propsUpdate = propsUpdate)
+          expectedCurrent = Some(meta.current), propsUpdate = propsUpdate,
+          dvSegCounts = perSeg)
     }
     if (perSeg.isEmpty) GraftMeta.deleteRecursively(mvDir.resolve(dvName))
     if (!applied) {

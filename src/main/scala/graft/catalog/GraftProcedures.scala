@@ -1016,7 +1016,7 @@ private[catalog] object GraftDml {
     cleanupOnFailedCommit(dir, dvName +: newSegments.map(_._1)) {
       GraftMeta.commitAddDeletesAndAppend(dir, dvName, perSeg.keySet,
         baseDvs = GraftDv.forSegments(meta, meta.current, segs),
-        newSegments = newSegments)
+        newSegments = newSegments, dvSegCounts = perSeg)
     }
     (segs.size, perSeg.size, perSeg.values.sum)
   }
@@ -1147,7 +1147,8 @@ private[catalog] object GraftDml {
         GraftMeta.commitAddDeletesAndAppend(dir, dvName, perSeg.keySet,
           baseDvs = GraftDv.forSegments(meta, meta.current, segs),
           newSegments = newSegments, namedKey = namedKey,
-          expectedCurrent = Some(meta.current), propCas = idRiders)
+          expectedCurrent = Some(meta.current), propCas = idRiders,
+          dvSegCounts = perSeg)
     }
     if (updatedCount == 0) GraftMeta.deleteRecursively(dir.resolve(dvName))
     if (!applied) {
@@ -1193,8 +1194,9 @@ private[catalog] object GraftDml {
       return (segs.size, 0, 0L)
     }
     cleanupOnFailedCommit(dir, Seq(dvName)) {
-      GraftMeta.commitAddDeletes(dir, dvName, perSeg.keySet,
-        baseDvs = GraftDv.forSegments(meta, meta.current, segs))
+      GraftMeta.commitAddDeletesAndAppend(dir, dvName, perSeg.keySet,
+        baseDvs = GraftDv.forSegments(meta, meta.current, segs), Nil,
+        dvSegCounts = perSeg)
     }
     (segs.size, perSeg.size, perSeg.values.sum)
   }

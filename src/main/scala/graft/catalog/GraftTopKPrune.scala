@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** TOP-K SEGMENT PRUNING — `ORDER BY x DESC LIMIT k` (and its ASC NULLS
   * LAST mirror) over a graft table reads only the segments that can
@@ -23,17 +24,34 @@ import org.apache.spark.sql.types._
   * and n non-null rows guarantees n values ≤ M; accumulating maxes
   * ascending gives τ with ≥ k values ≤ τ, injecting `x <= τ`.
   *
-  * WHERE composition (r19): a WHERE whose every conjunct is a range
-  * predicate on the SORT COLUMN itself (or `IsNotNull(x)`) tightens rather
-  * than voids the guarantee. The conjuncts fold to one inclusive interval
-  * [lo, hi]; a segment whose whole value range lies INSIDE the interval
-  * keeps every non-null row through the filter, so its (bound, n)
-  * guarantee holds for the SURVIVING rows. τ accumulates over those
-  * fully-contained segments only, and the injected bound composes with the
-  * user filter (which stays in place untouched). "Best k since date X" /
-  * "cheapest k above floor Y" prune like plain top-k. A filter touching
-  * any OTHER column still falls back — it changes row counts the guarantee
-  * can't see.
+  * WHERE composition via ZONE CONTAINMENT (r20, generalizing r19's
+  * sort-column-only rule): a WHERE whose every conjunct is a range
+  * predicate `col op literal` (or `IsNotNull(col)`) on ANY zone-mapped
+  * column weakens rather than voids the guarantee. A segment whose ENTIRE
+  * value range for every predicated column lies inside that column's
+  * predicate (zone containment) keeps every row through the filter except
+  * the predicated columns' nulls — so its guarantee, minus those null
+  * counts (union bound), still holds for the SURVIVING rows and may vouch
+  * for τ. A segment only partially overlapping some predicate scans but
+  * does not vouch (its survivor count is unknowable from bounds); a
+  * segment fully outside holds no survivors and the user's own pushed
+  * filter already zone-prunes it. The injected τ bound composes with the
+  * untouched user filter. This unlocks the actual daily curation query —
+  * `ORDER BY score DESC LIMIT k WHERE lang = 'en'` / `WHERE ds >= DATE
+  * '...'` — on banded/partitioned layouts where predicate columns are
+  * segment-constant (partition-pure segments are always fully contained).
+  * Disjunctions, expressions over columns, and non-zone-comparable types
+  * still fall back to the full scan.
+  *
+  * STRING sort columns (r20): the same construction runs on string zone
+  * bounds when every participating bound is EXACTNESS-FLAGGED (a real row
+  * value this engine harvested — `SegmentStats.Col.strExact`; foreign
+  * `add_files` brackets refuse) and pure ASCII (zone bounds compare by
+  * java String UTF-16 order, the injected filter by UTF8String byte order
+  * — they agree only on ASCII). "Top k URLs by collation" prunes like an
+  * integer score. Containment checks on NON-sort string columns accept
+  * bracket bounds (a bracket only widens the range, so full containment
+  * stays sufficient) but still require ASCII.
   *
   * At 100 TB this is "give me the k best-scoring documents" — the daily
   * training-data curation query — reading the handful of segments whose
@@ -49,15 +67,21 @@ import org.apache.spark.sql.types._
   *   - the accumulated non-null guarantee must reach k, else no rewrite;
   *   - statless segments contribute nothing to τ (they can only make it
   *     weaker) and are never zone-pruned by the injected filter;
-  *   - DELETE VECTORS weaken rather than void (r19): stats count vectored
-  *     rows, so each dv's footer-only TOTAL row count subtracts from every
-  *     segment it touches before the guarantee accumulates — top-k keeps
-  *     pruning on a continuously-updated MOR corpus, with τ conservatively
-  *     shallower; > 16 dv dirs fall back to the full scan;
-  *   - integral/date/timestamp sort columns only (the zone long domain);
-  *   - the derived bound must STRICTLY tighten the interval, so the
-  *     fixed-point optimizer converges after one injection (re-deriving τ
-  *     under its own filter reproduces τ, which is not an improvement). */
+  *   - DELETE VECTORS weaken rather than void (r19): each segment's
+  *     guarantee is reduced by the positions its vectors delete — using
+  *     the PER-SEGMENT counts recorded at DV commit time when present
+  *     (r20; exact, so a delete wave confined to one segment leaves the
+  *     others' guarantees intact), falling back to the dv dir's
+  *     footer-only TOTAL row count (which over-subtracts across segments,
+  *     shrinking τ's reach but never unsounding it); > 16 counted-less dv
+  *     dirs fall back to the full scan rather than paying per-plan footer
+  *     reads;
+  *   - integral/date/timestamp sort columns (the zone long domain) plus
+  *     exact-ASCII strings (r20);
+  *   - the derived bound must STRICTLY tighten the existing interval, so
+  *     the fixed-point optimizer converges after one injection
+  *     (re-deriving τ under its own filter reproduces τ, which is not an
+  *     improvement). */
 private[graft] final class GraftTopKPrune(session: SparkSession)
   extends Rule[LogicalPlan] {
 
@@ -69,61 +93,98 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
       }
   }
 
-  private def litLong(l: Literal): Option[Long] = l.value match {
-    case b: Byte  => Some(b.toLong)
-    case s: Short => Some(s.toLong)
-    case i: Int   => Some(i.toLong)
-    case j: Long  => Some(j)
-    case _        => None
+  /** Zone comparison domain of a column type: 'l' = long (integral, date as
+    * epoch days, timestamp as micros — the literal's catalyst internal form
+    * and the zone encoding agree), 's' = string. None = not prunable. */
+  private def domainOf(dt: DataType): Option[Char] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => Some('l')
+    case StringType => Some('s')
+    case _ => None
   }
 
-  /** Fold filter conjuncts into one inclusive long interval over `attr`;
-    * None = some conjunct is not a range predicate on attr (fall back). */
-  private def interval(conds: Seq[Expression], attr: AttributeReference)
-    : Option[(Long, Long)] = {
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
+  /** Literal internal value → the domain (Long or ASCII String). Non-ASCII
+    * strings refuse: the injected/compared orders diverge beyond ASCII. */
+  private def litOf(dom: Char, l: Literal): Option[Any] = (dom, l.value) match {
+    case (_, null)        => None
+    case ('l', b: Byte)   => Some(b.toLong)
+    case ('l', s: Short)  => Some(s.toLong)
+    case ('l', i: Int)    => Some(i.toLong)
+    case ('l', j: Long)   => Some(j)
+    case ('s', u: UTF8String) =>
+      val s = u.toString
+      if (s.forall(_ < 128)) Some(s) else None
+    case _ => None
+  }
+
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _                      => throw new IllegalStateException("graft: mixed zone domains")
+  }
+
+  /** One WHERE conjunct normalized to `attr (op) value`: op ∈ ≥ > ≤ < =. */
+  private final case class Constr(attr: AttributeReference, op: Char, v: Any)
+
+  /** Normalize every filter conjunct to a [[Constr]] or a bare IsNotNull
+    * column; None = some conjunct is not a zone-comparable range predicate
+    * on a single attribute (fall back to the full scan). */
+  private def constraints(conds: Seq[Expression])
+    : Option[(Seq[Constr], Seq[AttributeReference])] = {
+    val out = Seq.newBuilder[Constr]
+    val notNull = Seq.newBuilder[AttributeReference]
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
+    def add(a: AttributeReference, op: Char, l: Literal): Boolean =
+      domainOf(a.dataType).flatMap(d => litOf(d, l)).exists { v =>
+        out += Constr(a, op, v); true
+      }
     conds.flatMap(conjuncts).foreach {
-      case IsNotNull(a: AttributeReference) if a.exprId == attr.exprId =>
-      // nulls are excluded from the guarantee (rows - nulls) already
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
-        lo = math.max(lo, litLong(l).getOrElse(return None))
-      case LessThanOrEqual(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
-        lo = math.max(lo, litLong(l).getOrElse(return None))
-      case GreaterThan(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
-        val v = litLong(l).getOrElse(return None)
-        if (v == Long.MaxValue) return None
-        lo = math.max(lo, v + 1)
-      case LessThan(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
-        val v = litLong(l).getOrElse(return None)
-        if (v == Long.MaxValue) return None
-        lo = math.max(lo, v + 1)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
-        hi = math.min(hi, litLong(l).getOrElse(return None))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
-        hi = math.min(hi, litLong(l).getOrElse(return None))
-      case LessThan(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
-        val v = litLong(l).getOrElse(return None)
-        if (v == Long.MinValue) return None
-        hi = math.min(hi, v - 1)
-      case GreaterThan(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
-        val v = litLong(l).getOrElse(return None)
-        if (v == Long.MinValue) return None
-        hi = math.min(hi, v - 1)
-      case EqualTo(a: AttributeReference, l: Literal) if a.exprId == attr.exprId =>
-        val v = litLong(l).getOrElse(return None)
-        lo = math.max(lo, v); hi = math.min(hi, v)
-      case EqualTo(l: Literal, a: AttributeReference) if a.exprId == attr.exprId =>
-        val v = litLong(l).getOrElse(return None)
-        lo = math.max(lo, v); hi = math.min(hi, v)
+      case IsNotNull(a: AttributeReference) => notNull += a
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => if (!add(a, '≥', l)) return None
+      case LessThanOrEqual(l: Literal, a: AttributeReference)    => if (!add(a, '≥', l)) return None
+      case GreaterThan(a: AttributeReference, l: Literal)        => if (!add(a, '>', l)) return None
+      case LessThan(l: Literal, a: AttributeReference)           => if (!add(a, '>', l)) return None
+      case LessThanOrEqual(a: AttributeReference, l: Literal)    => if (!add(a, '≤', l)) return None
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => if (!add(a, '≤', l)) return None
+      case LessThan(a: AttributeReference, l: Literal)           => if (!add(a, '<', l)) return None
+      case GreaterThan(l: Literal, a: AttributeReference)        => if (!add(a, '<', l)) return None
+      case EqualTo(a: AttributeReference, l: Literal)            => if (!add(a, '=', l)) return None
+      case EqualTo(l: Literal, a: AttributeReference)            => if (!add(a, '=', l)) return None
       case _ => return None
     }
-    Some((lo, hi))
+    Some((out.result(), notNull.result()))
   }
+
+  /** Does the whole range [mn, mx] satisfy the constraint? (Zone
+    * containment: every non-null row of the segment passes it.) */
+  private def contained(c: Constr, mn: Any, mx: Any): Boolean = c.op match {
+    case '≥' => cmpAny(mn, c.v) >= 0
+    case '>' => cmpAny(mn, c.v) > 0
+    case '≤' => cmpAny(mx, c.v) <= 0
+    case '<' => cmpAny(mx, c.v) < 0
+    case '=' => cmpAny(mn, c.v) == 0 && cmpAny(mx, c.v) == 0
+  }
+
+  /** Zone bounds of `col` in its domain. `needExact` (string SORT columns)
+    * additionally requires exactness-flagged bounds — a τ built from a
+    * writer-truncated bracket would still be sound, but foreign add_files
+    * bounds carry no provenance at all, so only self-harvested exact values
+    * participate. Non-ASCII string bounds always refuse (order mismatch). */
+  private def boundsOf(c: SegmentStats.Col, needExact: Boolean): Option[(Any, Any)] =
+    (c.kind, c.min, c.max) match {
+      case ('s', Some(mn), Some(mx))
+          if (!needExact || c.strExact) && mn.forall(_ < 128) && mx.forall(_ < 128) =>
+        Some((mn, mx))
+      case ('s', _, _) => None
+      case (_, Some(mn), Some(mx)) =>
+        for {
+          lo <- scala.util.Try(mn.toLong).toOption
+          hi <- scala.util.Try(mx.toLong).toOption
+        } yield (lo, hi)
+      case _ => None
+    }
 
   private def rewrite(k: Int, order: Seq[SortOrder],
                       child: LogicalPlan): Option[LogicalPlan] = {
@@ -135,7 +196,7 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
       case _ => return None
     }
     // peel attribute-only Projects and Filters down to the relation,
-    // collecting filter predicates (validated against the sort column below)
+    // collecting filter predicates (normalized to range constraints below)
     def peel(p: LogicalPlan, conds: Seq[Expression])
       : Option[(DataSourceV2Relation, GraftTable, Seq[Expression])] = p match {
       case Filter(cond, c) => peel(c, conds :+ cond)
@@ -148,76 +209,126 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
     }
     val (rel, table, conds) = peel(child, Nil).getOrElse(return None)
     if (!rel.output.exists(_.exprId == leading.exprId)) return None
-    val dt = leading.dataType
-    val integral = dt match {
-      case ByteType | ShortType | IntegerType | LongType | DateType | TimestampType => true
-      case _ => false
-    }
-    if (!integral) return None
-    // every filter conjunct must be a range predicate on the SORT column
-    // (any other predicate invalidates the row-count guarantees)
-    val (lo, hi) = interval(conds, leading).getOrElse(return None)
-    if (lo > hi) return None // unsatisfiable filter: leave the plan alone
+    val sortDom = domainOf(leading.dataType).getOrElse(return None)
+    // every filter conjunct must normalize to a range constraint (or a bare
+    // IsNotNull) on a zone-comparable column, else fall back
+    val (constrs, notNullAttrs) = constraints(conds).getOrElse(return None)
+    // attributes must belong to this relation (a correlated outer reference
+    // smuggled into the filter has no zone entry and must refuse)
+    if (!(constrs.map(_.attr) ++ notNullAttrs)
+          .forall(a => rel.output.exists(_.exprId == a.exprId))) return None
 
     val meta = table.metaAtLoad
     val segs = meta.snapshots.getOrElse(meta.current, Nil)
     if (segs.isEmpty) return None
     // delete vectors WEAKEN the row-count guarantees instead of voiding the
-    // rewrite (r19): each dv dir's TOTAL row count (parquet footers only,
-    // zero data IO) subtracts from EVERY segment it touches — a vector
-    // spanning several segments over-subtracts, which only shrinks τ's
-    // reach, never unsounds it (and nulls among deleted rows likewise).
-    // Bounded: > 16 dv dirs (an uncompacted delete storm) keeps the old
-    // full-scan fallback rather than paying per-plan footer reads.
+    // rewrite (r19): per-segment deleted-position counts recorded at DV
+    // commit (r20) subtract exactly; dvs lacking them fall back to their
+    // footer-only TOTAL count applied to EVERY touched segment — an
+    // over-subtraction that only shrinks τ's reach, never unsounds it.
+    // Bounded: > 16 counted-less dv dirs (an uncompacted pre-r20 delete
+    // storm) keeps the old full-scan fallback rather than paying per-plan
+    // footer reads.
     val dvs = GraftDv.forSegments(meta, meta.current, segs)
     val dvPenalty: Map[String, Long] =
       if (dvs.isEmpty) Map.empty
       else {
         val dirs = dvs.values.flatten.toSeq.distinct
-        if (dirs.size > 16) return None
-        val counts = dirs.map(d => d -> GraftDv.rowCountUpperBound(table.dir, d)).toMap
-        if (counts.values.exists(_ < 0)) return None
-        dvs.map { case (seg, ds) => seg -> ds.map(counts).sum }
+        val uncounted = dirs.filterNot(meta.dvCounts.contains)
+        if (uncounted.size > 16) return None
+        val footer = uncounted.map(d => d -> GraftDv.rowCountUpperBound(table.dir, d)).toMap
+        if (footer.values.exists(_ < 0)) return None
+        dvs.map { case (seg, ds) =>
+          seg -> ds.map(d =>
+            meta.dvCounts.get(d).map(_.getOrElse(seg, 0L)).getOrElse(footer(d))).sum
+        }
       }
 
-    // (min, max, guaranteed non-null LIVE count) per stats-bearing segment;
-    // only segments FULLY INSIDE the filter interval keep all their
-    // non-null rows through the filter, so only they may vouch for τ
-    val guarantees = segs.flatMap { s =>
+    // columns whose nulls the guarantee must subtract: the sort column (the
+    // order drops its nulls) plus every predicated column (SQL predicates
+    // drop nulls). Union bound — sound, possibly loose on overlapping nulls.
+    val nullCols: Seq[String] =
+      (leading.name +: (constrs.map(_.attr.name) ++ notNullAttrs.map(_.name))).distinct
+    val byCol: Map[String, Seq[Constr]] = constrs.groupBy(_.attr.name)
+
+    // (sort bound used for ranking, guaranteed surviving non-null count) per
+    // vouching segment: stats present for every involved column, zone
+    // containment holds for every constraint, sort bounds usable (exact
+    // ASCII for string sort columns)
+    val guarantees: Seq[(Any, Any, Long)] = segs.flatMap { s =>
       for {
         enc <- meta.zstats.get(s)
         st <- scala.util.Try(SegmentStats.decode(enc)).toOption
-        c <- st.cols.get(leading.name)
-        mn <- c.min.flatMap(v => scala.util.Try(v.toLong).toOption)
-        mx <- c.max.flatMap(v => scala.util.Try(v.toLong).toOption)
-        if lo <= mn && mx <= hi
-      } yield (mn, mx, st.rows - c.nulls - dvPenalty.getOrElse(s, 0L))
+        sc <- st.cols.get(leading.name)
+        (smn, smx) <- boundsOf(sc, needExact = sortDom == 's')
+        // every predicated column: stats present, whole range contained
+        if byCol.forall { case (col, cs) =>
+          st.cols.get(col).exists { cc =>
+            boundsOf(cc, needExact = false)
+              .exists { case (mn, mx) => cs.forall(contained(_, mn, mx)) }
+          }
+        }
+        // bare IsNotNull columns just need a null count (subtracted below)
+        if nullCols.forall(st.cols.contains)
+      } yield {
+        val nulls = nullCols.map(st.cols(_).nulls).sum
+        (smn, smx, st.rows - nulls - dvPenalty.getOrElse(s, 0L))
+      }
     }
+    val ord: Ordering[Any] = (a, b) => cmpAny(a, b)
     val ranked =
-      if (descending) guarantees.sortBy(_._1)(Ordering[Long].reverse)
-      else guarantees.sortBy(_._2)
+      if (descending) guarantees.sortBy(_._1)(ord.reverse)
+      else guarantees.sortBy(_._2)(ord)
     var cum = 0L
-    var tau: Option[Long] = None
+    var tau: Option[Any] = None
     for ((mn, mx, nn) <- ranked if cum < k) {
       cum += math.max(0L, nn)
       tau = Some(if (descending) mn else mx)
     }
     val t = tau.filter(_ => cum >= k).getOrElse(return None)
-    // strict improvement over the existing interval, or the fixed-point
-    // optimizer would re-derive the same bound forever
-    if (descending && t <= lo) return None
-    if (!descending && t >= hi) return None
+    // strict improvement over what the user filter already pins on the sort
+    // column, or the fixed-point optimizer would re-derive the same bound
+    // forever. Long domain folds strict ops by ±1 (exact); strings use the
+    // strict comparison (sufficient: a vouching segment under `x > v` has
+    // min > v already).
+    val sortCs = byCol.getOrElse(leading.name, Nil)
+    val improves =
+      if (descending) sortCs.forall { c =>
+        c.op match {
+          case '≥' | '=' => cmpAny(t, c.v) > 0
+          case '>' => (t, c.v) match {
+            case (tl: Long, vl: Long) => vl == Long.MaxValue || tl > vl + 1
+            case _                    => cmpAny(t, c.v) > 0
+          }
+          case _ => true
+        }
+      }
+      else sortCs.forall { c =>
+        c.op match {
+          case '≤' | '=' => cmpAny(t, c.v) < 0
+          case '<' => (t, c.v) match {
+            case (tl: Long, vl: Long) => vl == Long.MinValue || tl < vl - 1
+            case _                    => cmpAny(t, c.v) < 0
+          }
+          case _ => true
+        }
+      }
+    if (!improves) return None
 
-    val lit = dt match {
-      case ByteType               => Literal(t.toByte, dt)
-      case ShortType              => Literal(t.toShort, dt)
-      case IntegerType | DateType => Literal(t.toInt, dt)
-      case _                      => Literal(t, dt)
+    val lit = (leading.dataType, t) match {
+      case (ByteType, v: Long)               => Literal(v.toByte, ByteType)
+      case (ShortType, v: Long)              => Literal(v.toShort, ShortType)
+      case (IntegerType, v: Long)            => Literal(v.toInt, IntegerType)
+      case (DateType, v: Long)               => Literal(v.toInt, DateType)
+      case (StringType, v: String)           => Literal(UTF8String.fromString(v), StringType)
+      case (dt, v: Long)                     => Literal(v, dt)
+      case _                                 => return None
     }
     val dir = if (descending) "DESC" else "ASC NULLS LAST"
     val cut = if (descending) ">=" else "<="
     logInfo(s"graft: top-$k over ${table.name()} ORDER BY ${leading.name} $dir " +
-      s"prunes to segments reaching $cut $t (zone-stat guarantee)")
+      s"prunes to segments reaching $cut $t (zone-stat guarantee" +
+      (if (byCol.size > (if (sortCs.isEmpty) 0 else 1)) ", zone-contained WHERE" else "") + ")")
     val cmp: Expression =
       if (descending) GreaterThanOrEqual(leading, lit)
       else LessThanOrEqual(leading, lit)

@@ -545,4 +545,58 @@ class IdentityColumnsSpec extends SparkSpec {
     sql("UPDATE gidn.ns.n2 SET id = NULL WHERE k = 1")
     assert(sql("SELECT id FROM gidn.ns.n2").collect().head.getLong(0) >= 1L)
   }
+
+  test("MERGE NOT MATCHED INSERT with an explicit ALWAYS id refuses at analysis (r20)") {
+    root
+    sql("DROP TABLE IF EXISTS gidn.ns.mi1")
+    sql("""CREATE TABLE gidn.ns.mi1
+           (id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.mi1 (k, v) SELECT id, id * 10 FROM range(0, 9)")
+    // an explicit LITERAL id BELOW the high-water (ids 1..9 exist, 3 is
+    // taken): the writer cannot tell it from a carried row — the analysis
+    // gate must refuse before it silently duplicates an allocated id
+    val e = intercept[Exception] {
+      sql("""MERGE INTO gidn.ns.mi1 t USING (SELECT 99L AS k) s ON t.k = s.k
+             WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (3, s.k, 0)""")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    assert(sql("SELECT count(*) FROM gidn.ns.mi1").collect().head.getLong(0) === 9L,
+      "a refused MERGE changes nothing")
+    assert(sql("SELECT count(DISTINCT id) FROM gidn.ns.mi1").collect().head.getLong(0) === 9L)
+    // an EXPRESSION at the id ordinal refuses too (statically visible
+    // explicit value, even though its runtime value is unknowable here)
+    val e2 = intercept[Exception] {
+      sql("""MERGE INTO gidn.ns.mi1 t USING (SELECT 99L AS k) s ON t.k = s.k
+             WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (s.k + 1, s.k, 0)""")
+    }
+    assert(e2.getMessage.contains("GENERATED ALWAYS"), e2.getMessage)
+    // inserting NULL stays the legitimate minting path
+    sql("""MERGE INTO gidn.ns.mi1 t USING (SELECT 99L AS k) s ON t.k = s.k
+           WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (NULL, s.k, 0)""")
+    assert(sql("SELECT count(DISTINCT id) FROM gidn.ns.mi1").collect().head.getLong(0) === 10L)
+    // and omitting the column entirely mints as before
+    sql("""MERGE INTO gidn.ns.mi1 t USING (SELECT 98L AS k) s ON t.k = s.k
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 0)""")
+    assert(sql("SELECT count(DISTINCT id) FROM gidn.ns.mi1").collect().head.getLong(0) === 11L)
+    // the MOR (merge-on-read update-mode) WriteDelta path refuses the same way
+    sql("DROP TABLE IF EXISTS gidn.ns.mi2")
+    sql("""CREATE TABLE gidn.ns.mi2
+           (id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v BIGINT) USING parquet
+           TBLPROPERTIES ('graft.update-mode' = 'merge-on-read')""")
+    sql("INSERT INTO gidn.ns.mi2 (k, v) VALUES (1, 10)")
+    val e3 = intercept[Exception] {
+      sql("""MERGE INTO gidn.ns.mi2 t USING (SELECT 2L AS k) s ON t.k = s.k
+             WHEN MATCHED THEN UPDATE SET v = 0
+             WHEN NOT MATCHED THEN INSERT (id, k, v) VALUES (1, s.k, 0)""")
+    }
+    assert(e3.getMessage.contains("GENERATED ALWAYS"), e3.getMessage)
+    // BY DEFAULT keeps accepting explicit inserted ids (the user owns them)
+    sql("DROP TABLE IF EXISTS gidn.ns.mi3")
+    sql("""CREATE TABLE gidn.ns.mi3
+           (id BIGINT GENERATED BY DEFAULT AS IDENTITY, k BIGINT) USING parquet""")
+    sql("INSERT INTO gidn.ns.mi3 (k) VALUES (1)")
+    sql("""MERGE INTO gidn.ns.mi3 t USING (SELECT 2L AS k) s ON t.k = s.k
+           WHEN NOT MATCHED THEN INSERT (id, k) VALUES (500, s.k)""")
+    assert(sql("SELECT id FROM gidn.ns.mi3 WHERE k = 2").collect().head.getLong(0) === 500L)
+  }
 }

@@ -23,12 +23,14 @@ class TopKPruneSpec extends SparkSpec {
   private def plannedSegs(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.queryExecution.executedPlan.collectLeaves().collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+        def filesOf(p: org.apache.spark.sql.connector.read.InputPartition): Seq[String] = p match {
           case f: org.apache.spark.sql.execution.datasources.FilePartition =>
-            f.files.map(p => java.nio.file.Paths.get(
-              new java.net.URI(p.filePath.toString).getPath).getParent.getFileName.toString)
+            f.files.map(pf => java.nio.file.Paths.get(
+              new java.net.URI(pf.filePath.toString).getPath).getParent.getFileName.toString).toSeq
+          case GraftDvPartition(inner, _, _) => filesOf(inner)
           case _ => Nil
         }
+        b.scan.toBatch.planInputPartitions().toSeq.flatMap(filesOf)
     }.flatten.distinct
 
   private def mk(table: String, withNulls: Boolean = false): Unit = {
@@ -100,6 +102,117 @@ class TopKPruneSpec extends SparkSpec {
                 ORDER BY score ASC NULLS LAST LIMIT 5"""
     assert(plannedSegs(sql(q3)).size === 1, plannedSegs(sql(q3)).toString)
     assert(sql(q3).collect().map(_.getLong(0)).toSeq === (1000L to 1004L))
+  }
+
+  test("non-sort-column predicates compose via ZONE CONTAINMENT (r20)") {
+    root
+    sql("DROP TABLE IF EXISTS gtk.ns.tc")
+    sql("CREATE TABLE gtk.ns.tc (k BIGINT, lang STRING, score BIGINT) USING parquet")
+    // 4 'en' segments with stacked score bands + 2 'de' segments overlapping
+    // the top band: under `WHERE lang = 'en'` the en segments are FULLY
+    // CONTAINED (they vouch), the de segments are fully outside (the pushed
+    // filter zone-prunes them), so τ cuts to the top en band alone
+    (0 until 4).foreach { w =>
+      sql(s"""INSERT INTO gtk.ns.tc
+              SELECT id, 'en', id FROM range(${w * 1000}, ${w * 1000 + 1000})""")
+    }
+    sql("INSERT INTO gtk.ns.tc SELECT id + 10000, 'de', id FROM range(3000, 4000)")
+    sql("INSERT INTO gtk.ns.tc SELECT id + 20000, 'de', id FROM range(9000, 10000)")
+    val q = """SELECT k, score FROM gtk.ns.tc WHERE lang = 'en'
+               ORDER BY score DESC LIMIT 5"""
+    assert(plannedSegs(sql(q)).size === 1,
+      s"top-5 WHERE lang='en' must plan ONE segment, got ${plannedSegs(sql(q))}")
+    assert(sql(q).collect().map(_.getLong(1)).toSeq === (3995L to 3999L).reverse)
+    // a MIXED segment (partially overlapping the predicate) scans but does
+    // not vouch: its survivor count is unknowable from bounds alone
+    sql("DROP TABLE IF EXISTS gtk.ns.tm")
+    sql("CREATE TABLE gtk.ns.tm (k BIGINT, grp BIGINT, score BIGINT) USING parquet")
+    // seg A: grp 0/1 mixed, scores [2000,3000) — NOT contained under grp=0
+    sql("INSERT INTO gtk.ns.tm SELECT id, id % 2, id + 2000 FROM range(0, 1000)")
+    // seg B: grp 0 pure, scores [0,1000) — contained, vouches
+    sql("INSERT INTO gtk.ns.tm SELECT id, 0, id FROM range(0, 1000)")
+    val qm = "SELECT score FROM gtk.ns.tm WHERE grp = 0 ORDER BY score DESC LIMIT 600"
+    // B alone vouches 1000 ≥ 600 → τ = 0: nothing prunes (A might hold the
+    // real top rows, and it DOES — the answer must include A's grp-0 rows)
+    assert(plannedSegs(sql(qm)).size === 2)
+    val got = sql(qm).collect().map(_.getLong(0)).toSeq
+    assert(got.take(3) === Seq(2998L, 2996L, 2994L),
+      "mixed segment's surviving rows must win the top-k")
+    // a date-range predicate on a second column composes the same way
+    sql("DROP TABLE IF EXISTS gtk.ns.td")
+    sql("CREATE TABLE gtk.ns.td (ds DATE, score BIGINT) USING parquet")
+    sql("""INSERT INTO gtk.ns.td
+           SELECT DATE'2024-01-15', id FROM range(0, 1000)""")
+    sql("""INSERT INTO gtk.ns.td
+           SELECT DATE'2024-02-15', id + 1000 FROM range(0, 1000)""")
+    sql("""INSERT INTO gtk.ns.td
+           SELECT DATE'2023-12-15', id + 2000 FROM range(0, 1000)""")
+    val qd = """SELECT score FROM gtk.ns.td WHERE ds >= DATE'2024-01-01'
+                ORDER BY score DESC LIMIT 5"""
+    assert(plannedSegs(sql(qd)).size === 1, plannedSegs(sql(qd)).toString)
+    assert(sql(qd).collect().map(_.getLong(0)).toSeq === (1995L to 1999L).reverse)
+  }
+
+  test("per-segment DV counts keep τ tight under a skewed delete wave (r20)") {
+    root
+    sql("DROP TABLE IF EXISTS gtk.ns.tdv")
+    sql("""CREATE TABLE gtk.ns.tdv (k BIGINT, score BIGINT) USING parquet
+           TBLPROPERTIES ('graft.delete-mode' = 'merge-on-read')""")
+    (0 until 4).foreach { w =>
+      sql(s"INSERT INTO gtk.ns.tdv SELECT id, id FROM range(${w * 1000}, ${w * 1000 + 1000})")
+    }
+    // ONE delete wave: guts the bottom segment (900 rows) but touches the
+    // top segment barely (5 rows). The dv's TOTAL count is 905 — the old
+    // per-directory penalty would subtract 905 from the TOP segment too
+    // (guarantee 95 < k) and τ would fall back to the next band; the
+    // per-segment counts recorded at commit subtract exactly 5, so the top
+    // segment still vouches for k=100 and the plan keeps ONE segment.
+    sql("DELETE FROM gtk.ns.tdv WHERE score < 900 OR score >= 3995")
+    val q = "SELECT score FROM gtk.ns.tdv ORDER BY score DESC LIMIT 100"
+    assert(plannedSegs(sql(q)).size === 1,
+      s"exact per-segment dv counts must keep the top segment vouching, got ${plannedSegs(sql(q))}")
+    assert(sql(q).collect().map(_.getLong(0)).toSeq ===
+      (3895L until 3995L).reverse)
+  }
+
+  test("STRING sort columns prune on exact ASCII bounds; foreign bounds refuse (r20)") {
+    root
+    sql("DROP TABLE IF EXISTS gtk.ns.ts")
+    sql("CREATE TABLE gtk.ns.ts (k BIGINT, url STRING) USING parquet")
+    // 3 segments in disjoint collation bands: a*, m*, x* (self-written →
+    // exactness-flagged bounds)
+    Seq("a", "m", "x").foreach { p =>
+      sql(s"""INSERT INTO gtk.ns.ts
+              SELECT id, concat('$p', lpad(CAST(id AS STRING), 4, '0'))
+              FROM range(0, 1000)""")
+    }
+    val q = "SELECT url FROM gtk.ns.ts ORDER BY url DESC LIMIT 5"
+    assert(plannedSegs(sql(q)).size === 1,
+      s"string top-5 must plan the x* segment alone, got ${plannedSegs(sql(q))}")
+    assert(sql(q).collect().map(_.getString(0)).toSeq ===
+      (995 to 999).reverse.map(i => f"x$i%04d"))
+    // bottom-k mirror
+    val q2 = "SELECT url FROM gtk.ns.ts ORDER BY url ASC NULLS LAST LIMIT 5"
+    assert(plannedSegs(sql(q2)).size === 1)
+    assert(sql(q2).collect().map(_.getString(0)).toSeq ===
+      (0 to 4).map(i => f"a$i%04d"))
+    // FOREIGN bounds (add_files import decodes strExact = false) cannot
+    // VOUCH for a string τ — brackets of unknown origin never anchor the
+    // cut. The imported z* segment holds the true top-5; had its bounds
+    // been trusted, τ = its min and ONE segment would plan. Instead τ comes
+    // from the best self-written band (x*), whose bound keeps the foreign
+    // segment scannable: 2 segments plan, and the answer is still the
+    // import's rows — refusal costs IO, never correctness.
+    val ext = Files.createTempDirectory("gtk_ext")
+    spark.range(0, 1000).selectExpr("id AS k",
+      "concat('z', lpad(CAST(id AS STRING), 4, '0')) AS url")
+      .coalesce(1).write.mode("overwrite").parquet(ext.toString)
+    sql(s"CALL gtk.system.add_files('ns.ts', '$ext')")
+    val q3 = sql("SELECT url FROM gtk.ns.ts ORDER BY url DESC LIMIT 5")
+    assert(plannedSegs(q3).size === 2,
+      s"foreign bounds must not vouch (1 seg would mean they did), got ${plannedSegs(q3)}")
+    assert(q3.collect().map(_.getString(0)).toSeq ===
+      (995 to 999).reverse.map(i => f"z$i%04d"))
   }
 
   test("Long.MinValue segment min cannot poison τ (r19 regression)") {
