@@ -84,7 +84,8 @@ object Registry {
       queries.Round18Queries.defs ++
       queries.Round19Queries.defs ++
       queries.Round20Queries.defs ++
-      queries.Round21Queries.defs
+      queries.Round21Queries.defs ++
+      queries.Round22Queries.defs
 
   lazy val byName: Map[String, QDef] = all.map(q => q.name -> q).toMap
 }
