@@ -52,9 +52,52 @@ private[catalog] object GraftMv {
   val MinsProp = "graft.mv.mins"
   val MaxsProp = "graft.mv.maxs"
   val VersionProp = "graft.mv.version"
+  /** COMPUTED key columns (r20): `name:b64(sql)` csv — keys declared as
+    * `<expr> AS <name>` in create_mv (`month(o_orderdate) AS m`, the
+    * time-bucketed dashboard rollup). The expr is persisted as SQL text,
+    * recomputed over every refresh delta, and matched STRUCTURALLY at
+    * rewrite time (GraftMvRewrite resolves it against the scanned relation
+    * and compares semantically). Plain keys stay bare names in KeysProp;
+    * a computed key's NAME also appears there (ordering + schema). */
+  val KeyExprsProp = "graft.mv.keyexprs"
+  /** Session timezone pinned at create when any computed key exists:
+    * expressions like date_trunc are TZ-dependent, so refresh and serve
+    * under a DIFFERENT session TZ would silently group differently —
+    * both refuse on mismatch instead. */
+  val TzProp = "graft.mv.tz"
 
   def keyCols(meta: GraftMeta): Seq[String] =
     meta.props(KeysProp).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** name → SQL text of each computed key (empty for plain-key MVs). */
+  def keyExprs(meta: GraftMeta): Seq[(String, String)] =
+    meta.props.get(KeyExprsProp).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+      .map { e =>
+        val i = e.indexOf(':')
+        e.substring(0, i) -> new String(
+          java.util.Base64.getDecoder.decode(e.substring(i + 1)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+
+  def encodeKeyExprs(specs: Seq[(String, String)]): String =
+    specs.map { case (n, sql) =>
+      s"$n:${java.util.Base64.getEncoder.encodeToString(
+        sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
+    }.mkString(",")
+
+  /** Materialize the computed key columns onto `df` (no-op for plain MVs).
+    * Every consumer of source/delta rows — create, refresh deltas, the
+    * endangered-group rescan — goes through here so the grouping domain is
+    * ONE definition. */
+  def withKeyExprs(df: DataFrame, meta: GraftMeta): DataFrame =
+    keyExprs(meta).foldLeft(df) { case (d, (n, sql)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.expr(sql))
+    }
+
+  /** Computed keys pin the creation session's timezone (TzProp): refuse
+    * refresh/serve under a different one rather than group differently. */
+  def tzOk(meta: GraftMeta, spark: SparkSession): Boolean =
+    meta.props.get(TzProp).forall(_ == spark.sessionState.conf.sessionLocalTimeZone)
   def sumCols(meta: GraftMeta): Seq[String] =
     meta.props.get(SumsProp).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
   def minCols(meta: GraftMeta): Seq[String] =
@@ -106,13 +149,48 @@ private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
     StructField("source_version", LongType, nullable = false),
     StructField("n_groups", LongType, nullable = false)))
 
+  /** Split the keys argument at TOP-LEVEL commas only: computed key exprs
+    * (`date_trunc('day', ts) AS d`) carry commas of their own inside parens
+    * and quoted literals. */
+  private def splitTop(spec: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var q = false
+    spec.foreach {
+      case '\'' => q = !q; cur += '\''
+      case '(' if !q => depth += 1; cur += '('
+      case ')' if !q => depth -= 1; cur += ')'
+      case ',' if !q && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val AsKey = "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+  private val PlainKey = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val spark = SparkSession.active
     val mvArg = input.getUTF8String(0).toString
     val srcArg = input.getUTF8String(1).toString
     def list(i: Int): Seq[String] =
       input.getUTF8String(i).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-    val keys = list(2)
+    // keys: plain column names, or `<expr> AS <name>` COMPUTED keys (r20) —
+    // the time-bucketed rollup (`month(o_orderdate) AS m`) is the single
+    // most common dashboard GROUP BY shape
+    val keyItems = splitTop(input.getUTF8String(2).toString)
+    val keySpecs: Seq[(String, Option[String])] = keyItems.map {
+      case item @ PlainKey() => item -> None
+      case AsKey(e, n)       => n -> Some(e.trim)
+      case other => throw new IllegalArgumentException(
+        s"graft create_mv: key '$other' is neither a column name nor '<expr> AS <name>'")
+    }
+    val keys = keySpecs.map(_._1)
+    val keyExprs = keySpecs.collect { case (n, Some(e)) => n -> e }
+    require(keys.map(_.toLowerCase).distinct.size == keys.size,
+      s"graft create_mv: duplicate key names in '${keys.mkString(",")}'")
     val sums = list(3)
     val mins = list(4)
     val maxs = list(5)
@@ -122,8 +200,13 @@ private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
         "(COUNT is implicit as n_rows; MIN/MAX go in the mins/maxs parameters)"))
     val srcDir = resolveTableDir(srcArg)
     val srcMeta = GraftMeta.read(srcDir)
-    (keys ++ sums ++ mins ++ maxs).foreach(c => require(srcMeta.schema.fieldNames.contains(c),
-      s"graft create_mv: source '$srcArg' has no column '$c'"))
+    (keySpecs.collect { case (n, None) => n } ++ sums ++ mins ++ maxs)
+      .foreach(c => require(srcMeta.schema.fieldNames.contains(c),
+        s"graft create_mv: source '$srcArg' has no column '$c'"))
+    keyExprs.foreach { case (n, _) =>
+      require(!srcMeta.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"graft create_mv: computed key '$n' shadows a source column — pick another name")
+    }
     sums.foreach { c =>
       val t = srcMeta.schema(c).dataType
       require(t.isInstanceOf[NumericType], s"graft create_mv: SUM column '$c' is $t, not numeric")
@@ -136,8 +219,31 @@ private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
     val v = srcMeta.current
     // aggregate the source PINNED at v — commits racing this build land
     // after the watermark and surface at the first refresh
-    val src = spark.read.option("snapshot", v.toString)
+    val src0 = spark.read.option("snapshot", v.toString)
       .table(s"${catalog.name()}.$srcArg")
+    // computed keys materialize here; analysis errors (bad expr, unknown
+    // column) surface now, at create, not at first refresh
+    val src = keyExprs.foldLeft(src0) { case (d, (n, sql)) =>
+      d.withColumn(n, org.apache.spark.sql.functions.expr(sql))
+    }
+    // a computed key must be DETERMINISTIC (refresh recomputes it over
+    // delta rows — a nondeterministic key would tear groups apart) and
+    // aggregate-free (a nested aggregate is not a row-level key)
+    keyExprs.foreach { case (n, sql) =>
+      // locate the alias the withColumn fold introduced and test ITS child
+      // (a select(n) on top would only show the attribute reference)
+      val aliased = src.queryExecution.analyzed.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList
+      }.flatten.collectFirst {
+        case al: org.apache.spark.sql.catalyst.expressions.Alias
+            if al.name.equalsIgnoreCase(n) => al.child
+      }
+      val bad = aliased.forall(c => !c.deterministic ||
+        c.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression]))
+      require(!bad,
+        s"graft create_mv: computed key '$n' ($sql) must be a deterministic, " +
+          "aggregate-free scalar expression")
+    }
     val df = GraftMv.aggregate(src, keys, sums, mins, maxs)
 
     val parts = mvArg.split('.')
@@ -154,7 +260,10 @@ private[catalog] final class CreateMvProcedure(catalog: GraftCatalog)
         GraftMv.SumsProp -> sums.mkString(","),
         GraftMv.MinsProp -> mins.mkString(","),
         GraftMv.MaxsProp -> maxs.mkString(","),
-        GraftMv.VersionProp -> v.toString))
+        GraftMv.VersionProp -> v.toString) ++
+        (if (keyExprs.isEmpty) Map.empty
+         else Map(GraftMv.KeyExprsProp -> GraftMv.encodeKeyExprs(keyExprs),
+           GraftMv.TzProp -> spark.sessionState.conf.sessionLocalTimeZone)))
     val nGroups = segments.flatMap(_._2)
       .flatMap(z => scala.util.Try(SegmentStats.decode(z).rows).toOption) match {
       case rs if rs.size == segments.size => rs.sum
@@ -215,11 +324,19 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
     // (pre-r18 MVs keep refreshing without nn_ columns)
     val nns = sums.filter(c => meta.schema.fieldNames.contains(s"nn_$c"))
     val lastV = meta.props(GraftMv.VersionProp).toLong
+    require(GraftMv.tzOk(meta, spark),
+      s"graft refresh_mv: '$mvArg' has computed keys pinned to session timezone " +
+        s"'${meta.props.getOrElse(GraftMv.TzProp, "")}' — refreshing under " +
+        s"'${spark.sessionState.conf.sessionLocalTimeZone}' could group differently; " +
+        "set spark.sql.session.timeZone to match")
     val srcDir = resolveTableDir(srcArg)
     val cur = GraftMeta.read(srcDir).current
     if (cur == lastV) return result(lastV, cur, 0L, 0L)
 
-    val deltas = GraftCdc.rowDeltas(spark, catalog.name(), srcArg, lastV, Some(cur))
+    // computed keys (r20) materialize onto the delta rows — the SAME
+    // definition create used, so delta groups line up with MV groups
+    val deltas = GraftMv.withKeyExprs(
+      GraftCdc.rowDeltas(spark, catalog.name(), srcArg, lastV, Some(cur)), meta)
     val isIns = col("_change_type") === "insert"
     val sign = when(isIns, 1L).otherwise(-1L)
     val aggs = sum(sign).as("__dn") +: (
@@ -331,8 +448,8 @@ private[catalog] final class RefreshMvProcedure(catalog: GraftCatalog)
         // target version, semi-joined (broadcast — endangered groups are a
         // subset of this refresh's touched groups) so only the endangered
         // groups' rows aggregate
-        val src = spark.read.option("snapshot", cur.toString)
-          .table(s"${catalog.name()}.$srcArg")
+        val src = GraftMv.withKeyExprs(spark.read.option("snapshot", cur.toString)
+          .table(s"${catalog.name()}.$srcArg"), meta)
         val rsAggs = mins.map(c => min(col(c)).as(s"__rs_min_$c")) ++
           maxs.map(c => max(col(c)).as(s"__rs_max_$c"))
         val rescan = src

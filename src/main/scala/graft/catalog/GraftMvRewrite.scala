@@ -102,6 +102,34 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     case _ => None
   }
 
+  /** The single-table peel (r20): additionally accepts Projects carrying
+    * deterministic ALIASED expressions — the analyzer's
+    * PullOutGroupingExpressions rewrites `GROUP BY month(d)` into an
+    * Aggregate over `Project[..., month(d) AS _groupingexpression#n]`, so
+    * computed-key matching must see through the pull-out. Returns the alias
+    * substitution (alias exprId → its expression) for inlining; the rebuilt
+    * plan drops these Projects entirely, which is safe HERE because every
+    * surviving reference is rebound onto the MV or bails (the star path
+    * keeps the strict attribute-only peel — its rebuilder must be able to
+    * drop the peeled layers without orphaning join-condition references). */
+  private def peelSub(plan: LogicalPlan, conds: Seq[Expression],
+                      sub: Map[ExprId, Expression])
+    : Option[(DataSourceV2Relation, GraftTable, Seq[Expression], Map[ExprId, Expression])] =
+    plan match {
+      case Filter(cond, child) => peelSub(child, conds :+ cond, sub)
+      case Project(list, child) if list.forall {
+          case _: AttributeReference => true
+          case al: Alias             => al.child.deterministic
+          case _                     => false
+        } =>
+        peelSub(child, conds,
+          sub ++ list.collect { case al: Alias => al.exprId -> al.child })
+      case rel @ DataSourceV2Relation(t: GraftTable, _, Some(_: GraftCatalog), Some(_), opts, tt)
+          if opts.isEmpty && tt.isEmpty && !t.pinned =>
+        Some((rel, t, conds, sub))
+      case _ => None
+    }
+
   /** Attribute-only Projects above a Join are transparent to the rewrite. */
   private def peelProjects(plan: LogicalPlan): LogicalPlan = plan match {
     case Project(list, child) if list.forall(_.isInstanceOf[AttributeReference]) =>
@@ -110,18 +138,27 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
   }
 
   private def rewrite(agg: Aggregate): Option[Aggregate] = {
-    val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
-    }
     peelProjects(agg.child) match {
-      // star shape (r19): Aggregate over a join tree around the fact
-      case j: Join => rewriteStar(agg, j, groupAttrs)
+      // star shape (r19): Aggregate over a join tree around the fact —
+      // grouping must be plain attributes there (computed keys serve the
+      // single-table shape; a computed-key MV still serves a star when the
+      // star groups by its PLAIN keys only)
+      case j: Join =>
+        val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
+          case a: AttributeReference => a
+          case _ => return None
+        }
+        rewriteStar(agg, j, groupAttrs)
       case _ =>
-        val (rel, table, conds) = peel(agg.child, Nil).getOrElse(return None)
+        // grouping expressions may be attributes OR deterministic scalar
+        // exprs structurally matching a registered computed key (r20)
+        if (agg.groupingExpressions.exists(!_.deterministic)) return None
+        val (rel, table, conds, sub) =
+          peelSub(agg.child, Nil, Map.empty).getOrElse(return None)
         if (conds.exists(!_.deterministic)) return None
         candidates(rel, table).iterator
-          .flatMap(n => serveFrom(agg, table, rel, n, groupAttrs, conds, None))
+          .flatMap(n => serveFrom(agg, table, rel, n, agg.groupingExpressions, conds,
+            None, sub))
           .nextOption()
     }
   }
@@ -222,10 +259,16 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
   }
 
   private def serveFrom(agg: Aggregate, table: GraftTable, rel: DataSourceV2Relation,
-                        mvName: String, groupAttrs: Seq[AttributeReference],
-                        conds: Seq[Expression], star: Option[StarShape])
+                        mvName: String, groupExprs: Seq[Expression],
+                        conds: Seq[Expression], star: Option[StarShape],
+                        sub: Map[ExprId, Expression] = Map.empty)
     : Option[Aggregate] = try {
     def bail(): Nothing = throw new Unservable
+    // inline pulled-out aliases (PullOutGroupingExpressions et al.) so the
+    // grouping attribute `_groupingexpression#n` matches as `month(d#x)`
+    def inline(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if sub.contains(a.exprId) => inline(sub(a.exprId))
+    }
     val catalog = rel.catalog.get.asInstanceOf[GraftCatalog]
     // join mode: which attributes belong to the FACT side (the MV's side)
     val factSet = star.map(_ => rel.outputSet)
@@ -254,16 +297,35 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     val sums = GraftMv.sumCols(mvMeta).map(_.toLowerCase).toSet
     val mins = GraftMv.minCols(mvMeta).map(_.toLowerCase).toSet
     val maxs = GraftMv.maxCols(mvMeta).map(_.toLowerCase).toSet
-    // fact-side grouping columns must be MV keys; dim-side grouping columns
-    // (join mode) ride through untouched
-    if (!groupAttrs.forall(a =>
-      (star.isDefined && !isFact(a)) || keys.contains(a.name.toLowerCase))) bail()
-    if (!conds.flatMap(_.references.toSeq)
-          .forall(a => keys.contains(a.name.toLowerCase))) bail()
-    // join mode: every fact-side JOIN column must be an MV key — that is
-    // what makes the per-group join multiplicity uniform
-    star.foreach { s =>
-      if (!s.factJoinAttrs.forall(f => keys.contains(f.name.toLowerCase))) bail()
+
+    // COMPUTED keys (r20): resolve each persisted key expr against THIS
+    // query's relation (parse → analyze a one-expression probe Project),
+    // so it can be matched semantically against the query's own grouping/
+    // predicate subtrees. Single-table shape only — in star mode nothing
+    // resolves, so computed keys simply never match there. TZ-dependent
+    // exprs are pinned to the creation session timezone.
+    val resolvedKeyExprs: Seq[(String, Expression)] =
+      if (star.isDefined) Nil
+      else GraftMv.keyExprs(mvMeta) match {
+        case Nil => Nil
+        case specs =>
+          if (!GraftMv.tzOk(mvMeta, session)) bail()
+          specs.map { case (n, sqlText) =>
+            val resolved = try {
+              val parsed = session.sessionState.sqlParser.parseExpression(sqlText)
+              session.sessionState.analyzer.execute(
+                Project(Seq(Alias(parsed, n)()), rel)) match {
+                case Project(Seq(al: Alias), _) => al.child
+                case _ => bail()
+              }
+            } catch { case NonFatal(_) => bail() }
+            n -> resolved
+          }
+      }
+    def keyExprFor(e: Expression): Option[String] = {
+      if (resolvedKeyExprs.isEmpty) return None
+      val inlined = inline(e)
+      resolvedKeyExprs.collectFirst { case (n, ke) if ke.semanticEquals(inlined) => n }
     }
 
     val mvRel = DataSourceV2Relation.create(mvTable, Some(catalog), Some(ident))
@@ -272,8 +334,41 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     def aggOf(fn: AggregateFunction): AggregateExpression =
       AggregateExpression(fn, Complete, isDistinct = false)
 
-    val groupMap: Map[ExprId, Attribute] =
-      groupAttrs.map(a => a.exprId -> (if (isFact(a)) mvAttr(a.name) else (a: Attribute))).toMap
+    // each grouping expression binds to its MV column: a fact-side key
+    // attribute, a dim-side attribute (join mode, rides through), or a
+    // structural match of a computed key expr; anything else refuses
+    val groupBind: Seq[(Expression, Expression)] = groupExprs.map {
+      case a: AttributeReference if star.isDefined && !isFact(a) => (a: Expression, a: Expression)
+      case a: AttributeReference if keys.contains(a.name.toLowerCase) =>
+        (a: Expression, mvAttr(a.name): Expression)
+      case e => keyExprFor(e) match {
+        case Some(n) => (e, mvAttr(n): Expression)
+        case None    => bail()
+      }
+    }
+    // predicates rebind the same way: a subtree matching a computed key
+    // becomes its MV column (`WHERE month(d) = 5` filters the key column);
+    // plain attributes must be keys; any other reference is unservable
+    def rebindCond(e: Expression): Expression = keyExprFor(e) match {
+      case Some(n) => mvAttr(n)
+      case None => e match {
+        case a: AttributeReference =>
+          if (keys.contains(a.name.toLowerCase)) mvAttr(a.name) else bail()
+        case other => other.withNewChildren(other.children.map(rebindCond))
+      }
+    }
+    // join mode: every fact-side JOIN column must be an MV key — that is
+    // what makes the per-group join multiplicity uniform
+    star.foreach { s =>
+      if (!s.factJoinAttrs.forall(f => keys.contains(f.name.toLowerCase))) bail()
+    }
+
+    // every grouping ATTRIBUTE (plain key, dim passthrough, or a pulled-out
+    // `_groupingexpression` that matched a computed key) maps by exprId to
+    // its bound form, so aggregate-list references rebind in one lookup
+    val groupMap: Map[ExprId, Attribute] = groupBind.collect {
+      case (a: AttributeReference, bound: Attribute) => a.exprId -> bound
+    }.toMap
 
     def rewriteFn(fn: AggregateFunction): Expression = fn match {
       case Count(Seq(Literal(v, _))) if v != null =>
@@ -322,6 +417,11 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
       // count. Unservable shapes bail the whole candidate.
       case _: AggregateExpression => bail()
       case _: AggregateFunction => bail()
+      // a GROUPED computed-key expression projects as its MV column (must
+      // match BEFORE the deterministic recursion tears it into raw source
+      // attributes, which are not servable)
+      case e2 if keyExprFor(e2).exists(n =>
+        groupBind.exists(_._1.semanticEquals(e2))) => mvAttr(keyExprFor(e2).get)
       case a: AttributeReference => groupMap.getOrElse(a.exprId, bail())
       case l: Literal => l
       case other if other.deterministic =>
@@ -337,10 +437,9 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     }
 
     // key predicates apply verbatim to the MV's key columns (same names);
-    // rebind their attribute references onto the MV relation's output
-    val newConds = conds.map(_.transformUp {
-      case a: AttributeReference => mvAttr(a.name)
-    })
+    // rebind attribute references — and computed-key subtrees (r20) — onto
+    // the MV relation's output (rebindCond bails on any non-key reference)
+    val newConds = conds.map(rebindCond)
     val factChild =
       if (newConds.isEmpty) mvRel
       else Filter(newConds.reduce(And), mvRel)
@@ -354,7 +453,7 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     logInfo(s"graft: serving aggregate over ${table.name()} from materialized " +
       s"view $mvName (watermark = snapshot ${table.currentSnapshot}" +
       star.map(_ => ", re-rolled through the join").getOrElse("") + ")")
-    Some(Aggregate(groupAttrs.map(a => groupMap(a.exprId)), newAggExprs, newChild))
+    Some(Aggregate(groupBind.map(_._2), newAggExprs, newChild))
   } catch { case _: Unservable => None }
 }
 

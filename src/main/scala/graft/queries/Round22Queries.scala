@@ -83,8 +83,70 @@ object Round22Queries {
     """SELECT doc_id, source || '/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
        FROM documents ORDER BY url DESC LIMIT 50"""
 
+  // --------------------------------------------------------------------------
+  // q314: COMPUTED-KEY MV REWRITE (r20) — `create_mv(keys => 'year(d) AS y,
+  // month(d) AS m')` materializes the time-bucketed rollup, THE dashboard
+  // GROUP BY shape, and `SELECT year(d), month(d), COUNT/SUM/AVG ... GROUP
+  // BY year(d), month(d)` is served from it by STRUCTURAL expression match
+  // (the analyzer's pulled-out grouping expressions are inlined and compared
+  // semantically; MvRewriteSpec pins the plan scans the MV). Same stale-era
+  // freshness gating as q304/q308: the pre-refresh era runs after a DML wave
+  // and MUST reflect it — a stale serve would hash-mismatch — then
+  // refresh_mv (which recomputes the SAME key exprs over the CDC deltas)
+  // re-enables serving for the post era. A predicate on the computed key
+  // (year(d) = ...) rebinds onto the MV key column.
+  // --------------------------------------------------------------------------
+  private def q314(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r22_orders_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r314_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.${t}_mv")
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, d DATE, cents BIGINT) USING parquet")
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderdate, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 3 <> 0""")
+    s.sql(s"CALL graft.system.create_mv('lake.${t}_mv', 'lake.$t', " +
+      "keys => 'year(d) AS y, month(d) AS m', sums => 'cents')")
+    // the wave: stale until refresh_mv
+    s.sql(s"""INSERT INTO graft.lake.$t
+      SELECT o_orderkey, o_orderdate, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+      FROM $src WHERE o_orderkey % 3 = 0""")
+    s.sql(s"DELETE FROM graft.lake.$t WHERE k % 13 = 0")
+    val agg =
+      s"""SELECT year(d) AS y, month(d) AS m, COUNT(*) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS total_c, ROUND(AVG(cents), 2) AS avg_c
+          FROM graft.lake.$t WHERE year(d) >= 1995 GROUP BY year(d), month(d)"""
+    import s.implicits._
+    val pre = s.sql(agg).collect().toSeq
+      .map(r => ("pre_refresh", r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toDF("era", "y", "m", "n", "total_c", "avg_c")
+    s.sql(s"CALL graft.system.refresh_mv('lake.${t}_mv')")
+    val post = s.sql(s"SELECT 'post_refresh' AS era, * FROM ($agg)")
+    pre.unionByName(post).orderBy("era", "y", "m")
+  }
+
+  private val q314Sql =
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_orderdate AS d,
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+         FROM orders),
+       final AS (SELECT * FROM base WHERE k % 13 <> 0),
+       agg AS (
+         SELECT CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS m,
+                COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_c,
+                ROUND(AVG(cents), 2) AS avg_c
+         FROM final WHERE year(d) >= 1995 GROUP BY 1, 2)
+       SELECT eras.era, a.y, a.m, a.n, a.total_c, a.avg_c
+       FROM (SELECT 'pre_refresh' AS era UNION ALL SELECT 'post_refresh') eras
+       CROSS JOIN agg a
+       ORDER BY eras.era, a.y, a.m"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q312_curation_topk_containment", q312, Some(q312Sql)),
     QDef("q313_string_topk_pruning", q313, Some(q313Sql)),
+    QDef("q314_computed_key_mv", q314, Some(q314Sql)),
   )
 }

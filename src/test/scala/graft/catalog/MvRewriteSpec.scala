@@ -264,6 +264,58 @@ class MvRewriteSpec extends SparkSpec {
     assert(rows(qc) === control(qc))
   }
 
+  test("COMPUTED keys (r20): month(d) rollups serve, non-matching exprs refuse") {
+    root
+    sql("DROP TABLE IF EXISTS gmr.ns.mvm")
+    sql("DROP TABLE IF EXISTS gmr.ns.sm")
+    sql("CREATE TABLE gmr.ns.sm (k BIGINT, d DATE, amt BIGINT) USING parquet")
+    sql("""INSERT INTO gmr.ns.sm
+           SELECT id, date_add(DATE'2024-01-01', CAST(id % 300 AS INT)), id * 10
+           FROM range(0, 600)""")
+    sql("""CALL gmr.system.create_mv('ns.mvm', 'ns.sm',
+           keys => 'month(d) AS m, year(d) AS y', sums => 'amt')""")
+    val q = """SELECT month(d) AS m, COUNT(*) AS n, SUM(amt) AS s,
+                      ROUND(AVG(amt), 2) AS a
+               FROM gmr.ns.sm GROUP BY month(d) ORDER BY m"""
+    val df = sql(q)
+    assert(scans(df, "mvm") && !scans(df, "sm"),
+      s"the month rollup must serve from the MV:\n${df.queryExecution.executedPlan}")
+    assert(rows(q) === control(q))
+    // predicate ON the computed key rebinds to the MV key column
+    val qp = """SELECT month(d) AS m, COUNT(*) AS n FROM gmr.ns.sm
+                WHERE month(d) >= 6 AND year(d) = 2024 GROUP BY month(d) ORDER BY m"""
+    val dfp = sql(qp)
+    assert(scans(dfp, "mvm") && !scans(dfp, "sm"),
+      s"computed-key predicates must serve:\n${dfp.queryExecution.executedPlan}")
+    assert(rows(qp) === control(qp))
+    // a DIFFERENT expression over the same column refuses (no structural match)
+    val qr = """SELECT dayofmonth(d) AS dd, COUNT(*) AS n FROM gmr.ns.sm
+                GROUP BY dayofmonth(d) ORDER BY dd"""
+    val dfr = sql(qr)
+    assert(scans(dfr, "sm") && !scans(dfr, "mvm"),
+      s"a non-matching expr must refuse:\n${dfr.queryExecution.executedPlan}")
+    assert(rows(qr) === control(qr))
+    // a predicate on the RAW column (not the key expr) refuses too
+    val qr2 = """SELECT month(d) AS m, COUNT(*) AS n FROM gmr.ns.sm
+                 WHERE d >= DATE'2024-06-01' GROUP BY month(d) ORDER BY m"""
+    assert(scans(sql(qr2), "sm") && !scans(sql(qr2), "mvm"))
+    assert(rows(qr2) === control(qr2))
+    // staleness + refresh: the delta path recomputes the SAME key exprs
+    sql("INSERT INTO gmr.ns.sm VALUES (9000, DATE'2024-03-03', 777), (9001, NULL, 5)")
+    sql("DELETE FROM gmr.ns.sm WHERE k IN (10, 11)")
+    val stale = sql(q)
+    assert(scans(stale, "sm") && !scans(stale, "mvm"), "stale must not serve")
+    sql("CALL gmr.system.refresh_mv('ns.mvm')")
+    assert(scans(sql(q), "mvm"), "refresh restores computed-key serving")
+    assert(rows(q) === control(q))
+    // creation-time validation: nondeterministic keys refuse at the door
+    val e = intercept[Exception] {
+      sql("""CALL gmr.system.create_mv('ns.mvbad', 'ns.sm',
+             keys => 'rand() AS r', sums => 'amt')""")
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+  }
+
   test("DROP TABLE of the MV deregisters; the conf kill-switch works") {
     mk()
     val q = "SELECT b, m, COUNT(*) AS n FROM gmr.ns.s1 GROUP BY b, m ORDER BY b, m"
