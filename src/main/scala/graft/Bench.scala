@@ -159,7 +159,20 @@ object Bench {
       val s = ts.sorted; s(s.length / 2)
     }
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // PER-QUERY contention flags (r20, verdict #8): the calibration block
+    // prices the WINDOW; these say WHICH medians to distrust. A query is
+    // flagged "contended" when its runs never converged — the self-heal
+    // reruns fired and the final median STILL sits > 1.5x the proven floor,
+    // or the raw spread is > 3x its own min — so a round-over-round reader
+    // can discount exactly those medians instead of forensically re-probing
+    // the whole suite. Mid-suite single-core probes (every 30 queries,
+    // ~0.1 s each) timestamp contention WITHIN the window.
+    val contendedQs = scala.collection.mutable.LinkedHashSet.empty[String]
+    val midProbes = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var qIdx = 0
     val results = selected.map { case (name, fn) =>
+      if (qIdx % 30 == 0) midProbes += ((qIdx, calibrate()))
+      qIdx += 1
       val nRuns = if (extraRuns.contains(name)) math.max(runs, 5) else runs
       var times = Seq.fill(nRuns)(timeOnce(name, fn))
       // self-healing (r18): a median far above the proven noise floor — the
@@ -167,9 +180,10 @@ object Bench {
       // window contention until re-measured; two extra runs converge it or
       // confirm the move as real. Absolute 0.15 s guard keeps sub-100 ms
       // queries from churning.
+      val floor = if (times.forall(_ >= 0))
+        math.min(times.min, baseline.get(name).filter(_ > 0).getOrElse(Double.MaxValue))
+      else Double.MaxValue
       if (times.forall(_ >= 0) && runs > 1) {
-        val floor = math.min(times.min,
-          baseline.get(name).filter(_ > 0).getOrElse(Double.MaxValue))
         val m = medianOf(times)
         if (m > 1.5 * floor && m - floor > 0.15) {
           times = times ++ Seq.fill(2)(timeOnce(name, fn))
@@ -184,7 +198,12 @@ object Bench {
       // elapsed must not masquerade as a fast success; if every run failed,
       // min carries the same negative failure marker as the median.
       val successes = times.filter(_ >= 0)
-      (name, median, if (successes.nonEmpty) successes.min else median)
+      val mn = if (successes.nonEmpty) successes.min else median
+      if (median > 0 && mn > 0 && median - mn > 0.15 &&
+          ((reruns.contains(name) && median > 1.5 * math.min(floor, mn)) ||
+            median > 3 * mn))
+        contendedQs += name
+      (name, median, mn)
     }
     val calibEnd = calibrate()
     val calibAllEnd = calibrateAllCores()
@@ -197,8 +216,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     val nCores = Runtime.getRuntime.availableProcessors()
-    val calib = s"""{"start":$calibStart,"end":$calibEnd,"all_start":$calibAllStart,"all_end":$calibAllEnd,"cpus":$nCores,"load_start":$loadStart,"load_end":$loadEnd}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"reruns":$rr,"calib":$calib,"sf":"$sfDir"}"""
+    val mid = midProbes.map { case (i, v) => s"[$i,$v]" }.mkString("[", ",", "]")
+    val calib = s"""{"start":$calibStart,"end":$calibEnd,"all_start":$calibAllStart,"all_end":$calibAllEnd,"cpus":$nCores,"load_start":$loadStart,"load_end":$loadEnd,"mid":$mid}"""
+    val contended = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"reruns":$rr,"contended":$contended,"calib":$calib,"sf":"$sfDir"}"""
     println(line)
     // Also write the JSON line to a file: the driver's BENCH_rN.json capture
     // keeps only the stdout TAIL, which truncated per-query numbers for half the

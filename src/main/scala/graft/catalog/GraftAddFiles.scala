@@ -156,18 +156,26 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
     val groups: Seq[(String, Seq[Path])] =
       if (partCols.isEmpty) Seq(("", files))
       else {
-        // ONE check scan, projected to the partition columns: distinct
-        // (file, tuple) pairs are file-count-sized on a pure export
-        import org.apache.spark.sql.functions.col
-        val pairs = spark.read.parquet(files.map(_.toString): _*)
+        // ONE check scan, projected to the partition columns and AGGREGATED
+        // per file (r20): `count(distinct tuple)` + a representative tuple.
+        // The driver-side result is file-count-sized UNCONDITIONALLY — the
+        // old distinct-pairs collect was file-count-sized only on pure
+        // exports, and an impure high-cardinality import flooded the driver
+        // before the refusal landed.
+        import org.apache.spark.sql.functions.{col, count, countDistinct, first, lit, struct}
+        val tuple = struct(partCols.map(col): _*)
+        val perFile = spark.read.parquet(files.map(_.toString): _*)
           .select(col("_metadata.file_path").as("__g_fp") +:
             partCols.map(c => col(c).cast("string").as(c)): _*)
-          .distinct().collect()
-        val byFile = pairs.groupBy(r => java.nio.file.Paths.get(
-          java.net.URI.create(r.getString(0)).getPath).getFileName.toString)
-        byFile.find(_._2.length > 1).foreach { case (f, ts) =>
+          .groupBy(col("__g_fp"))
+          .agg(countDistinct(tuple).as("__nt"), first(tuple).as("__t"),
+            count(lit(1)).as("__n"))
+          .collect()
+        val byFile = perFile.map(r => java.nio.file.Paths.get(
+          java.net.URI.create(r.getString(0)).getPath).getFileName.toString -> r).toMap
+        byFile.toSeq.sortBy(_._1).find(_._2.getLong(1) > 1).foreach { case (f, r) =>
           throw new IllegalArgumentException(
-            s"graft add_files: file '$f' holds ${ts.length} distinct partition " +
+            s"graft add_files: file '$f' holds ${r.getLong(1)} distinct partition " +
               s"tuples over (${partCols.mkString(", ")}) — not partition-pure; " +
               "split it by partition value (or load via INSERT ... SELECT)")
         }
@@ -176,9 +184,11 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
           val row = byFile.getOrElse(p.getFileName.toString, throw
             new IllegalArgumentException(
               s"graft add_files: file '${p.getFileName}' is empty — an empty " +
-                "file proves no partition value; drop it from the import")).head
+                "file proves no partition value; drop it from the import"))
+          // __nt == 1, so the per-file `first` tuple IS the proven value
+          val t = row.getStruct(2)
           val values = partCols.indices.map(i =>
-            if (row.isNullAt(i + 1)) null else row.getString(i + 1))
+            if (t.isNullAt(i)) null else t.getString(i))
           (GraftPartitions.suffix(values, sid), p)
         }.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, fs) => (s, fs.map(_._2)) }
       }

@@ -197,6 +197,33 @@ class AddFilesSpec extends SparkSpec {
     assert(count("SELECT COUNT(*) c FROM gaf.ns.t7") === 0)
   }
 
+  test("validate_partitions: a WIDE impure import refuses file-count-bounded (r20)") {
+    root
+    sql("DROP TABLE IF EXISTS gaf.ns.t8")
+    sql("""CREATE TABLE gaf.ns.t8 (k BIGINT, tag STRING, amt BIGINT)
+           USING parquet PARTITIONED BY (tag)""")
+    import spark.implicits._
+    // ONE file with 50k DISTINCT partition tuples: the r19 distinct-pairs
+    // collect materialized all 50k rows on the driver before refusing; the
+    // per-file count(distinct) aggregate brings back ONE row per file. The
+    // pin is behavioral (refusal fires, names the file and the tuple count,
+    // nothing commits) — the bound itself is the aggregate's shape.
+    val src = root.resolve("raw_wide_impure")
+    Files.createDirectories(src)
+    val tmp = Files.createTempDirectory(root, "exp_wide")
+    spark.range(0, 50000)
+      .selectExpr("id AS k", "concat('t', CAST(id AS STRING)) AS tag", "id * 10 AS amt")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    GraftMeta.listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.move(p, src.resolve("wide_file.parquet")))
+    val e = intercept[Exception] {
+      sql(s"CALL gaf.system.add_files('ns.t8', '$src', validate_partitions => true)")
+    }
+    assert(e.getMessage.contains("wide_file.parquet"), e.getMessage)
+    assert(e.getMessage.contains("50000 distinct partition"), e.getMessage)
+    assert(count("SELECT COUNT(*) c FROM gaf.ns.t8") === 0)
+  }
+
   test("partitioned and CHECK-constrained targets are refused with remediation") {
     sql("DROP TABLE IF EXISTS gaf.ns.t4")
     sql("CREATE TABLE gaf.ns.t4 (k BIGINT, tag STRING, amt BIGINT) USING parquet PARTITIONED BY (tag)")

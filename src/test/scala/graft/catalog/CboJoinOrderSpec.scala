@@ -92,6 +92,70 @@ class CboJoinOrderSpec extends SparkSpec {
     }
   }
 
+  test("a skewed JOIN KEY flips the join order only when both sides carry KLL histograms (r20)") {
+    root
+    // fact.ka is SKEWED: 9900 rows hold the ten hot keys 0..9, the other 100
+    // rows one tail key each (10..109, ndv 110). dimc holds EXACTLY the ten
+    // hot keys; dimd covers 100 of kb's 200 uniform values.
+    //   - NDV-only equi-join pricing: |f⋈dimc| = 10000·10/max(110,10) ≈ 909
+    //     (assumes uniform keys — 10× under the true 9900), vs |f⋈dimd| =
+    //     5000 → dimc joins innermost;
+    //   - with KLL histograms on BOTH sides of the ka join, Spark's
+    //     histogram join estimation weighs the overlapping bins — the hot
+    //     bins carry ~9900 rows → dimd (5000) joins innermost instead.
+    // Same data, same query — only the committed sketches flip the order.
+    def build(withKll: Boolean): Unit = {
+      Seq("fact3", "dimc3", "dimd3").foreach(t => sql(s"DROP TABLE IF EXISTS gcbo.ns.$t"))
+      val kll = if (withKll) ", 'graft.stats.kll' = '*'" else ""
+      sql(s"""CREATE TABLE gcbo.ns.fact3 (ka BIGINT, kb BIGINT, v BIGINT) USING parquet
+             TBLPROPERTIES ('graft.stats.ndv' = '*'$kll)""")
+      sql("""INSERT INTO gcbo.ns.fact3
+             SELECT CASE WHEN id < 9900 THEN id % 10 ELSE 10 + (id - 9900) END,
+                    id % 200, id
+             FROM range(0, 10000)""")
+      sql(s"""CREATE TABLE gcbo.ns.dimc3 (a BIGINT, w BIGINT) USING parquet
+             TBLPROPERTIES ('graft.stats.ndv' = '*'$kll)""")
+      sql("INSERT INTO gcbo.ns.dimc3 SELECT id, id * 7 FROM range(0, 10)")
+      sql(s"""CREATE TABLE gcbo.ns.dimd3 (b BIGINT, u BIGINT) USING parquet
+             TBLPROPERTIES ('graft.stats.ndv' = '*'$kll)""")
+      sql("INSERT INTO gcbo.ns.dimd3 SELECT id, id FROM range(0, 100)")
+    }
+    val q = """SELECT SUM(f.v) AS s
+               FROM gcbo.ns.fact3 f
+               JOIN gcbo.ns.dimc3 dc ON f.ka = dc.a
+               JOIN gcbo.ns.dimd3 dd ON f.kb = dd.b"""
+    def innermost(plan: LogicalPlan): Seq[String] = {
+      val inner = plan.collect {
+        case j: Join if !j.children.exists(_.exists(_.isInstanceOf[Join])) => j
+      }
+      assert(inner.nonEmpty, s"no join in:\n$plan")
+      inner.head.collectLeaves().map(_.toString)
+    }
+    val expect = (0L until 9900L).filter(_ % 200 < 100).sum
+    val (cboOn, joinReorder, hist) =
+      (spark.conf.get("spark.sql.cbo.enabled"),
+        spark.conf.get("spark.sql.cbo.joinReorder.enabled"),
+        spark.conf.get("spark.sql.statistics.histogram.enabled", "false"))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      build(withKll = false)
+      val without = innermost(sql(q).queryExecution.optimizedPlan)
+      assert(without.exists(_.contains("dimc3")) && !without.exists(_.contains("dimd3")),
+        s"NDV-only pricing must put the (under-estimated) dimc3 join innermost, got $without")
+      assert(sql(q).collect().head.getLong(0) === expect)
+      build(withKll = true)
+      val withH = innermost(sql(q).queryExecution.optimizedPlan)
+      assert(withH.exists(_.contains("dimd3")) && !withH.exists(_.contains("dimc3")),
+        s"KLL histograms must expose the hot-key blowup -> dimd3 joins first, got $withH")
+      assert(sql(q).collect().head.getLong(0) === expect)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", cboOn)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", joinReorder)
+      spark.conf.set("spark.sql.statistics.histogram.enabled", hist)
+    }
+  }
+
   test("a selective STRING predicate flips the join order only with the stats present (r19)") {
     root
     def innermost(plan: LogicalPlan): Seq[String] = {
