@@ -195,7 +195,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog with ViewCat
     // legacy ambiguity: refuse loudly with the remediation instead of
     // serving a silently incomplete partition view. Cost: string checks
     // over the current segment list, only on partitioned tables.
-    {
+    // NB `locally`: a bare `{...}` here would parse as an anonymous-class
+    // BODY of the `new NoSuchTableException(ident)` on the previous line
+    // and never execute (caught by LegacyZcSuffixSpec)
+    locally {
       val meta = t.metaAtLoad
       if (meta.props.contains(GraftTable.PartitionByProp) &&
           !meta.props.contains(GraftZOrder.ColsProp)) {

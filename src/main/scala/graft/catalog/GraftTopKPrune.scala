@@ -85,7 +85,18 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] final class GraftTopKPrune(session: SparkSession)
   extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUpWithSubqueries {
+  /** Off switch (r20), mirroring `spark.graft.mv.rewrite`: lets an operator
+    * rule the feature out in one session when chasing a plan question, and
+    * gives probes a same-JVM A/B control. Default on. */
+  private def enabled: Boolean =
+    session.conf.get("spark.graft.topk.prune", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    applyEnabled(plan)
+  }
+
+  private def applyEnabled(plan: LogicalPlan): LogicalPlan = plan.transformUpWithSubqueries {
     case lim @ Limit(IntegerLiteral(k), s @ Sort(order, true, child, _)) if k > 0 =>
       rewrite(k, order, child) match {
         case Some(newChild) => Limit(Literal(k), s.copy(child = newChild))

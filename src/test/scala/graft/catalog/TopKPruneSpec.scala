@@ -236,6 +236,12 @@ class TopKPruneSpec extends SparkSpec {
 
   test("soundness gates fall back to the full scan") {
     mk("t2")
+    // the kill switch disables the rule session-wide (r20)
+    spark.conf.set("spark.graft.topk.prune", "false")
+    try assert(plannedSegs(sql(
+      "SELECT score FROM gtk.ns.t2 ORDER BY score DESC LIMIT 5")).size === 8)
+    finally spark.conf.set("spark.graft.topk.prune", "true")
+    assert(plannedSegs(sql("SELECT score FROM gtk.ns.t2 ORDER BY score DESC LIMIT 5")).size === 1)
     // ASC (NULLS FIRST default) is refused
     assert(plannedSegs(sql("SELECT score FROM gtk.ns.t2 ORDER BY score ASC LIMIT 5")).size === 8)
     // a user WHERE invalidates the row-count guarantee
