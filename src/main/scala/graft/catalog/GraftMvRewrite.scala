@@ -57,6 +57,15 @@ import org.apache.spark.sql.types.DoubleType
   * (their values repeat per fact row; the summary cannot reproduce that),
   * as do outer joins (null-padded multiplicities) and non-equi conditions.
   *
+  * COMPUTED KEYS (r20): grouping expressions and predicates that
+  * structurally match a key declared as `<expr> AS <name>` at create_mv
+  * (`month(o_orderdate) AS m` — the time-bucketed rollup) serve like plain
+  * key columns, in BOTH the single-table and star shapes ("monthly revenue
+  * by region"): the persisted expr is parsed + analyzed against the FACT
+  * relation and compared semantically, which automatically refuses dim-side
+  * look-alikes (different attributes never semanticEqual). The analyzer's
+  * PullOutGroupingExpressions aliases are peeled and inlined for matching.
+  *
   * At 100 TB this is the difference between a dashboard GROUP BY costing a
   * full fact-table scan and costing a scan of |groups| rows: create the MV
   * once, `refresh_mv` per ingest batch (O(changed rows)), and every matching
@@ -137,22 +146,32 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     case other => other
   }
 
+  /** Projects directly under the Aggregate (the analyzer's pull-out layer
+    * plus pruning) are peeled with their ALIAS substitutions collected, so
+    * grouping attrs can be matched as the expressions they name. Safe to
+    * drop at rebuild for the same reason as peelSub: every surviving
+    * reference is rebound onto the MV / dim attrs or bails. */
+  private def peelTopProjects(plan: LogicalPlan, sub: Map[ExprId, Expression])
+    : (LogicalPlan, Map[ExprId, Expression]) = plan match {
+    case Project(list, child) if list.forall {
+        case _: AttributeReference => true
+        case al: Alias             => al.child.deterministic
+        case _                     => false
+      } =>
+      peelTopProjects(child, sub ++ list.collect { case al: Alias => al.exprId -> al.child })
+    case other => (other, sub)
+  }
+
   private def rewrite(agg: Aggregate): Option[Aggregate] = {
-    peelProjects(agg.child) match {
-      // star shape (r19): Aggregate over a join tree around the fact —
-      // grouping must be plain attributes there (computed keys serve the
-      // single-table shape; a computed-key MV still serves a star when the
-      // star groups by its PLAIN keys only)
-      case j: Join =>
-        val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
-          case a: AttributeReference => a
-          case _ => return None
-        }
-        rewriteStar(agg, j, groupAttrs)
+    // grouping expressions may be attributes OR deterministic scalar exprs
+    // structurally matching a registered computed key (r20)
+    if (agg.groupingExpressions.exists(!_.deterministic)) return None
+    peelTopProjects(agg.child, Map.empty) match {
+      // star shape (r19; r20 adds computed fact keys — "monthly revenue by
+      // region"): Aggregate over a join tree around the fact
+      case (j: Join, sub) =>
+        rewriteStar(agg, j, agg.groupingExpressions, sub)
       case _ =>
-        // grouping expressions may be attributes OR deterministic scalar
-        // exprs structurally matching a registered computed key (r20)
-        if (agg.groupingExpressions.exists(!_.deterministic)) return None
         val (rel, table, conds, sub) =
           peelSub(agg.child, Nil, Map.empty).getOrElse(return None)
         if (conds.exists(!_.deterministic)) return None
@@ -197,7 +216,8 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     * through untouched. Two MV-bearing relations in one tree refuse
     * (ambiguous fact). */
   private def rewriteStar(agg: Aggregate, join: Join,
-                          groupAttrs: Seq[AttributeReference]): Option[Aggregate] = {
+                          groupExprs: Seq[Expression],
+                          sub: Map[ExprId, Expression]): Option[Aggregate] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
@@ -238,9 +258,13 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
       })
     }
     if (!condsOk || factJoinAttrs.isEmpty) return None
-    // grouping columns resolve from the join output: fact ones are checked
-    // against MV keys inside serveFrom, dim ones ride through
-    if (!groupAttrs.forall(a => join.outputSet.contains(a))) return None
+    // grouping expressions resolve from the join output once pulled-out
+    // aliases are inlined: fact attrs / computed fact key exprs are checked
+    // against MV keys inside serveFrom, dim attrs ride through
+    def inl(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if sub.contains(a.exprId) => inl(sub(a.exprId))
+    }
+    if (!groupExprs.forall(g => inl(g).references.subsetOf(join.outputSet))) return None
     val shape = StarShape(factJoinAttrs,
       (factChild, mvAttr) => rebuild(factChild).transformUp {
         case jn: Join => jn.copy(condition = jn.condition.map(_.transformUp {
@@ -248,7 +272,7 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
         }))
       })
     candidates(rel, table).iterator
-      .flatMap(n => serveFrom(agg, table, rel, n, groupAttrs, conds, Some(shape)))
+      .flatMap(n => serveFrom(agg, table, rel, n, groupExprs, conds, Some(shape), sub))
       .nextOption()
   }
 
@@ -299,14 +323,15 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
     val maxs = GraftMv.maxCols(mvMeta).map(_.toLowerCase).toSet
 
     // COMPUTED keys (r20): resolve each persisted key expr against THIS
-    // query's relation (parse → analyze a one-expression probe Project),
-    // so it can be matched semantically against the query's own grouping/
-    // predicate subtrees. Single-table shape only — in star mode nothing
-    // resolves, so computed keys simply never match there. TZ-dependent
+    // query's FACT relation (parse → analyze a one-expression probe
+    // Project), so it can be matched semantically against the query's own
+    // grouping/predicate subtrees — in star mode too ("monthly revenue by
+    // region": `fact ⋈ dim GROUP BY dim.name, month(fact.d)`), where the
+    // fact-attr exprIds in the resolved form automatically refuse dim-side
+    // expressions (different attributes never semanticEqual). TZ-dependent
     // exprs are pinned to the creation session timezone.
     val resolvedKeyExprs: Seq[(String, Expression)] =
-      if (star.isDefined) Nil
-      else GraftMv.keyExprs(mvMeta) match {
+      GraftMv.keyExprs(mvMeta) match {
         case Nil => Nil
         case specs =>
           if (!GraftMv.tzOk(mvMeta, session)) bail()
@@ -336,10 +361,15 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
 
     // each grouping expression binds to its MV column: a fact-side key
     // attribute, a dim-side attribute (join mode, rides through), or a
-    // structural match of a computed key expr; anything else refuses
+    // structural match of a computed key expr; anything else refuses. An
+    // attr carrying a pulled-out alias (sub) is the EXPRESSION it names —
+    // its defining Project gets dropped at rebuild, so it must match a
+    // computed key (never pass through as a dim attr).
     val groupBind: Seq[(Expression, Expression)] = groupExprs.map {
-      case a: AttributeReference if star.isDefined && !isFact(a) => (a: Expression, a: Expression)
-      case a: AttributeReference if keys.contains(a.name.toLowerCase) =>
+      case a: AttributeReference if !sub.contains(a.exprId) &&
+          star.isDefined && !isFact(a) => (a: Expression, a: Expression)
+      case a: AttributeReference if !sub.contains(a.exprId) &&
+          isFact(a) && keys.contains(a.name.toLowerCase) =>
         (a: Expression, mvAttr(a.name): Expression)
       case e => keyExprFor(e) match {
         case Some(n) => (e, mvAttr(n): Expression)

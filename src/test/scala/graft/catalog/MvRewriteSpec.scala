@@ -316,6 +316,47 @@ class MvRewriteSpec extends SparkSpec {
     assert(e.getMessage.contains("deterministic"), e.getMessage)
   }
 
+  test("COMPUTED keys through the STAR shape (r20): monthly revenue by region serves") {
+    root
+    sql("DROP TABLE IF EXISTS gmr.ns.mvs")
+    sql("DROP TABLE IF EXISTS gmr.ns.ss")
+    sql("CREATE TABLE gmr.ns.ss (k BIGINT, region BIGINT, d DATE, amt BIGINT) USING parquet")
+    sql("""INSERT INTO gmr.ns.ss
+           SELECT id, id % 4, date_add(DATE'2024-01-01', CAST(id % 200 AS INT)), id * 10
+           FROM range(0, 500)""")
+    sql("""CALL gmr.system.create_mv('ns.mvs', 'ns.ss',
+           keys => 'region, month(d) AS m', sums => 'amt')""")
+    sql("DROP TABLE IF EXISTS gmr.ns.dimreg")
+    sql("CREATE TABLE gmr.ns.dimreg (region BIGINT, name STRING) USING parquet")
+    sql("INSERT INTO gmr.ns.dimreg SELECT id, concat('r', CAST(id AS STRING)) FROM range(0, 3)")
+    // THE dashboard query: monthly revenue by region name — computed fact
+    // key + dim attr grouping through an inner join
+    val q = """SELECT dr.name, month(f.d) AS m, COUNT(*) AS n, SUM(f.amt) AS s
+               FROM gmr.ns.ss f JOIN gmr.ns.dimreg dr ON f.region = dr.region
+               GROUP BY dr.name, month(f.d) ORDER BY dr.name, m"""
+    val df = sql(q)
+    assert(scans(df, "mvs") && !scans(df, "ss"),
+      s"the star month rollup must serve from the MV:\n${df.queryExecution.executedPlan}")
+    assert(rows(q) === control(q))
+    // a computed expr over a DIM column must refuse (the resolved key expr
+    // binds fact attributes; a dim-side month never matches)
+    sql("ALTER TABLE gmr.ns.dimreg ADD COLUMN est DATE")
+    val qr = """SELECT month(dr.est) AS m, COUNT(*) AS n
+                FROM gmr.ns.ss f JOIN gmr.ns.dimreg dr ON f.region = dr.region
+                GROUP BY month(dr.est) ORDER BY m"""
+    val dfr = sql(qr)
+    assert(scans(dfr, "ss") && !scans(dfr, "mvs"),
+      s"a dim-side computed expr must refuse:\n${dfr.queryExecution.executedPlan}")
+    assert(rows(qr) === control(qr))
+    // staleness still gates the star + computed shape
+    sql("INSERT INTO gmr.ns.ss VALUES (9000, 1, DATE'2024-05-05', 777)")
+    val stale = sql(q)
+    assert(scans(stale, "ss") && !scans(stale, "mvs"), "stale must not serve")
+    sql("CALL gmr.system.refresh_mv('ns.mvs')")
+    assert(scans(sql(q), "mvs"))
+    assert(rows(q) === control(q))
+  }
+
   test("DROP TABLE of the MV deregisters; the conf kill-switch works") {
     mk()
     val q = "SELECT b, m, COUNT(*) AS n FROM gmr.ns.s1 GROUP BY b, m ORDER BY b, m"
