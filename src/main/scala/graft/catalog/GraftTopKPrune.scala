@@ -102,6 +102,19 @@ private[graft] final class GraftTopKPrune(session: SparkSession)
         case Some(newChild) => Limit(Literal(k), s.copy(child = newChild))
         case None => lim
       }
+    // LIMIT k OFFSET m — the pagination shape (r20): rows at sorted
+    // positions m+1..m+k. τ built for k+m is sound: the injected bound
+    // keeps at least k+m rows at the top of the order, and any row below
+    // it sits at a position past the window either way.
+    case gl @ GlobalLimit(IntegerLiteral(k),
+        off @ Offset(IntegerLiteral(m),
+          ll @ LocalLimit(IntegerLiteral(km), s @ Sort(order, true, child, _))))
+        if k > 0 && m >= 0 && km == k + m =>
+      rewrite(km, order, child) match {
+        case Some(newChild) =>
+          gl.copy(child = off.copy(child = ll.copy(child = s.copy(child = newChild))))
+        case None => gl
+      }
   }
 
   /** Zone comparison domain of a column type: 'l' = long (integral, date as

@@ -215,6 +215,22 @@ class TopKPruneSpec extends SparkSpec {
       (995 to 999).reverse.map(i => f"z$i%04d"))
   }
 
+  test("LIMIT k OFFSET m (pagination) prunes with τ built for k+m (r20)") {
+    mk("tp")
+    // page 2 of a 50-row page: positions 51..100 — τ for 100 still cuts to
+    // the top segment (1000 rows), and the page content is exact
+    val q = "SELECT score FROM gtk.ns.tp ORDER BY score DESC LIMIT 50 OFFSET 50"
+    assert(plannedSegs(sql(q)).size === 1,
+      s"page-2 top-100 must plan ONE segment, got ${plannedSegs(sql(q))}")
+    assert(sql(q).collect().map(_.getLong(0)).toSeq ===
+      (7900L until 7950L).sorted.reverse)
+    // a window REACHING past one segment's guarantee keeps two segments
+    val q2 = "SELECT score FROM gtk.ns.tp ORDER BY score DESC LIMIT 100 OFFSET 950"
+    assert(plannedSegs(sql(q2)).size === 2, plannedSegs(sql(q2)).toString)
+    assert(sql(q2).collect().map(_.getLong(0)).toSeq ===
+      (6950L until 7050L).sorted.reverse)
+  }
+
   test("Long.MinValue segment min cannot poison τ (r19 regression)") {
     root
     sql("DROP TABLE IF EXISTS gtk.ns.tmin")
