@@ -70,6 +70,49 @@ object MvServeAb {
     println(f"[mv-ab] medians: served=${med(served.toSeq)}%.4f s, " +
       f"direct=${med(direct.toSeq)}%.4f s, " +
       f"ratio=${med(direct.toSeq) / med(served.toSeq)}%.1fx (sf=$sfDir)")
+
+    // ---- second probe (r20): the STAR + COMPUTED-KEY shape -------------
+    // "monthly revenue by region": fact ⋈ dim GROUP BY dim.name, month(d),
+    // served from an MV keyed (region, month(d) AS m). Same interleaved
+    // on/off discipline in the same JVM.
+    spark.conf.set("spark.graft.mv.rewrite", "true")
+    spark.sql("CREATE TABLE gmv.ns.fact2 (k BIGINT, region BIGINT, d DATE, cents BIGINT) USING parquet")
+    (0 until waves).foreach { w =>
+      spark.sql(s"""INSERT INTO gmv.ns.fact2
+        SELECT o_orderkey + ${w * 1000000000L}, o_custkey % 12, o_orderdate,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM ab_orders""")
+    }
+    spark.sql("CALL gmv.system.create_mv('ns.fact2_mv', 'ns.fact2', " +
+      "keys => 'region, month(d) AS m', sums => 'cents')")
+    spark.sql("""SELECT id AS region, concat('r', CAST(id AS STRING)) AS name
+                 FROM range(0, 10)""").createOrReplaceTempView("ab_dim")
+    val q2 = """SELECT dr.name, month(f.d) AS m, COUNT(*) AS n,
+                       CAST(SUM(f.cents) AS BIGINT) AS total_c,
+                       ROUND(AVG(f.cents), 2) AS avg_c
+                FROM gmv.ns.fact2 f JOIN ab_dim dr ON f.region = dr.region
+                GROUP BY dr.name, month(f.d) ORDER BY dr.name, m"""
+    def run2(): Double = {
+      val t0 = System.nanoTime()
+      spark.sql(q2).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val plan2 = spark.sql(q2).queryExecution.executedPlan.toString
+    require(plan2.contains("gmv.ns.fact2_mv["),
+      s"probe invalid — the star+computed rewrite did not serve:\n$plan2")
+    spark.conf.set("spark.graft.mv.rewrite", "true"); run2()
+    spark.conf.set("spark.graft.mv.rewrite", "false"); run2()
+    val served2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val direct2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until 5).foreach { _ =>
+      spark.conf.set("spark.graft.mv.rewrite", "true");  served2 += run2()
+      spark.conf.set("spark.graft.mv.rewrite", "false"); direct2 += run2()
+    }
+    println(f"[mv-ab-star] served (rewrite on):  ${served2.map(t => f"$t%.3f").mkString(", ")}")
+    println(f"[mv-ab-star] direct (rewrite off): ${direct2.map(t => f"$t%.3f").mkString(", ")}")
+    println(f"[mv-ab-star] medians: served=${med(served2.toSeq)}%.4f s, " +
+      f"direct=${med(direct2.toSeq)}%.4f s, " +
+      f"ratio=${med(direct2.toSeq) / med(served2.toSeq)}%.1fx (sf=$sfDir, waves=$waves)")
     spark.stop()
   }
 }
