@@ -144,9 +144,39 @@ object Round22Queries {
        CROSS JOIN agg a
        ORDER BY eras.era, a.y, a.m"""
 
+  // --------------------------------------------------------------------------
+  // q315: PAGINATED TOP-K PRUNING (r20) — `ORDER BY cents DESC LIMIT k
+  // OFFSET m` over a banded graft table: the pagination window (rows m+1..
+  // m+k of the sorted stream) prunes with τ built for k+m — page N of a
+  // leaderboard/curation listing reads the same few segments as page 1
+  // instead of re-scanning the corpus per page. TopKPruneSpec pins the
+  // planned-segment counts; this gate owns the page content.
+  // --------------------------------------------------------------------------
+  private def q315(s: SparkSession, d: String): DataFrame = {
+    LakeQueries.ensureCatalog(s)
+    val src = s"r22_orders_${sfTag(d)}"
+    T.orders(s, d).createOrReplaceTempView(src)
+    val t = s"r315_${sfTag(d)}"
+    s.sql(s"DROP TABLE IF EXISTS graft.lake.$t")
+    s.sql(s"CREATE TABLE graft.lake.$t (k BIGINT, cents BIGINT) USING parquet")
+    Seq("o_totalprice < 100000",
+        "o_totalprice >= 100000 AND o_totalprice < 300000",
+        "o_totalprice >= 300000").foreach { band =>
+      s.sql(s"""INSERT INTO graft.lake.$t
+        SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+        FROM $src WHERE $band""")
+    }
+    s.sql(s"SELECT k, cents FROM graft.lake.$t ORDER BY cents DESC, k LIMIT 50 OFFSET 100")
+  }
+
+  private val q315Sql =
+    """SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+       FROM orders ORDER BY cents DESC, k LIMIT 50 OFFSET 100"""
+
   val defs: Seq[QDef] = Seq(
     QDef("q312_curation_topk_containment", q312, Some(q312Sql)),
     QDef("q313_string_topk_pruning", q313, Some(q313Sql)),
     QDef("q314_computed_key_mv", q314, Some(q314Sql)),
+    QDef("q315_paginated_topk", q315, Some(q315Sql)),
   )
 }

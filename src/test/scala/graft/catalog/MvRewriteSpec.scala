@@ -314,6 +314,21 @@ class MvRewriteSpec extends SparkSpec {
              keys => 'rand() AS r', sums => 'amt')""")
     }
     assert(e.getMessage.contains("deterministic"), e.getMessage)
+    // TZ pinning: a computed-key MV refuses refresh AND serve under a
+    // DIFFERENT session timezone (the exprs could group differently there)
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      sql("INSERT INTO gmr.ns.sm VALUES (9100, DATE'2024-07-07', 1)")
+      val eTz = intercept[Exception] { sql("CALL gmr.system.refresh_mv('ns.mvm')") }
+      assert(eTz.getMessage.contains("timezone"), eTz.getMessage)
+      val dfTz = sql(q)
+      assert(scans(dfTz, "sm") && !scans(dfTz, "mvm"),
+        s"a TZ-mismatched computed-key MV must not serve:\n${dfTz.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    sql("CALL gmr.system.refresh_mv('ns.mvm')") // back home: refresh + serve again
+    assert(scans(sql(q), "mvm"))
+    assert(rows(q) === control(q))
   }
 
   test("COMPUTED keys through the STAR shape (r20): monthly revenue by region serves") {
