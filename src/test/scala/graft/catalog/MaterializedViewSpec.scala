@@ -180,4 +180,28 @@ class MaterializedViewSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(m === Seq((1L, 2L, 10L)))
   }
+
+  test("MIN/MAX + COMPUTED keys: the endangered-group rescan groups by the key expr (r20)") {
+    root
+    sql("DROP TABLE IF EXISTS gmv.ns.s8")
+    sql("CREATE TABLE gmv.ns.s8 (k BIGINT, d DATE, amt BIGINT) USING parquet")
+    sql("""INSERT INTO gmv.ns.s8 VALUES
+           (1, DATE'2024-01-05', 10), (2, DATE'2024-01-20', 30),
+           (3, DATE'2024-02-05', 7),  (4, DATE'2024-02-20', 70)""")
+    sql("""CALL gmv.system.create_mv('ns.mv8', 'ns.s8',
+           keys => 'month(d) AS m', sums => 'amt', mins => 'amt', maxs => 'amt')""")
+    // delete month 1's current MIN: the group is ENDANGERED — the bounded
+    // rescan must recompute month(d) over the source to find the survivor
+    sql("DELETE FROM gmv.ns.s8 WHERE k = 1")
+    sql("CALL gmv.system.refresh_mv('ns.mv8')")
+    val m = sql("SELECT m, n_rows, sum_amt, min_amt, max_amt FROM gmv.ns.mv8 ORDER BY m")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(m === Seq((1, 1L, 30L, 30L, 30L), (2, 2L, 77L, 7L, 70L)))
+    // inserts tighten arithmetically (no rescan needed) with the same keys
+    sql("INSERT INTO gmv.ns.s8 VALUES (5, DATE'2024-01-25', 2)")
+    sql("CALL gmv.system.refresh_mv('ns.mv8')")
+    val m2 = sql("SELECT m, n_rows, min_amt FROM gmv.ns.mv8 ORDER BY m")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(m2 === Seq((1, 2L, 2L), (2, 2L, 7L)))
+  }
 }
