@@ -162,14 +162,13 @@ private[catalog] final class AddFilesProcedure(catalog: GraftCatalog)
         // old distinct-pairs collect was file-count-sized only on pure
         // exports, and an impure high-cardinality import flooded the driver
         // before the refusal landed.
-        import org.apache.spark.sql.functions.{col, count, countDistinct, first, lit, struct}
+        import org.apache.spark.sql.functions.{col, countDistinct, first, struct}
         val tuple = struct(partCols.map(col): _*)
         val perFile = spark.read.parquet(files.map(_.toString): _*)
           .select(col("_metadata.file_path").as("__g_fp") +:
             partCols.map(c => col(c).cast("string").as(c)): _*)
           .groupBy(col("__g_fp"))
-          .agg(countDistinct(tuple).as("__nt"), first(tuple).as("__t"),
-            count(lit(1)).as("__n"))
+          .agg(countDistinct(tuple).as("__nt"), first(tuple).as("__t"))
           .collect()
         val byFile = perFile.map(r => java.nio.file.Paths.get(
           java.net.URI.create(r.getString(0)).getPath).getFileName.toString -> r).toMap

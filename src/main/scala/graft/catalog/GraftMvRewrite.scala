@@ -383,7 +383,16 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
       case Some(n) => mvAttr(n)
       case None => e match {
         case a: AttributeReference =>
-          if (keys.contains(a.name.toLowerCase)) mvAttr(a.name) else bail()
+          // an attribute carrying a Project alias is the EXPRESSION it
+          // names (its defining Project is dropped at rebuild) — a
+          // name-based rebind is never valid for it: `month(d) AS region`
+          // must not filter a real MV key column `region`. Resolve the
+          // rename; serve only a plain key attribute.
+          val s = if (!sub.contains(a.exprId)) a else inline(a) match {
+            case sa: AttributeReference => sa
+            case _                      => bail()
+          }
+          if (keys.contains(s.name.toLowerCase)) mvAttr(s.name) else bail()
         case other => other.withNewChildren(other.children.map(rebindCond))
       }
     }
@@ -400,34 +409,56 @@ private[graft] final class GraftMvRewrite(session: SparkSession)
       case (a: AttributeReference, bound: Attribute) => a.exprId -> bound
     }.toMap
 
+    // an aggregate argument may be a Project ALIAS (peelSub admits them for
+    // computed-key matching) whose NAME shadows a real source column — e.g.
+    // `other_col AS cents` under SUM(cents). Matching by name alone would
+    // serve sum_cents for SUM(other_col): wrong results. Resolve through the
+    // substitution first; serve only when the inlined form is itself a plain
+    // source attribute (an identity rename), otherwise refuse the candidate.
+    def srcAttr(c: AttributeReference): AttributeReference =
+      if (!sub.contains(c.exprId)) c
+      else inline(c) match {
+        case a: AttributeReference => a
+        case _                     => bail()
+      }
     def rewriteFn(fn: AggregateFunction): Expression = fn match {
       case Count(Seq(Literal(v, _))) if v != null =>
         // COUNT(*)/COUNT(1): sum the per-group row counts; an EMPTY
         // global aggregate must still answer 0, not NULL
         Coalesce(Seq(aggOf(Sum(mvAttr("n_rows"))), Literal(0L)))
-      case Count(Seq(c: AttributeReference)) if isFact(c) && sums.contains(c.name.toLowerCase) =>
+      case Count(Seq(c0: AttributeReference)) =>
         // COUNT(col) = non-null count: served from nn_<col> (r18 MVs;
         // a pre-r18 MV lacks the column and bails to the source)
+        val c = srcAttr(c0)
+        if (!(isFact(c) && sums.contains(c.name.toLowerCase))) bail()
         Coalesce(Seq(aggOf(Sum(mvAttr(s"nn_${c.name}"))), Literal(0L)))
-      case Average(c: AttributeReference, _)
-          if isFact(c) && sums.contains(c.name.toLowerCase) && fn.dataType == DoubleType =>
+      case Average(c0: AttributeReference, _) =>
         // AVG(col) = SUM(sum_c)/SUM(nn_c) — exactly SQL's null-skipping
         // average (n_rows cannot serve it); double-typed averages only
         // (integral/float sources — decimal AVG precision rules differ)
+        val c = srcAttr(c0)
+        if (!(isFact(c) && sums.contains(c.name.toLowerCase) &&
+            fn.dataType == DoubleType)) bail()
         Divide(
           Cast(aggOf(Sum(mvAttr(s"sum_${c.name}"))), DoubleType,
             Some(conf.sessionLocalTimeZone)),
           Cast(aggOf(Sum(mvAttr(s"nn_${c.name}"))), DoubleType,
             Some(conf.sessionLocalTimeZone)))
-      case Sum(c: AttributeReference, mode) if isFact(c) && sums.contains(c.name.toLowerCase) =>
+      case Sum(c0: AttributeReference, mode) =>
         // keep the query's eval mode (ANSI/TRY overflow semantics);
         // re-summing widened MV sums may need a cast back down
+        val c = srcAttr(c0)
+        if (!(isFact(c) && sums.contains(c.name.toLowerCase))) bail()
         val re = aggOf(Sum(mvAttr(s"sum_${c.name}"), mode))
         if (re.dataType == fn.dataType) re
         else Cast(re, fn.dataType, Some(conf.sessionLocalTimeZone))
-      case Min(c: AttributeReference) if isFact(c) && mins.contains(c.name.toLowerCase) =>
+      case Min(c0: AttributeReference) =>
+        val c = srcAttr(c0)
+        if (!(isFact(c) && mins.contains(c.name.toLowerCase))) bail()
         aggOf(Min(mvAttr(s"min_${c.name}")))
-      case Max(c: AttributeReference) if isFact(c) && maxs.contains(c.name.toLowerCase) =>
+      case Max(c0: AttributeReference) =>
+        val c = srcAttr(c0)
+        if (!(isFact(c) && maxs.contains(c.name.toLowerCase))) bail()
         aggOf(Max(mvAttr(s"max_${c.name}")))
       case _ => bail()
     }

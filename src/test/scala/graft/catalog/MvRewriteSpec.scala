@@ -372,6 +372,79 @@ class MvRewriteSpec extends SparkSpec {
     assert(rows(q) === control(q))
   }
 
+  test("alias shadowing refuses (r21): a Project alias named like an MV column never serves by name") {
+    mk()
+    // END-TO-END: `k AS amt` shadows the registered sum column — SUM(amt)
+    // here is SUM(k), which the MV cannot serve; the answer must come from
+    // the source and match the rewrite-off control
+    val qAgg = """SELECT b, SUM(amt) AS s
+                  FROM (SELECT b, k AS amt FROM gmr.ns.s1) GROUP BY b ORDER BY b"""
+    val dfAgg = sql(qAgg)
+    assert(!scans(dfAgg, "mv1"),
+      s"shadowed SUM must not serve:\n${dfAgg.queryExecution.executedPlan}")
+    assert(rows(qAgg) === control(qAgg))
+    // and a WHERE on `k AS b` (shadowing key b) must not filter the MV's b
+    val qCond = """SELECT m, SUM(amt) AS s
+                   FROM (SELECT k AS b, m, amt FROM gmr.ns.s1)
+                   WHERE b = 1 GROUP BY m ORDER BY m"""
+    val dfCond = sql(qCond)
+    assert(!scans(dfCond, "mv1"),
+      s"shadowed predicate must not serve:\n${dfCond.queryExecution.executedPlan}")
+    assert(rows(qCond) === control(qCond))
+  }
+
+  test("alias shadowing refuses (r21): the rule-level guard, pinned on a constructed plan") {
+    // The optimizer may collapse subquery Projects before GraftMvRewrite
+    // runs, so the e2e queries above can refuse for other reasons; this
+    // applies the rule DIRECTLY to the dangerous shape (Aggregate over an
+    // alias-carrying Project) to pin the sub-guard itself.
+    mk()
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val rel = spark.table("gmr.ns.s1").queryExecution.analyzed
+      .collectFirst { case r: DataSourceV2Relation => r }.get
+    def attr(n: String) = rel.output.find(_.name == n).get
+    def sumOf(a: Attribute) = Alias(AggregateExpression(
+      Sum(a), Complete, isDistinct = false), "s")()
+    val rule = new GraftMvRewrite(spark)
+    def servesMv(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      rule.apply(p).collectFirst {
+        case r: DataSourceV2Relation if r.table.name.contains("mv1") => r
+      }.isDefined
+    // CONTROL: an identity rename (`amt AS x`) resolves through the alias
+    // and serves — proving this constructed shape reaches serveFrom at all
+    val rename = Alias(attr("amt"), "x")()
+    val okAgg = Aggregate(Seq(attr("b")),
+      Seq(attr("b"), sumOf(rename.toAttribute)),
+      Project(Seq(attr("b"), rename), rel))
+    assert(servesMv(okAgg), "identity rename must still serve:\n" + rule.apply(okAgg))
+    // GUARD 1 (rewriteFn): `k AS amt` shadows sum column amt — must refuse
+    val shadowSum = Alias(attr("k"), "amt")()
+    val badAgg = Aggregate(Seq(attr("b")),
+      Seq(attr("b"), sumOf(shadowSum.toAttribute)),
+      Project(Seq(attr("b"), shadowSum), rel))
+    assert(!servesMv(badAgg),
+      "SUM over an alias shadowing a registered sum column must refuse:\n" + rule.apply(badAgg))
+    // GUARD 2 (rebindCond): WHERE on `k AS b` shadowing key b — must refuse
+    val shadowKey = Alias(attr("k"), "b")()
+    val badCond = Aggregate(Seq(attr("m")),
+      Seq(attr("m"), sumOf(attr("amt"))),
+      Filter(EqualTo(shadowKey.toAttribute, Literal(1L)),
+        Project(Seq(shadowKey, attr("m"), attr("amt")), rel)))
+    assert(!servesMv(badCond),
+      "a predicate on an alias shadowing a key must refuse:\n" + rule.apply(badCond))
+    // and the rebindCond identity-rename positive: WHERE on `m AS mm` serves
+    val renameKey = Alias(attr("m"), "mm")()
+    val okCond = Aggregate(Seq(attr("b")),
+      Seq(attr("b"), sumOf(attr("amt"))),
+      Filter(EqualTo(renameKey.toAttribute, Literal(1L)),
+        Project(Seq(attr("b"), renameKey, attr("amt")), rel)))
+    assert(servesMv(okCond),
+      "an identity-renamed key predicate must still serve:\n" + rule.apply(okCond))
+  }
+
   test("DROP TABLE of the MV deregisters; the conf kill-switch works") {
     mk()
     val q = "SELECT b, m, COUNT(*) AS n FROM gmr.ns.s1 GROUP BY b, m ORDER BY b, m"
