@@ -73,6 +73,31 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split(' ')(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** WALL-CLOCK BUDGET (r21, verdict #1): r20's driver bench was killed by
+    * the driver's own wall-clock cap mid-suite (rc=124 at q292, ~80 queries
+    * unmeasured) because 315 queries x median-of-3 plus self-heal reruns in
+    * a contended window has no aggregate bound. The budget makes the
+    * artifact degrade instead of die: once elapsed exceeds
+    * `SPARK_GRAFT_BENCH_BUDGET_S` (default 2400 s — r19's full suite grazed
+    * the driver cap at 3315 s, so the default leaves ample tail room),
+    * remaining queries run ONCE (no median, no extra runs) and self-heal
+    * reruns stop; every query measured under the degraded regime is listed
+    * in the artifact's `"budgeted":[...]` so a reader knows which numbers
+    * are single-shot. Total self-heal rerun VOLUME is capped independently
+    * (`SPARK_GRAFT_BENCH_MAX_RERUNS`, default 60 queries' worth — r19's
+    * contended window fired 242, which alone can blow a wall clock).
+    * Both knobs are pure-function decisions (runsFor / selfHealAllowed) so
+    * BenchBudgetSpec pins the degradation path without running Spark. */
+  private[graft] def runsFor(elapsedS: Double, budgetS: Double,
+                             baseRuns: Int, extra: Boolean): Int =
+    if (elapsedS > budgetS) 1
+    else if (extra) math.max(baseRuns, 5)
+    else baseRuns
+
+  private[graft] def selfHealAllowed(elapsedS: Double, budgetS: Double,
+                                     rerunsUsed: Int, cap: Int): Boolean =
+    elapsedS <= budgetS && rerunsUsed < cap
+
   /** The previous committed artifact's per-query "min" map (the noise floor
     * each query has PROVEN reachable); absent file or field -> empty. */
   private def committedMins(path: String): Map[String, Double] =
@@ -95,6 +120,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
+    val rerunCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RERUNS", "60").toInt
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -102,6 +131,13 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Quiet the single-partition WindowExec warning IN THE BENCH ONLY (r21,
+    // verdict #1 tail note): the emitters are audited group-count-sized
+    // intermediates (vocab ranks, CDF buckets, survival curves), and the
+    // repeated warning floods the driver's 2000-char stdout tail — sometimes
+    // the only surviving evidence of a truncated run.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // Uniform planning environment: the band-join rule is session-sticky once a
     // band-join query enables it, which would make later queries' plan shapes
     // depend on execution order. Installing it up-front plans EVERY query under
@@ -169,25 +205,34 @@ object Bench {
     // ~0.1 s each) timestamp contention WITHIN the window.
     val contendedQs = scala.collection.mutable.LinkedHashSet.empty[String]
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val budgetedQs = scala.collection.mutable.LinkedHashSet.empty[String]
+    var rerunsUsed = 0
     var qIdx = 0
     val results = selected.map { case (name, fn) =>
       if (qIdx % 30 == 0) midProbes += ((qIdx, calibrate()))
       qIdx += 1
-      val nRuns = if (extraRuns.contains(name)) math.max(runs, 5) else runs
+      // wall-clock budget (r21): past the budget every remaining query runs
+      // once and self-heal stops — a degraded artifact beats a killed one
+      val nRuns = runsFor(elapsedS, budgetS, runs, extraRuns.contains(name))
+      if (nRuns == 1 && runs > 1) budgetedQs += name
       var times = Seq.fill(nRuns)(timeOnce(name, fn))
       // self-healing (r18): a median far above the proven noise floor — the
       // better of this run's own min and the committed artifact's — is
       // window contention until re-measured; two extra runs converge it or
       // confirm the move as real. Absolute 0.15 s guard keeps sub-100 ms
-      // queries from churning.
+      // queries from churning. Capped in volume and gated on the budget
+      // (r21): r19's contended window fired 242 rerun pairs, which alone can
+      // blow the driver's wall clock.
       val floor = if (times.forall(_ >= 0))
         math.min(times.min, baseline.get(name).filter(_ > 0).getOrElse(Double.MaxValue))
       else Double.MaxValue
-      if (times.forall(_ >= 0) && runs > 1) {
+      if (times.forall(_ >= 0) && nRuns > 1 &&
+          selfHealAllowed(elapsedS, budgetS, rerunsUsed, rerunCap)) {
         val m = medianOf(times)
         if (m > 1.5 * floor && m - floor > 0.15) {
           times = times ++ Seq.fill(2)(timeOnce(name, fn))
           reruns(name) = 2
+          rerunsUsed += 1
         }
       }
       // any failed run poisons the query: report the (negative) failure time
@@ -219,7 +264,8 @@ object Bench {
     val mid = midProbes.map { case (i, v) => s"[$i,$v]" }.mkString("[", ",", "]")
     val calib = s"""{"start":$calibStart,"end":$calibEnd,"all_start":$calibAllStart,"all_end":$calibAllEnd,"cpus":$nCores,"load_start":$loadStart,"load_end":$loadEnd,"mid":$mid}"""
     val contended = contendedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"reruns":$rr,"contended":$contended,"calib":$calib,"sf":"$sfDir"}"""
+    val budgeted = budgetedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min":$mins,"reruns":$rr,"contended":$contended,"budgeted":$budgeted,"calib":$calib,"sf":"$sfDir"}"""
     println(line)
     // Also write the JSON line to a file: the driver's BENCH_rN.json capture
     // keeps only the stdout TAIL, which truncated per-query numbers for half the
