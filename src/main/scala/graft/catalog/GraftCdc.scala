@@ -132,7 +132,39 @@ object GraftCdc {
 
     val removed = readSegs(leftOnly, baseDvs)
     val added = readSegs(rightOnly, targetDvs)
-    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
-      .unionAll(removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+    // ONE-PASS net diff (r21, guide §2.3/§2.4): the previous shape was two
+    // EXCEPT ALLs (added \ removed, removed \ added) — Spark rewrites EACH
+    // into its own union+aggregate+replicate, so every changed segment was
+    // scanned twice and the union shuffled twice. The signed-count aggregate
+    // below computes the same multiset net in ONE union+aggregate: each
+    // changed segment scans once, one exchange. Pure appends (nothing
+    // removed) and pure reaps (nothing added) skip the aggregate entirely —
+    // with no other side, nothing can cancel, so the delta IS the scan.
+    import org.apache.spark.sql.functions.{abs, col, explode, least, sequence, sum, when}
+    if (rightOnly.isEmpty) removed.withColumn("_change_type", lit("delete"))
+    else if (leftOnly.isEmpty) added.withColumn("_change_type", lit("insert"))
+    else {
+      val cols = meta.schema.fieldNames.toSeq
+      val signed = added.withColumn("__sign", lit(1L))
+        .unionAll(removed.withColumn("__sign", lit(-1L)))
+      val net = signed.groupBy(cols.map(col): _*)
+        .agg(sum(col("__sign")).as("__net"))
+        .where(col("__net") =!= 0L)
+      // |net| copies of each surviving row — multiset semantics identical to
+      // the bidirectional EXCEPT ALL (a row is never on both sides of the
+      // net). Replication is CHUNKED (≤4096-element arrays) so a pathological
+      // multiplicity of one exact-duplicate row streams instead of
+      // materializing a single giant array.
+      val n = abs(col("__net"))
+      net
+        .withColumn("_change_type",
+          when(col("__net") > 0L, lit("insert")).otherwise(lit("delete")))
+        .withColumn("__chunk",
+          explode(sequence(lit(0L), ((n - lit(1L)) / lit(4096L)).cast("long"))))
+        .withColumn("__i",
+          explode(sequence(lit(1L),
+            least(lit(4096L), n - col("__chunk") * lit(4096L)))))
+        .select((cols.map(col) :+ col("_change_type")): _*)
+    }
   }
 }

@@ -494,7 +494,10 @@ private[catalog] object GraftDml {
                            manifest: Array[(String, String)])
     : Seq[(String, Option[String])] = {
     val spark = SparkSession.active
-    manifest.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // land files serially (cheap local renames), then harvest every segment's
+    // stats CONCURRENTLY (r21 — the per-segment footer pass was the rewrite
+    // commit's serial driver tail)
+    val landed = manifest.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       .toSeq.sortBy(_._1).map { case (enc, fileNames) =>
         val seg = if (enc.isEmpty) s"seg-$writeId"
           else s"seg-$writeId${GraftPartitions.Marker}$enc"
@@ -502,14 +505,15 @@ private[catalog] object GraftDml {
         Files.createDirectories(segDir)
         fileNames.foreach(f =>
           Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
-        val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-          spark, segDir.toString, meta.schema,
-          SegmentStats.sumCols(meta.props, meta.schema),
-          GraftBloom.cols(meta.props, meta.schema),
-          SegmentStats.ndvCols(meta.props, meta.schema),
-          klls = SegmentStats.kllCols(meta.props, meta.schema)))).toOption
-        (seg, stats)
+        (seg, segDir)
       }
+    val allStats = SegmentStats.harvestAll(
+      spark, landed.map(_._2.toString), meta.schema,
+      SegmentStats.sumCols(meta.props, meta.schema),
+      GraftBloom.cols(meta.props, meta.schema),
+      SegmentStats.ndvCols(meta.props, meta.schema),
+      klls = SegmentStats.kllCols(meta.props, meta.schema))
+    landed.map(_._1).zip(allStats)
   }
 
   private def parquetWriterFactory(spark: SparkSession, schema: StructType)

@@ -410,20 +410,24 @@ private[catalog] final class GraftClusteredWrite(
         }
         val byCell: Map[String, Seq[String]] =
           manifest.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-        val segments = byCell.toSeq.sortBy(_._1).map { case (enc, fileNames) =>
+        // land files serially (cheap local renames), then harvest every
+        // cell segment's stats CONCURRENTLY (r21 — the per-cell footer pass
+        // was the commit's serial driver tail)
+        val landed = byCell.toSeq.sortBy(_._1).map { case (enc, fileNames) =>
           val seg = s"seg-$writeId${GraftPartitions.Marker}$enc"
           val segDir = tableDir.resolve(seg)
           Files.createDirectories(segDir)
           fileNames.foreach(f =>
             Files.move(staging.resolve(enc).resolve(f), segDir.resolve(f)))
-          val stats = scala.util.Try(SegmentStats.encode(SegmentStats.harvest(
-            SparkSession.active, segDir.toString, metaAtBuild.readSchema,
-            SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
-            GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
-            SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema),
-            klls = SegmentStats.kllCols(metaAtBuild.props, metaAtBuild.schema)))).toOption
-          (seg, stats)
+          (seg, segDir)
         }
+        val allStats = SegmentStats.harvestAll(
+          SparkSession.active, landed.map(_._2.toString), metaAtBuild.readSchema,
+          SegmentStats.sumCols(metaAtBuild.props, metaAtBuild.schema),
+          GraftBloom.cols(metaAtBuild.props, metaAtBuild.schema),
+          SegmentStats.ndvCols(metaAtBuild.props, metaAtBuild.schema),
+          klls = SegmentStats.kllCols(metaAtBuild.props, metaAtBuild.schema))
+        val segments = landed.map(_._1).zip(allStats)
         try {
           val removedByGroupFilter =
             if (fromRowLevelOp) groupRemovals() else None

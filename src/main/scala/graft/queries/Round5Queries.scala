@@ -317,15 +317,33 @@ object Round5Queries {
   }
 
   private[graft] def pagerankRanks(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val edges = copurchaseEdges(s, d)
     // adjacency-list graph: NODE-count-sized rows (degree folded in), cached
     // once — so the per-iteration join is node⋈node (AQE broadcasts the rank
     // side) and the edge-count-sized contribution stream exists only between
     // the explode and its map-side-combined agg, never as a join input. The
     // flat (src,dst,deg) links form shuffled the full edge table through every
     // iteration's join.
-    val adj = edges.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("deg")).persist()
+    //
+    // r21 (guide §2.4 remove shuffles): the edge-level `.distinct()` exchange
+    // is ABSORBED into the adjacency build — collect_set dedups neighbors
+    // per node (partial, map-side), and deg = size(set) is exactly the
+    // distinct degree, so the raw in-basket pair stream goes through ONE
+    // exchange (by node) instead of two (by pair, then by node). Same
+    // adjacency, same ranks; plan: 3 Exchanges → 2 before the loop.
+    val li = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val rawPairs = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("e"))
+      .select(col("e.p1"), col("e.p2"))
+    val undirected = rawPairs.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(rawPairs.select(col("p2").as("src"), col("p1").as("dst")))
+    val adj = undirected.groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("nbrs"))
+      .select(col("src"), col("nbrs"), size(col("nbrs")).cast("long").as("deg"))
+      .persist()
     var ranks = adj.select(col("src").as("node"), lit(1000000L).as("pr"))
     // Lineage note (round-8 measurement): an eager localCheckpoint after every
     // 2nd iteration was benchmarked and REJECTED — 5-run medians at sf0.1 were
